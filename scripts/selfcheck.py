@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify output vs
+DuckDB oracle, exact multiset compare on column-name-sorted rows."""
+import sys, os, json, glob
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for t in df.itertuples(index=False, name=None):
+        rows.append(tuple(str(v) for v in t))
+    return cols, sorted(rows)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            results[name] = "NO_OUTPUT"; continue
+        got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY({len(got)})" + ("" if len(got) > 0 else " !!EMPTY")
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"; continue
+        gc, gr = canon(got)
+        ec, er = canon(exp)
+        if gc != ec:
+            results[name] = f"SCHEMA_MISMATCH got={gc} exp={ec}"
+        elif len(gr) != len(er):
+            results[name] = f"ROWCOUNT {len(gr)} vs {len(er)}"
+        elif gr != er:
+            diff = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            results[name] = f"VALUE_MISMATCH e.g. {diff}"
+        else:
+            results[name] = f"OK({len(gr)})"
+    bad = 0
+    for k in sorted(results):
+        status = results[k]
+        flag = "  " if status.startswith(("OK", "ROWS_ONLY(")) and "!!EMPTY" not in status else "XX"
+        if flag == "XX": bad += 1
+        print(f"{flag} {k}: {status[:300]}")
+    print(f"\n{len(results) - bad}/{len(results)} pass")
+    return 1 if bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

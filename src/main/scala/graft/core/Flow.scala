@@ -1,0 +1,298 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, KeyValueGroupedDataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import scala.reflect.ClassTag
+
+/** Typed relation: the engine's user-facing operator surface.
+  *
+  * A `Flow[T]` is an unordered bag of `T` (the reference's relation — "there
+  * is no defined order", pigpen-core/src/main/clojure/pigpen/map.clj:68-70)
+  * backed by a Spark `Dataset[T]`. Operators mirror the reference DSL
+  * (pigpen-core/src/main/clojure/pigpen/core.clj:39-94) but compile to
+  * declarative Dataset transformations, so Catalyst handles fusion,
+  * pushdown, pruning, and partial aggregation — the work the reference's
+  * "oven" did by hand (SURVEY.md §4.1).
+  *
+  * Two lanes, mirroring the reference's `:field-type` discipline
+  * (SURVEY.md §1.2): keys and storage columns stay native (typed columns →
+  * full Catalyst + Tungsten); arbitrary user values ride product/kryo
+  * encoders. Key type-class bounds (`Encoder`) enforce the reference's
+  * "sort/shuffle keys must be platform-comparable" rule at compile time.
+  */
+final case class Flow[T](ds: Dataset[T]) {
+  private implicit def tEnc: Encoder[T] = ds.encoder
+  private implicit def tTag: ClassTag[T] = ClassTag.AnyRef.asInstanceOf[ClassTag[T]]
+  def spark: SparkSession = ds.sparkSession
+
+  // ---- map family (reference pigpen/map.clj, SURVEY.md §2.3) ----
+
+  /** 1→1 user fn (reference map.clj:59-77). Chains of map/filter/mapcat
+    * stay one narrow Spark stage — the bind-fusion rewrite
+    * (oven.clj:189-248) is free here.
+    */
+  def map[U: Encoder](f: T => U): Flow[U] = Flow(ds.map(f))
+
+  /** 1→N (reference `mapcat`, map.clj:99-111). */
+  def mapcat[U: Encoder](f: T => IterableOnce[U]): Flow[U] = Flow(ds.flatMap(f))
+
+  /** Partition-at-a-time escape hatch (the reference's fused `bind$`). */
+  def mapPartitions[U: Encoder](f: Iterator[T] => Iterator[U]): Flow[U] =
+    Flow(ds.mapPartitions(f))
+
+  def filter(p: T => Boolean): Flow[T] = Flow(ds.filter(p))
+
+  /** reference pigpen/filter.clj:67-80. */
+  def remove(p: T => Boolean): Flow[T] = Flow(ds.filter((t: T) => !p(t)))
+
+  def take(n: Int): Flow[T] = Flow(ds.limit(n))
+
+  /** Bernoulli sample, non-deterministic (reference filter.clj:97-112). */
+  def sample(p: Double): Flow[T] = Flow(ds.sample(withReplacement = false, p))
+
+  // ---- sort / rank (reference map.clj:164-250, raw.clj:340-371) ----
+
+  /** Total sort by a native-comparable key; the key column is dropped from
+    * the output like the reference's `sort$` (raw.clj:355). Distributed
+    * range-partitioned sort — no single reducer.
+    */
+  def sortBy[K: Encoder](key: T => K, asc: Boolean = true): Flow[T] = {
+    val keyed = ds.map((t: T) => (key(t), t))(Encoders.tuple(implicitly[Encoder[K]], tEnc))
+    val sorted = keyed.orderBy(if (asc) col("_1").asc else col("_1").desc)
+    Flow(sorted.map(_._2))
+  }
+
+  /** Prepend a global 0-based index (reference `map-indexed`/`rank$`,
+    * map.clj:135-162). Uses RDD `zipWithIndex`: two jobs (one to count
+    * partition sizes) but fully distributed — never the single reducer of
+    * the reference's Cascading RankBuffer (SURVEY.md §2.7). The index is
+    * only deterministic after `sortBy`.
+    */
+  def mapIndexed[U: Encoder](f: (Long, T) => U): Flow[U] = {
+    val indexed = ds.rdd.zipWithIndex().map { case (t, i) => f(i, t) }(
+      ClassTag.AnyRef.asInstanceOf[ClassTag[U]])
+    Flow(spark.createDataset(indexed))
+  }
+
+  /** `sort |> rank` fused (the reference's merge-sort-rank rewrite,
+    * pigpen-pig/src/main/clojure/pigpen/pig/oven.clj:75-110).
+    */
+  def rankBy[K: Encoder](key: T => K, asc: Boolean = true): Flow[(Long, T)] = {
+    implicit val pair: Encoder[(Long, T)] = Encoders.tuple(Encoders.scalaLong, tEnc)
+    sortBy(key, asc).mapIndexed((i, t) => (i, t))
+  }
+
+  // ---- set ops (reference pigpen/set.clj, SURVEY.md §2.6) ----
+
+  /** Bag concat, no dedup, N-ary (reference set.clj:155-197). */
+  def concat(others: Flow[T]*): Flow[T] =
+    Flow(others.foldLeft(ds)((a, b) => a.union(b.ds)))
+
+  def distinct: Flow[T] = Flow(ds.distinct())
+
+  /** concat + distinct (reference set.clj:127-153). */
+  def union(others: Flow[T]*): Flow[T] = concat(others: _*).distinct
+
+  /** Distinct ∩ (reference set.clj:199-221). */
+  def intersection(others: Flow[T]*): Flow[T] =
+    Flow(others.foldLeft(ds)((a, b) => a.intersect(b.ds)))
+
+  /** Min-multiplicity ∩ (reference set.clj:223-245). */
+  def intersectionMultiset(others: Flow[T]*): Flow[T] =
+    Flow(others.foldLeft(ds)((a, b) => a.intersectAll(b.ds)))
+
+  /** Distinct minus (reference set.clj:247-269). */
+  def difference(others: Flow[T]*): Flow[T] =
+    Flow(others.foldLeft(ds)((a, b) => a.except(b.ds)))
+
+  /** Multiplicity-subtracting minus (reference set.clj:271-293). */
+  def differenceMultiset(others: Flow[T]*): Flow[T] =
+    Flow(others.foldLeft(ds)((a, b) => a.exceptAll(b.ds)))
+
+  // ---- grouping (reference pigpen/join.clj:195-223) ----
+
+  /** Group by a derived key. Keys must be native-comparable (`Encoder`
+    * bound) so Spark can hash-partition them — the reference's
+    * `native-key-frozen-val` rule enforced by types.
+    */
+  def groupBy[K: Encoder](key: T => K): GroupedFlow[K, T] =
+    new GroupedFlow(ds.groupByKey(key))
+
+  // ---- joins (reference pigpen/join.clj:316-483, SURVEY.md §2.4) ----
+
+  /** Typed equi-join. Outer shapes surface misses as `None`, mirroring the
+    * reference's outer-join nils. Default key matching is SQL semantics —
+    * null keys never match (join.clj:31-45); `joinNils = true` switches to
+    * null-safe `<=>` (the reference's `{:join-nils true}`). Use `Option[K]`
+    * keys to express nullable keys in the typed lane.
+    *
+    * Executes as a standard Spark shuffled/broadcast hash join on the
+    * extracted key column; wrap the small side with [[Flow.broadcastHint]]
+    * or rely on AQE at scale.
+    */
+  def joinWith[U, K: Encoder](other: Flow[U], kind: JoinKind = JoinKind.Inner, joinNils: Boolean = false)(
+      lk: T => K)(rk: U => K)(
+      implicit outEnc: Encoder[(Option[T], Option[U])]): Flow[(Option[T], Option[U])] = {
+    val uEnc: Encoder[U] = other.ds.encoder
+    val l = ds.map((t: T) => (lk(t), t))(Encoders.tuple(implicitly[Encoder[K]], tEnc)).alias("__gl")
+    val r = other.ds.map((u: U) => (rk(u), u))(Encoders.tuple(implicitly[Encoder[K]], uEnc)).alias("__gr")
+    val cond =
+      if (joinNils) col("__gl._1") <=> col("__gr._1")
+      else col("__gl._1") === col("__gr._1")
+    val joined = l.joinWith(r, cond, kind.sql)
+    Flow(joined.map { p =>
+      (Option(p._1).map(_._2), Option(p._2).map(_._2))
+    })
+  }
+
+  /** Inner join convenience: f over each row of the per-key cross product
+    * (reference join.clj:360-401). N-way joins chain pairwise (the
+    * reference requires N>2 joins to be all-required, raw.clj:555-557,
+    * which is exactly a chain of inner joins).
+    */
+  def join[U, K: Encoder, R: Encoder](other: Flow[U])(lk: T => K)(rk: U => K)(f: (T, U) => R)(
+      implicit outEnc: Encoder[(Option[T], Option[U])]): Flow[R] =
+    joinWith(other, JoinKind.Inner)(lk)(rk).map { p => f(p._1.get, p._2.get) }
+
+  /** Semi-join that PRESERVES duplicates in `keys` (reference `filter-by`,
+    * join.clj:403-441): each occurrence of a key duplicates the matching
+    * row, so this is an inner join against the keys relation — NOT
+    * `left_semi` (reference functional/join_test.clj:655-667). Null keys
+    * pass iff null ∈ keys: null-safe `<=>` matching.
+    */
+  def filterBy[K: Encoder](keys: Flow[K])(key: T => K): Flow[T] = {
+    val kEnc = implicitly[Encoder[K]]
+    val l = ds.map((t: T) => (key(t), t))(Encoders.tuple(kEnc, tEnc)).alias("__gl")
+    val r = keys.ds.map((k: K) => (k, 1))(Encoders.tuple(kEnc, Encoders.scalaInt)).alias("__gr")
+    Flow(l.joinWith(r, col("__gl._1") <=> col("__gr._1"), "inner").map(_._1._2))
+  }
+
+  /** Anti-join (reference `remove-by`, join.clj:443-483): keep rows whose
+    * key is absent from `keys`; null-key rows are kept unless null ∈ keys
+    * (sentinel-nil semantics) — hence null-safe matching. Keys are
+    * de-duplicated first, so multiplicity in `keys` is irrelevant (matches
+    * the reference: anti-join output multiplicity comes from the left only).
+    */
+  def removeBy[K: Encoder](keys: Flow[K])(key: T => K): Flow[T] = {
+    val kEnc = implicitly[Encoder[K]]
+    val l = ds.map((t: T) => (key(t), t))(Encoders.tuple(kEnc, tEnc)).alias("__gl")
+    val r = keys.ds.map((k: K) => (k, 1))(Encoders.tuple(kEnc, Encoders.scalaInt)).distinct().alias("__gr")
+    val joined = l.joinWith(r, col("__gl._1") <=> col("__gr._1"), "left_outer")
+    Flow(joined.filter(p => p._2 == null).map(_._1._2))
+  }
+
+  /** 2-way cogroup (reference join.clj:316-358). The per-key bags arrive as
+    * Iterators — groups stream and are never required to fit in memory at
+    * once (the reference's Accumulator discipline, SURVEY.md §2.9). N-way
+    * cogroup chains through [[GraftOps.cogroup3]] or tagged union.
+    */
+  def cogroup[U, K: Encoder, R: Encoder](other: Flow[U])(lk: T => K)(rk: U => K)(
+      f: (K, Iterator[T], Iterator[U]) => IterableOnce[R]): Flow[R] = {
+    Flow(ds.groupByKey(lk).cogroup(other.ds.groupByKey(rk))((k, l, r) => f(k, l, r).iterator))
+  }
+
+  // ---- whole-relation collapse (reference join.clj:225-314) ----
+
+  /** Parallel tree aggregation over the whole relation; empty input ⇒ empty
+    * output, never a zero row (reference join.clj:296-302 + SURVEY.md
+    * §7.4.2). Distributed: per-partition partials merged in one final task —
+    * the safe replacement for the reference's single-reducer `reduce`/`into`
+    * at 100 TB (only pre-aggregated partials, one per partition, ever meet).
+    */
+  def foldAll[B, C: Encoder](fold: Fold[T, B, C]): Flow[C] = {
+    implicit val bTag: ClassTag[B] = ClassTag.AnyRef.asInstanceOf[ClassTag[B]]
+    implicit val cTag: ClassTag[C] = ClassTag.AnyRef.asInstanceOf[ClassTag[C]]
+    val partials = ds.rdd.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty else Iterator(it.foldLeft(fold.zero())(fold.reduce))
+    }
+    val one = partials.coalesce(1).mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty else Iterator(fold.finish(it.reduce(fold.merge)))
+    }
+    Flow(spark.createDataset(one))
+  }
+
+  /** Whole-relation reduce with associative `f` (reference join.clj:247-278
+    * ran one sequential reducer; we tree-reduce — same result for the
+    * associative functions the reference's own fold library uses).
+    * Empty input ⇒ empty output.
+    */
+  def reduce(f: (T, T) => T): Flow[T] = {
+    val partials = ds.rdd.mapPartitions(it => if (it.isEmpty) Iterator.empty else Iterator(it.reduce(f)))
+    val one = partials.coalesce(1).mapPartitions(it => if (it.isEmpty) Iterator.empty else Iterator(it.reduce(f)))
+    Flow(spark.createDataset(one))
+  }
+
+  /** Pour the whole relation into one collection (reference `into`,
+    * join.clj:225-244). Single-record output; same unbounded-result hazard
+    * as the reference — prefer `foldAll` with a bounded fold.
+    */
+  def intoSeq(implicit e: Encoder[Vector[T]]): Flow[Vector[T]] =
+    foldAll(Fold.vec[T])
+
+  // ---- plumbing ----
+
+  /** Mark this side broadcastable for subsequent joins (the reference's
+    * `{:strategy :replicated}`, pig/script.clj:295-299).
+    */
+  def broadcastHint: Flow[T] = Flow(org.apache.spark.sql.functions.broadcast(ds))
+
+  /** Explicit DOP control (the reference's `:parallel n` opt). */
+  def parallel(n: Int): Flow[T] = Flow(ds.repartition(n))
+
+  def persist(): Flow[T] = Flow(ds.persist())
+  def toDF: org.apache.spark.sql.DataFrame = ds.toDF()
+
+  /** Execute and collect (the reference's `pigpen.core/dump`). */
+  def dump(): Seq[T] = ds.collect().toSeq
+}
+
+object Flow {
+  /** Inline constant relation (reference `pig/return`, io.clj:265-300). */
+  def of[T: Encoder](spark: SparkSession)(data: Seq[T]): Flow[T] =
+    Flow(spark.createDataset(data))
+}
+
+/** Join shapes; the reference's required/optional per-input flags
+  * (join.clj:31-45) map onto SQL outer-join kinds (pig/script.clj:329-333).
+  */
+sealed abstract class JoinKind(val sql: String)
+object JoinKind {
+  case object Inner extends JoinKind("inner")
+  case object Left extends JoinKind("left_outer")
+  case object Right extends JoinKind("right_outer")
+  case object Full extends JoinKind("full_outer")
+}
+
+/** Result of `Flow.groupBy`: per-key aggregation surface. */
+final class GroupedFlow[K, T](val kvg: KeyValueGroupedDataset[K, T]) {
+
+  /** Materialize each group as (key, bag) — the reference's group-by shape
+    * (`MapEntry[key, seq]`, join.clj:195-223). Unbounded bags; prefer
+    * `fold` for aggregation at scale.
+    */
+  def bags(implicit e: Encoder[(K, Seq[T])]): Flow[(K, Seq[T])] =
+    Flow(kvg.mapGroups((k, it) => (k, it.toSeq)))
+
+  /** Stream each group through f (groups arrive as Iterators). */
+  def mapGroups[U: Encoder](f: (K, Iterator[T]) => U): Flow[U] =
+    Flow(kvg.mapGroups(f))
+
+  def flatMapGroups[U: Encoder](f: (K, Iterator[T]) => IterableOnce[U]): Flow[U] =
+    Flow(kvg.flatMapGroups((k: K, it: Iterator[T]) => f(k, it).iterator))
+
+  /** Per-key algebraic fold → two-phase hash aggregate with map-side
+    * combine (the reference's fold-in-cogroup / Algebraic UDF path,
+    * SURVEY.md §2.4). This is the scale path: per-group state is the fold
+    * buffer, not the group bag.
+    */
+  def fold[B, C: Encoder](f: Fold[T, B, C]): Flow[(K, C)] =
+    Flow(kvg.agg(f.toColumn))
+
+  def fold2[B1, C1: Encoder, B2, C2: Encoder](
+      f1: Fold[T, B1, C1], f2: Fold[T, B2, C2]): Flow[(K, C1, C2)] =
+    Flow(kvg.agg(f1.toColumn, f2.toColumn))
+
+  def fold3[B1, C1: Encoder, B2, C2: Encoder, B3, C3: Encoder](
+      f1: Fold[T, B1, C1], f2: Fold[T, B2, C2], f3: Fold[T, B3, C3]): Flow[(K, C1, C2, C3)] =
+    Flow(kvg.agg(f1.toColumn, f2.toColumn, f3.toColumn))
+}

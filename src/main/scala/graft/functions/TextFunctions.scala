@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * Everything here is a composition of native Catalyst expressions
+  * (`split`, `transform`, `aggregate`, `xxhash64`, …) — no Scala UDFs — so
+  * the whole pipeline stays inside WholeStageCodegen and scales linearly
+  * with executors. (The reference has no scalar-function library at all,
+  * SURVEY.md §2.8; these are the extension surface.)
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: GPT-2-style pre-tokenizer regex (contractions,
+    * letter runs, digit runs, punctuation runs) — a cheap, deterministic
+    * proxy for "model tokens" used for corpus budgeting.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"), lit(0)))
+
+  /** Canonical-text fingerprint: collapse whitespace, lowercase, md5.
+    * Content-addressed id for exact dedup across 100 TB — 128-bit, so
+    * collision-safe at corpus scale.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling-hash fingerprint (xxhash64 of canonical text): cheaper
+    * join key than md5 when 64 bits of collision resistance suffice.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]`. Building block for
+    * minhash / jaccard dedup.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** Quality-score heuristics (0..1-ish features + a blended score),
+    * returned as a struct column: length, word stats, alpha ratio,
+    * punctuation ratio, stopword ratio, mean word length, repetition.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val t = trim(text)
+    val nChars = length(t).cast("double")
+    val toks = tokens(t)
+    val nWords = size(toks).cast("double")
+    val alpha = length(regexp_replace(t, "[^\\p{L}]", "")).cast("double")
+    val punct = length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double")
+    val stop = size(filter(toks, w => lower(w).isin(EnStop: _*))).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double")
+    struct(
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      (alpha / greatest(nChars, lit(1.0))).as("alpha_ratio"),
+      (punct / greatest(nChars, lit(1.0))).as("punct_ratio"),
+      (stop / greatest(nWords, lit(1.0))).as("stopword_ratio"),
+      (nChars / greatest(nWords, lit(1.0))).as("mean_word_len"),
+      (uniq / greatest(nWords, lit(1.0))).as("distinct_ratio"))
+  }
+
+  /** Blended [0,1] quality score (Gopher/C4-style rule blend). */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lengthOk = when(f("n_words").between(5, 100000), 1.0).otherwise(0.0)
+    val wordLenOk = when(f("mean_word_len").between(2.0, 12.0), 1.0).otherwise(0.0)
+    val alphaOk = f("alpha_ratio")
+    val notPunct = lit(1.0) - least(f("punct_ratio") * 5.0, lit(1.0))
+    val diverse = least(f("distinct_ratio") * 2.0, lit(1.0))
+    round((lengthOk + wordLenOk + alphaOk + notPunct + diverse) / 5.0, 6)
+  }
+
+  /** Language ID: n-gram-free stopword + script heuristic. Scores each
+    * candidate language by stopword hits; CJK/Cyrillic/etc. decided by
+    * Unicode script ratio first. Pure Column composition — runs in codegen.
+    */
+  def langId(text: Column): Column = {
+    val t = lower(trim(text))
+    val nChars = greatest(length(t).cast("double"), lit(1.0))
+    val han = length(regexp_replace(t, "[^\\u4e00-\\u9fff]", "")).cast("double") / nChars
+    val kana = length(regexp_replace(t, "[^\\u3040-\\u30ff]", "")).cast("double") / nChars
+    val hangul = length(regexp_replace(t, "[^\\uac00-\\ud7af]", "")).cast("double") / nChars
+    val cyr = length(regexp_replace(t, "[^\\u0400-\\u04ff]", "")).cast("double") / nChars
+    val toks = tokens(t)
+    val nWords = greatest(size(toks).cast("double"), lit(1.0))
+    def ratio(words: Seq[String]): Column =
+      size(filter(toks, w => w.isin(words: _*))).cast("double") / nWords
+    val scores = Seq(
+      "en" -> ratio(EnStop), "de" -> ratio(DeStop), "fr" -> ratio(FrStop),
+      "es" -> ratio(EsStop), "it" -> ratio(ItStop), "pt" -> ratio(PtStop))
+    val best = scores.tail.foldLeft(struct(lit("en").as("l"), scores.head._2.as("s"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc("s"), struct(lit(lang).as("l"), sc.as("s"))).otherwise(acc)
+    }
+    when(kana > 0.05, "ja")
+      .when(hangul > 0.05, "ko")
+      .when(han > 0.05, "zh")
+      .when(cyr > 0.3, "ru")
+      .when(best("s") > 0.0, best("l"))
+      .otherwise("und")
+  }
+
+  private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "are", "with", "as", "his", "they", "at", "be", "this")
+  private val DeStop = Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "sich", "auf", "für", "im", "den", "von", "zu", "des", "auch", "es", "dem")
+  private val FrStop = Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans", "que", "qui", "pour", "pas", "sur", "au", "avec", "ce", "il", "ne")
+  private val EsStop = Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "en", "que", "no", "por", "con", "para", "se", "del", "su", "al", "lo")
+  private val ItStop = Seq("il", "lo", "la", "gli", "di", "e", "è", "un", "una", "che", "non", "per", "con", "del", "della", "si", "sono", "come", "anche", "nel")
+  private val PtStop = Seq("o", "a", "os", "as", "de", "e", "é", "um", "uma", "em", "que", "não", "por", "com", "para", "se", "do", "da", "no", "na")
+}

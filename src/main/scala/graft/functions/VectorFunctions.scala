@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `array<float|double>` embeddings.
+  *
+  * Native `zip_with`/`aggregate` expression compositions — codegen'd, no
+  * UDF boxing, no driver involvement; a cosine over 100 TB of embeddings is
+  * one narrow stage.
+  */
+object VectorFunctions {
+
+  /** Elementwise-double view of a float/double array column. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+
+  /** Unit-normalize: pre-normalizing the corpus once turns every cosine
+    * into a plain dot product — the standard trick that halves ANN cost.
+    */
+  def normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    transform(v, x => x / n)
+  }
+
+  /** Quantized integer dot product: `round(x*scale)` per element, exact
+    * 64-bit integer arithmetic. Deterministic across engines and summation
+    * orders — used where a bit-exact similarity key is needed (dedup keys,
+    * oracle-checked rankings).
+    */
+  def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * scale).cast("long") * round(y.cast("double") * scale).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Signed random-hyperplane signature (SimHash for embeddings): `bits`
+    * pseudo-random hyperplanes derived deterministically from (plane, dim)
+    * via xxhash64; returns a long bitmask. Hamming-close signatures ⇒
+    * cosine-close vectors — the LSH primitive for embedding dedup/ANN.
+    */
+  def hyperplaneSignature(v: Column, bits: Int = 32, seed: Int = 42): Column = {
+    require(bits <= 63, "signature fits one long")
+    val sigBits = (0 until bits).map { p =>
+      // deterministic pseudo-random weight in [-1,1] per (plane, dim)
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x.cast("double") *
+            ((pmod(xxhash64(lit(seed), lit(p), i), lit(2000001L)).cast("double") / 1000000.0) - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    sigBits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two long signatures. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

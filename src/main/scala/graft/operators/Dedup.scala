@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed scale-first:
+  *
+  *  - exact: one hash shuffle on a 128-bit content key; no bags.
+  *  - minhash/simhash/embedding: candidate generation is an equi-join on
+  *    LSH bucket keys (band hash / signature chunk), so the shuffle key
+  *    space is bounded and skew-resistant; the quadratic verify step runs
+  *    only inside buckets. Nothing here is O(n²) over the corpus.
+  *
+  * All candidate pairs are emitted with `idA < idB` to halve the join and
+  * keep results deterministic.
+  */
+object Dedup {
+
+  /** Exact dedup on canonical text: keep the smallest id per fingerprint.
+    * One shuffle; the winner is chosen with `min_by`-style aggregation, not
+    * a window, so there is no per-group sort.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__fp", fingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop("__fp")
+
+  /** MinHash signature column: `numHashes` permutations approximated by
+    * seeded xxhash64 over word `shingle`-grams; array<long> output.
+    */
+  def minhashSignature(text: Column, shingle: Int = 3, numHashes: Int = 64): Column = {
+    val sh = array_distinct(wordShingles(text, shingle))
+    val mins = (0 until numHashes).map { s =>
+      array_min(transform(sh, x => xxhash64(lit(s), x)))
+    }
+    array(mins: _*)
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * shingle→minhash→band→bucket-join: signatures are banded
+    * (`numHashes = bands * rowsPerBand`); docs sharing any band hash land in
+    * one bucket; pairs within a bucket are scored by full-signature
+    * agreement (estimated Jaccard) and thresholded. Collision probability
+    * follows the standard S-curve `1-(1-j^r)^b`.
+    *
+    * Returns (idA, idB, est_jaccard). Scale: the only shuffles are the
+    * band-key groupBy-join and a distinct on pairs.
+    */
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sigs = df.select(col(idCol).as("__id"),
+        minhashSignature(col(textCol), shingle, numHashes).as("__sig"))
+      .persist()
+    val banded = sigs.select(col("__id"), col("__sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b, slice(col("__sig"), b * r + 1, lit(r)).cast("string")))))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
+    val l = banded.select(col("__band"), col("__bucket"),
+      col("__id").as("idA"), col("__sig").as("__sigA"))
+    val rg = banded.select(col("__band"), col("__bucket"),
+      col("__id").as("idB"), col("__sig").as("__sigB"))
+    l.join(rg, Seq("__band", "__bucket"))
+      .where(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("__sigA"), col("__sigB"),
+          (a, b) => when(a === b, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / numHashes)
+      .where(col("est_jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("est_jaccard"))
+  }
+
+  /** SimHash 64-bit signature over word shingles: per-bit weighted vote of
+    * shingle hashes — near-duplicate texts differ in few bits.
+    */
+  def simhash(text: Column, shingle: Int = 2): Column = {
+    val hashes = transform(array_distinct(wordShingles(text, shingle)),
+      x => xxhash64(x))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-duplicates within `maxHamming` bits. Candidates via
+    * chunk-LSH (pigeonhole: two signatures within k bits agree on at least
+    * one of k+1 chunks), verified by exact hamming distance.
+    */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 2, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sigs = df.select(col(idCol).as("__id"), simhash(col(textCol), shingle).as("__sig"))
+      .persist()
+    val chunked = sigs.select(col("__id"), col("__sig"),
+      explode(array((0 until chunks).map(ci =>
+        struct(lit(ci).as("__chunk"),
+          shiftrightunsigned(col("__sig"), ci * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("__key"))): _*)).as("__ck"))
+      .select(col("__id"), col("__sig"),
+        col("__ck.__chunk").as("__chunk"), col("__ck.__key").as("__key"))
+    val l = chunked.select(col("__chunk"), col("__key"), col("__id").as("idA"), col("__sig").as("__sigA"))
+    val r = chunked.select(col("__chunk"), col("__key"), col("__id").as("idB"), col("__sig").as("__sigB"))
+    l.join(r, Seq("__chunk", "__key"))
+      .where(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("hamming", hammingDistance(col("__sigA"), col("__sigB")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    * Distributed as shingle-inverted-index self-join: explode distinct
+    * shingles, join on shingle, count common per pair, then
+    * `|A∩B| / (|A|+|B|-|A∩B|)`. Candidate space is bounded by shared
+    * shingles, not n² (hot shingles can be frequency-capped upstream).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+        explode(array_distinct(wordShingles(col(textCol), shingle))).as("__sh"))
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val common = sh.as("a").join(sh.as("b"), col("a.__sh") === col("b.__sh"))
+      .where(col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))
+      .agg(count(lit(1)).as("__common"))
+    common
+      .join(sizes.withColumnsRenamed(Map("__id" -> "idA", "__n" -> "__na")), "idA")
+      .join(sizes.withColumnsRenamed(Map("__id" -> "idB", "__n" -> "__nb")), "idB")
+      .withColumn("jaccard",
+        col("__common").cast("double") /
+          (col("__na") + col("__nb") - col("__common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  /** Embedding near-duplicates: cosine ≥ threshold pairs, candidates via
+    * random-hyperplane LSH buckets (exact within-bucket verify). At corpus
+    * scale the bucket join replaces the n² cross product.
+    */
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 16): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__sig", hyperplaneSignature(col("__v"), bits))
+      .persist()
+    val l = sigs.select(col("__sig"), col("__id").as("idA"), col("__v").as("__va"))
+    val r = sigs.select(col("__sig"), col("__id").as("idB"), col("__v").as("__vb"))
+    l.join(r, "__sig")
+      .where(col("idA") < col("idB"))
+      .withColumn("cosine", cosineSimilarity(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), col("cosine"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travels as opaque `binary` columns plus a typed metadata struct —
+  * the columnar layout that keeps 100 TB of media scannable: metadata
+  * predicates push down to parquet and prune row groups without touching
+  * payload bytes; payloads stream through `mapPartitions` in bounded
+  * batches so executor memory stays flat.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * container): `decodeStub` derives a deterministic fake feature vector
+  * from the payload bytes. The Spark-side contract — schema, batching,
+  * partitioning, null passthrough — is real and tested; swap
+  * `decodeStub`'s body for a JNI/ffmpeg/ImageIO call in production.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every media payload. */
+  case class MediaMeta(
+      mediaType: String, // "image" | "audio" | "video"
+      format: String,    // "jpeg", "wav", ...
+      width: Int,
+      height: Int,
+      durationMs: Long)
+
+  case class MediaRow(id: Long, meta: MediaMeta, payload: Array[Byte])
+
+  case class MediaFeatures(id: Long, featureDim: Int, features: Array[Float])
+
+  val mediaSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[MediaRow].schema
+
+  /** Synthesize a deterministic media table from any keyed source (test
+    * fixture: payload bytes derived from the id).
+    */
+  def synthetic(spark: SparkSession, n: Int, payloadBytes: Int = 256): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { r =>
+      val id = r
+      val rnd = new java.util.Random(id) // deterministic per id
+      val payload = new Array[Byte](payloadBytes)
+      rnd.nextBytes(payload)
+      MediaRow(id,
+        MediaMeta(if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video",
+          if (id % 3 == 0) "jpeg" else if (id % 3 == 1) "wav" else "mp4",
+          width = 64 + (id % 8).toInt * 32, height = 64 + (id % 5).toInt * 32,
+          durationMs = if (id % 3 == 0) 0L else 1000L + id % 60000),
+        payload)
+    }
+  }
+
+  /** ??? in spirit — STUB decode: deterministic fake "embedding" from
+    * payload bytes (xxhash-seeded). Replace with a real codec in prod.
+    */
+  private[operators] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    val rnd = new java.util.Random(h)
+    var j = 0
+    while (j < dim) { out(j) = rnd.nextFloat() * 2f - 1f; j += 1 }
+    out
+  }
+
+  /** Decode/feature-extract: partition-streaming over binary payloads in
+    * bounded batches (the `mapInPandas` batch shape, Scala-side). Null or
+    * empty payloads pass through as empty feature arrays rather than
+    * failing the task.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64,
+      batchSize: Int = 128): Dataset[MediaFeatures] = {
+    implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary = where a real codec would init/reuse native ctx
+        batch.iterator.map { m =>
+          if (m.payload == null || m.payload.isEmpty)
+            MediaFeatures(m.id, 0, Array.empty)
+          else MediaFeatures(m.id, dim, decodeStub(m.payload, dim))
+        }
+      }
+    }
+  }
+
+  /** Metadata-only filter that never touches payload bytes — verifies (via
+    * .explain) that payload columns are pruned from the scan when only
+    * meta predicates/projections are used.
+    */
+  def filterByMeta(media: DataFrame, mediaType: String, minWidth: Int): DataFrame =
+    media.where(col("meta.mediaType") === mediaType && col("meta.width") >= minWidth)
+      .select(col("id"), col("meta"))
+
+  /** Frame-sample stub for video: emit every `stride`-th synthetic frame
+    * reference (real impl would demux; the Spark shape — one row per
+    * sampled frame, bounded memory — is the point).
+    */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 10): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter((m: MediaRow) => m.meta.mediaType == "video")
+      .flatMap { m =>
+        val frames = (m.meta.durationMs / 1000L * 30L).toInt // 30fps fake
+        (0 until frames by stride).map(f => (m.id, f))
+      }.toDF("id", "frame_index")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query side — correct
+  * and exact; cost is |Q|·|corpus| dot products, fine when |Q| is small).
+  * Scale path: LSH-bucketed search (probe only hash-neighboring buckets)
+  * and an IVF-style coarse quantizer — both shrink the candidate set per
+  * query by orders of magnitude at 100 TB.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k by cosine. `queries` is broadcast; ranking is
+    * tie-broken by neighbor id so results are deterministic.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val scored = c.crossJoin(q)
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: random-hyperplane signatures; a query probes every
+    * bucket within `probeHamming` bits of its own signature (multi-probe),
+    * then candidates are re-ranked exactly. Recall/cost dial: bits up →
+    * smaller buckets; probeHamming up → higher recall.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bits: Int = 12, probeHamming: Int = 1): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__bucket", hyperplaneSignature(col("__cv"), bits))
+    // multi-probe: replicate each query into all buckets within hamming r
+    val probes: Seq[Long] = 0L +: (
+      if (probeHamming >= 1) (0 until bits).map(b => 1L << b) else Seq.empty)
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+        .withColumn("__qsig", hyperplaneSignature(col("__qv"), bits))
+        .withColumn("__bucket", explode(array(probes.map(p => col("__qsig").bitwiseXOR(lit(p))): _*))))
+    val scored = c.join(q, "__bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF-style coarse index: pick `nCells` corpus rows as centroids
+    * (deterministic: lowest ids), assign every vector to its nearest
+    * centroid (one broadcast join), and search only the `nProbe` cells
+    * nearest each query. The partition-pruning pattern of a 100 TB ANN
+    * store: cell id becomes the physical partition key.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val centroids = broadcast(
+      c.orderBy("neighbor_id").limit(nCells)
+        .select(col("neighbor_id").as("__cell"), col("__cv").as("__centroid")))
+    val assigned = c.crossJoin(centroids)
+      .withColumn("__d", l2Distance(col("__cv"), col("__centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("neighbor_id").orderBy(col("__d").asc, col("__cell").asc)))
+      .where(col("__r") === 1)
+      .select(col("neighbor_id"), col("__cv"), col("__cell"))
+    val qAssigned = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .crossJoin(centroids)
+      .withColumn("__d", l2Distance(col("__qv"), col("__centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__d").asc, col("__cell").asc)))
+      .where(col("__r") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__cell"))
+    val scored = assigned.join(broadcast(qAssigned), "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (BASELINE.json north star):
+  * dedup, similarity search, text analysis, multimodal plumbing. Oracles
+  * mirror the exact arithmetic in DuckDB where expressible; LSH/heuristic
+  * ops are registered without an oracle (rows-only) and verified by
+  * ScalaTest with constructed fixtures instead.
+  */
+object ExtQueries {
+
+  private def q(name: String, oracle: String = null, bench: Boolean = false)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Option(oracle), bench)
+
+  /** documents ∪ (documents with shifted ids): guaranteed duplicate pairs
+    * so dedup ops have non-trivial work and deterministic output.
+    */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.df(s, d, "documents")
+    base.unionByName(base.withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  private val dedupExactQ = q("q_dedup_exact",
+    """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+       FROM (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 10000, text FROM documents)
+       GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""",
+    bench = true) { (s, d) =>
+    Dedup.exact(docsWithDups(s, d), "doc_id", "text")
+  }
+
+  private val tokenCountQ = q("q_token_count",
+    """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+       FROM documents""") { (s, d) =>
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+  }
+
+  private val bpeTokenCountQ = q("q_bpe_token_count",
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe
+       FROM documents""") { (s, d) =>
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"), bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+  }
+
+  private val fingerprintQ = q("q_fingerprint",
+    """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+       FROM documents""") { (s, d) =>
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+  }
+
+  private val qualityQ = q("q_quality",
+    """WITH f AS (
+         SELECT doc_id,
+           length(trim(text)) * 1.0 AS n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) * 1.0 AS n_words,
+           length(regexp_replace(trim(text), '[^\p{L}]', '', 'g')) * 1.0 AS alpha,
+           length(regexp_replace(trim(text), '[^[:punct:]]', '', 'g')) * 1.0 AS punct,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               w -> lower(w) IN ('the','a','of','and','to','in','is','it','that','was','for','on','are','with','as','his','they','at','be','this'))) * 1.0 AS stop,
+           len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1.0 AS uniq
+         FROM documents)
+       SELECT doc_id,
+              round(((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN n_chars / greatest(n_words, 1.0) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                   + alpha / greatest(n_chars, 1.0)
+                   + (1.0 - least(punct / greatest(n_chars, 1.0) * 5.0, 1.0))
+                   + least(uniq / greatest(n_words, 1.0) * 2.0, 1.0)) / 5.0, 6) AS quality
+       FROM f""") { (s, d) =>
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+  }
+
+  private val langIdQ = q("q_langid") { (s, d) => // heuristic: rows-only; ScalaTest covers accuracy
+    Tables.df(s, d, "documents")
+      .groupBy(langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val minhashQ = q("q_dedup_minhash", bench = true) { (s, d) => // LSH: rows-only + ScalaTest
+    Dedup.minhashNearDuplicates(docsWithDups(s, d), "doc_id", "text",
+      shingle = 3, numHashes = 64, bands = 16, threshold = 0.7)
+  }
+
+  private val simhashQ = q("q_dedup_simhash") { (s, d) => // LSH: rows-only + ScalaTest
+    Dedup.simhashNearDuplicates(docsWithDups(s, d), "doc_id", "text",
+      shingle = 2, maxHamming = 3)
+  }
+
+  private val ngramJaccardQ = q("q_ngram_jaccard",
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                       i -> array_to_string(w[i:i+1], ' '))) AS s
+              FROM toks),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       common AS (SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+       SELECT idA, idB, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       FROM common
+       JOIN sizes sa ON sa.doc_id = idA
+       JOIN sizes sb ON sb.doc_id = idB
+       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1""") { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text",
+      shingle = 2, threshold = 0.1)
+  }
+
+  private val embDedupQ = q("q_dedup_embedding") { (s, d) => // LSH: rows-only + ScalaTest
+    val base = Tables.df(s, d, "embeddings")
+    val dups = base.unionByName(base.withColumn("vec_id", col("vec_id") + 10000))
+    Dedup.embeddingNearDuplicates(dups, "vec_id", "embedding", threshold = 0.98, bits = 16)
+  }
+
+  private val annQuantQ = q("q_ann_topk",
+    """WITH pairs AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                (SELECT CAST(SUM(CAST(round(CAST(qe AS DOUBLE) * 1000) AS BIGINT)
+                           * CAST(round(CAST(ce AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+                 FROM (SELECT UNNEST(q.embedding) AS qe, UNNEST(c.embedding) AS ce) z) AS dot
+         FROM embeddings q, embeddings c
+         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       SELECT query_id, neighbor_id, dot,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank
+       FROM pairs QUALIFY rank <= 5""") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    val queries = broadcast(emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__q")))
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__c"))
+      .crossJoin(queries)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", quantizedDot(col("__q"), col("__c")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
+  }
+
+  private val annCosineQ = q("q_ann_cosine", bench = true) { (s, d) => // exact brute force; rows-only
+    val emb = Tables.df(s, d, "embeddings")
+    Similarity.bruteForceTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  private val annLshQ = q("q_ann_lsh") { (s, d) => // approximate; rows-only + recall ScalaTest
+    val emb = Tables.df(s, d, "embeddings")
+    Similarity.lshTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
+      k = 10, bits = 12, probeHamming = 1)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  private val multimodalQ = q("q_multimodal") { (s, d) => // synthetic payloads; rows-only
+    import s.implicits._
+    val media = Multimodal.synthetic(s, 300)
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+    media.toDF().select(col("id"), col("meta.mediaType").as("media_type"))
+      .join(feats.toDF().select(col("id"), col("featureDim")), "id")
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n"), max(col("featureDim")).as("dim"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
+    minhashQ, simhashQ, ngramJaccardQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
+    multimodalQ)
+}

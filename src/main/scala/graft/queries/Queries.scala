@@ -1,0 +1,495 @@
+package graft.queries
+
+import graft.core.{Flow, Fold, JoinKind}
+import graft.sources.{Edn, EdnValue, GraftIO}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One registered query per operator in SURVEY.md §2, each with an
+  * ANSI-SQL oracle (DuckDB) over the same parquet tables.
+  *
+  * Determinism discipline (the oracle hash-compares values):
+  *  - double aggregations go through exact DECIMAL arithmetic and are cast
+  *    back to DOUBLE at the end — order-of-summation independent;
+  *  - counts are BIGINT on both sides;
+  *  - rankings always carry a unique tie-break key;
+  *  - non-deterministic ops (sample) and non-SQL-expressible ops (minhash,
+  *    langid) are registered without an oracle → rows-only check.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object Queries {
+
+  private def q(name: String, oracle: String = null, bench: Boolean = false)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Option(oracle), bench)
+
+  /** Exact decimal sum of a 2-dp double column, surfaced as double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(28,4)")).cast("double")
+
+  // ==========================================================
+  // §2.1/§2.3 map family
+  // ==========================================================
+
+  private val loadProject = q("q_load_project",
+    "SELECT c_custkey, c_mktsegment FROM customer") { (s, d) =>
+    Tables.df(s, d, "customer").select("c_custkey", "c_mktsegment")
+  }
+
+  private val filterQ = q("q_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_quantity < 5 AND l_returnflag = 'R'""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.lineitem(s, d))
+      .filter(l => l.l_quantity < 5 && l.l_returnflag == "R")
+      .map(l => (l.l_orderkey, l.l_linenumber, l.l_quantity))
+      .toDF.toDF("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  private val mapQ = q("q_map",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS revenue
+       FROM lineitem""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.lineitem(s, d))
+      .map(l => (l.l_orderkey, l.l_linenumber, l.l_extendedprice * (1 - l.l_discount)))
+      .toDF.toDF("l_orderkey", "l_linenumber", "revenue")
+  }
+
+  private val mapcatQ = q("q_mapcat",
+    """SELECT o_orderkey AS v FROM orders
+       UNION ALL SELECT o_custkey AS v FROM orders""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d))
+      .mapcat(o => Seq(o.o_orderkey, o.o_custkey))
+      .toDF.toDF("v")
+  }
+
+  private val removeQ = q("q_remove",
+    "SELECT p_partkey, p_size FROM part WHERE NOT (p_size > 25)") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.part(s, d)).remove(_.p_size > 25)
+      .map(p => (p.p_partkey, p.p_size)).toDF.toDF("p_partkey", "p_size")
+  }
+
+  private val rankQ = q("q_rank",
+    """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS idx,
+              o_orderkey
+       FROM orders""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d))
+      .rankBy(_.o_orderkey)
+      .map { case (i, o) => (i, o.o_orderkey) }
+      .toDF.toDF("idx", "o_orderkey")
+  }
+
+  private val sortQ = q("q_sort",
+    "SELECT c_name, c_acctbal FROM customer") { (s, d) =>
+    import s.implicits._
+    // total sort (range-partitioned); oracle compares as multiset
+    Flow(Tables.customer(s, d)).sortBy(_.c_acctbal, asc = false)
+      .map(c => (c.c_name, c.c_acctbal)).toDF.toDF("c_name", "c_acctbal")
+  }
+
+  private val takeQ = q("q_take",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d))
+      .sortBy(o => (-o.o_totalprice, o.o_orderkey))
+      .take(100)
+      .map(o => (o.o_orderkey, o.o_totalprice)).toDF.toDF("o_orderkey", "o_totalprice")
+  }
+
+  private val sampleQ = q("q_sample") { (s, d) => // non-deterministic: rows-only
+    import s.implicits._
+    Flow(Tables.orders(s, d)).sample(0.1).map(_.o_orderkey).toDF.toDF("o_orderkey")
+  }
+
+  // ==========================================================
+  // §2.6 set ops
+  // ==========================================================
+
+  private val distinctQ = q("q_distinct",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.customer(s, d)).map(c => (c.c_mktsegment, c.c_nationkey))
+      .distinct.toDF.toDF("c_mktsegment", "c_nationkey")
+  }
+
+  private val unionQ = q("q_union",
+    """SELECT o_custkey AS k FROM orders
+       UNION SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d)).map(_.o_custkey)
+      .union(Flow(Tables.customer(s, d)).filter(_.c_acctbal > 1000).map(_.c_custkey))
+      .toDF.toDF("k")
+  }
+
+  private val concatQ = q("q_concat",
+    """SELECT o_custkey AS k FROM orders
+       UNION ALL SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d)).map(_.o_custkey)
+      .concat(Flow(Tables.customer(s, d)).filter(_.c_acctbal > 1000).map(_.c_custkey))
+      .toDF.toDF("k")
+  }
+
+  private val intersectionQ = q("q_intersection",
+    """SELECT o_custkey AS k FROM orders
+       INTERSECT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d)).map(_.o_custkey)
+      .intersection(Flow(Tables.customer(s, d)).filter(_.c_acctbal < 0).map(_.c_custkey))
+      .toDF.toDF("k")
+  }
+
+  private val intersectionMultisetQ = q("q_intersection_multiset",
+    """SELECT l_partkey AS k FROM lineitem WHERE l_quantity <= 2
+       INTERSECT ALL SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.lineitem(s, d)).filter(_.l_quantity <= 2).map(_.l_partkey)
+      .intersectionMultiset(
+        Flow(Tables.lineitem(s, d)).filter(_.l_returnflag == "R").map(_.l_partkey))
+      .toDF.toDF("k")
+  }
+
+  private val differenceQ = q("q_difference",
+    """SELECT c_custkey AS k FROM customer
+       EXCEPT SELECT o_custkey AS k FROM orders""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.customer(s, d)).map(_.c_custkey)
+      .difference(Flow(Tables.orders(s, d)).map(_.o_custkey))
+      .toDF.toDF("k")
+  }
+
+  private val differenceMultisetQ = q("q_difference_multiset",
+    """SELECT l_suppkey AS k FROM lineitem WHERE l_quantity <= 10
+       EXCEPT ALL SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.lineitem(s, d)).filter(_.l_quantity <= 10).map(_.l_suppkey)
+      .differenceMultiset(
+        Flow(Tables.lineitem(s, d)).filter(_.l_returnflag == "A").map(_.l_suppkey))
+      .toDF.toDF("k")
+  }
+
+  // ==========================================================
+  // §2.4 join / group family
+  // ==========================================================
+
+  private val joinInnerQ = q("q_join_inner",
+    """SELECT o_orderkey, c_name FROM orders JOIN customer
+       ON o_custkey = c_custkey""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d))
+      .join(Flow(Tables.customer(s, d)))(_.o_custkey)(_.c_custkey)(
+        (o, c) => (o.o_orderkey, c.c_name))
+      .toDF.toDF("o_orderkey", "c_name")
+  }
+
+  private val joinLeftQ = q("q_join_left",
+    """SELECT c_custkey, o_orderkey FROM customer
+       LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 100000""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.customer(s, d))
+      .joinWith(Flow(Tables.orders(s, d)).filter(_.o_totalprice > 100000), JoinKind.Left)(
+        _.c_custkey)(_.o_custkey)
+      .map(p => (p._1.get.c_custkey, p._2.map(_.o_orderkey)))
+      .toDF.toDF("c_custkey", "o_orderkey")
+  }
+
+  private val joinRightQ = q("q_join_right",
+    """SELECT o_orderkey, c_custkey FROM orders
+       RIGHT JOIN customer ON o_custkey = c_custkey AND o_totalprice > 100000""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d)).filter(_.o_totalprice > 100000)
+      .joinWith(Flow(Tables.customer(s, d)), JoinKind.Right)(_.o_custkey)(_.c_custkey)
+      .map(p => (p._1.map(_.o_orderkey), p._2.get.c_custkey))
+      .toDF.toDF("o_orderkey", "c_custkey")
+  }
+
+  private val joinFullQ = q("q_join_full",
+    """SELECT a.k AS lk, a.n_chars, b.k AS rk, b.p_size FROM
+         (SELECT doc_id % 700 AS k, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY 1) a
+       FULL JOIN
+         (SELECT CAST(p_partkey % 900 AS BIGINT) AS k, CAST(SUM(p_size) AS BIGINT) AS p_size
+            FROM part GROUP BY 1) b
+       ON a.k = b.k""") { (s, d) =>
+    import s.implicits._
+    val docs = Flow(Tables.documents(s, d)).groupBy(_.doc_id % 700)
+      .fold(Fold.sum[Long].premap[Doc](_.n_chars))
+    val parts = Flow(Tables.part(s, d)).groupBy(p => p.p_partkey % 900)
+      .fold(Fold.sum[Long].premap[Part](_.p_size.toLong))
+    docs.joinWith(parts, JoinKind.Full)(_._1)(_._1)
+      .map(p => (p._1.map(_._1), p._1.map(_._2), p._2.map(_._1), p._2.map(_._2)))
+      .toDF.toDF("lk", "n_chars", "rk", "p_size")
+  }
+
+  private val joinNilsQ = q("q_join_nils",
+    """SELECT a.k, CAST(COUNT(*) AS BIGINT) AS n FROM
+         (SELECT NULLIF(c_nationkey, 3) AS k FROM customer) a
+       JOIN (SELECT NULLIF(s_nationkey, 3) AS k FROM supplier) b
+       ON a.k IS NOT DISTINCT FROM b.k
+       GROUP BY a.k""") { (s, d) =>
+    import s.implicits._
+    val c = Flow(Tables.customer(s, d))
+      .map(c0 => if (c0.c_nationkey == 3) None else Some(c0.c_nationkey))
+    val sup = Flow(Tables.supplier(s, d))
+      .map(s0 => if (s0.s_nationkey == 3) None else Some(s0.s_nationkey))
+    c.joinWith(sup, JoinKind.Inner, joinNils = true)(identity)(identity)
+      .map(p => p._1.get)
+      .groupBy(identity).fold(Fold.count[Option[Int]])
+      .map(p => (p._1, p._2))
+      .toDF.toDF("k", "n")
+  }
+
+  private val joinNilsDefaultQ = q("q_join_nils_default",
+    """SELECT a.k, CAST(COUNT(*) AS BIGINT) AS n FROM
+         (SELECT NULLIF(c_nationkey, 3) AS k FROM customer) a
+       JOIN (SELECT NULLIF(s_nationkey, 3) AS k FROM supplier) b
+       ON a.k = b.k
+       GROUP BY a.k""") { (s, d) =>
+    import s.implicits._
+    val c = Flow(Tables.customer(s, d))
+      .map(c0 => if (c0.c_nationkey == 3) None else Some(c0.c_nationkey))
+    val sup = Flow(Tables.supplier(s, d))
+      .map(s0 => if (s0.s_nationkey == 3) None else Some(s0.s_nationkey))
+    c.joinWith(sup, JoinKind.Inner, joinNils = false)(identity)(identity)
+      .map(p => p._1.get)
+      .groupBy(identity).fold(Fold.count[Option[Int]])
+      .map(p => (p._1, p._2))
+      .toDF.toDF("k", "n")
+  }
+
+  private val filterByQ = q("q_filter_by",
+    // duplicate-preserving semi-join: row multiplicity = key multiplicity
+    """SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.nation(s, d))
+      .filterBy(Flow(Tables.customer(s, d)).map(_.c_nationkey))(_.n_nationkey)
+      .map(_.n_name).toDF.toDF("n_name")
+  }
+
+  private val removeByQ = q("q_remove_by",
+    """SELECT l_orderkey, l_partkey FROM lineitem
+       WHERE l_quantity <= 2 AND l_partkey NOT IN
+         (SELECT p_partkey FROM part WHERE p_size > 40)""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.lineitem(s, d)).filter(_.l_quantity <= 2)
+      .removeBy(Flow(Tables.part(s, d)).filter(_.p_size > 40).map(_.p_partkey))(_.l_partkey)
+      .map(l => (l.l_orderkey, l.l_partkey)).toDF.toDF("l_orderkey", "l_partkey")
+  }
+
+  private val cogroupQ = q("q_cogroup",
+    """SELECT COALESCE(a.k, b.k) AS k,
+              CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
+              CAST(COALESCE(b.n, 0) AS BIGINT) AS n_items
+       FROM (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) a
+       FULL JOIN (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1) b
+       ON a.k = b.k""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d))
+      .cogroup(Flow(Tables.lineitem(s, d)))(_.o_orderkey)(_.l_orderkey)(
+        (k, os, ls) => Iterator.single((k, os.size.toLong, ls.size.toLong)))
+      .toDF.toDF("k", "n_orders", "n_items")
+  }
+
+  private val groupByQ = q("q_group_by",
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+       FROM customer GROUP BY c_mktsegment""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.customer(s, d)).groupBy(_.c_mktsegment)
+      .fold2(Fold.count[Customer],
+        Fold.sum[Long].premap[Customer](c => math.round(c.c_acctbal * 100)))
+      .map(p => (p._1, p._2, p._3))
+      .toDF.toDF("c_mktsegment", "n", "bal_cents")
+  }
+
+  private val groupStatsQ = q("q_group_stats",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+              MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+       FROM orders GROUP BY o_orderpriority""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d)).groupBy(_.o_orderpriority)
+      .fold3(Fold.count[Orders],
+        Fold.minBy[Orders, Double](_.o_totalprice).andThen(_.map(_.o_totalprice)),
+        Fold.maxBy[Orders, Double](_.o_totalprice).andThen(_.map(_.o_totalprice)))
+      .map(p => (p._1, p._2, p._3.get, p._4.get))
+      .toDF.toDF("o_orderpriority", "n", "min_price", "max_price")
+  }
+
+  private val topByQ = q("q_top_by",
+    """SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+       QUALIFY row_number() OVER
+         (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) <= 3""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.customer(s, d)).groupBy(_.c_mktsegment)
+      .fold(Fold.topBy[Customer, (Double, Long)](3)(c => (c.c_acctbal, -c.c_custkey)))
+      .mapcat { p => p._2.map(c => (p._1, c.c_custkey, c.c_acctbal)) }
+      .toDF.toDF("c_mktsegment", "c_custkey", "c_acctbal")
+  }
+
+  private val reduceQ = q("q_reduce",
+    "SELECT CAST(SUM(l_quantity) AS DOUBLE) AS total_qty FROM lineitem") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.lineitem(s, d)).map(_.l_quantity)
+      .reduce(_ + _) // integral doubles: associative & exact
+      .toDF.toDF("total_qty")
+  }
+
+  private val foldAllQ = q("q_fold_all",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+       FROM customer""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.customer(s, d))
+      .foldAll(Fold.juxt(
+        Fold.count[Customer],
+        Fold.sum[Long].premap[Customer](c => math.round(c.c_acctbal * 100))))
+      .toDF.toDF("n", "bal_cents")
+  }
+
+  private val intoQ = q("q_into",
+    "SELECT list_sort(list(DISTINCT c_mktsegment)) AS segments FROM customer") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.customer(s, d)).map(_.c_mktsegment).distinct
+      .intoSeq
+      .map(_.sorted)
+      .toDF.toDF("segments")
+  }
+
+  private val avgFoldQ = q("q_fold_avg",
+    """SELECT l_returnflag,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+       FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.lineitem(s, d)).groupBy(_.l_returnflag)
+      .fold2(
+        Fold.sum[Long].premap[Lineitem](l => l.l_quantity.toLong),
+        Fold.count[Lineitem])
+      .map(p => (p._1, p._2.toDouble / p._3.toDouble))
+      .toDF.toDF("l_returnflag", "avg_qty")
+  }
+
+  // ==========================================================
+  // Headline relational queries (DataFrame lane — bench set)
+  // ==========================================================
+
+  // decimal widths chosen so every product stays inside DECIMAL(38,_) in
+  // BOTH engines (overflow would silently demote to double / lose scale):
+  // price(18,2) * disc(8,4) -> (27,6); * tax(8,4) -> (36,10).
+  private val q1 = q("q_q1",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_disc_price,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_charge,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+              CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+              CAST(COUNT(*) AS BIGINT) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+    bench = true) { (s, d) =>
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val one = lit(1).cast("decimal(8,4)")
+    val disc = col("l_discount").cast("decimal(8,4)")
+    val tax = col("l_tax").cast("decimal(8,4)")
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    val n = count(lit(1))
+    Tables.df(s, d, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        // round to scale 2 before the double cast: keeps the unscaled value
+        // in the exactly-convertible range on both engines (1-ulp parity)
+        round(sum(price * (one - disc)), 2).cast("double").as("sum_disc_price"),
+        round(sum(price * (one - disc) * (one + tax)), 2).cast("double").as("sum_charge"),
+        (sum(qty).cast("double") / n.cast("double")).as("avg_qty"),
+        (sum(price).cast("double") / n.cast("double")).as("avg_price"),
+        (sum(disc).cast("double") / n.cast("double")).as("avg_disc"),
+        n.as("count_order"))
+  }
+
+  private val q5ish = q("q_revenue_by_nation",
+    """SELECT n_name,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name IN ('ASIA', 'EUROPE')
+       GROUP BY n_name""",
+    bench = true) { (s, d) =>
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+    Tables.df(s, d, "lineitem")
+      .join(Tables.df(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.df(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.df(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.df(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name").isin("ASIA", "EUROPE"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(rev), 2).cast("double").as("revenue"))
+  }
+
+  private val windowLagQ = q("q_window_lag",
+    """SELECT event_id,
+              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       FROM events""",
+    bench = true) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.df(s, d, "events")
+      .select(col("event_id"), lag(col("event_type"), 1).over(w).as("prev_type"))
+  }
+
+  private val windowRunningQ = q("q_window_running",
+    """SELECT event_id,
+              CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+       FROM events""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.df(s, d, "events")
+      .select(col("event_id"),
+        sum(col("value").cast("decimal(28,4)")).over(w).cast("double").as("running_value"))
+  }
+
+  private val eventsAggQ = q("q_events_agg",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+       FROM events GROUP BY event_type""") { (s, d) =>
+    Tables.df(s, d, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("total_value"))
+  }
+
+  val relational: Seq[QueryDef] = Seq(
+    loadProject, filterQ, mapQ, mapcatQ, removeQ, rankQ, sortQ, takeQ, sampleQ,
+    distinctQ, unionQ, concatQ, intersectionQ, intersectionMultisetQ,
+    differenceQ, differenceMultisetQ,
+    joinInnerQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,
+    filterByQ, removeByQ, cogroupQ, groupByQ, groupStatsQ, topByQ,
+    reduceQ, foldAllQ, intoQ, avgFoldQ,
+    q1, q5ish, windowLagQ, windowRunningQ, eventsAggQ)
+
+  val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(qd => qd.name -> qd.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(qd => qd.oracle.map(qd.name -> _)).toMap
+}

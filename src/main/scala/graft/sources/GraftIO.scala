@@ -1,0 +1,203 @@
+package graft.sources
+
+import graft.core.Flow
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks (reference pigpen/io.clj + pigpen-parquet, SURVEY.md
+  * §2.2). Each maps to a Spark DataSource, so partition discovery, split
+  * computation, predicate pushdown, and column pruning come from the
+  * platform — a loader here is a schema + options, not an execution path.
+  */
+object GraftIO {
+
+  // ---- text-ish loads (reference io.clj:59-149) ----
+
+  /** One string per line (reference `load-string`, io.clj:59-70). */
+  def loadString(spark: SparkSession, path: String): Flow[String] =
+    Flow(spark.read.textFile(path))
+
+  /** Line → vector of fields (reference `load-tsv`, io.clj:72-86; split
+    * keeps trailing empty cells, extensions/core.clj:95-108 — hence
+    * `split(d, -1)`). `load-lazy` (io.clj:140-149) is the same relation.
+    */
+  def loadTsv(spark: SparkSession, path: String, delimiter: String = "\t"): Flow[Seq[String]] = {
+    implicit val e: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    Flow(spark.read.textFile(path).map(_.split(java.util.regex.Pattern.quote(delimiter), -1).toSeq))
+  }
+
+  /** RFC-4180 CSV, no embedded newlines (reference `load-csv`,
+    * io.clj:88-104). Schema optional: supply to get typed native columns
+    * (the fast lane); otherwise all-string.
+    */
+  def loadCsv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+      sep: String = ",", quote: String = "\""): DataFrame = {
+    val r = spark.read.option("sep", sep).option("quote", quote)
+    schema.fold(r)(s => r.schema(s)).csv(path)
+  }
+
+  /** JSON-per-line (reference `load-json`, io.clj:122-138). */
+  def loadJson(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** EDN-per-line (reference `load-clj`, io.clj:106-120). Parses the EDN
+    * subset the reference's io tests exercise: maps w/ keyword keys,
+    * vectors, strings, longs, doubles, booleans, nil.
+    */
+  def loadClj(spark: SparkSession, path: String): Flow[EdnValue] = {
+    implicit val e: Encoder[EdnValue] = org.apache.spark.sql.Encoders.kryo[EdnValue]
+    Flow(spark.read.textFile(path).map(Edn.parse _))
+  }
+
+  /** Columnar storage (reference pigpen-parquet:105-124). Filters and
+    * projections over the result push down to the scan.
+    */
+  def loadParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Opaque-blob storage (reference `load-binary`, io.clj:30-35: nippy
+    * blobs; here: java-serialized values in a one-binary-column parquet).
+    */
+  def loadBinary[T: Encoder](spark: SparkSession, path: String): Flow[T] = {
+    import org.apache.spark.sql.functions.col
+    Flow(spark.read.parquet(path).select(col("value"))
+      .as(org.apache.spark.sql.Encoders.BINARY)
+      .map((b: Array[Byte]) => deserialize[T](b)))
+  }
+
+  // ---- stores (reference io.clj:151-263) ----
+
+  /** `str` per line (reference `store-string`, io.clj:182-194). */
+  def storeString[T](path: String)(f: Flow[T]): Unit =
+    f.ds.toDF().selectExpr("cast(" + f.ds.columns.head + " as string) as value")
+      .write.mode("overwrite").text(path)
+
+  /** Cells joined by delimiter (reference `store-tsv`, io.clj:196-212). */
+  def storeTsv(path: String, delimiter: String = "\t")(f: Flow[Seq[String]]): Unit = {
+    implicit val e: Encoder[String] = org.apache.spark.sql.Encoders.STRING
+    f.map(_.mkString(delimiter)).ds.write.mode("overwrite").text(path)
+  }
+
+  def storeCsv(path: String)(df: DataFrame): Unit =
+    df.write.mode("overwrite").csv(path)
+
+  def storeJson(path: String)(df: DataFrame): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** EDN per line (reference `store-clj`, io.clj:214-228). */
+  def storeClj(path: String)(f: Flow[EdnValue]): Unit = {
+    implicit val e: Encoder[String] = org.apache.spark.sql.Encoders.STRING
+    f.map(Edn.print _).ds.write.mode("overwrite").text(path)
+  }
+
+  def storeParquet(path: String)(df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def storeBinary[T](path: String)(f: Flow[T]): Unit = {
+    implicit val e: Encoder[Array[Byte]] = org.apache.spark.sql.Encoders.BINARY
+    f.map((t: T) => serialize(t)).ds.toDF("value").write.mode("overwrite").parquet(path)
+  }
+
+  /** Multiple outputs from shared lineage (reference `store-many`,
+    * io.clj:248-263). Persists every flow consumed more than once — the
+    * Spark equivalent of the oven's structural dedup (oven.clj:122-159),
+    * which Spark does NOT do across actions on its own.
+    */
+  def storeMany(outputs: (DataFrame => Unit, DataFrame)*): Unit = {
+    val byPlan = outputs.groupBy(_._2)
+    val shared = byPlan.collect { case (df, os) if os.size > 1 => df }
+    shared.foreach(_.persist())
+    try outputs.foreach { case (sink, df) => sink(df) }
+    finally shared.foreach(_.unpersist())
+  }
+
+  private def serialize[T](t: T): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(t); oos.close(); bos.toByteArray
+  }
+  private def deserialize[T](b: Array[Byte]): T = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+    ois.readObject().asInstanceOf[T]
+  }
+}
+
+/** Minimal EDN value model + reader/printer covering the shapes in the
+  * reference's io corpus (FIXTURES.md §2: maps with keyword keys, vectors,
+  * strings, numbers, booleans, nil).
+  */
+sealed trait EdnValue extends Serializable
+object EdnValue {
+  case object Nil extends EdnValue
+  final case class Bool(b: Boolean) extends EdnValue
+  final case class Num(d: Double, isInt: Boolean) extends EdnValue
+  final case class Str(s: String) extends EdnValue
+  final case class Kw(name: String) extends EdnValue
+  final case class Vec(items: Vector[EdnValue]) extends EdnValue
+  final case class M(entries: Vector[(EdnValue, EdnValue)]) extends EdnValue
+}
+
+object Edn {
+  import EdnValue._
+
+  def parse(s: String): EdnValue = new P(s).value()
+
+  def print(v: EdnValue): String = v match {
+    case Nil => "nil"
+    case Bool(b) => b.toString
+    case Num(d, true) => d.toLong.toString
+    case Num(d, false) => d.toString
+    case Str(s) => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+    case Kw(n) => ":" + n
+    case Vec(items) => items.map(print).mkString("[", " ", "]")
+    case M(es) => es.map { case (k, v2) => print(k) + " " + print(v2) }.mkString("{", ", ", "}")
+  }
+
+  private final class P(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && (s(i).isWhitespace || s(i) == ',')) i += 1
+    def value(): EdnValue = { ws(); val v = v0(); v }
+    private def v0(): EdnValue = s(i) match {
+      case '{' => i += 1; val b = Vector.newBuilder[(EdnValue, EdnValue)]
+        ws(); while (s(i) != '}') { val k = value(); val v = value(); b += ((k, v)); ws() }
+        i += 1; M(b.result())
+      case '[' => i += 1; val b = Vector.newBuilder[EdnValue]
+        ws(); while (s(i) != ']') { b += value(); ws() }
+        i += 1; Vec(b.result())
+      case '"' => i += 1; val sb = new StringBuilder
+        while (s(i) != '"') {
+          if (s(i) == '\\') { i += 1; sb += (s(i) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'; case c => c }) }
+          else sb += s(i)
+          i += 1
+        }
+        i += 1; Str(sb.result())
+      case ':' => i += 1; val st = i
+        while (i < s.length && !s(i).isWhitespace && !",]}{[".contains(s(i))) i += 1
+        Kw(s.substring(st, i))
+      case c if c == '-' || c.isDigit =>
+        val st = i; i += 1
+        while (i < s.length && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' || s(i) == '-' || s(i) == '+')) i += 1
+        val tok = s.substring(st, i)
+        if (tok.exists(c2 => c2 == '.' || c2 == 'e' || c2 == 'E')) Num(tok.toDouble, isInt = false)
+        else Num(tok.toLong.toDouble, isInt = true)
+      case _ =>
+        val st = i
+        while (i < s.length && !s(i).isWhitespace && !",]}{[".contains(s(i))) i += 1
+        s.substring(st, i) match {
+          case "nil" => Nil
+          case "true" => Bool(true)
+          case "false" => Bool(false)
+          case other => Kw(other) // symbols degrade to keyword-ish tokens
+        }
+    }
+  }
+}

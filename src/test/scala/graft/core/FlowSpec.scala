@@ -1,0 +1,105 @@
+package graft.core
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Map/filter/set-op semantics ported from the reference functional corpus
+  * (pigpen functional/{map,filter,set}_test.clj — see FIXTURES.md §1).
+  * Comparisons are set/multiset-based: relations are unordered bags.
+  */
+class FlowSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def flow[T: org.apache.spark.sql.Encoder](xs: T*): Flow[T] =
+    Flow.of(spark)(xs)
+
+  test("map is 1->1") {
+    assert(flow(1, 2, 3, 4).map(_ * 2).dump().sorted == Seq(2, 4, 6, 8))
+  }
+
+  test("mapcat is 1->N") {
+    assert(flow(1, 2).mapcat(x => Seq(x, x + 10)).dump().sorted == Seq(1, 2, 11, 12))
+  }
+
+  test("filter and remove partition the bag") {
+    val f = flow(1, 2, 3, 4, 5, 6)
+    assert(f.filter(_ % 2 == 0).dump().sorted == Seq(2, 4, 6))
+    assert(f.remove(_ % 2 == 0).dump().sorted == Seq(1, 3, 5))
+  }
+
+  test("take limits") {
+    assert(flow(1, 2, 3, 4, 5).take(2).dump().size == 2)
+  }
+
+  test("sample is approximate but bounded") {
+    val n = flow(1 to 1000: _*).sample(0.5).dump().size
+    assert(n > 300 && n < 700)
+  }
+
+  test("sortBy asc/desc gives total order and drops the key") {
+    val xs = flow("bb" -> 2, "a" -> 1, "ccc" -> 3)
+    assert(xs.sortBy(_._2).dump().map(_._1) == Seq("a", "bb", "ccc"))
+    assert(xs.sortBy(_._2, asc = false).dump().map(_._1) == Seq("ccc", "bb", "a"))
+  }
+
+  test("rankBy indexes from 0 in key order") {
+    val r = flow(30, 10, 20).rankBy(identity).dump()
+    assert(r.sortBy(_._1) == Seq((0L, 10), (1L, 20), (2L, 30)))
+  }
+
+  test("mapIndexed covers all rows with distinct indexes") {
+    val r = flow(1 to 100: _*).mapIndexed((i, v) => i).dump()
+    assert(r.sorted == (0L until 100L))
+  }
+
+  // multiset discipline (SURVEY.md §7.4.3): concat/union-multiset never dedup
+  test("concat keeps duplicates, union dedups") {
+    val a = flow(1, 2, 2)
+    val b = flow(2, 3)
+    assert(a.concat(b).dump().sorted == Seq(1, 2, 2, 2, 3))
+    assert(a.union(b).dump().sorted == Seq(1, 2, 3))
+  }
+
+  test("intersection is distinct; intersectionMultiset keeps min multiplicity") {
+    val a = flow(1, 2, 2, 2, 3)
+    val b = flow(2, 2, 3, 4)
+    assert(a.intersection(b).dump().sorted == Seq(2, 3))
+    assert(a.intersectionMultiset(b).dump().sorted == Seq(2, 2, 3))
+  }
+
+  test("difference is distinct; differenceMultiset subtracts multiplicity") {
+    val a = flow(1, 2, 2, 2, 3)
+    val b = flow(2, 3, 4)
+    assert(a.difference(b).dump().sorted == Seq(1))
+    assert(a.differenceMultiset(b).dump().sorted == Seq(1, 2, 2))
+  }
+
+  test("N-ary concat (3 inputs)") {
+    assert(flow(1).concat(flow(2), flow(3)).dump().sorted == Seq(1, 2, 3))
+  }
+
+  test("distinct on tuples") {
+    assert(flow(1 -> "a", 1 -> "a", 2 -> "b").distinct.dump().size == 2)
+  }
+
+  // reference: "there is no defined order" — reduce/foldAll on empty input
+  test("reduce on empty relation yields empty, not zero") {
+    assert(flow[Int]().reduce(_ + _).dump().isEmpty)
+  }
+
+  test("reduce sums across partitions") {
+    assert(flow(1 to 100: _*).parallel(7).reduce(_ + _).dump() == Seq(5050))
+  }
+
+  test("foldAll empty => empty; non-empty => one record") {
+    assert(flow[Int]().foldAll(Fold.count[Int]).dump().isEmpty)
+    assert(flow(1, 2, 3).foldAll(Fold.count[Int]).dump() == Seq(3L))
+  }
+
+  test("intoSeq pours the whole relation into one collection") {
+    val r = flow(3, 1, 2).intoSeq.dump()
+    assert(r.size == 1 && r.head.sorted == Vector(1, 2, 3))
+    assert(flow[Int]().intoSeq.dump().isEmpty)
+  }
+}

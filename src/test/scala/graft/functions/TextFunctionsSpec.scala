@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkTestSession
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("t").select(c).collect().head.get(0)
+
+  test("tokenCount splits on whitespace runs") {
+    assert(one("a  b\tc\nd", tokenCount(col("t"))) == 4)
+    assert(one("  spaced  ", tokenCount(col("t"))) == 1)
+  }
+
+  test("bpeTokenCount counts letter runs, digit runs, punct, contractions") {
+    assert(one("it's 42 ok!", bpeTokenCount(col("t"))) == 5) // it | 's | " 42" | " ok" | !
+  }
+
+  test("fingerprint is whitespace/case-canonical md5") {
+    val a = one("Hello   World", fingerprint(col("t")))
+    val b = one("hello world", fingerprint(col("t")))
+    val c = one("hello worlds", fingerprint(col("t")))
+    assert(a == b && a != c)
+  }
+
+  test("fingerprint64 matches xxhash64 semantics and differs across texts") {
+    val a = one("abc", fingerprint64(col("t")))
+    val b = one("abd", fingerprint64(col("t")))
+    assert(a != b)
+  }
+
+  test("wordShingles builds n-grams; short texts degrade to one shingle") {
+    assert(one("a b c d", wordShingles(col("t"), 3)) ==
+      Seq("a b c", "b c d"))
+    assert(one("a b", wordShingles(col("t"), 3)) == Seq("a b"))
+  }
+
+  test("langId identifies real multilingual samples") {
+    val samples = Seq(
+      ("the cat is on the table and it is happy to be there with his friends", "en"),
+      ("der Hund ist nicht mit der Katze im Haus und das ist auch gut für alle", "de"),
+      ("le chat est dans la maison et il est très content de la situation", "fr"),
+      ("el perro está en la casa y no quiere salir de su lugar por la noche", "es"),
+      ("这是一个中文句子用来测试语言识别功能是否正常工作", "zh"),
+      ("これは日本語のテスト文です言語識別のために書かれました", "ja"),
+      ("이것은 한국어 테스트 문장입니다 언어 식별을 위해 작성되었습니다", "ko"),
+      ("это русское предложение для проверки определения языка в системе", "ru"))
+    val got = samples.map(_._1).toDF("t").select(langId(col("t"))).collect().map(_.getString(0))
+    val expected = samples.map(_._2)
+    assert(got.toSeq == expected)
+  }
+
+  test("qualityScore favors diverse prose over degenerate text") {
+    val prose = "The quick brown fox jumps over the lazy dog near a quiet river bank today."
+    val repeated = "spam spam spam spam spam spam spam spam spam spam spam spam"
+    val punct = "!!! ??? *** !!! ??? *** !!! ??? ***"
+    val sp = one(prose, qualityScore(col("t"))).asInstanceOf[Double]
+    val sr = one(repeated, qualityScore(col("t"))).asInstanceOf[Double]
+    val sx = one(punct, qualityScore(col("t"))).asInstanceOf[Double]
+    assert(sp > sr && sr > sx)
+    assert(sp > 0.8 && sx < 0.6)
+  }
+
+  test("qualityFeatures exposes the raw ratios") {
+    val r = Seq("ab cd!").toDF("t").select(qualityFeatures(col("t")).as("f"))
+      .select("f.n_chars", "f.n_words", "f.punct_ratio").collect().head
+    assert(r.getDouble(0) == 6.0 && r.getDouble(1) == 2.0)
+    assert(math.abs(r.getDouble(2) - 1.0 / 6.0) < 1e-12)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operators verified on constructed fixtures with planted
+  * near-duplicates (the synthetic documents table has none).
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "near the warm fire and dreams of chasing mice through green fields"
+  private val nearDup = base.replace("green fields", "golden meadows") // small edit
+  private val unrelated =
+    "spark executes distributed dataframes with catalyst optimizing the " +
+      "logical plan into whole stage codegen physical operators at scale"
+
+  private def docs() = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated), (3L, base) // 3 = exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per canonical text and counts duplicates") {
+    val r = Dedup.exact(docs(), "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((0L, 2L), (1L, 1L), (2L, 1L))) // 0 wins over 3
+    // canonicalization: whitespace/case-insensitive
+    val r2 = Dedup.exact(Seq((0L, "A  B"), (1L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(r2.count() == 1)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashNearDuplicates(docs(), "doc_id", "text",
+      shingle = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), "exact dup pair must be found")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)), "near dup should collide")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+  }
+
+  test("minhash est_jaccard is 1.0 for exact duplicates") {
+    val est = Dedup.minhashNearDuplicates(docs(), "doc_id", "text")
+      .where($"idA" === 0 && $"idB" === 3).collect()
+    assert(est.length == 1 && est.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash hamming distance: 0 for exact dups, small for near dups, pairs exclude unrelated") {
+    val pairs = Dedup.simhashNearDuplicates(docs(), "doc_id", "text",
+      shingle = 2, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toList
+    val exact = pairs.find(p => p._1 == 0 && p._2 == 3)
+    assert(exact.exists(_._3 == 0L))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ngram jaccard matches a locally computed exact jaccard") {
+    def shingles(s: String, n: Int) =
+      s.split("\\s+").sliding(n).map(_.mkString(" ")).toSet
+    val expected = {
+      val a = shingles(base, 2); val b = shingles(nearDup, 2)
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    val got = Dedup.ngramJaccardPairs(docs(), "doc_id", "text", shingle = 2, threshold = 0.1)
+      .where($"idA" === 0 && $"idB" === 1).collect()
+    assert(got.length == 1)
+    assert(math.abs(got.head.getDouble(2) - expected) < 1e-12)
+  }
+
+  test("embedding near-duplicates: identical vectors pair at cosine 1.0; orthogonal don't") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),     // dup of 0
+      (2L, Array(0.99f, 0.1f, 0f, 0f)), // near-dup of 0
+      (3L, Array(0f, 1f, 0f, 0f))       // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
+      threshold = 0.95, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

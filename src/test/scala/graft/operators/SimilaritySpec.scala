@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic corpus: 200 vectors on a ring + 2 planted neighbors of v0
+  private def corpus() = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map { i =>
+      val v = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      (i, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def localCosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("bruteForceTopK matches a local exact computation") {
+    val df = corpus()
+    val all = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val queries = df.where($"vec_id" < 3)
+    val got = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    for (q <- 0L until 3L) {
+      val expected = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, localCosine(all(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val gotQ = (1 to 5).map(rk => got((q, rk)))
+      assert(gotQ == expected, s"query $q")
+    }
+  }
+
+  test("lshTopK returns a subset of real neighbors with decent recall") {
+    val df = corpus()
+    val queries = df.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, df, "vec_id", "embedding", k = 5,
+      bits = 8, probeHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall") // multi-probe LSH on random data
+  }
+
+  test("ivfTopK probes only nProbe cells but finds self-cell neighbors") {
+    val df = corpus()
+    val queries = df.where($"vec_id" < 5)
+    val r = Similarity.ivfTopK(queries, df, "vec_id", "embedding", k = 5,
+      nCells = 8, nProbe = 4)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    // contract: ≤ k per query, ranked 1..n, no self matches
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+      assert(!rs.exists(_.getLong(1) == q))
+    }
+  }
+}

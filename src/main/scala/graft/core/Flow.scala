@@ -82,6 +82,73 @@ final case class Flow[T](ds: Dataset[T]) {
     sortBy(key, asc).mapIndexed((i, t) => (i, t))
   }
 
+  /** Pig RANK semantics (reference rank$, SURVEY.md §2.7): equal keys share
+    * an index; `dense = true` makes indexes sequential (DENSE_RANK), else
+    * ties skip (RANK). 0-based like the reference's dec-rank rewrite.
+    *
+    * Scale design: no global-window single reducer. Ranks come from a
+    * distributed prefix-scan over the (small) distinct-key table — count
+    * per key, range-partitioned sort, per-partition offsets collected to
+    * the driver (one pair per partition, like zipWithIndex) — then a hash
+    * join back onto the data.
+    */
+  def rankTiesBy[K: Encoder](key: T => K, dense: Boolean = false): Flow[(Long, T)] = {
+    val kEnc: Encoder[K] = implicitly[Encoder[K]]
+    implicit val kt: Encoder[(K, T)] = Encoders.tuple(kEnc, tEnc)
+    implicit val kl: Encoder[(K, Long)] = Encoders.tuple(kEnc, Encoders.scalaLong)
+    val keyed = ds.map((t: T) => (key(t), t))
+    val counts = keyed.groupByKey(_._1).count().orderBy(col("key"))
+    val rdd = counts.rdd
+    // per-partition (numKeys, numRows) — tiny: one pair per partition
+    val partTotals = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var keys = 0L; var rows = 0L
+        it.foreach { kv => keys += 1; rows += kv._2 }
+        Iterator((i, keys, rows))
+      }.collect().sortBy(_._1)
+    val keyOffsets = partTotals.scanLeft(0L)(_ + _._2).init
+    val rowOffsets = partTotals.scanLeft(0L)(_ + _._3).init
+    val rankOfKey = rdd.mapPartitionsWithIndex { (i, it) =>
+      var denseIdx = keyOffsets(i)
+      var rowIdx = rowOffsets(i)
+      it.map { case (k, c) =>
+        val r = if (dense) denseIdx else rowIdx
+        denseIdx += 1; rowIdx += c
+        (k, r)
+      }
+    }
+    val rankDs = spark.createDataset(rankOfKey).alias("__gr")
+    val l = keyed.alias("__gl")
+    implicit val out: Encoder[(Long, T)] = Encoders.tuple(Encoders.scalaLong, tEnc)
+    Flow(l.joinWith(rankDs, col("__gl._1") === col("__gr._1"), "inner")
+      .map(p => (p._2._2, p._1._2)))
+  }
+
+  /** Distinct with an explicit partitioner (the reference's `:partition-by`
+    * opt on distinct, PigPenPartitioner — SURVEY.md §2.9). Values are
+    * co-located by the custom function, then de-duplicated per partition
+    * streaming through a bounded set. Prefer plain [[distinct]] (spillable
+    * hash aggregate) unless partition placement itself is the point.
+    */
+  def distinctPartitionBy(partitions: Int)(partitionKey: T => Int): Flow[T] = {
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = partitions
+      override def getPartition(key: Any): Int = {
+        val h = partitionKey(key.asInstanceOf[T]) % partitions
+        if (h < 0) h + partitions else h
+      }
+    }
+    val r = ds.rdd.map((_, null)).partitionBy(part).mapPartitions { it =>
+      val seen = scala.collection.mutable.HashSet.empty[T]
+      it.collect { case (t, _) if seen.add(t) => t }
+    }
+    Flow(spark.createDataset(r))
+  }
+
+  /** reference `debug` (runtime.clj:174-178): value → "Type\tvalue" line. */
+  def debugString(implicit e: Encoder[String]): Flow[String] =
+    map(t => s"${t.getClass.getSimpleName}\t$t")
+
   // ---- set ops (reference pigpen/set.clj, SURVEY.md §2.6) ----
 
   /** Bag concat, no dedup, N-ary (reference set.clj:155-197). */

@@ -1,0 +1,199 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the dense-vector hot path.
+  *
+  * The `zip_with`/`aggregate` higher-order-function formulations allocate a
+  * lambda frame per element and fall out of whole-stage codegen; at
+  * embedding scale (64-4096 dims × billions of rows) that is the dominant
+  * cost. These expressions generate a tight primitive loop instead — one
+  * fused pass, no allocation — and stay inside WholeStageCodegen.
+  *
+  * Each accumulates in double in index order, bit-compatible with the
+  * sequential HOF definition (and the DuckDB oracle).
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  /** elementwise getter returning double, for eval. */
+  protected def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case FloatType => (a, i) => a.getFloat(i).toDouble
+    case DoubleType => (a, i) => a.getDouble(i)
+    case other => throw new IllegalStateException(s"unexpected element type $other")
+  }
+
+  /** java source for an element read as double, for codegen. */
+  protected def genGet(dt: DataType, arr: String, i: String): String = dt match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
+}
+
+/** dot(a, b) = Σ a_i * b_i over the common prefix length. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ga, gb) = (getter(elemType(left)), getter(elemType(right)))
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += ga(a, i) * gb(b, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (${genGet(elemType(left), a, i)}) * (${genGet(elemType(right), b, i)});
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = dot / (||a|| * ||b||), one fused pass. */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ga, gb) = (getter(elemType(left)), getter(elemType(right)))
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = ga(a, i); val y = gb(b, i)
+        dot += x * y; na += x * x; nb += y * y
+      }
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $x = ${genGet(elemType(left), a, i)};
+         |    double $y = ${genGet(elemType(right), b, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Σ round(a_i*scale) * round(b_i*scale) in exact 64-bit integers; rounding
+  * is half-away-from-zero to match SQL ROUND on both Spark and DuckDB.
+  */
+case class QuantizedDot(left: Expression, right: Expression, scale: Int)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_quantized_dot"
+  override def dataType: DataType = LongType
+
+  private def q(v: Double): Long =
+    if (v < 0) -Math.round(-v * scale) else Math.round(v * scale)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ga, gb) = (getter(elemType(left)), getter(elemType(right)))
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += q(ga(a, i)) * q(gb(b, i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      def rnd(v: String) =
+        s"($v < 0 ? -java.lang.Math.round(-$v * $scale) : java.lang.Math.round($v * $scale))"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $x = ${genGet(elemType(left), a, i)};
+         |    double $y = ${genGet(elemType(right), b, i)};
+         |    $acc += ${rnd(x)} * ${rnd(y)};
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
+    GraftBridge.column(QuantizedDot(GraftBridge.expression(a), GraftBridge.expression(b), scale))
+}

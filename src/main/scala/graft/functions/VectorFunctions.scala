@@ -14,13 +14,21 @@ object VectorFunctions {
   /** Elementwise-double view of a float/double array column. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen'd dot product (see [[VectorExpressions]]); the HOF
+    * formulation is kept as `dotHof` for differential testing.
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
+
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    VectorExpressions.cosine(a, b)
+
+  private[graft] def cosineSimilarityHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
@@ -36,9 +44,12 @@ object VectorFunctions {
   /** Quantized integer dot product: `round(x*scale)` per element, exact
     * 64-bit integer arithmetic. Deterministic across engines and summation
     * orders — used where a bit-exact similarity key is needed (dedup keys,
-    * oracle-checked rankings).
+    * oracle-checked rankings). Native codegen'd expression.
     */
   def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
+    VectorExpressions.quantizedDot(a, b, scale)
+
+  private[graft] def quantizedDotHof(a: Column, b: Column, scale: Int = 1000): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         round(x.cast("double") * scale).cast("long") * round(y.cast("double") * scale).cast("long")),

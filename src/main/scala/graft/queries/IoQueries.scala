@@ -103,6 +103,23 @@ object IoQueries {
     GraftIO.loadBinary[Customer](s, path).toDF
   }
 
+  /** load-avro / store-avro (reference pigpen-avro/avro.clj:46-99) via
+    * the Avro MapReduce container formats.
+    */
+  private val avroRt = q("q_io_avro",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier") { (s, d) =>
+    val path = tmp(d, "avro")
+    val schema =
+      """{"type":"record","name":"supplier","fields":[
+         {"name":"s_suppkey","type":"long"},
+         {"name":"s_name","type":"string"},
+         {"name":"s_nationkey","type":"int"},
+         {"name":"s_acctbal","type":"double"}]}"""
+    graft.sources.AvroIO.storeAvro(path, schema)(
+      Tables.df(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+    graft.sources.AvroIO.loadAvro(s, path, schema)
+  }
+
   /** store-many (reference io.clj:248-263): two sinks off one shared,
     * persisted lineage; returns one read back.
     */
@@ -120,5 +137,5 @@ object IoQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    stringRt, tsvRt, csvRt, jsonRt, cljRt, parquetRt, binaryRt, storeManyQ)
+    stringRt, tsvRt, csvRt, jsonRt, cljRt, parquetRt, binaryRt, avroRt, storeManyQ)
 }

@@ -89,6 +89,26 @@ object Queries {
       .toDF.toDF("idx", "o_orderkey")
   }
 
+  private val rankTiesQ = q("q_rank_ties",
+    """SELECT CAST(rank() OVER (ORDER BY c_nationkey) - 1 AS BIGINT) AS idx, c_custkey
+       FROM customer""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.customer(s, d))
+      .rankTiesBy(_.c_nationkey)
+      .map(p => (p._1, p._2.c_custkey))
+      .toDF.toDF("idx", "c_custkey")
+  }
+
+  private val rankDenseQ = q("q_rank_dense",
+    """SELECT CAST(dense_rank() OVER (ORDER BY c_nationkey) - 1 AS BIGINT) AS idx, c_custkey
+       FROM customer""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.customer(s, d))
+      .rankTiesBy(_.c_nationkey, dense = true)
+      .map(p => (p._1, p._2.c_custkey))
+      .toDF.toDF("idx", "c_custkey")
+  }
+
   private val sortQ = q("q_sort",
     "SELECT c_name, c_acctbal FROM customer") { (s, d) =>
     import s.implicits._
@@ -477,7 +497,8 @@ object Queries {
   }
 
   val relational: Seq[QueryDef] = Seq(
-    loadProject, filterQ, mapQ, mapcatQ, removeQ, rankQ, sortQ, takeQ, sampleQ,
+    loadProject, filterQ, mapQ, mapcatQ, removeQ, rankQ, rankTiesQ, rankDenseQ,
+    sortQ, takeQ, sampleQ,
     distinctQ, unionQ, concatQ, intersectionQ, intersectionMultisetQ,
     differenceQ, differenceMultisetQ,
     joinInnerQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,

@@ -48,6 +48,23 @@ class FlowSpec extends AnyFunSuite {
     assert(r.sortBy(_._1) == Seq((0L, 10), (1L, 20), (2L, 30)))
   }
 
+  test("rankTiesBy: ties share index; dense makes indexes sequential") {
+    val xs = flow("a" -> 10, "b" -> 10, "c" -> 20, "d" -> 30, "e" -> 30, "f" -> 30)
+    val sparse = xs.rankTiesBy(_._2).dump().map(p => p._2._1 -> p._1).toMap
+    assert(sparse == Map("a" -> 0L, "b" -> 0L, "c" -> 2L, "d" -> 3L, "e" -> 3L, "f" -> 3L))
+    val dense = xs.rankTiesBy(_._2, dense = true).dump().map(p => p._2._1 -> p._1).toMap
+    assert(dense == Map("a" -> 0L, "b" -> 0L, "c" -> 1L, "d" -> 2L, "e" -> 2L, "f" -> 2L))
+  }
+
+  test("distinctPartitionBy dedups under a custom partitioner") {
+    val r = flow(1, 2, 2, 3, 3, 3).distinctPartitionBy(3)(identity).dump()
+    assert(r.sorted == Seq(1, 2, 3))
+  }
+
+  test("debugString renders type-tab-value") {
+    assert(flow(1).debugString.dump() == Seq("Integer\t1"))
+  }
+
   test("mapIndexed covers all rows with distinct indexes") {
     val r = flow(1 to 100: _*).mapIndexed((i, v) => i).dump()
     assert(r.sorted == (0L until 100L))

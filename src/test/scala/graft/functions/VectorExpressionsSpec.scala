@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkTestSession
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential tests: the native codegen expressions must be bit-identical
+  * to the higher-order-function formulations they replace (same index-order
+  * double accumulation), including on float inputs and negative values.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vectors(n: Int, dim: Int) = {
+    val rnd = new scala.util.Random(13)
+    (0 until n).map { i =>
+      (Array.fill(dim)(rnd.nextFloat() * 2 - 1), Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }.toDF("a", "b")
+  }
+
+  test("native dot == HOF dot, bit-exact, on float arrays") {
+    val df = vectors(200, 64)
+    val rows = df.select(
+      dot(col("a"), col("b")).as("native"),
+      dotHof(asDouble(col("a")), asDouble(col("b"))).as("hof")).collect()
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("native cosine == HOF cosine, bit-exact") {
+    val df = vectors(200, 64)
+    val rows = df.select(
+      cosineSimilarity(asDouble(col("a")), asDouble(col("b"))).as("native"),
+      cosineSimilarityHof(asDouble(col("a")), asDouble(col("b"))).as("hof")).collect()
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("native quantizedDot == HOF quantizedDot (SQL half-away-from-zero rounding)") {
+    val df = vectors(200, 64)
+    val rows = df.select(
+      quantizedDot(col("a"), col("b")).as("native"),
+      quantizedDotHof(col("a"), col("b")).as("hof")).collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+    // explicit negative-half: round(-0.0005*1000) must be -1, not 0
+    val edge = Seq((Array(-0.5e-3f * 1000f), Array(1f))).toDF("a", "b") // -0.5 after scale/1000... construct directly:
+    val e2 = Seq((Array(-0.0005, 0.0005, 1.0), Array(1.0, 1.0, 1.0))).toDF("a", "b")
+    val got = e2.select(quantizedDot(col("a"), col("b"))).collect().head.getLong(0)
+    val hof = e2.select(quantizedDotHof(col("a"), col("b"))).collect().head.getLong(0)
+    assert(got == hof)
+  }
+
+  test("mismatched lengths use the common prefix; empty arrays give 0/NaN") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0))).toDF("a", "b")
+    assert(df.select(dot(col("a"), col("b"))).collect().head.getDouble(0) == 14.0)
+    val empty = Seq((Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    assert(empty.select(dot(col("a"), col("b"))).collect().head.getDouble(0) == 0.0)
+  }
+
+  test("null arrays propagate null") {
+    val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    assert(df.select(dot(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+}

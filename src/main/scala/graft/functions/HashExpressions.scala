@@ -1,0 +1,287 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen expressions for the LSH/dedup hot path.
+  *
+  * The HOF formulation of a 64-hash MinHash signature is 64 independent
+  * `transform` passes over the shingle array (64 lambda frames per shingle);
+  * SimHash's per-bit vote is 64 `aggregate` passes. At corpus scale
+  * (billions of documents × hundreds of shingles) signature computation
+  * dominates the dedup job. These expressions make each signature ONE pass
+  * over the shingles: the shingle is hashed once (xxHash64, the same
+  * primitive behind Spark's `xxhash64`), and the k derived hashes come from
+  * re-seeding the finalizer on that 8-byte value — standard
+  * "one hash + k rehashes" MinHash (Broder's scheme as used in
+  * Spark MLlib's MinHashLSH, mllib/feature/MinHashLSH.scala).
+  *
+  * (Capability surface: extension ops beyond the reference, which has no
+  * scalar/hash library at all — SURVEY.md §2.8.)
+  */
+abstract class ShingleHashExpression extends UnaryExpression {
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+
+  protected final val xxh = classOf[XXH64].getName
+  protected final val uad = classOf[UnsafeArrayData].getName
+  /** Seed matching Spark's `xxhash64` default so base hashes agree with
+    * the built-in function.
+    */
+  protected final val Seed = 42L
+}
+
+/** minhash(shingles, k): array<long> of per-seed minima in one pass. Empty
+  * or all-null input yields Long.MaxValue sentinels (no shingles = matches
+  * nothing).
+  */
+case class MinHashSignatures(child: Expression, numHashes: Int)
+    extends ShingleHashExpression {
+  override def prettyName: String = "graft_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+        var s = 0
+        while (s < numHashes) {
+          val v = XXH64.hashLong(h, s)
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = $xxh.hashUTF8String($arr.getUTF8String($i), ${Seed}L);
+         |    for (int $s = 0; $s < $numHashes; $s++) {
+         |      long $v = $xxh.hashLong($h, $s);
+         |      if ($v < $mins[$s]) $mins[$s] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash(shingles): 64-bit signature via per-bit majority vote of shingle
+  * hashes, one pass. Empty input hashes to 0.
+  */
+case class SimHash64(child: Expression) extends ShingleHashExpression {
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $votes = new int[64];
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = $xxh.hashUTF8String($arr.getUTF8String($i), ${Seed}L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** band_hashes(signature, bands): chain-hash each contiguous signature band
+  * of `len/bands` longs down to one 64-bit bucket key — the LSH banding
+  * step without the array-slice + string-cast detour.
+  */
+case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_band_hashes"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.simpleString}")
+  }
+
+  private val xxh = classOf[XXH64].getName
+  private val uad = classOf[UnsafeArrayData].getName
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val r = arr.numElements() / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L ^ b
+      var j = 0
+      while (j < r) {
+        h = XXH64.hashLong(arr.getLong(b * r + j), h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      s"""
+         |int $r = $arr.numElements() / $bands;
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = 42L ^ $b;
+         |  for (int $j = 0; $j < $r; $j++) {
+         |    $h = $xxh.hashLong($arr.getLong($b * $r + $j), $h);
+         |  }
+         |  $out[$b] = $h;
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** agreement(a, b): fraction of positions where two equal-length
+  * array<long> signatures agree — the MinHash Jaccard estimate — in one
+  * fused loop instead of `aggregate(zip_with(...))`.
+  */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_sig_agreement"
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint>, got ${l.simpleString}, ${r.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) 0.0
+    else {
+      var same = 0
+      var i = 0
+      while (i < n) {
+        if (a.getLong(i) == b.getLong(i)) same += 1
+        i += 1
+      }
+      same.toDouble / n
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val same = ctx.freshName("same")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $same = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $same++;
+         |}
+         |${ev.value} = $n == 0 ? 0.0 : ((double) $same) / $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object HashExpressions {
+  /** One-pass MinHash signature of an array<string> shingle column. */
+  def minhash(shingles: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashSignatures(GraftBridge.expression(shingles), numHashes))
+
+  /** One-pass 64-bit SimHash of an array<string> shingle column. */
+  def simhash64(shingles: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(shingles)))
+
+  /** LSH band bucket keys from a MinHash signature. */
+  def bandHashes(signature: Column, bands: Int): Column =
+    GraftBridge.column(BandHashes(GraftBridge.expression(signature), bands))
+
+  /** Fraction of agreeing positions between two signatures (est. Jaccard). */
+  def signatureAgreement(a: Column, b: Column): Column =
+    GraftBridge.column(SignatureAgreement(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -30,15 +30,13 @@ object Dedup {
       .drop("__fp")
 
   /** MinHash signature column: `numHashes` permutations approximated by
-    * seeded xxhash64 over word `shingle`-grams; array<long> output.
+    * re-seeded xxhash64 over word `shingle`-grams; array<long> output.
+    * Single pass over the shingles via [[graft.functions.MinHashSignatures]]
+    * — the HOF formulation (k separate `transform` passes) is k× the work.
     */
-  def minhashSignature(text: Column, shingle: Int = 3, numHashes: Int = 64): Column = {
-    val sh = array_distinct(wordShingles(text, shingle))
-    val mins = (0 until numHashes).map { s =>
-      array_min(transform(sh, x => xxhash64(lit(s), x)))
-    }
-    array(mins: _*)
-  }
+  def minhashSignature(text: Column, shingle: Int = 3, numHashes: Int = 64): Column =
+    graft.functions.HashExpressions.minhash(
+      array_distinct(wordShingles(text, shingle)), numHashes)
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *
@@ -60,8 +58,7 @@ object Dedup {
         minhashSignature(col(textCol), shingle, numHashes).as("__sig"))
       .persist()
     val banded = sigs.select(col("__id"), col("__sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b, slice(col("__sig"), b * r + 1, lit(r)).cast("string")))))
+      posexplode(graft.functions.HashExpressions.bandHashes(col("__sig"), bands)))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
     val l = banded.select(col("__band"), col("__bucket"),
       col("__id").as("idA"), col("__sig").as("__sigA"))
@@ -71,26 +68,19 @@ object Dedup {
       .where(col("idA") < col("idB"))
       .dropDuplicates("idA", "idB")
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("__sigA"), col("__sigB"),
-          (a, b) => when(a === b, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, x) => acc + x) / numHashes)
+        graft.functions.HashExpressions.signatureAgreement(col("__sigA"), col("__sigB")))
       .where(col("est_jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("est_jaccard"))
   }
 
   /** SimHash 64-bit signature over word shingles: per-bit weighted vote of
-    * shingle hashes — near-duplicate texts differ in few bits.
+    * shingle hashes — near-duplicate texts differ in few bits. Single pass
+    * via [[graft.functions.SimHash64]] (the HOF formulation is 64
+    * `aggregate` passes).
     */
-  def simhash(text: Column, shingle: Int = 2): Column = {
-    val hashes = transform(array_distinct(wordShingles(text, shingle)),
-      x => xxhash64(x))
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def simhash(text: Column, shingle: Int = 2): Column =
+    graft.functions.HashExpressions.simhash64(
+      array_distinct(wordShingles(text, shingle)))
 
   /** SimHash near-duplicates within `maxHamming` bits. Candidates via
     * chunk-LSH (pigeonhole: two signatures within k bits agree on at least

@@ -45,6 +45,11 @@ object AvroIO {
 
   def storeAvro(path: String, schemaJson: String)(df: DataFrame): Unit = {
     val spark = df.sparkSession
+    // overwrite semantics, consistent with the DataFrame sinks (the Hadoop
+    // OutputFormat otherwise refuses an existing directory)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
     val sparkSchema = df.schema

@@ -1,0 +1,86 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Single-pass LSH hash expressions: codegen/eval agreement, statistical
+  * behavior of the MinHash estimate, and banding stability.
+  */
+class HashExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def shingleDf = Seq(
+    (1L, Seq("a b c", "b c d", "c d e", "d e f")),
+    (2L, Seq("a b c", "b c d", "c d e", "d e x")), // 3/5 jaccard with 1
+    (3L, Seq("q r s", "r s t")),
+    (4L, Seq.empty[String])
+  ).toDF("id", "sh")
+
+  test("minhash: identical shingle sets → identical signatures; empty set → MaxValue sentinels") {
+    val sig = shingleDf.select($"id", HashExpressions.minhash($"sh", 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1).length == 32)
+    assert(sig(1) != sig(3))
+    assert(sig(4).forall(_ == Long.MaxValue))
+    // deterministic across evaluations
+    val again = shingleDf.select(HashExpressions.minhash($"sh", 32)).collect()
+    assert(again.map(_.getSeq[Long](0)).head == sig(1))
+  }
+
+  test("minhash estimate approximates true jaccard on planted sets") {
+    // sets share 3 of 5 distinct shingles → J = 3/5
+    val est = shingleDf.where($"id".isin(1, 2))
+      .select(HashExpressions.minhash($"sh", 512).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val same = est(0).zip(est(1)).count { case (a, b) => a == b }
+    val j = same.toDouble / 512
+    assert(math.abs(j - 0.6) < 0.1, s"est=$j want ~0.6")
+  }
+
+  test("interpreted eval matches codegen result") {
+    // force interpreted path by eval'ing the expression directly
+    val shingles = Seq("a b c", "b c d", "c d e")
+    val arrExpr = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      shingles, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    val interpreted = MinHashSignatures(arrExpr, 16).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    val viaPlan = Seq(Tuple1(shingles)).toDF("sh")
+      .select(HashExpressions.minhash($"sh", 16)).collect().head.getSeq[Long](0)
+    assert(interpreted == viaPlan)
+
+    val simInterp = SimHash64(arrExpr).eval(null).asInstanceOf[Long]
+    val simPlan = Seq(Tuple1(shingles)).toDF("sh")
+      .select(HashExpressions.simhash64($"sh")).collect().head.getLong(0)
+    assert(simInterp == simPlan)
+  }
+
+  test("simhash: identical sets → same signature, disjoint sets differ, empty → 0") {
+    val sig = shingleDf.select($"id", HashExpressions.simhash64($"sh").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(3) != sig(1))
+    assert(sig(4) == 0L)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // near-identical sets → small hamming distance
+    assert(hamming(sig(1), sig(2)) < hamming(sig(1), sig(3)))
+  }
+
+  test("band hashes: equal bands collide, any differing row changes its band only") {
+    val df = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(10L, 20L, 30L, 41L)) // band 1 differs (2 bands × 2 rows)
+    ).toDF("id", "sig")
+    val bh = df.select($"id", HashExpressions.bandHashes($"sig", 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bh(1)(0) == bh(2)(0), "identical first band must collide")
+    assert(bh(1)(1) != bh(2)(1), "differing second band must not collide")
+  }
+
+  test("signature agreement fraction") {
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 4L))).toDF("a", "b")
+    val r = df.select(HashExpressions.signatureAgreement($"a", $"b")).collect().head.getDouble(0)
+    assert(r == 0.75)
+  }
+}

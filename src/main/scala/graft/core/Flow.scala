@@ -251,11 +251,46 @@ final case class Flow[T](ds: Dataset[T]) {
   /** 2-way cogroup (reference join.clj:316-358). The per-key bags arrive as
     * Iterators — groups stream and are never required to fit in memory at
     * once (the reference's Accumulator discipline, SURVEY.md §2.9). N-way
-    * cogroup chains through [[GraftOps.cogroup3]] or tagged union.
+    * cogroup goes through [[cogroup3]] (tagged union, one shuffle).
     */
   def cogroup[U, K: Encoder, R: Encoder](other: Flow[U])(lk: T => K)(rk: U => K)(
       f: (K, Iterator[T], Iterator[U]) => IterableOnce[R]): Flow[R] = {
     Flow(ds.groupByKey(lk).cogroup(other.ds.groupByKey(rk))((k, l, r) => f(k, l, r).iterator))
+  }
+
+  /** 3-way cogroup (reference group$ is N-ary, model.clj:167-172; Pig
+    * COGROUP takes any number of inputs in ONE shuffle). Implemented the
+    * same way Pig does: tag each input, union, one `groupByKey` — a single
+    * hash shuffle regardless of arity, instead of chaining 2-way cogroups
+    * (which would shuffle the growing intermediate N-1 times). Values cross
+    * the shuffle on the kryo lane (the reference's frozen values); keys stay
+    * native so partitioning/compare is columnar.
+    *
+    * Per-key bags are materialized (the user fn sees Seqs) — same contract
+    * as the reference's N-way group; use per-input [[Fold]]s upstream when
+    * bags would be unbounded at scale.
+    */
+  def cogroup3[U, V, K: Encoder, R: Encoder](o1: Flow[U], o2: Flow[V])(
+      kt: T => K)(ku: U => K)(kv: V => K)(
+      f: (K, Seq[T], Seq[U], Seq[V]) => IterableOnce[R]): Flow[R] = {
+    val kEnc = implicitly[Encoder[K]]
+    implicit val tagged: Encoder[(K, Int, Any)] =
+      Encoders.tuple(kEnc, Encoders.scalaInt, Encoders.kryo[Any])
+    val uEnc = o1.ds.encoder
+    val vEnc = o2.ds.encoder
+    val t0 = ds.map((t: T) => (kt(t), 0, t: Any))
+    val t1 = o1.ds.map((u: U) => (ku(u), 1, u: Any))
+    val t2 = o2.ds.map((v: V) => (kv(v), 2, v: Any))
+    Flow(t0.union(t1).union(t2).groupByKey(_._1).flatMapGroups {
+      (k: K, it: Iterator[(K, Int, Any)]) =>
+        val b0 = Vector.newBuilder[T]; val b1 = Vector.newBuilder[U]; val b2 = Vector.newBuilder[V]
+        it.foreach {
+          case (_, 0, x) => b0 += x.asInstanceOf[T]
+          case (_, 1, x) => b1 += x.asInstanceOf[U]
+          case (_, _, x) => b2 += x.asInstanceOf[V]
+        }
+        f(k, b0.result(), b1.result(), b2.result()).iterator
+    })
   }
 
   // ---- whole-relation collapse (reference join.clj:225-314) ----

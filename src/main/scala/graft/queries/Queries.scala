@@ -321,6 +321,29 @@ object Queries {
       .toDF.toDF("k", "n_orders", "n_items")
   }
 
+  private val cogroup3Q = q("q_cogroup3",
+    """SELECT n.n_nationkey AS k,
+              CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cust,
+              CAST(COALESCE(s.n, 0) AS BIGINT) AS n_supp,
+              CAST(COUNT(*) AS BIGINT) AS n_nat
+       FROM nation n
+       LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY 1) c
+         ON c.c_nationkey = n.n_nationkey
+       LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n FROM supplier GROUP BY 1) s
+         ON s.s_nationkey = n.n_nationkey
+       GROUP BY 1, 2, 3""") { (s, d) =>
+    import s.implicits._
+    // one-shuffle 3-way cogroup; every nationkey appears in nation, so the
+    // SQL LEFT JOIN shape is equivalent to the outer cogroup
+    Flow(Tables.nation(s, d))
+      .cogroup3(Flow(Tables.customer(s, d)), Flow(Tables.supplier(s, d)))(
+        _.n_nationkey)(_.c_nationkey)(_.s_nationkey)(
+        (k, ns, cs, ss) =>
+          if (ns.isEmpty) Iterator.empty
+          else Iterator.single((k, cs.size.toLong, ss.size.toLong, ns.size.toLong)))
+      .toDF.toDF("k", "n_cust", "n_supp", "n_nat")
+  }
+
   private val groupByQ = q("q_group_by",
     """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
@@ -397,6 +420,41 @@ object Queries {
         Fold.count[Lineitem])
       .map(p => (p._1, p._2.toDouble / p._3.toDouble))
       .toDF.toDF("l_returnflag", "avg_qty")
+  }
+
+  private val foldDistinctQ = q("q_fold_distinct",
+    """SELECT o_orderpriority, list_sort(list(DISTINCT o_orderstatus)) AS statuses
+       FROM orders GROUP BY o_orderpriority""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d)).groupBy(_.o_orderpriority)
+      .fold(Fold.distinct[String].premap[Orders](_.o_orderstatus))
+      .map(p => (p._1, p._2.toVector.sorted))
+      .toDF.toDF("o_orderpriority", "statuses")
+  }
+
+  private val foldAvgLibQ = q("q_fold_avg_lib",
+    """SELECT c_mktsegment,
+              CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS avg_cents
+       FROM customer GROUP BY c_mktsegment""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.customer(s, d)).groupBy(_.c_mktsegment)
+      .fold(Fold.avg[Long].premap[Customer](c => math.round(c.c_acctbal * 100)))
+      .map(p => (p._1, p._2.get))
+      .toDF.toDF("c_mktsegment", "avg_cents")
+  }
+
+  private val foldSortTakeQ = q("q_fold_sort_take",
+    """SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+       QUALIFY row_number() OVER
+         (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) <= 2""") { (s, d) =>
+    import s.implicits._
+    // fold/sort-by composed with fold/take (reference fold.clj:212-260,
+    // 155-169) = bottom-k per group; bounded-heap via topBy on reversed key
+    Flow(Tables.customer(s, d)).groupBy(_.c_mktsegment)
+      .fold(Fold.topBy[Customer, (Double, Long)](2)(c => (-c.c_acctbal, -c.c_custkey)))
+      .mapcat(p => p._2.map(c => (p._1, c.c_custkey, c.c_acctbal)))
+      .toDF.toDF("c_mktsegment", "c_custkey", "c_acctbal")
   }
 
   // ==========================================================
@@ -502,8 +560,8 @@ object Queries {
     distinctQ, unionQ, concatQ, intersectionQ, intersectionMultisetQ,
     differenceQ, differenceMultisetQ,
     joinInnerQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,
-    filterByQ, removeByQ, cogroupQ, groupByQ, groupStatsQ, topByQ,
-    reduceQ, foldAllQ, intoQ, avgFoldQ,
+    filterByQ, removeByQ, cogroupQ, cogroup3Q, groupByQ, groupStatsQ, topByQ,
+    reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
     q1, q5ish, windowLagQ, windowRunningQ, eventsAggQ)
 
   val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all

@@ -117,6 +117,28 @@ class JoinSpec extends AnyFunSuite {
       ("x", Seq(1, 2), Seq()), ("y", Seq(3), Seq(10)), ("z", Seq(), Seq(20))))
   }
 
+  test("cogroup3: one-shuffle 3-way cogroup covers keys present in any input") {
+    val a = flow("x" -> 1, "y" -> 2)
+    val b = flow("y" -> 10, "z" -> 20, "z" -> 21)
+    val c = flow("w" -> 100, "x" -> 101)
+    val r = a.cogroup3(b, c)(_._1)(_._1)(_._1)((k, as, bs, cs) =>
+      Iterator.single((k, as.map(_._2).sorted, bs.map(_._2).sorted, cs.map(_._2).sorted))).dump()
+    assert(r.toSet == Set(
+      ("x", Seq(1), Seq(), Seq(101)),
+      ("y", Seq(2), Seq(10), Seq()),
+      ("z", Seq(), Seq(20, 21), Seq()),
+      ("w", Seq(), Seq(), Seq(100))))
+  }
+
+  test("cogroup3 with heterogeneous types") {
+    val a = flow(1 -> "a")
+    val b = Flow.of[(Int, Double)](spark)(Seq(1 -> 1.5, 2 -> 2.5))
+    val c = Flow.of[(Int, Boolean)](spark)(Seq(2 -> true))
+    val r = a.cogroup3(b, c)(_._1)(_._1)(_._1)((k, as, bs, cs) =>
+      Iterator.single((k, as.size, bs.size, cs.size))).dump()
+    assert(r.toSet == Set((1, 1, 1, 0), (2, 0, 1, 1)))
+  }
+
   test("groupBy.bags materializes (key, bag)") {
     val r = flow("a" -> 1, "a" -> 2, "b" -> 3).groupBy(_._1)
       .bags.map { case (k, vs) => (k, vs.map(_._2).sorted) }.dump()

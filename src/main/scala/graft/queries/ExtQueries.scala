@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sessions, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -168,8 +168,34 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"), max(col("featureDim")).as("dim"))
   }
 
+  private val sessionizeQ = q("q_sessionize",
+    // 30-minute gap sessionization over the events stream table (ts is
+    // nanos-since-epoch); the two-window SQL mirrors the Spark plan shape
+    """WITH e AS (
+         SELECT user_id, epoch_ns(ts) AS tns, event_id,
+                CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, tns,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM e)
+       SELECT user_id AS key, CAST(session_id AS BIGINT) AS session_id,
+              MIN(tns) // 1000 AS start_us, MAX(tns) // 1000 AS end_us,
+              CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM s GROUP BY 1, 2""") { (s, d) =>
+    // compare at micro precision: DuckDB reads TIMESTAMP(NANOS) truncated
+    // to micros, Spark (nanosAsLong) keeps full nanos
+    Sessions.batch(Tables.df(s, d, "events"),
+      col("user_id"), col("ts"), col("event_id"), gap = 1800000000000L)
+      .select(col("key"), col("session_id"),
+        expr("start_ts DIV 1000").as("start_us"),
+        expr("end_ts DIV 1000").as("end_us"), col("n_events"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
-    multimodalQ)
+    multimodalQ, sessionizeQ)
 }

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.core.Fold
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming extension surface.
+  *
+  * The reference has no distributed streaming at all (its Rx platform is a
+  * push-based LOCAL evaluator — SURVEY.md §2.10), so this module is pure
+  * extension: the same operator algebra over unbounded input. The design
+  * carries over directly because every [[graft.core.Fold]] is algebraic
+  * (associative merge + finisher): a fold is a streaming-compatible
+  * aggregation by construction — Spark keeps the fold buffer as incremental
+  * state per key/window, identical to the batch map-side combine.
+  *
+  * Scale notes: watermarks bound state; window+key grouping shuffles on the
+  * same native-lane keys as batch; session state is one small case class
+  * per open session, evicted by event-time timeout.
+  */
+object GraftStreaming {
+
+  // ---- sources (streaming duals of GraftIO loaders) ----
+
+  def loadStreamJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  def loadStreamCsv(spark: SparkSession, path: String, schema: StructType,
+      sep: String = ","): DataFrame =
+    spark.readStream.schema(schema).option("sep", sep).csv(path)
+
+  def loadStreamParquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  // ---- windowed aggregation ----
+
+  /** Event-time tumbling (or sliding, if `slide` differs from `windowDur`)
+    * window aggregation with a watermark: `readStream → groupBy(window, keys)
+    * → agg`. Late rows beyond `watermarkDelay` are dropped; in append mode a
+    * window emits once, when the watermark passes its end.
+    */
+  def windowedAgg(df: DataFrame, tsCol: String, watermarkDelay: String,
+      windowDur: String, slide: Option[String] = None)(
+      groupCols: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(groupCols :+ slide.fold(window(col(tsCol), windowDur))(
+        s => window(col(tsCol), windowDur, s)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Windowed fold: per (key, tumbling window) algebraic aggregation. The
+    * fold buffer is the incremental streaming state — nothing about the fold
+    * changes between batch and stream. The fold consumes [[Row]]s (the
+    * window groupBy is an untyped grouping); `premap` from the row shape.
+    */
+  def windowedFold[B, C](df: DataFrame, tsCol: String, watermarkDelay: String,
+      windowDur: String, keyCol: Column)(fold: Fold[org.apache.spark.sql.Row, B, C])(
+      implicit cEnc: Encoder[C]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(keyCol.as("key"), window(col(tsCol), windowDur).as("win"))
+      .agg(fold.toColumn.asInstanceOf[org.apache.spark.sql.TypedColumn[Any, C]].as("agg"))
+
+  // ---- sessionization (custom state via flatMapGroupsWithState) ----
+
+  /** Event-time sessionization: events for a key belong to one session while
+    * gaps stay under `gapMs`; a session closes (and emits, append-mode) when
+    * the watermark passes its end + gap. State per open session is one
+    * 3-field struct — bounded, watermark-evicted.
+    *
+    * `tsCol` must be a TimestampType column of `ds`'s schema (watermark
+    * anchor); `eventMs` extracts the same instant from the typed row.
+    */
+  def sessionize[T, K](ds: Dataset[T], tsCol: String, watermarkDelay: String,
+      gapMs: Long)(key: T => K, eventMs: T => Long)(
+      implicit kEnc: Encoder[K], sEnc: Encoder[Session[K]]): Dataset[Session[K]] = {
+    implicit val tEnc: Encoder[T] = ds.encoder
+    implicit val stEnc: Encoder[SessionState] = Encoders.product[SessionState]
+    ds.withWatermark(tsCol, watermarkDelay)
+      .groupByKey(key)
+      .flatMapGroupsWithState[SessionState, Session[K]](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: K, events: Iterator[T], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(k, s.startMs, s.endMs, s.events))
+          } else {
+            var s = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0L))
+            var closed = List.empty[Session[K]]
+            // events within one trigger arrive unordered: fold min/max/count;
+            // a gap larger than gapMs inside the batch splits sessions
+            val sorted = events.map(eventMs).toArray
+            java.util.Arrays.sort(sorted)
+            sorted.foreach { t =>
+              if (s.events > 0 && t - s.endMs > gapMs) {
+                closed ::= Session(k, s.startMs, s.endMs, s.events)
+                s = SessionState(t, t, 1L)
+              } else {
+                s = SessionState(math.min(s.startMs, t), math.max(s.endMs, t), s.events + 1)
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.endMs + gapMs)
+            closed.reverseIterator
+          }
+      }
+  }
+
+  // ---- sinks ----
+
+  /** `writeStream` to files with checkpointing; returns the query handle. */
+  def storeStreamParquet(df: DataFrame, path: String, checkpoint: String,
+      outputMode: String = "append"): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", path).start()
+
+  /** In-memory sink for tests/interactive inspection. */
+  def storeStreamMemory(df: DataFrame, name: String,
+      outputMode: String = "append"): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
+}
+
+// Top-level (not object-nested): Spark's codegen instantiates state/output
+// case classes reflectively and cannot supply an outer-object pointer.
+
+/** A closed session: [start, end] in epoch millis plus event count. */
+final case class Session[K](key: K, startMs: Long, endMs: Long, events: Long)
+
+private[streaming] final case class SessionState(startMs: Long, endMs: Long, events: Long)

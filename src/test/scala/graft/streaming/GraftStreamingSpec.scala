@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics driven through MemoryStream: windowed aggregation
+  * emits exactly once per closed window; sessionization closes sessions on
+  * watermark passage and splits on intra-batch gaps.
+  */
+class GraftStreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000)
+
+  test("windowed aggregation: append mode emits a window once its watermark passes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val agg = GraftStreaming.windowedAgg(df, "ts", "0 seconds", "10 seconds")(
+      Seq(col("k")), Seq(count(lit(1)).as("n"), sum(col("v")).as("total")))
+    val query = GraftStreaming.storeStreamMemory(agg, "win_test")
+    try {
+      input.addData((ts(1), "a", 1.0), (ts(5), "a", 2.0), (ts(8), "b", 5.0))
+      query.processAllAvailable()
+      // watermark still at 8s: window [0,10) not closed yet
+      assert(spark.table("win_test").count() == 0)
+      input.addData((ts(25), "a", 9.0)) // advances watermark past 10s
+      query.processAllAvailable()
+      val rows = spark.table("win_test")
+        .select(col("k"), col("n"), col("total")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("a", 2L, 3.0), ("b", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("sessionize: watermark closes sessions; in-batch gap splits sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val ds = input.toDS().map { case (t, k) => StreamEvent(t, k) }
+    val sessions = GraftStreaming.sessionize(ds, "ts", "0 seconds", gapMs = 10000L)(
+      _.k, _.ts.getTime)
+    val query = GraftStreaming.storeStreamMemory(sessions.toDF(), "sess_test")
+    try {
+      // key a: events at 1s and 5s (one session); key a again at 30s in the
+      // same batch — 25s gap > 10s gap splits it inside the batch
+      input.addData((ts(1), "a"), (ts(5), "a"), (ts(30), "a"))
+      query.processAllAvailable()
+      val afterBatch1 = spark.table("sess_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(afterBatch1 == Set(("a", 1000L, 5000L, 2L)), "split session emits immediately")
+      // advance watermark way past 30s+gap: open session times out and emits
+      input.addData((ts(100), "b"))
+      query.processAllAvailable()
+      input.addData((ts(200), "c")) // push watermark past b's session too
+      query.processAllAvailable()
+      val all = spark.table("sess_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(all.contains(("a", 30000L, 30000L, 1L)), "timed-out session emitted")
+      assert(all.contains(("b", 100000L, 100000L, 1L)))
+    } finally query.stop()
+  }
+
+  test("windowed fold: algebraic Fold runs unchanged as streaming state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val agg = GraftStreaming.windowedFold(df, "ts", "0 seconds", "10 seconds", col("k"))(
+      graft.core.Fold.sum[Long].premap[org.apache.spark.sql.Row](_.getAs[Long]("v")))
+    val query = GraftStreaming.storeStreamMemory(agg, "fold_test")
+    try {
+      input.addData((ts(2), "a", 10L), (ts(7), "a", 32L))
+      query.processAllAvailable()
+      input.addData((ts(50), "a", 1L))
+      query.processAllAvailable()
+      val rows = spark.table("fold_test").select(col("key"), col("agg")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("a", 42L)))
+    } finally query.stop()
+  }
+}
+
+case class StreamEvent(ts: java.sql.Timestamp, k: String)
+case class KV(ts: java.sql.Timestamp, k: String, v: Long)

@@ -187,6 +187,137 @@ case class QuantizedDot(left: Expression, right: Expression, scale: Int)
     copy(left = l, right = r)
 }
 
+/** l2(a, b) = sqrt(Σ (a_i - b_i)²), one fused pass. */
+case class L2Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "graft_l2"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ga, gb) = (getter(elemType(left)), getter(elemType(right)))
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = ga(a, i) - gb(b, i)
+        acc += d * d
+      }
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $d = (${genGet(elemType(left), a, i)}) - (${genGet(elemType(right), b, i)});
+         |    $acc += $d * $d;
+         |  }
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Signed random-hyperplane LSH signature in ONE pass over the vector.
+  *
+  * For each element x_i, derive the `bits` pseudo-random hyperplane weights
+  * w(p, i) ∈ [-1, 1] from xxHash64(i, seed·bits + p) and accumulate
+  * proj[p] += x_i · w(p, i); the signature bit p is sign(proj[p]). The HOF
+  * formulation runs `bits` separate aggregate passes, each re-hashing every
+  * element — this is bits× less work and stays in whole-stage codegen.
+  */
+case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits <= 63, "signature fits one long")
+  override def prettyName: String = "graft_hyperplane_sig"
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${other.simpleString}")
+  }
+
+  private def elemT: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  private val xxh = classOf[org.apache.spark.sql.catalyst.expressions.XXH64].getName
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val arr = input.asInstanceOf[ArrayData]
+    val proj = new Array[Double](bits)
+    val isFloat = elemT == FloatType
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        var p = 0
+        while (p < bits) {
+          val h = XXH64.hashLong(i.toLong, seed.toLong * bits + p)
+          val w = (java.lang.Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
+          proj(p) += x * w
+          p += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < bits) { if (proj(p) > 0) sig |= (1L << p); p += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val proj = ctx.freshName("proj")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      val w = ctx.freshName("w")
+      val sig = ctx.freshName("sig")
+      val get = elemT match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
+      s"""
+         |double[] $proj = new double[$bits];
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    double $x = $get;
+         |    for (int $p = 0; $p < $bits; $p++) {
+         |      long $h = $xxh.hashLong((long) $i, ${seed.toLong} * $bits + $p);
+         |      double $w = (((double) java.lang.Math.floorMod($h, 2000001L)) / 1000000.0) - 1.0;
+         |      $proj[$p] += $x * $w;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $bits; $p++) {
+         |  if ($proj[$p] > 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -196,4 +327,10 @@ object VectorExpressions {
 
   def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
     GraftBridge.column(QuantizedDot(GraftBridge.expression(a), GraftBridge.expression(b), scale))
+
+  def l2(a: Column, b: Column): Column =
+    GraftBridge.column(L2Distance(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def hyperplaneSig(v: Column, bits: Int, seed: Int): Column =
+    GraftBridge.column(HyperplaneSignature(GraftBridge.expression(v), bits, seed))
 }

@@ -30,8 +30,10 @@ object VectorFunctions {
   private[graft] def cosineSimilarityHof(a: Column, b: Column): Column =
     dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+  def l2Distance(a: Column, b: Column): Column = VectorExpressions.l2(a, b)
+
+  private[graft] def l2DistanceHof(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))), lit(0.0), (acc, x) => acc + x))
 
   /** Unit-normalize: pre-normalizing the corpus once turns every cosine
     * into a plain dot product — the standard trick that halves ANN cost.
@@ -59,20 +61,11 @@ object VectorFunctions {
     * pseudo-random hyperplanes derived deterministically from (plane, dim)
     * via xxhash64; returns a long bitmask. Hamming-close signatures ⇒
     * cosine-close vectors — the LSH primitive for embedding dedup/ANN.
+    * Native one-pass expression (see [[HyperplaneSignature]]); the HOF
+    * formulation would re-hash every element once per bit.
     */
-  def hyperplaneSignature(v: Column, bits: Int = 32, seed: Int = 42): Column = {
-    require(bits <= 63, "signature fits one long")
-    val sigBits = (0 until bits).map { p =>
-      // deterministic pseudo-random weight in [-1,1] per (plane, dim)
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x.cast("double") *
-            ((pmod(xxhash64(lit(seed), lit(p), i), lit(2000001L)).cast("double") / 1000000.0) - 1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    sigBits.reduce(_.bitwiseOR(_))
-  }
+  def hyperplaneSignature(v: Column, bits: Int = 32, seed: Int = 42): Column =
+    VectorExpressions.hyperplaneSig(v, bits, seed)
 
   /** Hamming distance between two long signatures. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

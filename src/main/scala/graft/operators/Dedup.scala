@@ -140,7 +140,7 @@ object Dedup {
     */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bits: Int = 16): DataFrame = {
-    val sigs = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+    val sigs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__sig", hyperplaneSignature(col("__v"), bits))
       .persist()
     val l = sigs.select(col("__sig"), col("__id").as("idA"), col("__v").as("__va"))

@@ -21,8 +21,8 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.crossJoin(q)
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
@@ -40,13 +40,13 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       bits: Int = 12, probeHamming: Int = 1): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__bucket", hyperplaneSignature(col("__cv"), bits))
     // multi-probe: replicate each query into all buckets within hamming r
     val probes: Seq[Long] = 0L +: (
       if (probeHamming >= 1) (0 until bits).map(b => 1L << b) else Seq.empty)
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
         .withColumn("__qsig", hyperplaneSignature(col("__qv"), bits))
         .withColumn("__bucket", explode(array(probes.map(p => col("__qsig").bitwiseXOR(lit(p))): _*))))
     val scored = c.join(q, "__bucket")
@@ -68,7 +68,7 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val centroids = broadcast(
       c.orderBy("neighbor_id").limit(nCells)
         .select(col("neighbor_id").as("__cell"), col("__cv").as("__centroid")))
@@ -78,7 +78,7 @@ object Similarity {
         Window.partitionBy("neighbor_id").orderBy(col("__d").asc, col("__cell").asc)))
       .where(col("__r") === 1)
       .select(col("neighbor_id"), col("__cv"), col("__cell"))
-    val qAssigned = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val qAssigned = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .crossJoin(centroids)
       .withColumn("__d", l2Distance(col("__qv"), col("__centroid")))
       .withColumn("__r", row_number().over(

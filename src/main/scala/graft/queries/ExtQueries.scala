@@ -158,6 +158,13 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  private val annIvfQ = q("q_ann_ivf") { (s, d) => // approximate; rows-only + recall ScalaTest
+    val emb = Tables.df(s, d, "embeddings")
+    Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   private val multimodalQ = q("q_multimodal") { (s, d) => // synthetic payloads; rows-only
     import s.implicits._
     val media = Multimodal.synthetic(s, 300)
@@ -197,5 +204,5 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
-    multimodalQ, sessionizeQ)
+    annIvfQ, multimodalQ, sessionizeQ)
 }

@@ -50,6 +50,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(got == hof)
   }
 
+  test("native l2 == HOF l2, bit-exact") {
+    val df = vectors(200, 64)
+    val rows = df.select(
+      l2Distance(col("a"), col("b")).as("native"),
+      l2DistanceHof(col("a"), col("b")).as("hof")).collect()
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("hyperplane signature: deterministic, sign-sensitive, float==double input") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0.5f, -0.2f)),
+      (2L, Array(1f, 0f, 0.5f, -0.2f)),    // identical → same signature
+      (3L, Array(-1f, 0f, -0.5f, 0.2f))    // negated → complement-ish signature
+    ).toDF("id", "v")
+    val sigs = df.select(col("id"), hyperplaneSignature(col("v"), bits = 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    // float input and its exact-double image give the same signature
+    val d1 = Seq(Tuple1(Array(1f, 0f, 0.5f, -0.2f))).toDF("v")
+      .select(hyperplaneSignature(col("v"), 16)).collect().head.getLong(0)
+    val d2 = Seq(Tuple1(Array(1f.toDouble, 0f.toDouble, 0.5f.toDouble, -0.2f.toDouble))).toDF("v")
+      .select(hyperplaneSignature(col("v"), 16)).collect().head.getLong(0)
+    assert(d1 == d2)
+    // interpreted eval matches codegen
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq(1.0, 0.0, 0.5, -0.2), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    val interp = HyperplaneSignature(lit, 16, 42).eval(null).asInstanceOf[Long]
+    assert(interp == d1)
+  }
+
   test("mismatched lengths use the common prefix; empty arrays give 0/NaN") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0))).toDF("a", "b")
     assert(df.select(dot(col("a"), col("b"))).collect().head.getDouble(0) == 14.0)

@@ -50,6 +50,23 @@ object TextFunctions {
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
+  /** Token-window chunks for context-length-bounded training samples:
+    * windows of `size` tokens advancing by `stride` (= size - overlap),
+    * each re-joined with single spaces. The final partial window is kept
+    * iff it starts within the text (standard sliding-window chunking).
+    * Pure Column composition — chunking 100 TB is one narrow stage.
+    */
+  def tokenChunks(text: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val toks = tokens(text)
+    val n = org.apache.spark.sql.functions.size(toks)
+    // number of windows: 1 + ceil(max(n - size, 0) / stride)
+    val extra = greatest(n - size, lit(0))
+    val nWin = lit(1) + ceil(extra.cast("double") / stride).cast("int")
+    transform(sequence(lit(0), nWin - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(size)), " "))
+  }
+
   /** Quality-score heuristics (0..1-ish features + a blended score),
     * returned as a struct column: length, word stats, alpha ratio,
     * punctuation ratio, stopword ratio, mean word length, repetition.

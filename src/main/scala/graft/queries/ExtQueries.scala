@@ -175,6 +175,19 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"), max(col("featureDim")).as("dim"))
   }
 
+  private val chunkQ = q("q_chunk",
+    // 40-token windows, stride 30 (10-token overlap)
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       n AS (SELECT doc_id, w, 1 + CAST(ceil(greatest(len(w) - 40, 0) / 30.0) AS INTEGER) AS nw FROM t)
+       SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_id,
+              array_to_string(w[(i-1)*30 + 1 : (i-1)*30 + 40], ' ') AS chunk
+       FROM n, UNNEST(range(1, nw + 1)) AS u(i)""") { (s, d) =>
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(tokenChunks(col("text"), size = 40, stride = 30)))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk"))
+  }
+
   private val sessionizeQ = q("q_sessionize",
     // 30-minute gap sessionization over the events stream table (ts is
     // nanos-since-epoch); the two-window SQL mirrors the Spark plan shape
@@ -204,5 +217,5 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
-    annIvfQ, multimodalQ, sessionizeQ)
+    annIvfQ, multimodalQ, chunkQ, sessionizeQ)
 }

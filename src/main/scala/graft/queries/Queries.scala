@@ -136,6 +136,35 @@ object Queries {
   // §2.6 set ops
   // ==========================================================
 
+  private val returnQ = q("q_return",
+    // return$ (inline constant relation) joined against a table so the
+    // oracle exercises the same data path
+    """SELECT seg.name AS segment, CAST(COUNT(*) AS BIGINT) AS n
+       FROM (VALUES ('BUILDING', 1), ('MACHINERY', 2)) seg(name, pri)
+       JOIN customer ON c_mktsegment = seg.name
+       GROUP BY 1""") { (s, d) =>
+    import s.implicits._
+    val inline = Flow.of(s)(Seq(("BUILDING", 1), ("MACHINERY", 2)))
+    inline.join(Flow(Tables.customer(s, d)))(_._1)(_.c_mktsegment)((seg, _) => seg._1)
+      .groupBy(identity).fold(Fold.count[String])
+      .map(p => (p._1, p._2))
+      .toDF.toDF("segment", "n")
+  }
+
+  private val selfJoinQ = q("q_self_join",
+    // self-join (the reference's noop$/alias-self-joins rewrite,
+    // oven.clj:252-309): same relation on both sides
+    """SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+       FROM orders a JOIN orders b
+       ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+       WHERE a.o_totalprice > 400000 AND b.o_totalprice > 400000""") { (s, d) =>
+    import s.implicits._
+    val big = Flow(Tables.orders(s, d)).filter(_.o_totalprice > 400000)
+    big.join(big)(_.o_custkey)(_.o_custkey)((a, b) => (a.o_orderkey, b.o_orderkey))
+      .filter(p => p._1 < p._2)
+      .toDF.toDF("k1", "k2")
+  }
+
   private val distinctQ = q("q_distinct",
     "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer") { (s, d) =>
     import s.implicits._
@@ -556,7 +585,7 @@ object Queries {
 
   val relational: Seq[QueryDef] = Seq(
     loadProject, filterQ, mapQ, mapcatQ, removeQ, rankQ, rankTiesQ, rankDenseQ,
-    sortQ, takeQ, sampleQ,
+    sortQ, takeQ, sampleQ, returnQ, selfJoinQ,
     distinctQ, unionQ, concatQ, intersectionQ, intersectionMultisetQ,
     differenceQ, differenceMultisetQ,
     joinInnerQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,

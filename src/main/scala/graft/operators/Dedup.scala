@@ -53,20 +53,34 @@ object Dedup {
       shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
     val sigs = df.select(col(idCol).as("__id"),
         minhashSignature(col(textCol), shingle, numHashes).as("__sig"))
       .persist()
-    val banded = sigs.select(col("__id"), col("__sig"),
-      posexplode(graft.functions.HashExpressions.bandHashes(col("__sig"), bands)))
+    // Candidate generation carries only (id, band hashes): the banding
+    // explode and bucket join shuffle `bands` longs per doc, not the full
+    // `numHashes`-long signature. A pair colliding in k bands appears k
+    // times; instead of a dropDuplicates SHUFFLE, keep the copy whose band
+    // is the FIRST band where the two band-hash arrays agree — a map-side
+    // filter that is exact-once by construction.
+    val withBh = sigs.select(col("__id"),
+      graft.functions.HashExpressions.bandHashes(col("__sig"), bands).as("__bh"))
+    val banded = withBh.select(col("__id"), col("__bh"),
+        posexplode(col("__bh")))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
     val l = banded.select(col("__band"), col("__bucket"),
-      col("__id").as("idA"), col("__sig").as("__sigA"))
+      col("__id").as("idA"), col("__bh").as("__bhA"))
     val rg = banded.select(col("__band"), col("__bucket"),
-      col("__id").as("idB"), col("__sig").as("__sigB"))
-    l.join(rg, Seq("__band", "__bucket"))
+      col("__id").as("idB"), col("__bh").as("__bhB"))
+    val firstAgree =
+      array_position(zip_with(col("__bhA"), col("__bhB"), (a, b) => a === b), true)
+    val pairs = l.join(rg, Seq("__band", "__bucket"))
       .where(col("idA") < col("idB"))
-      .dropDuplicates("idA", "idB")
+      .where(col("__band") === firstAgree - 1)
+      .select(col("idA"), col("idB"))
+    // full-signature verify only for surviving candidate pairs
+    pairs
+      .join(sigs.select(col("__id").as("idA"), col("__sig").as("__sigA")), "idA")
+      .join(sigs.select(col("__id").as("idB"), col("__sig").as("__sigB")), "idB")
       .withColumn("est_jaccard",
         graft.functions.HashExpressions.signatureAgreement(col("__sigA"), col("__sigB")))
       .where(col("est_jaccard") >= threshold)
@@ -101,9 +115,17 @@ object Dedup {
         col("__ck.__chunk").as("__chunk"), col("__ck.__key").as("__key"))
     val l = chunked.select(col("__chunk"), col("__key"), col("__id").as("idA"), col("__sig").as("__sigA"))
     val r = chunked.select(col("__chunk"), col("__key"), col("__id").as("idB"), col("__sig").as("__sigB"))
+    // a pair agreeing on k chunks joins k times; keep only the copy from the
+    // FIRST agreeing chunk (map-side exact-once, replaces a dropDuplicates
+    // shuffle — both signatures ride along as single longs anyway)
+    def chunkKey(sig: Column, ci: Int): Column =
+      shiftrightunsigned(sig, ci * width).bitwiseAND(lit((1L << width) - 1))
+    val firstAgree = array_position(
+      array((0 until chunks).map(ci =>
+        chunkKey(col("__sigA"), ci) === chunkKey(col("__sigB"), ci)): _*), true)
     l.join(r, Seq("__chunk", "__key"))
       .where(col("idA") < col("idB"))
-      .dropDuplicates("idA", "idB")
+      .where(col("__chunk") === firstAgree - 1)
       .withColumn("hamming", hammingDistance(col("__sigA"), col("__sigB")))
       .where(col("hamming") <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))

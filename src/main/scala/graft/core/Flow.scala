@@ -185,6 +185,35 @@ final case class Flow[T](ds: Dataset[T]) {
   def groupBy[K: Encoder](key: T => K): GroupedFlow[K, T] =
     new GroupedFlow(ds.groupByKey(key))
 
+  /** Skew-resistant per-key fold: two-phase aggregation through a salted
+    * key. Phase 1 folds on (key, hash(row) % salts) — a pathological hot
+    * key's rows spread over `salts` reducers; phase 2 merges the ≤`salts`
+    * partial buffers per key and finishes. Algebraically identical to
+    * `groupBy(key).fold(f)` for any [[Fold]] (associative merge); use when
+    * one key holds a data-scale fraction of the input and AQE's skew
+    * handling isn't available for the aggregation.
+    */
+  def groupBySaltedFold[K: Encoder, B, C: Encoder](key: T => K, salts: Int)(
+      f: Fold[T, B, C]): Flow[(K, C)] = {
+    val kEnc = implicitly[Encoder[K]]
+    implicit val bEnc: Encoder[B] =
+      Encoders.kryo[B](ClassTag.AnyRef.asInstanceOf[ClassTag[B]])
+    implicit val saltedKey: Encoder[(K, Int)] = Encoders.tuple(kEnc, Encoders.scalaInt)
+    implicit val partialRow: Encoder[((K, Int), B)] = Encoders.tuple(saltedKey, bEnc)
+    implicit val out: Encoder[(K, C)] = Encoders.tuple(kEnc, implicitly[Encoder[C]])
+    val phase1 = ds
+      .groupByKey { (t: T) =>
+        val s = t.hashCode() % salts
+        (key(t), if (s < 0) s + salts else s)
+      }
+      .agg(Fold(f.zero, f.reduce, f.merge, identity[B]).toColumn)
+    Flow(phase1
+      .groupByKey((p: ((K, Int), B)) => p._1._1)(kEnc)
+      .mapGroups { (k: K, it: Iterator[((K, Int), B)]) =>
+        (k, f.finish(it.map(_._2).reduce(f.merge)))
+      })
+  }
+
   // ---- joins (reference pigpen/join.clj:316-483, SURVEY.md §2.4) ----
 
   /** Typed equi-join. Outer shapes surface misses as `None`, mirroring the

@@ -96,6 +96,23 @@ object GraftIO {
   def storeParquet(path: String)(df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Hive-style partitioned parquet layout: the physical organization that
+    * makes 100 TB scannable — a predicate on a partition column prunes
+    * whole directories at planning time (`PartitionFilters` in the scan,
+    * zero bytes read for pruned partitions).
+    */
+  def storePartitionedParquet(path: String, partitionCols: Seq[String])(df: DataFrame): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed table (requires the session catalog): co-locates both sides
+    * of a frequent equi-join so the join is shuffle-free. `tableName` lands
+    * in `spark.sql.warehouse.dir`.
+    */
+  def storeBucketedTable(tableName: String, bucketCol: String, buckets: Int)(df: DataFrame): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(tableName)
+
   def storeBinary[T](path: String)(f: Flow[T]): Unit = {
     implicit val e: Encoder[Array[Byte]] = org.apache.spark.sql.Encoders.BINARY
     f.map((t: T) => serialize(t)).ds.toDF("value").write.mode("overwrite").parquet(path)

@@ -1,0 +1,48 @@
+package graft.core
+
+import graft.SparkTestSession
+import graft.sources.GraftIO
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-path operators: salted skew-resistant folds and partitioned
+  * storage with planning-time pruning.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("salted fold == plain fold on a skewed key distribution") {
+    import spark.implicits._
+    // one hot key with 10k rows, 100 cold keys
+    val rows = (0 until 10000).map(i => ("hot", i.toLong)) ++
+      (0 until 100).map(i => (s"cold_$i", i.toLong))
+    val data = Flow(spark.createDataset(rows).repartition(8))
+    val plain = data.groupBy(_._1).fold(Fold.sum[Long].premap[(String, Long)](_._2))
+      .dump().toMap
+    val salted = data.groupBySaltedFold(_._1, salts = 16)(
+      Fold.sum[Long].premap[(String, Long)](_._2)).dump().toMap
+    assert(salted == plain)
+    assert(plain("hot") == (0 until 10000).map(_.toLong).sum)
+  }
+
+  test("salted fold preserves empty-safe finish and non-commutative-ish merges") {
+    import spark.implicits._
+    val data = Flow(spark.createDataset(Seq(("k", 3L), ("k", 1L), ("k", 2L))))
+    val top = data.groupBySaltedFold(_._1, salts = 4)(
+      Fold.top[Long](2).premap[(String, Long)](_._2)).dump()
+    assert(top == Seq(("k", Vector(3L, 2L))))
+  }
+
+  test("partitioned parquet write prunes partitions at planning time") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val path = "target/io_tmp/part_customer"
+    GraftIO.storePartitionedParquet(path, Seq("c_mktsegment"))(df)
+    val back = spark.read.parquet(path).where(col("c_mktsegment") === "BUILDING")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("c_mktsegment"), s"expected partition pruning in:\n$plan")
+    // values survive the partitioned round-trip
+    val want = df.where(col("c_mktsegment") === "BUILDING").count()
+    assert(back.count() == want && want > 0)
+  }
+}

@@ -145,6 +145,19 @@ final case class Flow[T](ds: Dataset[T]) {
     Flow(spark.createDataset(r))
   }
 
+  /** Cross product of two flattened projections (reference: multiple
+    * `:flatten` projections in one `project$` multiply out,
+    * raw.clj:262-265, local.clj:299-306). One `flatMap` computing the
+    * product per row — no join, no shuffle.
+    */
+  def flattenProduct[A, B](f: T => (IterableOnce[A], IterableOnce[B]))(
+      implicit e: Encoder[(A, B)]): Flow[(A, B)] =
+    Flow(ds.flatMap { t =>
+      val (as, bs) = f(t)
+      val bSeq = bs.iterator.toSeq
+      as.iterator.flatMap(a => bSeq.map(b => (a, b)))
+    })
+
   /** reference `debug` (runtime.clj:174-178): value → "Type\tvalue" line. */
   def debugString(implicit e: Encoder[String]): Flow[String] =
     map(t => s"${t.getClass.getSimpleName}\t$t")

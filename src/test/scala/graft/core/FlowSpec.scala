@@ -119,4 +119,16 @@ class FlowSpec extends AnyFunSuite {
     assert(r.size == 1 && r.head.sorted == Vector(1, 2, 3))
     assert(flow[Int]().intoSeq.dump().isEmpty)
   }
+
+  test("flattenProduct multiplies flattened projections per row") {
+    import spark.implicits._
+    val data = Flow(spark.createDataset(Seq(
+      ("r1", Seq(1, 2), Seq("a", "b")),
+      ("r2", Seq(3), Seq("c")),
+      ("r3", Seq.empty[Int], Seq("d")))))
+    val r = data.flattenProduct(t => (t._2, t._3)).dump()
+    assert(r.toSet == Set((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "c")))
+    // empty side annihilates the row (cross product with empty = empty)
+    assert(!r.exists(_._2 == "d"))
+  }
 }

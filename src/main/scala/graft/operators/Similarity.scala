@@ -17,6 +17,12 @@ object Similarity {
 
   /** Exact brute-force top-k by cosine. `queries` is broadcast; ranking is
     * tie-broken by neighbor id so results are deterministic.
+    *
+    * Top-k selection is a bounded-heap aggregate
+    * ([[graft.functions.AggExpressions.topK]]), NOT a rank window: each map
+    * task ships at most k candidates per query to the shuffle. A window
+    * would shuffle and sort every scored (query × corpus) row — the
+    * difference between O(|Q|·k) and O(|Q|·|corpus|) shuffle volume.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -26,10 +32,17 @@ object Similarity {
     val scored = c.crossJoin(q)
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    // struct ordering: cosine desc, then neighbor_id asc (negated for the
+    // single descending lexicographic order)
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.AggExpressions.topK(
+        struct(col("cosine"), (-col("neighbor_id")).as("negid")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"),
+        (-col("col.negid")).as("neighbor_id"),
+        col("col.cosine").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** LSH-bucketed ANN: random-hyperplane signatures; a query probes every

@@ -300,6 +300,28 @@ final case class Flow[T](ds: Dataset[T]) {
     Flow(ds.groupByKey(lk).cogroup(other.ds.groupByKey(rk))((k, l, r) => f(k, l, r).iterator))
   }
 
+  /** Cogroup with per-input folds (the reference's `:fold` select option,
+    * join.clj:63-66, 102-117 — the Algebraic-UDF / PigPenAggregateBy path):
+    * each input is reduced to one fold result per key BEFORE the join, so
+    * only (key, buffer) pairs shuffle — the map-side-combine shape for
+    * joining two aggregations. Outer semantics: a key present in only one
+    * input surfaces the other side as None.
+    */
+  def cogroupFold[U, K: Encoder, B1, C1, B2, C2](other: Flow[U])(
+      lk: T => K)(rk: U => K)(f1: Fold[T, B1, C1], f2: Fold[U, B2, C2])(
+      implicit c1Enc: Encoder[C1], c2Enc: Encoder[C2],
+      outEnc: Encoder[(K, Option[C1], Option[C2])]): Flow[(K, Option[C1], Option[C2])] = {
+    val kEnc = implicitly[Encoder[K]]
+    implicit val kc1: Encoder[(K, C1)] = Encoders.tuple(kEnc, c1Enc)
+    implicit val kc2: Encoder[(K, C2)] = Encoders.tuple(kEnc, c2Enc)
+    val l = ds.groupByKey(lk).agg(f1.toColumn)
+    val r = other.ds.groupByKey(rk).agg(f2.toColumn)
+    Flow(l.joinWith(r, l("key") === r("key"), "full_outer").map { p =>
+      val k = if (p._1 != null) p._1._1 else p._2._1
+      (k, Option(p._1).map(_._2), Option(p._2).map(_._2))
+    })
+  }
+
   /** 3-way cogroup (reference group$ is N-ary, model.clj:167-172; Pig
     * COGROUP takes any number of inputs in ONE shuffle). Implemented the
     * same way Pig does: tag each input, union, one `groupByKey` — a single

@@ -58,6 +58,22 @@ object GraftIO {
   def loadParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Arbitrary-source escape hatch (reference `load-tap`,
+    * pigpen-cascading/cascading.clj:50-70 wrapped any Cascading tap): any
+    * registered DataSource format with options.
+    */
+  def loadFormat(spark: SparkSession, format: String, path: String,
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.format(format).options(options)
+    schema.fold(r)(s => r.schema(s)).load(path)
+  }
+
+  /** Arbitrary-sink escape hatch (reference `store-tap`). */
+  def storeFormat(format: String, path: String,
+      options: Map[String, String] = Map.empty)(df: DataFrame): Unit =
+    df.write.mode("overwrite").format(format).options(options).save(path)
+
   /** Opaque-blob storage (reference `load-binary`, io.clj:30-35: nippy
     * blobs; here: java-serialized values in a one-binary-column parquet).
     */

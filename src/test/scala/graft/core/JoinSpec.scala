@@ -139,6 +139,18 @@ class JoinSpec extends AnyFunSuite {
     assert(r.toSet == Set((1, 1, 1, 0), (2, 0, 1, 1)))
   }
 
+  test("cogroupFold pre-aggregates each input; outer keys surface None") {
+    val a = flow("x" -> 1L, "x" -> 2L, "y" -> 3L)
+    val b = flow("y" -> 10L, "z" -> 20L)
+    val r = a.cogroupFold(b)(_._1)(_._1)(
+      Fold.sum[Long].premap[(String, Long)](_._2),
+      Fold.count[(String, Long)]).dump()
+    assert(r.toSet == Set(
+      ("x", Some(3L), None),
+      ("y", Some(3L), Some(1L)),
+      ("z", None, Some(1L))))
+  }
+
   test("groupBy.bags materializes (key, bag)") {
     val r = flow("a" -> 1, "a" -> 2, "b" -> 3).groupBy(_._1)
       .bags.map { case (k, vs) => (k, vs.map(_._2).sorted) }.dump()

@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the engine's native expressions, injected via
+  * `SparkSessionExtensions` — the idiomatic Spark extension point
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`, or
+  * `.withExtensions(new GraftExtensions)`), so `spark.sql("... graft_cosine
+  * (a, b) ...")` works anywhere the library is on the classpath, including
+  * pure-SQL pipelines and thrift/connect clients.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_l2"),
+      info("graft_l2", "graft_l2(a, b) - euclidean distance of two float/double arrays"),
+      (es: Seq[Expression]) => L2Distance(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_quantized_dot"),
+      info("graft_quantized_dot", "graft_quantized_dot(a, b, scale) - exact integer quantized dot"),
+      (es: Seq[Expression]) => QuantizedDot(es(0), es(1),
+        es(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles, k) - k-hash MinHash signature of array<string>"),
+      (es: Seq[Expression]) => MinHashSignatures(es(0),
+        es(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(shingles) - 64-bit SimHash of array<string>"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
+    ext.injectFunction((FunctionIdentifier("graft_band_hashes"),
+      info("graft_band_hashes", "graft_band_hashes(sig, bands) - LSH band bucket keys"),
+      (es: Seq[Expression]) => BandHashes(es(0), es(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_sig_agreement"),
+      info("graft_sig_agreement", "graft_sig_agreement(a, b) - fraction of agreeing signature positions"),
+      (es: Seq[Expression]) => SignatureAgreement(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_sig"),
+      info("graft_hyperplane_sig", "graft_hyperplane_sig(v, bits, seed) - random-hyperplane LSH signature"),
+      (es: Seq[Expression]) => HyperplaneSignature(es(0),
+        es(1).eval(null).asInstanceOf[Int], es(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_top_k"),
+      info("graft_top_k", "graft_top_k(expr, k) - aggregate: array of the k largest values"),
+      (es: Seq[Expression]) => TopK(es(0), es(1).eval(null).asInstanceOf[Int])
+        .toAggregateExpression()))
+  }
+}

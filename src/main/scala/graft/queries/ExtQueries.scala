@@ -19,6 +19,10 @@ object ExtQueries {
       fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, Option(oracle), bench)
 
+  private def qb(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Option(oracle), bench = true)
+
   /** documents ∪ (documents with shifted ids): guaranteed duplicate pairs
     * so dedup ops have non-trivial work and deterministic output.
     */
@@ -188,7 +192,7 @@ object ExtQueries {
       .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk"))
   }
 
-  private val sessionizeQ = q("q_sessionize",
+  private val sessionizeQ = qb("q_sessionize",
     // 30-minute gap sessionization over the events stream table (ts is
     // nanos-since-epoch); the two-window SQL mirrors the Spark plan shape
     """WITH e AS (

@@ -218,6 +218,44 @@ case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode NFC normalization (no Spark built-in exists). Composed
+  * sequences compare equal across sources — required before fingerprint/
+  * dedup of multi-source corpora.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_nfc"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n =
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    UTF8String.fromString(n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val s = ctx.freshName("s")
+      s"""
+         |String $s = $in.toString();
+         |if (!java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)) {
+         |  $s = java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC);
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** agreement(a, b): fraction of positions where two equal-length
   * array<long> signatures agree — the MinHash Jaccard estimate — in one
   * fused loop instead of `aggregate(zip_with(...))`.
@@ -284,4 +322,8 @@ object HashExpressions {
   /** Fraction of agreeing positions between two signatures (est. Jaccard). */
   def signatureAgreement(a: Column, b: Column): Column =
     GraftBridge.column(SignatureAgreement(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Unicode NFC normalization. */
+  def nfc(s: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(s)))
 }

@@ -50,6 +50,18 @@ object TextFunctions {
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
+  /** Canonical text normalization for training corpora: Unicode NFC,
+    * control characters stripped (tab/newline kept), whitespace runs
+    * collapsed, trimmed. Pure Column composition.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        // NFC first so combining sequences compare equal across sources
+        HashExpressions.nfc(text),
+        "[\\p{Cc}&&[^\\n\\t]]", ""),
+      "[ \\t]+", " "))
+
   /** Token-window chunks for context-length-bounded training samples:
     * windows of `size` tokens advancing by `stride` (= size - overlap),
     * each re-joined with single spaces. The final partial window is kept

@@ -87,6 +87,28 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: maps payloads to new dimensions, updating the metadata
+    * struct and deriving a deterministic resized payload (scaled length).
+    * The real implementation swaps the payload transform for an image
+    * library; the Spark contract — metadata stays queryable/pushdown-able,
+    * payload transforms stream per partition — is what's tested.
+    */
+  def resize(media: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] = {
+    implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.meta.mediaType != "image") m
+        else {
+          val scale = (width.toLong * height) /
+            math.max(m.meta.width.toLong * m.meta.height, 1L).toDouble
+          val newLen = math.max(1, (m.payload.length * scale).toInt)
+          val resized = java.util.Arrays.copyOf(m.payload, newLen)
+          m.copy(meta = m.meta.copy(width = width, height = height), payload = resized)
+        }
+      }
+    }
+  }
+
   /** Metadata-only filter that never touches payload bytes — verifies (via
     * .explain) that payload columns are pruned from the scan when only
     * meta predicates/projections are used.

@@ -179,6 +179,15 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"), max(col("featureDim")).as("dim"))
   }
 
+  private val normalizeQ = q("q_normalize",
+    """SELECT doc_id,
+              trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                   '[\p{Cc}&&[^\n\t]]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm
+       FROM documents""") { (s, d) =>
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"), normalizeText(col("text")).as("norm"))
+  }
+
   private val chunkQ = q("q_chunk",
     // 40-token windows, stride 30 (10-token overlap)
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -221,5 +230,5 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
-    annIvfQ, multimodalQ, chunkQ, sessionizeQ)
+    annIvfQ, multimodalQ, normalizeQ, chunkQ, sessionizeQ)
 }

@@ -6,6 +6,36 @@ import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextFunctionsSpec extends AnyFunSuite {
+
+  test("normalizeText: NFC composition, control strip, whitespace collapse") {
+    val sp = SparkTestSession.spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // "e" + combining acute (U+0301) must equal precomposed e-acute after NFC
+    val decomposed = "Cafe\u0301   menu\t\ttwo"
+    val precomposed = "Caf\u00e9 menu two"
+    val got = Seq(decomposed).toDF("t")
+      .select(TextFunctions.normalizeText(col("t"))).collect().head.getString(0)
+    assert(got == precomposed)
+    // newlines survive (only spaces/tabs collapse; controls except \n\t strip)
+    val nl = Seq("a\nb\u0000c").toDF("t")
+      .select(TextFunctions.normalizeText(col("t"))).collect().head.getString(0)
+    assert(nl == "a\nbc")
+  }
+
+  test("multimodal resize updates image meta + payload, leaves non-images alone") {
+    val sp = SparkTestSession.spark
+    val media = graft.operators.Multimodal.synthetic(sp, 30)
+    val resized = graft.operators.Multimodal.resize(media, 32, 32).collect()
+    resized.filter(_.meta.mediaType == "image").foreach { m =>
+      assert(m.meta.width == 32 && m.meta.height == 32)
+      assert(m.payload.nonEmpty)
+    }
+    val orig = media.collect().map(m => m.id -> m).toMap
+    resized.filter(_.meta.mediaType != "image").foreach { m =>
+      assert(m.meta == orig(m.id).meta && m.payload.sameElements(orig(m.id).payload))
+    }
+  }
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 

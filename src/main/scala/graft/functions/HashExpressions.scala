@@ -99,6 +99,93 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** minhash_tokens(tokens, n, k): MinHash signature over word n-gram
+  * shingles WITHOUT materializing shingle strings. Each token is hashed
+  * once; a window's hash chains its n token hashes; k minima come from
+  * re-seeded finalizers. O(T·(n+k)) with zero string allocation — vs the
+  * compose-strings path that builds and hashes a `n`-token string per
+  * window (O(T·n·len) bytes touched plus allocator pressure). Duplicate
+  * windows can't change a minimum, so no distinct pass is needed.
+  * Fewer than n tokens degrade to one whole-text window (mirrors
+  * `wordShingles`' short-text behavior).
+  */
+case class MinHashTokens(child: Expression, n: Int, numHashes: Int)
+    extends ShingleHashExpression {
+  require(n > 0 && numHashes > 0)
+  override def prettyName: String = "graft_minhash_tokens"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val t = arr.numElements()
+    val th = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      th(i) = if (arr.isNullAt(i)) 0L else XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+      i += 1
+    }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    if (t > 0) {
+      val windows = math.max(1, t - n + 1)
+      var w = 0
+      while (w < windows) {
+        var h = Seed
+        var j = w
+        val end = math.min(w + n, t)
+        while (j < end) { h = XXH64.hashLong(th(j), h); j += 1 }
+        var s = 0
+        while (s < numHashes) {
+          val v = XXH64.hashLong(h, s)
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+        w += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val t = ctx.freshName("t")
+      val th = ctx.freshName("th")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val w = ctx.freshName("w")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val windows = ctx.freshName("windows")
+      val end = ctx.freshName("end")
+      s"""
+         |int $t = $arr.numElements();
+         |long[] $th = new long[$t];
+         |for (int $i = 0; $i < $t; $i++) {
+         |  $th[$i] = $arr.isNullAt($i) ? 0L
+         |    : $xxh.hashUTF8String($arr.getUTF8String($i), ${Seed}L);
+         |}
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $windows = java.lang.Math.max(1, $t - $n + 1);
+         |if ($t > 0) {
+         |  for (int $w = 0; $w < $windows; $w++) {
+         |    long $h = ${Seed}L;
+         |    int $end = java.lang.Math.min($w + $n, $t);
+         |    for (int $j = $w; $j < $end; $j++) { $h = $xxh.hashLong($th[$j], $h); }
+         |    for (int $s = 0; $s < $numHashes; $s++) {
+         |      long $v = $xxh.hashLong($h, $s);
+         |      if ($v < $mins[$s]) $mins[$s] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** simhash(shingles): 64-bit signature via per-bit majority vote of shingle
   * hashes, one pass. Empty input hashes to 0.
   */
@@ -326,4 +413,8 @@ object HashExpressions {
   /** Unicode NFC normalization. */
   def nfc(s: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(s)))
+
+  /** String-free MinHash over word n-grams of a token array. */
+  def minhashTokens(tokens: Column, n: Int, numHashes: Int): Column =
+    GraftBridge.column(MinHashTokens(GraftBridge.expression(tokens), n, numHashes))
 }

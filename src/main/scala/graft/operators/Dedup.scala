@@ -31,12 +31,14 @@ object Dedup {
 
   /** MinHash signature column: `numHashes` permutations approximated by
     * re-seeded xxhash64 over word `shingle`-grams; array<long> output.
-    * Single pass over the shingles via [[graft.functions.MinHashSignatures]]
-    * — the HOF formulation (k separate `transform` passes) is k× the work.
+    * String-free single pass via [[graft.functions.MinHashTokens]]: tokens
+    * are hashed once and windows chain token hashes, so no shingle strings
+    * are ever built (duplicate windows can't change a minimum, so no
+    * distinct pass either).
     */
   def minhashSignature(text: Column, shingle: Int = 3, numHashes: Int = 64): Column =
-    graft.functions.HashExpressions.minhash(
-      array_distinct(wordShingles(text, shingle)), numHashes)
+    graft.functions.HashExpressions.minhashTokens(
+      graft.functions.TextFunctions.tokens(text), shingle, numHashes)
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *

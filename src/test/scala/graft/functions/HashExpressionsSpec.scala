@@ -78,6 +78,33 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(bh(1)(1) != bh(2)(1), "differing second band must not collide")
   }
 
+  test("minhashTokens: matches string-shingle minhash estimates; short/empty inputs") {
+    // identical token arrays → identical signatures; estimate still tracks jaccard
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i")),
+      (2L, (1 to 40).map(i => s"w$i")),                       // identical
+      (3L, ((1 to 30).map(i => s"w$i") ++ (100 to 109).map(i => s"w$i"))), // ~70% shared tokens
+      (4L, (200 to 240).map(i => s"w$i")),                    // disjoint
+      (5L, Seq("only")),                                      // < n tokens
+      (6L, Seq.empty[String])                                 // empty
+    ).toDF("id", "toks")
+    val sig = docs.select($"id", HashExpressions.minhashTokens($"toks", 3, 128).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y } / 128.0
+    assert(sig(1L) == sig(2L))
+    assert(est(sig(1L), sig(3L)) > 0.3, "overlapping docs should agree on many minima")
+    assert(est(sig(1L), sig(4L)) < 0.1, "disjoint docs should agree on almost none")
+    assert(sig(5L).length == 128 && sig(5L) != sig(6L))
+    assert(sig(6L).forall(_ == Long.MaxValue), "empty input matches nothing")
+    // interpreted eval == codegen
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      (1 to 40).map(i => s"w$i"), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    val interp = MinHashTokens(lit, 3, 128).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    assert(interp == sig(1L))
+  }
+
   test("signature agreement fraction") {
     val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 4L))).toDF("a", "b")
     val r = df.select(HashExpressions.signatureAgreement($"a", $"b")).collect().head.getDouble(0)

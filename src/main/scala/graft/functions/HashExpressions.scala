@@ -245,6 +245,111 @@ case class SimHash64(child: Expression) extends ShingleHashExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** simhash_tokens(tokens, n): SimHash over word n-gram windows without
+  * building shingle strings. Window hashes are chained token hashes (as in
+  * [[MinHashTokens]]); unlike MinHash, SimHash votes are multiplicity-
+  * sensitive, so duplicate windows are removed by sorting the window-hash
+  * array and skipping runs — mirroring the `array_distinct(wordShingles)`
+  * semantics of the string path.
+  */
+case class SimHashTokens(child: Expression, n: Int) extends ShingleHashExpression {
+  require(n > 0)
+  override def prettyName: String = "graft_simhash_tokens"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val t = arr.numElements()
+    if (t == 0) return 0L
+    val th = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      th(i) = if (arr.isNullAt(i)) 0L else XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+      i += 1
+    }
+    val windows = math.max(1, t - n + 1)
+    val wh = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      var h = Seed
+      var j = w
+      val end = math.min(w + n, t)
+      while (j < end) { h = XXH64.hashLong(th(j), h); j += 1 }
+      wh(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(wh)
+    val votes = new Array[Int](64)
+    var k = 0
+    while (k < windows) {
+      if (k == 0 || wh(k) != wh(k - 1)) {
+        val h = wh(k)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      k += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val t = ctx.freshName("t")
+      val th = ctx.freshName("th")
+      val wh = ctx.freshName("wh")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val w = ctx.freshName("w")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val end = ctx.freshName("end")
+      val windows = ctx.freshName("windows")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $t = $arr.numElements();
+         |long $sig = 0L;
+         |if ($t > 0) {
+         |  long[] $th = new long[$t];
+         |  for (int $i = 0; $i < $t; $i++) {
+         |    $th[$i] = $arr.isNullAt($i) ? 0L
+         |      : $xxh.hashUTF8String($arr.getUTF8String($i), ${Seed}L);
+         |  }
+         |  int $windows = java.lang.Math.max(1, $t - $n + 1);
+         |  long[] $wh = new long[$windows];
+         |  for (int $w = 0; $w < $windows; $w++) {
+         |    long $h = ${Seed}L;
+         |    int $end = java.lang.Math.min($w + $n, $t);
+         |    for (int $j = $w; $j < $end; $j++) { $h = $xxh.hashLong($th[$j], $h); }
+         |    $wh[$w] = $h;
+         |  }
+         |  java.util.Arrays.sort($wh);
+         |  int[] $votes = new int[64];
+         |  for (int $k = 0; $k < $windows; $k++) {
+         |    if ($k == 0 || $wh[$k] != $wh[$k - 1]) {
+         |      for (int $b = 0; $b < 64; $b++) {
+         |        if ((($wh[$k] >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |      }
+         |    }
+         |  }
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($votes[$b] > 0) $sig |= (1L << $b);
+         |  }
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** band_hashes(signature, bands): chain-hash each contiguous signature band
   * of `len/bands` longs down to one 64-bit bucket key — the LSH banding
   * step without the array-slice + string-cast detour.
@@ -417,4 +522,8 @@ object HashExpressions {
   /** String-free MinHash over word n-grams of a token array. */
   def minhashTokens(tokens: Column, n: Int, numHashes: Int): Column =
     GraftBridge.column(MinHashTokens(GraftBridge.expression(tokens), n, numHashes))
+
+  /** String-free SimHash over distinct word n-grams of a token array. */
+  def simhashTokens(tokens: Column, n: Int): Column =
+    GraftBridge.column(SimHashTokens(GraftBridge.expression(tokens), n))
 }

@@ -89,14 +89,15 @@ object Dedup {
       .select(col("idA"), col("idB"), col("est_jaccard"))
   }
 
-  /** SimHash 64-bit signature over word shingles: per-bit weighted vote of
-    * shingle hashes — near-duplicate texts differ in few bits. Single pass
-    * via [[graft.functions.SimHash64]] (the HOF formulation is 64
-    * `aggregate` passes).
+  /** SimHash 64-bit signature over distinct word shingles: per-bit
+    * weighted vote of window hashes — near-duplicate texts differ in few
+    * bits. String-free via [[graft.functions.SimHashTokens]] (windows are
+    * chained token hashes; duplicates removed by sort inside the
+    * expression, mirroring the array_distinct of the string path).
     */
   def simhash(text: Column, shingle: Int = 2): Column =
-    graft.functions.HashExpressions.simhash64(
-      array_distinct(wordShingles(text, shingle)))
+    graft.functions.HashExpressions.simhashTokens(
+      graft.functions.TextFunctions.tokens(text), shingle)
 
   /** SimHash near-duplicates within `maxHamming` bits. Candidates via
     * chunk-LSH (pigeonhole: two signatures within k bits agree on at least

@@ -105,6 +105,31 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(interp == sig(1L))
   }
 
+  test("simhashTokens: identical == 0 hamming, near-dup < unrelated, dup windows ignored") {
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"w$i")),
+      (2L, (1 to 30).map(i => s"w$i")),                  // identical
+      (3L, ((1 to 28).map(i => s"w$i") ++ Seq("x", "y"))), // near-dup
+      (4L, (100 to 130).map(i => s"w$i")),               // unrelated
+      (5L, ((1 to 30).map(i => s"w$i") ++ (1 to 30).map(i => s"w$i"))), // doubled content
+      (6L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val sig = docs.select($"id", HashExpressions.simhashTokens($"toks", 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) == 0)
+    assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
+    // doubled content repeats every interior window PLUS adds a bridge
+    // window ("w30 w1"); distinct-window voting keeps the signature close
+    assert(ham(sig(1L), sig(5L)) <= 2)
+    assert(sig(6L) == 0L)
+    // interpreted == codegen
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      (1 to 30).map(i => s"w$i"), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    assert(SimHashTokens(lit, 2).eval(null).asInstanceOf[Long] == sig(1L))
+  }
+
   test("signature agreement fraction") {
     val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 4L))).toDF("a", "b")
     val r = df.select(HashExpressions.signatureAgreement($"a", $"b")).collect().head.getDouble(0)

@@ -48,6 +48,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_hyperplane_sig", "graft_hyperplane_sig(v, bits, seed) - random-hyperplane LSH signature"),
       (es: Seq[Expression]) => HyperplaneSignature(es(0),
         es(1).eval(null).asInstanceOf[Int], es(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_tokens"),
+      info("graft_minhash_tokens", "graft_minhash_tokens(tokens, n, k) - string-free n-gram MinHash"),
+      (es: Seq[Expression]) => MinHashTokens(es(0),
+        es(1).eval(null).asInstanceOf[Int], es(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_simhash_tokens"),
+      info("graft_simhash_tokens", "graft_simhash_tokens(tokens, n) - string-free n-gram SimHash"),
+      (es: Seq[Expression]) => SimHashTokens(es(0), es(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization"),
+      (es: Seq[Expression]) => NfcNormalize(es(0))))
     ext.injectFunction((FunctionIdentifier("graft_top_k"),
       info("graft_top_k", "graft_top_k(expr, k) - aggregate: array of the k largest values"),
       (es: Seq[Expression]) => TopK(es(0), es(1).eval(null).asInstanceOf[Int])

@@ -137,14 +137,30 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
     * Distributed as shingle-inverted-index self-join: explode distinct
     * shingles, join on shingle, count common per pair, then
-    * `|A∩B| / (|A|+|B|-|A∩B|)`. Candidate space is bounded by shared
-    * shingles, not n² (hot shingles can be frequency-capped upstream).
+    * `|A∩B| / (|A|+|B|-|A∩B|)`.
+    *
+    * `maxDocFreq` (off by default, which keeps exact semantics) drops
+    * shingles appearing in more than that many documents from candidate
+    * GENERATION only — a document-frequency cut like a stop-word list. A
+    * shingle in f docs contributes f² join rows, so at corpus scale a
+    * handful of ubiquitous shingles dominate the join; capping bounds the
+    * quadratic term while sizes (the denominators) stay exact. Pairs whose
+    * every common shingle is hot are missed — acceptable for near-dup
+    * mining, not for an exact report.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingle: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
+      shingle: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val shAll = df.select(col(idCol).as("__id"),
         explode(array_distinct(wordShingles(col(textCol), shingle))).as("__sh"))
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val sh = maxDocFreq.fold(shAll) { cap =>
+      val hot = shAll.groupBy("__sh").agg(count(lit(1)).as("__df"))
+        .where(col("__df") > cap).select(col("__sh"))
+      shAll.join(broadcast(hot), Seq("__sh"), "left_anti")
+    }
+    // denominators from the UNCAPPED index: |A| and |B| stay exact even
+    // when hot shingles are dropped from candidate generation
+    val sizes = shAll.groupBy("__id").agg(count(lit(1)).as("__n"))
     val common = sh.as("a").join(sh.as("b"), col("a.__sh") === col("b.__sh"))
       .where(col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))

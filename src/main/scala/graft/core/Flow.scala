@@ -208,6 +208,7 @@ final case class Flow[T](ds: Dataset[T]) {
     */
   def groupBySaltedFold[K: Encoder, B, C: Encoder](key: T => K, salts: Int)(
       f: Fold[T, B, C]): Flow[(K, C)] = {
+    require(salts > 0, "salts must be positive")
     val kEnc = implicitly[Encoder[K]]
     implicit val bEnc: Encoder[B] =
       Encoders.kryo[B](ClassTag.AnyRef.asInstanceOf[ClassTag[B]])
@@ -340,8 +341,6 @@ final case class Flow[T](ds: Dataset[T]) {
     val kEnc = implicitly[Encoder[K]]
     implicit val tagged: Encoder[(K, Int, Any)] =
       Encoders.tuple(kEnc, Encoders.scalaInt, Encoders.kryo[Any])
-    val uEnc = o1.ds.encoder
-    val vEnc = o2.ds.encoder
     val t0 = ds.map((t: T) => (kt(t), 0, t: Any))
     val t1 = o1.ds.map((u: U) => (ku(u), 1, u: Any))
     val t2 = o2.ds.map((v: V) => (kv(v), 2, v: Any))

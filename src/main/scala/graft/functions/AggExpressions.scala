@@ -22,18 +22,21 @@ import org.apache.spark.sql.types._
 case class TopK(
     child: Expression,
     k: Int,
+    largest: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Any]] {
   require(k > 0, "k must be positive")
 
-  override def prettyName: String = "graft_top_k"
+  override def prettyName: String = if (largest) "graft_top_k" else "graft_bottom_k"
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
 
-  @transient private lazy val ordering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
+  @transient private lazy val ordering: Ordering[Any] = {
+    val natural = TypeUtils.getInterpretedOrdering(child.dataType)
+    if (largest) natural.reverse else natural
+  }
 
   private type Buf = scala.collection.mutable.ArrayBuffer[Any]
 
@@ -42,7 +45,7 @@ case class TopK(
   /** Keep the buffer ≤ 2k between trims (amortized O(log k) per row). */
   private def trim(buf: Buf): Unit =
     if (buf.length > 2 * k) {
-      val kept = buf.sorted(ordering.reverse).take(k)
+      val kept = buf.sorted(ordering).take(k)
       buf.clear()
       buf ++= kept
     }
@@ -50,13 +53,9 @@ case class TopK(
   override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
     if (v != null) {
-      // copy: unsafe rows/arrays are reused by the scanner
-      buf += (v match {
-        case r: UnsafeRow => r.copy()
-        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
-        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-        case other => other
-      })
+      // deep copy: unsafe rows/arrays AND generic rows with interior
+      // UTF8String/array fields alias scanner-reused buffers
+      buf += InternalRow.copyValue(v)
       trim(buf)
     }
     buf
@@ -65,7 +64,7 @@ case class TopK(
   override def merge(a: Buf, b: Buf): Buf = { a ++= b; trim(a); a }
 
   override def eval(buf: Buf): Any =
-    new GenericArrayData(buf.sorted(ordering.reverse).take(k).toArray)
+    new GenericArrayData(buf.sorted(ordering).take(k).toArray)
 
   // serialize the buffer as length-prefixed single-column unsafe rows
   @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
@@ -95,12 +94,7 @@ case class TopK(
       in.readFully(arr)
       val row = new UnsafeRow(1)
       row.pointTo(arr, sz)
-      buf += (row.get(0, child.dataType) match {
-        case r: UnsafeRow => r.copy()
-        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
-        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-        case other => other
-      })
+      buf += InternalRow.copyValue(row.get(0, child.dataType))
       i += 1
     }
     buf
@@ -120,4 +114,12 @@ object AggExpressions {
     */
   def topK(e: Column, k: Int): Column =
     GraftBridge.column(TopK(GraftBridge.expression(e), k).toAggregateExpression())
+
+  /** Array of the k smallest values of `e` (ascending). For mixed-direction
+    * compound orderings (score desc, id asc), negate the numeric score and
+    * use bottomK — works for ANY tie-break type, numeric or not.
+    */
+  def bottomK(e: Column, k: Int): Column =
+    GraftBridge.column(TopK(GraftBridge.expression(e), k, largest = false)
+      .toAggregateExpression())
 }

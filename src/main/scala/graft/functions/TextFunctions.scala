@@ -57,9 +57,11 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(
-        // NFC first so combining sequences compare equal across sources
+        // NFC first so combining sequences compare equal across sources;
+        // explicit Cc ranges minus \n \t (portable across regex dialects,
+        // matching the DuckDB oracle exactly)
         HashExpressions.nfc(text),
-        "[\\p{Cc}&&[^\\n\\t]]", ""),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]", ""),
       "[ \\t]+", " "))
 
   /** Token-window chunks for context-length-bounded training samples:

@@ -301,7 +301,7 @@ case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
          |  if (!$arr.isNullAt($i)) {
          |    double $x = $get;
          |    for (int $p = 0; $p < $bits; $p++) {
-         |      long $h = $xxh.hashLong((long) $i, ${seed.toLong} * $bits + $p);
+         |      long $h = $xxh.hashLong((long) $i, ${seed.toLong}L * $bits + $p);
          |      double $w = (((double) java.lang.Math.floorMod($h, 2000001L)) / 1000000.0) - 1.0;
          |      $proj[$p] += $x * $w;
          |    }

@@ -105,15 +105,18 @@ object Dedup {
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 2, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
     val chunks = maxHamming + 1
     val width = 64 / chunks
+    // (1L << 64) wraps to 1 in JVM shift semantics: full-width mask is -1
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = df.select(col(idCol).as("__id"), simhash(col(textCol), shingle).as("__sig"))
       .persist()
     val chunked = sigs.select(col("__id"), col("__sig"),
       explode(array((0 until chunks).map(ci =>
         struct(lit(ci).as("__chunk"),
           shiftrightunsigned(col("__sig"), ci * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("__key"))): _*)).as("__ck"))
+            .bitwiseAND(lit(mask)).as("__key"))): _*)).as("__ck"))
       .select(col("__id"), col("__sig"),
         col("__ck.__chunk").as("__chunk"), col("__ck.__key").as("__key"))
     val l = chunked.select(col("__chunk"), col("__key"), col("__id").as("idA"), col("__sig").as("__sigA"))
@@ -122,7 +125,7 @@ object Dedup {
     // FIRST agreeing chunk (map-side exact-once, replaces a dropDuplicates
     // shuffle — both signatures ride along as single longs anyway)
     def chunkKey(sig: Column, ci: Int): Column =
-      shiftrightunsigned(sig, ci * width).bitwiseAND(lit((1L << width) - 1))
+      shiftrightunsigned(sig, ci * width).bitwiseAND(lit(mask))
     val firstAgree = array_position(
       array((0 until chunks).map(ci =>
         chunkKey(col("__sigA"), ci) === chunkKey(col("__sigB"), ci)): _*), true)

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
 object Sessions {
 
   /** Sessions per key: (key, session_id, start, end, n_events).
-    * `tsCol` may be any totally-ordered numeric/timestamp column; `tieBreak`
-    * makes ordering (and therefore session ids) deterministic under equal
-    * timestamps.
+    * `tsCol` must be a NUMERIC column in epoch units matching `gap`
+    * (TimestampType subtraction yields an interval, not a number — convert
+    * with `unix_micros`/`unix_millis` first); `tieBreak` makes ordering
+    * (and therefore session ids) deterministic under equal timestamps.
     */
   def batch(df: DataFrame, keyCol: Column, tsCol: Column, tieBreak: Column,
       gap: Long): DataFrame = {

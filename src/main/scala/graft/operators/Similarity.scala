@@ -32,16 +32,17 @@ object Similarity {
     val scored = c.crossJoin(q)
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
-    // struct ordering: cosine desc, then neighbor_id asc (negated for the
-    // single descending lexicographic order)
+    // compound ordering (cosine desc, neighbor_id asc) via bottomK on
+    // (-cosine, neighbor_id): negate the SCORE (always numeric), never the
+    // id, so string/arbitrary id columns keep working
     scored
       .groupBy(col("query_id"))
-      .agg(graft.functions.AggExpressions.topK(
-        struct(col("cosine"), (-col("neighbor_id")).as("negid")), k).as("__top"))
+      .agg(graft.functions.AggExpressions.bottomK(
+        struct((-col("cosine")).as("negcos"), col("neighbor_id")), k).as("__top"))
       .select(col("query_id"), posexplode(col("__top")))
       .select(col("query_id"),
-        (-col("col.negid")).as("neighbor_id"),
-        col("col.cosine").as("cosine"),
+        col("col.neighbor_id").as("neighbor_id"),
+        (-col("col.negcos")).as("cosine"),
         (col("pos") + 1).cast("int").as("rank"))
   }
 

@@ -17,6 +17,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Require a foldable integral literal argument; clear analysis-time
+    * error instead of a ClassCastException/NPE from `eval(null)`.
+    */
+  private def intArg(e: Expression, fn: String, arg: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got non-foldable ${e.sql}")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays"),
@@ -30,37 +46,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_quantized_dot"),
       info("graft_quantized_dot", "graft_quantized_dot(a, b, scale) - exact integer quantized dot"),
       (es: Seq[Expression]) => QuantizedDot(es(0), es(1),
-        es(2).eval(null).asInstanceOf[Int])))
+        intArg(es(2), "graft_quantized_dot", "scale"))))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(shingles, k) - k-hash MinHash signature of array<string>"),
       (es: Seq[Expression]) => MinHashSignatures(es(0),
-        es(1).eval(null).asInstanceOf[Int])))
+        intArg(es(1), "graft_minhash", "k"))))
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(shingles) - 64-bit SimHash of array<string>"),
       (es: Seq[Expression]) => SimHash64(es(0))))
     ext.injectFunction((FunctionIdentifier("graft_band_hashes"),
       info("graft_band_hashes", "graft_band_hashes(sig, bands) - LSH band bucket keys"),
-      (es: Seq[Expression]) => BandHashes(es(0), es(1).eval(null).asInstanceOf[Int])))
+      (es: Seq[Expression]) => BandHashes(es(0), intArg(es(1), "graft_band_hashes", "bands"))))
     ext.injectFunction((FunctionIdentifier("graft_sig_agreement"),
       info("graft_sig_agreement", "graft_sig_agreement(a, b) - fraction of agreeing signature positions"),
       (es: Seq[Expression]) => SignatureAgreement(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("graft_hyperplane_sig"),
       info("graft_hyperplane_sig", "graft_hyperplane_sig(v, bits, seed) - random-hyperplane LSH signature"),
       (es: Seq[Expression]) => HyperplaneSignature(es(0),
-        es(1).eval(null).asInstanceOf[Int], es(2).eval(null).asInstanceOf[Int])))
+        intArg(es(1), "graft_hyperplane_sig", "bits"),
+        intArg(es(2), "graft_hyperplane_sig", "seed"))))
     ext.injectFunction((FunctionIdentifier("graft_minhash_tokens"),
       info("graft_minhash_tokens", "graft_minhash_tokens(tokens, n, k) - string-free n-gram MinHash"),
       (es: Seq[Expression]) => MinHashTokens(es(0),
-        es(1).eval(null).asInstanceOf[Int], es(2).eval(null).asInstanceOf[Int])))
+        intArg(es(1), "graft_minhash_tokens", "n"),
+        intArg(es(2), "graft_minhash_tokens", "k"))))
     ext.injectFunction((FunctionIdentifier("graft_simhash_tokens"),
       info("graft_simhash_tokens", "graft_simhash_tokens(tokens, n) - string-free n-gram SimHash"),
-      (es: Seq[Expression]) => SimHashTokens(es(0), es(1).eval(null).asInstanceOf[Int])))
+      (es: Seq[Expression]) => SimHashTokens(es(0), intArg(es(1), "graft_simhash_tokens", "n"))))
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization"),
       (es: Seq[Expression]) => NfcNormalize(es(0))))
     ext.injectFunction((FunctionIdentifier("graft_top_k"),
       info("graft_top_k", "graft_top_k(expr, k) - aggregate: array of the k largest values"),
-      (es: Seq[Expression]) => TopK(es(0), es(1).eval(null).asInstanceOf[Int])
+      (es: Seq[Expression]) => TopK(es(0), intArg(es(1), "graft_top_k", "k"))
         .toAggregateExpression()))
   }
 }

@@ -180,9 +180,12 @@ object ExtQueries {
   }
 
   private val normalizeQ = q("q_normalize",
+    // explicit Cc ranges (minus \n \t): Java's [..&&[^..]] class
+    // intersection is not RE2 syntax, so spell the class out — both
+    // engines agree on plain ranges
     """SELECT doc_id,
               trim(regexp_replace(regexp_replace(nfc_normalize(text),
-                   '[\p{Cc}&&[^\n\t]]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm
+                   '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm
        FROM documents""") { (s, d) =>
     Tables.df(s, d, "documents")
       .select(col("doc_id"), normalizeText(col("text")).as("norm"))

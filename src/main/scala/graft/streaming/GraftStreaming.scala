@@ -43,11 +43,13 @@ object GraftStreaming {
     */
   def windowedAgg(df: DataFrame, tsCol: String, watermarkDelay: String,
       windowDur: String, slide: Option[String] = None)(
-      groupCols: Seq[Column], aggs: Seq[Column]): DataFrame =
+      groupCols: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "windowedAgg needs at least one aggregate column")
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(groupCols :+ slide.fold(window(col(tsCol), windowDur))(
         s => window(col(tsCol), windowDur, s)): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Windowed fold: per (key, tumbling window) algebraic aggregation. The
     * fold buffer is the incremental streaming state — nothing about the fold

@@ -41,6 +41,29 @@ class AggExpressionsSpec extends AnyFunSuite {
     assert(got == Seq("c", "b", "a"))
   }
 
+  test("struct values with STRING fields survive buffer reuse (deep copy)") {
+    // regression: GenericInternalRow struct values hold UTF8Strings aliasing
+    // scanner-reused buffers; without deep copy the top-k array corrupts
+    val rnd = new scala.util.Random(11)
+    val df = spark.createDataset(
+      (0 until 4000).map(i => (rnd.nextInt(1000000), s"title_$i")))
+      .repartition(8).toDF("score", "title")
+    val got = df.agg(AggExpressions.topK(struct(col("score"), col("title")), 5).as("t"))
+      .select(explode(col("t"))).select("col.score", "col.title")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val want = df.orderBy(col("score").desc, col("title").desc).limit(5)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == want.toSeq)
+    got.foreach { case (s, t) => assert(t == s"title_${t.stripPrefix("title_")}") }
+  }
+
+  test("bottomK returns the k smallest ascending") {
+    val df = Seq(5, 1, 9, 3, 7).toDF("v").repartition(3)
+    val got = df.agg(AggExpressions.bottomK(col("v"), 3).as("t"))
+      .select(explode(col("t"))).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 3, 5))
+  }
+
   test("nulls are skipped, empty input gives empty array") {
     val df = Seq(Some(3), None, Some(1)).toDF("v")
     val got = df.agg(AggExpressions.topK(col("v"), 5).as("t"))

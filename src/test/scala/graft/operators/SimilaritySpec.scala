@@ -40,6 +40,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("bruteForceTopK works with STRING id columns (no numeric negation of ids)") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val df = corpus().select(concat(lit("doc_"), col("vec_id")).as("vec_id"), col("embedding"))
+    val queries = df.where(col("vec_id") === "doc_0")
+    val rows = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getString(1) != null && r.getString(1).startsWith("doc_"),
+        "neighbor ids must survive as non-null strings")
+    }
+  }
+
   test("lshTopK returns a subset of real neighbors with decent recall") {
     val df = corpus()
     val queries = df.where($"vec_id" < 10)

@@ -56,9 +56,16 @@ object Similarity {
       bits: Int = 12, probeHamming: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__bucket", hyperplaneSignature(col("__cv"), bits))
-    // multi-probe: replicate each query into all buckets within hamming r
-    val probes: Seq[Long] = 0L +: (
-      if (probeHamming >= 1) (0 until bits).map(b => 1L << b) else Seq.empty)
+    // multi-probe: replicate each query into every bucket within hamming
+    // `probeHamming` of its own signature — all XOR masks with popcount ≤ r
+    // (Σ C(bits, i) masks; query-side only, so the corpus index is untouched)
+    def masks(r: Int): Seq[Long] =
+      if (r == 0) Seq(0L)
+      else masks(r - 1) ++ masks(r - 1).flatMap { m =>
+        val highest = if (m == 0L) -1 else 63 - java.lang.Long.numberOfLeadingZeros(m)
+        ((highest + 1) until bits).map(b => m | (1L << b))
+      }.distinct
+    val probes: Seq[Long] = masks(math.min(probeHamming, bits)).distinct
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
         .withColumn("__qsig", hyperplaneSignature(col("__qv"), bits))

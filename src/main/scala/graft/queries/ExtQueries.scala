@@ -158,7 +158,7 @@ object ExtQueries {
   private val annLshQ = q("q_ann_lsh") { (s, d) => // approximate; rows-only + recall ScalaTest
     val emb = Tables.df(s, d, "embeddings")
     Similarity.lshTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
-      k = 10, bits = 12, probeHamming = 1)
+      k = 10, bits = 12, probeHamming = 2)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 

@@ -63,6 +63,14 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall > 0.3, s"recall=$recall") // multi-probe LSH on random data
+    // hamming-2 probing strictly widens the candidate set → recall must
+    // not drop, and generally rises
+    val approx2 = Similarity.lshTopK(queries, df, "vec_id", "embedding", k = 5,
+      bits = 8, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = exact.intersect(approx2).size.toDouble / exact.size
+    assert(recall2 >= recall, s"recall2=$recall2 < recall=$recall")
+    assert(approx.subsetOf(approx2) || recall2 >= recall)
   }
 
   test("ivfTopK probes only nProbe cells but finds self-cell neighbors") {

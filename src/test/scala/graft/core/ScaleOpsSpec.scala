@@ -33,6 +33,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(top == Seq(("k", Vector(3L, 2L))))
   }
 
+  test("bucketed tables join with ZERO exchanges (shuffle-free co-located join)") {
+    val s = spark
+    val conf = s.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cust = s.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      val ord = s.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      GraftIO.storeBucketedTable("b_cust", "c_custkey", 8)(cust)
+      GraftIO.storeBucketedTable("b_ord", "o_custkey", 8)(ord)
+      val joined = s.table("b_ord").join(s.table("b_cust"),
+        col("o_custkey") === col("c_custkey"))
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // result parity with the unbucketed join
+      val want = ord.join(cust, col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() == want && want > 0)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      s.sql("DROP TABLE IF EXISTS b_cust")
+      s.sql("DROP TABLE IF EXISTS b_ord")
+    }
+  }
+
   test("partitioned parquet write prunes partitions at planning time") {
     val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val path = "target/io_tmp/part_customer"

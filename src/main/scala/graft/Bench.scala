@@ -27,11 +27,17 @@ object Bench {
       try qd.fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = benchSet.map { qd =>
+    // two timed passes, keep the faster: sub-second queries vary ±20%
+    // run-to-run from GC/JIT noise; min-of-2 is a steadier estimate of
+    // the query's actual cost
+    def timed(qd: graft.queries.QueryDef): Double = {
       val t0 = System.nanoTime()
       try qd.fn(spark, sfDir).count()
       catch { case _: Throwable => () }
-      qd.name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = benchSet.map { qd =>
+      qd.name -> math.min(timed(qd), timed(qd))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

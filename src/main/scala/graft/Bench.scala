@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries (QueryDef.bench) on
   * SPARK_GRAFT_SF_DIR and prints one JSON line. One warm-up pass primes
-  * the JVM/codegen caches; the timed pass is reported.
+  * the JVM/codegen caches, then each query is timed twice and the MIN of
+  * the two passes is reported (sub-second queries vary ±20% run-to-run
+  * from GC/JIT noise; min-of-2 is a steadier estimate). A query that
+  * throws is reported as value -1 with its message in an "errors" field —
+  * never as a fast success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,21 +31,32 @@ object Bench {
       try qd.fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // two timed passes, keep the faster: sub-second queries vary ±20%
-    // run-to-run from GC/JIT noise; min-of-2 is a steadier estimate of
-    // the query's actual cost
-    def timed(qd: graft.queries.QueryDef): Double = {
+    // a failed pass yields Left(error), a good one Right(seconds)
+    def timed(qd: graft.queries.QueryDef): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try qd.fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { qd.fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          Left(e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+      }
     }
     val results = benchSet.map { qd =>
-      qd.name -> math.min(timed(qd), timed(qd))
+      val r = (timed(qd), timed(qd)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (l @ Left(_), _) => l
+        case (_, l @ Left(_)) => l
+      }
+      qd.name -> r
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) =>
+      jstr(k) + ":" + v.fold(_ => "-1", _.toString)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
+    val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.map(_._2.getOrElse(0.0)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

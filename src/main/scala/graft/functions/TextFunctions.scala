@@ -74,9 +74,14 @@ object TextFunctions {
     require(size > 0 && stride > 0, "size and stride must be positive")
     val toks = tokens(text)
     val n = org.apache.spark.sql.functions.size(toks)
-    // number of windows: 1 + ceil(max(n - size, 0) / stride)
+    // number of windows: 1 + ceil(max(n - size, 0) / stride), capped so
+    // every window start i*stride is < n (when stride > size the uncapped
+    // formula would emit an empty window past the last token), floor 1 so
+    // empty/short texts still yield their single partial window
     val extra = greatest(n - size, lit(0))
-    val nWin = lit(1) + ceil(extra.cast("double") / stride).cast("int")
+    val uncapped = lit(1) + ceil(extra.cast("double") / stride).cast("int")
+    val nWin = greatest(
+      least(uncapped, ceil(n.cast("double") / stride).cast("int")), lit(1))
     transform(sequence(lit(0), nWin - 1),
       i => array_join(slice(toks, i * stride + 1, lit(size)), " "))
   }

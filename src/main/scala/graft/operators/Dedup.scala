@@ -55,12 +55,15 @@ object Dedup {
       shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    // persisted: the signature table feeds banding AND both verify joins;
-    // measured 2x faster than recomputing per consumer even with the cheap
-    // token-chain signatures
+    // materialized once: the signature table feeds banding AND both verify
+    // joins; measured 2x faster than recomputing per consumer even with the
+    // cheap token-chain signatures. localCheckpoint (not persist): its
+    // blocks are freed by the ContextCleaner once the result plan is
+    // unreachable, so repeated calls in a long session don't accumulate
+    // CacheManager entries that only an explicit unpersist would release.
     val sigs = df.select(col(idCol).as("__id"),
         minhashSignature(col(textCol), shingle, numHashes).as("__sig"))
-      .persist()
+      .localCheckpoint(false)
     // Candidate generation carries only (id, band hashes): the banding
     // explode and bucket join shuffle `bands` longs per doc, not the full
     // `numHashes`-long signature. A pair colliding in k bands appears k
@@ -113,8 +116,10 @@ object Dedup {
     val width = 64 / chunks
     // (1L << 64) wraps to 1 in JVM shift semantics: full-width mask is -1
     val mask = if (width == 64) -1L else (1L << width) - 1
+    // localCheckpoint over persist: blocks auto-freed when the plan is
+    // unreachable (see minhashNearDuplicates)
     val sigs = df.select(col(idCol).as("__id"), simhash(col(textCol), shingle).as("__sig"))
-      .persist()
+      .localCheckpoint(false)
     val chunked = sigs.select(col("__id"), col("__sig"),
       explode(array((0 until chunks).map(ci =>
         struct(lit(ci).as("__chunk"),
@@ -187,9 +192,11 @@ object Dedup {
     */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bits: Int = 16): DataFrame = {
+    // localCheckpoint over persist: blocks auto-freed when the plan is
+    // unreachable (see minhashNearDuplicates)
     val sigs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__sig", hyperplaneSignature(col("__v"), bits))
-      .persist()
+      .localCheckpoint(false)
     val l = sigs.select(col("__sig"), col("__id").as("idA"), col("__v").as("__va"))
     val r = sigs.select(col("__sig"), col("__id").as("idB"), col("__v").as("__vb"))
     l.join(r, "__sig")

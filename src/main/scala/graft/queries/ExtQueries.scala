@@ -192,9 +192,12 @@ object ExtQueries {
   }
 
   private val chunkQ = q("q_chunk",
-    // 40-token windows, stride 30 (10-token overlap)
+    // 40-token windows, stride 30 (10-token overlap); nw mirrors
+    // TextFunctions.tokenChunks incl. the start<n cap and floor of 1
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-       n AS (SELECT doc_id, w, 1 + CAST(ceil(greatest(len(w) - 40, 0) / 30.0) AS INTEGER) AS nw FROM t)
+       n AS (SELECT doc_id, w,
+               greatest(least(1 + CAST(ceil(greatest(len(w) - 40, 0) / 30.0) AS INTEGER),
+                              CAST(ceil(len(w) / 30.0) AS INTEGER)), 1) AS nw FROM t)
        SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_id,
               array_to_string(w[(i-1)*30 + 1 : (i-1)*30 + 40], ' ') AS chunk
        FROM n, UNNEST(range(1, nw + 1)) AS u(i)""") { (s, d) =>

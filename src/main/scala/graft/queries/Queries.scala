@@ -452,12 +452,15 @@ object Queries {
   }
 
   private val foldDistinctQ = q("q_fold_distinct",
-    """SELECT o_orderpriority, list_sort(list(DISTINCT o_orderstatus)) AS statuses
+    // statuses joined to one string: the driver's pandas compare can't
+    // sort/hash a list column, so surface the sorted set as a scalar
+    """SELECT o_orderpriority,
+              array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
        FROM orders GROUP BY o_orderpriority""") { (s, d) =>
     import s.implicits._
     Flow(Tables.orders(s, d)).groupBy(_.o_orderpriority)
       .fold(Fold.distinct[String].premap[Orders](_.o_orderstatus))
-      .map(p => (p._1, p._2.toVector.sorted))
+      .map(p => (p._1, p._2.toVector.sorted.mkString(",")))
       .toDF.toDF("o_orderpriority", "statuses")
   }
 

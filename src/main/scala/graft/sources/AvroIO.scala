@@ -54,10 +54,13 @@ object AvroIO {
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
     val sparkSchema = df.schema
     df.rdd
-      .map { row =>
-        // parse per task (Schema is not serializable across closures)
+      .mapPartitions { it =>
+        // parse once per partition (Schema is not serializable across
+        // closures, so it can't be parsed on the driver and shipped)
         val schema = new Schema.Parser().parse(schemaJson)
-        (new AvroKey[GenericRecord](toAvro(row, sparkSchema, schema)), NullWritable.get())
+        it.map { row =>
+          (new AvroKey[GenericRecord](toAvro(row, sparkSchema, schema)), NullWritable.get())
+        }
       }
       .saveAsNewAPIHadoopFile(
         path,

@@ -23,6 +23,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(nl == "a\nbc")
   }
 
+  test("tokenChunks: overlap windows, stride>size emits no empty window, short text one window") {
+    val sp = SparkTestSession.spark
+    import sp.implicits._
+    def chunks(text: String, size: Int, stride: Int): Seq[String] =
+      Seq(text).toDF("t").select(TextFunctions.tokenChunks(col("t"), size, stride))
+        .collect().head.getSeq[String](0)
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    // overlapping windows (stride < size)
+    assert(chunks(ten, 4, 3) == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    // stride > size: starts 0 and 5 only — start 10 is past the last token
+    // and must not yield an empty chunk (ADVICE r01)
+    assert(chunks(ten, 2, 5) == Seq("w1 w2", "w6 w7"))
+    // text shorter than one window → exactly one partial window
+    assert(chunks("a b", 40, 30) == Seq("a b"))
+  }
+
   test("multimodal resize updates image meta + payload, leaves non-images alone") {
     val sp = SparkTestSession.spark
     val media = graft.operators.Multimodal.synthetic(sp, 30)

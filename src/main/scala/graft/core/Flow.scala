@@ -50,6 +50,18 @@ final case class Flow[T](ds: Dataset[T]) {
   /** Bernoulli sample, non-deterministic (reference filter.clj:97-112). */
   def sample(p: Double): Flow[T] = Flow(ds.sample(withReplacement = false, p))
 
+  /** Deterministic hash-Bernoulli sample: keeps rows whose 31-bit LCG mix
+    * of `key` falls under `p`. The reference's sample is true-random; at
+    * corpus scale a REPRODUCIBLE sample (same rows every run, plain
+    * integer arithmetic any engine can replay) is usually what a pipeline
+    * wants — this is the deterministic companion to [[sample]].
+    */
+  def sampleBy(p: Double)(key: T => Long): Flow[T] = {
+    require(p >= 0.0 && p <= 1.0, "p must be in [0, 1]")
+    val threshold = (p * 2147483648.0).toLong
+    Flow(ds.filter((t: T) => ((key(t) * 1103515245L + 12345L) & 0x7fffffffL) < threshold))
+  }
+
   // ---- sort / rank (reference map.clj:164-250, raw.clj:340-371) ----
 
   /** Total sort by a native-comparable key; the key column is dropped from

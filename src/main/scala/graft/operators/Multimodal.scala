@@ -109,6 +109,28 @@ object Multimodal {
     }
   }
 
+  /** Build a media table from any (id, text) source with engine-portable
+    * column arithmetic: media type/format/dims derived from the id,
+    * payload = the text's UTF-8 bytes. Gives the binary-column plumbing a
+    * deterministic, SQL-checkable surface (a real corpus loads real bytes
+    * through the same schema); pure Column ops, so it scales as one
+    * narrow stage.
+    */
+  def fromKeyedText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    df.select(id.as("id"),
+      struct(
+        when(pmod(id, lit(3)) === 0, "image")
+          .when(pmod(id, lit(3)) === 1, "audio").otherwise("video").as("mediaType"),
+        when(pmod(id, lit(3)) === 0, "jpeg")
+          .when(pmod(id, lit(3)) === 1, "wav").otherwise("mp4").as("format"),
+        (lit(64) + pmod(id, lit(8)) * 32).cast("int").as("width"),
+        (lit(64) + pmod(id, lit(5)) * 32).cast("int").as("height"),
+        when(pmod(id, lit(3)) === 0, lit(0L))
+          .otherwise(lit(1000L) + pmod(id, lit(60000))).as("durationMs")).as("meta"),
+      encode(col(textCol), "UTF-8").as("payload"))
+  }
+
   /** Metadata-only filter that never touches payload bytes — verifies (via
     * .explain) that payload columns are pruned from the scan when only
     * meta predicates/projections are used.

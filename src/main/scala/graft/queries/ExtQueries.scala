@@ -84,7 +84,43 @@ object ExtQueries {
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
   }
 
-  private val langIdQ = q("q_langid") { (s, d) => // heuristic: rows-only; ScalaTest covers accuracy
+  private val langIdQ = q("q_langid",
+    // full SQL mirror of TextFunctions.langId: script-ratio gates (ja/ko/
+    // zh/ru), then argmax of six stopword ratios with first-wins ties in
+    // en,de,fr,es,it,pt order — all ratios are int/int double divisions,
+    // bit-identical across engines
+    """WITH t0 AS (SELECT lower(trim(text)) AS t FROM documents),
+       f AS (SELECT t, greatest(length(t) * 1.0, 1.0) AS nc,
+                    regexp_split_to_array(t, '\s+') AS toks FROM t0),
+       g AS (SELECT
+               length(regexp_replace(t, '[^\x{4e00}-\x{9fff}]', '', 'g')) / nc AS han,
+               length(regexp_replace(t, '[^\x{3040}-\x{30ff}]', '', 'g')) / nc AS kana,
+               length(regexp_replace(t, '[^\x{ac00}-\x{d7af}]', '', 'g')) / nc AS hangul,
+               length(regexp_replace(t, '[^\x{0400}-\x{04ff}]', '', 'g')) / nc AS cyr,
+               greatest(len(toks) * 1.0, 1.0) AS nw,
+               len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it','that','was','for','on','are','with','as','his','they','at','be','this'))) AS c_en,
+               len(list_filter(toks, w -> w IN ('der','die','das','und','ist','ein','eine','nicht','mit','sich','auf','für','im','den','von','zu','des','auch','es','dem'))) AS c_de,
+               len(list_filter(toks, w -> w IN ('le','la','les','de','des','et','est','un','une','dans','que','qui','pour','pas','sur','au','avec','ce','il','ne'))) AS c_fr,
+               len(list_filter(toks, w -> w IN ('el','la','los','las','de','y','es','un','una','en','que','no','por','con','para','se','del','su','al','lo'))) AS c_es,
+               len(list_filter(toks, w -> w IN ('il','lo','la','gli','di','e','è','un','una','che','non','per','con','del','della','si','sono','come','anche','nel'))) AS c_it,
+               len(list_filter(toks, w -> w IN ('o','a','os','as','de','e','é','um','uma','em','que','não','por','com','para','se','do','da','no','na'))) AS c_pt
+             FROM f),
+       s AS (SELECT han, kana, hangul, cyr,
+               c_en / nw AS s_en, c_de / nw AS s_de, c_fr / nw AS s_fr,
+               c_es / nw AS s_es, c_it / nw AS s_it, c_pt / nw AS s_pt,
+               greatest(c_en / nw, c_de / nw, c_fr / nw,
+                        c_es / nw, c_it / nw, c_pt / nw) AS m
+             FROM g),
+       l AS (SELECT CASE WHEN kana > 0.05 THEN 'ja' WHEN hangul > 0.05 THEN 'ko'
+                         WHEN han > 0.05 THEN 'zh' WHEN cyr > 0.3 THEN 'ru'
+                         WHEN m > 0 THEN (CASE WHEN s_en = m THEN 'en'
+                                               WHEN s_de = m THEN 'de'
+                                               WHEN s_fr = m THEN 'fr'
+                                               WHEN s_es = m THEN 'es'
+                                               WHEN s_it = m THEN 'it' ELSE 'pt' END)
+                         ELSE 'und' END AS lang_pred
+             FROM s)
+       SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1""") { (s, d) =>
     Tables.df(s, d, "documents")
       .groupBy(langId(col("text")).as("lang_pred"))
       .agg(count(lit(1)).as("n"))
@@ -119,10 +155,22 @@ object ExtQueries {
       shingle = 2, threshold = 0.1)
   }
 
-  private val embDedupQ = q("q_dedup_embedding") { (s, d) => // LSH: rows-only + ScalaTest
+  private val embDedupQ = q("q_dedup_embedding",
+    // at threshold 0.98 the LSH answer IS the exact answer for this data:
+    // duplicate pairs (identical vectors, cos=1) always share a bucket,
+    // and the closest DISTINCT pair sits at cos≈0.51 — so an exact
+    // brute-force oracle is valid; cosine rounded to 4dp on both sides
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                  UNION ALL
+                  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+       p AS (SELECT a.vec_id AS idA, b.vec_id AS idB,
+                    list_cosine_similarity(a.v, b.v) AS cos
+             FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       SELECT idA, idB, round(cos, 4) AS cosine FROM p WHERE cos >= 0.98""") { (s, d) =>
     val base = Tables.df(s, d, "embeddings")
     val dups = base.unionByName(base.withColumn("vec_id", col("vec_id") + 10000))
     Dedup.embeddingNearDuplicates(dups, "vec_id", "embedding", threshold = 0.98, bits = 16)
+      .withColumn("cosine", round(col("cosine"), 4))
   }
 
   private val annQuantQ = q("q_ann_topk",
@@ -149,7 +197,19 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
   }
 
-  private val annCosineQ = q("q_ann_cosine", bench = true) { (s, d) => // exact brute force; rows-only
+  private val annCosineQ = q("q_ann_cosine",
+    // exact brute force, rank-only output: engines accumulate the cosine
+    // in different ulp patterns, but ranks can only flip when two cosines
+    // sit within that noise (score values are covered by ScalaTest)
+    """WITH pairs AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(c.embedding AS DOUBLE[])) AS cos
+         FROM embeddings q, embeddings c
+         WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+       SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       FROM pairs QUALIFY rank <= 10""", bench = true) { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
     Similarity.bruteForceTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding", k = 10)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -162,7 +222,32 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  private val annIvfQ = q("q_ann_ivf") { (s, d) => // approximate; rows-only + recall ScalaTest
+  private val annIvfQ = q("q_ann_ivf",
+    // the IVF pipeline is fully deterministic (centroids = 16 lowest ids,
+    // L2 assignment tie-broken by cell, probe 4 cells, cosine rank), so
+    // the whole thing is SQL-expressible; rank-only for ulp robustness
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cent AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+       assigned AS (
+         SELECT vec_id, v, cell FROM (
+           SELECT c.vec_id, c.v, cent.cell,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY list_distance(c.v, cent.cv), cent.cell) AS r
+           FROM c, cent) WHERE r = 1),
+       qa AS (
+         SELECT vec_id AS query_id, v AS qv, cell FROM (
+           SELECT c.vec_id, c.v, cent.cell,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY list_distance(c.v, cent.cv), cent.cell) AS r
+           FROM c, cent WHERE c.vec_id < 50) WHERE r <= 4),
+       scored AS (
+         SELECT qa.query_id, a.vec_id AS neighbor_id,
+                list_cosine_similarity(qa.qv, a.v) AS cos
+         FROM qa JOIN assigned a ON qa.cell = a.cell
+         WHERE qa.query_id <> a.vec_id)
+       SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       FROM scored QUALIFY rank <= 10""") { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
     Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
       k = 10, nCells = 16, nProbe = 4)
@@ -177,6 +262,23 @@ object ExtQueries {
       .join(feats.toDF().select(col("id"), col("featureDim")), "id")
       .groupBy("media_type")
       .agg(count(lit(1)).as("n"), max(col("featureDim")).as("dim"))
+  }
+
+  private val multimodalMetaQ = q("q_multimodal_meta",
+    // media table derived from documents via Multimodal.fromKeyedText
+    // (engine-portable id arithmetic + UTF-8 payload bytes): aggregates
+    // metadata and payload sizes without any stubbed codec in the path
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+              CAST(MAX(64 + (doc_id % 8) * 32) AS INTEGER) AS max_width
+       FROM documents GROUP BY 1""") { (s, d) =>
+    Multimodal.fromKeyedText(Tables.df(s, d, "documents"), "doc_id", "text")
+      .groupBy(col("meta.mediaType").as("media_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("payload_bytes"),
+        max(col("meta.width")).as("max_width"))
   }
 
   private val normalizeQ = q("q_normalize",
@@ -236,5 +338,5 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
-    annIvfQ, multimodalQ, normalizeQ, chunkQ, sessionizeQ)
+    annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ)
 }

@@ -132,6 +132,16 @@ object Queries {
     Flow(Tables.orders(s, d)).sample(0.1).map(_.o_orderkey).toDF.toDF("o_orderkey")
   }
 
+  private val sampleHashQ = q("q_sample_hash",
+    // deterministic hash-Bernoulli sample (Flow.sampleBy): 31-bit LCG on
+    // the key vs floor(0.1 * 2^31) — exact integer arithmetic both engines
+    """SELECT o_orderkey FROM orders
+       WHERE ((CAST(o_orderkey AS BIGINT) * 1103515245 + 12345) & 2147483647) < 214748364""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d)).sampleBy(0.1)(_.o_orderkey)
+      .map(_.o_orderkey).toDF.toDF("o_orderkey")
+  }
+
   // ==========================================================
   // §2.6 set ops
   // ==========================================================
@@ -598,7 +608,7 @@ object Queries {
 
   val relational: Seq[QueryDef] = Seq(
     loadProject, filterQ, mapQ, mapcatQ, removeQ, rankQ, rankTiesQ, rankDenseQ,
-    sortQ, takeQ, sampleQ, returnQ, selfJoinQ,
+    sortQ, takeQ, sampleQ, sampleHashQ, returnQ, selfJoinQ,
     distinctQ, unionQ, concatQ, intersectionQ, intersectionMultisetQ,
     differenceQ, differenceMultisetQ,
     joinInnerQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,

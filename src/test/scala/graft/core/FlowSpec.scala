@@ -37,6 +37,17 @@ class FlowSpec extends AnyFunSuite {
     assert(n > 300 && n < 700)
   }
 
+  test("sampleBy is deterministic, key-stable, and near p") {
+    val f = flow(1 to 1000: _*)
+    val a = f.sampleBy(0.3)(_.toLong).dump().sorted
+    val b = f.sampleBy(0.3)(_.toLong).dump().sorted
+    assert(a == b) // same rows every run
+    assert(a.size > 200 && a.size < 400)
+    // p=0 and p=1 are exact
+    assert(f.sampleBy(0.0)(_.toLong).dump().isEmpty)
+    assert(f.sampleBy(1.0)(_.toLong).dump().size == 1000)
+  }
+
   test("sortBy asc/desc gives total order and drops the key") {
     val xs = flow("bb" -> 2, "a" -> 1, "ccc" -> 3)
     assert(xs.sortBy(_._2).dump().map(_._1) == Seq("a", "bb", "ccc"))

@@ -41,6 +41,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: ["), "meta predicates should reach the scan")
   }
 
+  test("fromKeyedText derives media schema + UTF-8 payload from any keyed text source") {
+    import spark.implicits._
+    val src = Seq((0L, "héllo"), (1L, "ab"), (2L, "xyz")).toDF("doc_id", "text")
+    val m = Multimodal.fromKeyedText(src, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(0L).getStruct(1).getString(0) == "image")
+    assert(m(1L).getStruct(1).getString(0) == "audio")
+    assert(m(2L).getStruct(1).getString(0) == "video")
+    // payload is the text's UTF-8 bytes (é = 2 bytes)
+    assert(m(0L).getAs[Array[Byte]](2).length == 6)
+    assert(m(0L).getStruct(1).getInt(2) == 64 && m(1L).getStruct(1).getInt(2) == 96)
+  }
+
   test("sampleFrames emits bounded rows per video") {
     val m = Multimodal.synthetic(spark, 30)
     val frames = Multimodal.sampleFrames(m, stride = 100).collect()

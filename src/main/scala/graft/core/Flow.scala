@@ -427,6 +427,45 @@ object Flow {
   /** Inline constant relation (reference `pig/return`, io.clj:265-300). */
   def of[T: Encoder](spark: SparkSession)(data: Seq[T]): Flow[T] =
     Flow(spark.createDataset(data))
+
+  /** One input of an N-way [[cogroupN]]: a relation plus its key fn, with
+    * the element type erased (the reference's group$ is dynamically typed
+    * too — bags of arbitrary values). Build via [[in]].
+    */
+  final case class CogroupInput[K](ds: Dataset[_], key: Any => K)
+
+  def in[T, K](fl: Flow[T])(k: T => K): CogroupInput[K] =
+    CogroupInput(fl.ds, k.asInstanceOf[Any => K])
+
+  /** N-way cogroup for ANY arity (reference group$ is N-ary,
+    * model.clj:167-172; Pig COGROUP takes any number of inputs in ONE
+    * shuffle). Same plan shape as [[Flow.cogroup3]]: tag each input, union,
+    * one `groupByKey` — a single hash shuffle regardless of arity, instead
+    * of chaining 2-way cogroups (which would shuffle the growing
+    * intermediate N-1 times). Keys stay native (columnar partition/compare);
+    * values cross the shuffle on the kryo lane.
+    *
+    * `f` sees one bag per input, index-aligned with `inputs`; keys present
+    * in any input appear with empty bags for the rest. Dynamically typed
+    * like the reference — use [[Flow.cogroup]]/[[Flow.cogroup3]] when a
+    * fixed arity should keep static types.
+    */
+  def cogroupN[K: Encoder, R: Encoder](inputs: Seq[CogroupInput[K]])(
+      f: (K, IndexedSeq[Seq[Any]]) => IterableOnce[R]): Flow[R] = {
+    require(inputs.nonEmpty, "cogroupN needs at least one input")
+    val n = inputs.size
+    val kEnc = implicitly[Encoder[K]]
+    implicit val tagged: Encoder[(K, Int, Any)] =
+      Encoders.tuple(kEnc, Encoders.scalaInt, Encoders.kryo[Any])
+    val unioned = inputs.zipWithIndex.map { case (in, i) =>
+      in.ds.asInstanceOf[Dataset[Any]].map((t: Any) => (in.key(t), i, t))
+    }.reduce(_ union _)
+    Flow(unioned.groupByKey(_._1).flatMapGroups { (k: K, it: Iterator[(K, Int, Any)]) =>
+      val bags = IndexedSeq.fill(n)(Vector.newBuilder[Any])
+      it.foreach { case (_, i, x) => bags(i) += x }
+      f(k, bags.map(_.result())).iterator
+    })
+  }
 }
 
 /** Join shapes; the reference's required/optional per-input flags

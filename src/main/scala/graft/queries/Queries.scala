@@ -383,6 +383,38 @@ object Queries {
       .toDF.toDF("k", "n_cust", "n_supp", "n_nat")
   }
 
+  private val cogroup4Q = q("q_cogroup4",
+    """SELECT n.n_nationkey AS k,
+              CAST(COUNT(*) AS BIGINT) AS n_nat,
+              CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cust,
+              CAST(COALESCE(s.n, 0) AS BIGINT) AS n_supp,
+              CAST(COALESCE(h.n, 0) AS BIGINT) AS n_rich
+       FROM nation n
+       LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY 1) c
+         ON c.c_nationkey = n.n_nationkey
+       LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n FROM supplier GROUP BY 1) s
+         ON s.s_nationkey = n.n_nationkey
+       LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n FROM customer
+                  WHERE c_acctbal > 5000 GROUP BY 1) h
+         ON h.c_nationkey = n.n_nationkey
+       GROUP BY 1, 3, 4, 5""") { (s, d) =>
+    import s.implicits._
+    // arbitrary-arity cogroup (Flow.cogroupN): 4 tagged inputs, ONE
+    // shuffle; nation holds every key so the LEFT JOIN oracle is the
+    // outer-cogroup result
+    val cust = Flow(Tables.customer(s, d))
+    Flow.cogroupN[Int, (Int, Long, Long, Long, Long)](Seq(
+        Flow.in(Flow(Tables.nation(s, d)))(_.n_nationkey),
+        Flow.in(cust)(_.c_nationkey),
+        Flow.in(Flow(Tables.supplier(s, d)))(_.s_nationkey),
+        Flow.in(cust.filter(_.c_acctbal > 5000))(_.c_nationkey))) {
+      (k, bags) =>
+        if (bags(0).isEmpty) Iterator.empty
+        else Iterator.single((k, bags(0).size.toLong, bags(1).size.toLong,
+          bags(2).size.toLong, bags(3).size.toLong))
+    }.toDF.toDF("k", "n_nat", "n_cust", "n_supp", "n_rich")
+  }
+
   private val groupByQ = q("q_group_by",
     """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
@@ -612,7 +644,7 @@ object Queries {
     distinctQ, unionQ, concatQ, intersectionQ, intersectionMultisetQ,
     differenceQ, differenceMultisetQ,
     joinInnerQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,
-    filterByQ, removeByQ, cogroupQ, cogroup3Q, groupByQ, groupStatsQ, topByQ,
+    filterByQ, removeByQ, cogroupQ, cogroup3Q, cogroup4Q, groupByQ, groupStatsQ, topByQ,
     reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
     q1, q5ish, windowLagQ, windowRunningQ, eventsAggQ)
 

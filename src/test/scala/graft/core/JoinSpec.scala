@@ -139,6 +139,29 @@ class JoinSpec extends AnyFunSuite {
     assert(r.toSet == Set((1, 1, 1, 0), (2, 0, 1, 1)))
   }
 
+  test("cogroupN: arbitrary arity, one shuffle, empty bags for missing keys") {
+    val a = flow("x" -> 1, "y" -> 2)
+    val b = flow("y" -> 10, "z" -> 20)
+    val c = flow("x" -> 100)
+    val d4 = flow("w" -> 7, "x" -> 8)
+    val e5 = flow("x" -> 1000)
+    val r = Flow.cogroupN[String, (String, Int, Int, Int, Int, Int)](Seq(
+        Flow.in(a)(_._1), Flow.in(b)(_._1), Flow.in(c)(_._1),
+        Flow.in(d4)(_._1), Flow.in(e5)(_._1))) { (k, bags) =>
+      Iterator.single((k, bags(0).size, bags(1).size, bags(2).size, bags(3).size, bags(4).size))
+    }
+    assert(r.dump().toSet == Set(
+      ("x", 1, 0, 1, 1, 1),
+      ("y", 1, 1, 0, 0, 0),
+      ("z", 0, 1, 0, 0, 0),
+      ("w", 0, 0, 0, 1, 0)))
+    // one-shuffle claim: exactly one Exchange in the (final) physical plan
+    // (AdaptiveSparkPlan.toString appends an "Initial Plan" copy — cut it)
+    val plan = r.ds.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected a single shuffle:\n$plan")
+  }
+
   test("cogroupFold pre-aggregates each input; outer keys surface None") {
     val a = flow("x" -> 1L, "x" -> 2L, "y" -> 3L)
     val b = flow("y" -> 10L, "z" -> 20L)

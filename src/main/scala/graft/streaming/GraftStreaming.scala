@@ -109,6 +109,32 @@ object GraftStreaming {
       }
   }
 
+  // ---- streaming dedup (training-pipeline ingest path) ----
+
+  /** Streaming exact dedup on `keyCols`: the first row per key within the
+    * watermark horizon survives; duplicates arriving later than
+    * `watermarkDelay` after the original are dropped as late data. State
+    * (one entry per distinct key) is watermark-evicted — the unbounded
+    * "seen set" of a naive streaming dedup is exactly what this avoids at
+    * corpus-ingest scale.
+    */
+  def dedupExactStream(df: DataFrame, tsCol: String, watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming content dedup: exact dedup keyed on the canonical text
+    * fingerprint ([[graft.functions.TextFunctions.fingerprint]]), so
+    * whitespace/case variants of the same document dedup too — the
+    * streaming dual of [[graft.operators.Dedup.exact]].
+    */
+  def dedupTextStream(df: DataFrame, tsCol: String, watermarkDelay: String,
+      textCol: String): DataFrame =
+    dedupExactStream(
+      df.withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol))),
+      tsCol, watermarkDelay, Seq("__fp"))
+      .drop("__fp")
+
   // ---- sinks ----
 
   /** `writeStream` to files with checkpointing; returns the query handle. */

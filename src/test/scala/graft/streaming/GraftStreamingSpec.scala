@@ -36,6 +36,24 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dedupTextStream: first doc per canonical text survives across batches, state watermark-bounded") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val dd = GraftStreaming.dedupTextStream(df, "ts", "10 seconds", "text")
+    val query = GraftStreaming.storeStreamMemory(dd, "dedup_test")
+    try {
+      input.addData((ts(1), 1L, "Hello   World"), (ts(2), 2L, "other doc"))
+      query.processAllAvailable()
+      // duplicate content in a later batch, with whitespace/case variance
+      input.addData((ts(3), 3L, "hello world"), (ts(4), 4L, "third doc"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_test").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L), "doc 3 is a canonical duplicate of doc 1")
+    } finally query.stop()
+  }
+
   test("sessionize: watermark closes sessions; in-batch gap splits sessions") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

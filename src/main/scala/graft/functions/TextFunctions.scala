@@ -86,6 +86,24 @@ object TextFunctions {
       i => array_join(slice(toks, i * stride + 1, lit(size)), " "))
   }
 
+  /** PII redaction for training corpora: emails, URLs, and phone-like
+    * number runs replaced with typed placeholder tags (the standard
+    * pre-training scrub). Regex-only — portable to any engine, and kept
+    * deliberately conservative: a redactor that over-matches destroys
+    * ordinary text (version numbers, dates) at corpus scale.
+    * Order matters: emails before URLs (an email contains no scheme but a
+    * URL may contain '@'), phones last (emails/URLs already removed their
+    * digits).
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email,
+      "(https?|ftp)://[^\\s]+", "<URL>")
+    regexp_replace(url,
+      "\\+?[0-9][0-9()\\[\\] .-]{7,}[0-9]", "<PHONE>")
+  }
+
   /** Quality-score heuristics (0..1-ish features + a blended score),
     * returned as a struct column: length, word stats, alpha ratio,
     * punctuation ratio, stopword ratio, mean word length, repetition.

@@ -264,6 +264,43 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"), max(col("featureDim")).as("dim"))
   }
 
+  private val redactQ = q("q_redact",
+    // PII is injected deterministically (doc_id-derived email + phone) so
+    // the redaction path has guaranteed work; both engines build and
+    // scrub the identical string
+    """SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(
+                text || ' contact: user' || doc_id || '@example.com or call +1 (555) 010-' || (doc_id % 10000) || ' now',
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '(https?|ftp)://[^\s]+', '<URL>', 'g'),
+                '\+?[0-9][0-9()\[\] .-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+       FROM documents""") { (s, d) =>
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"),
+        redactPii(concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com or call +1 (555) 010-"), pmod(col("doc_id"), lit(10000)),
+          lit(" now"))).as("redacted"))
+  }
+
+  private val tokenStatsQ = q("q_token_stats",
+    // corpus token-budget stats per source: doc count, total tokens, and
+    // exact interpolated median/p95 (Spark `percentile` ⟷ DuckDB
+    // `quantile_cont`, both lower+(higher-lower)*frac), rounded to 2dp
+    """SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+              round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')), 0.5), 2) AS p50_tokens,
+              round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')), 0.95), 2) AS p95_tokens
+       FROM documents GROUP BY source""") { (s, d) =>
+    Tables.df(s, d, "documents")
+      .select(col("source"), tokenCount(col("text")).as("__n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).cast("long").as("total_tokens"),
+        round(expr("percentile(__n, 0.5)"), 2).as("p50_tokens"),
+        round(expr("percentile(__n, 0.95)"), 2).as("p95_tokens"))
+  }
+
   private val multimodalMetaQ = q("q_multimodal_meta",
     // media table derived from documents via Multimodal.fromKeyedText
     // (engine-portable id arithmetic + UTF-8 payload bytes): aggregates
@@ -338,5 +375,6 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
-    annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ)
+    annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
+    redactQ, tokenStatsQ)
 }

@@ -39,6 +39,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(chunks("a b", 40, 30) == Seq("a b"))
   }
 
+  test("redactPii scrubs emails/urls/phones, leaves ordinary text alone") {
+    val sp = SparkTestSession.spark
+    import sp.implicits._
+    def red(s: String): String =
+      Seq(s).toDF("t").select(TextFunctions.redactPii(col("t"))).collect().head.getString(0)
+    assert(red("mail me at jo.do+x@sub.example.org please") == "mail me at <EMAIL> please")
+    assert(red("see https://example.com/a?b=1#c and ftp://host/f") == "see <URL> and <URL>")
+    assert(red("call +1 (555) 010-4567 today") == "call <PHONE> today")
+    // conservative: short number runs, versions, and years survive
+    assert(red("v2.3.1 released in 2024, section 3.4") == "v2.3.1 released in 2024, section 3.4")
+  }
+
   test("multimodal resize updates image meta + payload, leaves non-images alone") {
     val sp = SparkTestSession.spark
     val media = graft.operators.Multimodal.synthetic(sp, 30)

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc plan/perf probe (dev tool, not part of the driver contract):
+  * prints the executed plan and isolated timings for one named query.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q_revenue_by_nation")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qd = graft.queries.Queries.all.find(_.name == name).get
+    // warm-up then 3 timed runs
+    qd.fn(spark, sfDir).count()
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      qd.fn(spark, sfDir).count()
+      println(f"[probe] run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    val df = qd.fn(spark, sfDir)
+    df.count()
+    println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
+    spark.stop()
+  }
+}

@@ -49,7 +49,15 @@ object Similarity {
   /** LSH-bucketed ANN: random-hyperplane signatures; a query probes every
     * bucket within `probeHamming` bits of its own signature (multi-probe),
     * then candidates are re-ranked exactly. Recall/cost dial: bits up →
-    * smaller buckets; probeHamming up → higher recall.
+    * smaller buckets (and finer shuffle keys — raise with corpus size);
+    * probeHamming up → higher recall at Σ C(bits,i) probes per query.
+    *
+    * Recall is data-dependent: hyperplane collision probability is
+    * (1-θ/π) per bit, so it is high exactly when true neighbors are
+    * cosine-close. On UNSTRUCTURED random vectors (neighbors ≈0.35) the
+    * measured dial at 500 docs: bits=8/probe=3 → 0.56 recall probing 36%
+    * of buckets; bits=6/probe=3 → 0.81 at 66%. Clustered real embedding
+    * corpora (neighbors ≥0.8) sit far up the curve at the same cost.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,

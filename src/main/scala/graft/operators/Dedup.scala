@@ -186,6 +186,50 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** Duplicate-cluster resolution: turns near-duplicate PAIRS (any of the
+    * *NearDuplicates/ngramJaccardPairs outputs) into connected components,
+    * labeling every member with the minimum id of its component — the
+    * "keep one doc per duplicate group" step of a dedup pipeline.
+    *
+    * Min-label propagation: each round every node takes the smallest label
+    * among itself and its neighbors; converges in O(graph diameter) rounds,
+    * each round one join + one min-aggregation. Skew-safe by construction —
+    * no neighbor bags are ever collected (hub nodes aggregate with `min`,
+    * which combines map-side), unlike star-contraction variants that
+    * materialize adjacency lists. Near-dup graphs are piles of tiny
+    * cliques/chains, so the diameter bound is small in practice; `maxIter`
+    * caps adversarial chains. Labels are localCheckpoint'ed per round to
+    * truncate the growing lineage (iterative-algorithm hygiene on Spark).
+    *
+    * Returns (id, cluster) for every id that appears in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("__m"))
+      .select(col("src").as("id"), least(col("src"), col("__m")).as("cluster"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("__nc")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("__nc")).as("__best"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__best"), col("cluster"))).as("cluster"))
+        .localCheckpoint(false)
+      changed = next.join(labels.select(col("id"), col("cluster").as("__old")), "id")
+        .where(col("cluster") < col("__old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold pairs, candidates via
     * random-hyperplane LSH buckets (exact within-bucket verify). At corpus
     * scale the bucket join replaces the n² cross product.

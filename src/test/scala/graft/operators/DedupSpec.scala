@@ -96,6 +96,20 @@ class DedupSpec extends AnyFunSuite {
     assert(est > 0 && est < 1.0)
   }
 
+  test("connectedComponents labels chains and separate cliques with the component min id") {
+    // component {1,2,3,4} as a chain (diameter 3 forces >1 propagation
+    // round), component {10,11,12} as a triangle, pair {20,21}
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("idA", "idB")
+    val got = Dedup.connectedComponents(pairs, "idA", "idB")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("embedding near-duplicates: identical vectors pair at cosine 1.0; orthogonal don't") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

@@ -230,6 +230,23 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-duplicate REMOVAL: mine exact n-gram-Jaccard pairs,
+    * resolve duplicate clusters, and keep only each cluster's minimum-id
+    * document — corpus in, deduplicated corpus out (all columns intact).
+    * Unpaired documents pass through untouched (left_anti against the
+    * non-canonical members only).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val clusters = connectedComponents(
+      ngramJaccardPairs(df, idCol, textCol, shingle, threshold, maxDocFreq),
+      "idA", "idB")
+    val losers = clusters.where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold pairs, candidates via
     * random-hyperplane LSH buckets (exact within-bucket verify). At corpus
     * scale the bucket join replaces the n² cross product.

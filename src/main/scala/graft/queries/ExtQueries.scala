@@ -188,6 +188,39 @@ object ExtQueries {
       "idA", "idB")
   }
 
+  private val dedupApplyQ = q("q_dedup_apply",
+    // corpus in → deduplicated corpus out: documents minus every
+    // non-canonical member of the q_dedup_clusters components
+    """WITH RECURSIVE
+       toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                       i -> array_to_string(w[i:i+1], ' '))) AS s
+              FROM toks),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       common AS (SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+       pairs AS (SELECT idA, idB FROM common
+                 JOIN sizes sa ON sa.doc_id = idA
+                 JOIN sizes sb ON sb.doc_id = idB
+                 WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1),
+       edges AS (SELECT idA AS a, idB AS b FROM pairs
+                 UNION SELECT idB, idA FROM pairs),
+       reach(node, x) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.node, e.b FROM reach r JOIN edges e ON r.x = e.a),
+       cc AS (SELECT node, least(node, MIN(x)) AS cluster FROM reach GROUP BY node)
+       SELECT d.doc_id, d.n_chars FROM documents d
+       LEFT JOIN (SELECT node FROM cc WHERE node <> cluster) dropped
+         ON d.doc_id = dropped.node
+       WHERE dropped.node IS NULL""") { (s, d) =>
+    Dedup.dropNearDuplicates(Tables.df(s, d, "documents"), "doc_id", "text",
+        shingle = 2, threshold = 0.1)
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   private val embDedupQ = q("q_dedup_embedding",
     // at threshold 0.98 the LSH answer IS the exact answer for this data:
     // duplicate pairs (identical vectors, cos=1) always share a bucket,
@@ -412,7 +445,7 @@ object ExtQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
-    minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
+    minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
     annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
     redactQ, tokenStatsQ)
 }

@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
   * the JVM/codegen caches, then each query is timed twice and the MIN of
   * the two passes is reported (sub-second queries vary ±20% run-to-run
   * from GC/JIT noise; min-of-2 is a steadier estimate). A query that
-  * throws is reported as value -1 with its message in an "errors" field —
-  * never as a fast success.
+  * throws is reported as value -1 with its message in an "errors" field,
+  * and the headline total becomes -1 as well — a failure can never read
+  * as a fast success at either level.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,8 +38,11 @@ object Bench {
       try { qd.fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch {
         case e: Throwable =>
+          // collapse ALL whitespace/control chars so the message can't
+          // break the single-JSON-line contract
           Left(e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+            Option(e.getMessage).getOrElse("")
+              .replaceAll("[\\x00-\\x1f]+", " ").take(200))
       }
     }
     val results = benchSet.map { qd =>
@@ -55,7 +59,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    val total = results.map(_._2.getOrElse(0.0)).sum
+    // any failure poisons the headline number: a crashed query must never
+    // make the total LOOK faster (0-contribution would)
+    val total =
+      if (errs.nonEmpty) -1.0 else results.map(_._2.getOrElse(0.0)).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -55,11 +55,20 @@ final case class Flow[T](ds: Dataset[T]) {
     * corpus scale a REPRODUCIBLE sample (same rows every run, plain
     * integer arithmetic any engine can replay) is usually what a pipeline
     * wants — this is the deterministic companion to [[sample]].
+    *
+    * The key is xor-folded (`k ^ (k >>> 31)`) before the LCG: the LCG's
+    * final `mod 2^31` is blind to input bits ≥31, so without the fold two
+    * 64-bit keys sharing their low 31 bits (e.g. `shard << 32 | seq` ids)
+    * would always get the same keep/drop decision.
     */
   def sampleBy(p: Double)(key: T => Long): Flow[T] = {
     require(p >= 0.0 && p <= 1.0, "p must be in [0, 1]")
     val threshold = (p * 2147483648.0).toLong
-    Flow(ds.filter((t: T) => ((key(t) * 1103515245L + 12345L) & 0x7fffffffL) < threshold))
+    Flow(ds.filter { (t: T) =>
+      val k = key(t)
+      val folded = k ^ (k >>> 31)
+      ((folded * 1103515245L + 12345L) & 0x7fffffffL) < threshold
+    })
   }
 
   // ---- sort / rank (reference map.clj:164-250, raw.clj:340-371) ----

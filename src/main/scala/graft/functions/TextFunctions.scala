@@ -94,6 +94,11 @@ object TextFunctions {
     * Order matters: emails before URLs (an email contains no scheme but a
     * URL may contain '@'), phones last (emails/URLs already removed their
     * digits).
+    *
+    * A phone match must be anchored by a leading '+' (international) or a
+    * parenthesized group (area code): a bare digit run like an ISO date,
+    * year range, IP address, or ISBN never matches — that anchor is what
+    * keeps the redactor conservative.
     */
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text,
@@ -101,7 +106,8 @@ object TextFunctions {
     val url = regexp_replace(email,
       "(https?|ftp)://[^\\s]+", "<URL>")
     regexp_replace(url,
-      "\\+?[0-9][0-9()\\[\\] .-]{7,}[0-9]", "<PHONE>")
+      "(\\+[0-9][0-9()\\[\\] .-]{6,}[0-9])|(\\([0-9]{2,4}\\)[ .-]?[0-9]{2,4}([ .-][0-9]{2,4}){1,2})",
+      "<PHONE>")
   }
 
   /** Quality-score heuristics (0..1-ish features + a blended score),

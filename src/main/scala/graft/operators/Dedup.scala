@@ -5,6 +5,7 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, designed scale-first:
   *
@@ -18,6 +19,19 @@ import org.apache.spark.sql.functions._
   * keep results deterministic.
   */
 object Dedup {
+
+  /** Materialize a mid-pipeline table exactly once with a bounded
+    * lifetime: lazy localCheckpoint, so (a) blocks are freed by the
+    * ContextCleaner when the result plan becomes unreachable (persist()
+    * entries live in the CacheManager until an explicit unpersist), and
+    * (b) 2x-replicated storage, so losing a single executor loses no
+    * blocks. The residual tradeoff vs persist(): simultaneous loss of both
+    * replicas fails the job instead of recomputing from (truncated)
+    * lineage — for multi-hour jobs on preemptible nodes, prefer a
+    * reliable `checkpoint()` to durable storage upstream of these calls.
+    */
+  private def materializeOnce(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false, storageLevel = StorageLevel.MEMORY_AND_DISK_2)
 
   /** Exact dedup on canonical text: keep the smallest id per fingerprint.
     * One shuffle; the winner is chosen with `min_by`-style aggregation, not
@@ -55,15 +69,11 @@ object Dedup {
       shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    // materialized once: the signature table feeds banding AND both verify
-    // joins; measured 2x faster than recomputing per consumer even with the
-    // cheap token-chain signatures. localCheckpoint (not persist): its
-    // blocks are freed by the ContextCleaner once the result plan is
-    // unreachable, so repeated calls in a long session don't accumulate
-    // CacheManager entries that only an explicit unpersist would release.
-    val sigs = df.select(col(idCol).as("__id"),
-        minhashSignature(col(textCol), shingle, numHashes).as("__sig"))
-      .localCheckpoint(false)
+    // the signature table feeds banding AND both verify joins; measured 2x
+    // faster materialized once than recomputed per consumer, even with the
+    // cheap token-chain signatures (lifetime/fault notes: materializeOnce)
+    val sigs = materializeOnce(df.select(col(idCol).as("__id"),
+      minhashSignature(col(textCol), shingle, numHashes).as("__sig")))
     // Candidate generation carries only (id, band hashes): the banding
     // explode and bucket join shuffle `bands` longs per doc, not the full
     // `numHashes`-long signature. A pair colliding in k bands appears k
@@ -116,10 +126,8 @@ object Dedup {
     val width = 64 / chunks
     // (1L << 64) wraps to 1 in JVM shift semantics: full-width mask is -1
     val mask = if (width == 64) -1L else (1L << width) - 1
-    // localCheckpoint over persist: blocks auto-freed when the plan is
-    // unreachable (see minhashNearDuplicates)
-    val sigs = df.select(col(idCol).as("__id"), simhash(col(textCol), shingle).as("__sig"))
-      .localCheckpoint(false)
+    val sigs = materializeOnce(
+      df.select(col(idCol).as("__id"), simhash(col(textCol), shingle).as("__sig")))
     val chunked = sigs.select(col("__id"), col("__sig"),
       explode(array((0 until chunks).map(ci =>
         struct(lit(ci).as("__chunk"),
@@ -197,20 +205,22 @@ object Dedup {
     * no neighbor bags are ever collected (hub nodes aggregate with `min`,
     * which combines map-side), unlike star-contraction variants that
     * materialize adjacency lists. Near-dup graphs are piles of tiny
-    * cliques/chains, so the diameter bound is small in practice; `maxIter`
-    * caps adversarial chains. Labels are localCheckpoint'ed per round to
-    * truncate the growing lineage (iterative-algorithm hygiene on Spark).
+    * cliques/chains, so the diameter bound is small in practice; if a
+    * component's diameter exceeds `maxIter` the call THROWS rather than
+    * silently returning unconverged (= wrong) labels. Labels are
+    * checkpointed per round to truncate the growing lineage
+    * (iterative-algorithm hygiene on Spark).
     *
     * Returns (id, cluster) for every id that appears in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(false)
-    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("__m"))
-      .select(col("src").as("id"), least(col("src"), col("__m")).as("cluster"))
-      .localCheckpoint(false)
+      maxIter: Int = 64): DataFrame = {
+    val edges = materializeOnce(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = materializeOnce(
+      edges.groupBy(col("src")).agg(min(col("dst")).as("__m"))
+        .select(col("src").as("id"), least(col("src"), col("__m")).as("cluster")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -218,15 +228,20 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster").as("__nc")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("__nc")).as("__best"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("__best"), col("cluster"))).as("cluster"))
-        .localCheckpoint(false)
+      val next = materializeOnce(
+        labels.join(viaNeighbor, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("__best"), col("cluster"))).as("cluster")))
       changed = next.join(labels.select(col("id"), col("cluster").as("__old")), "id")
         .where(col("cluster") < col("__old")).count()
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still improving) — a component's diameter exceeds " +
+          "maxIter; raise it (rounds are cheap: one join + one min-agg each)")
     labels
   }
 
@@ -253,11 +268,8 @@ object Dedup {
     */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bits: Int = 16): DataFrame = {
-    // localCheckpoint over persist: blocks auto-freed when the plan is
-    // unreachable (see minhashNearDuplicates)
-    val sigs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__sig", hyperplaneSignature(col("__v"), bits))
-      .localCheckpoint(false)
+    val sigs = materializeOnce(df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__sig", hyperplaneSignature(col("__v"), bits)))
     val l = sigs.select(col("__sig"), col("__id").as("idA"), col("__v").as("__va"))
     val r = sigs.select(col("__sig"), col("__id").as("idB"), col("__v").as("__vb"))
     l.join(r, "__sig")

@@ -344,7 +344,7 @@ object ExtQueries {
                 text || ' contact: user' || doc_id || '@example.com or call +1 (555) 010-' || (doc_id % 10000) || ' now',
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                 '(https?|ftp)://[^\s]+', '<URL>', 'g'),
-                '\+?[0-9][0-9()\[\] .-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+                '(\+[0-9][0-9()\[\] .-]{6,}[0-9])|(\([0-9]{2,4}\)[ .-]?[0-9]{2,4}([ .-][0-9]{2,4}){1,2})', '<PHONE>', 'g') AS redacted
        FROM documents""") { (s, d) =>
     Tables.df(s, d, "documents")
       .select(col("doc_id"),

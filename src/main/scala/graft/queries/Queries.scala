@@ -133,10 +133,12 @@ object Queries {
   }
 
   private val sampleHashQ = q("q_sample_hash",
-    // deterministic hash-Bernoulli sample (Flow.sampleBy): 31-bit LCG on
-    // the key vs floor(0.1 * 2^31) — exact integer arithmetic both engines
+    // deterministic hash-Bernoulli sample (Flow.sampleBy): xor-folded key
+    // through a 31-bit LCG vs floor(0.1 * 2^31) — exact integer
+    // arithmetic both engines (>> matches Scala >>> on nonneg keys)
     """SELECT o_orderkey FROM orders
-       WHERE ((CAST(o_orderkey AS BIGINT) * 1103515245 + 12345) & 2147483647) < 214748364""") { (s, d) =>
+       WHERE ((xor(CAST(o_orderkey AS BIGINT), CAST(o_orderkey AS BIGINT) >> 31)
+               * 1103515245 + 12345) & 2147483647) < 214748364""") { (s, d) =>
     import s.implicits._
     Flow(Tables.orders(s, d)).sampleBy(0.1)(_.o_orderkey)
       .map(_.o_orderkey).toDF.toDF("o_orderkey")

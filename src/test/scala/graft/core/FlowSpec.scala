@@ -46,6 +46,11 @@ class FlowSpec extends AnyFunSuite {
     // p=0 and p=1 are exact
     assert(f.sampleBy(0.0)(_.toLong).dump().isEmpty)
     assert(f.sampleBy(1.0)(_.toLong).dump().size == 1000)
+    // keys sharing their low 31 bits must NOT share decisions (xor-fold):
+    // shard-style ids k and k | 2^31 diverge for some k
+    val low = f.sampleBy(0.3)(_.toLong).dump().toSet
+    val high = f.sampleBy(0.3)(i => i.toLong | (1L << 31)).dump().toSet
+    assert(low != high)
   }
 
   test("sortBy asc/desc gives total order and drops the key") {

@@ -47,8 +47,14 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(red("mail me at jo.do+x@sub.example.org please") == "mail me at <EMAIL> please")
     assert(red("see https://example.com/a?b=1#c and ftp://host/f") == "see <URL> and <URL>")
     assert(red("call +1 (555) 010-4567 today") == "call <PHONE> today")
-    // conservative: short number runs, versions, and years survive
+    assert(red("or (555) 010-4567 works") == "or <PHONE> works")
+    // conservative: a phone needs a '+' or parens anchor — bare digit runs
+    // (versions, years, ISO dates, ranges, IPs, ISBNs) all survive
     assert(red("v2.3.1 released in 2024, section 3.4") == "v2.3.1 released in 2024, section 3.4")
+    assert(red("released on 2024-01-15, the war of 1914-1918")
+      == "released on 2024-01-15, the war of 1914-1918")
+    assert(red("server at 192.168.10.1, ISBN 978-0-13-468599-1")
+      == "server at 192.168.10.1, ISBN 978-0-13-468599-1")
   }
 
   test("multimodal resize updates image meta + payload, leaves non-images alone") {

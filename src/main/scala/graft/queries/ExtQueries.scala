@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.{Flow, Fold}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.operators.{Dedup, Multimodal, Sessions, Similarity}
@@ -372,6 +373,20 @@ object ExtQueries {
         round(expr("percentile(__n, 0.95)"), 2).as("p95_tokens"))
   }
 
+  private val capPerSourceQ = q("q_cap_per_source",
+    // "cap docs per domain": keep the 20 largest docs per source. The
+    // Spark path is a bounded-heap fold (≤20 rows per group cross the
+    // shuffle), NOT a rank window that would sort every row per source
+    """SELECT source, doc_id, n_chars FROM documents
+       QUALIFY row_number() OVER
+         (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) <= 20""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.documents(s, d)).groupBy(_.source)
+      .fold(Fold.topBy[Doc, (Long, Long)](20)(doc => (doc.n_chars, -doc.doc_id)))
+      .mapcat(p => p._2.map(doc => (p._1, doc.doc_id, doc.n_chars)))
+      .toDF.toDF("source", "doc_id", "n_chars")
+  }
+
   private val multimodalMetaQ = q("q_multimodal_meta",
     // media table derived from documents via Multimodal.fromKeyedText
     // (engine-portable id arithmetic + UTF-8 payload bytes): aggregates
@@ -447,5 +462,5 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
     annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
-    redactQ, tokenStatsQ)
+    redactQ, tokenStatsQ, capPerSourceQ)
 }

@@ -2,13 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc plan/perf probe (dev tool, not part of the driver contract):
-  * prints the executed plan and isolated timings for one named query.
-  */
-object Probe {
-  def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q_revenue_by_nation")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+/** Shared local session for the dev probes (same config as Bench). */
+private[graft] object DevSpark {
+  def session(): SparkSession = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -18,6 +14,18 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Ad-hoc plan/perf probe (dev tool, not part of the driver contract):
+  * prints the executed plan and isolated timings for one named query.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q_revenue_by_nation")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = DevSpark.session()
     val qd = graft.queries.Queries.all.find(_.name == name).get
     // warm-up then 3 timed runs
     qd.fn(spark, sfDir).count()

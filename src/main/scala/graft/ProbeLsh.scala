@@ -1,19 +1,13 @@
 package graft
 
 import graft.operators.Similarity
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev probe: LSH ANN recall/cost sweep vs exact brute force (sf0.01). */
 object ProbeLsh {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = DevSpark.session()
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.where(col("vec_id") < 50)
     val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)

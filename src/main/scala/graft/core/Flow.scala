@@ -354,28 +354,16 @@ final case class Flow[T](ds: Dataset[T]) {
     *
     * Per-key bags are materialized (the user fn sees Seqs) — same contract
     * as the reference's N-way group; use per-input [[Fold]]s upstream when
-    * bags would be unbounded at scale.
+    * bags would be unbounded at scale. Typed facade over [[Flow.cogroupN]].
     */
   def cogroup3[U, V, K: Encoder, R: Encoder](o1: Flow[U], o2: Flow[V])(
       kt: T => K)(ku: U => K)(kv: V => K)(
-      f: (K, Seq[T], Seq[U], Seq[V]) => IterableOnce[R]): Flow[R] = {
-    val kEnc = implicitly[Encoder[K]]
-    implicit val tagged: Encoder[(K, Int, Any)] =
-      Encoders.tuple(kEnc, Encoders.scalaInt, Encoders.kryo[Any])
-    val t0 = ds.map((t: T) => (kt(t), 0, t: Any))
-    val t1 = o1.ds.map((u: U) => (ku(u), 1, u: Any))
-    val t2 = o2.ds.map((v: V) => (kv(v), 2, v: Any))
-    Flow(t0.union(t1).union(t2).groupByKey(_._1).flatMapGroups {
-      (k: K, it: Iterator[(K, Int, Any)]) =>
-        val b0 = Vector.newBuilder[T]; val b1 = Vector.newBuilder[U]; val b2 = Vector.newBuilder[V]
-        it.foreach {
-          case (_, 0, x) => b0 += x.asInstanceOf[T]
-          case (_, 1, x) => b1 += x.asInstanceOf[U]
-          case (_, _, x) => b2 += x.asInstanceOf[V]
-        }
-        f(k, b0.result(), b1.result(), b2.result()).iterator
-    })
-  }
+      f: (K, Seq[T], Seq[U], Seq[V]) => IterableOnce[R]): Flow[R] =
+    Flow.cogroupN[K, R](Seq(
+        Flow.in(this)(kt), Flow.in(o1)(ku), Flow.in(o2)(kv))) { (k, bags) =>
+      f(k, bags(0).asInstanceOf[Seq[T]], bags(1).asInstanceOf[Seq[U]],
+        bags(2).asInstanceOf[Seq[V]])
+    }
 
   // ---- whole-relation collapse (reference join.clj:225-314) ----
 

@@ -100,15 +100,19 @@ object TextFunctions {
     * year range, IP address, or ISBN never matches — that anchor is what
     * keeps the redactor conservative.
     */
-  def redactPii(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val url = regexp_replace(email,
-      "(https?|ftp)://[^\\s]+", "<URL>")
-    regexp_replace(url,
-      "(\\+[0-9][0-9()\\[\\] .-]{6,}[0-9])|(\\([0-9]{2,4}\\)[ .-]?[0-9]{2,4}([ .-][0-9]{2,4}){1,2})",
-      "<PHONE>")
-  }
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      PhonePattern, "<PHONE>")
+
+  // shared with the q_redact oracle SQL (the subset of regex syntax used
+  // here means one pattern string works in both Java regex and RE2)
+  private[graft] val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val UrlPattern = """(https?|ftp)://[^\s]+"""
+  private[graft] val PhonePattern =
+    """(\+[0-9][0-9()\[\] .-]{6,}[0-9])|(\([0-9]{2,4}\)[ .-]?[0-9]{2,4}([ .-][0-9]{2,4}){1,2})"""
 
   /** Quality-score heuristics (0..1-ish features + a blended score),
     * returned as a struct column: length, word stats, alpha ratio,
@@ -174,10 +178,12 @@ object TextFunctions {
       .otherwise("und")
   }
 
-  private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "are", "with", "as", "his", "they", "at", "be", "this")
-  private val DeStop = Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "sich", "auf", "für", "im", "den", "von", "zu", "des", "auch", "es", "dem")
-  private val FrStop = Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans", "que", "qui", "pour", "pas", "sur", "au", "avec", "ce", "il", "ne")
-  private val EsStop = Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "en", "que", "no", "por", "con", "para", "se", "del", "su", "al", "lo")
-  private val ItStop = Seq("il", "lo", "la", "gli", "di", "e", "è", "un", "una", "che", "non", "per", "con", "del", "della", "si", "sono", "come", "anche", "nel")
-  private val PtStop = Seq("o", "a", "os", "as", "de", "e", "é", "um", "uma", "em", "que", "não", "por", "com", "para", "se", "do", "da", "no", "na")
+  // private[graft]: the DuckDB oracle SQL interpolates these same lists,
+  // so the heuristic and its oracle can never drift apart
+  private[graft] val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "are", "with", "as", "his", "they", "at", "be", "this")
+  private[graft] val DeStop = Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "sich", "auf", "für", "im", "den", "von", "zu", "des", "auch", "es", "dem")
+  private[graft] val FrStop = Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans", "que", "qui", "pour", "pas", "sur", "au", "avec", "ce", "il", "ne")
+  private[graft] val EsStop = Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "en", "que", "no", "por", "con", "para", "se", "del", "su", "al", "lo")
+  private[graft] val ItStop = Seq("il", "lo", "la", "gli", "di", "e", "è", "un", "una", "che", "non", "per", "con", "del", "della", "si", "sono", "come", "anche", "nel")
+  private[graft] val PtStop = Seq("o", "a", "os", "as", "de", "e", "é", "um", "uma", "em", "que", "não", "por", "com", "para", "se", "do", "da", "no", "na")
 }

@@ -228,13 +228,16 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster").as("__nc")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("__nc")).as("__best"))
-      val next = materializeOnce(
+      // one join produces both the new labels AND the improvement flag
+      // (the old label is already on the row), so the convergence check is
+      // a count over the materialized result, not a second join
+      val joined = materializeOnce(
         labels.join(viaNeighbor, Seq("id"), "left")
           .select(col("id"),
-            least(col("cluster"), coalesce(col("__best"), col("cluster"))).as("cluster")))
-      changed = next.join(labels.select(col("id"), col("cluster").as("__old")), "id")
-        .where(col("cluster") < col("__old")).count()
-      labels = next
+            least(col("cluster"), coalesce(col("__best"), col("cluster"))).as("cluster"),
+            (coalesce(col("__best"), col("cluster")) < col("cluster")).as("__improved")))
+      changed = joined.where(col("__improved")).count()
+      labels = joined.drop("__improved")
       iter += 1
     }
     if (changed > 0)

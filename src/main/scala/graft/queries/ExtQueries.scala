@@ -24,6 +24,36 @@ object ExtQueries {
       fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, Option(oracle), bench = true)
 
+  /** SQL literal list from a Scala stopword seq — the oracles interpolate
+    * the SAME lists the Scala heuristic uses, so they cannot drift.
+    */
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(",")
+
+  /** Shared oracle CTEs: the exact 2-gram-Jaccard pair graph over
+    * `documents` (threshold 0.1) plus its transitive closure — used by both
+    * q_dedup_clusters and q_dedup_apply (always under WITH RECURSIVE).
+    */
+  private val NgramCcCtes =
+    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                       i -> array_to_string(w[i:i+1], ' '))) AS s
+              FROM toks),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       common AS (SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+       pairs AS (SELECT idA, idB FROM common
+                 JOIN sizes sa ON sa.doc_id = idA
+                 JOIN sizes sb ON sb.doc_id = idB
+                 WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1),
+       edges AS (SELECT idA AS a, idB AS b FROM pairs
+                 UNION SELECT idB, idA FROM pairs),
+       reach(node, x) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.node, e.b FROM reach r JOIN edges e ON r.x = e.a)"""
+
   /** documents ∪ (documents with shifted ids): guaranteed duplicate pairs
     * so dedup ops have non-trivial work and deterministic output.
     */
@@ -64,14 +94,14 @@ object ExtQueries {
   }
 
   private val qualityQ = q("q_quality",
-    """WITH f AS (
+    raw"""WITH f AS (
          SELECT doc_id,
            length(trim(text)) * 1.0 AS n_chars,
            len(regexp_split_to_array(trim(text), '\s+')) * 1.0 AS n_words,
            length(regexp_replace(trim(text), '[^\p{L}]', '', 'g')) * 1.0 AS alpha,
            length(regexp_replace(trim(text), '[^[:punct:]]', '', 'g')) * 1.0 AS punct,
            len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-               w -> lower(w) IN ('the','a','of','and','to','in','is','it','that','was','for','on','are','with','as','his','they','at','be','this'))) * 1.0 AS stop,
+               w -> lower(w) IN (${inList(EnStop)}))) * 1.0 AS stop,
            len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1.0 AS uniq
          FROM documents)
        SELECT doc_id,
@@ -90,7 +120,7 @@ object ExtQueries {
     // zh/ru), then argmax of six stopword ratios with first-wins ties in
     // en,de,fr,es,it,pt order — all ratios are int/int double divisions,
     // bit-identical across engines
-    """WITH t0 AS (SELECT lower(trim(text)) AS t FROM documents),
+    raw"""WITH t0 AS (SELECT lower(trim(text)) AS t FROM documents),
        f AS (SELECT t, greatest(length(t) * 1.0, 1.0) AS nc,
                     regexp_split_to_array(t, '\s+') AS toks FROM t0),
        g AS (SELECT
@@ -99,12 +129,12 @@ object ExtQueries {
                length(regexp_replace(t, '[^\x{ac00}-\x{d7af}]', '', 'g')) / nc AS hangul,
                length(regexp_replace(t, '[^\x{0400}-\x{04ff}]', '', 'g')) / nc AS cyr,
                greatest(len(toks) * 1.0, 1.0) AS nw,
-               len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it','that','was','for','on','are','with','as','his','they','at','be','this'))) AS c_en,
-               len(list_filter(toks, w -> w IN ('der','die','das','und','ist','ein','eine','nicht','mit','sich','auf','für','im','den','von','zu','des','auch','es','dem'))) AS c_de,
-               len(list_filter(toks, w -> w IN ('le','la','les','de','des','et','est','un','une','dans','que','qui','pour','pas','sur','au','avec','ce','il','ne'))) AS c_fr,
-               len(list_filter(toks, w -> w IN ('el','la','los','las','de','y','es','un','una','en','que','no','por','con','para','se','del','su','al','lo'))) AS c_es,
-               len(list_filter(toks, w -> w IN ('il','lo','la','gli','di','e','è','un','una','che','non','per','con','del','della','si','sono','come','anche','nel'))) AS c_it,
-               len(list_filter(toks, w -> w IN ('o','a','os','as','de','e','é','um','uma','em','que','não','por','com','para','se','do','da','no','na'))) AS c_pt
+               len(list_filter(toks, w -> w IN (${inList(EnStop)}))) AS c_en,
+               len(list_filter(toks, w -> w IN (${inList(DeStop)}))) AS c_de,
+               len(list_filter(toks, w -> w IN (${inList(FrStop)}))) AS c_fr,
+               len(list_filter(toks, w -> w IN (${inList(EsStop)}))) AS c_es,
+               len(list_filter(toks, w -> w IN (${inList(ItStop)}))) AS c_it,
+               len(list_filter(toks, w -> w IN (${inList(PtStop)}))) AS c_pt
              FROM f),
        s AS (SELECT han, kana, hangul, cyr,
                c_en / nw AS s_en, c_de / nw AS s_de, c_fr / nw AS s_fr,
@@ -161,26 +191,8 @@ object ExtQueries {
     // (same edge set as q_ngram_jaccard): every member doc labeled with
     // its component's min id. Oracle = transitive closure via recursive
     // CTE; components are tiny so the closure stays small
-    """WITH RECURSIVE
-       toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-       sh AS (SELECT DISTINCT doc_id,
-                unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
-                       i -> array_to_string(w[i:i+1], ' '))) AS s
-              FROM toks),
-       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       common AS (SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS c
-                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-       pairs AS (SELECT idA, idB FROM common
-                 JOIN sizes sa ON sa.doc_id = idA
-                 JOIN sizes sb ON sb.doc_id = idB
-                 WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1),
-       edges AS (SELECT idA AS a, idB AS b FROM pairs
-                 UNION SELECT idB, idA FROM pairs),
-       reach(node, x) AS (
-         SELECT a, b FROM edges
-         UNION
-         SELECT r.node, e.b FROM reach r JOIN edges e ON r.x = e.a)
+    raw"""WITH RECURSIVE
+       $NgramCcCtes
        SELECT node AS id, least(node, MIN(x)) AS cluster
        FROM reach GROUP BY node""") { (s, d) =>
     Dedup.connectedComponents(
@@ -192,26 +204,8 @@ object ExtQueries {
   private val dedupApplyQ = q("q_dedup_apply",
     // corpus in → deduplicated corpus out: documents minus every
     // non-canonical member of the q_dedup_clusters components
-    """WITH RECURSIVE
-       toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-       sh AS (SELECT DISTINCT doc_id,
-                unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
-                       i -> array_to_string(w[i:i+1], ' '))) AS s
-              FROM toks),
-       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       common AS (SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS c
-                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-       pairs AS (SELECT idA, idB FROM common
-                 JOIN sizes sa ON sa.doc_id = idA
-                 JOIN sizes sb ON sb.doc_id = idB
-                 WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1),
-       edges AS (SELECT idA AS a, idB AS b FROM pairs
-                 UNION SELECT idB, idA FROM pairs),
-       reach(node, x) AS (
-         SELECT a, b FROM edges
-         UNION
-         SELECT r.node, e.b FROM reach r JOIN edges e ON r.x = e.a),
+    raw"""WITH RECURSIVE
+       $NgramCcCtes,
        cc AS (SELECT node, least(node, MIN(x)) AS cluster FROM reach GROUP BY node)
        SELECT d.doc_id, d.n_chars FROM documents d
        LEFT JOIN (SELECT node FROM cc WHERE node <> cluster) dropped
@@ -340,12 +334,12 @@ object ExtQueries {
     // PII is injected deterministically (doc_id-derived email + phone) so
     // the redaction path has guaranteed work; both engines build and
     // scrub the identical string
-    """SELECT doc_id,
+    raw"""SELECT doc_id,
               regexp_replace(regexp_replace(regexp_replace(
                 text || ' contact: user' || doc_id || '@example.com or call +1 (555) 010-' || (doc_id % 10000) || ' now',
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                '(https?|ftp)://[^\s]+', '<URL>', 'g'),
-                '(\+[0-9][0-9()\[\] .-]{6,}[0-9])|(\([0-9]{2,4}\)[ .-]?[0-9]{2,4}([ .-][0-9]{2,4}){1,2})', '<PHONE>', 'g') AS redacted
+                '${EmailPattern}', '<EMAIL>', 'g'),
+                '${UrlPattern}', '<URL>', 'g'),
+                '${PhonePattern}', '<PHONE>', 'g') AS redacted
        FROM documents""") { (s, d) =>
     Tables.df(s, d, "documents")
       .select(col("doc_id"),

@@ -64,11 +64,22 @@ final case class Flow[T](ds: Dataset[T]) {
   def sampleBy(p: Double)(key: T => Long): Flow[T] = {
     require(p >= 0.0 && p <= 1.0, "p must be in [0, 1]")
     val threshold = (p * 2147483648.0).toLong
-    Flow(ds.filter { (t: T) =>
-      val k = key(t)
-      val folded = k ^ (k >>> 31)
-      ((folded * 1103515245L + 12345L) & 0x7fffffffL) < threshold
-    })
+    Flow(ds.filter((t: T) => Flow.lcg31(key(t)) < threshold))
+  }
+
+  /** Deterministic FIXED-SIZE sample: exactly `n` rows (or all, if fewer),
+    * chosen as the lowest-hash keys — "give me exactly N docs,
+    * reproducibly". The limit sits directly on the sort, so Spark plans a
+    * TakeOrderedAndProject: every partition keeps an n-row bounded heap
+    * and the driver merges n-row partials — never a full global sort.
+    * Hash ties break on the raw key, so the sample is unique when keys
+    * are.
+    */
+  def sampleFixed(n: Int)(key: T => Long): Flow[T] = {
+    require(n >= 0, "n must be non-negative")
+    val keyed = ds.map((t: T) => (Flow.lcg31(key(t)), key(t), t))(
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, tEnc))
+    Flow(keyed.orderBy(col("_1").asc, col("_2").asc).limit(n).map(_._3))
   }
 
   // ---- sort / rank (reference map.clj:164-250, raw.clj:340-371) ----
@@ -424,6 +435,15 @@ object Flow {
   /** Inline constant relation (reference `pig/return`, io.clj:265-300). */
   def of[T: Encoder](spark: SparkSession)(data: Seq[T]): Flow[T] =
     Flow(spark.createDataset(data))
+
+  /** Shared sampling hash: xor-fold the 64-bit key (the final mod-2^31 is
+    * blind to bits ≥31, see [[Flow.sampleBy]]) then a 31-bit LCG — plain
+    * integer arithmetic any engine (and any oracle) can replay.
+    */
+  private[core] def lcg31(k: Long): Long = {
+    val folded = k ^ (k >>> 31)
+    (folded * 1103515245L + 12345L) & 0x7fffffffL
+  }
 
   /** One input of an N-way [[cogroupN]]: a relation plus its key fn, with
     * the element type erased (the reference's group$ is dynamically typed

@@ -132,6 +132,18 @@ object Queries {
     Flow(Tables.orders(s, d)).sample(0.1).map(_.o_orderkey).toDF.toDF("o_orderkey")
   }
 
+  private val sampleFixedQ = q("q_sample_fixed",
+    // deterministic fixed-size sample (Flow.sampleFixed): lowest-hash 100
+    // keys; plans as TakeOrderedAndProject (bounded heaps), no full sort
+    """SELECT o_orderkey FROM orders
+       ORDER BY ((xor(CAST(o_orderkey AS BIGINT), CAST(o_orderkey AS BIGINT) >> 31)
+                  * 1103515245 + 12345) & 2147483647) ASC, o_orderkey ASC
+       LIMIT 100""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.orders(s, d)).sampleFixed(100)(_.o_orderkey)
+      .map(_.o_orderkey).toDF.toDF("o_orderkey")
+  }
+
   private val sampleHashQ = q("q_sample_hash",
     // deterministic hash-Bernoulli sample (Flow.sampleBy): xor-folded key
     // through a 31-bit LCG vs floor(0.1 * 2^31) — exact integer
@@ -646,7 +658,7 @@ object Queries {
 
   val relational: Seq[QueryDef] = Seq(
     loadProject, filterQ, mapQ, mapcatQ, removeQ, rankQ, rankTiesQ, rankDenseQ,
-    sortQ, takeQ, sampleQ, sampleHashQ, returnQ, selfJoinQ,
+    sortQ, takeQ, sampleQ, sampleHashQ, sampleFixedQ, returnQ, selfJoinQ,
     distinctQ, unionQ, concatQ, intersectionQ, intersectionMultisetQ,
     differenceQ, differenceMultisetQ,
     joinInnerQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,

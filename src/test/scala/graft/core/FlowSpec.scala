@@ -53,6 +53,19 @@ class FlowSpec extends AnyFunSuite {
     assert(low != high)
   }
 
+  test("sampleFixed: exact size, deterministic, bounded-heap plan (no full sort)") {
+    val f = flow(1 to 1000: _*)
+    val a = f.sampleFixed(50)(_.toLong).dump()
+    assert(a.size == 50)
+    assert(a.sorted == f.sampleFixed(50)(_.toLong).dump().sorted)
+    // fewer rows than n → all of them
+    assert(flow(1, 2, 3).sampleFixed(50)(_.toLong).dump().sorted == Seq(1, 2, 3))
+    // the limit must fuse into the sort: TakeOrderedAndProject, not Sort
+    val plan = f.sampleFixed(50)(_.toLong).ds.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k plan:\n$plan")
+  }
+
   test("sortBy asc/desc gives total order and drops the key") {
     val xs = flow("bb" -> 2, "a" -> 1, "ccc" -> 3)
     assert(xs.sortBy(_._2).dump().map(_._1) == Seq("a", "bb", "ccc"))

@@ -367,6 +367,22 @@ object ExtQueries {
         round(expr("percentile(__n, 0.95)"), 2).as("p95_tokens"))
   }
 
+  private val vocabQ = q("q_vocab",
+    // tokenizer-vocabulary building: global token frequencies, top 500.
+    // Scale shape: partial+final hash agg absorbs hot-word skew map-side,
+    // and the ordered limit is a TakeOrderedAndProject, not a full sort
+    """WITH w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+                  FROM documents)
+       SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w
+       WHERE word <> '' GROUP BY word
+       ORDER BY n DESC, word ASC LIMIT 500""") { (s, d) =>
+    Tables.df(s, d, "documents")
+      .select(explode(tokens(lower(col("text")))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc).limit(500)
+  }
+
   private val capPerSourceQ = q("q_cap_per_source",
     // "cap docs per domain": keep the 20 largest docs per source. The
     // Spark path is a bounded-heap fold (≤20 rows per group cross the
@@ -456,5 +472,5 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
     annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
-    redactQ, tokenStatsQ, capPerSourceQ)
+    redactQ, tokenStatsQ, capPerSourceQ, vocabQ)
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (point-in-time) join: for each left row, the LATEST right row with
+  * `rightTs <= leftTs` for the same key — the time-series join Spark has no
+  * built-in for (price-at-trade-time, feature-at-event-time, config-at-
+  * request-time lookups).
+  *
+  * Composed from existing operators per the Spark-first preference order
+  * (no custom plan needed): tag both sides, union, and take a running
+  * `last(right-payload, ignoreNulls)` over (key, ts) ordering. ONE shuffle
+  * on the key, each row carried once — never the per-row range-join
+  * explosion of `left JOIN right ON rts <= lts` + windowed dedup, whose
+  * intermediate is |left|·|matching right| at 100 TB. Right rows sort
+  * before left rows at equal timestamps, giving the standard inclusive
+  * (`<=`) as-of semantics.
+  *
+  * `right` must be unique per (key, ts) — pre-aggregate it otherwise (ties
+  * would make "the" match nondeterministic in any engine).
+  */
+object AsofJoin {
+
+  /** @param payload right-side columns to surface (null when no right row
+    *                precedes the left row); all other right columns drop.
+    */
+  def asof(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val rvType = StructType(
+      payload.map(p => right.schema(right.schema.fieldIndex(p)).copy(nullable = true)))
+    val r = right.select(col(keyCol), col(rightTs).as("__ts"),
+        struct(payload.map(col): _*).as("__rv"))
+      .withColumn("__tag", lit(0))
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .select(left.columns.map(col) ++ payload.map(p => col(s"__m.$p").as(p)): _*)
+  }
+}

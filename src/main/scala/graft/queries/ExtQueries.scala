@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.{Flow, Fold}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Multimodal, Sessions, Similarity}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Sessions, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -442,6 +442,24 @@ object ExtQueries {
       .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk"))
   }
 
+  private val asofQ = q("q_asof_join",
+    // as-of join vs DuckDB's NATIVE ASOF JOIN: every event matched to the
+    // latest preceding marker (every 10th event) of the same user; ts
+    // compared at micro precision (nanos truncate differently per engine)
+    """WITH l AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu FROM events),
+       r AS (SELECT user_id, epoch_ns(ts) // 1000 AS mtsu, MAX(event_id) AS marker_id
+             FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
+       SELECT l.event_id, l.user_id, r.marker_id
+       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.mtsu <= l.tsu""") { (s, d) =>
+    val ev = Tables.df(s, d, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("tsu"))
+    val markers = ev.where(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("tsu").as("mtsu"))
+      .agg(max(col("event_id")).as("marker_id"))
+    AsofJoin.asof(ev, markers, "user_id", "tsu", "mtsu", Seq("marker_id"))
+      .select(col("event_id"), col("user_id"), col("marker_id"))
+  }
+
   private val sessionizeQ = qb("q_sessionize",
     // 30-minute gap sessionization over the events stream table (ts is
     // nanos-since-epoch); the two-window SQL mirrors the Spark plan shape
@@ -472,5 +490,5 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
     annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
-    redactQ, tokenStatsQ, capPerSourceQ, vocabQ)
+    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, asofQ)
 }

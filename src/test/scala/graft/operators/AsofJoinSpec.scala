@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsofJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("asof: latest right row with rts <= lts per key; equal ts matches; no match → null") {
+    val left = Seq((1, 10L, "l1"), (1, 20L, "l2"), (1, 25L, "l3"), (2, 5L, "l4"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1, 10L, "a"), (1, 20L, "b"), (2, 99L, "c"))
+      .toDF("k", "rts", "rv")
+    val got = AsofJoin.asof(left, right, "k", "ts", "rts", Seq("rv"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      (1, 10L, "l1", "a"), // equal ts: inclusive
+      (1, 20L, "l2", "b"),
+      (1, 25L, "l3", "b"), // latest preceding, not first
+      (2, 5L, "l4", null))) // nothing precedes → null
+  }
+
+  test("asof plans one shuffle (union + window), no range-join explosion") {
+    val left = Seq((1, 10L, "x")).toDF("k", "ts", "lv")
+    val right = Seq((1, 5L, "a")).toDF("k", "rts", "rv")
+    val plan = AsofJoin.asof(left, right, "k", "ts", "rts", Seq("rv"))
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected a single shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"expected no join operator:\n$plan")
+  }
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: pair each point with every interval containing
+  * it — `pt BETWEEN lo AND hi` — another join Spark only plans as
+  * BroadcastNestedLoop or a cartesian filter.
+  *
+  * Distributed via BINNING: each interval is exploded into the fixed-width
+  * bins it covers, points map to their single bin, and the pairing becomes
+  * an equi-join on bin + an exact containment filter. A (point, interval)
+  * pair meets in exactly one bin (the point's), so no dedup pass is
+  * needed. Shuffle volume is |points| + Σ(interval width / binWidth) —
+  * pick `binWidth` near the typical interval width so most intervals land
+  * in O(1) bins; a handful of giant intervals explode into many bins but
+  * never into a cross product.
+  */
+object RangeJoin {
+
+  /** @param binWidth bin size in the same units as `ptCol`/`loCol`/`hiCol`
+    *                 (must be positive; pt/lo/hi must be non-negative so
+    *                 integer division floors consistently).
+    */
+  def pointInInterval(points: DataFrame, ptCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: Column): Column = expr(s"CAST(${c.toString} AS BIGINT) DIV $binWidth")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    points
+      .withColumn("__bin", bin(col(ptCol)))
+      .join(binned, "__bin")
+      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.{Flow, Fold}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Dedup, Multimodal, Sessions, Similarity}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sessions, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -460,6 +460,24 @@ object ExtQueries {
       .select(col("event_id"), col("user_id"), col("marker_id"))
   }
 
+  private val rangeJoinQ = q("q_range_join",
+    // binned range join vs a plain BETWEEN join: every event paired with
+    // each 60s marker window containing it (micro-precision ts)
+    """WITH p AS (SELECT event_id, epoch_ns(ts) // 1000 AS tsu FROM events),
+       i AS (SELECT event_id AS interval_id, epoch_ns(ts) // 1000 AS lo,
+                    epoch_ns(ts) // 1000 + 60000000 AS hi
+             FROM events WHERE event_id % 100 = 0)
+       SELECT p.event_id, i.interval_id
+       FROM p JOIN i ON p.tsu BETWEEN i.lo AND i.hi""") { (s, d) =>
+    val ev = Tables.df(s, d, "events")
+      .select(col("event_id"), expr("ts DIV 1000").as("tsu"))
+    val iv = ev.where(col("event_id") % 100 === 0)
+      .select(col("event_id").as("interval_id"), col("tsu").as("lo"),
+        (col("tsu") + 60000000L).as("hi"))
+    RangeJoin.pointInInterval(ev, "tsu", iv, "lo", "hi", binWidth = 60000000L)
+      .select(col("event_id"), col("interval_id"))
+  }
+
   private val sessionizeQ = qb("q_sessionize",
     // 30-minute gap sessionization over the events stream table (ts is
     // nanos-since-epoch); the two-window SQL mirrors the Spark plan shape
@@ -490,5 +508,5 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
     annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
-    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, asofQ)
+    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, asofQ, rangeJoinQ)
 }

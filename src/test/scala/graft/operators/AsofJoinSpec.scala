@@ -21,6 +21,16 @@ class AsofJoinSpec extends AnyFunSuite {
       (2, 5L, "l4", null))) // nothing precedes → null
   }
 
+  test("rangeJoin: exact containment, boundaries inclusive, intervals spanning bins, no dup pairs") {
+    val points = Seq((1L, 10L), (2L, 100L), (3L, 250L), (4L, 999L)).toDF("pid", "t")
+    // interval B spans multiple 100-wide bins; A and B overlap
+    val intervals = Seq(("A", 0L, 100L), ("B", 90L, 260L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "t", intervals, "lo", "hi", binWidth = 100L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1))).toList
+    assert(got.distinct.size == got.size, "a pair must appear exactly once")
+    assert(got.toSet == Set((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B")))
+  }
+
   test("asof plans one shuffle (union + window), no range-join explosion") {
     val left = Seq((1, 10L, "x")).toDF("k", "ts", "lv")
     val right = Seq((1, 5L, "a")).toDF("k", "rts", "rv")

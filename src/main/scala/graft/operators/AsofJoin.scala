@@ -24,15 +24,30 @@ import org.apache.spark.sql.types.StructType
   */
 object AsofJoin {
 
+  private val Reserved = Seq("__ts", "__tag", "__rv", "__m")
+
   /** @param payload right-side columns to surface (null when no right row
     *                precedes the left row); all other right columns drop.
+    *
+    * Null semantics match SQL: right rows with a null key or null
+    * timestamp never match anything (the join condition can't be true for
+    * NULL), and left rows with a null key or timestamp surface null
+    * payload.
     */
   def asof(left: DataFrame, right: DataFrame,
       keyCol: String, leftTs: String, rightTs: String,
       payload: Seq[String]): DataFrame = {
-    val rvType = StructType(
-      payload.map(p => right.schema(right.schema.fieldIndex(p)).copy(nullable = true)))
-    val r = right.select(col(keyCol), col(rightTs).as("__ts"),
+    val clash = left.columns.intersect(Reserved)
+    require(clash.isEmpty, s"left columns ${clash.mkString(",")} collide with " +
+      s"internal names ${Reserved.mkString(",")} — rename them first")
+    val rvType = StructType(payload.map(p => right.schema(p).copy(nullable = true)))
+    val r = right
+      // SQL join semantics: a null key or null ts can never satisfy
+      // `r.key = l.key AND r.ts <= l.ts`; unfiltered, a null-ts right row
+      // would sort first (asc = NULLS FIRST) and become a universal
+      // fallback match
+      .where(col(keyCol).isNotNull && col(rightTs).isNotNull)
+      .select(col(keyCol), col(rightTs).as("__ts"),
         struct(payload.map(col): _*).as("__rv"))
       .withColumn("__tag", lit(0))
     val l = left

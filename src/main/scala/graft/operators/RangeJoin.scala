@@ -26,11 +26,15 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def bin(c: Column): Column = expr(s"CAST(${c.toString} AS BIGINT) DIV $binWidth")
+    val shared = points.columns.intersect(intervals.columns)
+    require(shared.isEmpty, s"points and intervals share column names " +
+      s"${shared.mkString(",")} — rename one side (the result carries both sides' columns)")
+    // backquoted so non-identifier column names can't mis-parse
+    def bin(name: String): Column = expr(s"CAST(`$name` AS BIGINT) DIV $binWidth")
     val binned = intervals.withColumn("__bin",
-      explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+      explode(sequence(bin(loCol), bin(hiCol))))
     points
-      .withColumn("__bin", bin(col(ptCol)))
+      .withColumn("__bin", bin(ptCol))
       .join(binned, "__bin")
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bin")

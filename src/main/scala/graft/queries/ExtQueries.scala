@@ -391,9 +391,14 @@ object ExtQueries {
        QUALIFY row_number() OVER
          (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) <= 20""") { (s, d) =>
     import s.implicits._
-    Flow(Tables.documents(s, d)).groupBy(_.source)
-      .fold(Fold.topBy[Doc, (Long, Long)](20)(doc => (doc.n_chars, -doc.doc_id)))
-      .mapcat(p => p._2.map(doc => (p._1, doc.doc_id, doc.n_chars)))
+    // project to the (source, doc_id, n_chars) triple BEFORE grouping:
+    // typed groupBy blocks column pruning, so folding whole Docs would
+    // carry every text payload through the heap buffers and the shuffle
+    Flow(Tables.documents(s, d))
+      .map(doc => (doc.source, doc.doc_id, doc.n_chars))
+      .groupBy(_._1)
+      .fold(Fold.topBy[(String, Long, Long), (Long, Long)](20)(t => (t._3, -t._2)))
+      .mapcat(p => p._2.map(t => (p._1, t._2, t._3)))
       .toDF.toDF("source", "doc_id", "n_chars")
   }
 

@@ -21,6 +21,17 @@ class AsofJoinSpec extends AnyFunSuite {
       (2, 5L, "l4", null))) // nothing precedes → null
   }
 
+  test("asof: null right ts/key never matches (SQL semantics); null left key gets null payload") {
+    val left = Seq((Some(1), Some(5L), "l1"), (None, Some(7L), "l2"))
+      .toDF("k", "ts", "lv")
+    // the null-ts right row would otherwise sort first and match everything
+    val right = Seq((Some(1), None: Option[Long], "bad"), (None, Some(1L), "alsobad"))
+      .toDF("k", "rts", "rv")
+    val got = AsofJoin.asof(left, right, "k", "ts", "rts", Seq("rv"))
+      .collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(got == Set(("l1", null), ("l2", null)))
+  }
+
   test("rangeJoin: exact containment, boundaries inclusive, intervals spanning bins, no dup pairs") {
     val points = Seq((1L, 10L), (2L, 100L), (3L, 250L), (4L, 999L)).toDF("pid", "t")
     // interval B spans multiple 100-wide bins; A and B overlap

@@ -440,7 +440,7 @@ object Flow {
     * blind to bits ≥31, see [[Flow.sampleBy]]) then a 31-bit LCG — plain
     * integer arithmetic any engine (and any oracle) can replay.
     */
-  private[core] def lcg31(k: Long): Long = {
+  private[graft] def lcg31(k: Long): Long = {
     val folded = k ^ (k >>> 31)
     (folded * 1103515245L + 12345L) & 0x7fffffffL
   }

@@ -93,9 +93,20 @@ object ExtQueries {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
   }
 
-  private val qualityQ = q("q_quality",
-    raw"""WITH f AS (
-         SELECT doc_id,
+  /** Oracle snippet: (doc_id, source, quality) per document — the full SQL
+    * mirror of [[graft.functions.TextFunctions.qualityScore]]; shared by
+    * q_quality and q_quality_gate so heuristic and oracles stay in
+    * lockstep.
+    */
+  private val QualityDocsSql =
+    raw"""SELECT doc_id, source,
+              round(((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN n_chars / greatest(n_words, 1.0) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                   + alpha / greatest(n_chars, 1.0)
+                   + (1.0 - least(punct / greatest(n_chars, 1.0) * 5.0, 1.0))
+                   + least(uniq / greatest(n_words, 1.0) * 2.0, 1.0)) / 5.0, 6) AS quality
+       FROM (
+         SELECT doc_id, source,
            length(trim(text)) * 1.0 AS n_chars,
            len(regexp_split_to_array(trim(text), '\s+')) * 1.0 AS n_words,
            length(regexp_replace(trim(text), '[^\p{L}]', '', 'g')) * 1.0 AS alpha,
@@ -103,16 +114,35 @@ object ExtQueries {
            len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                w -> lower(w) IN (${inList(EnStop)}))) * 1.0 AS stop,
            len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1.0 AS uniq
-         FROM documents)
-       SELECT doc_id,
-              round(((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
-                   + (CASE WHEN n_chars / greatest(n_words, 1.0) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-                   + alpha / greatest(n_chars, 1.0)
-                   + (1.0 - least(punct / greatest(n_chars, 1.0) * 5.0, 1.0))
-                   + least(uniq / greatest(n_words, 1.0) * 2.0, 1.0)) / 5.0, 6) AS quality
-       FROM f""") { (s, d) =>
+         FROM documents) f"""
+
+  private val qualityQ = q("q_quality",
+    raw"""SELECT doc_id, quality FROM ($QualityDocsSql) qd""") { (s, d) =>
     Tables.df(s, d, "documents")
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+  }
+
+  private val qualityGateQ = q("q_quality_gate",
+    // per-source above-average quality filter. The threshold is an EXACT
+    // per-source mean: round-6 qualities scaled to integer micros, summed
+    // as BIGINT (order-independent), divided in one double op both
+    // engines mirror — so the q > thr boundary can't flip on summation
+    // order or interpolation ulps (a quantile_cont threshold could)
+    raw"""WITH qd AS ($QualityDocsSql),
+       t AS (SELECT source,
+               CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS thr
+             FROM qd GROUP BY source)
+       SELECT qd.doc_id, qd.source FROM qd JOIN t USING(source)
+       WHERE qd.quality > t.thr""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+      .select(col("doc_id"), col("source"), qualityScore(col("text")).as("quality"))
+    val thr = docs.groupBy("source")
+      .agg((sum(round(col("quality") * 1000000).cast("long")).cast("double")
+        / count(lit(1)) / 1000000.0).as("thr"))
+    docs.join(broadcast(thr), "source")
+      .where(col("quality") > col("thr"))
+      .select(col("doc_id"), col("source"))
   }
 
   private val langIdQ = q("q_langid",
@@ -367,6 +397,24 @@ object ExtQueries {
         round(expr("percentile(__n, 0.95)"), 2).as("p95_tokens"))
   }
 
+  private val samplePerSourceQ = q("q_sample_per_source",
+    // stratified deterministic sample: 5 random-but-reproducible docs per
+    // source, chosen as the lowest sampling-hash ids — bounded-heap fold,
+    // so ≤5 rows per group cross the shuffle
+    """SELECT source, doc_id FROM documents
+       QUALIFY row_number() OVER (PARTITION BY source
+         ORDER BY ((xor(CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) >> 31)
+                    * 1103515245 + 12345) & 2147483647) ASC, doc_id ASC) <= 5""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.documents(s, d))
+      .map(doc => (doc.source, doc.doc_id))
+      .groupBy(_._1)
+      .fold(Fold.topBy[(String, Long), (Long, Long)](5)(t =>
+        (-Flow.lcg31(t._2), -t._2)))
+      .mapcat(p => p._2.map(t => (p._1, t._2)))
+      .toDF.toDF("source", "doc_id")
+  }
+
   private val vocabQ = q("q_vocab",
     // tokenizer-vocabulary building: global token frequencies, top 500.
     // Scale shape: partial+final hash agg absorbs hot-word skew map-side,
@@ -510,7 +558,8 @@ object ExtQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, langIdQ,
+    dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, qualityGateQ,
+    samplePerSourceQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
     annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, asofQ, rangeJoinQ)

@@ -47,6 +47,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(5) == 8)
   }
 
+  test("RangeJoinRewrite: BETWEEN join becomes a binned equi-join, same result, no nested loop") {
+    import spark.implicits._
+    val points = (0L to 500L by 7).map(i => (i, i)).toDF("pid", "pt")
+    val intervals = Seq((1L, 10L, 60L), (2L, 50L, 55L), (3L, 400L, 520L))
+      .toDF("iid", "lo", "hi")
+    points.createOrReplaceTempView("pts")
+    intervals.createOrReplaceTempView("ivs")
+    val sql = "SELECT pid, iid FROM pts JOIN ivs ON pt >= lo AND pt <= hi"
+    // baseline: rule off → nested-loop plan, reference result
+    spark.conf.unset(RangeJoinRewrite.BinWidthKey)
+    val naive = spark.sql(sql)
+    assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "without the rule this condition has no equi-keys")
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rule on → equi-join on bins, identical multiset
+    spark.conf.set(RangeJoinRewrite.BinWidthKey, "64")
+    try {
+      val rewritten = spark.sql(sql)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"rewrite should remove the nested loop:\n$plan")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      assert(got.distinct.size == got.size, "rewrite must not duplicate pairs")
+      assert(got.toSet == expected)
+    } finally spark.conf.unset(RangeJoinRewrite.BinWidthKey)
+  }
+
   test("graft_top_k aggregates in SQL with GROUP BY") {
     spark.sql("SELECT * FROM VALUES ('a', 3), ('a', 7), ('a', 5), ('b', 1) AS t(g, v)")
       .createOrReplaceTempView("tk")

@@ -39,6 +39,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(chunks("a b", 40, 30) == Seq("a b"))
   }
 
+  test("tokenChunks properties: windows cover every token; correct starts for any size/stride") {
+    val sp = SparkTestSession.spark
+    import sp.implicits._
+    val words = (1 to 23).map(i => s"t$i")
+    val text = words.mkString(" ")
+    for (size <- Seq(1, 3, 7, 23, 40); stride <- Seq(1, 3, 7, 25)) {
+      val chunks = Seq(text).toDF("t")
+        .select(TextFunctions.tokenChunks(col("t"), size, stride))
+        .collect().head.getSeq[String](0)
+      assert(chunks.nonEmpty)
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        val start = i * stride
+        assert(start < 23, s"size=$size stride=$stride: window $i starts past the text")
+        assert(c == words.slice(start, start + size).mkString(" "),
+          s"size=$size stride=$stride window $i")
+      }
+      // coverage: when stride <= size every token appears in some window,
+      // and no window beyond the first one to reach the tail is emitted
+      if (stride <= size) {
+        val seen = chunks.flatMap(_.split(" ")).toSet
+        assert(words.forall(seen.contains), s"size=$size stride=$stride misses tokens")
+        if (chunks.size > 1)
+          assert((chunks.size - 2) * stride + size < 23,
+            s"size=$size stride=$stride emits a redundant trailing window")
+      }
+    }
+  }
+
   test("redactPii scrubs emails/urls/phones, leaves ordinary text alone") {
     val sp = SparkTestSession.spark
     import sp.implicits._

@@ -110,6 +110,32 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents matches a reference union-find on seeded random graphs") {
+    // reference: plain union-find with path compression
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = unionFind(n, edges)
+      val got = Dedup.connectedComponents(edges.toDF("idA", "idB"), "idA", "idB")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, s"trial $trial: random graph with ${edges.size} edges")
+    }
+  }
+
   test("embedding near-duplicates: identical vectors pair at cosine 1.0; orthogonal don't") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

@@ -22,11 +22,15 @@ import org.apache.spark.sql.types._
   * multiplicity-exact with no dedup step.
   *
   * Opt-in: set `spark.graft.rangeJoin.binWidth` to a positive bin width
-  * in the point column's units (the session owner knows the interval
-  * scale; a wrong width is still correct, just slower). Applies only to
-  * INNER joins whose condition is exactly the two range conjuncts over
-  * integral deterministic expressions, point from one side and both
-  * bounds from the other — anything else is left untouched.
+  * in the point column's units. Pick it near the typical interval width:
+  * too LARGE just means bigger buckets (slower, still correct); too
+  * SMALL explodes each interval into interval-width/binWidth bins — at
+  * the extreme the per-row `sequence()` can exceed Spark's array-length
+  * limit and fail the query, so don't set a nanosecond width for
+  * day-long intervals. Applies only to INNER joins whose condition is
+  * exactly the two range conjuncts over integral deterministic
+  * expressions, point from one side (either one) and both bounds from
+  * the other — anything else is left untouched.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
@@ -40,15 +44,40 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** (point, lo, hi) if the condition is the canonical BETWEEN shape. */
+  /** Interpretations of one conjunct as (point, bound, boundIsLower) —
+    * `a >= b` is both "a's lower bound is b" and "b's upper bound is a",
+    * so every operand orientation users write is covered.
+    */
+  private def interp(c: Expression): Seq[(Expression, Expression, Boolean)] = c match {
+    case GreaterThanOrEqual(a, b) => Seq((a, b, true), (b, a, false))
+    case LessThanOrEqual(a, b) => Seq((a, b, false), (b, a, true))
+    case _ => Nil
+  }
+
+  /** (point, lo, hi) if the condition is a two-sided range on one
+    * expression, whichever way each comparison is spelled.
+    */
   private def asRange(cond: Expression): Option[(Expression, Expression, Expression)] =
     cond match {
-      case And(GreaterThanOrEqual(p1, lo), LessThanOrEqual(p2, hi))
-          if p1.semanticEquals(p2) => Some((p1, lo, hi))
-      case And(LessThanOrEqual(p1, hi), GreaterThanOrEqual(p2, lo))
-          if p1.semanticEquals(p2) => Some((p1, lo, hi))
+      case And(c1, c2) =>
+        (for {
+          (p1, b1, low1) <- interp(c1)
+          (p2, b2, low2) <- interp(c2)
+          if low1 != low2 && p1.semanticEquals(p2)
+        } yield if (low1) (p1, b1, b2) else (p1, b2, b1)).headOption
       case _ => None
     }
+
+  /** True when pt comes wholly from `ptSide` and both bounds wholly from
+    * `ivSide`, with everything integral and deterministic.
+    */
+  private def sidesMatch(pt: Expression, lo: Expression, hi: Expression,
+      ptSide: LogicalPlan, ivSide: LogicalPlan): Boolean =
+    integral(pt) && integral(lo) && integral(hi) &&
+      pt.deterministic && lo.deterministic && hi.deterministic &&
+      pt.references.nonEmpty && pt.references.subsetOf(ptSide.outputSet) &&
+      (lo.references ++ hi.references).nonEmpty &&
+      (lo.references ++ hi.references).subsetOf(ivSide.outputSet)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = binWidth
@@ -56,27 +85,27 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) if asRange(cond).exists {
             case (pt, lo, hi) =>
-              integral(pt) && integral(lo) && integral(hi) &&
-                pt.deterministic && lo.deterministic && hi.deterministic &&
-                pt.references.nonEmpty && pt.references.subsetOf(left.outputSet) &&
-                (lo.references ++ hi.references).nonEmpty &&
-                (lo.references ++ hi.references).subsetOf(right.outputSet)
+              sidesMatch(pt, lo, hi, left, right) || sidesMatch(pt, lo, hi, right, left)
           } =>
         val (pt, lo, hi) = asRange(cond).get
+        // points may sit on either join side; intervals on the other
+        val pointsOnLeft = sidesMatch(pt, lo, hi, left, right)
+        val (ptSide, ivSide) = if (pointsOnLeft) (left, right) else (right, left)
+        val sideHint = if (pointsOnLeft) hint else JoinHint(hint.rightHint, hint.leftHint)
         val wLit = Literal(w, LongType)
         def divW(e: Expression): Expression = IntegralDivide(Cast(e, LongType), wLit)
         val ptBin = Alias(divW(pt), "__graft_pt_bin")()
-        val leftBinned = Project(left.output :+ ptBin, left)
+        val ptBinned = Project(ptSide.output :+ ptBin, ptSide)
         // Sequence is TimeZoneAwareExpression: unresolved until the zone is
         // set, and no analyzer pass runs after an optimizer rule — set it
         // explicitly (irrelevant for integral sequences, but required)
         val gen = Explode(
           Sequence(divW(lo), divW(hi), None, Some(SQLConf.get.sessionLocalTimeZone)))
         val genOut = DataTypeUtils.toAttributes(gen.elementSchema)
-        val rightBinned = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-          qualifier = None, generatorOutput = genOut, child = right)
-        val binJoin = Join(leftBinned, rightBinned, Inner,
-          Some(EqualTo(ptBin.toAttribute, genOut.head)), hint)
+        val ivBinned = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = genOut, child = ivSide)
+        val binJoin = Join(ptBinned, ivBinned, Inner,
+          Some(EqualTo(ptBin.toAttribute, genOut.head)), sideHint)
         Project(j.output, Filter(cond, binJoin))
     }
   }

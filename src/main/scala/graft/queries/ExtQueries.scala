@@ -111,8 +111,6 @@ object ExtQueries {
            len(regexp_split_to_array(trim(text), '\s+')) * 1.0 AS n_words,
            length(regexp_replace(trim(text), '[^\p{L}]', '', 'g')) * 1.0 AS alpha,
            length(regexp_replace(trim(text), '[^[:punct:]]', '', 'g')) * 1.0 AS punct,
-           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-               w -> lower(w) IN (${inList(EnStop)}))) * 1.0 AS stop,
            len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1.0 AS uniq
          FROM documents) f"""
 
@@ -135,8 +133,11 @@ object ExtQueries {
              FROM qd GROUP BY source)
        SELECT qd.doc_id, qd.source FROM qd JOIN t USING(source)
        WHERE qd.quality > t.thr""") { (s, d) =>
-    val docs = Tables.df(s, d, "documents")
-      .select(col("doc_id"), col("source"), qualityScore(col("text")).as("quality"))
+    // materialized once: the regex-heavy scoring feeds both the threshold
+    // aggregate and the join probe — without it the whole table is scored
+    // twice (two scans, one per DAG branch)
+    val docs = graft.operators.Materialize.once(Tables.df(s, d, "documents")
+      .select(col("doc_id"), col("source"), qualityScore(col("text")).as("quality")))
     val thr = docs.groupBy("source")
       .agg((sum(round(col("quality") * 1000000).cast("long")).cast("double")
         / count(lit(1)) / 1000000.0).as("thr"))
@@ -401,10 +402,9 @@ object ExtQueries {
     // stratified deterministic sample: 5 random-but-reproducible docs per
     // source, chosen as the lowest sampling-hash ids — bounded-heap fold,
     // so ≤5 rows per group cross the shuffle
-    """SELECT source, doc_id FROM documents
+    s"""SELECT source, doc_id FROM documents
        QUALIFY row_number() OVER (PARTITION BY source
-         ORDER BY ((xor(CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) >> 31)
-                    * 1103515245 + 12345) & 2147483647) ASC, doc_id ASC) <= 5""") { (s, d) =>
+         ORDER BY ${OracleSql.lcg31("doc_id")} ASC, doc_id ASC) <= 5""") { (s, d) =>
     import s.implicits._
     Flow(Tables.documents(s, d))
       .map(doc => (doc.source, doc.doc_id))

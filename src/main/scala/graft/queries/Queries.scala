@@ -23,6 +23,16 @@ final case class QueryDef(
     oracle: Option[String],
     bench: Boolean = false)
 
+/** Oracle-SQL fragments shared across query files. */
+private[queries] object OracleSql {
+  /** SQL replay of [[graft.core.Flow.lcg31]] — ONE definition so the three
+    * sampling oracles can't drift from the Scala arithmetic.
+    */
+  def lcg31(col: String): String =
+    s"((xor(CAST($col AS BIGINT), CAST($col AS BIGINT) >> 31)" +
+      s" * 1103515245 + 12345) & 2147483647)"
+}
+
 object Queries {
 
   private def q(name: String, oracle: String = null, bench: Boolean = false)(
@@ -135,9 +145,8 @@ object Queries {
   private val sampleFixedQ = q("q_sample_fixed",
     // deterministic fixed-size sample (Flow.sampleFixed): lowest-hash 100
     // keys; plans as TakeOrderedAndProject (bounded heaps), no full sort
-    """SELECT o_orderkey FROM orders
-       ORDER BY ((xor(CAST(o_orderkey AS BIGINT), CAST(o_orderkey AS BIGINT) >> 31)
-                  * 1103515245 + 12345) & 2147483647) ASC, o_orderkey ASC
+    s"""SELECT o_orderkey FROM orders
+       ORDER BY ${OracleSql.lcg31("o_orderkey")} ASC, o_orderkey ASC
        LIMIT 100""") { (s, d) =>
     import s.implicits._
     Flow(Tables.orders(s, d)).sampleFixed(100)(_.o_orderkey)
@@ -148,9 +157,8 @@ object Queries {
     // deterministic hash-Bernoulli sample (Flow.sampleBy): xor-folded key
     // through a 31-bit LCG vs floor(0.1 * 2^31) — exact integer
     // arithmetic both engines (>> matches Scala >>> on nonneg keys)
-    """SELECT o_orderkey FROM orders
-       WHERE ((xor(CAST(o_orderkey AS BIGINT), CAST(o_orderkey AS BIGINT) >> 31)
-               * 1103515245 + 12345) & 2147483647) < 214748364""") { (s, d) =>
+    s"""SELECT o_orderkey FROM orders
+       WHERE ${OracleSql.lcg31("o_orderkey")} < 214748364""") { (s, d) =>
     import s.implicits._
     Flow(Tables.orders(s, d)).sampleBy(0.1)(_.o_orderkey)
       .map(_.o_orderkey).toDF.toDF("o_orderkey")

@@ -71,6 +71,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toList
       assert(got.distinct.size == got.size, "rewrite must not duplicate pairs")
       assert(got.toSet == expected)
+      // intervals-first table order and flipped comparison spelling must
+      // also rewrite — the rule mirrors sides and operand orientation
+      for (variant <- Seq(
+          "SELECT pid, iid FROM ivs JOIN pts ON pt >= lo AND pt <= hi",
+          "SELECT pid, iid FROM pts JOIN ivs ON lo <= pt AND pt <= hi")) {
+        val v = spark.sql(variant)
+        val vplan = v.queryExecution.executedPlan.toString
+        assert(!vplan.contains("NestedLoop") && !vplan.contains("Cartesian"),
+          s"variant not rewritten: $variant\n$vplan")
+        assert(v.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+      }
     } finally spark.conf.unset(RangeJoinRewrite.BinWidthKey)
   }
 

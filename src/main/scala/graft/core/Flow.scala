@@ -67,6 +67,17 @@ final case class Flow[T](ds: Dataset[T]) {
     Flow(ds.filter((t: T) => Flow.lcg31(key(t)) < threshold))
   }
 
+  /** Deterministic WEIGHTED sample: keep each row with probability
+    * `weight(t)` (clamped to [0,1]) — quality-weighted corpus
+    * construction, reproducible like [[sampleBy]]: the decision is the
+    * key's LCG hash against a per-row integer threshold.
+    */
+  def sampleWeighted(weight: T => Double)(key: T => Long): Flow[T] =
+    Flow(ds.filter { (t: T) =>
+      val w = math.min(math.max(weight(t), 0.0), 1.0)
+      Flow.lcg31(key(t)) < math.round(w * 2147483648.0)
+    })
+
   /** Deterministic FIXED-SIZE sample: exactly `n` rows (or all, if fewer),
     * chosen as the lowest-hash keys — "give me exactly N docs,
     * reproducibly". The limit sits directly on the sort, so Spark plans a

@@ -153,6 +153,18 @@ object Queries {
       .map(_.o_orderkey).toDF.toDF("o_orderkey")
   }
 
+  private val sampleWeightedQ = q("q_sample_weighted",
+    // deterministic weighted sample (Flow.sampleWeighted): keep with
+    // p = clamp(acctbal/10000); per-row integer threshold, exact compare
+    s"""SELECT c_custkey FROM customer
+       WHERE ${OracleSql.lcg31("c_custkey")}
+             < CAST(round(least(greatest(c_acctbal / 10000.0, 0.0), 1.0) * 2147483648) AS BIGINT)""") { (s, d) =>
+    import s.implicits._
+    Flow(Tables.customer(s, d))
+      .sampleWeighted(_.c_acctbal / 10000.0)(_.c_custkey)
+      .map(_.c_custkey).toDF.toDF("c_custkey")
+  }
+
   private val sampleHashQ = q("q_sample_hash",
     // deterministic hash-Bernoulli sample (Flow.sampleBy): xor-folded key
     // through a 31-bit LCG vs floor(0.1 * 2^31) — exact integer
@@ -666,7 +678,7 @@ object Queries {
 
   val relational: Seq[QueryDef] = Seq(
     loadProject, filterQ, mapQ, mapcatQ, removeQ, rankQ, rankTiesQ, rankDenseQ,
-    sortQ, takeQ, sampleQ, sampleHashQ, sampleFixedQ, returnQ, selfJoinQ,
+    sortQ, takeQ, sampleQ, sampleHashQ, sampleFixedQ, sampleWeightedQ, returnQ, selfJoinQ,
     distinctQ, unionQ, concatQ, intersectionQ, intersectionMultisetQ,
     differenceQ, differenceMultisetQ,
     joinInnerQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,

@@ -53,6 +53,20 @@ class FlowSpec extends AnyFunSuite {
     assert(low != high)
   }
 
+  test("sampleWeighted: weight 0 drops, weight 1 keeps, fraction tracks the weight") {
+    val f = flow(1 to 1000: _*)
+    assert(f.sampleWeighted(_ => 0.0)(_.toLong).dump().isEmpty)
+    assert(f.sampleWeighted(_ => 1.0)(_.toLong).dump().size == 1000)
+    // out-of-range weights clamp rather than misbehave
+    assert(f.sampleWeighted(_ => 7.5)(_.toLong).dump().size == 1000)
+    assert(f.sampleWeighted(_ => -3.0)(_.toLong).dump().isEmpty)
+    val n = f.sampleWeighted(_ => 0.25)(_.toLong).dump().size
+    assert(n > 150 && n < 350, s"got $n for weight 0.25")
+    // deterministic
+    assert(f.sampleWeighted(_ => 0.25)(_.toLong).dump().sorted ==
+      f.sampleWeighted(_ => 0.25)(_.toLong).dump().sorted)
+  }
+
   test("sampleFixed: exact size, deterministic, bounded-heap plan (no full sort)") {
     val f = flow(1 to 1000: _*)
     val a = f.sampleFixed(50)(_.toLong).dump()

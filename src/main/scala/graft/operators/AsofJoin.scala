@@ -61,6 +61,6 @@ object AsofJoin {
     unioned
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
-      .select(left.columns.map(col) ++ payload.map(p => col(s"__m.$p").as(p)): _*)
+      .select(left.columns.toIndexedSeq.map(col) ++ payload.map(p => col(s"__m.$p").as(p)): _*)
   }
 }

@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -12,29 +11,23 @@ import org.apache.spark.sql.functions._
   * Scale path: LSH-bucketed search (probe only hash-neighboring buckets)
   * and an IVF-style coarse quantizer — both shrink the candidate set per
   * query by orders of magnitude at 100 TB.
+  *
+  * Every variant funnels through the same bounded-heap top-k aggregate
+  * ([[graft.functions.AggExpressions.bottomK]]): each map task ships at
+  * most k candidates per query to the single shuffle — O(|Q|·k) shuffle
+  * volume regardless of how many candidates were scored. No rank windows,
+  * no dropDuplicates, anywhere in the family.
   */
 object Similarity {
 
-  /** Exact brute-force top-k by cosine. `queries` is broadcast; ranking is
-    * tie-broken by neighbor id so results are deterministic.
+  /** Shared tail: scored (query_id, neighbor_id, cosine) candidates →
+    * top-k per query, ranked (cosine desc, neighbor_id asc).
     *
-    * Top-k selection is a bounded-heap aggregate
-    * ([[graft.functions.AggExpressions.topK]]), NOT a rank window: each map
-    * task ships at most k candidates per query to the shuffle. A window
-    * would shuffle and sort every scored (query × corpus) row — the
-    * difference between O(|Q|·k) and O(|Q|·|corpus|) shuffle volume.
+    * Compound ordering via bottomK on (-cosine, neighbor_id): negate the
+    * SCORE (always numeric), never the id, so string/arbitrary id columns
+    * keep working.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val scored = c.crossJoin(q)
-      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
-    // compound ordering (cosine desc, neighbor_id asc) via bottomK on
-    // (-cosine, neighbor_id): negate the SCORE (always numeric), never the
-    // id, so string/arbitrary id columns keep working
+  private def topKByCosine(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("query_id"))
       .agg(graft.functions.AggExpressions.bottomK(
@@ -44,6 +37,19 @@ object Similarity {
         col("col.neighbor_id").as("neighbor_id"),
         (-col("col.negcos")).as("cosine"),
         (col("pos") + 1).cast("int").as("rank"))
+
+  /** Exact brute-force top-k by cosine. `queries` is broadcast; ranking is
+    * tie-broken by neighbor id so results are deterministic.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(q)
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
+    topKByCosine(scored, k)
   }
 
   /** LSH-bucketed ANN: random-hyperplane signatures; a query probes every
@@ -78,48 +84,62 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
         .withColumn("__qsig", hyperplaneSignature(col("__qv"), bits))
         .withColumn("__bucket", explode(array(probes.map(p => col("__qsig").bitwiseXOR(lit(p))): _*))))
+    // no pair dedup needed: the probe masks are DISTINCT and XOR is
+    // injective, so a query lands in each probed bucket exactly once and a
+    // corpus row lives in exactly one bucket — a (query, neighbor) pair can
+    // meet at most once. (The multi-band analogue in Dedup.scala does need
+    // its first-agreeing-band trick; a single-signature index does not.)
     val scored = c.join(q, "__bucket")
       .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topKByCosine(scored, k)
   }
+
+  /** All probed cells of `vec`, nearest-first: (l2, cell) structs over the
+    * in-row centroid array — struct ordering gives the (distance asc, cell
+    * asc) tie-break for free. Pure column expression: runs map-side inside
+    * the row, no join, no shuffle, no window.
+    */
+  private def nearestCells(vec: Column, cells: Column, n: Int): Column =
+    slice(
+      array_sort(transform(cells, cc =>
+        struct(l2Distance(vec, cc("centroid")).as("d"), cc("cell").as("cell")))),
+      1, n)
 
   /** IVF-style coarse index: pick `nCells` corpus rows as centroids
     * (deterministic: lowest ids), assign every vector to its nearest
-    * centroid (one broadcast join), and search only the `nProbe` cells
-    * nearest each query. The partition-pruning pattern of a 100 TB ANN
-    * store: cell id becomes the physical partition key.
+    * centroid, and search only the `nProbe` cells nearest each query. The
+    * partition-pruning pattern of a 100 TB ANN store: cell id becomes the
+    * physical partition key.
+    *
+    * Assignment is MAP-SIDE: the ≤nCells centroids are folded into a
+    * single-row array and broadcast; each corpus row takes
+    * `array_min` over (distance, cell) structs computed in-row. Zero
+    * Exchange on the corpus lineage until the final top-k aggregate —
+    * the previous formulation (crossJoin + row_number window partitioned
+    * by a UNIQUE id) shuffled and sorted |corpus|×nCells rows just to pick
+    * a per-row argmin.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val centroids = broadcast(
+    // one row holding all centroids as an array of (cell, centroid) structs
+    val centroidRow = broadcast(
       c.orderBy("neighbor_id").limit(nCells)
-        .select(col("neighbor_id").as("__cell"), col("__cv").as("__centroid")))
-    val assigned = c.crossJoin(centroids)
-      .withColumn("__d", l2Distance(col("__cv"), col("__centroid")))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("neighbor_id").orderBy(col("__d").asc, col("__cell").asc)))
-      .where(col("__r") === 1)
+        .agg(collect_list(struct(col("neighbor_id").as("cell"), col("__cv").as("centroid")))
+          .as("__cells")))
+    val assigned = c.join(centroidRow) // broadcast 1-row nested-loop: map-side
+      .withColumn("__cell", element_at(nearestCells(col("__cv"), col("__cells"), 1), 1)("cell"))
       .select(col("neighbor_id"), col("__cv"), col("__cell"))
     val qAssigned = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .crossJoin(centroids)
-      .withColumn("__d", l2Distance(col("__qv"), col("__centroid")))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("__d").asc, col("__cell").asc)))
-      .where(col("__r") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("__cell"))
+      .join(centroidRow)
+      .select(col("query_id"), col("__qv"),
+        explode(nearestCells(col("__qv"), col("__cells"), nProbe)).as("__probe"))
+      .select(col("query_id"), col("__qv"), col("__probe")("cell").as("__cell"))
     val scored = assigned.join(broadcast(qAssigned), "__cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topKByCosine(scored, k)
   }
 }

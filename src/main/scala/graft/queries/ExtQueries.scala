@@ -283,10 +283,14 @@ object ExtQueries {
       .crossJoin(queries)
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("dot", quantizedDot(col("__q"), col("__c")))
-    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
+    // bounded-heap top-k, not a rank window: ships |Q|·k rows to the one
+    // shuffle instead of sorting the full |Q|×|corpus| scored cross product
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.AggExpressions.bottomK(
+        struct((-col("dot")).as("negdot"), col("neighbor_id")), 5).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        (-col("col.negdot")).as("dot"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   private val annCosineQ = q("q_ann_cosine",

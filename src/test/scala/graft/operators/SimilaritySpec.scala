@@ -73,6 +73,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.subsetOf(approx2) || recall2 >= recall)
   }
 
+  // --- plan-shape guards: the whole ANN family must stay window-free ---
+  // (top-k via the bounded-heap aggregate, IVF assignment via map-side
+  // argmin; a rank window or a unique-key Exchange is a scale regression)
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    val full = df.queryExecution.executedPlan.toString
+    // AQE plans print "Initial Plan" (pre-reoptimization) after the final
+    // plan — assert only on the final section
+    full.split("\\+- == Initial Plan ==")(0)
+  }
+
+  test("ANN plans: no rank windows, no dropDuplicates, bounded-heap top-k only") {
+    val df = corpus()
+    val queries = df.where($"vec_id" < 3)
+    val plans = Map(
+      "brute" -> executedPlan(Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", k = 3)),
+      "lsh" -> executedPlan(Similarity.lshTopK(queries, df, "vec_id", "embedding", k = 3, bits = 6, probeHamming = 1)),
+      "ivf" -> executedPlan(Similarity.ivfTopK(queries, df, "vec_id", "embedding", k = 3, nCells = 4, nProbe = 2)))
+    plans.foreach { case (name, p) =>
+      assert(!p.contains("Window"), s"$name plan contains a Window:\n$p")
+      assert(p.contains("graft_bottom_k"), s"$name plan lost the bounded-heap aggregate:\n$p")
+    }
+    // lshTopK previously carried a dropDuplicates (full candidate shuffle);
+    // pairs now provably collide at most once, so no dedup aggregate keyed
+    // on (query_id, neighbor_id) JOINTLY may appear (the top-k aggregate is
+    // legitimately keyed on query_id alone)
+    assert(!"keys=\\[query_id[^\\]]*neighbor_id".r.findFirstIn(plans("lsh")).isDefined,
+      s"lsh plan re-grew a pair-dedup shuffle:\n${plans("lsh")}")
+  }
+
+  test("ivfTopK assignment is map-side: no Exchange keyed on the corpus id") {
+    val df = corpus()
+    val queries = df.where($"vec_id" < 3)
+    val p = executedPlan(Similarity.ivfTopK(queries, df, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 2))
+    // the old plan shuffled |corpus|×nCells rows via
+    // "Exchange hashpartitioning(neighbor_id ...)" for the argmin window;
+    // the only corpus-lineage Exchange allowed now is the final top-k
+    // aggregate keyed on query_id
+    assert(!p.contains("hashpartitioning(neighbor_id"),
+      s"IVF assignment shuffles on the corpus id:\n$p")
+  }
+
   test("ivfTopK probes only nProbe cells but finds self-cell neighbors") {
     val df = corpus()
     val queries = df.where($"vec_id" < 5)

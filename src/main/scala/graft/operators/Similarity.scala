@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-pair score with HOISTED norms: every variant projects `__qn`/`__cn`
+    * (one `l2Norm` per ROW, before the join) so the |candidates|-sized inner
+    * loop is a single codegen'd dot product — 1 multiply-add per element
+    * instead of the fused cosine's 3. Per-row work is O(d); only the dot is
+    * O(pairs·d). Zero-norm vectors divide to NaN exactly as the fused
+    * expression does.
+    */
+  private def pairCosine: Column =
+    dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))
+
   /** Shared tail: scored (query_id, neighbor_id, cosine) candidates →
     * top-k per query, ranked (cosine desc, neighbor_id asc).
     *
@@ -44,11 +54,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(q)
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
+      .withColumn("cosine", pairCosine)
     topKByCosine(scored, k)
   }
 
@@ -68,7 +80,8 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       bits: Int = 12, probeHamming: Int = 1): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        l2Norm(col(vecCol)).as("__cn"))
       .withColumn("__bucket", hyperplaneSignature(col("__cv"), bits))
     // multi-probe: replicate each query into every bucket within hamming
     // `probeHamming` of its own signature — all XOR masks with popcount ≤ r
@@ -81,7 +94,8 @@ object Similarity {
       }.distinct
     val probes: Seq[Long] = masks(math.min(probeHamming, bits)).distinct
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+          l2Norm(col(vecCol)).as("__qn"))
         .withColumn("__qsig", hyperplaneSignature(col("__qv"), bits))
         .withColumn("__bucket", explode(array(probes.map(p => col("__qsig").bitwiseXOR(lit(p))): _*))))
     // no pair dedup needed: the probe masks are DISTINCT and XOR is
@@ -91,7 +105,7 @@ object Similarity {
     // its first-agreeing-band trick; a single-signature index does not.)
     val scored = c.join(q, "__bucket")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
+      .withColumn("cosine", pairCosine)
     topKByCosine(scored, k)
   }
 
@@ -123,7 +137,8 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
     // one row holding all centroids as an array of (cell, centroid) structs
     val centroidRow = broadcast(
       c.orderBy("neighbor_id").limit(nCells)
@@ -131,15 +146,16 @@ object Similarity {
           .as("__cells")))
     val assigned = c.join(centroidRow) // broadcast 1-row nested-loop: map-side
       .withColumn("__cell", element_at(nearestCells(col("__cv"), col("__cells"), 1), 1)("cell"))
-      .select(col("neighbor_id"), col("__cv"), col("__cell"))
-    val qAssigned = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("neighbor_id"), col("__cv"), col("__cn"), col("__cell"))
+    val qAssigned = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        l2Norm(col(vecCol)).as("__qn"))
       .join(centroidRow)
-      .select(col("query_id"), col("__qv"),
+      .select(col("query_id"), col("__qv"), col("__qn"),
         explode(nearestCells(col("__qv"), col("__cells"), nProbe)).as("__probe"))
-      .select(col("query_id"), col("__qv"), col("__probe")("cell").as("__cell"))
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__probe")("cell").as("__cell"))
     val scored = assigned.join(broadcast(qAssigned), "__cell")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineSimilarity(col("__qv"), col("__cv")))
+      .withColumn("cosine", pairCosine)
     topKByCosine(scored, k)
   }
 }

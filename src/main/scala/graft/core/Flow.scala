@@ -216,6 +216,12 @@ final case class Flow[T](ds: Dataset[T]) {
   /** concat + distinct (reference set.clj:127-153). */
   def union(others: Flow[T]*): Flow[T] = concat(others: _*).distinct
 
+  /** Multiset union = bag concat, duplicates kept (reference
+    * `union-multiset`, set.clj:155-175 — same relation as [[concat]],
+    * aliased for API parity).
+    */
+  def unionMultiset(others: Flow[T]*): Flow[T] = concat(others: _*)
+
   /** Distinct ∩ (reference set.clj:199-221). */
   def intersection(others: Flow[T]*): Flow[T] =
     Flow(others.foldLeft(ds)((a, b) => a.intersect(b.ds)))
@@ -342,6 +348,44 @@ final case class Flow[T](ds: Dataset[T]) {
   def cogroup[U, K: Encoder, R: Encoder](other: Flow[U])(lk: T => K)(rk: U => K)(
       f: (K, Iterator[T], Iterator[U]) => IterableOnce[R]): Flow[R] = {
     Flow(ds.groupByKey(lk).cogroup(other.ds.groupByKey(rk))((k, l, r) => f(k, l, r).iterator))
+  }
+
+  /** 2-way cogroup with the reference's full option matrix
+    * (join.clj:316-358 + functional/join_test.clj:244-359): per-input
+    * `required` flags (a row is dropped when a required input's bag is
+    * empty — the inner/left/right/full shapes) and `joinNils`. By default
+    * nil keys from DIFFERENT inputs do not meet — each side's nil bag
+    * surfaces as its own row, exactly Pig's COGROUP; `joinNils = true`
+    * groups them into one row. One tagged union + one hash shuffle
+    * regardless of options; `f` sees materialized bags (empty Seq is the
+    * reference's nil bag). Nil keys are `null` or `None`.
+    */
+  def cogroupWith[U, K: Encoder, R: Encoder](other: Flow[U],
+      leftRequired: Boolean = false, rightRequired: Boolean = false,
+      joinNils: Boolean = false)(lk: T => K)(rk: U => K)(
+      f: (K, Seq[T], Seq[U]) => IterableOnce[R]): Flow[R] = {
+    val kEnc = implicitly[Encoder[K]]
+    implicit val tagged: Encoder[(K, Int, Any)] =
+      Encoders.tuple(kEnc, Encoders.scalaInt, Encoders.kryo[Any])
+    implicit val groupKey: Encoder[(K, Int)] = Encoders.tuple(kEnc, Encoders.scalaInt)
+    val l = ds.map((t: T) => (lk(t), 1, t: Any))
+    val r = other.ds.map((u: U) => (rk(u), 2, u: Any))
+    // nil keys get a per-side salt unless joinNils, so the two sides' nil
+    // bags land in different groups (Pig: nils group within a relation,
+    // never across relations)
+    def isNil(k: K): Boolean = k == null || k == None
+    Flow(l.union(r)
+      .groupByKey((x: (K, Int, Any)) => (x._1, if (!joinNils && isNil(x._1)) x._2 else 0))
+      .flatMapGroups { (key: (K, Int), it: Iterator[(K, Int, Any)]) =>
+        val lb = Vector.newBuilder[T]
+        val rb = Vector.newBuilder[U]
+        it.foreach { x =>
+          if (x._2 == 1) lb += x._3.asInstanceOf[T] else rb += x._3.asInstanceOf[U]
+        }
+        val ls = lb.result(); val rs = rb.result()
+        if ((leftRequired && ls.isEmpty) || (rightRequired && rs.isEmpty)) Iterator.empty
+        else f(key._1, ls, rs).iterator
+      })
   }
 
   /** Cogroup with per-input folds (the reference's `:fold` select option,

@@ -173,4 +173,21 @@ object Fold {
   def juxt3[A, B1, C1, B2, C2, B3, C3](
       f1: Fold[A, B1, C1], f2: Fold[A, B2, C2], f3: Fold[A, B3, C3]): Fold[A, ((B1, B2), B3), ((C1, C2), C3)] =
     juxt(juxt(f1, f2), f3)
+
+  /** N-ary juxt (the reference's `juxt` takes any number of folds,
+    * fold.clj:262-296): one pass, every fold's buffer advances per row;
+    * the result is index-aligned with `folds`. Buffers/results ride as
+    * `IndexedSeq[Any]` (kryo lane) — use [[juxt]]/[[juxt3]] when static
+    * result types matter.
+    */
+  def juxtN[A](folds: Fold[A, _, _]*): Fold[A, IndexedSeq[Any], IndexedSeq[Any]] = {
+    require(folds.nonEmpty, "juxtN needs at least one fold")
+    val fs: IndexedSeq[Fold[A, Any, Any]] =
+      folds.toIndexedSeq.map(_.asInstanceOf[Fold[A, Any, Any]])
+    Fold[A, IndexedSeq[Any], IndexedSeq[Any]](
+      () => fs.map(_.zero()),
+      (b, a) => fs.indices.map(i => fs(i).reduce(b(i), a)),
+      (x, y) => fs.indices.map(i => fs(i).merge(x(i), y(i))),
+      b => fs.indices.map(i => fs(i).finish(b(i))))
+  }
 }

@@ -29,11 +29,13 @@ object GraftIO {
 
   /** RFC-4180 CSV, no embedded newlines (reference `load-csv`,
     * io.clj:88-104). Schema optional: supply to get typed native columns
-    * (the fast lane); otherwise all-string.
+    * (the fast lane); otherwise all-string. Quote-escaping is RFC-4180
+    * doubled quotes (`""` inside a quoted cell → `"`), like the
+    * reference's clojure-csv — hence escape defaults to the quote char.
     */
   def loadCsv(spark: SparkSession, path: String, schema: Option[StructType] = None,
       sep: String = ",", quote: String = "\""): DataFrame = {
-    val r = spark.read.option("sep", sep).option("quote", quote)
+    val r = spark.read.option("sep", sep).option("quote", quote).option("escape", quote)
     schema.fold(r)(s => r.schema(s)).csv(path)
   }
 
@@ -97,8 +99,9 @@ object GraftIO {
     f.map(_.mkString(delimiter)).ds.write.mode("overwrite").text(path)
   }
 
+  /** RFC-4180 writer (doubled-quote escaping) so [[loadCsv]] round-trips. */
   def storeCsv(path: String)(df: DataFrame): Unit =
-    df.write.mode("overwrite").csv(path)
+    df.write.mode("overwrite").option("escape", "\"").csv(path)
 
   def storeJson(path: String)(df: DataFrame): Unit =
     df.write.mode("overwrite").json(path)

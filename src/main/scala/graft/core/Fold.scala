@@ -180,14 +180,18 @@ object Fold {
     * `IndexedSeq[Any]` (kryo lane) — use [[juxt]]/[[juxt3]] when static
     * result types matter.
     */
-  def juxtN[A](folds: Fold[A, _, _]*): Fold[A, IndexedSeq[Any], IndexedSeq[Any]] = {
+  def juxtN[A](folds: Fold[A, _, _]*): Fold[A, Array[Any], IndexedSeq[Any]] = {
     require(folds.nonEmpty, "juxtN needs at least one fold")
     val fs: IndexedSeq[Fold[A, Any, Any]] =
       folds.toIndexedSeq.map(_.asInstanceOf[Fold[A, Any, Any]])
-    Fold[A, IndexedSeq[Any], IndexedSeq[Any]](
-      () => fs.map(_.zero()),
-      (b, a) => fs.indices.map(i => fs(i).reduce(b(i), a)),
-      (x, y) => fs.indices.map(i => fs(i).merge(x(i), y(i))),
+    // buffer is a mutable Array updated in place: per-row cost is O(folds)
+    // slot writes, zero allocation; an immutable view only at finish.
+    // (Aggregator buffers are private to a task, so in-place mutation is
+    // safe — Spark's own ImperativeAggregates do the same.)
+    Fold[A, Array[Any], IndexedSeq[Any]](
+      () => Array.tabulate[Any](fs.length)(i => fs(i).zero()),
+      (b, a) => { var i = 0; while (i < fs.length) { b(i) = fs(i).reduce(b(i), a); i += 1 }; b },
+      (x, y) => { var i = 0; while (i < fs.length) { x(i) = fs(i).merge(x(i), y(i)); i += 1 }; x },
       b => fs.indices.map(i => fs(i).finish(b(i))))
   }
 }

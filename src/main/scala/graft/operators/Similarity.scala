@@ -24,21 +24,34 @@ object Similarity {
     * (one `l2Norm` per ROW, before the join) so the |candidates|-sized inner
     * loop is a single codegen'd dot product — 1 multiply-add per element
     * instead of the fused cosine's 3. Per-row work is O(d); only the dot is
-    * O(pairs·d). Zero-norm vectors divide to NaN exactly as the fused
-    * expression does.
+    * O(pairs·d).
+    *
+    * NULL semantics (differ from the old fused Java-double expression, which
+    * produced NaN on 0/0): `try_divide` returns NULL when the norm product
+    * is 0 — in BOTH ANSI and legacy modes (a plain Divide THROWS under
+    * Spark 4's default ANSI mode) — so a zero-norm vector on either side
+    * scores NULL. [[topKByCosine]] filters NULL scores out before the heap:
+    * a degenerate vector has no defined cosine direction and must never
+    * rank, whereas an unfiltered NULL riding inside a non-null struct would
+    * sort FIRST in interpreted struct ordering and displace a real neighbor.
+    * Norms are over the FULL vector (the standard cosine definition);
+    * embedding columns are fixed-dimension non-null by contract
+    * (TESTDATA.md).
     */
   private def pairCosine: Column =
-    dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))
+    try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn"))
 
   /** Shared tail: scored (query_id, neighbor_id, cosine) candidates →
     * top-k per query, ranked (cosine desc, neighbor_id asc).
     *
     * Compound ordering via bottomK on (-cosine, neighbor_id): negate the
     * SCORE (always numeric), never the id, so string/arbitrary id columns
-    * keep working.
+    * keep working. NULL cosines (zero-norm vectors, see [[pairCosine]])
+    * are dropped before the heap.
     */
   private def topKByCosine(scored: DataFrame, k: Int): DataFrame =
     scored
+      .where(col("cosine").isNotNull)
       .groupBy(col("query_id"))
       .agg(graft.functions.AggExpressions.bottomK(
         struct((-col("cosine")).as("negcos"), col("neighbor_id")), k).as("__top"))

@@ -5,7 +5,6 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sessions, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (BASELINE.json north star):

@@ -117,6 +117,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"IVF assignment shuffles on the corpus id:\n$p")
   }
 
+  test("zero-norm vectors never rank: NULL cosines are filtered before the heap") {
+    // a zero vector has no cosine direction; non-ANSI Divide scores it NULL.
+    // Unfiltered, that NULL sorts FIRST in interpreted struct ordering and
+    // would displace a real neighbor as rank 1 for EVERY query (ADVICE r3).
+    val zero = (999L, Array.fill(8)(0.0f))
+    val df = corpus().union(Seq(zero).toDF("vec_id", "embedding"))
+    val queries = df.where($"vec_id" < 3)
+    val rows = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", k = 5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) != 999L, "zero-norm vector ranked as a neighbor")
+      assert(!r.isNullAt(2) && !r.getDouble(2).isNaN, "degenerate cosine leaked through")
+    }
+    // a zero-norm QUERY yields no rows rather than arbitrary neighbors
+    val zq = Similarity.bruteForceTopK(df.where($"vec_id" === 999L), df,
+      "vec_id", "embedding", k = 5).collect()
+    assert(zq.isEmpty, "zero-norm query must have no defined neighbors")
+  }
+
   test("ivfTopK probes only nProbe cells but finds self-cell neighbors") {
     val df = corpus()
     val queries = df.where($"vec_id" < 5)

@@ -565,6 +565,32 @@ object Queries {
       .toDF.toDF("c_mktsegment", "c_custkey", "c_acctbal")
   }
 
+  private val foldJuxtQ = q("q_fold_juxt",
+    """SELECT c_mktsegment,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              MIN(c_acctbal) AS min_bal,
+              MAX(c_acctbal) AS max_bal
+       FROM customer GROUP BY c_mktsegment""") { (s, d) =>
+    import s.implicits._
+    // N-ary juxt (reference fold.clj:262-296): four folds advance in ONE
+    // pass over each group — one shuffle, one aggregate, not four.
+    implicit val anyE: org.apache.spark.sql.Encoder[IndexedSeq[Any]] =
+      org.apache.spark.sql.Encoders.kryo[IndexedSeq[Any]]
+    Flow(Tables.customer(s, d)).groupBy(_.c_mktsegment)
+      .fold(Fold.juxtN[Customer](
+        Fold.count[Customer],
+        Fold.sum[Long].premap[Customer](c => math.round(c.c_acctbal * 100)),
+        Fold.min[Double].premap[Customer](_.c_acctbal),
+        Fold.max[Double].premap[Customer](_.c_acctbal)))
+      .map { case (seg, r) => (seg,
+        r(0).asInstanceOf[Long],
+        r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Option[Double]].get,
+        r(3).asInstanceOf[Option[Double]].get) }
+      .toDF.toDF("c_mktsegment", "n", "sum_cents", "min_bal", "max_bal")
+  }
+
   // ==========================================================
   // Headline relational queries (DataFrame lane — bench set)
   // ==========================================================
@@ -684,6 +710,7 @@ object Queries {
     joinInnerQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,
     filterByQ, removeByQ, cogroupQ, cogroup3Q, cogroup4Q, groupByQ, groupStatsQ, topByQ,
     reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
+    foldJuxtQ,
     q1, q5ish, windowLagQ, windowRunningQ, eventsAggQ)
 
   val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all

@@ -150,6 +150,39 @@ object GraftIO {
     finally shared.foreach(_.unpersist())
   }
 
+  /** Debug taps (reference oven.clj:163-184: `debug` mode appends a store
+    * after every command, landing each intermediate at `<location><id>`).
+    * Spark translation: stages are tapped by NAME (Spark plans have no
+    * stable command ids) and land as typed parquet, not strings — Pig
+    * relations are untyped so the reference pretty-prints; a columnar tap
+    * preserves schema and stays scannable at any size. Tapped stages are
+    * persisted for the duration of the store so the tap write and every
+    * downstream sink share one computation of the stage (the oven gets
+    * this from structural dedup, oven.clj:150-159; Spark's CacheManager
+    * matches the persisted subplan inside the downstream plans).
+    */
+  final class DebugTaps(val location: String) {
+    private val stages = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+
+    /** Register a stage; returns the input unchanged so taps chain inline. */
+    def tap(name: String, df: DataFrame): DataFrame = { stages.update(name, df); df }
+    def tap[T](name: String, f: Flow[T]): Flow[T] = { stages.update(name, f.ds.toDF()); f }
+
+    def stageNames: Seq[String] = stages.keys.toSeq
+    def pathOf(name: String): String = location + "/" + name
+
+    /** Write every tapped stage to `location/<name>` parquet, then run the
+      * final sinks (same contract as [[storeMany]]).
+      */
+    def storeAll(outputs: (DataFrame => Unit, DataFrame)*): Unit = {
+      stages.values.foreach(_.persist())
+      try {
+        stages.foreach { case (name, df) => storeParquet(pathOf(name))(df) }
+        storeMany(outputs: _*)
+      } finally stages.values.foreach(_.unpersist())
+    }
+  }
+
   private def serialize[T](t: T): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(bos)

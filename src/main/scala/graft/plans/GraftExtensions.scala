@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // opt-in range-join rewrite (spark.graft.rangeJoin.binWidth > 0)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // opt-in physical range join (additionally spark.graft.rangeJoin.physical)
+    ext.injectPlannerStrategy(_ => RangeJoinStrategy)
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))

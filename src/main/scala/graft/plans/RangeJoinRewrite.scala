@@ -35,9 +35,18 @@ import org.apache.spark.sql.types._
 object RangeJoinRewrite extends Rule[LogicalPlan] {
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
 
-  private def binWidth: Long =
+  /** When true, [[RangeJoinStrategy]] owns the pattern at the physical
+    * level and this logical rewrite stands down (the rewrite would consume
+    * the Join before the planner ever saw it).
+    */
+  val PhysicalKey = "spark.graft.rangeJoin.physical"
+
+  private[plans] def binWidth: Long =
     try SQLConf.get.getConfString(BinWidthKey, "0").toLong
     catch { case _: NumberFormatException => 0L }
+
+  private[plans] def physicalEnabled: Boolean =
+    SQLConf.get.getConfString(PhysicalKey, "false").toBoolean
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType | ShortType | ByteType => true
@@ -48,7 +57,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     * `a >= b` is both "a's lower bound is b" and "b's upper bound is a",
     * so every operand orientation users write is covered.
     */
-  private def interp(c: Expression): Seq[(Expression, Expression, Boolean)] = c match {
+  private[plans] def interp(c: Expression): Seq[(Expression, Expression, Boolean)] = c match {
     case GreaterThanOrEqual(a, b) => Seq((a, b, true), (b, a, false))
     case LessThanOrEqual(a, b) => Seq((a, b, false), (b, a, true))
     case _ => Nil
@@ -57,7 +66,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   /** (point, lo, hi) if the condition is a two-sided range on one
     * expression, whichever way each comparison is spelled.
     */
-  private def asRange(cond: Expression): Option[(Expression, Expression, Expression)] =
+  private[plans] def asRange(cond: Expression): Option[(Expression, Expression, Expression)] =
     cond match {
       case And(c1, c2) =>
         (for {
@@ -71,7 +80,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   /** True when pt comes wholly from `ptSide` and both bounds wholly from
     * `ivSide`, with everything integral and deterministic.
     */
-  private def sidesMatch(pt: Expression, lo: Expression, hi: Expression,
+  private[plans] def sidesMatch(pt: Expression, lo: Expression, hi: Expression,
       ptSide: LogicalPlan, ivSide: LogicalPlan): Boolean =
     integral(pt) && integral(lo) && integral(hi) &&
       pt.deterministic && lo.deterministic && hi.deterministic &&
@@ -81,7 +90,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = binWidth
-    if (w <= 0) return plan
+    if (w <= 0 || physicalEnabled) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) if asRange(cond).exists {
             case (pt, lo, hi) =>

@@ -85,6 +85,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.unset(RangeJoinRewrite.BinWidthKey)
   }
 
+  test("RangeJoinStrategy: physical flag plans BroadcastRangeJoinExec, same result") {
+    import spark.implicits._
+    val points = (0L to 500L by 7).map(i => (i, i)).toDF("pid", "pt")
+    val intervals = Seq((1L, 10L, 60L), (2L, 50L, 55L), (3L, 400L, 520L))
+      .toDF("iid", "lo", "hi")
+    points.createOrReplaceTempView("pts2")
+    intervals.createOrReplaceTempView("ivs2")
+    val sql = "SELECT pid, iid FROM pts2 JOIN ivs2 ON pt >= lo AND pt <= hi"
+    val expected = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(RangeJoinRewrite.BinWidthKey, "64")
+    spark.conf.set(RangeJoinRewrite.PhysicalKey, "true")
+    try {
+      for (variant <- Seq(
+          sql, // intervals broadcast from the right
+          "SELECT pid, iid FROM ivs2 JOIN pts2 ON pt >= lo AND pt <= hi", // …and from the left
+          "SELECT pid, iid FROM pts2 JOIN ivs2 ON lo <= pt AND hi >= pt")) { // flipped spelling
+        val df = spark.sql(variant)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastRangeJoin"),
+          s"physical node missing for: $variant\n$plan")
+        assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+        val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toList
+        assert(got.distinct.size == got.size, "physical join must not duplicate pairs")
+        assert(got.toSet == expected, s"wrong rows for: $variant")
+      }
+    } finally {
+      spark.conf.unset(RangeJoinRewrite.BinWidthKey)
+      spark.conf.unset(RangeJoinRewrite.PhysicalKey)
+    }
+  }
+
   test("graft_top_k aggregates in SQL with GROUP BY") {
     spark.sql("SELECT * FROM VALUES ('a', 3), ('a', 7), ('a', 5), ('b', 1) AS t(g, v)")
       .createOrReplaceTempView("tk")

@@ -63,6 +63,24 @@ object GraftStreaming {
       .groupBy(keyCol.as("key"), window(col(tsCol), windowDur).as("win"))
       .agg(fold.toColumn.asInstanceOf[org.apache.spark.sql.TypedColumn[Any, C]].as("agg"))
 
+  /** Streaming top-k: per (key, tumbling window) the k largest (or
+    * smallest) values via the same bounded-heap aggregate the batch lane
+    * uses ([[graft.functions.AggExpressions.topK]]) — streaming state per
+    * open window is the O(k) heap buffer, never the value bag, so a
+    * hot key at ingest scale holds k elements of state, not its history.
+    * Append mode: each window's top-k emits once, when the watermark
+    * passes the window end.
+    */
+  def windowedTopK(df: DataFrame, tsCol: String, watermarkDelay: String,
+      windowDur: String, keyCol: Column, valueCol: Column, k: Int,
+      largest: Boolean = true): DataFrame = {
+    val agg = if (largest) graft.functions.AggExpressions.topK(valueCol, k)
+      else graft.functions.AggExpressions.bottomK(valueCol, k)
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(keyCol.as("key"), window(col(tsCol), windowDur).as("win"))
+      .agg(agg.as("topk"))
+  }
+
   // ---- sessionization (custom state via flatMapGroupsWithState) ----
 
   /** Event-time sessionization: events for a key belong to one session while
@@ -135,6 +153,75 @@ object GraftStreaming {
       tsCol, watermarkDelay, Seq("__fp"))
       .drop("__fp")
 
+  /** Streaming MinHash near-dup dedup — the incremental dual of
+    * [[graft.operators.Dedup.minhashNearDuplicates]]. Each doc's MinHash
+    * signature is computed map-side; docs are keyed by their FIRST LSH
+    * band hash and each bucket's state holds the signatures accepted
+    * there; an arrival whose signature agrees >= `threshold` with any
+    * held signature is dropped as a near-duplicate, otherwise it is
+    * emitted and its signature joins the bucket state.
+    *
+    * Semantics/scale notes:
+    *  - Batch LSH probes all `bands` buckets; the streaming path probes
+    *    ONE bucket per doc (a second stateful hop per band would need a
+    *    per-doc aggregation across stateful operators, which streaming
+    *    append mode can't chain) — detection probability per true dup is
+    *    that of a single band, so run the batch dedup periodically as the
+    *    backstop (the standard ingest-plus-compaction split).
+    *  - State is bounded two ways: buckets idle past `horizonMs` are
+    *    evicted by event-time timeout, and a bucket holds at most
+    *    `bucketCap` signatures (oldest dropped first — a bucket that hot
+    *    is one near-dup cluster anyway).
+    *  - Returns the accepted (id, ts) stream; payloads stay in the source
+    *    (join back by id downstream, batch-side).
+    */
+  def dedupMinHashStream(df: DataFrame, tsCol: String, watermarkDelay: String,
+      idCol: String, textCol: String, shingle: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.7, horizonMs: Long = 3600000L,
+      bucketCap: Int = 256): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    implicit val inEnc: Encoder[MinHashDocIn] = Encoders.product[MinHashDocIn]
+    implicit val outEnc: Encoder[MinHashAccepted] = Encoders.product[MinHashAccepted]
+    implicit val stEnc: Encoder[MinHashBucketState] = Encoders.product[MinHashBucketState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val sigCol = graft.operators.Dedup.minhashSignature(col(textCol), shingle, numHashes)
+    val prepared = df.select(
+        col(idCol).cast("string").as("id"),
+        col(tsCol).as("ts"),
+        element_at(graft.functions.HashExpressions.bandHashes(sigCol, bands), 1).as("bucket"),
+        sigCol.as("sig"))
+      .withWatermark("ts", watermarkDelay)
+      .as[MinHashDocIn]
+    prepared.groupByKey(_.bucket)
+      .flatMapGroupsWithState[MinHashBucketState, MinHashAccepted](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, docs: Iterator[MinHashDocIn], state: GroupState[MinHashBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var held = state.getOption.map(_.sigs).getOrElse(Vector.empty)
+            var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
+            val out = Vector.newBuilder[MinHashAccepted]
+            // intra-batch arrivals are unordered: process in event-time order
+            for (d <- docs.toArray.sortBy(x => (x.ts.getTime, x.id))) {
+              val isDup = held.exists { s =>
+                var agree = 0; var i = 0
+                while (i < s.length) { if (s(i) == d.sig(i)) agree += 1; i += 1 }
+                agree.toDouble / numHashes >= threshold
+              }
+              if (!isDup) {
+                out += MinHashAccepted(d.id, d.ts)
+                held = (held :+ d.sig).takeRight(bucketCap)
+              }
+              lastMs = math.max(lastMs, d.ts.getTime)
+            }
+            state.update(MinHashBucketState(held, lastMs))
+            state.setTimeoutTimestamp(lastMs + horizonMs)
+            out.result().iterator
+          }
+      }
+      .toDF("id", "ts")
+  }
+
   // ---- sinks ----
 
   /** `writeStream` to files with checkpointing; returns the query handle. */
@@ -157,3 +244,15 @@ object GraftStreaming {
 final case class Session[K](key: K, startMs: Long, endMs: Long, events: Long)
 
 private[streaming] final case class SessionState(startMs: Long, endMs: Long, events: Long)
+
+/** Incoming doc for the streaming MinHash dedup: id, event time, primary
+  * LSH bucket, full signature.
+  */
+private[streaming] final case class MinHashDocIn(
+    id: String, ts: java.sql.Timestamp, bucket: Long, sig: Seq[Long])
+
+/** An accepted (non-duplicate) doc. */
+final case class MinHashAccepted(id: String, ts: java.sql.Timestamp)
+
+/** Per-bucket state: accepted signatures (bounded) + newest event ms. */
+private[streaming] final case class MinHashBucketState(sigs: Seq[Seq[Long]], lastMs: Long)

@@ -36,6 +36,73 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("windowedTopK: bounded-heap top-k per key+window, emitted once on window close") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val topk = GraftStreaming.windowedTopK(df, "ts", "0 seconds", "10 seconds",
+      col("k"), col("v"), k = 2)
+    val query = GraftStreaming.storeStreamMemory(topk, "topk_test")
+    try {
+      input.addData((ts(1), "a", 3), (ts(2), "a", 9), (ts(5), "a", 7), (ts(8), "b", 4))
+      query.processAllAvailable()
+      assert(spark.table("topk_test").count() == 0, "window [0,10) not closed yet")
+      input.addData((ts(25), "a", 1)) // watermark past 10s closes the window
+      query.processAllAvailable()
+      val rows = spark.table("topk_test")
+        .select(col("key"), col("topk")).collect()
+        .map(r => (r.getString(0), r.getSeq[Int](1).toList)).toSet
+      assert(rows == Set(("a", List(9, 7)), ("b", List(4))))
+    } finally query.stop()
+  }
+
+  test("dedupMinHashStream: exact dup dropped; stream agrees with replayed signature semantics") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches " +
+      "from the warm windowsill and the birds sing in the old oak tree outside"
+    val docs = Seq(
+      (1L, base),
+      (2L, "completely different content about distributed query engines " +
+        "planning shuffles partitions and columnar storage formats at scale"),
+      (3L, base), // exact dup of 1: same signature, same bucket — always dropped
+      (4L, base.replace("lazy", "sleepy"))) // near-dup: dropped iff bucket collides
+    // replay the operator's own semantics from the (deterministic) batch
+    // signatures to derive the expected accepted set — near-dup detection
+    // through ONE band is probabilistic by design, so the oracle is the
+    // signature algebra, not a hardcoded outcome
+    val threshold = 0.5
+    val sigs = docs.toDF("doc_id", "text").select(col("doc_id"),
+        element_at(graft.functions.HashExpressions.bandHashes(
+          graft.operators.Dedup.minhashSignature(col("text"), 3, 64), 16), 1).as("bucket"),
+        graft.operators.Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toList
+    val expected = scala.collection.mutable.Set.empty[String]
+    val held = scala.collection.mutable.Map.empty[Long, Vector[Seq[Long]]]
+    for ((id, bucket, sig) <- sigs) {
+      val isDup = held.getOrElse(bucket, Vector.empty).exists(s =>
+        s.zip(sig).count { case (a, b) => a == b }.toDouble / 64 >= threshold)
+      if (!isDup) { expected += id.toString; held(bucket) = held.getOrElse(bucket, Vector.empty) :+ sig }
+    }
+    assert(!expected.contains("3"), "exact dup must be dropped in the replay too")
+    assert(expected.contains("1") && expected.contains("2"))
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val dd = GraftStreaming.dedupMinHashStream(df, "ts", "10 seconds", "doc_id", "text",
+      threshold = threshold)
+    val query = GraftStreaming.storeStreamMemory(dd, "minhash_dedup_test")
+    try {
+      input.addData((ts(1), 1L, docs(0)._2), (ts(2), 2L, docs(1)._2))
+      query.processAllAvailable()
+      input.addData((ts(3), 3L, docs(2)._2), (ts(4), 4L, docs(3)._2)) // later batch
+      query.processAllAvailable()
+      val ids = spark.table("minhash_dedup_test").select("id").collect().map(_.getString(0)).toSet
+      assert(ids == expected.toSet, s"stream decisions must match the replayed semantics")
+    } finally query.stop()
+  }
+
   test("dedupTextStream: first doc per canonical text survives across batches, state watermark-bounded") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

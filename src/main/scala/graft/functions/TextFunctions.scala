@@ -50,6 +50,17 @@ object TextFunctions {
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
+  /** Repetition signal (Gopher-style quality rule): the fraction of word
+    * occurrences that are repeats — `1 - |distinct words| / |words|`.
+    * Pure column, codegen'd, no shuffle. High values flag boilerplate
+    * and degenerate generations.
+    */
+  def dupWordFraction(text: Column): Column = {
+    val t = tokens(text)
+    round(lit(1.0) -
+      size(array_distinct(t)).cast("double") / greatest(size(t), lit(1)).cast("double"), 6)
+  }
+
   /** Canonical text normalization for training corpora: Unicode NFC,
     * control characters stripped (tab/newline kept), whitespace runs
     * collapsed, trimmed. Pure Column composition.

@@ -94,6 +94,32 @@ object Dedup {
       .select(col("idA"), col("idB"), col("est_jaccard"))
   }
 
+  /** Benchmark decontamination: per corpus doc, the containment of its
+    * distinct n-gram set in the pooled benchmark n-gram set —
+    * `|grams(doc) ∩ pool| / |grams(doc)|`. The standard test-set-leakage
+    * check for training corpora (pooled variant: a doc overlapping ANY
+    * benchmark item counts, which is what decontamination wants).
+    *
+    * Scale shape: the pool is the distinct n-grams of the BENCHMARK —
+    * benchmark suites are tiny next to a 100 TB corpus, so the pool
+    * broadcasts and the per-doc hit count is a map-side semi probe; the
+    * only shuffle is the per-doc count aggregation, keyed by doc id.
+    */
+  def ngramContamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingle: Int = 3): DataFrame = {
+    val grams = (df: DataFrame) => df.select(col(idCol).as("__id"),
+      explode(array_distinct(wordShingles(col(textCol), shingle))).as("__sh"))
+    val cg = grams(corpus)
+    val pool = grams(benchmark).select("__sh").distinct()
+    val tot = cg.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val hits = cg.join(broadcast(pool), Seq("__sh"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("__h"))
+    tot.join(hits, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        round(coalesce(col("__h"), lit(0L)).cast("double") / col("__n"), 6)
+          .as("contamination"))
+  }
+
   /** SimHash 64-bit signature over distinct word shingles: per-bit
     * weighted vote of window hashes — near-duplicate texts differ in few
     * bits. String-free via [[graft.functions.SimHashTokens]] (windows are

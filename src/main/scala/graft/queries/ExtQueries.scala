@@ -560,7 +560,73 @@ object ExtQueries {
         expr("end_ts DIV 1000").as("end_us"), col("n_events"))
   }
 
+  /** Shared SQL fragment: per-doc word 2-grams with the same short-text
+    * fallback as [[graft.functions.TextFunctions.wordShingles]] (a doc
+    * with <n tokens contributes its whole text as one shingle).
+    */
+  private def gramsSql(n: Int): String = {
+    val last = n - 1
+    raw"""SELECT doc_id, unnest(
+            CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(1, len(w) - $last + 1),
+                        i -> array_to_string(w[i:i+$last], ' ')) END) AS g
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents)"""
+  }
+
+  /** Gopher-style repetition metrics, one row per doc: duplicate-word
+    * fraction (pure map-side column), top-2-gram fraction and
+    * duplicate-2-gram fraction (word-count-shaped explode + two-level
+    * aggregate — the heavy lifting is a hash aggregate keyed by
+    * (doc, gram), the canonical scalable shape, never a per-row
+    * quadratic scan of the doc).
+    */
+  private val repetitionQ = q("q_repetition",
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM (${gramsSql(2)}) grams GROUP BY 1, 2),
+       agg AS (SELECT doc_id,
+                 round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top2_frac,
+                 round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup2_frac
+               FROM cnt GROUP BY 1),
+       wf AS (SELECT doc_id,
+                round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+                        / greatest(len(w), 1), 6) AS dup_word_frac
+              FROM toks)
+       SELECT wf.doc_id, dup_word_frac, top2_frac, dup2_frac
+       FROM wf JOIN agg USING (doc_id)""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val wf = docs.select(col("doc_id"), dupWordFraction(col("text")).as("dup_word_frac"))
+    val agg = docs
+      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max("c").cast("double") / sum("c"), 6).as("top2_frac"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum("c"), 6).as("dup2_frac"))
+    wf.join(agg, "doc_id")
+  }
+
+  /** Benchmark decontamination: docs whose id is a multiple of 50 stand in
+    * as the held-out benchmark; every other doc gets the containment of
+    * its distinct 3-gram set in the pooled benchmark 3-grams.
+    */
+  private val contaminationQ = q("q_contamination",
+    raw"""WITH grams AS (SELECT DISTINCT doc_id, g FROM (${gramsSql(3)}) g0),
+       pool AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+       corpus AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+       tot AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY 1),
+       hit AS (SELECT doc_id, COUNT(*) AS h FROM corpus JOIN pool USING (g) GROUP BY 1)
+       SELECT tot.doc_id,
+              round(CAST(coalesce(h, 0) AS DOUBLE) / n, 6) AS contamination
+       FROM tot LEFT JOIN hit USING (doc_id)""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    Dedup.ngramContamination(
+      docs.where(col("doc_id") % 50 =!= 0),
+      docs.where(col("doc_id") % 50 === 0),
+      "doc_id", "text", shingle = 3)
+  }
+
   val all: Seq[QueryDef] = Seq(
+    repetitionQ, contaminationQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,

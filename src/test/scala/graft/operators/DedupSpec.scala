@@ -136,6 +136,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramContamination: containment fractions exact; pool probe is a broadcast semi join") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // 3 grams, 2 in benchmark pool
+      (2L, "zeta eta theta iota kappa"),       // disjoint from benchmark → 0
+      (3L, "alpha beta gamma delta unknown")   // 3 grams, 2 in benchmark pool
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val res = Dedup.ngramContamination(corpus, benchmark, "doc_id", "text", shingle = 3)
+    val got = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // doc 1: grams {abc, bcd, cde}; pool {abc, bcd} → 2/3
+    assert(got == Map(1L -> 0.666667, 2L -> 0.0, 3L -> 0.666667))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"pool probe must be a broadcast semi join:\n$plan")
+  }
+
   test("embedding near-duplicates: identical vectors pair at cosine 1.0; orthogonal don't") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

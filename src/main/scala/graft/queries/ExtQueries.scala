@@ -625,8 +625,53 @@ object ExtQueries {
       "doc_id", "text", shingle = 3)
   }
 
+  /** End-to-end corpus preparation — the composed pipeline a training-data
+    * user actually runs, as ONE declarative plan: quality gate → exact
+    * dedup (min-id winner per canonical fingerprint) → benchmark
+    * decontamination (drop docs with >0.2 containment in the benchmark
+    * 3-gram pool). Every stage is an operator oracled on its own
+    * elsewhere; this query pins their composition. One plan also means
+    * Catalyst sees the whole lineage: the quality filter runs once,
+    * map-side, before any of the three shuffles (dedup agg, contamination
+    * count, winner join).
+    */
+  private val pipelineQ = q("q_pipeline",
+    raw"""WITH qd AS ($QualityDocsSql),
+       q1 AS (SELECT d.doc_id, d.source, d.text, qd.quality
+              FROM documents d JOIN qd USING (doc_id)
+              WHERE qd.quality > 0.5 AND d.doc_id % 50 <> 0),
+       win AS (SELECT MIN(doc_id) AS doc_id FROM q1
+               GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+       grams AS (SELECT DISTINCT doc_id, g FROM (${gramsSql(3)}) g0),
+       pool AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+       tot AS (SELECT doc_id, COUNT(*) AS n FROM grams WHERE doc_id % 50 <> 0 GROUP BY 1),
+       hit AS (SELECT c.doc_id, COUNT(*) AS h
+               FROM (SELECT * FROM grams WHERE doc_id % 50 <> 0) c JOIN pool USING (g)
+               GROUP BY 1),
+       cont AS (SELECT tot.doc_id,
+                       round(CAST(coalesce(h, 0) AS DOUBLE) / n, 6) AS contamination
+                FROM tot LEFT JOIN hit USING (doc_id))
+       SELECT q1.doc_id, q1.source, q1.quality
+       FROM q1 JOIN win USING (doc_id) LEFT JOIN cont USING (doc_id)
+       WHERE coalesce(contamination, 0.0) <= 0.2""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val scored = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        qualityScore(col("text")).as("quality"))
+      .where(col("quality") > 0.5 && col("doc_id") % 50 =!= 0)
+    val winners = Dedup.exact(scored, "doc_id", "text").select("doc_id")
+    val cont = Dedup.ngramContamination(
+      docs.where(col("doc_id") % 50 =!= 0),
+      docs.where(col("doc_id") % 50 === 0),
+      "doc_id", "text", shingle = 3)
+    scored.join(winners, "doc_id")
+      .join(cont, Seq("doc_id"), "left")
+      .where(coalesce(col("contamination"), lit(0.0)) <= 0.2)
+      .select(col("doc_id"), col("source"), col("quality"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    repetitionQ, contaminationQ,
+    repetitionQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,

@@ -630,10 +630,16 @@ object ExtQueries {
     * dedup (min-id winner per canonical fingerprint) → benchmark
     * decontamination (drop docs with >0.2 containment in the benchmark
     * 3-gram pool). Every stage is an operator oracled on its own
-    * elsewhere; this query pins their composition. One plan also means
-    * Catalyst sees the whole lineage: the quality filter runs once,
-    * map-side, before any of the three shuffles (dedup agg, contamination
-    * count, winner join).
+    * elsewhere; this query pins their composition.
+    *
+    * Scan accounting (the 100 TB concern): quality score + fingerprint
+    * are computed in ONE projection over the corpus and the narrow
+    * result (id, source, quality, fp — no text) is materialized, because
+    * it feeds two DAG branches (dedup winners + final join) that would
+    * otherwise each re-scan and re-score the corpus. The contamination
+    * branch intentionally re-scans instead: its exploded gram table is
+    * LARGER than the corpus, so materializing it would cost more I/O
+    * than the recompute.
     */
   private val pipelineQ = q("q_pipeline",
     raw"""WITH qd AS ($QualityDocsSql),
@@ -655,11 +661,13 @@ object ExtQueries {
        FROM q1 JOIN win USING (doc_id) LEFT JOIN cont USING (doc_id)
        WHERE coalesce(contamination, 0.0) <= 0.2""") { (s, d) =>
     val docs = Tables.df(s, d, "documents")
-    val scored = docs
-      .select(col("doc_id"), col("source"), col("text"),
-        qualityScore(col("text")).as("quality"))
-      .where(col("quality") > 0.5 && col("doc_id") % 50 =!= 0)
-    val winners = Dedup.exact(scored, "doc_id", "text").select("doc_id")
+    val scored = graft.operators.Materialize.once(docs
+      .select(col("doc_id"), col("source"),
+        qualityScore(col("text")).as("quality"),
+        fingerprint(col("text")).as("__fp"))
+      .where(col("quality") > 0.5 && col("doc_id") % 50 =!= 0))
+    // Dedup.exact's min-id-per-fingerprint on the precomputed fp column
+    val winners = scored.groupBy("__fp").agg(min("doc_id").as("doc_id")).select("doc_id")
     val cont = Dedup.ngramContamination(
       docs.where(col("doc_id") % 50 =!= 0),
       docs.where(col("doc_id") % 50 === 0),

@@ -85,5 +85,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_top_k", "graft_top_k(expr, k) - aggregate: array of the k largest values"),
       (es: Seq[Expression]) => TopK(es(0), intArg(es(1), "graft_top_k", "k"))
         .toAggregateExpression()))
+    // text-pipeline columns (Column compositions — registered through
+    // their expression trees so pure-SQL pipelines get the same toolkit)
+    def colFn(e: Expression, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Expression =
+      org.apache.spark.sql.GraftBridge.expressionDeep(f(org.apache.spark.sql.GraftBridge.column(e)))
+    ext.injectFunction((FunctionIdentifier("graft_quality"),
+      info("graft_quality", "graft_quality(text) - heuristic [0,1] quality score"),
+      (es: Seq[Expression]) => colFn(es(0), TextFunctions.qualityScore)))
+    ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "graft_fingerprint(text) - 64-bit canonical-text fingerprint"),
+      (es: Seq[Expression]) => colFn(es(0), TextFunctions.fingerprint)))
+    ext.injectFunction((FunctionIdentifier("graft_normalize"),
+      info("graft_normalize", "graft_normalize(text) - NFC + control-strip + whitespace-collapse"),
+      (es: Seq[Expression]) => colFn(es(0), TextFunctions.normalizeText)))
+    ext.injectFunction((FunctionIdentifier("graft_langid"),
+      info("graft_langid", "graft_langid(text) - n-gram/stopword language guess"),
+      (es: Seq[Expression]) => colFn(es(0), TextFunctions.langId)))
+    ext.injectFunction((FunctionIdentifier("graft_redact"),
+      info("graft_redact", "graft_redact(text) - mask emails/phones/ssn-like PII"),
+      (es: Seq[Expression]) => colFn(es(0), TextFunctions.redactPii)))
+    ext.injectFunction((FunctionIdentifier("graft_dup_word_frac"),
+      info("graft_dup_word_frac", "graft_dup_word_frac(text) - repeated-word fraction (repetition signal)"),
+      (es: Seq[Expression]) => colFn(es(0), TextFunctions.dupWordFraction)))
   }
 }

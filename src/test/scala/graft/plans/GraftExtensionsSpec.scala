@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The extension-injected SQL functions work from plain `spark.sql` in a
@@ -114,6 +115,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.conf.unset(RangeJoinRewrite.BinWidthKey)
       spark.conf.unset(RangeJoinRewrite.PhysicalKey)
     }
+  }
+
+  test("text-pipeline functions are SQL-callable and match the Column API") {
+    import spark.implicits._
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog near the riverbank today",
+      "spam spam spam spam spam").toDF("text")
+    df.createOrReplaceTempView("txts")
+    val viaSql = spark.sql(
+      """SELECT graft_quality(text) AS q, graft_fingerprint(text) AS fp,
+                graft_normalize(text) AS norm, graft_langid(text) AS lang,
+                graft_redact(text) AS red, graft_dup_word_frac(text) AS dw
+         FROM txts""").collect()
+    val viaCols = df.select(
+      graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+      graft.functions.TextFunctions.normalizeText(col("text")).as("norm"),
+      graft.functions.TextFunctions.langId(col("text")).as("lang"),
+      graft.functions.TextFunctions.redactPii(col("text")).as("red"),
+      graft.functions.TextFunctions.dupWordFraction(col("text")).as("dw")).collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCols.map(_.toSeq).toSeq)
+    assert(viaSql(1).getDouble(5) == 0.8, "spam x5 repeats 4/5 of its words")
   }
 
   test("graft_top_k aggregates in SQL with GROUP BY") {

@@ -516,6 +516,43 @@ object ExtQueries {
       .select(col("event_id"), col("user_id"), col("marker_id"))
   }
 
+  private val asofForwardQ = q("q_asof_forward",
+    // forward as-of: every event matched to the EARLIEST marker at or
+    // after it (DuckDB native ASOF with the inequality flipped)
+    """WITH l AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu FROM events),
+       r AS (SELECT user_id, epoch_ns(ts) // 1000 AS mtsu, MAX(event_id) AS marker_id
+             FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
+       SELECT l.event_id, l.user_id, r.marker_id
+       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.mtsu >= l.tsu""") { (s, d) =>
+    val ev = Tables.df(s, d, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("tsu"))
+    val markers = ev.where(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("tsu").as("mtsu"))
+      .agg(max(col("event_id")).as("marker_id"))
+    AsofJoin.asof(ev, markers, "user_id", "tsu", "mtsu", Seq("marker_id"),
+      direction = "forward")
+      .select(col("event_id"), col("user_id"), col("marker_id"))
+  }
+
+  private val asofToleranceQ = q("q_asof_tolerance",
+    // backward as-of with a 60-second tolerance: matches further than
+    // 60s behind the event null out (pandas merge_asof tolerance)
+    """WITH l AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu FROM events),
+       r AS (SELECT user_id, epoch_ns(ts) // 1000 AS mtsu, MAX(event_id) AS marker_id
+             FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
+       SELECT l.event_id, l.user_id,
+              CASE WHEN l.tsu - r.mtsu <= 60000000 THEN r.marker_id END AS marker_id
+       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.mtsu <= l.tsu""") { (s, d) =>
+    val ev = Tables.df(s, d, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("tsu"))
+    val markers = ev.where(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("tsu").as("mtsu"))
+      .agg(max(col("event_id")).as("marker_id"))
+    AsofJoin.asof(ev, markers, "user_id", "tsu", "mtsu", Seq("marker_id"),
+      tolerance = Some(60000000L))
+      .select(col("event_id"), col("user_id"), col("marker_id"))
+  }
+
   private val rangeJoinQ = q("q_range_join",
     // binned range join vs a plain BETWEEN join: every event paired with
     // each 60s marker window containing it (micro-precision ts)
@@ -684,5 +721,6 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
     annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
-    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, asofQ, rangeJoinQ)
+    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, asofQ, asofForwardQ, asofToleranceQ,
+    rangeJoinQ)
 }

@@ -32,6 +32,29 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Set(("l1", null), ("l2", null)))
   }
 
+  test("asof forward: earliest right at-or-after; equal ts inclusive; nothing after → null") {
+    val left = Seq((1, 10L, "l1"), (1, 20L, "l2"), (1, 26L, "l3"), (2, 5L, "l4"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1, 10L, "a"), (1, 25L, "b"), (2, 1L, "c")).toDF("k", "rts", "rv")
+    val got = AsofJoin.asof(left, right, "k", "ts", "rts", Seq("rv"),
+      direction = "forward")
+      .collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("l1", "a"),  // equal ts: inclusive
+      ("l2", "b"),  // earliest following, not latest
+      ("l3", null), // nothing at/after 26
+      ("l4", null)))
+  }
+
+  test("asof tolerance: matches farther than the bound null out, closer ones survive") {
+    val left = Seq((1, 10L, "near"), (1, 100L, "far")).toDF("k", "ts", "lv")
+    val right = Seq((1, 8L, "m")).toDF("k", "rts", "rv")
+    val got = AsofJoin.asof(left, right, "k", "ts", "rts", Seq("rv"),
+      tolerance = Some(5L))
+      .collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(got == Set(("near", "m"), ("far", null)))
+  }
+
   test("rangeJoin: exact containment, boundaries inclusive, intervals spanning bins, no dup pairs") {
     val points = Seq((1L, 10L), (2L, 100L), (3L, 250L), (4L, 999L)).toDF("pid", "t")
     // interval B spans multiple 100-wide bins; A and B overlap

@@ -516,6 +516,29 @@ object ExtQueries {
       .select(col("event_id"), col("user_id"), col("marker_id"))
   }
 
+  private val mixtureQ = q("q_mixture",
+    // temperature mixing (alpha=0.5): per-source keep-rate ∝ sqrt(share),
+    // replayed exactly — sqrt is IEEE-exactly-rounded, weights are
+    // integer-scaled before the normalizing sum, and the keep decision
+    // is the shared LCG threshold scheme
+    s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+       w AS (SELECT source, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+             FROM c),
+       t AS (SELECT SUM(w) AS sumw, SUM(n) AS total FROM w),
+       r AS (SELECT source,
+               CAST(floor(least(1.0,
+                 (CAST(w AS DOUBLE) / CAST(sumw AS DOUBLE))
+                   * (CAST(total AS DOUBLE) * 0.5) / CAST(n AS DOUBLE))
+                 * 2147483648.0) AS BIGINT) AS thr
+             FROM w CROSS JOIN t)
+       SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+       WHERE ${OracleSql.lcg31("d.doc_id")} < r.thr""") { (s, d) =>
+    graft.operators.Mixture.sqrtMixtureSample(
+      Tables.df(s, d, "documents"), "source", "doc_id", targetFraction = 0.5)
+      .select(col("doc_id"), col("source"))
+  }
+
   private val asofForwardQ = q("q_asof_forward",
     // forward as-of: every event matched to the EARLIEST marker at or
     // after it (DuckDB native ASOF with the inequality flipped)
@@ -721,6 +744,6 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
     annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
-    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, asofQ, asofForwardQ, asofToleranceQ,
-    rangeJoinQ)
+    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, asofQ, asofForwardQ,
+    asofToleranceQ, rangeJoinQ)
 }

@@ -149,14 +149,15 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2Norm(col(vecCol)).as("__cn"))
     // one row holding all centroids as an array of (cell, centroid) structs
-    val centroidRow = broadcast(
+    val centroidRow = broadcast(centroids.getOrElse(
       c.orderBy("neighbor_id").limit(nCells)
         .agg(collect_list(struct(col("neighbor_id").as("cell"), col("__cv").as("centroid")))
-          .as("__cells")))
+          .as("__cells"))))
     val assigned = c.join(centroidRow) // broadcast 1-row nested-loop: map-side
       .withColumn("__cell", element_at(nearestCells(col("__cv"), col("__cells"), 1), 1)("cell"))
       .select(col("neighbor_id"), col("__cv"), col("__cn"), col("__cell"))
@@ -170,5 +171,67 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", pairCosine)
     topKByCosine(scored, k)
+  }
+
+  /** Lloyd-refined coarse quantizer for [[ivfTopK]], seeded by
+    * farthest-point traversal: the classic fix for seed collapse — id-order
+    * seeds can all land in one dense cluster, and Lloyd alone cannot pull
+    * a centroid out of a cluster that keeps feeding it members. Seeding
+    * runs locally over a BOUNDED deterministic sample (LCG-spread,
+    * `sampleSize` rows collected — the faiss pattern: quantizers train on
+    * a sample in RAM, O(sample·nCells) work regardless of corpus size);
+    * the `iters` Lloyd steps then refine over the FULL corpus,
+    * distributed — map-side assignment against the broadcast centroid
+    * array, per-(cell, dimension) means via posexplode (two hash
+    * aggregates per step; the only driver-side state is the loop counter
+    * and the ≤nCells seed vectors). Returns the one-row `__cells`
+    * relation ivfTopK builds internally, so a trained quantizer drops in
+    * via its `centroids` parameter. Trained cells mirror the data
+    * DISTRIBUTION rather than the id order, evening out cell sizes (probe
+    * cost) and tightening cell radii (recall per probe).
+    *
+    * Cells that lose every member in a step vanish (standard Lloyd);
+    * callers get ≤ nCells cells back. Not oracle-replayable (iterative
+    * float means) — gated by SimilaritySpec's planted-cluster fixture.
+    */
+  def kmeansCells(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 3, sampleSize: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).cast("long").as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val samp: Array[(Long, Array[Double])] = c
+      .orderBy(Mixture.lcg31Col(col("__id")).asc, col("__id").asc)
+      .limit(math.max(sampleSize, nCells)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(samp.nonEmpty, "kmeansCells: empty corpus")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(samp.minBy(_._1))
+    while (seeds.size < nCells && seeds.size < samp.length) {
+      val chosen = seeds.map(_._1).toSet
+      // farthest from the current seed set; smallest id breaks exact ties
+      seeds += samp.iterator.filterNot(p => chosen(p._1))
+        .maxBy(p => (seeds.iterator.map(sd => d2(p._2, sd._2)).min, -p._1))
+    }
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Double])] =
+      org.apache.spark.sql.Encoders.product[(Long, Array[Double])]
+    var cells = broadcast(spark.createDataset(seeds.toSeq).toDF("cell", "centroid")
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("__cells")))
+    for (_ <- 1 to iters) {
+      val assigned = c.join(cells)
+        .withColumn("__cell", element_at(nearestCells(col("__v"), col("__cells"), 1), 1)("cell"))
+        .select(col("__cell"), posexplode(col("__v")))
+      val means = assigned.groupBy(col("__cell"), col("pos")).agg(avg(col("col")).as("__m"))
+        .groupBy(col("__cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("__m")))),
+          p => p("__m")).as("centroid"))
+      cells = broadcast(means
+        .agg(collect_list(struct(col("__cell").as("cell"), col("centroid"))).as("__cells")))
+    }
+    cells
   }
 }

@@ -136,6 +136,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(zq.isEmpty, "zero-norm query must have no defined neighbors")
   }
 
+  test("kmeansCells: trained centroids land one per planted cluster and lift IVF recall") {
+    // 4 well-separated clusters of 25 vectors; seeds (lowest ids) all sit
+    // in cluster 0, so the untrained quantizer collapses three clusters
+    // into distant cells — Lloyd steps must spread the centroids out
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val rows = for {
+      c <- centers.indices; j <- 0 until 25
+    } yield ((c * 25 + j).toLong, centers(c).map(_ + rnd.nextFloat() * 0.5f))
+    // cluster-0 ids first: ids 0..24 are all in cluster 0
+    val df = rows.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansCells(df, "vec_id", "embedding", nCells = 4, iters = 4)
+    val cells = trained.collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(cells.length == 4)
+    // each trained centroid sits inside exactly one planted cluster
+    val owners = cells.map { cr =>
+      val cen = cr.getSeq[Double](1)
+      centers.indices.minBy(ci => centers(ci).zip(cen).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    assert(owners.toSet.size == 4, s"centroids collapsed onto clusters $owners")
+    // with one cell per cluster, single-probe IVF finds in-cluster
+    // neighbors for every query — the untrained seed quantizer cannot
+    val queries = df.where($"vec_id" % 25 === 3)
+    val got = Similarity.ivfTopK(queries, df, "vec_id", "embedding", k = 3,
+      nCells = 4, nProbe = 1, centroids = Some(trained)).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.size == 4, "every query found a populated cell")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 3)
+      // neighbors come from the query's own planted cluster
+      rs.foreach(r => assert(r.getLong(1) / 25 == q / 25,
+        s"query $q matched out-of-cluster ${r.getLong(1)}"))
+    }
+  }
+
   test("ivfTopK probes only nProbe cells but finds self-cell neighbors") {
     val df = corpus()
     val queries = df.where($"vec_id" < 5)

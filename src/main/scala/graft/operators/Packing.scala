@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the standard pretraining batch prep: documents are
+  * concatenated in a deterministic order and split into fixed
+  * token-budget examples, so no example pads and a document may straddle
+  * a boundary. Each doc gets the example containing its first token plus
+  * its offset there; integer arithmetic end to end, so the layout is
+  * reproducible and oracle-replayable.
+  *
+  * Scale shape: one window (cumulative sum) partitioned by `streamCol` —
+  * the stream key (source, shard, …) bounds each window's run length, so
+  * packing parallelizes across streams and never needs a global sort.
+  */
+object Packing {
+
+  /** @param budget tokens per packed example (> 0)
+    * @return input plus `example_id` (per-stream, 0-based) and `offset`
+    *         (token position of the doc inside its example)
+    */
+  def packByBudget(df: DataFrame, streamCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col(tokensCol)).over(w), lit(0L))
+    df.withColumn("example_id", (before / budget).cast("long"))
+      .withColumn("offset", (before % budget).cast("long"))
+  }
+}

@@ -516,6 +516,28 @@ object ExtQueries {
       .select(col("event_id"), col("user_id"), col("marker_id"))
   }
 
+  private val packQ = q("q_pack",
+    // sequence packing: docs concatenated per source in doc_id order,
+    // split into 512-token examples; the cumulative-sum-before is pure
+    // BIGINT arithmetic, bit-identical across engines
+    """WITH t AS (SELECT doc_id, source,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+       c AS (SELECT doc_id, source, n_tokens,
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          FROM t)
+       SELECT doc_id, source, CAST(bef // 512 AS BIGINT) AS example_id,
+              CAST(bef % 512 AS BIGINT) AS offset
+       FROM c""") { (s, d) =>
+    graft.operators.Packing.packByBudget(
+      Tables.df(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens")),
+      "source", "doc_id", "n_tokens", budget = 512L)
+      .select(col("doc_id"), col("source"), col("example_id"), col("offset"))
+  }
+
   private val mixtureQ = q("q_mixture",
     // temperature mixing (alpha=0.5): per-source keep-rate ∝ sqrt(share),
     // replayed exactly — sqrt is IEEE-exactly-rounded, weights are
@@ -744,6 +766,6 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
     annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
-    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, asofQ, asofForwardQ,
+    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofForwardQ,
     asofToleranceQ, rangeJoinQ)
 }

@@ -322,6 +322,17 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  // trained-quantizer IVF: farthest-point seeding + Lloyd steps are
+  // iterative float means, not SQL-replayable → rows-only gate here;
+  // semantics pinned by SimilaritySpec's planted-cluster fixture
+  private val annIvfTrainedQ = q("q_ann_ivf_trained") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding", nCells = 16, iters = 2)
+    Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4, centroids = Some(cells))
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   private val annIvfQ = q("q_ann_ivf",
     // the IVF pipeline is fully deterministic (centroids = 16 lowest ids,
     // L2 assignment tie-broken by cell, probe 4 cells, cosine rank), so
@@ -765,7 +776,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
-    annIvfQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
+    annIvfQ, annIvfTrainedQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofForwardQ,
     asofToleranceQ, rangeJoinQ)
 }

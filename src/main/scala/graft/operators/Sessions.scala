@@ -36,4 +36,49 @@ object Sessions {
       .agg(min(tsCol).as("start_ts"), max(tsCol).as("end_ts"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Skew-safe sessionization, same result as [[batch]] (same schema,
+    * same 0-based per-key session ids): events first sessionize within
+    * (key, time bucket) — a pathological key's events spread across its
+    * buckets instead of sorting in ONE task — then the per-bucket
+    * sessions (at most a few rows per bucket, never the raw events)
+    * merge across boundaries with the identical gap rule at the session
+    * level. A session chaining through n buckets is n sub-sessions
+    * healed by the second pass; per-key data in that pass is bounded by
+    * the key's session/bucket count, so the hot-key sort the event-level
+    * window needed is gone.
+    *
+    * `bucket` must exceed `gap` (a gap can then only straddle ONE
+    * boundary) and should be generous — e.g. a day of micros for minute
+    * gaps — so bucket counts stay small and phase-2 stays tiny.
+    */
+  def batchSkewSafe(df: DataFrame, keyCol: Column, tsCol: Column, tieBreak: Column,
+      gap: Long, bucket: Long): DataFrame = {
+    require(bucket > gap, s"bucket ($bucket) must exceed gap ($gap)")
+    // exact integral bucket start: ts - (ts mod bucket); pmod keeps
+    // negative timestamps in the right bucket
+    val bucketStart = (tsCol - pmod(tsCol, lit(bucket))).as("__bkt")
+    val byTime = Window.partitionBy(keyCol, col("__bkt")).orderBy(tsCol, tieBreak)
+    val sub = df.withColumn("__bkt", bucketStart)
+      .withColumn("__brk",
+        when(tsCol - lag(tsCol, 1).over(byTime) > gap, 1).otherwise(0))
+      .withColumn("__sid",
+        sum(col("__brk")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keyCol.as("key"), col("__bkt"), col("__sid"))
+      .agg(min(tsCol).as("start_ts"), max(tsCol).as("end_ts"),
+        count(lit(1)).as("n_events"))
+    // phase 2: the same gap rule over SESSION rows — merge a session with
+    // its predecessor when its first event is within gap of the
+    // predecessor's last event (exactly the boundary condition the
+    // bucketing may have split)
+    val bySession = Window.partitionBy(col("key")).orderBy(col("start_ts"), col("__bkt"), col("__sid"))
+    sub
+      .withColumn("__mbrk",
+        when(col("start_ts") - lag(col("end_ts"), 1).over(bySession) > gap, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__mbrk")).over(bySession.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("session_id"))
+      .agg(min(col("start_ts")).as("start_ts"), max(col("end_ts")).as("end_ts"),
+        sum(col("n_events")).as("n_events"))
+  }
 }

@@ -627,6 +627,34 @@ object ExtQueries {
       .select(col("event_id"), col("interval_id"))
   }
 
+  /** Same relation as q_sessionize (same DuckDB oracle) through the
+    * skew-safe two-phase operator: sub-sessions within 6-hour buckets,
+    * boundary merge at the session level — identical answers without the
+    * hot-key single-task sort.
+    */
+  private val sessionizeSkewQ = q("q_sessionize_skew",
+    """WITH e AS (
+         SELECT user_id, epoch_ns(ts) AS tns, event_id,
+                CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, tns,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM e)
+       SELECT user_id AS key, CAST(session_id AS BIGINT) AS session_id,
+              MIN(tns) // 1000 AS start_us, MAX(tns) // 1000 AS end_us,
+              CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM s GROUP BY 1, 2""") { (s, d) =>
+    Sessions.batchSkewSafe(Tables.df(s, d, "events"),
+      col("user_id"), col("ts"), col("event_id"),
+      gap = 1800000000000L, bucket = 21600000000000L)
+      .select(col("key"), col("session_id"),
+        expr("start_ts DIV 1000").as("start_us"),
+        expr("end_ts DIV 1000").as("end_us"), col("n_events"))
+  }
+
   private val sessionizeQ = qb("q_sessionize",
     // 30-minute gap sessionization over the events stream table (ts is
     // nanos-since-epoch); the two-window SQL mirrors the Spark plan shape
@@ -776,7 +804,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
-    annIvfQ, annIvfTrainedQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ,
+    annIvfQ, annIvfTrainedQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofForwardQ,
     asofToleranceQ, rangeJoinQ)
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** batchSkewSafe must be result-identical to batch — same schema, same
+  * 0-based per-key session ids — while never sorting a whole key in one
+  * task. Random fixtures force sessions that chain across bucket
+  * boundaries plus a pathological hot key.
+  */
+class SessionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def sessionsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select("key", "session_id", "start_ts", "end_ts", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("batchSkewSafe == batch on random data with boundary-spanning sessions and a hot key") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      // gaps drawn around the session gap (50) and bucket width (300):
+      // plenty of sessions continue straight across a bucket boundary
+      val events = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (k <- 0L until 6L) {
+        var t = rnd.nextInt(100).toLong
+        val n = if (k == 0) 3000 else 100 // key 0 is the hot key
+        for (_ <- 0 until n) {
+          t += rnd.nextInt(120).toLong // 0..119: ~40% of steps break (gap 50)
+          events += ((k, t))
+        }
+      }
+      val df = events.toSeq.toDF("user", "ts")
+      val plain = Sessions.batch(df, col("user"), col("ts"), col("ts"), gap = 50L)
+      val safe = Sessions.batchSkewSafe(df, col("user"), col("ts"), col("ts"),
+        gap = 50L, bucket = 300L)
+      assert(sessionsOf(safe) == sessionsOf(plain), s"trial $trial diverged")
+    }
+  }
+
+  test("batchSkewSafe heals a session spanning many buckets into one row") {
+    // 10 events 20 apart: one session of length 180, crossing buckets of 60
+    val df = (0L until 10L).map(i => (1L, i * 20L)).toDF("user", "ts")
+    val safe = sessionsOf(Sessions.batchSkewSafe(df, col("user"), col("ts"), col("ts"),
+      gap = 50L, bucket = 60L))
+    assert(safe == Seq((1L, 0L, 0L, 180L, 10L)))
+  }
+}

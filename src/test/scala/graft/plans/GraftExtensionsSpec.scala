@@ -117,6 +117,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("RangeJoinStrategy declines when the interval side exceeds the broadcast threshold") {
+    import spark.implicits._
+    (0L to 50L).map(i => (i, i)).toDF("pid", "pt").createOrReplaceTempView("pts3")
+    Seq((1L, 10L, 20L)).toDF("iid", "lo", "hi").createOrReplaceTempView("ivs3")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(RangeJoinRewrite.BinWidthKey, "16")
+    spark.conf.set(RangeJoinRewrite.PhysicalKey, "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql("SELECT pid, iid FROM pts3 JOIN ivs3 ON pt >= lo AND pt <= hi")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastRangeJoin"),
+        s"strategy must decline with broadcasting disabled:\n$plan")
+      assert(df.count() == 11) // correctness through the fallback plan
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset(RangeJoinRewrite.BinWidthKey)
+      spark.conf.unset(RangeJoinRewrite.PhysicalKey)
+    }
+  }
+
   test("text-pipeline functions are SQL-callable and match the Column API") {
     import spark.implicits._
     val df = Seq(

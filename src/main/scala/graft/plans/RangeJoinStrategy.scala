@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.LongType
 
@@ -67,6 +68,9 @@ final case class BroadcastRangeJoinExec(
     streamed: SparkPlan, build: SparkPlan, streamedIsLeft: Boolean)
   extends BinaryExecNode {
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override def left: SparkPlan = if (streamedIsLeft) streamed else build
   override def right: SparkPlan = if (streamedIsLeft) build else streamed
 
@@ -84,6 +88,7 @@ final case class BroadcastRangeJoinExec(
     else copy(streamed = newRight, build = newLeft)
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
     val broadcastRelation = build.executeBroadcast[Array[InternalRow]]()
     val ptBound = BindReferences.bindReference(Cast(pt, LongType), streamed.output)
     val loBound = BindReferences.bindReference(Cast(lo, LongType), build.output)
@@ -132,6 +137,7 @@ final case class BroadcastRangeJoinExec(
                 while (nextRow == null && it.hasNext) {
                   val (lo1, hi1, brow) = it.next()
                   if (lo1 <= p && p <= hi1) {
+                    numOutputRows += 1
                     nextRow = proj(if (sIsLeft) joined(srow, brow) else joined(brow, srow))
                   }
                 }

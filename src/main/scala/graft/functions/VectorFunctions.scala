@@ -43,6 +43,26 @@ object VectorFunctions {
     transform(v, x => x / n)
   }
 
+  /** Symmetric int8 quantization for embedding STORAGE: 4 bytes/dim →
+    * 1 byte/dim, the difference between a 100 TB and a 25 TB vector
+    * store. Returns `struct(scale double, q array<int>)` with
+    * `x ≈ q * scale / 127`; values TRUNCATE toward zero (not round)
+    * because double→int truncation is bit-identical across engines
+    * while round-at-.5 is not — quantization error stays < scale/127
+    * either way. A zero vector quantizes to zeros with scale 0.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val d = asDouble(v)
+    val s = array_max(transform(d, x => abs(x)))
+    val q = when(s === 0.0, transform(d, _ => lit(0)))
+      .otherwise(transform(d, x => (x / s * 127.0).cast("int")))
+    struct(s.as("scale"), q.as("q"))
+  }
+
+  /** Reconstruct doubles from [[quantizeInt8]] output. */
+  def dequantizeInt8(qv: Column): Column =
+    transform(qv("q"), x => x.cast("double") * qv("scale") / 127.0)
+
   /** Quantized integer dot product: `round(x*scale)` per element, exact
     * 64-bit integer arithmetic. Deterministic across engines and summation
     * orders — used where a bit-exact similarity key is needed (dedup keys,

@@ -322,6 +322,32 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  private val quantizeQ = q("q_quantize",
+    // int8 storage quantization, integer-summarized so the oracle is
+    // exact: trunc-toward-zero is bit-identical across engines (round's
+    // .5 behavior is not), float→double widening is exact, and the
+    // per-row scale surfaces as floor(micros)
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM c),
+       qd AS (SELECT vec_id, s,
+               CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(trunc(x / s * 127) AS INTEGER)) END AS qv
+             FROM m)
+       SELECT vec_id, CAST(floor(s * 1000000) AS BIGINT) AS scale_micros,
+              CAST(list_sum(qv) AS BIGINT) AS q_sum,
+              CAST(list_min(qv) AS BIGINT) AS q_min,
+              CAST(list_max(qv) AS BIGINT) AS q_max
+       FROM qd""") { (s, d) =>
+    val qv = quantizeInt8(col("embedding"))
+    Tables.df(s, d, "embeddings")
+      .select(col("vec_id"), qv.as("__qv"))
+      .select(col("vec_id"),
+        floor(col("__qv.scale") * 1000000).cast("long").as("scale_micros"),
+        aggregate(col("__qv.q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("__qv.q")).cast("long").as("q_min"),
+        array_max(col("__qv.q")).cast("long").as("q_max"))
+  }
+
   // trained-quantizer IVF: farthest-point seeding + Lloyd steps are
   // iterative float means, not SQL-replayable → rows-only gate here;
   // semantics pinned by SimilaritySpec's planted-cluster fixture
@@ -804,7 +830,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
-    annIvfQ, annIvfTrainedQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
+    annIvfQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofForwardQ,
     asofToleranceQ, rangeJoinQ)
 }

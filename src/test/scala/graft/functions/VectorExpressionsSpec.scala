@@ -93,4 +93,16 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
     assert(df.select(dot(col("a"), col("b"))).collect().head.isNullAt(0))
   }
+
+  test("int8 quantize/dequantize round-trip: error < scale/127, zero vector safe") {
+    val df = Seq(
+      Tuple1(Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      Tuple1(Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("v")
+    val rows = df.select(col("v"), dequantizeInt8(quantizeInt8(col("v"))).as("r"),
+      quantizeInt8(col("v"))("scale").as("s")).collect()
+    val (v0, r0, s0) = (rows(0).getSeq[Float](0), rows(0).getSeq[Double](1), rows(0).getDouble(2))
+    assert(s0 == 1.0)
+    v0.zip(r0).foreach { case (x, y) => assert(math.abs(x - y) < s0 / 127.0 + 1e-12) }
+    assert(rows(1).getSeq[Double](1).forall(_ == 0.0), "zero vector round-trips to zeros")
+  }
 }

@@ -26,12 +26,16 @@ object ProbeRange {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // localCheckpoint RETURNS the checkpointed dataset — registering the
+    // returned plans means the timed runs probe the join paths, not the
+    // parquet scan+projection
     val ev = spark.read.parquet(sfDir + "/events.parquet")
       .select(col("event_id"), expr("ts DIV 1000").as("tsu"))
+      .localCheckpoint(true)
     val iv = ev.where(col("event_id") % 100 === 0)
       .select(col("event_id").as("interval_id"), col("tsu").as("lo"),
         (col("tsu") + 60000000L).as("hi"))
-    ev.localCheckpoint(true); iv.localCheckpoint(true)
+      .localCheckpoint(true)
     ev.createOrReplaceTempView("p")
     iv.createOrReplaceTempView("i")
     val sql = "SELECT p.event_id, i.interval_id FROM p JOIN i ON p.tsu BETWEEN i.lo AND i.hi"

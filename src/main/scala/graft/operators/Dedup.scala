@@ -109,15 +109,17 @@ object Dedup {
       idCol: String, textCol: String, shingle: Int = 3): DataFrame = {
     val grams = (df: DataFrame) => df.select(col(idCol).as("__id"),
       explode(array_distinct(wordShingles(col(textCol), shingle))).as("__sh"))
-    val cg = grams(corpus)
     val pool = grams(benchmark).select("__sh").distinct()
-    val tot = cg.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val hits = cg.join(broadcast(pool), Seq("__sh"), "left_semi")
-      .groupBy("__id").agg(count(lit(1)).as("__h"))
-    tot.join(hits, Seq("__id"), "left")
+    // ONE pass over the corpus grams: the broadcast pool rides as a hit
+    // marker on a left join, so total and hit counts come out of the same
+    // aggregate — a tot/hits two-branch formulation would re-run the
+    // shingle explode (the dominant cost) once per branch
+    grams(corpus)
+      .join(broadcast(pool.withColumn("__hit", lit(1))), Seq("__sh"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__n"), count(col("__hit")).as("__h"))
       .select(col("__id").as(idCol),
-        round(coalesce(col("__h"), lit(0L)).cast("double") / col("__n"), 6)
-          .as("contamination"))
+        round(col("__h").cast("double") / col("__n"), 6).as("contamination"))
   }
 
   /** SimHash 64-bit signature over distinct word shingles: per-bit

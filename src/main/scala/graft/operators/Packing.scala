@@ -27,7 +27,15 @@ object Packing {
     val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val before = coalesce(sum(col(tokensCol)).over(w), lit(0L))
-    df.withColumn("example_id", (before / budget).cast("long"))
+    // IntegralDivide, not `/`: Column./ is double division, which rounds
+    // for cumulative sums past 2^53 and could disagree with the exact
+    // integer remainder below (and with the oracle's `//`)
+    def intDiv(a: Column, b: Long): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.catalyst.expressions.Literal(b)))
+    df.withColumn("example_id", intDiv(before, budget))
       .withColumn("offset", (before % budget).cast("long"))
   }
 }

@@ -177,7 +177,7 @@ object Similarity {
     * farthest-point traversal: the classic fix for seed collapse — id-order
     * seeds can all land in one dense cluster, and Lloyd alone cannot pull
     * a centroid out of a cluster that keeps feeding it members. Seeding
-    * runs locally over a BOUNDED deterministic sample (LCG-spread,
+    * runs locally over a BOUNDED deterministic sample (hash-spread,
     * `sampleSize` rows collected — the faiss pattern: quantizers train on
     * a sample in RAM, O(sample·nCells) work regardless of corpus size);
     * the `iters` Lloyd steps then refine over the FULL corpus,
@@ -197,12 +197,15 @@ object Similarity {
   def kmeansCells(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 3, sampleSize: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
-    val c = corpus.select(col(idCol).cast("long").as("__id"),
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
-    val samp: Array[(Long, Array[Double])] = c
-      .orderBy(Mixture.lcg31Col(col("__id")).asc, col("__id").asc)
+    // ids participate only in deterministic ORDERING here, so any id type
+    // works: the spread key is a hash of the id's string form, and cells
+    // are labeled 0..n-1 (ivfTopK only needs cell labels to be stable)
+    val idStr = col(idCol).cast("string")
+    val c = corpus.select(transform(col(vecCol), x => x.cast("double")).as("__v"), idStr.as("__id"))
+    val samp: Array[(String, Array[Double])] = c
+      .orderBy(xxhash64(idStr).asc, idStr.asc)
       .limit(math.max(sampleSize, nCells)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map(r => (r.getString(1), r.getSeq[Double](0).toArray))
     require(samp.nonEmpty, "kmeansCells: empty corpus")
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
@@ -215,23 +218,30 @@ object Similarity {
       val chosen = seeds.map(_._1).toSet
       // farthest from the current seed set; smallest id breaks exact ties
       seeds += samp.iterator.filterNot(p => chosen(p._1))
-        .maxBy(p => (seeds.iterator.map(sd => d2(p._2, sd._2)).min, -p._1))
+        .maxBy(p => (seeds.iterator.map(sd => d2(p._2, sd._2)).min, p._1))(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String.reverse))
     }
     implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Double])] =
       org.apache.spark.sql.Encoders.product[(Long, Array[Double])]
-    var cells = broadcast(spark.createDataset(seeds.toSeq).toDF("cell", "centroid")
-      .agg(collect_list(struct(col("cell"), col("centroid"))).as("__cells")))
+    def toCellsDf(centroids: Seq[(Long, Array[Double])]) =
+      broadcast(spark.createDataset(centroids).toDF("cell", "centroid")
+        .agg(collect_list(struct(col("cell"), col("centroid"))).as("__cells")))
+    var centroids: Seq[(Long, Array[Double])] =
+      seeds.toSeq.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     for (_ <- 1 to iters) {
-      val assigned = c.join(cells)
+      val assigned = c.join(toCellsDf(centroids))
         .withColumn("__cell", element_at(nearestCells(col("__v"), col("__cells"), 1), 1)("cell"))
         .select(col("__cell"), posexplode(col("__v")))
-      val means = assigned.groupBy(col("__cell"), col("pos")).agg(avg(col("col")).as("__m"))
+      // collect the <= nCells small mean vectors each step: truncates the
+      // lineage so downstream actions never replay earlier iterations'
+      // full-corpus scans
+      centroids = assigned.groupBy(col("__cell"), col("pos")).agg(avg(col("col")).as("__m"))
         .groupBy(col("__cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("__m")))),
           p => p("__m")).as("centroid"))
-      cells = broadcast(means
-        .agg(collect_list(struct(col("__cell").as("cell"), col("centroid"))).as("__cells")))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     }
-    cells
+    toCellsDf(centroids)
   }
 }

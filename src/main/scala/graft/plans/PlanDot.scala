@@ -32,15 +32,24 @@ object PlanDot {
     case _ => n.children
   }
 
-  /** DOT digraph of the tree, edges child → parent (dataflow order). */
+  /** DOT digraph of the plan, edges child → parent (dataflow order).
+    * Nodes memoize by object identity, so shared subtrees (reused
+    * exchanges, cached branches) render as ONE node with fan-out — the
+    * actual executed DAG, not an exponentially-unrolled tree (the
+    * reference's viz renders the op DAG the same way, viz.clj:28-60).
+    */
   def toDot[T <: TreeNode[T]](root: TreeNode[T], graphName: String = "plan"): String = {
     val sb = new StringBuilder
     sb.append("digraph \"").append(esc(graphName)).append("\" {\n")
     sb.append("  rankdir=BT;\n  node [shape=box, fontname=\"monospace\", fontsize=10];\n")
+    val seen = new java.util.IdentityHashMap[AnyRef, Integer]()
     var nextId = 0
     def walk(n: TreeNode[T]): Int = {
+      val prior = seen.get(n)
+      if (prior != null) return prior.intValue()
       val id = nextId
       nextId += 1
+      seen.put(n, Integer.valueOf(id))
       sb.append(s"""  n$id [label="${label(n)}"];\n""")
       childrenOf(n).foreach { c =>
         val cid = walk(c.asInstanceOf[TreeNode[T]])

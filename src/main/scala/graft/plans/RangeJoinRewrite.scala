@@ -36,8 +36,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
 
   /** When true, [[RangeJoinStrategy]] owns the pattern at the physical
-    * level and this logical rewrite stands down (the rewrite would consume
-    * the Join before the planner ever saw it).
+    * level and this logical rewrite stands down — but only for joins the
+    * strategy will actually plan (interval side within the broadcast
+    * threshold). An unconditional standdown would silently hand a
+    * too-big-to-broadcast interval side back to BroadcastNestedLoopJoin,
+    * making the opt-in "faster" flag catastrophically slower than
+    * binWidth alone.
     */
   val PhysicalKey = "spark.graft.rangeJoin.physical"
 
@@ -88,13 +92,26 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       (lo.references ++ hi.references).nonEmpty &&
       (lo.references ++ hi.references).subsetOf(ivSide.outputSet)
 
+  /** True when the broadcast side's estimated size lets
+    * [[RangeJoinStrategy]] plan the physical join.
+    */
+  private[plans] def fitsBroadcast(side: LogicalPlan): Boolean = {
+    val threshold = SQLConf.get.autoBroadcastJoinThreshold
+    threshold > 0 && side.stats.sizeInBytes <= threshold
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = binWidth
-    if (w <= 0 || physicalEnabled) return plan
+    if (w <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) if asRange(cond).exists {
             case (pt, lo, hi) =>
-              sidesMatch(pt, lo, hi, left, right) || sidesMatch(pt, lo, hi, right, left)
+              (sidesMatch(pt, lo, hi, left, right) || sidesMatch(pt, lo, hi, right, left)) &&
+                // leave the join for the physical strategy only when it
+                // will actually fire; otherwise rewrite as usual
+                !(physicalEnabled &&
+                  ((sidesMatch(pt, lo, hi, left, right) && fitsBroadcast(right)) ||
+                   (sidesMatch(pt, lo, hi, right, left) && fitsBroadcast(left))))
           } =>
         val (pt, lo, hi) = asRange(cond).get
         // points may sit on either join side; intervals on the other

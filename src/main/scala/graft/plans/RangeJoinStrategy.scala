@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
-import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.LongType
 
 /** Physical planning for the point-in-interval join: when the interval
@@ -36,9 +35,7 @@ object RangeJoinStrategy extends SparkStrategy {
         if RangeJoinRewrite.physicalEnabled && RangeJoinRewrite.binWidth > 0 =>
       RangeJoinRewrite.asRange(cond) match {
         case Some((pt, lo, hi)) =>
-          val threshold = SQLConf.get.autoBroadcastJoinThreshold
-          def fits(side: LogicalPlan) =
-            threshold > 0 && side.stats.sizeInBytes <= threshold
+          def fits(side: LogicalPlan) = RangeJoinRewrite.fitsBroadcast(side)
           if (RangeJoinRewrite.sidesMatch(pt, lo, hi, left, right) && fits(right)) {
             BroadcastRangeJoinExec(pt, lo, hi, RangeJoinRewrite.binWidth,
               planLater(left), planLater(right), streamedIsLeft = true) :: Nil
@@ -100,25 +97,10 @@ final case class BroadcastRangeJoinExec(
     val rightAttrs = right.output
 
     val fn = (iter: Iterator[InternalRow]) => {
-      // bin map built per task from the broadcast value: cheap (the build
-      // side is broadcast-sized by the strategy's guard) and task-local,
-      // so no synchronization. (lo1, hi1, row) kept unboxed-adjacent.
-      val bins = new java.util.HashMap[Long, java.util.ArrayList[(Long, Long, InternalRow)]]()
-      for (row <- broadcastRelation.value) {
-        val loV = loBound.eval(row)
-        val hiV = hiBound.eval(row)
-        if (loV != null && hiV != null) {
-          val lo1 = loV.asInstanceOf[Long]; val hi1 = hiV.asInstanceOf[Long]
-          var b = Math.floorDiv(lo1, w)
-          val bEnd = Math.floorDiv(hi1, w)
-          while (b <= bEnd) {
-            var lst = bins.get(b)
-            if (lst == null) { lst = new java.util.ArrayList(); bins.put(b, lst) }
-            lst.add((lo1, hi1, row))
-            b += 1
-          }
-        }
-      }
+      // the bin index is built ONCE PER EXECUTOR (cached weakly against
+      // the broadcast value), not once per task — thousands of tasks
+      // share one build, and probes read primitive parallel arrays
+      val bins = BroadcastRangeJoinExec.index(broadcastRelation.value, loBound, hiBound, w)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, leftAttrs ++ rightAttrs)
       iter.flatMap { srow =>
@@ -126,27 +108,26 @@ final case class BroadcastRangeJoinExec(
         if (pv == null) Iterator.empty
         else {
           val p = pv.asInstanceOf[Long]
-          val lst = bins.get(Math.floorDiv(p, w))
-          if (lst == null) Iterator.empty
-          else {
-            val it = lst.iterator()
-            new Iterator[InternalRow] {
-              private var nextRow: InternalRow = null
-              private def advance(): Unit = {
-                nextRow = null
-                while (nextRow == null && it.hasNext) {
-                  val (lo1, hi1, brow) = it.next()
-                  if (lo1 <= p && p <= hi1) {
-                    numOutputRows += 1
-                    nextRow = proj(if (sIsLeft) joined(srow, brow) else joined(brow, srow))
-                  }
+          val bucket = bins.get(Math.floorDiv(p, w))
+          if (bucket == null) Iterator.empty
+          else new Iterator[InternalRow] {
+            private var i = 0
+            private var nextRow: InternalRow = null
+            private def advance(): Unit = {
+              nextRow = null
+              while (nextRow == null && i < bucket.los.length) {
+                if (bucket.los(i) <= p && p <= bucket.his(i)) {
+                  numOutputRows += 1
+                  val brow = bucket.rows(i)
+                  nextRow = proj(if (sIsLeft) joined(srow, brow) else joined(brow, srow))
                 }
+                i += 1
               }
-              override def hasNext: Boolean = { if (nextRow == null) advance(); nextRow != null }
-              override def next(): InternalRow = {
-                if (!hasNext) throw new NoSuchElementException
-                val r = nextRow; nextRow = null; r
-              }
+            }
+            override def hasNext: Boolean = { if (nextRow == null) advance(); nextRow != null }
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException
+              val r = nextRow; nextRow = null; r
             }
           }
         }
@@ -154,4 +135,62 @@ final case class BroadcastRangeJoinExec(
     }
     streamed.execute().mapPartitions(fn, preservesPartitioning = true)
   }
+}
+
+object BroadcastRangeJoinExec {
+  /** One bin's intervals as parallel primitive arrays — probes touch no
+    * boxed values.
+    */
+  private[plans] final class Bucket(
+    val los: Array[Long], val his: Array[Long], val rows: Array[InternalRow])
+
+  // Executor-wide index cache keyed WEAKLY by the broadcast value array:
+  // built once per executor instead of once per task, and the entry dies
+  // with the broadcast itself when the driver destroys it.
+  private val indexCache = new java.util.WeakHashMap[Array[InternalRow],
+    java.util.HashMap[java.lang.Long, Bucket]]()
+
+  private[plans] def index(values: Array[InternalRow], loBound: Expression,
+      hiBound: Expression, w: Long): java.util.HashMap[java.lang.Long, Bucket] =
+    indexCache.synchronized {
+      val got = indexCache.get(values)
+      if (got != null) got
+      else {
+        final class Grow {
+          var n = 0
+          var los = new Array[Long](4); var his = new Array[Long](4)
+          var rows = new Array[InternalRow](4)
+          def add(lo: Long, hi: Long, r: InternalRow): Unit = {
+            if (n == los.length) {
+              los = java.util.Arrays.copyOf(los, n * 2)
+              his = java.util.Arrays.copyOf(his, n * 2)
+              rows = java.util.Arrays.copyOf(rows, n * 2)
+            }
+            los(n) = lo; his(n) = hi; rows(n) = r; n += 1
+          }
+          def freeze = new Bucket(java.util.Arrays.copyOf(los, n),
+            java.util.Arrays.copyOf(his, n), java.util.Arrays.copyOf(rows, n))
+        }
+        val tmp = new java.util.HashMap[java.lang.Long, Grow]()
+        for (row <- values) {
+          val loV = loBound.eval(row)
+          val hiV = hiBound.eval(row)
+          if (loV != null && hiV != null) {
+            val lo1 = loV.asInstanceOf[Long]; val hi1 = hiV.asInstanceOf[Long]
+            var b = Math.floorDiv(lo1, w)
+            val bEnd = Math.floorDiv(hi1, w)
+            while (b <= bEnd) {
+              var g = tmp.get(b)
+              if (g == null) { g = new Grow; tmp.put(b, g) }
+              g.add(lo1, hi1, row)
+              b += 1
+            }
+          }
+        }
+        val built = new java.util.HashMap[java.lang.Long, Bucket](tmp.size() * 2)
+        tmp.forEach((k, g) => built.put(k, g.freeze))
+        indexCache.put(values, built)
+        built
+      }
+    }
 }

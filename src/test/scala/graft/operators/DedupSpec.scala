@@ -147,9 +147,13 @@ class DedupSpec extends AnyFunSuite {
     val got = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     // doc 1: grams {abc, bcd, cde}; pool {abc, bcd} → 2/3
     assert(got == Map(1L -> 0.666667, 2L -> 0.0, 3L -> 0.666667))
-    val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"pool probe must be a broadcast semi join:\n$plan")
+    val plan = res.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"pool probe must be a broadcast hit-marker join:\n$plan")
+    // one pass over the corpus grams: a single aggregate (partial+final)
+    // produces both the total and the hit count
+    assert("HashAggregate\\(keys=\\[__id".r.findAllIn(plan).size == 2,
+      s"total and hits must come from ONE aggregate pass:\n$plan")
   }
 
   test("embedding near-duplicates: identical vectors pair at cosine 1.0; orthogonal don't") {

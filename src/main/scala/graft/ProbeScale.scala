@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev probe: scaling behavior of the heavy operators when the input
+  * grows 1× → 4× → 16× (sf0.1 tables unioned with shifted ids). A
+  * scale-clean operator's time should grow near-linearly (ratio ≈ the
+  * data ratio); super-linear growth flags a quadratic candidate set or a
+  * single-task bottleneck. Results recorded in SCALE.md.
+  */
+object ProbeScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = DevSpark.session()
+
+    // copies must be DISTINCT data, not replicas: a per-copy character
+    // rotation makes every copy's text dissimilar to every other's (so
+    // dedup work scales with input instead of exploding quadratic dup
+    // pairs), and a per-copy time shift gives sessions new epochs
+    val alpha = "etaoinshrdlcumwf"
+    def rot(i: Int): String = { val k = i % alpha.length; alpha.drop(k) + alpha.take(k) }
+    def scaledDocs(df: DataFrame, factor: Int): DataFrame =
+      (0 until factor).map(i =>
+        df.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text", translate(col("text"), alpha, rot(i))))
+        .reduce(_ unionByName _).localCheckpoint(true)
+    def scaledEvents(df: DataFrame, factor: Int): DataFrame =
+      (0 until factor).map(i =>
+        df.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("ts", col("ts") + lit(i * 100000000000000L)))
+        .reduce(_ unionByName _).localCheckpoint(true)
+
+    def time2(f: => Long): (Double, Long) = {
+      f // warm-up
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e6, n)
+      }
+      (runs.map(_._1).min, runs.head._2)
+    }
+
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+    val events = spark.read.parquet(sfDir + "/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts"))
+
+    for (factor <- Seq(1, 4, 16)) {
+      val d = scaledDocs(docs, factor)
+      val e = scaledEvents(events, factor)
+      val (tDedup, nDedup) = time2(
+        graft.operators.Dedup.exact(d, "doc_id", "text").count())
+      val (tMinhash, nMinhash) = time2(
+        graft.operators.Dedup.minhashNearDuplicates(d, "doc_id", "text").count())
+      val (tSess, nSess) = time2(
+        graft.operators.Sessions.batch(e, col("user_id"), col("ts"), col("event_id"),
+          gap = 1800000000000L).count())
+      val (tSessSafe, _) = time2(
+        graft.operators.Sessions.batchSkewSafe(e, col("user_id"), col("ts"), col("event_id"),
+          gap = 1800000000000L, bucket = 21600000000000L).count())
+      println(f"[scale] x$factor%-3d dedup_exact=$tDedup%7.0f ms ($nDedup rows)  " +
+        f"minhash=$tMinhash%7.0f ms ($nMinhash rows)  " +
+        f"sessionize=$tSess%7.0f ms ($nSess rows)  sessionize_skewsafe=$tSessSafe%7.0f ms")
+      d.unpersist(); e.unpersist()
+    }
+    spark.stop()
+  }
+}

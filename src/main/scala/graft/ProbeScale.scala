@@ -44,6 +44,18 @@ object ProbeScale {
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
     val events = spark.read.parquet(sfDir + "/events.parquet")
       .select(col("user_id"), col("event_id"), col("ts"))
+    val embeddings = spark.read.parquet(sfDir + "/embeddings.parquet")
+
+    // distinct copies: rotating the vector preserves the norm but moves
+    // the direction, so copies are new points, not duplicates
+    def scaledEmb(factor: Int): DataFrame =
+      (0 until factor).map { i =>
+        val n = 8 // embedding dims at this SF are >= 8; rotate by i mod 8
+        val k = i % n
+        embeddings.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+          .withColumn("embedding",
+            concat(slice(col("embedding"), k + 1, n - k), slice(col("embedding"), 1, k)))
+      }.reduce(_ unionByName _).localCheckpoint(true)
 
     for (factor <- Seq(1, 4, 16)) {
       val d = scaledDocs(docs, factor)
@@ -58,10 +70,18 @@ object ProbeScale {
       val (tSessSafe, _) = time2(
         graft.operators.Sessions.batchSkewSafe(e, col("user_id"), col("ts"), col("event_id"),
           gap = 1800000000000L, bucket = 21600000000000L).count())
+      val emb = scaledEmb(factor)
+      val queries = emb.where(col("vec_id") < 50)
+      val (tBrute, nBrute) = time2(
+        graft.operators.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10).count())
+      val (tIvf, nIvf) = time2(
+        graft.operators.Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10,
+          nCells = 16, nProbe = 4).count())
       println(f"[scale] x$factor%-3d dedup_exact=$tDedup%7.0f ms ($nDedup rows)  " +
         f"minhash=$tMinhash%7.0f ms ($nMinhash rows)  " +
-        f"sessionize=$tSess%7.0f ms ($nSess rows)  sessionize_skewsafe=$tSessSafe%7.0f ms")
-      d.unpersist(); e.unpersist()
+        f"sessionize=$tSess%7.0f ms ($nSess rows)  sessionize_skewsafe=$tSessSafe%7.0f ms  " +
+        f"ann_brute=$tBrute%7.0f ms ($nBrute)  ann_ivf=$tIvf%7.0f ms ($nIvf)")
+      d.unpersist(); e.unpersist(); emb.unpersist()
     }
     spark.stop()
   }

@@ -55,6 +55,37 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Set(("near", "m"), ("far", null)))
   }
 
+  test("asof matches a brute-force reference on random data, all directions x tolerance") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val left = (0 until 200).map(i =>
+        (rnd.nextInt(5), rnd.nextInt(100).toLong, s"l$i"))
+      // unique (key, ts) on the right, as the operator contract requires
+      val right = rnd.shuffle(
+        (for (k <- 0 until 5; t <- 0 until 100) yield (k, t.toLong)).toList)
+        .take(120).map { case (k, t) => (k, t, s"r$k-$t") }
+      val lDf = left.toDF("k", "ts", "lv")
+      val rDf = right.toDF("k", "rts", "rv")
+      for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(7L))) {
+        def expected(k: Int, ts: Long): String = {
+          val c = right.filter(r => r._1 == k &&
+            (if (dir == "backward") r._2 <= ts else r._2 >= ts))
+          val best =
+            if (c.isEmpty) None
+            else Some(if (dir == "backward") c.maxBy(_._2) else c.minBy(_._2))
+          best.filter(b => tol.forall(t => math.abs(ts - b._2) <= t)).map(_._3).orNull
+        }
+        val got = AsofJoin.asof(lDf, rDf, "k", "ts", "rts", Seq("rv"),
+            direction = dir, tolerance = tol)
+          .collect().map(r => (r.getString(2), r.getString(3))).toMap
+        left.foreach { case (k, ts, lv) =>
+          assert(got(lv) == expected(k, ts),
+            s"trial $trial $dir tol=$tol: left ($k,$ts) got ${got(lv)}, want ${expected(k, ts)}")
+        }
+      }
+    }
+  }
+
   test("rangeJoin: exact containment, boundaries inclusive, intervals spanning bins, no dup pairs") {
     val points = Seq((1L, 10L), (2L, 100L), (3L, 250L), (4L, 999L)).toDF("pid", "t")
     // interval B spans multiple 100-wide bins; A and B overlap

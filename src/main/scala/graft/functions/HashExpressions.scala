@@ -186,6 +186,94 @@ case class MinHashTokens(child: Expression, n: Int, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ngram_hashes(tokens, n): the DISTINCT chained-hash identities of the
+  * token array's n-gram windows, sorted ascending — the string-free dual
+  * of `array_distinct(wordShingles(text, n))` for joins that only need
+  * shingle IDENTITY (containment, jaccard): no shingle strings are ever
+  * concatenated. Windows mirror `wordShingles`' short-text fallback
+  * (fewer than n tokens → one window over what's there). 64-bit hashes
+  * stand in for string equality; a collision would need ~2^32 distinct
+  * shingles per doc to matter.
+  */
+case class NgramHashes(child: Expression, n: Int) extends ShingleHashExpression {
+  require(n > 0)
+  override def prettyName: String = "graft_ngram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val t = arr.numElements()
+    val th = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      th(i) = if (arr.isNullAt(i)) 0L else XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+      i += 1
+    }
+    val windows = math.max(1, t - n + 1)
+    val hs = new Array[Long](if (t > 0) windows else 0)
+    if (t > 0) {
+      var w = 0
+      while (w < windows) {
+        var h = Seed
+        var j = w
+        val end = math.min(w + n, t)
+        while (j < end) { h = XXH64.hashLong(th(j), h); j += 1 }
+        hs(w) = h
+        w += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    var out = 0
+    var k = 0
+    while (k < hs.length) {
+      if (out == 0 || hs(k) != hs(out - 1)) { hs(out) = hs(k); out += 1 }
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, out))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val t = ctx.freshName("t")
+      val th = ctx.freshName("th")
+      val hs = ctx.freshName("hs")
+      val i = ctx.freshName("i")
+      val w = ctx.freshName("w")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val end = ctx.freshName("end")
+      val windows = ctx.freshName("windows")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      s"""
+         |int $t = $arr.numElements();
+         |long[] $th = new long[$t];
+         |for (int $i = 0; $i < $t; $i++) {
+         |  $th[$i] = $arr.isNullAt($i) ? 0L
+         |    : $xxh.hashUTF8String($arr.getUTF8String($i), ${Seed}L);
+         |}
+         |int $windows = java.lang.Math.max(1, $t - $n + 1);
+         |long[] $hs = new long[$t > 0 ? $windows : 0];
+         |if ($t > 0) {
+         |  for (int $w = 0; $w < $windows; $w++) {
+         |    long $h = ${Seed}L;
+         |    int $end = java.lang.Math.min($w + $n, $t);
+         |    for (int $j = $w; $j < $end; $j++) { $h = $xxh.hashLong($th[$j], $h); }
+         |    $hs[$w] = $h;
+         |  }
+         |}
+         |java.util.Arrays.sort($hs);
+         |int $out = 0;
+         |for (int $k = 0; $k < $hs.length; $k++) {
+         |  if ($out == 0 || $hs[$k] != $hs[$out - 1]) { $hs[$out] = $hs[$k]; $out++; }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray(java.util.Arrays.copyOf($hs, $out));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** simhash(shingles): 64-bit signature via per-bit majority vote of shingle
   * hashes, one pass. Empty input hashes to 0.
   */
@@ -526,4 +614,8 @@ object HashExpressions {
   /** String-free SimHash over distinct word n-grams of a token array. */
   def simhashTokens(tokens: Column, n: Int): Column =
     GraftBridge.column(SimHashTokens(GraftBridge.expression(tokens), n))
+
+  /** Distinct n-gram identities (sorted hashes) of a token array. */
+  def ngramHashes(tokens: Column, n: Int): Column =
+    GraftBridge.column(NgramHashes(GraftBridge.expression(tokens), n))
 }

@@ -107,8 +107,11 @@ object Dedup {
     */
   def ngramContamination(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, shingle: Int = 3): DataFrame = {
+    // shingle IDENTITY only — string-free hashed n-grams (NgramHashes),
+    // so no shingle strings are ever concatenated or shuffled
     val grams = (df: DataFrame) => df.select(col(idCol).as("__id"),
-      explode(array_distinct(wordShingles(col(textCol), shingle))).as("__sh"))
+      explode(graft.functions.HashExpressions.ngramHashes(
+        graft.functions.TextFunctions.tokens(col(textCol)), shingle)).as("__sh"))
     val pool = grams(benchmark).select("__sh").distinct()
     // ONE pass over the corpus grams: the broadcast pool rides as a hit
     // marker on a left join, so total and hit counts come out of the same
@@ -187,8 +190,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Long] = None): DataFrame = {
+    // hashed shingle identities (string-free; see ngramContamination)
     val shAll = df.select(col(idCol).as("__id"),
-        explode(array_distinct(wordShingles(col(textCol), shingle))).as("__sh"))
+        explode(graft.functions.HashExpressions.ngramHashes(
+          graft.functions.TextFunctions.tokens(col(textCol)), shingle)).as("__sh"))
     val sh = maxDocFreq.fold(shAll) { cap =>
       val hot = shAll.groupBy("__sh").agg(count(lit(1)).as("__df"))
         .where(col("__df") > cap).select(col("__sh"))

@@ -788,7 +788,7 @@ object ExtQueries {
     * LARGER than the corpus, so materializing it would cost more I/O
     * than the recompute.
     */
-  private val pipelineQ = q("q_pipeline",
+  private val pipelineQ = qb("q_pipeline",
     raw"""WITH qd AS ($QualityDocsSql),
        q1 AS (SELECT d.doc_id, d.source, d.text, qd.quality
               FROM documents d JOIN qd USING (doc_id)

@@ -195,7 +195,8 @@ case class MinHashTokens(child: Expression, n: Int, numHashes: Int)
   * stand in for string equality; a collision would need ~2^32 distinct
   * shingles per doc to matter.
   */
-case class NgramHashes(child: Expression, n: Int) extends ShingleHashExpression {
+case class NgramHashes(child: Expression, n: Int, dedupe: Boolean = true)
+    extends ShingleHashExpression {
   require(n > 0)
   override def prettyName: String = "graft_ngram_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -222,6 +223,7 @@ case class NgramHashes(child: Expression, n: Int) extends ShingleHashExpression 
         w += 1
       }
     }
+    if (!dedupe) return UnsafeArrayData.fromPrimitiveArray(hs)
     java.util.Arrays.sort(hs)
     var out = 0
     var k = 0
@@ -245,6 +247,7 @@ case class NgramHashes(child: Expression, n: Int) extends ShingleHashExpression 
       val windows = ctx.freshName("windows")
       val out = ctx.freshName("out")
       val k = ctx.freshName("k")
+      val dedupeV = dedupe.toString
       s"""
          |int $t = $arr.numElements();
          |long[] $th = new long[$t];
@@ -262,12 +265,16 @@ case class NgramHashes(child: Expression, n: Int) extends ShingleHashExpression 
          |    $hs[$w] = $h;
          |  }
          |}
-         |java.util.Arrays.sort($hs);
-         |int $out = 0;
-         |for (int $k = 0; $k < $hs.length; $k++) {
-         |  if ($out == 0 || $hs[$k] != $hs[$out - 1]) { $hs[$out] = $hs[$k]; $out++; }
+         |if (!$dedupeV) {
+         |  ${ev.value} = $uad.fromPrimitiveArray($hs);
+         |} else {
+         |  java.util.Arrays.sort($hs);
+         |  int $out = 0;
+         |  for (int $k = 0; $k < $hs.length; $k++) {
+         |    if ($out == 0 || $hs[$k] != $hs[$out - 1]) { $hs[$out] = $hs[$k]; $out++; }
+         |  }
+         |  ${ev.value} = $uad.fromPrimitiveArray(java.util.Arrays.copyOf($hs, $out));
          |}
-         |${ev.value} = $uad.fromPrimitiveArray(java.util.Arrays.copyOf($hs, $out));
        """.stripMargin
     })
 
@@ -618,4 +625,10 @@ object HashExpressions {
   /** Distinct n-gram identities (sorted hashes) of a token array. */
   def ngramHashes(tokens: Column, n: Int): Column =
     GraftBridge.column(NgramHashes(GraftBridge.expression(tokens), n))
+
+  /** ALL n-gram identities in window order (duplicates kept) — for
+    * occurrence counting (repetition metrics), not set joins.
+    */
+  def ngramHashesAll(tokens: Column, n: Int): Column =
+    GraftBridge.column(NgramHashes(GraftBridge.expression(tokens), n, dedupe = false))
 }

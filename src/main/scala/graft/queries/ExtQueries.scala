@@ -743,8 +743,12 @@ object ExtQueries {
        FROM wf JOIN agg USING (doc_id)""") { (s, d) =>
     val docs = Tables.df(s, d, "documents")
     val wf = docs.select(col("doc_id"), dupWordFraction(col("text")).as("dup_word_frac"))
+    // hashed gram identities with duplicates kept (ngramHashesAll): the
+    // occurrence counts only need identity, so no 2-gram strings are
+    // built or shuffled
     val agg = docs
-      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("g"))
+      .select(col("doc_id"), explode(graft.functions.HashExpressions.ngramHashesAll(
+        graft.functions.TextFunctions.tokens(col("text")), 2)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(round(max("c").cast("double") / sum("c"), 6).as("top2_frac"),

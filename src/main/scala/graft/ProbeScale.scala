@@ -70,6 +70,10 @@ object ProbeScale {
       val (tSessSafe, _) = time2(
         graft.operators.Sessions.batchSkewSafe(e, col("user_id"), col("ts"), col("event_id"),
           gap = 1800000000000L, bucket = 21600000000000L).count())
+      val (tCont, nCont) = time2(
+        graft.operators.Dedup.ngramContamination(
+          d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", 3).count())
       val emb = scaledEmb(factor)
       val queries = emb.where(col("vec_id") < 50)
       val (tBrute, nBrute) = time2(
@@ -80,7 +84,8 @@ object ProbeScale {
       println(f"[scale] x$factor%-3d dedup_exact=$tDedup%7.0f ms ($nDedup rows)  " +
         f"minhash=$tMinhash%7.0f ms ($nMinhash rows)  " +
         f"sessionize=$tSess%7.0f ms ($nSess rows)  sessionize_skewsafe=$tSessSafe%7.0f ms  " +
-        f"ann_brute=$tBrute%7.0f ms ($nBrute)  ann_ivf=$tIvf%7.0f ms ($nIvf)")
+        f"ann_brute=$tBrute%7.0f ms ($nBrute)  ann_ivf=$tIvf%7.0f ms ($nIvf)  " +
+        f"contamination=$tCont%7.0f ms ($nCont rows)")
       d.unpersist(); e.unpersist(); emb.unpersist()
     }
     spark.stop()

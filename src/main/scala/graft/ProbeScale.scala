@@ -46,15 +46,18 @@ object ProbeScale {
       .select(col("user_id"), col("event_id"), col("ts"))
     val embeddings = spark.read.parquet(sfDir + "/embeddings.parquet")
 
-    // distinct copies: rotating the vector preserves the norm but moves
-    // the direction, so copies are new points, not duplicates
+    // distinct copies: rotating the FULL vector preserves the norm but
+    // moves the direction; a step coprime with the dimension makes all 16
+    // rotations distinct, so copies are new points, not duplicates
+    val embDim = embeddings.selectExpr("size(embedding)").head().getInt(0)
     def scaledEmb(factor: Int): DataFrame =
       (0 until factor).map { i =>
-        val n = 8 // embedding dims at this SF are >= 8; rotate by i mod 8
-        val k = i % n
+        val k = (i * 7) % embDim
         embeddings.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
           .withColumn("embedding",
-            concat(slice(col("embedding"), k + 1, n - k), slice(col("embedding"), 1, k)))
+            if (k == 0) col("embedding")
+            else concat(slice(col("embedding"), k + 1, embDim - k),
+              slice(col("embedding"), 1, k)))
       }.reduce(_ unionByName _).localCheckpoint(true)
 
     for (factor <- Seq(1, 4, 16)) {

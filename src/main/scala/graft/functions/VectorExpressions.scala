@@ -318,7 +318,97 @@ case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** quantize_int8(v) → struct(scale double, q array<int>): symmetric int8
+  * quantization in ONE fused pass (max-abs scan + quantize scan, O(d)) —
+  * the Column-composition formulation re-evaluates the scale subtree per
+  * element (Spark HOFs do no lambda-invariant hoisting), an O(d²) trap.
+  * Truncation toward zero matches the DuckDB oracle's trunc(); a zero
+  * vector quantizes to zeros with scale 0. Null elements read as 0.
+  */
+case class QuantizeInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_quantize_int8"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${other.simpleString}")
+  }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val ab = math.abs(x)
+        if (ab > s) s = ab
+      }
+      i += 1
+    }
+    val q = new Array[Int](n)
+    if (s != 0.0) {
+      i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          q(i) = (x / s * 127.0).toInt
+        }
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(s,
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(q))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sc = ctx.freshName("sc")
+      val ab = ctx.freshName("ab")
+      val x = ctx.freshName("x")
+      val q = ctx.freshName("q")
+      val vals = ctx.freshName("vals")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double $sc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $ab = java.lang.Math.abs($get);
+         |    if ($ab > $sc) $sc = $ab;
+         |  }
+         |}
+         |int[] $q = new int[$n];
+         |if ($sc != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      double $x = $get;
+         |      $q[$i] = (int) ($x / $sc * 127.0);
+         |    }
+         |  }
+         |}
+         |Object[] $vals = new Object[] { $sc,
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($q) };
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow($vals);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
+  def quantizeInt8(v: Column): Column =
+    GraftBridge.column(QuantizeInt8(GraftBridge.expression(v)))
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
 

@@ -50,14 +50,10 @@ object VectorFunctions {
     * because double→int truncation is bit-identical across engines
     * while round-at-.5 is not — quantization error stays < scale/127
     * either way. A zero vector quantizes to zeros with scale 0.
+    * Native fused expression (see [[VectorExpressions.QuantizeInt8]]):
+    * one O(d) pass, codegen'd.
     */
-  def quantizeInt8(v: Column): Column = {
-    val d = asDouble(v)
-    val s = array_max(transform(d, x => abs(x)))
-    val q = when(s === 0.0, transform(d, _ => lit(0)))
-      .otherwise(transform(d, x => (x / s * 127.0).cast("int")))
-    struct(s.as("scale"), q.as("q"))
-  }
+  def quantizeInt8(v: Column): Column = VectorExpressions.quantizeInt8(v)
 
   /** Reconstruct doubles from [[quantizeInt8]] output. */
   def dequantizeInt8(qv: Column): Column =

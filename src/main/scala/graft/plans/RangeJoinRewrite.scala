@@ -35,13 +35,11 @@ import org.apache.spark.sql.types._
 object RangeJoinRewrite extends Rule[LogicalPlan] {
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
 
-  /** When true, [[RangeJoinStrategy]] owns the pattern at the physical
-    * level and this logical rewrite stands down — but only for joins the
-    * strategy will actually plan (interval side within the broadcast
-    * threshold). An unconditional standdown would silently hand a
-    * too-big-to-broadcast interval side back to BroadcastNestedLoopJoin,
-    * making the opt-in "faster" flag catastrophically slower than
-    * binWidth alone.
+  /** When true, [[RangeJoinStrategy]] owns the pattern: it plans the
+    * broadcast physical join when the interval side fits the broadcast
+    * threshold AT PLANNING TIME, and otherwise plans [[rewriteJoin]]'s
+    * binned equi-join itself — so the pattern can never fall through to
+    * BroadcastNestedLoopJoin, regardless of when stats shift.
     */
   val PhysicalKey = "spark.graft.rangeJoin.physical"
 
@@ -102,37 +100,48 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = binWidth
-    if (w <= 0) return plan
+    if (w <= 0 || physicalEnabled) return plan
+    // physicalEnabled: RangeJoinStrategy owns the pattern — and when the
+    // interval side turns out not to fit the broadcast threshold AT
+    // PLANNING TIME, the strategy itself plans rewriteJoin's binned
+    // equi-join (not Nil), so no stats shift between optimize and plan
+    // (e.g. AQE re-planning) can drop the query to a nested loop
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint) if asRange(cond).exists {
+      case j @ Join(left, right, Inner, Some(cond), _) if asRange(cond).exists {
             case (pt, lo, hi) =>
-              (sidesMatch(pt, lo, hi, left, right) || sidesMatch(pt, lo, hi, right, left)) &&
-                // leave the join for the physical strategy only when it
-                // will actually fire; otherwise rewrite as usual
-                !(physicalEnabled &&
-                  ((sidesMatch(pt, lo, hi, left, right) && fitsBroadcast(right)) ||
-                   (sidesMatch(pt, lo, hi, right, left) && fitsBroadcast(left))))
+              sidesMatch(pt, lo, hi, left, right) || sidesMatch(pt, lo, hi, right, left)
           } =>
-        val (pt, lo, hi) = asRange(cond).get
-        // points may sit on either join side; intervals on the other
-        val pointsOnLeft = sidesMatch(pt, lo, hi, left, right)
-        val (ptSide, ivSide) = if (pointsOnLeft) (left, right) else (right, left)
-        val sideHint = if (pointsOnLeft) hint else JoinHint(hint.rightHint, hint.leftHint)
-        val wLit = Literal(w, LongType)
-        def divW(e: Expression): Expression = IntegralDivide(Cast(e, LongType), wLit)
-        val ptBin = Alias(divW(pt), "__graft_pt_bin")()
-        val ptBinned = Project(ptSide.output :+ ptBin, ptSide)
-        // Sequence is TimeZoneAwareExpression: unresolved until the zone is
-        // set, and no analyzer pass runs after an optimizer rule — set it
-        // explicitly (irrelevant for integral sequences, but required)
-        val gen = Explode(
-          Sequence(divW(lo), divW(hi), None, Some(SQLConf.get.sessionLocalTimeZone)))
-        val genOut = DataTypeUtils.toAttributes(gen.elementSchema)
-        val ivBinned = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-          qualifier = None, generatorOutput = genOut, child = ivSide)
-        val binJoin = Join(ptBinned, ivBinned, Inner,
-          Some(EqualTo(ptBin.toAttribute, genOut.head)), sideHint)
-        Project(j.output, Filter(cond, binJoin))
+        rewriteJoin(j, w)
     }
+  }
+
+  /** The binned equi-join rewrite of one matched range join (shared by
+    * the rule above and [[RangeJoinStrategy]]'s no-broadcast fallback).
+    */
+  private[plans] def rewriteJoin(j: Join, w: Long): LogicalPlan = {
+    val left = j.left
+    val right = j.right
+    val cond = j.condition.get
+    val hint = j.hint
+    val (pt, lo, hi) = asRange(cond).get
+    // points may sit on either join side; intervals on the other
+    val pointsOnLeft = sidesMatch(pt, lo, hi, left, right)
+    val (ptSide, ivSide) = if (pointsOnLeft) (left, right) else (right, left)
+    val sideHint = if (pointsOnLeft) hint else JoinHint(hint.rightHint, hint.leftHint)
+    val wLit = Literal(w, LongType)
+    def divW(e: Expression): Expression = IntegralDivide(Cast(e, LongType), wLit)
+    val ptBin = Alias(divW(pt), "__graft_pt_bin")()
+    val ptBinned = Project(ptSide.output :+ ptBin, ptSide)
+    // Sequence is TimeZoneAwareExpression: unresolved until the zone is
+    // set, and no analyzer pass runs after an optimizer rule — set it
+    // explicitly (irrelevant for integral sequences, but required)
+    val gen = Explode(
+      Sequence(divW(lo), divW(hi), None, Some(SQLConf.get.sessionLocalTimeZone)))
+    val genOut = DataTypeUtils.toAttributes(gen.elementSchema)
+    val ivBinned = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = genOut, child = ivSide)
+    val binJoin = Join(ptBinned, ivBinned, Inner,
+      Some(EqualTo(ptBin.toAttribute, genOut.head)), sideHint)
+    Project(j.output, Filter(cond, binJoin))
   }
 }

@@ -23,10 +23,11 @@ import org.apache.spark.sql.types.LongType
   *
   * Opt-in: `spark.graft.rangeJoin.physical=true` plus the shared
   * `spark.graft.rangeJoin.binWidth` (the [[RangeJoinRewrite]] knob; the
-  * logical rewrite stands down when the physical flag is on). Fires only
-  * when the interval side's estimated size fits the broadcast threshold —
-  * otherwise returns Nil and the planner falls through (to the rewrite's
-  * shuffled equi-join if binWidth is set on a later run, or BNLJ).
+  * logical rewrite stands down when the physical flag is on). Plans the
+  * broadcast join when the interval side's planning-time size estimate
+  * fits the broadcast threshold; otherwise plans the logical rewrite's
+  * binned equi-join directly — never Nil for a matched pattern, so the
+  * query cannot fall through to a nested loop.
   */
 object RangeJoinStrategy extends SparkStrategy {
 
@@ -35,13 +36,20 @@ object RangeJoinStrategy extends SparkStrategy {
         if RangeJoinRewrite.physicalEnabled && RangeJoinRewrite.binWidth > 0 =>
       RangeJoinRewrite.asRange(cond) match {
         case Some((pt, lo, hi)) =>
+          val j = plan.asInstanceOf[Join]
           def fits(side: LogicalPlan) = RangeJoinRewrite.fitsBroadcast(side)
-          if (RangeJoinRewrite.sidesMatch(pt, lo, hi, left, right) && fits(right)) {
+          val ptOnLeft = RangeJoinRewrite.sidesMatch(pt, lo, hi, left, right)
+          val ptOnRight = RangeJoinRewrite.sidesMatch(pt, lo, hi, right, left)
+          if (ptOnLeft && fits(right)) {
             BroadcastRangeJoinExec(pt, lo, hi, RangeJoinRewrite.binWidth,
               planLater(left), planLater(right), streamedIsLeft = true) :: Nil
-          } else if (RangeJoinRewrite.sidesMatch(pt, lo, hi, right, left) && fits(left)) {
+          } else if (ptOnRight && fits(left)) {
             BroadcastRangeJoinExec(pt, lo, hi, RangeJoinRewrite.binWidth,
               planLater(right), planLater(left), streamedIsLeft = false) :: Nil
+          } else if (ptOnLeft || ptOnRight) {
+            // matched but not broadcastable: own the fallback too — plan
+            // the binned equi-join rather than let BNLJ happen
+            planLater(RangeJoinRewrite.rewriteJoin(j, RangeJoinRewrite.binWidth)) :: Nil
           } else Nil
         case None => Nil
       }
@@ -144,16 +152,26 @@ object BroadcastRangeJoinExec {
   private[plans] final class Bucket(
     val los: Array[Long], val his: Array[Long], val rows: Array[InternalRow])
 
-  // Executor-wide index cache keyed WEAKLY by the broadcast value array:
-  // built once per executor instead of once per task, and the entry dies
-  // with the broadcast itself when the driver destroys it.
+  // Executor-wide index cache keyed WEAKLY by the broadcast value array,
+  // with an inner key of (canonicalized bounds, bin width): the SAME
+  // broadcast value can serve two joins with different lo/hi (ReuseExchange
+  // dedups exchanges by child result, not by the join using them), so the
+  // value array alone would hand join B a stale index built for join A's
+  // bounds. Built once per executor per distinct key; entries die with the
+  // broadcast when the driver destroys it.
   private val indexCache = new java.util.WeakHashMap[Array[InternalRow],
-    java.util.HashMap[java.lang.Long, Bucket]]()
+    java.util.HashMap[String, java.util.HashMap[java.lang.Long, Bucket]]]()
 
   private[plans] def index(values: Array[InternalRow], loBound: Expression,
       hiBound: Expression, w: Long): java.util.HashMap[java.lang.Long, Bucket] =
     indexCache.synchronized {
-      val got = indexCache.get(values)
+      var byBounds = indexCache.get(values)
+      if (byBounds == null) {
+        byBounds = new java.util.HashMap[String, java.util.HashMap[java.lang.Long, Bucket]]()
+        indexCache.put(values, byBounds)
+      }
+      val key = s"${loBound.canonicalized}|${hiBound.canonicalized}|$w"
+      val got = byBounds.get(key)
       if (got != null) got
       else {
         final class Grow {
@@ -189,7 +207,7 @@ object BroadcastRangeJoinExec {
         }
         val built = new java.util.HashMap[java.lang.Long, Bucket](tmp.size() * 2)
         tmp.forEach((k, g) => built.put(k, g.freeze))
-        indexCache.put(values, built)
+        byBounds.put(key, built)
         built
       }
     }

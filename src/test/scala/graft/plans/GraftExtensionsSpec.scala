@@ -117,7 +117,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
-  test("RangeJoinStrategy declines when the interval side exceeds the broadcast threshold") {
+  test("RangeJoinStrategy falls back to the binned equi-join when broadcasting is off — never BNLJ") {
     import spark.implicits._
     (0L to 50L).map(i => (i, i)).toDF("pid", "pt").createOrReplaceTempView("pts3")
     Seq((1L, 10L, 20L)).toDF("iid", "lo", "hi").createOrReplaceTempView("ivs3")
@@ -129,10 +129,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val df = spark.sql("SELECT pid, iid FROM pts3 JOIN ivs3 ON pt >= lo AND pt <= hi")
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastRangeJoin"),
-        s"strategy must decline with broadcasting disabled:\n$plan")
+        s"physical node needs a broadcastable side:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"a matched pattern must never fall through to a nested loop:\n$plan")
       assert(df.count() == 11) // correctness through the fallback plan
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset(RangeJoinRewrite.BinWidthKey)
+      spark.conf.unset(RangeJoinRewrite.PhysicalKey)
+    }
+  }
+
+  test("BroadcastRangeJoinExec index cache disambiguates different bounds over one broadcast") {
+    import spark.implicits._
+    (0L to 50L).map(i => (i, i)).toDF("pid", "pt").createOrReplaceTempView("pts4")
+    Seq((1L, 10L, 20L)).toDF("iid", "lo", "hi").createOrReplaceTempView("ivs4")
+    spark.conf.set(RangeJoinRewrite.BinWidthKey, "16")
+    spark.conf.set(RangeJoinRewrite.PhysicalKey, "true")
+    try {
+      // two range joins over the SAME interval scan with different bounds:
+      // exchange reuse can hand both joins one broadcast value, so the
+      // executor-side index must key on the bound expressions too
+      val df = spark.sql(
+        """SELECT a.pid AS p1, b.pid AS p2 FROM
+             (SELECT pid FROM pts4 JOIN ivs4 ON pt >= lo AND pt <= hi) a
+             FULL OUTER JOIN
+             (SELECT pid FROM pts4 JOIN ivs4 ON pt >= lo AND pt <= hi + 10) b
+           ON a.pid = b.pid""")
+      val rows = df.collect()
+      assert(rows.count(_.isNullAt(0) == false) == 11, "first join: [10,20]")
+      assert(rows.count(_.isNullAt(1) == false) == 21, "second join: [10,30]")
+    } finally {
       spark.conf.unset(RangeJoinRewrite.BinWidthKey)
       spark.conf.unset(RangeJoinRewrite.PhysicalKey)
     }

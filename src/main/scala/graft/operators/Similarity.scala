@@ -231,16 +231,29 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = c.join(toCellsDf(centroids))
         .withColumn("__cell", element_at(nearestCells(col("__v"), col("__cells"), 1), 1)("cell"))
-        .select(col("__cell"), posexplode(col("__v")))
+        .select(col("__cell"), l2Norm(col("__v")).as("__r"), posexplode(col("__v")))
       // collect the <= nCells small mean vectors each step: truncates the
       // lineage so downstream actions never replay earlier iterations'
-      // full-corpus scans
-      centroids = assigned.groupBy(col("__cell"), col("pos")).agg(avg(col("col")).as("__m"))
+      // full-corpus scans. SPHERICAL correction: a plain Lloyd mean
+      // shrinks toward the origin (high-dim means are short), and the
+      // L2 assignment then keys on vector NORM instead of direction —
+      // poison for cosine retrieval. Rescaling each mean to its members'
+      // average norm keeps centroids on the data shell: direction from
+      // the mean, magnitude from the members.
+      centroids = assigned.groupBy(col("__cell"), col("pos"))
+        .agg(avg(col("col")).as("__m"), avg(col("__r")).as("__rr"))
         .groupBy(col("__cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("__m")))),
-          p => p("__m")).as("centroid"))
+          p => p("__m")).as("centroid"),
+          first(col("__rr")).as("__r"))
         .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        .map { r =>
+          val m = r.getSeq[Double](1).toArray
+          val targetNorm = r.getDouble(2)
+          val mNorm = math.sqrt(m.map(x => x * x).sum)
+          val scaled = if (mNorm == 0.0) m else m.map(_ * targetNorm / mNorm)
+          (r.getLong(0), scaled)
+        }.toSeq
     }
     toCellsDf(centroids)
   }

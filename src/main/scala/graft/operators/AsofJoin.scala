@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.StructType
   */
 object AsofJoin {
 
-  private val Reserved = Seq("__ts", "__tag", "__rv", "__m")
+  private val Reserved = Seq("__ts", "__tag", "__rv", "__m", "__bkt", "__rvb", "__carry")
 
   /** @param payload right-side columns to surface (null when no right row
     *                matches); all other right columns drop.
@@ -46,6 +46,94 @@ object AsofJoin {
       keyCol: String, leftTs: String, rightTs: String,
       payload: Seq[String], direction: String = "backward",
       tolerance: Option[Long] = None): DataFrame = {
+    val p = prep(left, right, keyCol, leftTs, rightTs, payload, direction, tolerance)
+    val base = Window.partitionBy(col(keyCol)).orderBy(col("__ts").asc, col("__tag").asc)
+    val (w, pick) =
+      if (p.backward)
+        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__rv"), ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__rv"), ignoreNulls = true))
+    p.unioned
+      .withColumn("__m", pick.over(w))
+      .where(col("__tag") === 1)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        payload.map(q => when(p.tolOk, col(s"__m.$q")).as(q)): _*)
+  }
+
+  /** Skew-safe as-of join, same result (and same contract) as [[asof]] —
+    * the hot-key dual, mirroring [[Sessions.batchSkewSafe]]. [[asof]]'s
+    * whole computation is one `Window.partitionBy(key)`: every row of a
+    * key sorts in ONE task, so a 100 TB tick-data as-of on a hot
+    * instrument key is a single-task sort. Here rows first match within
+    * (key, time bucket) — a hot key's rows spread across its buckets —
+    * and buckets that found no local match take the boundary value
+    * carried from earlier (backward) / later (forward) buckets: one row
+    * per (key, bucket) crosses the second window, so per-key work in the
+    * fix-up pass is bounded by the key's bucket count, never its row
+    * count.
+    *
+    * `bucket` is the time-bucket width in ts units; size it so a typical
+    * key has ≪ rows per bucket than total (e.g. a day of micros for
+    * tick data). Any positive value is correct — only the skew behavior
+    * changes.
+    */
+  def asofSkewSafe(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String,
+      payload: Seq[String], direction: String = "backward",
+      tolerance: Option[Long] = None, bucket: Long = 86400000000L): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val p = prep(left, right, keyCol, leftTs, rightTs, payload, direction, tolerance)
+    def bucketOf(ts: Column): Column = ts - pmod(ts, lit(bucket))
+    // phase 1: within-(key, bucket) running match — the hot key's rows
+    // sort per bucket, not per key
+    val unioned = p.unioned.withColumn("__bkt", bucketOf(col("__ts")))
+    val base = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+    val (w, pick) =
+      if (p.backward)
+        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__rv"), ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__rv"), ignoreNulls = true))
+    val local = unioned.withColumn("__m", pick.over(w)).where(col("__tag") === 1)
+    // phase 2: per (key, bucket) boundary value from the right side —
+    // backward carries each bucket's LAST right row forward, forward
+    // carries each bucket's FIRST right row backward. One row per
+    // (key, bucket) enters the carry window, so the per-key sort is over
+    // bucket counts, not row counts.
+    val rBkts = p.r.groupBy(col(keyCol), bucketOf(col("__ts")).as("__bkt"))
+      .agg((if (p.backward) max_by(col("__rv"), col("__ts"))
+            else min_by(col("__rv"), col("__ts"))).as("__rvb"))
+    // left buckets with no right rows still need the carry, so the carry
+    // window runs over the union of both sides' (key, bucket) pairs
+    val lBkts = p.l.select(col(keyCol), bucketOf(col("__ts")).as("__bkt")).distinct()
+    val allBkts = lBkts.join(rBkts, Seq(keyCol, "__bkt"), "full_outer")
+    val carryW = Window.partitionBy(col(keyCol))
+      .orderBy(if (p.backward) col("__bkt").asc else col("__bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = allBkts
+      .withColumn("__carry", last(col("__rvb"), ignoreNulls = true).over(carryW))
+      .select(col(keyCol), col("__bkt"), col("__carry"))
+    // a local match always beats the carry: backward, any right row in the
+    // left row's own bucket at ts' <= ts is later than every earlier
+    // bucket's rows (and symmetrically forward)
+    local.join(carries, Seq(keyCol, "__bkt"), "left")
+      .withColumn("__m", coalesce(col("__m"), col("__carry")))
+      .select(left.columns.toIndexedSeq.map(col) ++
+        payload.map(q => when(p.tolOk, col(s"__m.$q")).as(q)): _*)
+  }
+
+  /** Shared validation + tagged-union prep for [[asof]]/[[asofSkewSafe]]. */
+  private final case class Prep(l: DataFrame, r: DataFrame, unioned: DataFrame,
+      backward: Boolean, tolOk: Column)
+
+  private def prep(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String,
+      payload: Seq[String], direction: String,
+      tolerance: Option[Long]): Prep = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward or forward, got $direction")
     require(!payload.contains("__mts"), "__mts is reserved for the matched ts")
@@ -74,22 +162,10 @@ object AsofJoin {
       .withColumn("__tag", lit(1))
       .withColumn("__rv", lit(null).cast(rvType))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val base = Window.partitionBy(col(keyCol)).orderBy(col("__ts").asc, col("__tag").asc)
-    val (w, pick) =
-      if (backward)
-        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col("__rv"), ignoreNulls = true))
-      else
-        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col("__rv"), ignoreNulls = true))
     val tolOk = tolerance.fold(lit(true)) { t =>
       if (backward) col("__ts") - col("__m.__mts") <= t
       else col("__m.__mts") - col("__ts") <= t
     }
-    unioned
-      .withColumn("__m", pick.over(w))
-      .where(col("__tag") === 1)
-      .select(left.columns.toIndexedSeq.map(col) ++
-        payload.map(p => when(tolOk, col(s"__m.$p")).as(p)): _*)
+    Prep(l, r, unioned, backward, tolOk)
   }
 }

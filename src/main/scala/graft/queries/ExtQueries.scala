@@ -598,6 +598,27 @@ object ExtQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Same relation as q_asof_join (same DuckDB native-ASOF oracle) through
+    * the skew-safe two-phase operator: per-(user, 6-hour-bucket) running
+    * match + bucket-boundary carry — identical answers without the
+    * hot-key single-task sort.
+    */
+  private val asofSkewQ = q("q_asof_skew",
+    """WITH l AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu FROM events),
+       r AS (SELECT user_id, epoch_ns(ts) // 1000 AS mtsu, MAX(event_id) AS marker_id
+             FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
+       SELECT l.event_id, l.user_id, r.marker_id
+       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.mtsu <= l.tsu""") { (s, d) =>
+    val ev = Tables.df(s, d, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("tsu"))
+    val markers = ev.where(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("tsu").as("mtsu"))
+      .agg(max(col("event_id")).as("marker_id"))
+    AsofJoin.asofSkewSafe(ev, markers, "user_id", "tsu", "mtsu", Seq("marker_id"),
+      bucket = 21600000000L) // 6 h of micros
+      .select(col("event_id"), col("user_id"), col("marker_id"))
+  }
+
   private val asofForwardQ = q("q_asof_forward",
     // forward as-of: every event matched to the EARLIEST marker at or
     // after it (DuckDB native ASOF with the inequality flipped)
@@ -835,6 +856,6 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
     annIvfQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
-    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofForwardQ,
-    asofToleranceQ, rangeJoinQ)
+    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
+    asofForwardQ, asofToleranceQ, rangeJoinQ)
 }

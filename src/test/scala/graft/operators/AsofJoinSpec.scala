@@ -86,6 +86,50 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("asofSkewSafe == asof on random data, all directions x tolerance x bucket widths") {
+    val rnd = new scala.util.Random(31)
+    // one deliberately hot key (0) holding half the rows
+    val left = (0 until 300).map(i =>
+      (if (i % 2 == 0) 0 else rnd.nextInt(5), rnd.nextInt(200).toLong, s"l$i"))
+    val right = rnd.shuffle(
+      (for (k <- 0 until 5; t <- 0 until 200) yield (k, t.toLong)).toList)
+      .take(150).map { case (k, t) => (k, t, s"r$k-$t") }
+    val lDf = left.toDF("k", "ts", "lv")
+    val rDf = right.toDF("k", "rts", "rv")
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(9L));
+         bucket <- Seq(1L, 7L, 64L, 1000L)) {
+      val want = AsofJoin.asof(lDf, rDf, "k", "ts", "rts", Seq("rv"),
+          direction = dir, tolerance = tol)
+        .collect().map(r => (r.getString(2), r.getString(3))).toMap
+      val got = AsofJoin.asofSkewSafe(lDf, rDf, "k", "ts", "rts", Seq("rv"),
+          direction = dir, tolerance = tol, bucket = bucket)
+        .collect().map(r => (r.getString(2), r.getString(3))).toMap
+      assert(got == want, s"$dir tol=$tol bucket=$bucket")
+    }
+  }
+
+  test("asofSkewSafe: match carried across empty buckets; right-only buckets carry too") {
+    // right row in bucket [0,10); left rows in buckets [20,30) and [40,50):
+    // both must see the bucket-0 value through the carry chain
+    val left = Seq((1, 25L, "l1"), (1, 45L, "l2")).toDF("k", "ts", "lv")
+    val right = Seq((1, 3L, "a")).toDF("k", "rts", "rv")
+    val got = AsofJoin.asofSkewSafe(left, right, "k", "ts", "rts", Seq("rv"), bucket = 10L)
+      .collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(got == Set(("l1", "a"), ("l2", "a")))
+  }
+
+  test("asofSkewSafe: the row-level window is bucketed (partition spec carries __bkt)") {
+    val left = Seq((1, 10L, "x")).toDF("k", "ts", "lv")
+    val right = Seq((1, 5L, "a")).toDF("k", "rts", "rv")
+    val plan = AsofJoin.asofSkewSafe(left, right, "k", "ts", "rts", Seq("rv"), bucket = 10L)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the phase-1 running-match window must partition by (k, __bkt) — a
+    // spec of the shape `windowspecdefinition(k#.., __bkt#.., __ts#..`
+    // (key then bucket as PARTITION columns, before the ordered __ts)
+    assert("windowspecdefinition\\(k#\\d+, __bkt#\\d+L?, __ts#".r.findFirstIn(plan).isDefined,
+      s"expected a (k, __bkt)-partitioned window:\n$plan")
+  }
+
   test("rangeJoin: exact containment, boundaries inclusive, intervals spanning bins, no dup pairs") {
     val points = Seq((1L, 10L), (2L, 100L), (3L, 250L), (4L, 999L)).toDF("pid", "t")
     // interval B spans multiple 100-wide bins; A and B overlap

@@ -5,12 +5,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries (QueryDef.bench) on
   * SPARK_GRAFT_SF_DIR and prints one JSON line. One warm-up pass primes
-  * the JVM/codegen caches, then each query is timed twice and the MIN of
-  * the two passes is reported (sub-second queries vary ±20% run-to-run
-  * from GC/JIT noise; min-of-2 is a steadier estimate). A query that
-  * throws is reported as value -1 with its message in an "errors" field,
-  * and the headline total becomes -1 as well — a failure can never read
-  * as a fast success at either level.
+  * the JVM/codegen caches, then each query is timed SPARK_GRAFT_BENCH_N
+  * times (default 3) and the MIN is reported — shuffle-bound sub-second
+  * queries vary ±20-50% run-to-run from GC/JIT/host noise (measured:
+  * ProbeMinhash, SCALE.md), and the minimum is the steadiest estimator of
+  * the achievable time. A query that throws is reported as value -1 with
+  * its message in an "errors" field, and the headline total becomes -1 as
+  * well — a failure can never read as a fast success at either level.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,12 +46,12 @@ object Bench {
               .replaceAll("[\\x00-\\x1f]+", " ").take(200))
       }
     }
+    val passes = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt, 1)
     val results = benchSet.map { qd =>
-      val r = (timed(qd), timed(qd)) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
-        case (l @ Left(_), _) => l
-        case (_, l @ Left(_)) => l
-      }
+      val runs = Seq.fill(passes)(timed(qd))
+      // min over the good passes; any failed pass poisons the query
+      val r = runs.collectFirst { case l @ Left(_) => l }
+        .getOrElse(Right(runs.collect { case Right(t) => t }.min))
       qd.name -> r
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

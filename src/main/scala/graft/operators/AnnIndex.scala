@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent ANN / dedup indexes — the last rung of the 100 TB story.
+  *
+  * Every query-time operator in [[Similarity]]/[[Dedup]] recomputes
+  * signatures and cell assignments from the raw corpus; at scale the
+  * index IS the asset: built once, laid out so a probe reads only the
+  * slice it needs, and shared by every downstream query.
+  *
+  *  - IVF ([[buildIvf]]/[[probeIvf]]): cell assignments land as parquet
+  *    PARTITIONED by cell id. A probe plans `__cell IN (...)` partition
+  *    filters, so pruned cells cost zero bytes — the probe side has NO
+  *    Exchange before the final top-k aggregate, and scan volume is
+  *    nProbe/nCells of the corpus regardless of corpus size.
+  *  - MinHash ([[buildMinhash]]/[[probeMinhash]]): banded signatures land
+  *    as a BUCKETED table keyed by the band-bucket hash. Incremental
+  *    dedup of a delta against the corpus then shuffles ONLY the delta
+  *    (Spark aligns it to the table's bucketing); the indexed corpus —
+  *    the 100 TB side — is never re-shuffled or re-signed.
+  *
+  * The reference has no persistent-index surface (its platforms rebuild
+  * relations per script); this extends the dedup/ANN family the same way
+  * pigpen-parquet extended its io layer — storage layout as an operator
+  * (pigpen-parquet/src/main/clojure/pigpen/parquet.clj:105-124).
+  */
+object AnnIndex {
+
+  // ---- IVF: partitioned cell layout ----
+
+  /** Assign every corpus vector to its nearest centroid and write the
+    * assignment table partitioned by `__cell` (columns: neighbor_id,
+    * __cv, __cn, __cell — the exact shape [[Similarity.ivfTopK]] builds
+    * in-flight). Centroids default to the same deterministic quantizer
+    * as ivfTopK (lowest `nCells` ids) or take a trained
+    * [[Similarity.kmeansCells]] row; they are persisted alongside the
+    * data under `_centroids/` (underscore-prefixed: invisible to parquet
+    * readers of `path`), so the probe needs only `path`.
+    *
+    * Assignment is map-side against the broadcast centroid array — the
+    * only shuffle in the build is the partitioned write's own file
+    * routing.
+    */
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int = 16, centroids: Option[DataFrame] = None): Unit = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
+    val centroidRow = broadcast(centroids.getOrElse(Similarity.defaultCells(c, nCells)))
+    val assigned = c.join(centroidRow) // broadcast 1-row nested-loop: map-side
+      .withColumn("__cell",
+        element_at(Similarity.nearestCells(col("__cv"), col("__cells"), 1), 1)("cell"))
+      .select(col("neighbor_id"), col("__cv"), col("__cn"), col("__cell"))
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    centroidRow.write.mode("overwrite").parquet(path + "/_centroids")
+  }
+
+  /** Top-k by cosine against a [[buildIvf]] index, probing the `nProbe`
+    * cells nearest each query. Identical results to
+    * `Similarity.ivfTopK(queries, corpus, ...)` with the same quantizer.
+    *
+    * The probed cell ids are collected to the driver (bounded by the
+    * cell count — the faiss pattern: the coarse index lives with the
+    * query planner) and planned as literal partition filters, so the
+    * scan reads ONLY those cells' files: no filter-then-shuffle over the
+    * corpus, no Exchange anywhere on the index lineage before the final
+    * bounded-heap top-k.
+    */
+  def probeIvf(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val centroidRow = broadcast(spark.read.parquet(path + "/_centroids"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        l2Norm(col(vecCol)).as("__qn"))
+      .join(centroidRow)
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        explode(Similarity.nearestCells(col("__qv"), col("__cells"), nProbe)).as("__probe"))
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__probe")("cell").as("__cell"))
+    val probed = Materialize.once(q)
+    val cells: Array[Any] = probed.select(col("__cell")).distinct().collect().map(_.get(0))
+    val idx = spark.read.parquet(path).where(col("__cell").isin(cells.toIndexedSeq: _*))
+    val scored = idx.join(broadcast(probed), "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.pairCosine)
+    Similarity.topKByCosine(scored, k)
+  }
+
+  // ---- MinHash: bucketed band + signature tables ----
+
+  /** (doc, band-hash array, full signature) per document — signed once;
+    * band rows and the sig table both derive from this.
+    */
+  private def signed(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int, numHashes: Int, bands: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        Dedup.minhashSignature(col(textCol), shingle, numHashes).as("__sig"))
+      .withColumn("__bh", graft.functions.HashExpressions.bandHashes(col("__sig"), bands))
+
+  /** One row per (doc, band), keyed by `__bb` — the 64-bit hash of
+    * (band index, band hash), one column so the table can bucket on it.
+    * The band-hash array rides along for the exact-once
+    * first-agreeing-band filter at probe time.
+    */
+  private def bandedRows(s: DataFrame): DataFrame =
+    s.select(col("__id"), col("__bh"), posexplode(col("__bh")))
+      .select(col("__id"), col("__bh"), xxhash64(col("pos"), col("col")).as("__bb"))
+
+  /** Sign + band the corpus ONCE and persist two bucketed tables
+    * (session catalog, like [[graft.sources.GraftIO.storeBucketedTable]]):
+    * `tableName` — band rows bucketed+sorted by `__bb` (candidate
+    * generation), and `tableName_sigs` — (id, signature) bucketed+sorted
+    * by `__id` (verification). Signature parameters are baked into the
+    * layout; [[probeMinhash]] must be called with the same values.
+    */
+  def buildMinhash(df: DataFrame, idCol: String, textCol: String, tableName: String,
+      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16, buckets: Int = 32): Unit = {
+    val s = Materialize.once(signed(df, idCol, textCol, shingle, numHashes, bands))
+    replaceTable(bandedRows(s), tableName, "__bb", buckets)
+    replaceTable(s.select(col("__id"), col("__sig")), tableName + "_sigs", "__id", buckets)
+  }
+
+  /** `mode(overwrite).saveAsTable` replaces a table the CATALOG knows, but
+    * a managed table's warehouse directory can outlive its catalog entry
+    * (a previous session's in-memory catalog is gone, the files are not)
+    * and then CREATE fails with LOCATION_ALREADY_EXISTS — so drop the
+    * entry AND delete an orphaned location before writing.
+    */
+  private def replaceTable(df: DataFrame, tableName: String,
+      bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(warehouse), tableName)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(tableName)
+  }
+
+  /** Near-duplicate pairs between `delta` (new documents) and a
+    * [[buildMinhash]] index: (idA = delta id, idB = indexed id,
+    * est_jaccard) — the incremental-ingest dedup shape, with semantics
+    * IDENTICAL to [[Dedup.minhashNearDuplicates]] (same band collision
+    * rule, same full-signature agreement estimate, same threshold).
+    *
+    * Scale shape: the delta is signed and banded in-flight and shuffled
+    * INTO the tables' bucketing; the indexed corpus — the 100 TB side —
+    * is read pre-bucketed (no Exchange) and never re-signed. A pair
+    * colliding in several bands is kept only at its FIRST agreeing band
+    * (map-side, both sides carry the band-hash array), and the
+    * verification join probes `tableName_sigs` bucket-aligned, so every
+    * shuffle in the probe is delta-sized.
+    *
+    * Delta-internal duplicates are NOT found here — run the batch
+    * operator over the delta for those; a full ingest is the union of
+    * both (plus [[Dedup.connectedComponents]] if clusters are needed).
+    */
+  def probeMinhash(spark: SparkSession, tableName: String, delta: DataFrame,
+      idCol: String, textCol: String,
+      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val s = Materialize.once(signed(delta, idCol, textCol, shingle, numHashes, bands))
+    val d = bandedRows(s)
+      .select(col("__bb"), col("__id").as("idA"), col("__bh").as("__bhA"))
+    val idx = spark.table(tableName)
+      .select(col("__bb"), col("__id").as("idB"), col("__bh").as("__bhB"))
+    // exact-once: keep the copy whose band is the FIRST band where the two
+    // band-hash arrays agree (the band that produced this row is the one
+    // whose (pos, hash) pair hashed to __bb). `get` (0-based, null-safe)
+    // instead of element_at: firstAgree = 0 (no agreeing band — possible
+    // only on an xxhash64 collision between different (band, hash) pairs)
+    // must drop the row, not throw on index 0.
+    val firstAgree =
+      array_position(zip_with(col("__bhA"), col("__bhB"), (a, b) => a === b), true)
+    val pairs = d.join(idx, "__bb")
+      .where(col("__bb") === xxhash64(firstAgree.cast("int") - 1,
+        get(col("__bhA"), firstAgree.cast("int") - 1)))
+      .select(col("idA"), col("idB"))
+    pairs
+      .join(s.select(col("__id").as("idA"), col("__sig").as("__sigA")), "idA")
+      .join(spark.table(tableName + "_sigs")
+        .select(col("__id").as("idB"), col("__sig").as("__sigB")), "idB")
+      .withColumn("est_jaccard",
+        graft.functions.HashExpressions.signatureAgreement(col("__sigA"), col("__sigB")))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("est_jaccard"))
+  }
+}

@@ -38,7 +38,7 @@ object Similarity {
     * embedding columns are fixed-dimension non-null by contract
     * (TESTDATA.md).
     */
-  private def pairCosine: Column =
+  private[operators] def pairCosine: Column =
     try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn"))
 
   /** Shared tail: scored (query_id, neighbor_id, cosine) candidates →
@@ -49,7 +49,7 @@ object Similarity {
     * keep working. NULL cosines (zero-norm vectors, see [[pairCosine]])
     * are dropped before the heap.
     */
-  private def topKByCosine(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topKByCosine(scored: DataFrame, k: Int): DataFrame =
     scored
       .where(col("cosine").isNotNull)
       .groupBy(col("query_id"))
@@ -127,7 +127,7 @@ object Similarity {
     * asc) tie-break for free. Pure column expression: runs map-side inside
     * the row, no join, no shuffle, no window.
     */
-  private def nearestCells(vec: Column, cells: Column, n: Int): Column =
+  private[operators] def nearestCells(vec: Column, cells: Column, n: Int): Column =
     slice(
       array_sort(transform(cells, cc =>
         struct(l2Distance(vec, cc("centroid")).as("d"), cc("cell").as("cell")))),
@@ -147,17 +147,23 @@ object Similarity {
     * by a UNIQUE id) shuffled and sorted |corpus|×nCells rows just to pick
     * a per-row argmin.
     */
+  /** The deterministic default coarse quantizer shared by [[ivfTopK]] and
+    * [[AnnIndex.buildIvf]]: the `nCells` lowest-id corpus rows, folded into
+    * ONE row holding all centroids as an array of (cell, centroid) structs
+    * (`c` must already carry `neighbor_id`/`__cv`).
+    */
+  private[operators] def defaultCells(c: DataFrame, nCells: Int): DataFrame =
+    c.orderBy("neighbor_id").limit(nCells)
+      .agg(collect_list(struct(col("neighbor_id").as("cell"), col("__cv").as("centroid")))
+        .as("__cells"))
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2Norm(col(vecCol)).as("__cn"))
-    // one row holding all centroids as an array of (cell, centroid) structs
-    val centroidRow = broadcast(centroids.getOrElse(
-      c.orderBy("neighbor_id").limit(nCells)
-        .agg(collect_list(struct(col("neighbor_id").as("cell"), col("__cv").as("centroid")))
-          .as("__cells"))))
+    val centroidRow = broadcast(centroids.getOrElse(defaultCells(c, nCells)))
     val assigned = c.join(centroidRow) // broadcast 1-row nested-loop: map-side
       .withColumn("__cell", element_at(nearestCells(col("__cv"), col("__cells"), 1), 1)("cell"))
       .select(col("neighbor_id"), col("__cv"), col("__cn"), col("__cell"))

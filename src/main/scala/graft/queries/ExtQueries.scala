@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.{Flow, Fold}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sessions, Similarity}
+import graft.operators.{AnnIndex, AsofJoin, Dedup, Multimodal, RangeJoin, Sessions, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -359,10 +359,12 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  private val annIvfQ = q("q_ann_ivf",
-    // the IVF pipeline is fully deterministic (centroids = 16 lowest ids,
-    // L2 assignment tie-broken by cell, probe 4 cells, cosine rank), so
-    // the whole thing is SQL-expressible; rank-only for ulp robustness
+  // the IVF pipeline is fully deterministic (centroids = 16 lowest ids,
+  // L2 assignment tie-broken by cell, probe 4 cells, cosine rank), so
+  // the whole thing is SQL-expressible; rank-only for ulp robustness.
+  // Shared by q_ann_ivf (in-flight) and q_ann_ivf_indexed (persistent
+  // index + partition-pruned probe): same quantizer → same answer.
+  private val IvfOracleSql =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        cent AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
        assigned AS (
@@ -384,11 +386,43 @@ object ExtQueries {
          WHERE qa.query_id <> a.vec_id)
        SELECT query_id, neighbor_id,
               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-       FROM scored QUALIFY rank <= 10""") { (s, d) =>
+       FROM scored QUALIFY rank <= 10"""
+
+  private val annIvfQ = q("q_ann_ivf", IvfOracleSql) { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
     Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
       k = 10, nCells = 16, nProbe = 4)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Same relation (and same oracle) as q_ann_ivf through the PERSISTENT
+    * index: cell assignments written as cell-partitioned parquet once,
+    * then probed with planning-time partition pruning — the probe scans
+    * only the queries' nProbe cells, no Exchange on the index lineage.
+    */
+  private val annIvfIndexedQ = q("q_ann_ivf_indexed", IvfOracleSql) { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_idx_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", path, nCells = 16)
+    AnnIndex.probeIvf(s, path, emb.where(col("vec_id") < 50), "vec_id", "embedding",
+      k = 10, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Incremental-ingest dedup through the PERSISTENT MinHash index: the
+    * corpus is signed/banded once into bucketed tables; the shifted-id
+    * copies arrive as the delta and only they shuffle. Rows-only gate
+    * (LSH, like q_dedup_minhash); batch-parity is property-tested in
+    * DedupSpec.
+    */
+  private val minhashIndexedQ = q("q_dedup_minhash_indexed") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    AnnIndex.buildMinhash(docs, "doc_id", "text", "graft_mh_idx",
+      shingle = 3, numHashes = 64, bands = 16)
+    AnnIndex.probeMinhash(s, "graft_mh_idx",
+      docs.withColumn("doc_id", col("doc_id") + 10000), "doc_id", "text",
+      shingle = 3, numHashes = 64, bands = 16, threshold = 0.7)
   }
 
   private val multimodalQ = q("q_multimodal") { (s, d) => // synthetic payloads; rows-only
@@ -854,8 +888,8 @@ object ExtQueries {
     repetitionQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
-    annIvfQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
+    minhashQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
+    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ)
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus() = {
+    val rnd = new scala.util.Random(11)
+    (0L until 300L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("probeIvf == ivfTopK with the same quantizer (persisted index round-trip)") {
+    val df = corpus()
+    val queries = df.where($"vec_id" < 20)
+    val path = "target/io_tmp/ivf_idx_spec"
+    AnnIndex.buildIvf(df, "vec_id", "embedding", path, nCells = 8)
+    val got = AnnIndex.probeIvf(spark, path, queries, "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val want = Similarity.ivfTopK(queries, df, "vec_id", "embedding", k = 5,
+        nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("probeIvf with a trained quantizer matches ivfTopK given the same centroids") {
+    val df = corpus()
+    val queries = df.where($"vec_id" < 10)
+    val cells = Similarity.kmeansCells(df, "vec_id", "embedding", nCells = 6, iters = 1)
+      .persist() // both consumers must see the SAME (iterative, float) centroids
+    try {
+      val path = "target/io_tmp/ivf_idx_trained_spec"
+      AnnIndex.buildIvf(df, "vec_id", "embedding", path, nCells = 6, centroids = Some(cells))
+      val got = AnnIndex.probeIvf(spark, path, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      val want = Similarity.ivfTopK(queries, df, "vec_id", "embedding", k = 5,
+          nCells = 6, nProbe = 2, centroids = Some(cells))
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally cells.unpersist()
+  }
+
+  test("probeIvf plan: partition-pruned index scan, no Exchange before the top-k aggregate") {
+    val df = corpus()
+    val path = "target/io_tmp/ivf_idx_plan_spec"
+    AnnIndex.buildIvf(df, "vec_id", "embedding", path, nCells = 8)
+    val probe = AnnIndex.probeIvf(spark, path, df.where($"vec_id" < 5),
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    probe.count()
+    val plan = probe.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("PartitionFilters") && plan.contains("__cell"),
+      s"expected __cell partition filters on the index scan:\n$plan")
+    // the only shuffle is the final bounded-heap top-k aggregate; the index
+    // lineage (scan -> broadcast join -> project) must not exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one Exchange (the top-k agg):\n$plan")
+  }
+
+  private def docs() = {
+    // clusters of near-identical docs + unique fillers, same fixture shape
+    // as DedupSpec: shared long prefix, distinct tails
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val rows =
+      (0L until 20L).map(i => (i, base + s"cluster one tail $i")) ++
+      (100L until 115L).map(i => (i, base + s"cluster two variant tail marker $i")) ++
+      (200L until 260L).map(i => (i, s"unique document number $i with its own words " +
+        s"entirely different content stream ${i * 31} ${i * 17}"))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("probeMinhash == batch minhashNearDuplicates restricted to delta-vs-corpus pairs") {
+    val corpus = docs()
+    val delta = corpus.withColumn("doc_id", col("doc_id") + 10000)
+    AnnIndex.buildMinhash(corpus, "doc_id", "text", "mh_idx_spec",
+      shingle = 3, numHashes = 64, bands = 16, buckets = 4)
+    try {
+      val got = AnnIndex.probeMinhash(spark, "mh_idx_spec", delta, "doc_id", "text",
+          shingle = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch twin over corpus ∪ delta, keeping only cross pairs (batch
+      // orients idA < idB, so cross pairs are (corpus id, delta id))
+      val want = Dedup.minhashNearDuplicates(corpus.unionByName(delta), "doc_id", "text",
+          shingle = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .where(col("idA") < 10000 && col("idB") >= 10000)
+        .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+      assert(got == want && got.nonEmpty)
+      // every delta doc is an exact copy of a corpus doc: its own twin must
+      // be among the pairs at est_jaccard 1.0
+      assert(got.exists { case (a, b, j) => a == b + 10000 && j == 1.0 })
+    } finally spark.sql("DROP TABLE IF EXISTS mh_idx_spec")
+      .collect() -> spark.sql("DROP TABLE IF EXISTS mh_idx_spec_sigs").collect()
+  }
+
+  test("probeMinhash plan: the indexed corpus is read pre-bucketed — no Exchange above the index scans") {
+    val corpus = docs()
+    val delta = corpus.withColumn("doc_id", col("doc_id") + 10000).limit(10)
+    AnnIndex.buildMinhash(corpus, "doc_id", "text", "mh_idx_plan_spec",
+      shingle = 3, numHashes = 64, bands = 16, buckets = 4)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // disable broadcast so the candidate join NEEDS co-location (the test
+    // then proves the index side satisfies it from the bucketed layout);
+    // disable AQE so the physical tree is traversable directly
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = AnnIndex.probeMinhash(spark, "mh_idx_plan_spec", delta,
+        "doc_id", "text", shingle = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      val plan = probe.queryExecution.executedPlan
+      val indexScans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith("mh_idx_plan_spec")) => f
+      }
+      assert(indexScans.size == 2, s"expected band + sig table scans:\n$plan")
+      assert(indexScans.forall(_.bucketedScan),
+        s"index scans must use the bucketed layout:\n$plan")
+      // the join CONSUMING each index table must read it straight off the
+      // bucketed scan — no Exchange on the scan→join path. (Downstream
+      // re-shuffles of join RESULTS are delta-sized and legitimate.)
+      def pathToScan(p: org.apache.spark.sql.execution.SparkPlan)
+          : Option[(Boolean, String)] = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Some((false, f.tableIdentifier.map(_.table).getOrElse("")))
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          pathToScan(e.child).map { case (_, t) => (true, t) }
+        case u if u.children.size == 1 => pathToScan(u.children.head)
+        case _ => None
+      }
+      val joinSides = plan.collect {
+        case j if j.children.size == 2 => j.children.flatMap(pathToScan)
+      }.flatten
+      val indexSides = joinSides.filter(_._2.startsWith("mh_idx_plan_spec"))
+      assert(indexSides.size == 2, s"both index tables must feed a join directly:\n$plan")
+      assert(indexSides.forall(!_._1),
+        s"the indexed corpus must never re-shuffle on its way into a join:\n$plan")
+      assert(probe.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS mh_idx_plan_spec").collect()
+      spark.sql("DROP TABLE IF EXISTS mh_idx_plan_spec_sigs").collect()
+    }
+  }
+}

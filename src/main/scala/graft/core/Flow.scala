@@ -538,6 +538,82 @@ object Flow {
       f(k, bags.map(_.result())).iterator
     })
   }
+
+  /** One input of an N-way [[cogroupNFold]]: relation + key fn + the fold
+    * that reduces it, types erased like [[CogroupInput]]. Build via
+    * [[inFold]].
+    */
+  final case class CogroupFoldInput[K](ds: Dataset[_], key: Any => K,
+      fold: Fold[Any, Any, Any])
+
+  def inFold[T, K, B, C](fl: Flow[T])(k: T => K)(f: Fold[T, B, C]): CogroupFoldInput[K] =
+    CogroupFoldInput(fl.ds, k.asInstanceOf[Any => K],
+      f.asInstanceOf[Fold[Any, Any, Any]])
+
+  /** Per-group state of [[cogroupNFold]]: one buffer per input, plus seen
+    * flags so a key absent from an input surfaces as None (not a fold of
+    * zero rows). Kryo lane, like every fold buffer.
+    */
+  final case class MultiFoldBuf(bufs: Array[Any], seen: Array[Boolean])
+
+  /** N-way cogroup where EVERY input is reduced by its own [[Fold]] — the
+    * reference's `:fold` option on any select of a group
+    * (pigpen-core/src/main/clojure/pigpen/join.clj:63-66, 102-117, the
+    * Algebraic-UDF path), generalized past [[Flow.cogroupFold]]'s 2-way
+    * shape. Same single tagged-union hash shuffle as [[cogroupN]], but the
+    * per-key state is the N fold BUFFERS — combined map-side by the
+    * partial aggregate — so an N-way grouped aggregation never
+    * materializes a bag: what crosses the shuffle per (key, partition) is
+    * one buffer array, regardless of how many rows the key has. This is
+    * the shape N-way grouped aggregation must have at 100 TB; a
+    * bag-shaped select is just `Fold.vec`, so mixed bag/fold groups
+    * compose here too (the bag input then pays its bag, the folded ones
+    * don't).
+    *
+    * `f` sees one `Option` per input, index-aligned: `None` = the key
+    * never appeared in that input (outer semantics, like cogroupFold).
+    */
+  def cogroupNFold[K: Encoder, R: Encoder](inputs: Seq[CogroupFoldInput[K]])(
+      f: (K, IndexedSeq[Option[Any]]) => IterableOnce[R]): Flow[R] = {
+    require(inputs.nonEmpty, "cogroupNFold needs at least one input")
+    val n = inputs.size
+    val folds = inputs.map(_.fold).toIndexedSeq
+    val kEnc = implicitly[Encoder[K]]
+    implicit val tagged: Encoder[(K, Int, Any)] =
+      Encoders.tuple(kEnc, Encoders.scalaInt, Encoders.kryo[Any])
+    val unioned = inputs.zipWithIndex.map { case (in, i) =>
+      in.ds.asInstanceOf[Dataset[Any]].map((t: Any) => (in.key(t), i, t))
+    }.reduce(_ union _)
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        (K, Int, Any), MultiFoldBuf, IndexedSeq[Option[Any]]] {
+      def zero: MultiFoldBuf = MultiFoldBuf(Array.fill[Any](n)(null), Array.fill(n)(false))
+      def reduce(b: MultiFoldBuf, a: (K, Int, Any)): MultiFoldBuf = {
+        val i = a._2
+        val cur = if (b.seen(i)) b.bufs(i) else folds(i).zero()
+        b.bufs(i) = folds(i).reduce(cur, a._3)
+        b.seen(i) = true
+        b
+      }
+      def merge(x: MultiFoldBuf, y: MultiFoldBuf): MultiFoldBuf = {
+        var i = 0
+        while (i < n) {
+          if (y.seen(i)) {
+            x.bufs(i) = if (x.seen(i)) folds(i).merge(x.bufs(i), y.bufs(i)) else y.bufs(i)
+            x.seen(i) = true
+          }
+          i += 1
+        }
+        x
+      }
+      def finish(b: MultiFoldBuf): IndexedSeq[Option[Any]] =
+        (0 until n).map(i => if (b.seen(i)) Some(folds(i).finish(b.bufs(i))) else None)
+      def bufferEncoder: Encoder[MultiFoldBuf] = Encoders.kryo[MultiFoldBuf]
+      def outputEncoder: Encoder[IndexedSeq[Option[Any]]] =
+        Encoders.kryo[IndexedSeq[Option[Any]]]
+    }
+    Flow(unioned.groupByKey(_._1).agg(agg.toColumn)
+      .flatMap((p: (K, IndexedSeq[Option[Any]])) => f(p._1, p._2).iterator))
+  }
 }
 
 /** Join shapes; the reference's required/optional per-input flags

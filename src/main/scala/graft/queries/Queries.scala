@@ -449,6 +449,37 @@ object Queries {
     }.toDF.toDF("k", "n_nat", "n_cust", "n_supp", "n_rich")
   }
 
+  private val cogroup3FoldQ = q("q_cogroup3_fold",
+    """SELECT n.n_nationkey AS k,
+              CAST(COUNT(*) AS BIGINT) AS n_nat,
+              CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cust,
+              CAST(COALESCE(s.cents, 0) AS BIGINT) AS supp_cents
+       FROM nation n
+       LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY 1) c
+         ON c.c_nationkey = n.n_nationkey
+       LEFT JOIN (SELECT s_nationkey,
+                         SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS cents
+                  FROM supplier GROUP BY 1) s
+         ON s.s_nationkey = n.n_nationkey
+       GROUP BY 1, 3, 4""") { (s, d) =>
+    import s.implicits._
+    // 3-way group with a fold on EVERY select (Flow.cogroupNFold): one
+    // shuffle, per-key state = three fold buffers, no bags — the N-way
+    // grouped-aggregation scale shape. Missing inputs surface None → 0.
+    Flow.cogroupNFold[Int, (Int, Long, Long, Long)](Seq(
+        Flow.inFold(Flow(Tables.nation(s, d)))(_.n_nationkey)(Fold.count[Nation]),
+        Flow.inFold(Flow(Tables.customer(s, d)))(_.c_nationkey)(Fold.count[Customer]),
+        Flow.inFold(Flow(Tables.supplier(s, d)))(_.s_nationkey)(
+          Fold.sum[Long].premap[Supplier](sp => math.round(sp.s_acctbal * 100))))) {
+      (k, rs) =>
+        if (rs(0).isEmpty) Iterator.empty
+        else Iterator.single((k,
+          rs(0).get.asInstanceOf[Long],
+          rs(1).map(_.asInstanceOf[Long]).getOrElse(0L),
+          rs(2).map(_.asInstanceOf[Long]).getOrElse(0L)))
+    }.toDF.toDF("k", "n_nat", "n_cust", "supp_cents")
+  }
+
   private val groupByQ = q("q_group_by",
     """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
@@ -708,7 +739,7 @@ object Queries {
     distinctQ, unionQ, concatQ, intersectionQ, intersectionMultisetQ,
     differenceQ, differenceMultisetQ,
     joinInnerQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,
-    filterByQ, removeByQ, cogroupQ, cogroup3Q, cogroup4Q, groupByQ, groupStatsQ, topByQ,
+    filterByQ, removeByQ, cogroupQ, cogroup3Q, cogroup4Q, cogroup3FoldQ, groupByQ, groupStatsQ, topByQ,
     reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
     foldJuxtQ,
     q1, q5ish, windowLagQ, windowRunningQ, eventsAggQ)

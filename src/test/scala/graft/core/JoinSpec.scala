@@ -162,6 +162,51 @@ class JoinSpec extends AnyFunSuite {
       s"expected a single shuffle:\n$plan")
   }
 
+  test("cogroupNFold: N-way per-input folds, one shuffle, partial aggregation, no bags") {
+    val a = flow("x" -> 1L, "x" -> 2L, "y" -> 3L)
+    val b = flow("y" -> 10L, "z" -> 20L, "z" -> 22L)
+    val c = flow("x" -> 5L)
+    val r = Flow.cogroupNFold[String, (String, Option[Long], Option[Long], Option[Vector[Long]])](Seq(
+        Flow.inFold(a)(_._1)(Fold.sum[Long].premap[(String, Long)](_._2)),
+        Flow.inFold(b)(_._1)(Fold.count[(String, Long)]),
+        // a bag-shaped select is Fold.vec — mixing composes
+        Flow.inFold(c)(_._1)(Fold.vec[Long].premap[(String, Long)](_._2)))) { (k, rs) =>
+      Iterator.single((k,
+        rs(0).map(_.asInstanceOf[Long]),
+        rs(1).map(_.asInstanceOf[Long]),
+        rs(2).map(_.asInstanceOf[Vector[Long]])))
+    }
+    assert(r.dump().toSet == Set(
+      ("x", Some(3L), None, Some(Vector(5L))),
+      ("y", Some(3L), Some(1L), None),
+      ("z", None, Some(2L), None)))
+    val plan = r.ds.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected a single shuffle:\n$plan")
+    // buffers must combine map-side: a partial aggregate below the shuffle
+    assert(plan.contains("Aggregate") && plan.toLowerCase.contains("partial"),
+      s"expected partial (map-side) aggregation:\n$plan")
+  }
+
+  test("cogroupNFold == cogroupN-with-bags folded locally (random data)") {
+    val rnd = new scala.util.Random(17)
+    val a = flow((0 until 200).map(_ => (s"k${rnd.nextInt(10)}", rnd.nextLong(100))): _*)
+    val b = flow((0 until 150).map(_ => (s"k${rnd.nextInt(12)}", rnd.nextLong(100))): _*)
+    val sumF = Fold.sum[Long].premap[(String, Long)](_._2)
+    val cntF = Fold.count[(String, Long)]
+    val got = Flow.cogroupNFold[String, (String, Option[Long], Option[Long])](Seq(
+        Flow.inFold(a)(_._1)(sumF), Flow.inFold(b)(_._1)(cntF))) { (k, rs) =>
+      Iterator.single((k, rs(0).map(_.asInstanceOf[Long]), rs(1).map(_.asInstanceOf[Long])))
+    }.dump().toSet
+    val want = Flow.cogroupN[String, (String, Option[Long], Option[Long])](Seq(
+        Flow.in(a)(_._1), Flow.in(b)(_._1))) { (k, bags) =>
+      Iterator.single((k,
+        if (bags(0).isEmpty) None else Some(sumF.foldLocal(bags(0).asInstanceOf[Seq[(String, Long)]])),
+        if (bags(1).isEmpty) None else Some(cntF.foldLocal(bags(1).asInstanceOf[Seq[(String, Long)]]))))
+    }.dump().toSet
+    assert(got == want)
+  }
+
   test("cogroupFold pre-aggregates each input; outer keys surface None") {
     val a = flow("x" -> 1L, "x" -> 2L, "y" -> 3L)
     val b = flow("y" -> 10L, "z" -> 20L)

@@ -287,6 +287,84 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Substring-level exact dedup, span DISCOVERY (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" suffix-style
+    * pass, re-expressed for Spark): find maximal token spans of ≥ `minSpan`
+    * tokens whose every length-`k` token window occurs ≥ 2 times corpus-wide
+    * (self-repeats within one document count, as in the paper).
+    *
+    * Distributed shape — no suffix array is ever built:
+    *  1. hashed k-gram inverted index: `posexplode(ngramHashesAll(tokens))`
+    *     emits (doc, window-start, 64-bit gram hash); no gram strings are
+    *     concatenated or shuffled (graft.functions.NgramHashes).
+    *  2. duplicated grams = one count aggregation on the hash (map-side
+    *     combining; the hot-gram key space is bounded by the corpus's
+    *     distinct grams, not its size).
+    *  3. a left-semi join marks each doc's duplicated window starts, and a
+    *     per-doc gaps-and-islands pass (window over (doc, pos) — per-DOC
+    *     work, bounded by document length, the same skew envelope as
+    *     sessionize) merges consecutive starts into maximal runs: a run of
+    *     window starts [i..j] covers tokens [i .. j+k-1].
+    *
+    * Docs with fewer than `k` tokens are excluded up front: they cannot
+    * contain a ≥ `minSpan` ≥ `k` span, and `ngramHashesAll`'s short-text
+    * fallback (one window over the whole doc) would otherwise fabricate
+    * out-of-range span ends.
+    *
+    * Returns (id, span_start, span_end, span_tokens) — token positions,
+    * 0-based inclusive. Adjacent spans may overlap by up to k-1 tokens
+    * (separate maximal runs of duplicated WINDOW STARTS); the removal
+    * variant unions covered tokens, so overlap is harmless.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minSpan: Int = 5): DataFrame = {
+    require(k >= 1 && minSpan >= k, "need minSpan >= k >= 1")
+    import graft.functions.TextFunctions.tokens
+    val grams = df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(col("__id"),
+        posexplode(graft.functions.HashExpressions.ngramHashesAll(col("__t"), k)))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__gh"))
+    val dupGrams = grams.groupBy("__gh").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2).select("__gh")
+    val dupPos = grams.join(dupGrams, Seq("__gh"), "left_semi")
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    dupPos
+      .withColumn("__grp", col("__pos") - row_number().over(w))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + lit(k - 1)).cast("long").as("span_end"))
+      .where(col("span_end") - col("span_start") + 1 >= minSpan)
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Substring-level exact dedup, REMOVAL: strip every token covered by a
+    * [[duplicateSpans]] span and rebuild the text with single spaces —
+    * corpus in, span-deduplicated corpus out (docs without spans pass
+    * through, whitespace-normalized for a consistent contract).
+    *
+    * The per-doc span list rides as an array on a left join (spans per doc
+    * are few — bounded by len/minSpan); the covered-token test is a
+    * map-side `exists` over that array, no extra shuffle beyond
+    * duplicateSpans' own.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minSpan: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val spans = duplicateSpans(df, idCol, textCol, k, minSpan)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("dedup_text", concat_ws(" ",
+        filter(tokens(col(textCol)), (t, i) => !coalesce(
+          exists(col("__spans"), s =>
+            i.cast("long") >= s("span_start") && i.cast("long") <= s("span_end")),
+          lit(false)))))
+      .drop("__spans")
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold pairs, candidates via
     * random-hyperplane LSH buckets (exact within-bucket verify). At corpus
     * scale the bucket join replaces the n² cross product.

@@ -884,6 +884,57 @@ object ExtQueries {
       .select(col("doc_id"), col("source"), col("quality"))
   }
 
+  /** Shared oracle CTEs for substring-level dedup (Lee et al. spans):
+    * 3-gram positions over `documents`, duplicated grams (count ≥ 2,
+    * self-repeats included), gaps-and-islands maximal runs, spans ≥ 5
+    * tokens — the exact dual of Dedup.duplicateSpans(k=3, minSpan=5).
+    */
+  private val SubstringSpanCtes =
+    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       g0 AS (SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                       i -> {'p': i - 1, 's': array_to_string(w[i:i+2], ' ')})) AS pg
+              FROM toks WHERE len(w) >= 3),
+       gr AS (SELECT doc_id, pg.p AS pos, pg.s AS gram FROM g0),
+       dup AS (SELECT gram FROM gr GROUP BY gram HAVING COUNT(*) >= 2),
+       dp AS (SELECT gr.doc_id, gr.pos FROM gr JOIN dup ON gr.gram = dup.gram),
+       isl AS (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM dp),
+       spans AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                        CAST(MAX(pos) + 2 AS BIGINT) AS span_end
+                 FROM isl GROUP BY doc_id, grp
+                 HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 5)"""
+
+  private val substringSpansQ = q("q_substring_spans",
+    s"""WITH $SubstringSpanCtes
+       SELECT doc_id, span_start, span_end,
+              span_end - span_start + 1 AS span_tokens
+       FROM spans""") { (s, d) =>
+    Dedup.duplicateSpans(Tables.df(s, d, "documents"), "doc_id", "text",
+      k = 3, minSpan = 5)
+  }
+
+  private val substringDedupQ = q("q_substring_dedup",
+    s"""WITH $SubstringSpanCtes,
+       tk AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(w) + 1),
+                       i -> {'p': i - 1, 't': w[i]})) AS e
+              FROM toks),
+       kept AS (SELECT tk.doc_id, (tk.e).p AS pos, (tk.e).t AS tok FROM tk
+                WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                  WHERE s.doc_id = tk.doc_id
+                                    AND (tk.e).p BETWEEN s.span_start AND s.span_end))
+       SELECT d.doc_id,
+              coalesce(k.txt, '') AS dedup_text
+       FROM documents d
+       LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+                  FROM kept GROUP BY doc_id) k USING (doc_id)""") { (s, d) =>
+    Dedup.removeDuplicateSpans(Tables.df(s, d, "documents"), "doc_id", "text",
+        k = 3, minSpan = 5)
+      .select(col("doc_id"), col("dedup_text"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     repetitionQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, qualityGateQ,
@@ -891,5 +942,6 @@ object ExtQueries {
     minhashQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
-    asofForwardQ, asofToleranceQ, rangeJoinQ)
+    asofForwardQ, asofToleranceQ, rangeJoinQ,
+    substringSpansQ, substringDedupQ)
 }

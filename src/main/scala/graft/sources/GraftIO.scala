@@ -194,9 +194,13 @@ object GraftIO {
   }
 }
 
-/** Minimal EDN value model + reader/printer covering the shapes in the
-  * reference's io corpus (FIXTURES.md §2: maps with keyword keys, vectors,
-  * strings, numbers, booleans, nil).
+/** EDN value model + reader/printer with the full printed-value surface the
+  * reference's load-clj/store-clj round-trips (pigpen-core io.clj:106-120,
+  * 214-228 — `clojure.edn/read-string` / `pr-str` accept ANY printed value):
+  * nil, booleans, longs/doubles, strings, characters, keywords (incl.
+  * namespaced), symbols, vectors, lists, sets, maps, and tagged forms
+  * (#inst/#uuid/#custom/tag), nested arbitrarily. Insertion order is
+  * preserved for maps and sets so print(parse(s)) is byte-stable.
   */
 sealed trait EdnValue extends Serializable
 object EdnValue {
@@ -204,15 +208,26 @@ object EdnValue {
   final case class Bool(b: Boolean) extends EdnValue
   final case class Num(d: Double, isInt: Boolean) extends EdnValue
   final case class Str(s: String) extends EdnValue
+  final case class Ch(c: Char) extends EdnValue
   final case class Kw(name: String) extends EdnValue
+  final case class Sym(name: String) extends EdnValue
   final case class Vec(items: Vector[EdnValue]) extends EdnValue
+  final case class Lst(items: Vector[EdnValue]) extends EdnValue
+  final case class SetV(items: Vector[EdnValue]) extends EdnValue
   final case class M(entries: Vector[(EdnValue, EdnValue)]) extends EdnValue
+  final case class Tagged(tag: String, value: EdnValue) extends EdnValue
 }
 
 object Edn {
   import EdnValue._
 
   def parse(s: String): EdnValue = new P(s).value()
+
+  /** Named characters the printer/reader agree on (clojure.core/char-name-string). */
+  private val CharNames: Map[Char, String] = Map(
+    '\n' -> "newline", ' ' -> "space", '\t' -> "tab", '\r' -> "return",
+    '\b' -> "backspace", '\f' -> "formfeed")
+  private val NameChars: Map[String, Char] = CharNames.map(_.swap)
 
   def print(v: EdnValue): String = v match {
     case Nil => "nil"
@@ -223,49 +238,96 @@ object Edn {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
       case c => c.toString
     } + "\""
+    case Ch(c) => "\\" + CharNames.getOrElse(c,
+      if (c < ' ') f"u${c.toInt}%04x" else c.toString)
     case Kw(n) => ":" + n
+    case Sym(n) => n
     case Vec(items) => items.map(print).mkString("[", " ", "]")
+    case Lst(items) => items.map(print).mkString("(", " ", ")")
+    case SetV(items) => items.map(print).mkString("#{", " ", "}")
     case M(es) => es.map { case (k, v2) => print(k) + " " + print(v2) }.mkString("{", ", ", "}")
+    case Tagged(tag, v2) => "#" + tag + " " + print(v2)
   }
 
   private final class P(s: String) {
     private var i = 0
-    private def ws(): Unit = while (i < s.length && (s(i).isWhitespace || s(i) == ',')) i += 1
-    def value(): EdnValue = { ws(); val v = v0(); v }
+    private def ws(): Unit = {
+      var more = true
+      while (more) {
+        while (i < s.length && (s(i).isWhitespace || s(i) == ',')) i += 1
+        if (i < s.length && s(i) == ';') { // line comment
+          while (i < s.length && s(i) != '\n') i += 1
+        } else more = false
+      }
+    }
+    private def delim(c: Char): Boolean = c.isWhitespace || ",]})(}{[\";".contains(c)
+    private def token(): String = {
+      val st = i
+      while (i < s.length && !delim(s(i))) i += 1
+      s.substring(st, i)
+    }
+    def value(): EdnValue = { ws(); v0() }
+    private def seq0(close: Char): Vector[EdnValue] = {
+      val b = Vector.newBuilder[EdnValue]
+      ws(); while (s(i) != close) { b += value(); ws() }
+      i += 1; b.result()
+    }
     private def v0(): EdnValue = s(i) match {
       case '{' => i += 1; val b = Vector.newBuilder[(EdnValue, EdnValue)]
         ws(); while (s(i) != '}') { val k = value(); val v = value(); b += ((k, v)); ws() }
         i += 1; M(b.result())
-      case '[' => i += 1; val b = Vector.newBuilder[EdnValue]
-        ws(); while (s(i) != ']') { b += value(); ws() }
-        i += 1; Vec(b.result())
+      case '[' => i += 1; Vec(seq0(']'))
+      case '(' => i += 1; Lst(seq0(')'))
+      case '#' =>
+        i += 1
+        if (s(i) == '{') { i += 1; SetV(seq0('}')) }
+        else if (s(i) == '_') { i += 1; value(); value() } // #_ discard + next
+        else { val tag = token(); Tagged(tag, value()) }
       case '"' => i += 1; val sb = new StringBuilder
         while (s(i) != '"') {
-          if (s(i) == '\\') { i += 1; sb += (s(i) match {
-            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'; case c => c }) }
+          if (s(i) == '\\') {
+            i += 1
+            s(i) match {
+              case 'n' => sb += '\n'
+              case 't' => sb += '\t'
+              case 'r' => sb += '\r'
+              case 'b' => sb += '\b'
+              case 'f' => sb += '\f'
+              case 'u' =>
+                sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+                i += 4
+              case c => sb += c
+            }
+          }
           else sb += s(i)
           i += 1
         }
         i += 1; Str(sb.result())
-      case ':' => i += 1; val st = i
-        while (i < s.length && !s(i).isWhitespace && !",]}{[".contains(s(i))) i += 1
-        Kw(s.substring(st, i))
-      case c if c == '-' || c.isDigit =>
+      case '\\' =>
+        i += 1
+        val tok = token()
+        if (tok.length == 1) Ch(tok.head)
+        else if (tok.startsWith("u") && tok.length == 5)
+          Ch(Integer.parseInt(tok.substring(1), 16).toChar)
+        else Ch(NameChars.getOrElse(tok,
+          throw new IllegalArgumentException(s"unreadable char literal \\$tok")))
+      case ':' => i += 1; Kw(token())
+      case c if c.isDigit || ((c == '-' || c == '+') && i + 1 < s.length && s(i + 1).isDigit) =>
         val st = i; i += 1
         while (i < s.length && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' || s(i) == '-' || s(i) == '+')) i += 1
         val tok = s.substring(st, i)
         if (tok.exists(c2 => c2 == '.' || c2 == 'e' || c2 == 'E')) Num(tok.toDouble, isInt = false)
         else Num(tok.toLong.toDouble, isInt = true)
       case _ =>
-        val st = i
-        while (i < s.length && !s(i).isWhitespace && !",]}{[".contains(s(i))) i += 1
-        s.substring(st, i) match {
+        token() match {
           case "nil" => Nil
           case "true" => Bool(true)
           case "false" => Bool(false)
-          case other => Kw(other) // symbols degrade to keyword-ish tokens
+          case other => Sym(other)
         }
     }
   }

@@ -156,6 +156,65 @@ class DedupSpec extends AnyFunSuite {
       s"total and hits must come from ONE aggregate pass:\n$plan")
   }
 
+  test("duplicateSpans finds exactly the planted cross-doc repeated span, merged maximal") {
+    // docs 10/11 share an 8-token run; everything else is unique
+    val shared = "one two three four five six seven eight"
+    val d = Seq(
+      (10L, s"aa bb $shared cc dd"),
+      (11L, s"xx yy zz $shared qq"),
+      (12L, "totally different words without any repeats here at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", k = 3, minSpan = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 10: shared run at tokens 2..9; doc 11: at tokens 3..10
+    assert(spans == Set((10L, 2L, 9L, 8L), (11L, 3L, 10L, 8L)))
+  }
+
+  test("duplicateSpans counts within-doc self-repeats (Lee et al. semantics)") {
+    val d = Seq(
+      (1L, "a b c d e x y z a b c d e"), // "a b c d e" twice in ONE doc
+      (2L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", k = 3, minSpan = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 0L, 4L), (1L, 8L, 12L)))
+  }
+
+  test("duplicateSpans excludes docs shorter than k (short-text window fallback)") {
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e f")).toDF("doc_id", "text")
+    // the two 2-token docs are identical but can't contain a >=5-token span;
+    // without the length guard the whole-doc fallback window would fabricate
+    // span_end = 2 on a 2-token doc
+    assert(Dedup.duplicateSpans(d, "doc_id", "text", k = 3, minSpan = 5).isEmpty)
+  }
+
+  test("removeDuplicateSpans strips covered tokens, passes unpaired docs through") {
+    val shared = "one two three four five"
+    val d = Seq(
+      (10L, s"aa bb $shared cc"),
+      (11L, s"$shared zz"),
+      (12L, "untouched words stay put")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 3, minSpan = 5)
+      .select("doc_id", "dedup_text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(10L -> "aa bb cc", 11L -> "zz", 12L -> "untouched words stay put"))
+  }
+
+  test("duplicateSpans scale shape: gram index is hashed, islands window is per-doc") {
+    val d = docs()
+    val plan = Dedup.duplicateSpans(d, "doc_id", "text", k = 3, minSpan = 5)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // candidate marking is a semi join on the 64-bit gram hash — no gram
+    // strings are shuffled anywhere
+    assert(plan.contains("LeftSemi"), s"dup-gram mark must be a semi join:\n$plan")
+    // islands merge partitions by doc id only (per-doc work, sessionize's
+    // skew envelope) — exactly one Window over (__id, __pos)
+    assert("Window \\[".r.findAllIn(plan).size == 1, s"one island window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no quadratic join may appear:\n$plan")
+  }
+
   test("embedding near-duplicates: identical vectors pair at cosine 1.0; orthogonal don't") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

@@ -32,4 +32,65 @@ class EdnSpec extends AnyFunSuite {
   test("commas are whitespace") {
     assert(Edn.parse("[1,2,3]") == Vec(Vector(Num(1, true), Num(2, true), Num(3, true))))
   }
+
+  // Full printed-value surface (reference io.clj round-trips any pr-str'd
+  // value via clojure.edn/read-string — io.clj:106-120, 214-228)
+
+  test("sets round-trip, insertion order preserved") {
+    assert(Edn.parse("#{1 2 3}") == SetV(Vector(Num(1, true), Num(2, true), Num(3, true))))
+    assert(rt("#{:a :b}") == "#{:a :b}")
+    assert(rt("#{}") == "#{}")
+  }
+
+  test("lists round-trip") {
+    assert(Edn.parse("(1 2)") == Lst(Vector(Num(1, true), Num(2, true))))
+    assert(rt("(a b (c))") == "(a b (c))")
+    assert(rt("()") == "()")
+  }
+
+  test("symbols are distinct from keywords") {
+    assert(Edn.parse("foo") == Sym("foo"))
+    assert(Edn.parse("foo/bar") == Sym("foo/bar"))
+    assert(Edn.parse(":foo/bar") == Kw("foo/bar"))
+    assert(rt("foo") == "foo")
+    assert(Edn.parse("-") == Sym("-"))
+    assert(Edn.parse("-5") == Num(-5, true))
+  }
+
+  test("characters round-trip") {
+    assert(Edn.parse("\\a") == Ch('a'))
+    assert(Edn.parse("\\newline") == Ch('\n'))
+    assert(Edn.parse("\\space") == Ch(' '))
+    assert(Edn.parse("\\tab") == Ch('\t'))
+    assert(Edn.parse("\\\\") == Ch('\\'))
+    assert(Edn.parse("\\u0041") == Ch('A'))
+    assert(rt("\\a") == "\\a")
+    assert(rt("\\newline") == "\\newline")
+    assert(rt("[\\a \\b]") == "[\\a \\b]")
+  }
+
+  test("tagged forms round-trip, nested") {
+    assert(Edn.parse("#inst \"2015-03-30T12:00:00Z\"") ==
+      Tagged("inst", Str("2015-03-30T12:00:00Z")))
+    assert(rt("#inst \"2015-03-30T12:00:00Z\"") == "#inst \"2015-03-30T12:00:00Z\"")
+    assert(rt("#uuid \"f81d4fae-7dec-11d0-a765-00a0c91e6bf6\"") ==
+      "#uuid \"f81d4fae-7dec-11d0-a765-00a0c91e6bf6\"")
+    assert(Edn.parse("#my/tag {:a #other [1]}") ==
+      Tagged("my/tag", M(Vector((Kw("a"), Tagged("other", Vec(Vector(Num(1, true)))))))))
+  }
+
+  test("discard and comments are skipped") {
+    assert(Edn.parse("[1 #_ 2 3]") == Vec(Vector(Num(1, true), Num(3, true))))
+    assert(Edn.parse("[1 ; trailing\n 2]") == Vec(Vector(Num(1, true), Num(2, true))))
+  }
+
+  test("string unicode and control escapes") {
+    assert(Edn.parse("\"\\u0041b\\t\"") == Str("Ab\t"))
+    assert(Edn.print(Str("a\tb")) == "\"a\\tb\"")
+  }
+
+  test("deeply mixed value round-trips") {
+    val s = "{:k #{1 2}, :v [(a \\c) #inst \"2020-01-01T00:00:00Z\"], \"s\" nil}"
+    assert(rt(s) == s)
+  }
 }

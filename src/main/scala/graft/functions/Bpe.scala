@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding runtime shared by interpreted eval and generated
+  * code (top-level object ⇒ static forwarders, callable from codegen'd
+  * Java the same way XXH64 is in [[HashExpressions]]).
+  */
+object BpeRuntime {
+
+  /** Apply ordered merge rules to one word: start from single characters,
+    * then for each rule `(lefts(i), rights(i))` replace every adjacent
+    * symbol pair — left-to-right, non-overlapping — with the concatenation.
+    * This is textbook BPE application (Sennrich et al. 2016 §3): each rule
+    * is applied everywhere before the next rule is considered.
+    * Returns the symbols joined by single spaces.
+    */
+  def applyWord(word: UTF8String, lefts: Array[String], rights: Array[String]): UTF8String = {
+    val w = word.toString
+    if (w.isEmpty) return UTF8String.EMPTY_UTF8
+    val syms = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+    var m = 0
+    while (m < lefts.length) {
+      val a = lefts(m); val b = rights(m)
+      var j = 0
+      while (j < syms.size - 1) {
+        if (syms.get(j) == a && syms.get(j + 1) == b) {
+          syms.set(j, a + b)
+          syms.remove(j + 1)
+        }
+        // advance past the (possibly merged) symbol either way:
+        // left-to-right NON-overlapping, matching string-replace semantics
+        j += 1
+      }
+      m += 1
+    }
+    UTF8String.fromString(String.join(" ", syms))
+  }
+}
+
+/** bpe_apply_word(word, merges): the merged-symbol string for ONE word.
+  * The merge table is a plan-time constant: it rides into generated code
+  * as a referenced object (two String[] halves), so application is a
+  * single virtual call per word inside WholeStageCodegen — no UDF, no
+  * serialization per row.
+  */
+case class BpeApplyWord(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_bpe_apply_word"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val lefts: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val rights: Array[String] = merges.map(_._2).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    BpeRuntime.applyWord(input.asInstanceOf[UTF8String], lefts, rights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("bpeLefts", lefts, "java.lang.String[]")
+    val r = ctx.addReferenceObj("bpeRights", rights, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.BpeRuntime.applyWord($w, $l, $r);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyWord =
+    copy(child = newChild)
+}
+
+/** Real BPE train/apply (Sennrich et al. 2016, "Neural Machine Translation
+  * of Rare Words with Subword Units"), shaped for a 100 TB corpus:
+  *
+  *  - '''train''' compresses the corpus to its word-frequency dictionary
+  *    with ONE count shuffle (the dictionary is tiny relative to any
+  *    corpus — the standard practical-BPE reduction), bounds it with
+  *    `maxVocabWords`, and runs the iterative pair-count argmax on the
+  *    driver over that bounded dictionary. Deterministic: ties in the
+  *    pair-count argmax break to the lexicographically smallest pair, and
+  *    the dictionary cut is ordered (count desc, word asc).
+  *  - '''apply''' is [[BpeApplyWord]] — codegen'd, merge table as a
+  *    plan-time constant; tokenizing the corpus is one narrow stage.
+  */
+object Bpe {
+
+  /** Learn `numMerges` merge rules from the corpus' word-frequency
+    * dictionary. Stops early when no adjacent pair occurs at least twice
+    * (weighted) — merging a once-seen pair encodes nothing.
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Int = 50000): Seq[(String, String)] = {
+    val dict: Array[(Array[String], Long)] = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocabWords)
+      .collect()
+      .map(r => (r.getString(0).map(String.valueOf(_)).toArray, r.getLong(1)))
+
+    val merges = Vector.newBuilder[(String, String)]
+    var words = dict
+    var done = false
+    var it = 0
+    while (it < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; j <- 0 until syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        if (c < 2) done = true
+        else {
+          merges += ((a, b))
+          words = words.map { case (syms, n) => (mergeOnce(syms, a, b), n) }
+          it += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  private def mergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** One word → its space-joined BPE pieces under `merges`. */
+  def bpeWord(word: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeApplyWord(GraftBridge.expression(word), merges))
+
+  /** Whole text → all pieces of all whitespace words, space-joined (word
+    * boundaries never merge across, as in word-level BPE).
+    */
+  def bpeText(text: Column, merges: Seq[(String, String)]): Column =
+    concat_ws(" ", transform(TextFunctions.tokens(text), w => bpeWord(w, merges)))
+
+  /** Piece count of [[bpeText]] (pieces never contain spaces). */
+  def bpePieceCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(split(bpeText(text, merges), " "))
+}

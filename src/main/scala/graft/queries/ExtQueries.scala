@@ -85,6 +85,44 @@ object ExtQueries {
       .select(col("doc_id"), bpeTokenCount(col("text")).cast("long").as("n_bpe"))
   }
 
+  /** Fixture merge table for q_bpe_apply: real BPE rules trained once on
+    * the sf0.01 documents corpus by [[graft.functions.Bpe.train]] (ProbeBpe
+    * prints them; training is deterministic — count-desc/lexicographic
+    * dictionary cut, lexicographic tie-break on the pair argmax).
+    * Constants here so the DuckDB oracle can interpolate the SAME rules.
+    */
+  private val BpeFixtureMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"),
+    ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"))
+
+  /** Sequential-replace BPE application in SQL: symbols ride '|'-terminated
+    * ("a|b|c|"), each rule is one `replace('x|y|' -> 'xy|')` — the
+    * terminator makes a pattern match exactly two whole adjacent symbols
+    * (never a symbol prefix), and left-to-right non-overlapping replace IS
+    * textbook BPE rule application. Valid because corpus text contains no
+    * '|' (asserted nowhere cheaper than here: synthetic lowercase words).
+    */
+  private def bpeChainSql(inner: String): String =
+    BpeFixtureMerges.foldLeft(inner) { case (acc, (a, b)) =>
+      s"replace($acc, '$a|$b|', '$a$b|')" }
+
+  private val bpeApplyQ = q("q_bpe_apply",
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                     FROM documents)
+       SELECT doc_id,
+              array_to_string(list_transform(w, x ->
+                rtrim(replace(${bpeChainSql("array_to_string(string_split(x, ''), '|') || '|'")}, '|', ' '))), ' ') AS bpe_text,
+              CAST(len(string_split(array_to_string(list_transform(w, x ->
+                rtrim(replace(${bpeChainSql("array_to_string(string_split(x, ''), '|') || '|'")}, '|', ' '))), ' '), ' ')) AS BIGINT) AS n_pieces
+       FROM toks""") { (s, d) =>
+    val b = graft.functions.Bpe
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"),
+        b.bpeText(col("text"), BpeFixtureMerges).as("bpe_text"),
+        b.bpePieceCount(col("text"), BpeFixtureMerges).cast("long").as("n_pieces"))
+  }
+
   private val fingerprintQ = q("q_fingerprint",
     """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
        FROM documents""") { (s, d) =>
@@ -937,7 +975,7 @@ object ExtQueries {
 
   val all: Seq[QueryDef] = Seq(
     repetitionQ, contaminationQ, pipelineQ,
-    dedupExactQ, tokenCountQ, bpeTokenCountQ, fingerprintQ, qualityQ, qualityGateQ,
+    dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,

@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real BPE train/apply (Sennrich et al. 2016). The trainer fixture is the
+  * paper's classic word set, hand-derived: with vocab
+  * {low:5, lower:2, newest:6, widest:3} the weighted pair counts give
+  * (e,s)=9 and (s,t)=9 tied — lexicographic tie-break picks (e,s) — then
+  * (es,t)=9, then (l,o)=7 and (o,w)=7 tied → (l,o), then (lo,w)=7.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sennrich: Seq[(String, Long)] =
+    Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  private def corpus() = sennrich
+    .flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+    .grouped(4).map(_.mkString(" ")).toSeq
+    .toDF("text")
+
+  test("train reproduces the hand-derived merge sequence with deterministic ties") {
+    val merges = Bpe.train(corpus(), "text", 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("train stops early when no pair repeats") {
+    // every word distinct, every char distinct: all pair counts are 1
+    val df = Seq("ab cd ef").toDF("text")
+    assert(Bpe.train(df, "text", 10).isEmpty)
+  }
+
+  test("applyWord: textbook application, left-to-right non-overlapping") {
+    val m = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    def app(w: String) = BpeRuntime.applyWord(UTF8String.fromString(w),
+      m.map(_._1).toArray, m.map(_._2).toArray).toString
+    assert(app("lowest") == "low est")
+    assert(app("newest") == "n e w est")
+    assert(app("low") == "low")
+    assert(app("") == "")
+    assert(app("x") == "x")
+    // overlap: "aaa" under (a,a) merges the FIRST pair only (non-overlapping)
+    val aa = BpeRuntime.applyWord(UTF8String.fromString("aaa"),
+      Array("a"), Array("a")).toString
+    assert(aa == "aa a")
+  }
+
+  test("merged symbols never re-merge within the same rule pass") {
+    // (a,b)->ab then (ab,ab)->abab: "abab" needs TWO rules, rule 1 alone
+    // must produce "ab ab", not chain into "abab"
+    val one = BpeRuntime.applyWord(UTF8String.fromString("abab"),
+      Array("a"), Array("b")).toString
+    assert(one == "ab ab")
+    val two = BpeRuntime.applyWord(UTF8String.fromString("abab"),
+      Array("a", "ab"), Array("b", "ab")).toString
+    assert(two == "abab")
+  }
+
+  test("bpeText/bpePieceCount columns agree with applyWord, inside codegen") {
+    val m = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val df = Seq("lowest low", "newest").toDF("text")
+      .select(Bpe.bpeText(col("text"), m).as("t"),
+        Bpe.bpePieceCount(col("text"), m).as("n"))
+    val got = df.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == Set(("low est low", 3), ("n e w est", 4)))
+  }
+
+  test("train-then-apply round trip on the training corpus compresses to whole subwords") {
+    val merges = Bpe.train(corpus(), "text", 16)
+    val pieces = corpus()
+      .select(explode(split(Bpe.bpeText(col("text"), merges), " ")).as("p"))
+      .groupBy("p").count().collect().map(_.getString(0)).toSet
+    // 16 merges on this 4-word vocab fully merge every word
+    assert(pieces == Set("low", "lower", "newest", "widest"))
+  }
+}

@@ -222,6 +222,106 @@ object GraftStreaming {
       .toDF("id", "ts")
   }
 
+  // ---- stream-stream as-of join ----
+
+  /** Watermarked stream-stream BACKWARD as-of join: each left row matches
+    * the latest right row of the same key with `rightTs <= leftTs` (and
+    * `leftTs - rightTs <= toleranceMs` when set) — the streaming dual of
+    * [[graft.operators.AsofJoin.asof]], via the union +
+    * flatMapGroupsWithState pattern sessionize/minhash dedup use (no
+    * built-in stream-stream join shape expresses "latest earlier row").
+    *
+    * Column contract (the generic-payload idiom — callers `to_json` their
+    * columns in, `from_json` out): both inputs are
+    * `(key string, ts timestamp, payload string)`; output is
+    * `(key, ts, payload, match_ts, match_payload)` with null match columns
+    * for unmatched lefts (left-outer semantics, as the batch op).
+    *
+    * Correctness under reordering: a left row FINALIZES only once the
+    * watermark passes its event time strictly — any right row arriving
+    * after that moment must carry `rightTs >= watermark > leftTs` (older
+    * arrivals are dropped by the watermark operator as late data), so the
+    * emitted match can never be invalidated. Until then the left waits in
+    * state. Unmatched lefts flush by event-time timeout when the watermark
+    * advances with no new rows for the key.
+    *
+    * State per key is bounded three ways, the 100 TB-ingest shape:
+    *  - rights at or before the watermark COMPRESS to one carry row (the
+    *    latest; every pending/future left prefers it over anything older —
+    *    shadowing makes the compression exact, including under tolerance,
+    *    since shadowed rows are only further out of tolerance);
+    *  - rights newer than the watermark are the only list kept, and the
+    *    watermark bounds that horizon;
+    *  - idle keys (no pending lefts) drop their carry after `horizonMs`.
+    */
+  def asofJoinStream(left: DataFrame, right: DataFrame, watermarkDelay: String,
+      toleranceMs: Option[Long] = None,
+      horizonMs: Long = 3600000L): DataFrame = {
+    implicit val inEnc: Encoder[AsofIn] = Encoders.product[AsofIn]
+    implicit val outEnc: Encoder[AsofMatched] = Encoders.product[AsofMatched]
+    implicit val stEnc: Encoder[AsofJoinState] = Encoders.product[AsofJoinState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val tol = toleranceMs.getOrElse(Long.MaxValue)
+    def shape(df: DataFrame, isLeft: Boolean): Dataset[AsofIn] = df
+      .select(col("key"), col("ts"), lit(isLeft).as("isLeft"), col("payload"))
+      .withWatermark("ts", watermarkDelay)
+      .as[AsofIn]
+    shape(left, isLeft = true).unionByName(shape(right, isLeft = false))
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofJoinState, AsofMatched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[AsofIn], state: GroupState[AsofJoinState]) =>
+          var s = state.getOption.getOrElse(
+            AsofJoinState(0L, null, hasCarry = false, Nil, Nil, Nil, Nil))
+          if (!state.hasTimedOut) {
+            // ingest this trigger's arrivals (unordered within the batch)
+            val (ls, rs) = rows.toArray.partition(_.isLeft)
+            s = s.copy(
+              leftTs = s.leftTs ++ ls.map(_.ts.getTime),
+              leftPayloads = s.leftPayloads ++ ls.map(_.payload),
+              rightTs = s.rightTs ++ rs.map(_.ts.getTime),
+              rightPayloads = s.rightPayloads ++ rs.map(_.payload))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // finalize lefts strictly before the watermark, in event-time order
+          val lefts = s.leftTs.zip(s.leftPayloads).sortBy(_._1)
+          val (ready, pending) = lefts.partition(_._1 < wm)
+          val rightsAll = s.rightTs.zip(s.rightPayloads).sortBy(_._1)
+          val out = ready.map { case (lt, lp) =>
+            val fromList = rightsAll.takeWhile(_._1 <= lt).lastOption
+            val best = fromList.orElse(
+              if (s.hasCarry && s.carryTs <= lt) Some((s.carryTs, s.carryPayload)) else None)
+            best.filter { case (rt, _) => lt - rt <= tol } match {
+              case Some((rt, rp)) => AsofMatched(key, new java.sql.Timestamp(lt), lp,
+                new java.sql.Timestamp(rt), rp)
+              case None => AsofMatched(key, new java.sql.Timestamp(lt), lp, null, null)
+            }
+          }
+          // compress rights at/before the watermark into the single carry
+          val (past, live) = rightsAll.partition(_._1 < wm)
+          val carry = past.lastOption
+          val s2 = AsofJoinState(
+            carryTs = carry.map(_._1).getOrElse(s.carryTs),
+            carryPayload = carry.map(_._2).getOrElse(s.carryPayload),
+            hasCarry = s.hasCarry || carry.nonEmpty,
+            rightTs = live.map(_._1), rightPayloads = live.map(_._2),
+            leftTs = pending.map(_._1), leftPayloads = pending.map(_._2))
+          if (pending.isEmpty && live.isEmpty && state.hasTimedOut) {
+            // idle past the horizon with nothing in flight: evict entirely
+            state.remove()
+          } else {
+            state.update(s2)
+            // flush pending lefts as soon as the watermark passes them;
+            // otherwise hold the carry for `horizonMs` then evict
+            val target = if (pending.nonEmpty) pending.head._1 + 1
+              else math.max(wm, s2.rightTs.lastOption.getOrElse(wm)) + horizonMs
+            state.setTimeoutTimestamp(math.max(target, wm + 1))
+          }
+          out.iterator
+      }
+      .toDF("key", "ts", "payload", "match_ts", "match_payload")
+  }
+
   // ---- sinks ----
 
   /** `writeStream` to files with checkpointing; returns the query handle. */
@@ -256,3 +356,19 @@ final case class MinHashAccepted(id: String, ts: java.sql.Timestamp)
 
 /** Per-bucket state: accepted signatures (bounded) + newest event ms. */
 private[streaming] final case class MinHashBucketState(sigs: Seq[Seq[Long]], lastMs: Long)
+
+/** Tagged union row for the stream-stream as-of join. */
+private[streaming] final case class AsofIn(
+    key: String, ts: java.sql.Timestamp, isLeft: Boolean, payload: String)
+
+/** As-of output: left row + its matched right (null columns if none). */
+final case class AsofMatched(key: String, ts: java.sql.Timestamp, payload: String,
+    matchTs: java.sql.Timestamp, matchPayload: String)
+
+/** Per-key as-of state: one compressed carry (latest right at/before the
+  * watermark), live rights and pending lefts past the watermark.
+  */
+private[streaming] final case class AsofJoinState(
+    carryTs: Long, carryPayload: String, hasCarry: Boolean,
+    rightTs: Seq[Long], rightPayloads: Seq[String],
+    leftTs: Seq[Long], leftPayloads: Seq[String])

@@ -167,6 +167,113 @@ class GraftStreamingSpec extends AnyFunSuite {
       assert(rows == Set(("a", 42L)))
     } finally query.stop()
   }
+
+  test("asofJoinStream: lefts match the latest earlier right, emitted only after watermark passes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val lefts = MemoryStream[(String, java.sql.Timestamp, String)]
+    val rights = MemoryStream[(String, java.sql.Timestamp, String)]
+    val out = GraftStreaming.asofJoinStream(
+      lefts.toDF().toDF("key", "ts", "payload"),
+      rights.toDF().toDF("key", "ts", "payload"), "0 seconds")
+    val query = GraftStreaming.storeStreamMemory(out, "asof_test")
+    def table() = spark.table("asof_test")
+      .select("key", "ts", "payload", "match_payload").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getString(2), r.getString(3))).toSet
+    try {
+      rights.addData(("a", ts(10), "r10"), ("a", ts(20), "r20"))
+      lefts.addData(("a", ts(5), "l5"), ("a", ts(15), "l15"), ("a", ts(25), "l25"))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      // global watermark = MIN over sources = min(25, 20) = 20: l5 (no
+      // earlier right -> null) and l15 -> r10 finalize; l25 must NOT
+      // (finalization is strict: leftTs < watermark)
+      assert(table() == Set(("a", 5L, "l5", null), ("a", 15L, "l15", "r10")))
+      lefts.addData(("a", ts(100), "l100"))
+      rights.addData(("a", ts(100), "r100"))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      // watermark 100: l25 -> r20; l100 still pending (100 < 100 fails)
+      assert(table() == Set(("a", 5L, "l5", null), ("a", 15L, "l15", "r10"),
+        ("a", 25L, "l25", "r20")))
+      lefts.addData(("a", ts(200), "l200"))
+      rights.addData(("a", ts(200), "r200"))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      // watermark 200: l100 -> r100 (tie allowed: rightTs <= leftTs)
+      assert(table() == Set(("a", 5L, "l5", null), ("a", 15L, "l15", "r10"),
+        ("a", 25L, "l25", "r20"), ("a", 100L, "l100", "r100")))
+    } finally query.stop()
+  }
+
+  test("asofJoinStream: late right beyond the watermark is dropped, not matched") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val lefts = MemoryStream[(String, java.sql.Timestamp, String)]
+    val rights = MemoryStream[(String, java.sql.Timestamp, String)]
+    val out = GraftStreaming.asofJoinStream(
+      lefts.toDF().toDF("key", "ts", "payload"),
+      rights.toDF().toDF("key", "ts", "payload"), "0 seconds")
+    val query = GraftStreaming.storeStreamMemory(out, "asof_late")
+    def table() = spark.table("asof_late")
+      .select("key", "ts", "match_payload").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000, r.getString(2))).toSet
+    try {
+      lefts.addData(("a", ts(50), "l50"))
+      rights.addData(("a", ts(60), "r60")) // after l50: can never match it
+      query.processAllAvailable()
+      lefts.addData(("a", ts(100), "l100"))
+      rights.addData(("a", ts(100), "r100b")) // watermark -> min(100,100)=100
+      query.processAllAvailable()
+      query.processAllAvailable()
+      // l50 finalized as unmatched (watermark 50 -> 100 passed it; the only
+      // right then known, r60, is later than 50)
+      assert(table().contains(("a", 50L, null)), s"l50 unmatched: ${table()}")
+      // LATE right: event time 40 < watermark 100 -> dropped; it must not
+      // retro-match the already-emitted l50 nor affect anything later
+      rights.addData(("a", ts(40), "r40-late"))
+      query.processAllAvailable()
+      lefts.addData(("a", ts(300), "l300"))
+      rights.addData(("a", ts(300), "r300")) // watermark -> 300; flush l100
+      query.processAllAvailable()
+      query.processAllAvailable()
+      val got = table()
+      assert(got.contains(("a", 50L, null)), s"late r40 must not match l50: $got")
+      assert(got.contains(("a", 100L, "r100b")), s"l100 matches the tie r100b: $got")
+      assert(!got.exists(_._3 == "r40-late"), s"late right must never appear: $got")
+    } finally query.stop()
+  }
+
+  test("asofJoinStream: tolerance excludes stale rights; pending lefts flush by timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val lefts = MemoryStream[(String, java.sql.Timestamp, String)]
+    val rights = MemoryStream[(String, java.sql.Timestamp, String)]
+    val out = GraftStreaming.asofJoinStream(
+      lefts.toDF().toDF("key", "ts", "payload"),
+      rights.toDF().toDF("key", "ts", "payload"), "0 seconds",
+      toleranceMs = Some(5000L))
+    val query = GraftStreaming.storeStreamMemory(out, "asof_tol")
+    try {
+      rights.addData(("a", ts(10), "r10"))
+      lefts.addData(("a", ts(12), "l12"), ("a", ts(30), "l30"))
+      query.processAllAvailable()
+      // advance the watermark via a DIFFERENT key (both sources — the
+      // global watermark is their min): key a's pending lefts must flush
+      // through the event-time timeout path, not a data batch
+      lefts.addData(("b", ts(500), "lb"))
+      rights.addData(("b", ts(500), "rb"))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      val got = spark.table("asof_tol")
+        .select("key", "ts", "match_payload").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000, r.getString(2))).toSet
+      // l12 within 5s of r10 -> match; l30 is 20s past r10 -> out of tolerance
+      assert(got.contains(("a", 12L, "r10")), s"in-tolerance match missing: $got")
+      assert(got.contains(("a", 30L, null)), s"out-of-tolerance left must be unmatched: $got")
+    } finally query.stop()
+  }
 }
 
 case class StreamEvent(ts: java.sql.Timestamp, k: String)

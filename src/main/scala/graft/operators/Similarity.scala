@@ -87,12 +87,20 @@ object Similarity {
     * (1-θ/π) per bit, so it is high exactly when true neighbors are
     * cosine-close. On UNSTRUCTURED random vectors (neighbors ≈0.35) the
     * measured dial at 500 docs: bits=8/probe=3 → 0.56 recall probing 36%
-    * of buckets; bits=6/probe=3 → 0.81 at 66%. Clustered real embedding
-    * corpora (neighbors ≥0.8) sit far up the curve at the same cost.
+    * of buckets; bits=6/probe=3 → 0.81 at 66%; bits=12/probe=1 → 0.07.
+    * Clustered real embedding corpora (neighbors ≥0.8) sit far up the
+    * curve at the same cost.
+    *
+    * Defaults are the measured sane point for small/mid corpora
+    * (bits=8, probeHamming=3 — what q_ann_lsh runs). RAISE `bits` as the
+    * corpus grows (buckets shrink exponentially: target corpus/2^bits ≈
+    * 10³-10⁴ rows per bucket) and re-measure recall on YOUR vectors with
+    * ProbeLsh before trusting any dial at scale — there is no
+    * data-independent good default.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bits: Int = 12, probeHamming: Int = 1): DataFrame = {
+      bits: Int = 8, probeHamming: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         l2Norm(col(vecCol)).as("__cn"))
       .withColumn("__bucket", hyperplaneSignature(col("__cv"), bits))

@@ -201,6 +201,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(10L -> "aa bb cc", 11L -> "zz", 12L -> "untouched words stay put"))
   }
 
+  test("duplicateSpans matches a brute-force local reference on seeded random corpora") {
+    // independent O(n²)-ish reference: string grams, explicit island scan
+    def brute(docs: Seq[(Long, String)], k: Int, minSpan: Int): Set[(Long, Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      val grams = toks.flatMap { case (id, w) =>
+        if (w.length >= k) w.sliding(k).zipWithIndex.map { case (g, p) => (id, p, g.mkString(" ")) }
+        else Seq.empty }
+      val freq = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      grams.filter(g => freq(g._3) >= 2).groupBy(_._1).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val islands = sorted.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p) => List(List(p))
+          case (h :: t, p) if p == h.head + 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(i => (id, i.min.toLong, (i.max + k - 1).toLong,
+          (i.max + k - 1 - i.min + 1).toLong))
+      }.filter(s => s._4 >= minSpan).toSet
+    }
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val vocab = Seq("a", "b", "c", "d", "e")
+      val docsSeq = (0 until 8).map { id =>
+        val n = rnd.nextInt(30)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.filter(_._2.nonEmpty)
+      val got = Dedup.duplicateSpans(docsSeq.toDF("doc_id", "text"), "doc_id", "text",
+          k = 3, minSpan = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == brute(docsSeq, 3, 4), s"trial $trial on $docsSeq")
+    }
+  }
+
   test("duplicateSpans scale shape: gram index is hashed, islands window is per-doc") {
     val d = docs()
     val plan = Dedup.duplicateSpans(d, "doc_id", "text", k = 3, minSpan = 5)

@@ -274,6 +274,55 @@ class GraftStreamingSpec extends AnyFunSuite {
       assert(got.contains(("a", 30L, null)), s"out-of-tolerance left must be unmatched: $got")
     } finally query.stop()
   }
+
+  test("asofJoinStream agrees with a local as-of reference on seeded random streams") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(424242L)
+    val keys = Seq("a", "b", "c")
+    // unique (key, ts) per side so "latest right <= left" is unambiguous
+    def gen(n: Int, tag: String): Seq[(String, Long, String)] =
+      rnd.shuffle((1 to n).map(i =>
+        (keys(rnd.nextInt(keys.size)), (i * 3 + rnd.nextInt(2)).toLong, s"$tag$i")))
+    val ls = gen(30, "l")
+    val rs = gen(30, "r")
+    val expected = ls.map { case (k, t, p) =>
+      val m = rs.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+      (k, t, p, m.map(_._3).orNull)
+    }.toSet
+    val lefts = MemoryStream[(String, java.sql.Timestamp, String)]
+    val rights = MemoryStream[(String, java.sql.Timestamp, String)]
+    // delay > the whole event range: NOTHING is ever late-dropped, so the
+    // shuffled two-batch feed is a pure reordering test (the zero-delay
+    // late-drop path is covered by the dedicated late-right test above)
+    val out = GraftStreaming.asofJoinStream(
+      lefts.toDF().toDF("key", "ts", "payload"),
+      rights.toDF().toDF("key", "ts", "payload"), "1000 seconds")
+    val query = GraftStreaming.storeStreamMemory(out, "asof_prop")
+    try {
+      // two unordered batches, then a far-future sentinel on BOTH sources
+      // to push the global watermark past every left
+      def row(e: (String, Long, String)) = (e._1, ts(e._2), e._3)
+      val (l1, l2) = ls.splitAt(ls.size / 2)
+      val (r1, r2) = rs.splitAt(rs.size / 2)
+      lefts.addData(l1.map(row)); rights.addData(r1.map(row))
+      query.processAllAvailable()
+      lefts.addData(l2.map(row)); rights.addData(r2.map(row))
+      query.processAllAvailable()
+      lefts.addData(("zz", ts(100000), "sentinel"))
+      rights.addData(("zz", ts(100000), "sentinel"))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      val got = spark.table("asof_prop")
+        .where(col("key") =!= "zz")
+        .select("key", "ts", "payload", "match_payload").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+          r.getString(2), r.getString(3))).toSet
+      assert(got == expected,
+        s"\ngot:      ${got.map(_.toString).toSeq.sorted}" +
+          s"\nexpected: ${expected.map(_.toString).toSeq.sorted}")
+    } finally query.stop()
+  }
 }
 
 case class StreamEvent(ts: java.sql.Timestamp, k: String)

@@ -77,6 +77,9 @@ object ProbeScale {
         graft.operators.Dedup.ngramContamination(
           d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0),
           "doc_id", "text", 3).count())
+      val (tSpans, nSpans) = time2(
+        graft.operators.Dedup.duplicateSpans(d, "doc_id", "text",
+          k = 3, minSpan = 5).count())
       val emb = scaledEmb(factor)
       val queries = emb.where(col("vec_id") < 50)
       val (tBrute, nBrute) = time2(
@@ -88,7 +91,8 @@ object ProbeScale {
         f"minhash=$tMinhash%7.0f ms ($nMinhash rows)  " +
         f"sessionize=$tSess%7.0f ms ($nSess rows)  sessionize_skewsafe=$tSessSafe%7.0f ms  " +
         f"ann_brute=$tBrute%7.0f ms ($nBrute)  ann_ivf=$tIvf%7.0f ms ($nIvf)  " +
-        f"contamination=$tCont%7.0f ms ($nCont rows)")
+        f"contamination=$tCont%7.0f ms ($nCont rows)  " +
+        f"substring_spans=$tSpans%7.0f ms ($nSpans rows)")
       d.unpersist(); e.unpersist(); emb.unpersist()
     }
     spark.stop()

@@ -315,6 +315,14 @@ object Dedup {
     * 0-based inclusive. Adjacent spans may overlap by up to k-1 tokens
     * (separate maximal runs of duplicated WINDOW STARTS); the removal
     * variant unions covered tokens, so overlap is harmless.
+    *
+    * Scan accounting (deliberate, the ngramContamination precedent): the
+    * gram lineage runs twice — once into the count aggregate, once into
+    * the semi join. Materializing it instead would write ~20 bytes per
+    * TOKEN (id+pos+hash ≈ 3× the corpus text bytes) to save one re-scan
+    * of the corpus; at 100 TB re-reading source parquet beats writing a
+    * 300 TB intermediate. ProbeScale measures the recompute shape linear
+    * (16× input → 1.7× time).
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minSpan: Int = 5): DataFrame = {

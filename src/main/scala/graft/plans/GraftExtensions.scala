@@ -107,5 +107,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dup_word_frac"),
       info("graft_dup_word_frac", "graft_dup_word_frac(text) - repeated-word fraction (repetition signal)"),
       (es: Seq[Expression]) => colFn(es(0), TextFunctions.dupWordFraction)))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_apply"),
+      info("graft_bpe_apply",
+        "graft_bpe_apply(word, merges) - space-joined BPE pieces of one word; " +
+          "merges is an ordered literal like 'e s,es t,l o' (comma-separated " +
+          "rules, space-separated halves)"),
+      (es: Seq[Expression]) => BpeApplyWord(es(0),
+        parseMerges(strArg(es(1), "graft_bpe_apply", "merges")))))
   }
+
+  /** Require a foldable string literal argument (plan-time constant). */
+  private def strArg(e: Expression, fn: String, arg: String): String = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got non-foldable ${e.sql}")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal, got $other")
+    }
+  }
+
+  /** Parse the 'a b,es t'-style ordered merge-rule list. */
+  private def parseMerges(spec: String): Seq[(String, String)] =
+    spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { rule =>
+      rule.split(" ") match {
+        case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b)
+        case _ => throw new IllegalArgumentException(
+          s"graft_bpe_apply: each merge rule must be 'left right', got '$rule'")
+      }
+    }
 }

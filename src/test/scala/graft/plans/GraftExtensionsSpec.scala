@@ -48,6 +48,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(5) == 8)
   }
 
+  test("graft_bpe_apply is SQL-callable with a literal merge table") {
+    val r = spark.sql(
+      "SELECT graft_bpe_apply('lowest', 'e s,es t,l o,lo w') AS p").head()
+    assert(r.getString(0) == "low est")
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_bpe_apply('x', 'bad-rule') AS p").head())
+    assert(err.getMessage.contains("left right"))
+  }
+
   test("RangeJoinRewrite: BETWEEN join becomes a binned equi-join, same result, no nested loop") {
     import spark.implicits._
     val points = (0L to 500L by 7).map(i => (i, i)).toDF("pid", "pt")

@@ -322,6 +322,95 @@ object GraftStreaming {
       .toDF("key", "ts", "payload", "match_ts", "match_payload")
   }
 
+  // ---- stream-stream range join ----
+
+  /** Watermarked stream-stream RANGE (point-in-interval) join: each point
+    * row pairs with every interval row of the same key whose
+    * `[lo, hi]` contains the point's event time — the streaming dual of
+    * [[graft.operators.RangeJoin.rangeJoin]], inner semantics.
+    *
+    * Column contract: `points` are `(key string, ts timestamp,
+    * payload string)`; `intervals` are `(key string, lo timestamp,
+    * hi timestamp, payload string)` with the WATERMARK ANCHORED ON `lo` —
+    * the contract is that an interval is published no earlier than its
+    * start (true of session windows, validity ranges, market hours; rows
+    * arriving with `lo` behind the watermark are dropped as late data).
+    * Output: `(key, ts, payload, lo, hi, match_payload)`, one row per
+    * matched pair.
+    *
+    * Finalization mirrors [[asofJoinStream]]: a point emits when the
+    * watermark strictly passes its event time — any interval arriving
+    * later has `lo >= watermark > ts`, so it cannot contain the point.
+    * Intervals evict once `hi` falls strictly behind the watermark
+    * (points still pending have `ts >= watermark > hi`; points are always
+    * finalized before eviction within an invoke, so no match is lost) —
+    * state per key is pending points within the watermark horizon plus
+    * intervals whose span is still open, both watermark-bounded.
+    */
+  def rangeJoinStream(points: DataFrame, intervals: DataFrame,
+      watermarkDelay: String, horizonMs: Long = 3600000L): DataFrame = {
+    implicit val inEnc: Encoder[RangeIn] = Encoders.product[RangeIn]
+    implicit val outEnc: Encoder[RangeMatched] = Encoders.product[RangeMatched]
+    implicit val stEnc: Encoder[RangeJoinState] = Encoders.product[RangeJoinState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val p = points
+      .select(col("key"), col("ts"), lit(null).cast("long").as("hiMs"),
+        lit(true).as("isPoint"), col("payload"))
+      .withWatermark("ts", watermarkDelay)
+      .as[RangeIn]
+    val iv = intervals
+      .select(col("key"), col("lo").as("ts"),
+        unix_millis(col("hi")).as("hiMs"), lit(false).as("isPoint"), col("payload"))
+      .withWatermark("ts", watermarkDelay)
+      .as[RangeIn]
+    p.unionByName(iv)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RangeJoinState, RangeMatched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[RangeIn], state: GroupState[RangeJoinState]) =>
+          var s = state.getOption.getOrElse(RangeJoinState(Nil, Nil, Nil, Nil, Nil))
+          if (!state.hasTimedOut) {
+            val (ps, ivs) = rows.toArray.partition(_.isPoint)
+            s = s.copy(
+              pointTs = s.pointTs ++ ps.map(_.ts.getTime),
+              pointPayloads = s.pointPayloads ++ ps.map(_.payload),
+              loMs = s.loMs ++ ivs.map(_.ts.getTime),
+              hiMs = s.hiMs ++ ivs.map(_.hiMs.getOrElse(
+                throw new IllegalStateException("interval row without hi"))),
+              ivPayloads = s.ivPayloads ++ ivs.map(_.payload))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val pts = s.pointTs.zip(s.pointPayloads)
+          val (ready, pending) = pts.partition(_._1 < wm)
+          val ivsAll = s.loMs.lazyZip(s.hiMs).lazyZip(s.ivPayloads).toSeq
+          // match BEFORE evicting: an interval with hi < wm can still
+          // contain a point finalizing in this very invoke
+          val out = for {
+            (pt, pp) <- ready.sortBy(_._1)
+            (lo, hi, ip) <- ivsAll
+            if lo <= pt && pt <= hi
+          } yield RangeMatched(key, new java.sql.Timestamp(pt), pp,
+            new java.sql.Timestamp(lo), new java.sql.Timestamp(hi), ip)
+          val live = ivsAll.filter(_._2 >= wm)
+          val s2 = RangeJoinState(
+            pointTs = pending.map(_._1), pointPayloads = pending.map(_._2),
+            loMs = live.map(_._1), hiMs = live.map(_._2),
+            ivPayloads = live.map(_._3))
+          if (pending.isEmpty && live.isEmpty && state.hasTimedOut) {
+            state.remove()
+          } else {
+            state.update(s2)
+            val target =
+              if (pending.nonEmpty) pending.map(_._1).min + 1
+              else if (live.nonEmpty) live.map(_._2).min + 1 // earliest hi expiry
+              else wm + horizonMs
+            state.setTimeoutTimestamp(math.max(target, wm + 1))
+          }
+          out.iterator
+      }
+      .toDF("key", "ts", "payload", "lo", "hi", "match_payload")
+  }
+
   // ---- sinks ----
 
   /** `writeStream` to files with checkpointing; returns the query handle. */
@@ -372,3 +461,19 @@ private[streaming] final case class AsofJoinState(
     carryTs: Long, carryPayload: String, hasCarry: Boolean,
     rightTs: Seq[Long], rightPayloads: Seq[String],
     leftTs: Seq[Long], leftPayloads: Seq[String])
+
+/** Tagged union row for the stream-stream range join: a point
+  * (isPoint, hiMs null) or an interval anchored at its `lo` (ts = lo).
+  */
+private[streaming] final case class RangeIn(
+    key: String, ts: java.sql.Timestamp, hiMs: Option[Long],
+    isPoint: Boolean, payload: String)
+
+/** Range-join output: one row per (point, containing interval) pair. */
+final case class RangeMatched(key: String, ts: java.sql.Timestamp, payload: String,
+    lo: java.sql.Timestamp, hi: java.sql.Timestamp, matchPayload: String)
+
+/** Per-key range state: pending points and open intervals. */
+private[streaming] final case class RangeJoinState(
+    pointTs: Seq[Long], pointPayloads: Seq[String],
+    loMs: Seq[Long], hiMs: Seq[Long], ivPayloads: Seq[String])

@@ -323,6 +323,86 @@ class GraftStreamingSpec extends AnyFunSuite {
           s"\nexpected: ${expected.map(_.toString).toSeq.sorted}")
     } finally query.stop()
   }
+
+  test("rangeJoinStream: points pair with containing intervals; expired intervals still match in-flight points") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val points = MemoryStream[(String, java.sql.Timestamp, String)]
+    val intervals = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, String)]
+    val out = GraftStreaming.rangeJoinStream(
+      points.toDF().toDF("key", "ts", "payload"),
+      intervals.toDF().toDF("key", "lo", "hi", "payload"), "0 seconds")
+    val query = GraftStreaming.storeStreamMemory(out, "range_test")
+    def table() = spark.table("range_test")
+      .select("key", "ts", "payload", "match_payload").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getString(2), r.getString(3))).toSet
+    try {
+      intervals.addData(("a", ts(10), ts(30), "i10-30"), ("a", ts(20), ts(25), "i20-25"))
+      points.addData(("a", ts(22), "p22"), ("a", ts(5), "p5"), ("a", ts(28), "p28"))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      // watermark = min(28, 20) = 20: p5 finalizes (matches nothing)
+      // without appearing; inner join emits nothing for it
+      assert(table().isEmpty, s"nothing final should match yet: ${table()}")
+      points.addData(("a", ts(100), "p100"))
+      intervals.addData(("a", ts(100), ts(101), "i100"))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      // watermark 100: p22 hits both intervals, p28 only the long one —
+      // i20-25's hi(25) < wm but it matched p22/p28 BEFORE eviction
+      assert(table() == Set(
+        ("a", 22L, "p22", "i10-30"), ("a", 22L, "p22", "i20-25"),
+        ("a", 28L, "p28", "i10-30")), s"got: ${table()}")
+    } finally query.stop()
+  }
+
+  test("rangeJoinStream agrees with a local point-in-interval reference on seeded random streams") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(777L)
+    val keys = Seq("a", "b")
+    val pts = rnd.shuffle((1 to 25).map(i =>
+      (keys(rnd.nextInt(keys.size)), (rnd.nextInt(80) + 1).toLong, s"p$i")))
+    val ivs = rnd.shuffle((1 to 15).map { i =>
+      val lo = (rnd.nextInt(70) + 1).toLong
+      (keys(rnd.nextInt(keys.size)), lo, lo + rnd.nextInt(20), s"i$i")
+    })
+    val expected = (for {
+      (pk, pt, pp) <- pts
+      (ik, lo, hi, ip) <- ivs
+      if pk == ik && lo <= pt && pt <= hi
+    } yield (pk, pt, pp, ip)).toSet
+    val points = MemoryStream[(String, java.sql.Timestamp, String)]
+    val intervals = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, String)]
+    // delay > whole event range: nothing late-dropped, pure reordering test
+    val out = GraftStreaming.rangeJoinStream(
+      points.toDF().toDF("key", "ts", "payload"),
+      intervals.toDF().toDF("key", "lo", "hi", "payload"), "1000 seconds")
+    val query = GraftStreaming.storeStreamMemory(out, "range_prop")
+    try {
+      val (p1, p2) = pts.splitAt(pts.size / 2)
+      val (i1, i2) = ivs.splitAt(ivs.size / 2)
+      points.addData(p1.map(e => (e._1, ts(e._2), e._3)))
+      intervals.addData(i1.map(e => (e._1, ts(e._2), ts(e._3), e._4)))
+      query.processAllAvailable()
+      points.addData(p2.map(e => (e._1, ts(e._2), e._3)))
+      intervals.addData(i2.map(e => (e._1, ts(e._2), ts(e._3), e._4)))
+      query.processAllAvailable()
+      points.addData(("zz", ts(100000), "sentinel"))
+      intervals.addData(("zz", ts(100000), ts(100001), "sentinel"))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      val got = spark.table("range_prop")
+        .where(col("key") =!= "zz")
+        .select("key", "ts", "payload", "match_payload").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+          r.getString(2), r.getString(3))).toSet
+      assert(got == expected,
+        s"\ngot:      ${got.map(_.toString).toSeq.sorted}" +
+          s"\nexpected: ${expected.map(_.toString).toSeq.sorted}")
+    } finally query.stop()
+  }
 }
 
 case class StreamEvent(ts: java.sql.Timestamp, k: String)

@@ -25,9 +25,16 @@ object BpeRuntime {
   def applyWord(word: UTF8String, lefts: Array[String], rights: Array[String]): UTF8String = {
     val w = word.toString
     if (w.isEmpty) return UTF8String.EMPTY_UTF8
+    // initial symbols are CODE POINTS, not UTF-16 units: a surrogate pair
+    // is one symbol (what byte/char-level BPE and the SQL oracle's
+    // per-character split both mean by "character")
     val syms = new java.util.ArrayList[String](w.length)
     var i = 0
-    while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
     var m = 0
     while (m < lefts.length) {
       val a = lefts(m); val b = rights(m)
@@ -110,7 +117,7 @@ object Bpe {
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxVocabWords)
       .collect()
-      .map(r => (r.getString(0).map(String.valueOf(_)).toArray, r.getLong(1)))
+      .map(r => (splitCodePoints(r.getString(0)), r.getLong(1)))
 
     val merges = Vector.newBuilder[(String, String)]
     var words = dict
@@ -134,6 +141,20 @@ object Bpe {
       }
     }
     merges.result()
+  }
+
+  /** One symbol per code point (surrogate pairs stay whole — mirrors
+    * [[BpeRuntime.applyWord]]'s initial symbolization).
+    */
+  private def splitCodePoints(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
   }
 
   private def mergeOnce(syms: Array[String], a: String, b: String): Array[String] = {

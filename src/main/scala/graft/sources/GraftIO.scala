@@ -207,6 +207,12 @@ object EdnValue {
   case object Nil extends EdnValue
   final case class Bool(b: Boolean) extends EdnValue
   final case class Num(d: Double, isInt: Boolean) extends EdnValue
+  /** Integers outside Double's exact range (|v| > 2^53): kept as Long so
+    * `pr-str` round-trips bit-exactly, as the reference's
+    * clojure.edn/read-string does. Small integers stay [[Num]] (the shape
+    * the rest of the codebase constructs/matches).
+    */
+  final case class LongNum(l: Long) extends EdnValue
   final case class Str(s: String) extends EdnValue
   final case class Ch(c: Char) extends EdnValue
   final case class Kw(name: String) extends EdnValue
@@ -234,6 +240,7 @@ object Edn {
     case Bool(b) => b.toString
     case Num(d, true) => d.toLong.toString
     case Num(d, false) => d.toString
+    case LongNum(l) => l.toString
     case Str(s) => "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -321,7 +328,12 @@ object Edn {
         while (i < s.length && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' || s(i) == '-' || s(i) == '+')) i += 1
         val tok = s.substring(st, i)
         if (tok.exists(c2 => c2 == '.' || c2 == 'e' || c2 == 'E')) Num(tok.toDouble, isInt = false)
-        else Num(tok.toLong.toDouble, isInt = true)
+        else {
+          val l = tok.toLong
+          // 2^53 bound: beyond it Double can't hold the integer exactly
+          if (l >= -9007199254740992L && l <= 9007199254740992L) Num(l.toDouble, isInt = true)
+          else LongNum(l)
+        }
       case _ =>
         token() match {
           case "nil" => Nil

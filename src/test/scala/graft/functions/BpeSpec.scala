@@ -49,6 +49,16 @@ class BpeSpec extends AnyFunSuite {
     assert(aa == "aa a")
   }
 
+  test("initial symbols are code points: surrogate pairs are one symbol") {
+    val grin = new String(Character.toChars(0x1F600)) // astral-plane emoji
+    val noMerges = BpeRuntime.applyWord(UTF8String.fromString(grin + "a" + grin),
+      Array.empty, Array.empty).toString
+    assert(noMerges == s"$grin a $grin")
+    val merged = BpeRuntime.applyWord(UTF8String.fromString(grin + grin),
+      Array(grin), Array(grin)).toString
+    assert(merged == grin + grin)
+  }
+
   test("merged symbols never re-merge within the same rule pass") {
     // (a,b)->ab then (ab,ab)->abab: "abab" needs TWO rules, rule 1 alone
     // must produce "ab ab", not chain into "abab"

@@ -89,6 +89,13 @@ class EdnSpec extends AnyFunSuite {
     assert(Edn.print(Str("a\tb")) == "\"a\\tb\"")
   }
 
+  test("integers beyond double precision round-trip bit-exactly") {
+    assert(rt("9007199254740993") == "9007199254740993") // 2^53 + 1
+    assert(rt("-9223372036854775808") == "-9223372036854775808") // Long.Min
+    assert(Edn.parse("9007199254740993") == LongNum(9007199254740993L))
+    assert(Edn.parse("42") == Num(42, isInt = true)) // small ints stay Num
+  }
+
   test("deeply mixed value round-trips") {
     val s = "{:k #{1 2}, :v [(a \\c) #inst \"2020-01-01T00:00:00Z\"], \"s\" nil}"
     assert(rt(s) == s)

@@ -17,6 +17,21 @@ object ProbeBpe {
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       println(s"""[bpe] $i: ("$a", "$b") -> "$a$b"""")
     }
+    // apply-path A/B: codegen'd whole-text expression vs the transform-HOF
+    // formulation (interpreted lambda per word)
+    import org.apache.spark.sql.functions._
+    val d = docs.localCheckpoint(true)
+    def time(c: org.apache.spark.sql.Column): Double = {
+      def run(): Long =
+        d.select(sum(length(c)).as("n")).head().getLong(0)
+      run() // warm-up
+      (1 to 3).map { _ =>
+        val s = System.nanoTime(); run(); (System.nanoTime() - s) / 1e6
+      }.min
+    }
+    val expr = time(graft.functions.Bpe.bpeTextExpr(col("text"), merges))
+    val hof = time(graft.functions.Bpe.bpeTextHof(col("text"), merges))
+    println(f"[bpe] apply sf=$sfDir: single-expr=$expr%.0f ms  transform-HOF=$hof%.0f ms  (expr/hof=${expr / hof}%.2f)")
     spark.stop()
   }
 }

@@ -114,6 +114,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "rules, space-separated halves)"),
       (es: Seq[Expression]) => BpeApplyWord(es(0),
         parseMerges(strArg(es(1), "graft_bpe_apply", "merges")))))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_apply_text"),
+      info("graft_bpe_apply_text",
+        "graft_bpe_apply_text(text, merges) - BPE pieces of every whitespace " +
+          "word of a document, space-joined; merges as in graft_bpe_apply"),
+      (es: Seq[Expression]) => BpeApplyText(es(0),
+        parseMerges(strArg(es(1), "graft_bpe_apply_text", "merges")))))
   }
 
   /** Require a foldable string literal argument (plan-time constant). */

@@ -79,6 +79,23 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Set(("low est low", 3), ("n e w est", 4)))
   }
 
+  test("single-expression BpeApplyText equals the transform-HOF formulation on whitespace-laden inputs") {
+    val m = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("a", "b"))
+    val rnd = new scala.util.Random(99L)
+    val chars = "abelostw \t\n"
+    val cases = Seq("", " ", "\t", "  lowest  ", "a\tb", "\tlow\n", " \t ") ++
+      (1 to 40).map(_ => (0 until rnd.nextInt(25)).map(_ =>
+        chars(rnd.nextInt(chars.length))).mkString)
+    val df = cases.toDF("text")
+      .select(col("text"),
+        Bpe.bpeTextExpr(col("text"), m).as("fast"),
+        Bpe.bpeTextHof(col("text"), m).as("ref"))
+    val bad = df.where(col("fast") =!= col("ref") ||
+      col("fast").isNull =!= col("ref").isNull).collect()
+    assert(bad.isEmpty, bad.map(r => s"[${r.getString(0)}] fast=[${r.getString(1)}] " +
+      s"ref=[${r.getString(2)}]").mkString("\n"))
+  }
+
   test("train-then-apply round trip on the training corpus compresses to whole subwords") {
     val merges = Bpe.train(corpus(), "text", 16)
     val pieces = corpus()

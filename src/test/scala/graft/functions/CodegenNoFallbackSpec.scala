@@ -49,7 +49,8 @@ class CodegenNoFallbackSpec extends AnyFunSuite {
         HashExpressions.minhashTokens(toks, 3, 16),
         HashExpressions.minhashTokens(toks, 3, 16)).as("agree"),
       HashExpressions.nfc(col("text")).as("nfc"),
-      Bpe.bpeText(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpe")).collect()
+      Bpe.bpeText(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpe"),
+      Bpe.bpeTextExpr(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpeExpr")).collect()
     assert(out.length == 2)
     val r0 = out(0)
     assert(r0.getStruct(0).getDouble(0) == 1.0) // quantize scale = maxabs

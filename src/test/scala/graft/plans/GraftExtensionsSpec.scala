@@ -52,6 +52,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT graft_bpe_apply('lowest', 'e s,es t,l o,lo w') AS p").head()
     assert(r.getString(0) == "low est")
+    val t = spark.sql(
+      "SELECT graft_bpe_apply_text('lowest low', 'e s,es t,l o,lo w') AS p").head()
+    assert(t.getString(0) == "low est low")
     val err = intercept[Exception](
       spark.sql("SELECT graft_bpe_apply('x', 'bad-rule') AS p").head())
     assert(err.getMessage.contains("left right"))

@@ -213,6 +213,13 @@ object EdnValue {
     * the rest of the codebase constructs/matches).
     */
   final case class LongNum(l: Long) extends EdnValue
+  /** Clojure's wider numeric tower, round-tripped exactly: ratio `1/3`,
+    * arbitrary-precision integer `3N`, arbitrary-precision decimal `1.5M`
+    * (pr-str emits all three; clojure.edn reads them back).
+    */
+  final case class Ratio(n: Long, d: Long) extends EdnValue
+  final case class BigIntNum(v: BigInt) extends EdnValue
+  final case class BigDecNum(v: BigDecimal) extends EdnValue
   final case class Str(s: String) extends EdnValue
   final case class Ch(c: Char) extends EdnValue
   final case class Kw(name: String) extends EdnValue
@@ -241,6 +248,9 @@ object Edn {
     case Num(d, true) => d.toLong.toString
     case Num(d, false) => d.toString
     case LongNum(l) => l.toString
+    case Ratio(n2, d2) => s"$n2/$d2"
+    case BigIntNum(v) => v.toString + "N"
+    case BigDecNum(v) => v.toString + "M"
     case Str(s) => "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -325,9 +335,16 @@ object Edn {
       case ':' => i += 1; Kw(token())
       case c if c.isDigit || ((c == '-' || c == '+') && i + 1 < s.length && s(i + 1).isDigit) =>
         val st = i; i += 1
-        while (i < s.length && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' || s(i) == '-' || s(i) == '+')) i += 1
+        while (i < s.length && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' ||
+            s(i) == '-' || s(i) == '+' || s(i) == '/' || s(i) == 'N' || s(i) == 'M')) i += 1
         val tok = s.substring(st, i)
-        if (tok.exists(c2 => c2 == '.' || c2 == 'e' || c2 == 'E')) Num(tok.toDouble, isInt = false)
+        if (tok.endsWith("N")) BigIntNum(BigInt(tok.dropRight(1)))
+        else if (tok.endsWith("M")) BigDecNum(BigDecimal(tok.dropRight(1)))
+        else if (tok.contains('/')) {
+          val Array(n, d) = tok.split("/", 2)
+          Ratio(n.toLong, d.toLong)
+        }
+        else if (tok.exists(c2 => c2 == '.' || c2 == 'e' || c2 == 'E')) Num(tok.toDouble, isInt = false)
         else {
           val l = tok.toLong
           // 2^53 bound: beyond it Double can't hold the integer exactly

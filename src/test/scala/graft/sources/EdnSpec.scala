@@ -96,6 +96,19 @@ class EdnSpec extends AnyFunSuite {
     assert(Edn.parse("42") == Num(42, isInt = true)) // small ints stay Num
   }
 
+  test("ratio / bigint / bigdecimal round-trip (the clojure numeric tower pr-str emits)") {
+    assert(Edn.parse("1/3") == Ratio(1, 3))
+    assert(rt("1/3") == "1/3")
+    assert(rt("-22/7") == "-22/7")
+    assert(Edn.parse("123456789012345678901234567890N") ==
+      BigIntNum(BigInt("123456789012345678901234567890")))
+    assert(rt("123456789012345678901234567890N") == "123456789012345678901234567890N")
+    assert(rt("3N") == "3N")
+    assert(Edn.parse("1.50M") == BigDecNum(BigDecimal("1.50")))
+    assert(rt("1.50M") == "1.50M") // scale preserved
+    assert(rt("[1/2 3N 0.1M]") == "[1/2 3N 0.1M]")
+  }
+
   test("deeply mixed value round-trips") {
     val s = "{:k #{1 2}, :v [(a \\c) #inst \"2020-01-01T00:00:00Z\"], \"s\" nil}"
     assert(rt(s) == s)

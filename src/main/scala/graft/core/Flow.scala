@@ -169,22 +169,35 @@ final case class Flow[T](ds: Dataset[T]) {
 
   /** Distinct with an explicit partitioner (the reference's `:partition-by`
     * opt on distinct, PigPenPartitioner — SURVEY.md §2.9). Values are
-    * co-located by the custom function, then de-duplicated per partition
-    * streaming through a bounded set. Prefer plain [[distinct]] (spillable
-    * hash aggregate) unless partition placement itself is the point.
+    * co-located by the custom function with EXACT placement (partition
+    * index = fn(value) mod n, which is the point of the op), then
+    * de-duplicated per partition with BOUNDED memory: the shuffle sorts
+    * within each partition by element hash (Spark's external sorter —
+    * spills to disk), so equal elements arrive adjacent and the scan only
+    * buffers one equal-hash run at a time. Identity hash codes are fine:
+    * sort and scan run in the same task, so within-task consistency is
+    * all the dedup needs. Prefer plain [[distinct]] (hash aggregate)
+    * unless partition placement itself is the point.
     */
   def distinctPartitionBy(partitions: Int)(partitionKey: T => Int): Flow[T] = {
     val part = new org.apache.spark.Partitioner {
       override def numPartitions: Int = partitions
       override def getPartition(key: Any): Int = {
-        val h = partitionKey(key.asInstanceOf[T]) % partitions
+        val h = key.asInstanceOf[(Int, Int)]._1 % partitions
         if (h < 0) h + partitions else h
       }
     }
-    val r = ds.rdd.map((_, null)).partitionBy(part).mapPartitions { it =>
-      val seen = scala.collection.mutable.HashSet.empty[T]
-      it.collect { case (t, _) if seen.add(t) => t }
-    }
+    val r = ds.rdd.map(t => ((partitionKey(t), t.hashCode), t))
+      .repartitionAndSortWithinPartitions(part)
+      .mapPartitions { it =>
+        var runHash = 0
+        var runSeen = List.empty[T] // one equal-hashCode run, usually size 1
+        it.flatMap { case ((_, h), t) =>
+          if (runSeen.isEmpty || h != runHash) { runHash = h; runSeen = List(t); Iterator.single(t) }
+          else if (runSeen.contains(t)) Iterator.empty
+          else { runSeen ::= t; Iterator.single(t) }
+        }
+      }
     Flow(spark.createDataset(r))
   }
 

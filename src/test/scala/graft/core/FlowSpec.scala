@@ -104,6 +104,22 @@ class FlowSpec extends AnyFunSuite {
     assert(r.sorted == Seq(1, 2, 3))
   }
 
+  test("distinctPartitionBy places each value at exactly fn(v) mod n and survives hash collisions") {
+    import spark.implicits._
+    // negative fn values and duplicates; verify exact placement
+    val f = Flow(Seq(-4, -4, 1, 5, 9, 9, 2).toDS())
+    val got = f.distinctPartitionBy(4)(identity).ds.rdd
+      .mapPartitionsWithIndex((pi, it) => it.map(v => (pi, v)))
+      .collect().toSet
+    assert(got == Set((0, -4), (1, 1), (1, 5), (1, 9), (2, 2)))
+    // equal-hashCode, unequal values must BOTH survive the run scan
+    // (strings with colliding hashCode)
+    val a = "Aa"; val b = "BB" // classic java collision: "Aa".hashCode == "BB".hashCode
+    assert(a.hashCode == b.hashCode)
+    val s = Flow(Seq(a, b, a, b, a).toDS()).distinctPartitionBy(2)(_.length).dump()
+    assert(s.sorted == Seq("Aa", "BB"))
+  }
+
   test("debugString renders type-tab-value") {
     assert(flow(1).debugString.dump() == Seq("Integer\t1"))
   }

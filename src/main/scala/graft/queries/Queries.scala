@@ -701,6 +701,94 @@ object Queries {
       .agg(round(sum(rev), 2).cast("double").as("revenue"))
   }
 
+  /** TPC-H Q3 shape (shipping-priority revenue; no o_shippriority column in
+    * the synthetic schema, otherwise the classic query): unshipped orders
+    * of one market segment ranked by revenue. Top-k has the deterministic
+    * tiebreak (revenue desc, orderkey asc) on BOTH sides so the LIMIT is
+    * oracle-stable. Scale shape mirrors q_revenue_by_nation: the segment
+    * filter prunes customers BEFORE the orders join; the lineitem join
+    * stays adaptive; top-10 is a TakeOrdered, never a global sort.
+    */
+  private val q3ish = q("q_q3",
+    """SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey ASC
+       LIMIT 10""") { (s, d) =>
+    val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+    val cust = Tables.df(s, d, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.df(s, d, "orders")
+      .where(col("o_orderdate") < cutoff)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    Tables.df(s, d, "lineitem")
+      .where(col("l_shipdate") > cutoff)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(rev), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q6 (forecast revenue change): one scan, one scalar — the
+    * pushdown showcase (every predicate reaches the parquet scan).
+    */
+  private val q6 = q("q_q6",
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""") { (s, d) =>
+    Tables.df(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_discount").cast("decimal(8,4)")), 2).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    * per customer over a quarter, top 20. Same deterministic-tiebreak and
+    * dimension-first-prune disciplines as q_q3.
+    */
+  private val q10ish = q("q_q10",
+    """SELECT c_custkey, c_name,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+       GROUP BY c_custkey, c_name
+       ORDER BY revenue DESC, c_custkey ASC
+       LIMIT 20""") { (s, d) =>
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+    val ord = Tables.df(s, d, "orders")
+      .where(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    Tables.df(s, d, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.df(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(rev), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   private val windowLagQ = q("q_window_lag",
     """SELECT event_id,
               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -742,7 +830,7 @@ object Queries {
     filterByQ, removeByQ, cogroupQ, cogroup3Q, cogroup4Q, cogroup3FoldQ, groupByQ, groupStatsQ, topByQ,
     reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
     foldJuxtQ,
-    q1, q5ish, windowLagQ, windowRunningQ, eventsAggQ)
+    q1, q5ish, q3ish, q6, q10ish, windowLagQ, windowRunningQ, eventsAggQ)
 
   val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all
 

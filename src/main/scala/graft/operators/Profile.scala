@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-level data profiling — the "what is in this table" pass every
+  * corpus intake runs first: per column the row count, null count,
+  * distinct count, and min/max (stringified for a uniform output schema).
+  *
+  * Shape: ONE aggregation job over the input. The exact variant's
+  * multi-column `count(distinct)` plans through Catalyst's Expand (rows ×
+  * profiled columns before partial aggregation) — exact but paying
+  * |cols|× the scan volume in the aggregate, which is why [[approx]]
+  * exists: HyperLogLog++ sketches for every column in one UN-expanded
+  * pass (relative error `rsd`, default 5%), the right profile at 100 TB.
+  *
+  * Output: (column, n_rows, n_nulls, n_distinct, min, max) — one row per
+  * profiled column, stable order = input order.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    build(df, cols, c => countDistinct(col(c)))
+
+  /** HLL++ distinct counts (`rsd` relative standard deviation); row/null
+    * counts and min/max stay exact.
+    */
+  def approx(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    build(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def build(df: DataFrame, cols: Seq[String],
+      distinctAgg: String => Column): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        distinctAgg(c).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    // unpivot the single wide row into one row per column
+    one.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min"),
+        col(s"__max_$c").as("max"))): _*)).as("__p"))
+      .select("__p.*")
+  }
+}

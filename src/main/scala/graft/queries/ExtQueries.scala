@@ -973,7 +973,28 @@ object ExtQueries {
       .select(col("doc_id"), col("dedup_text"))
   }
 
+  private val profileQ = q("q_profile",
+    """SELECT 'doc_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+              CAST(MIN(doc_id) AS VARCHAR) AS min, CAST(MAX(doc_id) AS VARCHAR) AS max
+       FROM documents
+       UNION ALL
+       SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+              MIN(lang), MAX(lang) FROM documents
+       UNION ALL
+       SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+              MIN(source), MAX(source) FROM documents
+       UNION ALL
+       SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+              CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+       FROM documents""") { (s, d) =>
+    graft.operators.Profile.profile(Tables.df(s, d, "documents"),
+      Seq("doc_id", "lang", "source", "n_chars"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    profileQ,
     repetitionQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def df() = Seq(
+    (Some(1L), Some("a")), (Some(2L), None), (Some(2L), Some("b")),
+    (None, Some("a")), (Some(5L), Some("c"))
+  ).toDF("id", "tag")
+
+  test("profile: exact per-column counts, nulls, distinct, min/max") {
+    val got = Profile.profile(df(), Seq("id", "tag")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      ("id", 5L, 1L, 3L, "1", "5"),
+      ("tag", 5L, 1L, 3L, "a", "c")))
+  }
+
+  test("approx: HLL distinct within rsd, exact rows/nulls/minmax, NO Expand in the plan") {
+    val wide = (1 to 2000).map(i => (i.toLong, s"t${i % 37}")).toDF("id", "tag")
+    val res = Profile.approx(wide, Seq("id", "tag"), rsd = 0.05)
+    val plan = res.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Expand"),
+      s"approx profile must not multiply rows through Expand:\n$plan")
+    val byCol = res.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byCol("id")._1 == 2000 && byCol("id")._2 == 0)
+    assert(math.abs(byCol("id")._3 - 2000.0) / 2000.0 < 0.15, s"hll far off: ${byCol("id")._3}")
+    assert(math.abs(byCol("tag")._3 - 37.0) / 37.0 < 0.15, s"hll far off: ${byCol("tag")._3}")
+    // the exact variant DOES expand (the documented cost trade)
+    val exactPlan = Profile.profile(wide, Seq("id", "tag"))
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(exactPlan.contains("Expand"))
+  }
+}

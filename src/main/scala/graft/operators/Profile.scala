@@ -28,6 +28,32 @@ object Profile {
   def approx(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     build(df, cols, c => approx_count_distinct(col(c), rsd))
 
+  /** Numeric summary: mean, sample stddev, and EXACT interpolated
+    * percentiles per column (Spark `percentile` ≡ DuckDB/Postgres
+    * `quantile_cont`/`percentile_cont` semantics, so it oracles).
+    * Values round to 6dp — the cross-engine double-parity discipline.
+    * Exact percentiles sort per column; at 100 TB profile with
+    * `approx_percentile` instead (same output shape, sketch-based) —
+    * exactness is for the oracle gate and small-table intake checks.
+    */
+  def numeric(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(cols.nonEmpty, "numeric profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(round(avg(col(c)), 6).as(s"__avg_$c"),
+        round(stddev_samp(col(c)), 6).as(s"__sd_$c")) ++
+        ps.zipWithIndex.map { case (p, i) =>
+          round(percentile(col(c), lit(p)), 6).as(s"__p${i}_$c") }
+    }
+    val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    one.select(explode(array(cols.map(c => struct(
+        Seq(lit(c).as("column"), col(s"__avg_$c").as("mean"),
+          col(s"__sd_$c").as("stddev")) ++
+          ps.zipWithIndex.map { case (p, i) =>
+            col(s"__p${i}_$c").as(s"p${(p * 100).round}") }: _*)): _*)).as("__p"))
+      .select("__p.*")
+  }
+
   private def build(df: DataFrame, cols: Seq[String],
       distinctAgg: String => Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -993,8 +993,24 @@ object ExtQueries {
       Seq("doc_id", "lang", "source", "n_chars"))
   }
 
+  private val profileNumericQ = q("q_profile_numeric",
+    """SELECT 'n_chars' AS column, round(avg(n_chars), 6) AS mean,
+              round(stddev_samp(n_chars), 6) AS stddev,
+              round(quantile_cont(n_chars, 0.25), 6) AS p25,
+              round(quantile_cont(n_chars, 0.5), 6) AS p50,
+              round(quantile_cont(n_chars, 0.75), 6) AS p75
+       FROM documents
+       UNION ALL
+       SELECT 'doc_id', round(avg(doc_id), 6), round(stddev_samp(doc_id), 6),
+              round(quantile_cont(doc_id, 0.25), 6), round(quantile_cont(doc_id, 0.5), 6),
+              round(quantile_cont(doc_id, 0.75), 6)
+       FROM documents""") { (s, d) =>
+    graft.operators.Profile.numeric(Tables.df(s, d, "documents"),
+      Seq("n_chars", "doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    profileQ,
+    profileQ, profileNumericQ,
     repetitionQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,

@@ -21,6 +21,15 @@ class ProfileSpec extends AnyFunSuite {
       ("tag", 5L, 1L, 3L, "a", "c")))
   }
 
+  test("numeric: mean/stddev/percentiles with interpolation matching quantile_cont") {
+    val d = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val got = Profile.numeric(d, Seq("v")).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // quantile_cont on [1,2,3,4]: p25 = 1.75, p50 = 2.5, p75 = 3.25
+    assert(got == Seq(("v", 2.5, 1.290994, 1.75, 2.5, 3.25)))
+  }
+
   test("approx: HLL distinct within rsd, exact rows/nulls/minmax, NO Expand in the plan") {
     val wide = (1 to 2000).map(i => (i.toLong, s"t${i % 37}")).toDF("id", "tag")
     val res = Profile.approx(wide, Seq("id", "tag"), rsd = 0.05)

@@ -54,6 +54,28 @@ object Profile {
       .select("__p.*")
   }
 
+  /** Per-column most-frequent values — the categorical half of intake
+    * profiling. ONE pass: rows explode to (column, value) pairs (nulls
+    * skipped), one count shuffle on that pair, then a per-COLUMN top-k.
+    * The rank window partitions by column over post-aggregation rows
+    * (each column's distinct values, already reduced), with the
+    * deterministic (count desc, value asc) tiebreak so top-k is stable
+    * and oracle-able. Returns (column, value, cnt), values stringified.
+    */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int = 5): DataFrame = {
+    require(cols.nonEmpty && k > 0, "topValues needs columns and k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)).as("__e"))
+      .select("__e.*")
+      .where(col("value").isNotNull)
+    val counts = pairs.groupBy("column", "value").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("column").orderBy(col("cnt").desc, col("value").asc)
+    counts.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .drop("__r")
+  }
+
   private def build(df: DataFrame, cols: Seq[String],
       distinctAgg: String => Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

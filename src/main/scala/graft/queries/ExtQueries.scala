@@ -1009,8 +1009,24 @@ object ExtQueries {
       Seq("n_chars", "doc_id"))
   }
 
+  private val profileTopQ = q("q_profile_top",
+    """WITH pairs AS (
+         SELECT 'lang' AS "column", lang AS value FROM documents WHERE lang IS NOT NULL
+         UNION ALL
+         SELECT 'source', source FROM documents WHERE source IS NOT NULL),
+       counts AS (SELECT "column", value, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM pairs GROUP BY "column", value),
+       ranked AS (SELECT "column", value, cnt,
+                    row_number() OVER (PARTITION BY "column"
+                                       ORDER BY cnt DESC, value ASC) AS r
+                  FROM counts)
+       SELECT "column", value, cnt FROM ranked WHERE r <= 3""") { (s, d) =>
+    graft.operators.Profile.topValues(Tables.df(s, d, "documents"),
+      Seq("lang", "source"), k = 3)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    profileQ, profileNumericQ,
+    profileQ, profileNumericQ, profileTopQ,
     repetitionQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,

@@ -30,6 +30,17 @@ class ProfileSpec extends AnyFunSuite {
     assert(got == Seq(("v", 2.5, 1.290994, 1.75, 2.5, 3.25)))
   }
 
+  test("topValues: per-column top-k with deterministic ties, nulls skipped") {
+    val d = Seq(
+      (Some("x"), Some("p")), (Some("x"), Some("q")), (Some("y"), Some("q")),
+      (Some("y"), None), (Some("z"), Some("r")), (None, Some("p"))
+    ).toDF("a", "b")
+    val got = Profile.topValues(d, Seq("a", "b"), k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // a: x=2, y=2 (tie -> value asc), z=1 cut; b: p=2, q=2 tie, r cut
+    assert(got == Set(("a", "x", 2L), ("a", "y", 2L), ("b", "p", 2L), ("b", "q", 2L)))
+  }
+
   test("approx: HLL distinct within rsd, exact rows/nulls/minmax, NO Expand in the plan") {
     val wide = (1 to 2000).map(i => (i.toLong, s"t${i % 37}")).toDF("id", "tag")
     val res = Profile.approx(wide, Seq("id", "tag"), rsd = 0.05)

@@ -187,4 +187,34 @@ object AnnIndex {
       .where(col("est_jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("est_jaccard"))
   }
+
+  // ---- substring dedup: persistent duplicated-gram index ----
+
+  /** Persist the duplicated-gram set of [[Dedup.duplicateSpans]] (k-gram
+    * hashes with corpus count ≥ 2) as a bucketed+sorted catalog table —
+    * the reusable half of substring-level dedup: re-marking spans on the
+    * same corpus, or screening NEW data against an old corpus's repeated
+    * spans, skips the count pass entirely and the bucketed index side of
+    * the probe join reads shuffle-free.
+    */
+  def buildGramIndex(df: DataFrame, idCol: String, textCol: String,
+      tableName: String, k: Int = 3, buckets: Int = 32): Unit = {
+    val grams = Dedup.gramPositions(df, idCol, textCol, k)
+    val dup = grams.groupBy("__gh").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2).select("__gh")
+    replaceTable(dup, tableName, "__gh", buckets)
+  }
+
+  /** [[Dedup.duplicateSpans]] through a [[buildGramIndex]] table: gram the
+    * probe corpus, left-semi join the bucketed index (index side scans
+    * its buckets without an Exchange), islands-merge as in the in-flight
+    * op. Same k as the build; identical output when probing the corpus
+    * the index was built from.
+    */
+  def probeSpans(spark: SparkSession, tableName: String, df: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, minSpan: Int = 5): DataFrame = {
+    val grams = Dedup.gramPositions(df, idCol, textCol, k)
+    val dupPos = grams.join(spark.table(tableName), Seq("__gh"), "left_semi")
+    Dedup.spansFromDupPositions(dupPos, idCol, k, minSpan)
+  }
 }

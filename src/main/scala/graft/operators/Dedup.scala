@@ -327,16 +327,33 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minSpan: Int = 5): DataFrame = {
     require(k >= 1 && minSpan >= k, "need minSpan >= k >= 1")
+    val grams = gramPositions(df, idCol, textCol, k)
+    val dupGrams = grams.groupBy("__gh").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2).select("__gh")
+    spansFromDupPositions(
+      grams.join(dupGrams, Seq("__gh"), "left_semi"), idCol, k, minSpan)
+  }
+
+  /** (__id, __pos, __gh): every k-gram window start of every doc with ≥ k
+    * tokens, gram identity as the 64-bit token-chain hash. The shared
+    * front half of [[duplicateSpans]] and the persistent gram index
+    * ([[AnnIndex.buildGramIndex]]/probeSpans).
+    */
+  private[operators] def gramPositions(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val grams = df
-      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= k)
       .select(col("__id"),
         posexplode(graft.functions.HashExpressions.ngramHashesAll(col("__t"), k)))
       .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__gh"))
-    val dupGrams = grams.groupBy("__gh").agg(count(lit(1)).as("__c"))
-      .where(col("__c") >= 2).select("__gh")
-    val dupPos = grams.join(dupGrams, Seq("__gh"), "left_semi")
+  }
+
+  /** Gaps-and-islands back half of [[duplicateSpans]]: duplicated window
+    * starts → maximal runs → spans ≥ minSpan.
+    */
+  private[operators] def spansFromDupPositions(dupPos: DataFrame, idCol: String,
+      k: Int, minSpan: Int): DataFrame = {
     val w = Window.partitionBy("__id").orderBy("__pos")
     dupPos
       .withColumn("__grp", col("__pos") - row_number().over(w))

@@ -953,6 +953,22 @@ object ExtQueries {
       k = 3, minSpan = 5)
   }
 
+  /** Same relation (and same oracle) as q_substring_spans through the
+    * PERSISTENT duplicated-gram index: gram set written once as a
+    * bucketed table, probe re-grams and semi-joins it shuffle-free on
+    * the index side.
+    */
+  private val substringSpansIndexedQ = q("q_substring_spans_indexed",
+    s"""WITH $SubstringSpanCtes
+       SELECT doc_id, span_start, span_end,
+              span_end - span_start + 1 AS span_tokens
+       FROM spans""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    AnnIndex.buildGramIndex(docs, "doc_id", "text", "graft_gram_idx", k = 3)
+    AnnIndex.probeSpans(s, "graft_gram_idx", docs, "doc_id", "text",
+      k = 3, minSpan = 5)
+  }
+
   private val substringDedupQ = q("q_substring_dedup",
     s"""WITH $SubstringSpanCtes,
        tk AS (SELECT doc_id,
@@ -1034,5 +1050,5 @@ object ExtQueries {
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ,
-    substringSpansQ, substringDedupQ)
+    substringSpansQ, substringSpansIndexedQ, substringDedupQ)
 }

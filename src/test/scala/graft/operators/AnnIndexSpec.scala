@@ -145,4 +145,55 @@ class AnnIndexSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS mh_idx_plan_spec_sigs").collect()
     }
   }
+
+  test("probeSpans == duplicateSpans when probing the build corpus; index side reads bucketed") {
+    val shared = "one two three four five six seven eight nine ten"
+    val d = Seq(
+      (1L, s"aa bb $shared cc"),
+      (2L, s"xx $shared yy zz"),
+      (3L, "entirely different words that repeat nowhere else at all")
+    ).toDF("doc_id", "text")
+    AnnIndex.buildGramIndex(d, "doc_id", "text", "gram_idx_spec", k = 3, buckets = 4)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = AnnIndex.probeSpans(spark, "gram_idx_spec", d, "doc_id", "text",
+        k = 3, minSpan = 5)
+      val got = probe.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Dedup.duplicateSpans(d, "doc_id", "text", k = 3, minSpan = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want && got.nonEmpty)
+      val plan = probe.queryExecution.executedPlan
+      val indexScans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "gram_idx_spec") => f
+      }
+      assert(indexScans.size == 1 && indexScans.head.bucketedScan,
+        s"gram index must read through its bucketed layout:\n$plan")
+      // no Exchange on the scan→join path (downstream shuffles of the JOIN
+      // RESULT — the islands window — are probe-sized and legitimate)
+      def pathToScan(p: org.apache.spark.sql.execution.SparkPlan)
+          : Option[(Boolean, String)] = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Some((false, f.tableIdentifier.map(_.table).getOrElse("")))
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          pathToScan(e.child).map { case (_, t) => (true, t) }
+        case u if u.children.size == 1 => pathToScan(u.children.head)
+        case _ => None
+      }
+      val indexSides = plan.collect {
+        case j if j.children.size == 2 => j.children.flatMap(pathToScan)
+      }.flatten.filter(_._2 == "gram_idx_spec")
+      assert(indexSides.size == 1, s"the gram index must feed the semi join directly:\n$plan")
+      assert(!indexSides.head._1,
+        s"the gram index must never re-shuffle on its way into the semi join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS gram_idx_spec").collect()
+    }
+  }
 }

@@ -944,11 +944,14 @@ object ExtQueries {
                  FROM isl GROUP BY doc_id, grp
                  HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 5)"""
 
+  // bench headline since r5 (set-boundary note in SCALE.md: totals are not
+  // comparable across the r4→r5 boundary, compare per-query)
   private val substringSpansQ = q("q_substring_spans",
     s"""WITH $SubstringSpanCtes
        SELECT doc_id, span_start, span_end,
               span_end - span_start + 1 AS span_tokens
-       FROM spans""") { (s, d) =>
+       FROM spans""",
+    bench = true) { (s, d) =>
     Dedup.duplicateSpans(Tables.df(s, d, "documents"), "doc_id", "text",
       k = 3, minSpan = 5)
   }

@@ -923,12 +923,16 @@ object ExtQueries {
   }
 
   /** Shared oracle CTEs for substring-level dedup (Lee et al. spans):
-    * 3-gram positions over `documents`, duplicated grams (count ≥ 2,
-    * self-repeats included), gaps-and-islands maximal runs, spans ≥ 5
-    * tokens — the exact dual of Dedup.duplicateSpans(k=3, minSpan=5).
+    * 3-gram positions over `rel` (any relation with doc_id + text),
+    * duplicated grams (count ≥ 2, self-repeats included),
+    * gaps-and-islands maximal runs, spans ≥ 5 tokens — the exact dual of
+    * Dedup.duplicateSpans(k=3, minSpan=5). Also emits `tk`/`kept`/`dt`
+    * (the removal half: per-token NOT-EXISTS against spans,
+    * whitespace-normalized rebuild) so composed pipelines can reuse the
+    * dedup_text relation.
     */
-  private val SubstringSpanCtes =
-    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+  private def substringCtesFor(rel: String) =
+    raw"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM $rel),
        g0 AS (SELECT doc_id,
                 unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
                        i -> {'p': i - 1, 's': array_to_string(w[i:i+2], ' ')})) AS pg
@@ -942,7 +946,21 @@ object ExtQueries {
        spans AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
                         CAST(MAX(pos) + 2 AS BIGINT) AS span_end
                  FROM isl GROUP BY doc_id, grp
-                 HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 5)"""
+                 HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 5),
+       tk AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(w) + 1),
+                       i -> {'p': i - 1, 't': w[i]})) AS e
+              FROM toks),
+       kept AS (SELECT tk.doc_id, (tk.e).p AS pos, (tk.e).t AS tok FROM tk
+                WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                  WHERE s.doc_id = tk.doc_id
+                                    AND (tk.e).p BETWEEN s.span_start AND s.span_end)),
+       dt AS (SELECT r.doc_id, coalesce(k.txt, '') AS dedup_text
+              FROM $rel r
+              LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+                         FROM kept GROUP BY doc_id) k USING (doc_id))"""
+
+  private val SubstringSpanCtes = substringCtesFor("documents")
 
   // bench headline since r5 (set-boundary note in SCALE.md: totals are not
   // comparable across the r4→r5 boundary, compare per-query)
@@ -954,6 +972,66 @@ object ExtQueries {
     bench = true) { (s, d) =>
     Dedup.duplicateSpans(Tables.df(s, d, "documents"), "doc_id", "text",
       k = 3, minSpan = 5)
+  }
+
+  /** End-to-end corpus preparation v2 — the composed flagship extended
+    * with substring-level dedup: quality gate → repeated-span REMOVAL
+    * (over the gated corpus only, so gram counts reflect what survives
+    * the gate) → exact dedup on the CLEANED text → benchmark
+    * decontamination of the cleaned text → (doc_id, n_tokens). One
+    * Spark plan; the whole thing is SQL-expressible so the composition
+    * itself is oracle-gated, not just the pieces.
+    */
+  private val pipelineFullQ = q("q_pipeline_full",
+    raw"""WITH qd AS ($QualityDocsSql),
+       corp AS (SELECT d.doc_id, d.text FROM documents d JOIN qd USING (doc_id)
+                WHERE qd.quality > 0.5 AND d.doc_id % 50 <> 0),
+       ${substringCtesFor("corp")},
+       win AS (SELECT MIN(doc_id) AS doc_id FROM dt
+               GROUP BY md5(regexp_replace(lower(trim(dedup_text)), '\s+', ' ', 'g'))),
+       dtoks AS (SELECT doc_id, regexp_split_to_array(trim(dedup_text), '\s+') AS w FROM dt),
+       dgrams AS (SELECT DISTINCT doc_id, unnest(
+                    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 2 + 1),
+                                i -> array_to_string(w[i:i+2], ' ')) END) AS g
+                  FROM dtoks),
+       btoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents WHERE doc_id % 50 = 0),
+       pool AS (SELECT DISTINCT unnest(
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 2 + 1),
+                              i -> array_to_string(w[i:i+2], ' ')) END) AS g
+                FROM btoks),
+       tot AS (SELECT doc_id, COUNT(*) AS n FROM dgrams GROUP BY 1),
+       hit AS (SELECT c.doc_id, COUNT(*) AS h FROM dgrams c JOIN pool USING (g)
+               GROUP BY 1),
+       cont AS (SELECT tot.doc_id,
+                       round(CAST(coalesce(h, 0) AS DOUBLE) / n, 6) AS contamination
+                FROM tot LEFT JOIN hit USING (doc_id))
+       SELECT dt.doc_id,
+              CAST(len(regexp_split_to_array(trim(dedup_text), '\s+')) AS BIGINT) AS n_tokens
+       FROM dt JOIN win USING (doc_id) LEFT JOIN cont USING (doc_id)
+       WHERE coalesce(contamination, 0.0) <= 0.2""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val gated = docs.where(col("doc_id") % 50 =!= 0)
+      .where(qualityScore(col("text")) > 0.5)
+    // cleaned text feeds THREE consumers (dedup winners, contamination,
+    // final projection): materialize the span-removal once
+    val cleaned = graft.operators.Materialize.once(
+      Dedup.removeDuplicateSpans(gated, "doc_id", "text", k = 3, minSpan = 5)
+        .select(col("doc_id"), col("dedup_text")))
+    val winners = cleaned
+      .groupBy(fingerprint(col("dedup_text")).as("__fp"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val cont = Dedup.ngramContamination(
+      cleaned.select(col("doc_id"), col("dedup_text").as("text")),
+      docs.where(col("doc_id") % 50 === 0),
+      "doc_id", "text", shingle = 3)
+    cleaned.join(winners, "doc_id")
+      .join(cont, Seq("doc_id"), "left")
+      .where(coalesce(col("contamination"), lit(0.0)) <= 0.2)
+      .select(col("doc_id"),
+        tokenCount(col("dedup_text")).cast("long").as("n_tokens"))
   }
 
   /** Same relation (and same oracle) as q_substring_spans through the
@@ -973,20 +1051,8 @@ object ExtQueries {
   }
 
   private val substringDedupQ = q("q_substring_dedup",
-    s"""WITH $SubstringSpanCtes,
-       tk AS (SELECT doc_id,
-                unnest(list_transform(range(1, len(w) + 1),
-                       i -> {'p': i - 1, 't': w[i]})) AS e
-              FROM toks),
-       kept AS (SELECT tk.doc_id, (tk.e).p AS pos, (tk.e).t AS tok FROM tk
-                WHERE NOT EXISTS (SELECT 1 FROM spans s
-                                  WHERE s.doc_id = tk.doc_id
-                                    AND (tk.e).p BETWEEN s.span_start AND s.span_end))
-       SELECT d.doc_id,
-              coalesce(k.txt, '') AS dedup_text
-       FROM documents d
-       LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
-                  FROM kept GROUP BY doc_id) k USING (doc_id)""") { (s, d) =>
+    s"""WITH $SubstringSpanCtes
+       SELECT doc_id, dedup_text FROM dt""") { (s, d) =>
     Dedup.removeDuplicateSpans(Tables.df(s, d, "documents"), "doc_id", "text",
         k = 3, minSpan = 5)
       .select(col("doc_id"), col("dedup_text"))
@@ -1053,5 +1119,5 @@ object ExtQueries {
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ,
-    substringSpansQ, substringSpansIndexedQ, substringDedupQ)
+    substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)
 }

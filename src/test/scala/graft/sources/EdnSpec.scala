@@ -113,4 +113,18 @@ class EdnSpec extends AnyFunSuite {
     val s = "{:k #{1 2}, :v [(a \\c) #inst \"2020-01-01T00:00:00Z\"], \"s\" nil}"
     assert(rt(s) == s)
   }
+
+  test("store-clj -> load-clj io round-trip carries the full value surface") {
+    val spark = graft.SparkTestSession.spark
+    implicit val e: org.apache.spark.sql.Encoder[EdnValue] =
+      org.apache.spark.sql.Encoders.kryo[EdnValue]
+    val values: Seq[EdnValue] = Seq(
+      Edn.parse("{:a #{1 2}, :b (x y), :c \\newline}"),
+      Edn.parse("#inst \"2020-01-01T00:00:00Z\""),
+      Edn.parse("[9007199254740993 1/3 3N 1.50M foo :bar/baz]"))
+    val dir = "target/io_tmp/edn_full_surface"
+    GraftIO.storeClj(dir)(graft.core.Flow.of(spark)(values))
+    val back = GraftIO.loadClj(spark, dir).dump().toSet
+    assert(back == values.toSet)
+  }
 }

@@ -297,9 +297,13 @@ object GraftStreaming {
               case None => AsofMatched(key, new java.sql.Timestamp(lt), lp, null, null)
             }
           }
-          // compress rights at/before the watermark into the single carry
+          // compress rights at/before the watermark into the single carry —
+          // MONOTONICALLY: should the engine ever hand us a late right
+          // older than the current carry (late-input filtering ahead of
+          // the state op is an engine detail, not a guarantee we rely
+          // on), it must not regress the carry to an older match
           val (past, live) = rightsAll.partition(_._1 < wm)
-          val carry = past.lastOption
+          val carry = past.lastOption.filter(c => !s.hasCarry || c._1 >= s.carryTs)
           val s2 = AsofJoinState(
             carryTs = carry.map(_._1).getOrElse(s.carryTs),
             carryPayload = carry.map(_._2).getOrElse(s.carryPayload),

@@ -71,4 +71,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     val want = df.where(col("c_mktsegment") === "BUILDING").count()
     assert(back.count() == want && want > 0)
   }
+
+  test("q_q6 pushes every predicate into the parquet scan and reads only its columns") {
+    // AQE wraps stages and the plan's toString truncates filter lists:
+    // disable AQE for a traversable tree, read un-truncated scan metadata
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val df = graft.queries.Queries.queries("q_q6")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate") &&
+      pushed.contains("GreaterThanOrEqual(l_discount") &&
+      pushed.contains("LessThanOrEqual(l_discount") &&
+      pushed.contains("LessThan(l_quantity"), s"all five range bounds must push:\n$pushed")
+    val readSchema = scan.metadata("ReadSchema")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+        .forall(readSchema.contains) && !readSchema.contains("l_orderkey"),
+      s"scan must read exactly the four needed columns:\n$readSchema")
+    // a top-k relational query plans TakeOrdered, never global sort+limit
+    val q3plan = graft.queries.Queries.queries("q_q3")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(q3plan.contains("TakeOrderedAndProject"), s"q_q3 top-10 must be TakeOrdered:\n$q3plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

@@ -107,6 +107,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dup_word_frac"),
       info("graft_dup_word_frac", "graft_dup_word_frac(text) - repeated-word fraction (repetition signal)"),
       (es: Seq[Expression]) => colFn(es(0), TextFunctions.dupWordFraction)))
+    ext.injectFunction((FunctionIdentifier("graft_token_count"),
+      info("graft_token_count", "graft_token_count(text) - whitespace token count"),
+      (es: Seq[Expression]) => colFn(es(0), TextFunctions.tokenCount)))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_token_count"),
+      info("graft_bpe_token_count",
+        "graft_bpe_token_count(text) - GPT-2-style pre-tokenizer token count"),
+      (es: Seq[Expression]) => colFn(es(0), TextFunctions.bpeTokenCount)))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(text, n) - word n-gram shingle array"),
+      (es: Seq[Expression]) => colFn(es(0),
+        TextFunctions.wordShingles(_, intArg(es(1), "graft_shingles", "n")))))
+    ext.injectFunction((FunctionIdentifier("graft_chunks"),
+      info("graft_chunks",
+        "graft_chunks(text, size, stride) - sliding token-window chunks"),
+      (es: Seq[Expression]) => colFn(es(0), TextFunctions.tokenChunks(_,
+        intArg(es(1), "graft_chunks", "size"),
+        intArg(es(2), "graft_chunks", "stride")))))
     ext.injectFunction((FunctionIdentifier("graft_bpe_apply"),
       info("graft_bpe_apply",
         "graft_bpe_apply(word, merges) - space-joined BPE pieces of one word; " +

@@ -55,6 +55,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val t = spark.sql(
       "SELECT graft_bpe_apply_text('lowest low', 'e s,es t,l o,lo w') AS p").head()
     assert(t.getString(0) == "low est low")
+  }
+
+  test("text toolkit functions are SQL-callable") {
+    val r = spark.sql(
+      """SELECT graft_token_count('a b  c') AS n,
+                graft_bpe_token_count('hello, world') AS nb,
+                graft_shingles('a b c', 2) AS sh,
+                graft_chunks('a b c d e', 2, 2) AS ch""").head()
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) == 3) // pre-tokenizer: "hello" | "," | " world"
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+    assert(r.getSeq[String](3) == Seq("a b", "c d", "e"))
     val err = intercept[Exception](
       spark.sql("SELECT graft_bpe_apply('x', 'bad-rule') AS p").head())
     assert(err.getMessage.contains("left right"))

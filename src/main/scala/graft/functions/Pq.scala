@@ -1,0 +1,303 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product-quantization runtime shared by eval and generated code (static
+  * forwarders, the [[BpeRuntime]]/XXH64 pattern). Codebooks are
+  * `[m][ksub][subDim]` float arrays riding into codegen as referenced
+  * objects.
+  */
+object PqRuntime {
+
+  private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Nearest-centroid code per subspace (squared L2, ties to the lowest
+    * centroid index). The vector length must be m * subDim.
+    */
+  def encode(vec: ArrayData, books: Array[Array[Array[Float]]], isFloat: Boolean): Array[Int] = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    require(vec.numElements() == m * subDim,
+      s"pq_encode: vector length ${vec.numElements()} != m*subDim ${m * subDim}")
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < books(j).length) {
+        val cent = books(j)(c)
+        var d = 0.0
+        var t = 0
+        while (t < subDim) {
+          val diff = get(vec, base + t, isFloat) - cent(t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    codes
+  }
+
+  /** Per-query ADC lookup table: lut[j*ksub + c] = squared L2 between the
+    * query's j-th subvector and centroid c of subspace j. Computed ONCE
+    * per query row; corpus-side scoring is then m adds per pair.
+    */
+  def lut(qv: ArrayData, books: Array[Array[Array[Float]]], isFloat: Boolean): Array[Double] = {
+    val m = books.length
+    val ksub = books(0).length
+    val subDim = books(0)(0).length
+    require(qv.numElements() == m * subDim,
+      s"pq_lut: vector length ${qv.numElements()} != m*subDim ${m * subDim}")
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      val base = j * subDim
+      var c = 0
+      while (c < ksub) {
+        val cent = books(j)(c)
+        var d = 0.0
+        var t = 0
+        while (t < subDim) {
+          val diff = get(qv, base + t, isFloat) - cent(t)
+          d += diff * diff
+          t += 1
+        }
+        out(j * ksub + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Asymmetric distance: Σ_j lut[j*ksub + codes[j]] — the PQ estimate of
+    * the squared L2 distance between the query and the encoded vector.
+    */
+  def adc(lut: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var d = 0.0
+    var j = 0
+    while (j < m) {
+      d += lut.getDouble(j * ksub + codes.getInt(j))
+      j += 1
+    }
+    d
+  }
+}
+
+private[functions] trait PqVecInput { self: Expression =>
+  def vecChild: Expression
+  protected def isFloat: Boolean =
+    vecChild.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected def checkVec(name: String): TypeCheckResult = vecChild.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<float|double>, got ${other.simpleString}")
+  }
+}
+
+/** pq_encode(vec): array<int> of m nearest-centroid codes. */
+case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression with PqVecInput {
+  override def vecChild: Expression = child
+  override def prettyName: String = "graft_pq_encode"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(prettyName)
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      PqRuntime.encode(input.asInstanceOf[ArrayData], books, isFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.PqRuntime.encode($v, $b, $isFloat));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** pq_lut(query_vec): array<double> of m*ksub subspace distances. */
+case class PqLut(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression with PqVecInput {
+  override def vecChild: Expression = child
+  override def prettyName: String = "graft_pq_lut"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(prettyName)
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      PqRuntime.lut(input.asInstanceOf[ArrayData], books, isFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.PqRuntime.lut($v, $b, $isFloat));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLut = copy(child = c)
+}
+
+/** pq_adc(lut, codes): the estimated squared L2 distance. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_pq_adc"
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, array<int>), got ${l.simpleString}, ${r.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    PqRuntime.adc(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.PqRuntime.adc($l, $r, $ksub);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search" — the faiss `PQ` building block), shaped for
+  * 100 TB vector corpora:
+  *
+  *  - '''train''' collects a DETERMINISTIC bounded sample (ordered by a
+  *    hash of the id, the kmeansCells discipline) and runs per-subspace
+  *    Lloyd k-means on the driver — codebooks are sample-trained, the
+  *    standard practice; the corpus itself is never collected.
+  *  - '''encode''' compresses each vector to m small codes map-side
+  *    (64-dim float → m=8 ints ≈ 32× fewer bytes at ksub ≤ 256) — the
+  *    compressed corpus is what a 100 TB ANN sweep scans.
+  *  - '''topK''' scores query↔code pairs by ADC: the m*ksub lookup table
+  *    is computed ONCE per query (broadcast), scoring is m array reads
+  *    per pair inside codegen, and the bounded heap ships ≤k rows per
+  *    partition — same shuffle shape as bruteForceTopK at a fraction of
+  *    the bytes and multiplies.
+  */
+object Pq {
+
+  /** Train `[m][ksub][subDim]` codebooks. Deterministic end to end:
+    * hash-ordered sample, first-k-distinct seeding, ties to the lowest
+    * centroid index, empty clusters keep their centroid.
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, sampleSize: Int = 2048,
+      iters: Int = 8): Array[Array[Array[Float]]] = {
+    require(m > 0 && ksub > 1 && iters > 0)
+    val sample: Array[Array[Float]] = df
+      .select(col(vecCol).cast(ArrayType(FloatType)).as("__v"), col(idCol).cast("string").as("__id"))
+      .where(col("__v").isNotNull)
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pq train: empty input")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pq train: dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    Array.tabulate(m) { j =>
+      val base = j * subDim
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, base, base + subDim))
+      trainSubspace(subs, ksub, iters, subDim)
+    }
+  }
+
+  private def trainSubspace(subs: Array[Array[Float]], ksub: Int, iters: Int,
+      subDim: Int): Array[Array[Float]] = {
+    // first-k-distinct seeding in sample order (deterministic)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Float]]
+    subs.iterator.takeWhile(_ => seen.size < ksub).foreach(s => seen += s.toSeq)
+    val k = math.min(ksub, seen.size)
+    var cents = seen.take(k).map(_.toArray).toArray
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < subDim) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](subDim))
+      val counts = new Array[Long](k)
+      for (s <- subs) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val dd = d2(s, cents(c))
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < subDim) { sums(best)(i) += s(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(subDim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  def encodeCol(vec: Column, books: Array[Array[Array[Float]]]): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), books))
+
+  def lutCol(vec: Column, books: Array[Array[Array[Float]]]): Column =
+    GraftBridge.column(PqLut(GraftBridge.expression(vec), books))
+
+  def adcCol(lut: Column, codes: Column, ksub: Int): Column =
+    GraftBridge.column(PqAdc(GraftBridge.expression(lut), GraftBridge.expression(codes), ksub))
+
+  /** Approximate top-k by ADC distance over the PQ-compressed corpus.
+    * Output (query_id, neighbor_id, adist, rank), rank tie-broken by
+    * neighbor id. Exactness caveat by construction: distances are the
+    * quantized estimate — measure recall against bruteForceTopK on YOUR
+    * vectors before trusting a dial (PqSpec's fixture measures it on
+    * planted clusters).
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Float]]], k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val ksub = books(0).length
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      encodeCol(col(vecCol), books).as("__codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      lutCol(col(vecCol), books).as("__lut")))
+    codes.crossJoin(q)
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("adist", adcCol(col("__lut"), col("__codes"), ksub))
+      .where(col("adist").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(AggExpressions.bottomK(struct(col("adist"), col("neighbor_id")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.adist").as("adist"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+}

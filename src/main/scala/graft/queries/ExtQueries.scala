@@ -463,6 +463,18 @@ object ExtQueries {
       shingle = 3, numHashes = 64, bands = 16, threshold = 0.7)
   }
 
+  /** PQ-compressed ANN sweep (rows-only like the other trained
+    * quantizers — codebook training is iterative; PqSpec carries the
+    * recall/reconstruction gates on planted fixtures).
+    */
+  private val annPqQ = q("q_ann_pq") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    val books = graft.functions.Pq.train(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, sampleSize = 2048)
+    graft.functions.Pq.topK(emb.where(col("vec_id") < 50), emb,
+      "vec_id", "embedding", books, k = 10)
+  }
+
   private val multimodalQ = q("q_multimodal") { (s, d) => // synthetic payloads; rows-only
     import s.implicits._
     val media = Multimodal.synthetic(s, 300)
@@ -1115,7 +1127,7 @@ object ExtQueries {
     repetitionQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ,
+    minhashQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, annPqQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ,

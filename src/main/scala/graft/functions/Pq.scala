@@ -273,6 +273,46 @@ object Pq {
   def adcCol(lut: Column, codes: Column, ksub: Int): Column =
     GraftBridge.column(PqAdc(GraftBridge.expression(lut), GraftBridge.expression(codes), ksub))
 
+  /** IVF-PQ: the standard billion-scale composition (faiss `IVFPQ`) —
+    * coarse cells prune the candidate set ([[graft.operators.Similarity]]'s
+    * quantizer), PQ codes compress what remains, ADC scores only the
+    * probed cells' candidates. Corpus-side work is map-side (cell
+    * assignment AND encoding against broadcast structures); the join key
+    * is the cell id, so a query touches `nProbe`/`nCells` of the
+    * compressed corpus instead of all of it.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Float]]], k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    import graft.operators.Similarity
+    val ksub = books(0).length
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      graft.functions.VectorFunctions.l2Norm(col(vecCol)).as("__cn"))
+    val centroidRow = broadcast(centroids.getOrElse(Similarity.defaultCells(c, nCells)))
+    val assigned = c.join(centroidRow) // broadcast 1-row join: map-side
+      .withColumn("__cell",
+        element_at(Similarity.nearestCells(col("__cv"), col("__cells"), 1), 1)("cell"))
+      .select(col("neighbor_id"), col("__cell"),
+        encodeCol(col("__cv"), books).as("__codes"))
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(centroidRow)
+      .select(col("query_id"), lutCol(col("__qv"), books).as("__lut"),
+        explode(Similarity.nearestCells(col("__qv"), col("__cells"), nProbe)).as("__probe"))
+      .select(col("query_id"), col("__lut"), col("__probe")("cell").as("__cell"))
+    assigned.join(broadcast(qProbes), "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adcCol(col("__lut"), col("__codes"), ksub))
+      .where(col("adist").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(AggExpressions.bottomK(struct(col("adist"), col("neighbor_id")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.adist").as("adist"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Approximate top-k by ADC distance over the PQ-compressed corpus.
     * Output (query_id, neighbor_id, adist, rank), rank tie-broken by
     * neighbor id. Exactness caveat by construction: distances are the

@@ -135,7 +135,7 @@ object Similarity {
     * asc) tie-break for free. Pure column expression: runs map-side inside
     * the row, no join, no shuffle, no window.
     */
-  private[operators] def nearestCells(vec: Column, cells: Column, n: Int): Column =
+  private[graft] def nearestCells(vec: Column, cells: Column, n: Int): Column =
     slice(
       array_sort(transform(cells, cc =>
         struct(l2Distance(vec, cc("centroid")).as("d"), cc("cell").as("cell")))),
@@ -160,7 +160,7 @@ object Similarity {
     * ONE row holding all centroids as an array of (cell, centroid) structs
     * (`c` must already carry `neighbor_id`/`__cv`).
     */
-  private[operators] def defaultCells(c: DataFrame, nCells: Int): DataFrame =
+  private[graft] def defaultCells(c: DataFrame, nCells: Int): DataFrame =
     c.orderBy("neighbor_id").limit(nCells)
       .agg(collect_list(struct(col("neighbor_id").as("cell"), col("__cv").as("centroid")))
         .as("__cells"))

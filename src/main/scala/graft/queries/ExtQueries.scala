@@ -475,6 +475,17 @@ object ExtQueries {
       "vec_id", "embedding", books, k = 10)
   }
 
+  /** IVF-PQ: coarse-cell pruning + compressed-domain ADC scoring — the
+    * billion-scale composition (rows-only; gated by PqSpec).
+    */
+  private val annIvfPqQ = q("q_ann_ivfpq") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    val books = graft.functions.Pq.train(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, sampleSize = 2048)
+    graft.functions.Pq.ivfTopK(emb.where(col("vec_id") < 50), emb,
+      "vec_id", "embedding", books, k = 10, nCells = 16, nProbe = 4)
+  }
+
   private val multimodalQ = q("q_multimodal") { (s, d) => // synthetic payloads; rows-only
     import s.implicits._
     val media = Multimodal.synthetic(s, 300)
@@ -1127,7 +1138,7 @@ object ExtQueries {
     repetitionQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, annPqQ,
+    minhashQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, annPqQ, annIvfPqQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ,

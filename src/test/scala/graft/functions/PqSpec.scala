@@ -83,6 +83,20 @@ class PqSpec extends AnyFunSuite {
       f"exact-L2 recall ${recalls.sum / recalls.size}%.2f degenerate")
   }
 
+  test("ivf-pq: cell pruning composes with ADC scoring, same cluster purity") {
+    val df = planted()
+    val queries = df.where(col("vec_id") < 16)
+    val books = Pq.train(df, "vec_id", "embedding", m = 4, ksub = 16, sampleSize = 320)
+    val got = Pq.ivfTopK(queries, df, "vec_id", "embedding", books, k = 10,
+      nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.size == 16 && got.values.forall(_.size == 10))
+    val purity = got.map { case (q, ns) => ns.count(_ % 16 == q % 16).toDouble / ns.size }
+    assert(purity.sum / purity.size >= 0.9,
+      s"ivf-pq must keep cluster purity: ${purity.sum / purity.size}")
+  }
+
   test("pq expressions run inside codegen with fallback disabled") {
     // piggybacks the CodegenNoFallbackSpec discipline without a second
     // session: fresh session configured codegen-only

@@ -86,6 +86,74 @@ object AnnIndex {
     Similarity.topKByCosine(scored, k)
   }
 
+  // ---- IVF-PQ: partitioned cell layout over the COMPRESSED corpus ----
+
+  /** [[buildIvf]]'s compressed sibling: assignments carry PQ CODES instead
+    * of raw vectors — at m=8 codes per 64-dim float vector the on-disk
+    * index is ~32× smaller, which is the asset that makes a 100 TB ANN
+    * store scannable. Layout: parquet partitioned by `__cell`, centroids
+    * under `_centroids/`, codebooks under `_codebooks/` (flattened
+    * (subspace, centroid, values) rows), so the probe needs only `path`.
+    */
+  def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      books: Array[Array[Array[Float]]], nCells: Int = 16,
+      centroids: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val centroidRow = broadcast(centroids.getOrElse(Similarity.defaultCells(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        l2Norm(col(vecCol)).as("__cn")), nCells)))
+    c.join(centroidRow)
+      .withColumn("__cell",
+        element_at(Similarity.nearestCells(col("__cv"), col("__cells"), 1), 1)("cell"))
+      .select(col("neighbor_id"), col("__cell"),
+        graft.functions.Pq.encodeCol(col("__cv"), books).as("__codes"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+    centroidRow.write.mode("overwrite").parquet(path + "/_centroids")
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (sub, j) =>
+      sub.zipWithIndex.map { case (cent, ci) => (j, ci, cent.toSeq) }
+    }.toSeq.toDF("sub", "centroid", "values")
+      .write.mode("overwrite").parquet(path + "/_codebooks")
+  }
+
+  /** ADC top-k against a [[buildIvfPq]] index: probed cell ids plan as
+    * literal partition filters (the probeIvf pruning discipline — the
+    * scan reads ONLY those cells' files), scoring reads codes, never
+    * vectors. Identical results to [[graft.functions.Pq.ivfTopK]] with
+    * the same quantizer and codebooks.
+    */
+  def probeIvfPq(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val books: Array[Array[Array[Float]]] = spark.read.parquet(path + "/_codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    val ksub = books(0).length
+    val centroidRow = broadcast(spark.read.parquet(path + "/_centroids"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(centroidRow)
+      .select(col("query_id"),
+        graft.functions.Pq.lutCol(col("__qv"), books).as("__lut"),
+        explode(Similarity.nearestCells(col("__qv"), col("__cells"), nProbe)).as("__probe"))
+      .select(col("query_id"), col("__lut"), col("__probe")("cell").as("__cell"))
+    val probed = Materialize.once(q)
+    val cells: Array[Any] = probed.select(col("__cell")).distinct().collect().map(_.get(0))
+    val idx = spark.read.parquet(path).where(col("__cell").isin(cells.toIndexedSeq: _*))
+    idx.join(broadcast(probed), "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", graft.functions.Pq.adcCol(col("__lut"), col("__codes"), ksub))
+      .where(col("adist").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.AggExpressions.bottomK(
+        struct(col("adist"), col("neighbor_id")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.adist").as("adist"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   // ---- MinHash: bucketed band + signature tables ----
 
   /** (doc, band-hash array, full signature) per document — signed once;

@@ -486,6 +486,21 @@ object ExtQueries {
       "vec_id", "embedding", books, k = 10, nCells = 16, nProbe = 4)
   }
 
+  /** q_ann_ivfpq through the PERSISTENT compressed index (cell-partitioned
+    * codes on disk, partition-pruned probe; parity with the in-flight
+    * composition is spec-gated in AnnIndexSpec).
+    */
+  private val annIvfPqIndexedQ = q("q_ann_ivfpq_indexed") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    val books = graft.functions.Pq.train(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, sampleSize = 2048)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivfpq_idx_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path, books, nCells = 16)
+    AnnIndex.probeIvfPq(s, path, emb.where(col("vec_id") < 50),
+      "vec_id", "embedding", k = 10, nProbe = 4)
+  }
+
   private val multimodalQ = q("q_multimodal") { (s, d) => // synthetic payloads; rows-only
     import s.implicits._
     val media = Multimodal.synthetic(s, 300)
@@ -1138,7 +1153,7 @@ object ExtQueries {
     repetitionQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, annPqQ, annIvfPqQ,
+    minhashQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ,

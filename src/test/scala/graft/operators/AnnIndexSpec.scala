@@ -146,6 +146,22 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("probeIvfPq == Pq.ivfTopK with the same quantizer and codebooks (compressed index round-trip)") {
+    val df = corpus()
+    val queries = df.where($"vec_id" < 20)
+    val books = graft.functions.Pq.train(df, "vec_id", "embedding",
+      m = 4, ksub = 8, sampleSize = 300)
+    val path = "target/io_tmp/ivfpq_idx_spec"
+    AnnIndex.buildIvfPq(df, "vec_id", "embedding", path, books, nCells = 8)
+    val got = AnnIndex.probeIvfPq(spark, path, queries, "vec_id", "embedding",
+        k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val want = graft.functions.Pq.ivfTopK(queries, df, "vec_id", "embedding",
+        books, k = 5, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("probeSpans == duplicateSpans when probing the build corpus; index side reads bucketed") {
     val shared = "one two three four five six seven eight nine ten"
     val d = Seq(

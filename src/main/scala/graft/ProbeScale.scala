@@ -87,10 +87,15 @@ object ProbeScale {
       val (tIvf, nIvf) = time2(
         graft.operators.Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10,
           nCells = 16, nProbe = 4).count())
+      val pqBooks = graft.functions.Pq.train(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, sampleSize = 2048)
+      val (tPq, nPq) = time2(
+        graft.functions.Pq.topK(queries, emb, "vec_id", "embedding", pqBooks, 10).count())
       println(f"[scale] x$factor%-3d dedup_exact=$tDedup%7.0f ms ($nDedup rows)  " +
         f"minhash=$tMinhash%7.0f ms ($nMinhash rows)  " +
         f"sessionize=$tSess%7.0f ms ($nSess rows)  sessionize_skewsafe=$tSessSafe%7.0f ms  " +
         f"ann_brute=$tBrute%7.0f ms ($nBrute)  ann_ivf=$tIvf%7.0f ms ($nIvf)  " +
+        f"ann_pq=$tPq%7.0f ms ($nPq)  " +
         f"contamination=$tCont%7.0f ms ($nCont rows)  " +
         f"substring_spans=$tSpans%7.0f ms ($nSpans rows)")
       d.unpersist(); e.unpersist(); emb.unpersist()

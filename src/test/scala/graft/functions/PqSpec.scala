@@ -98,14 +98,17 @@ class PqSpec extends AnyFunSuite {
   }
 
   test("pq expressions run inside codegen with fallback disabled") {
-    // piggybacks the CodegenNoFallbackSpec discipline without a second
-    // session: fresh session configured codegen-only
+    // the CodegenNoFallbackSpec discipline: a session with codegen-only
+    // confs SHARING the one test SparkContext. Never stop() it — stopping
+    // any session kills the JVM-wide context for every later suite; just
+    // restore the shared session as active afterwards.
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
     val s = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]").appName("graft-pq-codegen")
       .config("spark.sql.shuffle.partitions", 2)
       .config("spark.sql.codegen.fallback", "false")
       .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
       import s.implicits._
@@ -117,9 +120,8 @@ class PqSpec extends AnyFunSuite {
         .head()
       assert(r.getSeq[Int](0).length == 2 && r.getDouble(1) >= 0.0)
     } finally {
-      s.stop()
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
     }
   }
 }

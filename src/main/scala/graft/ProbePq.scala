@@ -24,6 +24,26 @@ object ProbePq {
         .sortBy(identity).take(10).map(_._2).toSet
     }.toMap
 
+    // residual vs plain IVF-PQ at one mid dial (trained coarse quantizer)
+    val cells = graft.operators.Similarity.kmeansCells(emb, "vec_id", "embedding",
+      nCells = 16, iters = 3)
+    for (residual <- Seq(false, true)) {
+      val books =
+        if (residual) graft.functions.Pq.trainResidual(emb, "vec_id", "embedding",
+          cells, m = 8, ksub = 64, sampleSize = 4096)
+        else graft.functions.Pq.train(emb, "vec_id", "embedding",
+          m = 8, ksub = 64, sampleSize = 4096)
+      val got = graft.functions.Pq.ivfTopK(queries, emb, "vec_id", "embedding",
+          books, 10, nCells = 16, nProbe = 8, centroids = Some(cells),
+          residual = residual)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val recall = truth.map { case (q, ws) =>
+        got.get(q).map(gs => (gs intersect ws).size.toDouble / ws.size).getOrElse(0.0)
+      }.sum / truth.size
+      println(f"[pq] ivfpq m=8 ksub=64 nProbe=8 residual=$residual%-5s recall@10=$recall%.2f")
+    }
+
     for ((m, ksub) <- Seq((4, 16), (8, 16), (8, 64), (16, 64), (16, 256))) {
       val t0 = System.nanoTime()
       val books = graft.functions.Pq.train(emb, "vec_id", "embedding",

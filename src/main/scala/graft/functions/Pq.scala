@@ -264,6 +264,48 @@ object Pq {
     cents
   }
 
+  /** Train codebooks on RESIDUALS `v − nearestCentroid(v)` for
+    * residual-mode [[ivfTopK]]: sample (bounded, hash-ordered), assign
+    * each sample vector to its nearest centroid driver-side (centroids
+    * are the ≤nCells rows of the quantizer's one-row `__cells`
+    * relation), subtract, then per-subspace Lloyd as in [[train]].
+    */
+  def trainResidual(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, m: Int = 8, ksub: Int = 16,
+      sampleSize: Int = 2048, iters: Int = 8): Array[Array[Array[Float]]] = {
+    val cents: Array[Array[Float]] = centroids
+      .select(explode(col("__cells")).as("__c"))
+      .select(col("__c")("centroid").cast(ArrayType(FloatType)))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(cents.nonEmpty, "pq trainResidual: empty centroid relation")
+    val sample: Array[Array[Float]] = df
+      .select(col(vecCol).cast(ArrayType(FloatType)).as("__v"),
+        col(idCol).cast("string").as("__id"))
+      .where(col("__v").isNotNull)
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pq trainResidual: empty input")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pq trainResidual: dim $dim must divide into m=$m subspaces")
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    val residuals = sample.map { v =>
+      val best = cents.minBy(d2(v, _))
+      Array.tabulate(dim)(i => v(i) - best(i))
+    }
+    val subDim = dim / m
+    Array.tabulate(m) { j =>
+      val base = j * subDim
+      val subs = residuals.map(v => java.util.Arrays.copyOfRange(v, base, base + subDim))
+      trainSubspace(subs, ksub, iters, subDim)
+    }
+  }
+
   def encodeCol(vec: Column, books: Array[Array[Array[Float]]]): Column =
     GraftBridge.column(PqEncode(GraftBridge.expression(vec), books))
 
@@ -280,26 +322,49 @@ object Pq {
     * assignment AND encoding against broadcast structures); the join key
     * is the cell id, so a query touches `nProbe`/`nCells` of the
     * compressed corpus instead of all of it.
+    *
+    * `residual = true` encodes `v − cellCentroid` instead of `v` (the
+    * faiss IVFPQ default): codes then spend their bits on WITHIN-cell
+    * structure rather than re-describing the cell's position, and the
+    * query LUT is computed per probed cell against `q − cellCentroid`
+    * (ADC still estimates ‖q − v‖², the centroid cancels). Train books
+    * with [[trainResidual]] when enabling it; centroid subtraction is a
+    * map-side `zip_with`, no extra shuffle anywhere.
+    *
+    * Measured both ways (ProbePq, m=8/ksub=64/nProbe=8): residual mode is
+    * the clear win when the coarse cells capture REAL structure (planted
+    * clusters: exact recall 0.60 → ≥0.85, PqSpec) and a small LOSS on
+    * structureless random vectors (0.39 → 0.31 — cells barely reduce
+    * variance there, and books train on residuals pooled across
+    * heterogeneous cells). Default stays false; enable it for clustered
+    * corpora, which real embeddings are.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       books: Array[Array[Array[Float]]], k: Int,
       nCells: Int = 16, nProbe: Int = 4,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      residual: Boolean = false): DataFrame = {
     import graft.operators.Similarity
     val ksub = books(0).length
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       graft.functions.VectorFunctions.l2Norm(col(vecCol)).as("__cn"))
     val centroidRow = broadcast(centroids.getOrElse(Similarity.defaultCells(c, nCells)))
+    def centroidOf(cell: Column): Column =
+      element_at(filter(col("__cells"), cc => cc("cell") === cell), 1)("centroid")
+    def maybeResid(vec: Column, cell: Column): Column =
+      if (residual) zip_with(vec, centroidOf(cell), (a, b) => a - b) else vec
     val assigned = c.join(centroidRow) // broadcast 1-row join: map-side
       .withColumn("__cell",
         element_at(Similarity.nearestCells(col("__cv"), col("__cells"), 1), 1)("cell"))
       .select(col("neighbor_id"), col("__cell"),
-        encodeCol(col("__cv"), books).as("__codes"))
+        encodeCol(maybeResid(col("__cv"), col("__cell")), books).as("__codes"))
     val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .join(centroidRow)
-      .select(col("query_id"), lutCol(col("__qv"), books).as("__lut"),
+      .select(col("query_id"), col("__qv"), col("__cells"),
         explode(Similarity.nearestCells(col("__qv"), col("__cells"), nProbe)).as("__probe"))
-      .select(col("query_id"), col("__lut"), col("__probe")("cell").as("__cell"))
+      .select(col("query_id"),
+        lutCol(maybeResid(col("__qv"), col("__probe")("cell")), books).as("__lut"),
+        col("__probe")("cell").as("__cell"))
     assigned.join(broadcast(qProbes), "__cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adcCol(col("__lut"), col("__codes"), ksub))

@@ -97,6 +97,42 @@ class PqSpec extends AnyFunSuite {
       s"ivf-pq must keep cluster purity: ${purity.sum / purity.size}")
   }
 
+  test("residual ivf-pq recovers within-cluster ordering that plain codes collapse") {
+    val df = planted()
+    val queries = df.where(col("vec_id") < 16)
+    val cells = Similarity.kmeansCells(df, "vec_id", "embedding", nCells = 16, iters = 4)
+    def exactRecall(got: Map[Long, Set[Long]]): Double = {
+      val all = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def l2(a: Array[Float], b: Array[Float]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val want = all.filter(_._1 < 16).map { case (qid, qv) =>
+        qid -> all.filter(_._1 != qid)
+          .map { case (nid, nv) => (l2(qv, nv), nid) }
+          .sortBy(identity).take(10).map(_._2).toSet
+      }.toMap
+      want.map { case (q, ws) =>
+        got.get(q).map(gs => (gs intersect ws).size.toDouble / ws.size).getOrElse(0.0)
+      }.sum / want.size
+    }
+    def run(residual: Boolean): Double = {
+      val books =
+        if (residual) Pq.trainResidual(df, "vec_id", "embedding", cells,
+          m = 4, ksub = 16, sampleSize = 320)
+        else Pq.train(df, "vec_id", "embedding", m = 4, ksub = 16, sampleSize = 320)
+      exactRecall(Pq.ivfTopK(queries, df, "vec_id", "embedding", books, k = 10,
+          nCells = 16, nProbe = 4, centroids = Some(cells), residual = residual)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap)
+    }
+    val plain = run(residual = false)
+    val resid = run(residual = true)
+    // plain codes collapse a tight cluster to one code word (ties break by
+    // id); residual codes spend their bits on the within-cluster jitter
+    assert(resid > plain + 0.15,
+      f"residual recall $resid%.2f must clearly beat plain $plain%.2f")
+    assert(resid >= 0.8, f"residual exact-L2 recall $resid%.2f below 0.8")
+  }
+
   test("pq expressions run inside codegen with fallback disabled") {
     // the CodegenNoFallbackSpec discipline: a session with codegen-only
     // confs SHARING the one test SparkContext. Never stop() it — stopping

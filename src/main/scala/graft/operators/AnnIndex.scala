@@ -109,7 +109,18 @@ object AnnIndex {
       .select(col("neighbor_id"), col("__cell"),
         graft.functions.Pq.encodeCol(col("__cv"), books).as("__codes"))
       .write.mode("overwrite").partitionBy("__cell").parquet(path)
-    centroidRow.write.mode("overwrite").parquet(path + "/_centroids")
+    writeIvfPqMeta(spark, path, centroidRow, books)
+  }
+
+  /** Centroid + codebook sidecars for an IVF-PQ layout (underscore
+    * prefixed: invisible to parquet readers of `path`). Shared by
+    * [[buildIvfPq]] and the streaming ingest path
+    * ([[graft.streaming.GraftStreaming.indexStreamIvfPq]]), which appends
+    * code rows but never changes the quantizer.
+    */
+  def writeIvfPqMeta(spark: SparkSession, path: String, centroids: DataFrame,
+      books: Array[Array[Array[Float]]]): Unit = {
+    centroids.write.mode("overwrite").parquet(path + "/_centroids")
     import spark.implicits._
     books.zipWithIndex.flatMap { case (sub, j) =>
       sub.zipWithIndex.map { case (cent, ci) => (j, ci, cent.toSeq) }

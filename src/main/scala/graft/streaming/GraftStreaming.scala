@@ -415,6 +415,38 @@ object GraftStreaming {
       .toDF("key", "ts", "payload", "lo", "hi", "match_payload")
   }
 
+  // ---- streaming ANN index ingest ----
+
+  /** Stream embeddings INTO a persistent IVF-PQ index: each arriving
+    * vector assigns to its coarse cell and encodes to PQ codes map-side
+    * (stream-static broadcast join against the one-row centroid relation
+    * + plan-constant codebooks — no state, no shuffle), and the file sink
+    * appends cell-partitioned code rows in exactly the layout
+    * [[graft.operators.AnnIndex.probeIvfPq]] reads. The quantizer itself
+    * is fixed at ingest time (the faiss operational split: train/build
+    * batch-side — [[graft.operators.AnnIndex.writeIvfPqMeta]] persists
+    * the sidecars — then append forever; retrain = rebuild).
+    *
+    * `stream` columns: (`idCol`, `vecCol`). Returns the running query.
+    */
+  def indexStreamIvfPq(stream: DataFrame, idCol: String, vecCol: String,
+      path: String, checkpoint: String, centroids: DataFrame,
+      books: Array[Array[Array[Float]]]): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    val centroidRow = broadcast(centroids)
+    val assigned = stream
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(centroidRow) // stream-static 1-row broadcast join: map-side
+      .withColumn("__cell",
+        element_at(Similarity.nearestCells(col("__cv"), col("__cells"), 1), 1)("cell"))
+      .select(col("neighbor_id"), col("__cell"),
+        graft.functions.Pq.encodeCol(col("__cv"), books).as("__codes"))
+    assigned.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("__cell")
+      .format("parquet").option("path", path).start()
+  }
+
   // ---- sinks ----
 
   /** `writeStream` to files with checkpointing; returns the query handle. */

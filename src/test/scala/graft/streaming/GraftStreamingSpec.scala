@@ -403,6 +403,40 @@ class GraftStreamingSpec extends AnyFunSuite {
           s"\nexpected: ${expected.map(_.toString).toSeq.sorted}")
     } finally query.stop()
   }
+
+  test("indexStreamIvfPq: streamed code rows probe identically to the batch-built index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(31L)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = graft.functions.Pq.train(df, "vec_id", "embedding",
+      m = 4, ksub = 8, sampleSize = 200)
+    val cells = graft.operators.Similarity.kmeansCells(df, "vec_id", "embedding",
+      nCells = 8, iters = 2)
+    val path = "target/io_tmp/ivfpq_stream_idx"
+    val checkpoint = "target/io_tmp/ivfpq_stream_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    graft.operators.AnnIndex.writeIvfPqMeta(spark, path, cells, books)
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = GraftStreaming.indexStreamIvfPq(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path, checkpoint, cells, books)
+    try {
+      val (b1, b2) = vecs.splitAt(100)
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    val queries = df.where(col("vec_id") < 10)
+    val got = graft.operators.AnnIndex.probeIvfPq(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val want = graft.functions.Pq.ivfTopK(queries, df, "vec_id", "embedding",
+        books, k = 5, nCells = 8, nProbe = 3, centroids = Some(cells))
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
 
 case class StreamEvent(ts: java.sql.Timestamp, k: String)

@@ -463,6 +463,37 @@ object ExtQueries {
       shingle = 3, numHashes = 64, bands = 16, threshold = 0.7)
   }
 
+  /** PQ ENCODE under a fixed literal codebook — the deterministic half of
+    * product quantization, oracle-gated: m=2 subspaces over the 64-dim
+    * embedding, ksub=2 centroids per subspace at all-(+0.5) / all-(−0.5)
+    * (exactly representable floats, so the squared-L2 argmin computes in
+    * identical double arithmetic on both engines; ties, d0 == d1, pick
+    * centroid 0 — `<=` on both sides).
+    */
+  private val pqEncodeQ = q("q_pq_encode",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       h AS (SELECT vec_id, v[1:32] AS h1, v[33:64] AS h2 FROM e),
+       d AS (SELECT vec_id,
+               list_sum(list_transform(h1, x -> (x - 0.5) * (x - 0.5))) AS d10,
+               list_sum(list_transform(h1, x -> (x + 0.5) * (x + 0.5))) AS d11,
+               list_sum(list_transform(h2, x -> (x - 0.5) * (x - 0.5))) AS d20,
+               list_sum(list_transform(h2, x -> (x + 0.5) * (x + 0.5))) AS d21
+             FROM h)
+       SELECT vec_id,
+              CAST(CASE WHEN d10 <= d11 THEN 0 ELSE 1 END AS INTEGER) AS code0,
+              CAST(CASE WHEN d20 <= d21 THEN 0 ELSE 1 END AS INTEGER) AS code1
+       FROM d""") { (s, d) =>
+    val books = Array(
+      Array(Array.fill(32)(0.5f), Array.fill(32)(-0.5f)),
+      Array(Array.fill(32)(0.5f), Array.fill(32)(-0.5f)))
+    Tables.df(s, d, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Pq.encodeCol(col("embedding"), books).as("__c"))
+      .select(col("vec_id"),
+        element_at(col("__c"), 1).as("code0"),
+        element_at(col("__c"), 2).as("code1"))
+  }
+
   /** PQ-compressed ANN sweep (rows-only like the other trained
     * quantizers — codebook training is iterative; PqSpec carries the
     * recall/reconstruction gates on planted fixtures).
@@ -1153,7 +1184,7 @@ object ExtQueries {
     repetitionQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ,
+    minhashQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ,

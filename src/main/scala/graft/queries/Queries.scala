@@ -789,6 +789,59 @@ object Queries {
       .limit(20)
   }
 
+  /** TPC-H Q14 shape (promotion effect): the share of a month's revenue
+    * from one part type. Two-table join with the dimension broadcast;
+    * the conditional aggregate is the classic map-side CASE — exact
+    * integer-free double parity via the q_q1 DECIMAL discipline.
+    */
+  private val q14ish = q("q_q14",
+    """SELECT CAST(ROUND(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  / SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 6) AS DOUBLE) AS promo_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""") { (s, d) =>
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+    Tables.df(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-03-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+      .join(broadcast(Tables.df(s, d, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0).cast("decimal(18,2)"))) /
+          sum(rev), 6).cast("double").as("promo_pct"))
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total quantity
+    * clears a threshold, with the buyer. The HAVING pre-aggregation runs
+    * BEFORE the joins (one fact shuffle keyed by orderkey; the surviving
+    * order set is tiny, so the customer join broadcasts).
+    */
+  private val q18ish = q("q_q18",
+    """SELECT c_name, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_name, o_orderkey, o_orderdate
+       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+       ORDER BY total_qty DESC, o_orderkey ASC
+       LIMIT 20""") { (s, d) =>
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    val big = Tables.df(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(qty).as("__tq"))
+      .where(col("__tq") > 150)
+    big.join(Tables.df(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.df(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("__tq").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
   private val windowLagQ = q("q_window_lag",
     """SELECT event_id,
               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -830,7 +883,7 @@ object Queries {
     filterByQ, removeByQ, cogroupQ, cogroup3Q, cogroup4Q, cogroup3FoldQ, groupByQ, groupStatsQ, topByQ,
     reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
     foldJuxtQ,
-    q1, q5ish, q3ish, q6, q10ish, windowLagQ, windowRunningQ, eventsAggQ)
+    q1, q5ish, q3ish, q6, q10ish, q14ish, q18ish, windowLagQ, windowRunningQ, eventsAggQ)
 
   val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all
 

@@ -97,6 +97,35 @@ class PqSpec extends AnyFunSuite {
       s"ivf-pq must keep cluster purity: ${purity.sum / purity.size}")
   }
 
+  test("pqTopK equals a local ADC replica exactly (deterministic given fixed books)") {
+    val rnd = new scala.util.Random(55L)
+    val vecs = (0L until 120L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = Pq.train(df, "vec_id", "embedding", m = 4, ksub = 8, sampleSize = 120)
+    val got = Pq.topK(df.where(col("vec_id") < 8), df, "vec_id", "embedding", books, k = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    // local replica of encode + lut + adc + (adist, id) bottom-k
+    def enc(v: Array[Float]): Array[Int] = books.zipWithIndex.map { case (sub, j) =>
+      val s = v.slice(j * 2, j * 2 + 2)
+      sub.zipWithIndex.minBy { case (c, ci) =>
+        (s.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum, ci) }._2
+    }
+    def lut(q: Array[Float]): Array[Double] = books.zipWithIndex.flatMap { case (sub, j) =>
+      val s = q.slice(j * 2, j * 2 + 2)
+      sub.map(c => s.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+    }
+    val codes = vecs.map { case (id, v) => id -> enc(v) }.toMap
+    val want = vecs.filter(_._1 < 8).flatMap { case (qid, qv) =>
+      val l = lut(qv)
+      vecs.filter(_._1 != qid)
+        .map { case (nid, _) =>
+          (codes(nid).zipWithIndex.map { case (c, j) => l(j * 8 + c) }.sum, nid) }
+        .sorted.take(6).zipWithIndex
+        .map { case ((d, nid), r) => (qid, r + 1, nid, d) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("residual ivf-pq recovers within-cluster ordering that plain codes collapse") {
     val df = planted()
     val queries = df.where(col("vec_id") < 16)

@@ -234,6 +234,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("removeDuplicateSpans matches token filtering by the brute-force span set") {
+    val rnd = new scala.util.Random(411L)
+    val vocab = Seq("a", "b", "c", "d")
+    val docsSeq = (0 until 6).map { id =>
+      (id.toLong, Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // reference removal: recompute spans the brute way (string grams),
+    // drop covered tokens, rejoin
+    def bruteClean(docs: Seq[(Long, String)], k: Int, minSpan: Int): Map[Long, String] = {
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+      val grams = toks.toSeq.flatMap { case (id, w) =>
+        if (w.length >= k) w.sliding(k).zipWithIndex.map { case (g, p) => (id, p, g.mkString(" ")) }
+        else Seq.empty }
+      val freq = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val dupPos = grams.filter(g => freq(g._3) >= 2).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted).toMap
+      docs.map { case (id, _) =>
+        val covered = dupPos.getOrElse(id, Seq.empty)
+          .foldLeft(List.empty[List[Int]]) {
+            case (Nil, p) => List(List(p))
+            case (h :: t, p) if p == h.head + 1 => (p :: h) :: t
+            case (acc, p) => List(p) :: acc
+          }
+          .filter(i => i.max + k - 1 - i.min + 1 >= minSpan)
+          .flatMap(i => i.min to (i.max + k - 1)).toSet
+        id -> toks(id).zipWithIndex.collect { case (t, i) if !covered(i) => t }.mkString(" ")
+      }.toMap
+    }
+    val got = Dedup.removeDuplicateSpans(docsSeq.toDF("doc_id", "text"),
+        "doc_id", "text", k = 3, minSpan = 4)
+      .select("doc_id", "dedup_text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == bruteClean(docsSeq, 3, 4), s"on $docsSeq")
+  }
+
   test("duplicateSpans scale shape: gram index is hashed, islands window is per-doc") {
     val d = docs()
     val plan = Dedup.duplicateSpans(d, "doc_id", "text", k = 3, minSpan = 5)

@@ -261,7 +261,14 @@ object Pq {
       }
       it += 1
     }
-    cents
+    // Uniform-stride invariant: lut()/adc() index every subspace's LUT
+    // region with the SAME ksub stride, so a low-diversity sample (fewer
+    // than ksub distinct subvectors — e.g. a constant dimension block)
+    // must still yield exactly ksub centroids. Pad by repeating the last
+    // centroid: encode ties to the lowest index, so duplicates are never
+    // chosen and distances are unchanged.
+    if (cents.length < ksub) cents ++ Array.fill(ksub - cents.length)(cents.last.clone)
+    else cents
   }
 
   /** Train codebooks on RESIDUALS `v − nearestCentroid(v)` for
@@ -306,11 +313,24 @@ object Pq {
     }
   }
 
-  def encodeCol(vec: Column, books: Array[Array[Array[Float]]]): Column =
-    GraftBridge.column(PqEncode(GraftBridge.expression(vec), books))
+  /** Every consumer of a codebook (lut's row stride, topK/ivfTopK's ADC
+    * stride) assumes a uniform ksub across subspaces; a ragged hand-built
+    * codebook would silently read another subspace's LUT region.
+    */
+  private def requireUniform(books: Array[Array[Array[Float]]], who: String): Unit =
+    require(books.nonEmpty && books.forall(_.length == books(0).length),
+      s"$who: ragged codebook — all subspaces must have the same ksub " +
+        s"(got ${books.map(_.length).mkString(",")})")
 
-  def lutCol(vec: Column, books: Array[Array[Array[Float]]]): Column =
+  def encodeCol(vec: Column, books: Array[Array[Array[Float]]]): Column = {
+    requireUniform(books, "pq_encode")
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), books))
+  }
+
+  def lutCol(vec: Column, books: Array[Array[Array[Float]]]): Column = {
+    requireUniform(books, "pq_lut")
     GraftBridge.column(PqLut(GraftBridge.expression(vec), books))
+  }
 
   def adcCol(lut: Column, codes: Column, ksub: Int): Column =
     GraftBridge.column(PqAdc(GraftBridge.expression(lut), GraftBridge.expression(codes), ksub))

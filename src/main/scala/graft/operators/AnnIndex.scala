@@ -78,8 +78,7 @@ object AnnIndex {
         explode(Similarity.nearestCells(col("__qv"), col("__cells"), nProbe)).as("__probe"))
       .select(col("query_id"), col("__qv"), col("__qn"), col("__probe")("cell").as("__cell"))
     val probed = Materialize.once(q)
-    val cells: Array[Any] = probed.select(col("__cell")).distinct().collect().map(_.get(0))
-    val idx = spark.read.parquet(path).where(col("__cell").isin(cells.toIndexedSeq: _*))
+    val idx = pruneCells(spark.read.parquet(path), probed)
     val scored = idx.join(broadcast(probed), "__cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Similarity.pairCosine)
@@ -149,8 +148,7 @@ object AnnIndex {
         explode(Similarity.nearestCells(col("__qv"), col("__cells"), nProbe)).as("__probe"))
       .select(col("query_id"), col("__lut"), col("__probe")("cell").as("__cell"))
     val probed = Materialize.once(q)
-    val cells: Array[Any] = probed.select(col("__cell")).distinct().collect().map(_.get(0))
-    val idx = spark.read.parquet(path).where(col("__cell").isin(cells.toIndexedSeq: _*))
+    val idx = pruneCells(spark.read.parquet(path), probed)
     idx.join(broadcast(probed), "__cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", graft.functions.Pq.adcCol(col("__lut"), col("__codes"), ksub))
@@ -163,6 +161,22 @@ object AnnIndex {
         col("col.neighbor_id").as("neighbor_id"),
         col("col.adist").as("adist"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Restrict an index scan to the probed cells as LITERAL partition
+    * filters. The probed cell ids are collected to the driver (bounded by
+    * the cell count — the faiss pattern: the coarse index lives with the
+    * query planner) and cast to the SCAN's partition-column type: the
+    * read-back `__cell` directory column is type-INFERRED (IntegerType
+    * for small ids) while the probe side computes LongType, and an
+    * uncast `isin` would wrap the partition column in a cast instead of
+    * planning a plain `__cell IN (...)`.
+    */
+  private def pruneCells(idx: DataFrame, probed: DataFrame): DataFrame = {
+    val cellType = idx.schema("__cell").dataType
+    val cells = probed.select(col("__cell")).distinct().collect()
+      .map(r => lit(r.get(0)).cast(cellType))
+    idx.where(col("__cell").isin(cells.toIndexedSeq: _*))
   }
 
   // ---- MinHash: bucketed band + signature tables ----

@@ -278,6 +278,13 @@ object Edn {
         while (i < s.length && (s(i).isWhitespace || s(i) == ',')) i += 1
         if (i < s.length && s(i) == ';') { // line comment
           while (i < s.length && s(i) != '\n') i += 1
+        } else if (i + 1 < s.length && s(i) == '#' && s(i + 1) == '_') {
+          // #_ discard reads like whitespace: skip the next form, then
+          // keep scanning — this makes a discard legal anywhere a form
+          // is (including as the LAST element before a closing
+          // delimiter, where handling it inside v0 would parse the
+          // closing bracket position as an empty symbol)
+          i += 2; value(); ()
         } else more = false
       }
     }
@@ -287,7 +294,13 @@ object Edn {
       while (i < s.length && !delim(s(i))) i += 1
       s.substring(st, i)
     }
-    def value(): EdnValue = { ws(); v0() }
+    def value(): EdnValue = {
+      ws()
+      if (i >= s.length)
+        throw new IllegalArgumentException(
+          s"unexpected end of EDN input at offset $i (a '#_' discard with no following value?)")
+      v0()
+    }
     private def seq0(close: Char): Vector[EdnValue] = {
       val b = Vector.newBuilder[EdnValue]
       ws(); while (s(i) != close) { b += value(); ws() }
@@ -302,7 +315,7 @@ object Edn {
       case '#' =>
         i += 1
         if (s(i) == '{') { i += 1; SetV(seq0('}')) }
-        else if (s(i) == '_') { i += 1; value(); value() } // #_ discard + next
+        // '#_' never reaches here: ws() consumes discards as whitespace
         else { val tag = token(); Tagged(tag, value()) }
       case '"' => i += 1; val sb = new StringBuilder
         while (s(i) != '"') {

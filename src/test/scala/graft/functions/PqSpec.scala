@@ -162,6 +162,34 @@ class PqSpec extends AnyFunSuite {
     assert(resid >= 0.8, f"residual exact-L2 recall $resid%.2f below 0.8")
   }
 
+  test("low-diversity subspace pads to uniform ksub; lut/adc strides stay sound") {
+    // first 4 dims constant across every vector → that subspace has ONE
+    // distinct subvector; pre-padding this trained a 1-centroid book while
+    // lut/adc indexed every subspace with books(0).length, silently
+    // reading the wrong LUT region (or out of bounds)
+    val rnd = new scala.util.Random(11L)
+    val df = (0L until 64L).map { i =>
+      (i, Array(1.0f, 2.0f, 3.0f, 4.0f) ++ Array.fill(4)(rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val books = Pq.train(df, "vec_id", "embedding", m = 2, ksub = 8, sampleSize = 64)
+    assert(books.forall(_.length == 8),
+      s"ragged codebook survived training: ${books.map(_.length).mkString(",")}")
+    // the padded subspace still encodes to the real (lowest-index) centroid
+    val row = df.where(col("vec_id") === 0L).select(
+      Pq.encodeCol(col("embedding"), books).as("c"),
+      Pq.adcCol(Pq.lutCol(col("embedding"), books),
+        Pq.encodeCol(col("embedding"), books), 8).as("d")).head()
+    assert(row.getSeq[Int](0).head == 0)
+    assert(row.getDouble(1) >= 0.0 && !row.getDouble(1).isNaN)
+    // full topK over the degenerate corpus: no OOB, sane shape
+    val top = Pq.topK(df.where(col("vec_id") < 2), df, "vec_id", "embedding", books, k = 5)
+    assert(top.count() == 10)
+    // hand-built ragged codebooks are rejected at construction
+    val ragged = Array(Array.fill(4)(Array.fill(2)(0.5f)), Array.fill(2)(Array.fill(2)(0.5f)))
+    intercept[IllegalArgumentException](Pq.lutCol(col("embedding"), ragged))
+    intercept[IllegalArgumentException](Pq.encodeCol(col("embedding"), ragged))
+  }
+
   test("pq expressions run inside codegen with fallback disabled") {
     // the CodegenNoFallbackSpec discipline: a session with codegen-only
     // confs SHARING the one test SparkContext. Never stop() it — stopping

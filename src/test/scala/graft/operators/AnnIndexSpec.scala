@@ -162,6 +162,36 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("probeIvfPq plan: partition-pruned index scan (literal cell filters, no cast)") {
+    val df = corpus()
+    val books = graft.functions.Pq.train(df, "vec_id", "embedding",
+      m = 4, ksub = 8, sampleSize = 300)
+    val path = "target/io_tmp/ivfpq_idx_plan_spec"
+    AnnIndex.buildIvfPq(df, "vec_id", "embedding", path, books, nCells = 8)
+    // AQE hides scans inside query stages — plan asserts need it off
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      val probe = AnnIndex.probeIvfPq(spark, path, df.where($"vec_id" < 5),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      probe.count()
+      probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(scans.nonEmpty, "expected a partition-filtered index scan")
+    val pf = scans.flatMap(_.partitionFilters)
+    assert(pf.exists(_.references.map(_.name).toSet == Set("__cell")),
+      s"partition filters must target __cell: $pf")
+    // the probe side computes Long cell ids while the directory column
+    // type-infers as Integer — literals must be cast, NOT the partition
+    // column, or pruning happens under a cast (unverifiable at best)
+    assert(!pf.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Cast])),
+      s"partition filter wraps the partition column in a cast: $pf")
+  }
+
   test("probeSpans == duplicateSpans when probing the build corpus; index side reads bucketed") {
     val shared = "one two three four five six seven eight nine ten"
     val d = Seq(

@@ -84,6 +84,20 @@ class EdnSpec extends AnyFunSuite {
     assert(Edn.parse("[1 ; trailing\n 2]") == Vec(Vector(Num(1, true), Num(2, true))))
   }
 
+  test("discard as the LAST element of a collection, nested, and at top level") {
+    // hand-edited reference pr-str output can put #_ anywhere a form is
+    assert(Edn.parse("[1 2 #_ 3]") == Vec(Vector(Num(1, true), Num(2, true))))
+    assert(Edn.parse("[1 2 #_3]") == Vec(Vector(Num(1, true), Num(2, true))))
+    assert(Edn.parse("(#_ 1)") == Lst(Vector()))
+    assert(Edn.parse("#{1 #_ 2}") == SetV(Vector(Num(1, true))))
+    assert(Edn.parse("{:a 1 #_ :b #_ 2}") == M(Vector((Kw("a"), Num(1, true)))))
+    assert(Edn.parse("#_ #_ 1 2 3") == Num(3, true)) // stacked discards
+    assert(Edn.parse("#_ [1 2] 7") == Num(7, true)) // discarded collection
+    // a lone top-level discard leaves NO value — clear error, not StringIndexOutOfBounds
+    val e = intercept[IllegalArgumentException](Edn.parse("#_ 3"))
+    assert(e.getMessage.contains("end of EDN input"))
+  }
+
   test("string unicode and control escapes") {
     assert(Edn.parse("\"\\u0041b\\t\"") == Str("Ab\t"))
     assert(Edn.print(Str("a\tb")) == "\"a\\tb\"")

@@ -63,14 +63,26 @@ object Dedup {
     // cheap token-chain signatures (lifetime/fault notes: materializeOnce)
     val sigs = materializeOnce(df.select(col(idCol).as("__id"),
       minhashSignature(col(textCol), shingle, numHashes).as("__sig")))
+    minhashPairsFromSigs(sigs, bands, threshold,
+      graft.functions.HashExpressions.bandHashes(_, bands))
+  }
+
+  /** The banding→candidate→verify pipeline shared by the production hash
+    * family ([[minhashNearDuplicates]]) and the oracle fixture family
+    * ([[minhashNearDuplicatesFixture]]): signatures in, thresholded
+    * (idA, idB, est_jaccard) out. Swapping only the hash columns keeps the
+    * PIPELINE — banding, bucket join, first-agreeing-band exact-once
+    * filter, full-signature verify — on the oracle-gated path.
+    */
+  private[graft] def minhashPairsFromSigs(sigs: DataFrame, bands: Int,
+      threshold: Double, bandHash: Column => Column): DataFrame = {
     // Candidate generation carries only (id, band hashes): the banding
     // explode and bucket join shuffle `bands` longs per doc, not the full
     // `numHashes`-long signature. A pair colliding in k bands appears k
     // times; instead of a dropDuplicates SHUFFLE, keep the copy whose band
     // is the FIRST band where the two band-hash arrays agree — a map-side
     // filter that is exact-once by construction.
-    val withBh = sigs.select(col("__id"),
-      graft.functions.HashExpressions.bandHashes(col("__sig"), bands).as("__bh"))
+    val withBh = sigs.select(col("__id"), bandHash(col("__sig")).as("__bh"))
     val banded = withBh.select(col("__id"), col("__bh"),
         posexplode(col("__bh")))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
@@ -92,6 +104,70 @@ object Dedup {
         graft.functions.HashExpressions.signatureAgreement(col("__sigA"), col("__sigB")))
       .where(col("est_jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("est_jaccard"))
+  }
+
+  /** The SQL-replayable minhash modulus: a prime just under 2³¹, so every
+    * intermediate (`acc*1000003 + v` with acc < p) stays far inside a
+    * 64-bit integer on both engines.
+    */
+  private[graft] val FixtureP = 1000000007L
+
+  /** MinHash signature from the FIXTURE hash family — plain integer
+    * arithmetic end to end (per-char polynomial token hash, chained window
+    * hash, 64 literal-coefficient LCG finalizers, all mod [[FixtureP]]),
+    * so a DuckDB oracle can replay signatures exactly. Window semantics
+    * mirror [[graft.functions.MinHashTokens]] (max(1, T-n+1) windows;
+    * short texts degrade to one whole-text window). Codepoint-level
+    * hashing assumes BMP text (the test corpora are ASCII); the xxhash
+    * production family has no such caveat.
+    *
+    * Scale shape: identical to the production signature — one map-side
+    * pass per document, no shuffle — but built from HOF expressions
+    * rather than a codegen'd kernel, so it trades throughput for
+    * replayability. Use for oracle gates and cross-engine audits, not the
+    * 100 TB hot path.
+    */
+  private[graft] def minhashSignatureFixture(text: Column,
+      shingle: Int = 3, numHashes: Int = 64): Column = {
+    val p = FixtureP
+    val toks = tokens(text)
+    val th = transform(toks, t =>
+      aggregate(
+        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")),
+        lit(0L), (a, c) => (a * 31 + c) % p))
+    val wh = transform(sequence(lit(1), greatest(size(th) - (shingle - 1), lit(1))), w =>
+      aggregate(slice(th, w, lit(shingle)), lit(0L), (a, h) => (a * 1000003 + h) % p))
+    transform(sequence(lit(0), lit(numHashes - 1)), s =>
+      array_min(transform(wh, h =>
+        ((s.cast("long") * 2 + 3) * h + (s.cast("long") * 5 + 7)) % p)))
+  }
+
+  /** Per-band chained hash over the fixture signature — the banding dual
+    * of [[minhashSignatureFixture]] (replaces the xxhash
+    * [[graft.functions.BandHashes]] on the fixture path).
+    */
+  private[graft] def bandHashesFixture(bands: Int, rowsPerBand: Int)(sig: Column): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+        lit(0L), (a, v) => (a * 1000003 + v) % FixtureP))
+
+  /** [[minhashNearDuplicates]] with the fixture hash family: the SAME
+    * banding→candidate→verify pipeline ([[minhashPairsFromSigs]] — band
+    * bucket join, first-agreeing-band exact-once filter, full-signature
+    * agreement threshold), with signatures and band hashes swapped for
+    * SQL-replayable integer arithmetic. This is what lets the driver's
+    * DuckDB oracle gate the minhash PIPELINE end to end (q_dedup_minhash_
+    * fixed) — the production xxhash family keeps its rows-only gate plus
+    * ScalaTest replicas.
+    */
+  def minhashNearDuplicatesFixture(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val sigs = materializeOnce(df.select(col(idCol).as("__id"),
+      minhashSignatureFixture(col(textCol), shingle, numHashes).as("__sig")))
+    minhashPairsFromSigs(sigs, bands, threshold,
+      bandHashesFixture(bands, numHashes / bands))
   }
 
   /** Benchmark decontamination: per corpus doc, the containment of its

@@ -100,10 +100,28 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bits: Int = 8, probeHamming: Int = 3): DataFrame = {
+      bits: Int = 8, probeHamming: Int = 3,
+      planes: Option[Array[Array[Double]]] = None): DataFrame = {
+    // Explicit hyperplanes (one double[] per bit) replace the seeded
+    // xxhash-derived ones: same algorithm, but the signature becomes
+    // SQL-replayable integer/float arithmetic — the oracle-fixture dial
+    // (q_ann_lsh). Products of embedding floats with DYADIC plane values
+    // (±1, ±0.5, ±0.25) are exact in double, so the sign decision — the
+    // part where an ulp flips the bucket, not just a rank — is bit-stable
+    // across engines that fold left-to-right.
+    planes.foreach(ps => require(ps.nonEmpty && ps.forall(_.nonEmpty),
+      "lshTopK: empty hyperplane set"))
+    val nBits = planes.map(_.length).getOrElse(bits)
+    def signature(v: Column): Column = planes match {
+      case None => hyperplaneSignature(v, nBits)
+      case Some(ps) => ps.zipWithIndex.map { case (pl, i) =>
+        when(aggregate(zip_with(v, lit(pl), (x, p) => x.cast("double") * p),
+          lit(0.0), (a, x) => a + x) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         l2Norm(col(vecCol)).as("__cn"))
-      .withColumn("__bucket", hyperplaneSignature(col("__cv"), bits))
+      .withColumn("__bucket", signature(col("__cv")))
     // multi-probe: replicate each query into every bucket within hamming
     // `probeHamming` of its own signature — all XOR masks with popcount ≤ r
     // (Σ C(bits, i) masks; query-side only, so the corpus index is untouched)
@@ -111,13 +129,13 @@ object Similarity {
       if (r == 0) Seq(0L)
       else masks(r - 1) ++ masks(r - 1).flatMap { m =>
         val highest = if (m == 0L) -1 else 63 - java.lang.Long.numberOfLeadingZeros(m)
-        ((highest + 1) until bits).map(b => m | (1L << b))
+        ((highest + 1) until nBits).map(b => m | (1L << b))
       }.distinct
-    val probes: Seq[Long] = masks(math.min(probeHamming, bits)).distinct
+    val probes: Seq[Long] = masks(math.min(probeHamming, nBits)).distinct
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
           l2Norm(col(vecCol)).as("__qn"))
-        .withColumn("__qsig", hyperplaneSignature(col("__qv"), bits))
+        .withColumn("__qsig", signature(col("__qv")))
         .withColumn("__bucket", explode(array(probes.map(p => col("__qsig").bitwiseXOR(lit(p))): _*))))
     // no pair dedup needed: the probe masks are DISTINCT and XOR is
     // injective, so a query lands in each probed bucket exactly once and a

@@ -230,6 +230,34 @@ object ExtQueries {
       shingle = 3, numHashes = 64, bands = 16, threshold = 0.7)
   }
 
+  /** The minhash PIPELINE under the fixture hash family
+    * (Dedup.minhashNearDuplicatesFixture): same banding → bucket join →
+    * first-agreeing-band exact-once filter → full-signature verify as
+    * q_dedup_minhash, with signatures/band hashes as modular integer
+    * chains a DuckDB oracle replays exactly — signatures, band collisions,
+    * candidate pairs, and est_jaccard (count/64: exact dyadic) all
+    * hash-gated end to end. est_jaccard division parity: both engines
+    * compute agree-count / 64, a power of two, so the double is exact.
+    */
+  private val minhashFixedQ = q("q_dedup_minhash_fixed",
+    s"""WITH ${OracleFixtures.minhashSigCtes},
+       banded AS (SELECT doc_id, sig, bh, unnest(range(0, ${OracleFixtures.MhBands})) AS band FROM bh),
+       pairs AS (
+         SELECT l.doc_id AS idA, r.doc_id AS idB, l.sig AS sigA, r.sig AS sigB, l.band,
+                list_position(list_transform(range(0, ${OracleFixtures.MhBands}),
+                  k -> l.bh[k+1] = r.bh[k+1]), true) - 1 AS first_agree
+         FROM banded l JOIN banded r ON l.band = r.band AND l.bh[l.band+1] = r.bh[r.band+1]
+         WHERE l.doc_id < r.doc_id)
+       SELECT idA, idB,
+              CAST(len(list_filter(range(0, ${OracleFixtures.MhNumHashes}), k -> sigA[k+1] = sigB[k+1])) AS DOUBLE) / ${OracleFixtures.MhNumHashes} AS est_jaccard
+       FROM pairs
+       WHERE band = first_agree AND
+             CAST(len(list_filter(range(0, ${OracleFixtures.MhNumHashes}), k -> sigA[k+1] = sigB[k+1])) AS DOUBLE) / ${OracleFixtures.MhNumHashes} >= ${OracleFixtures.MhThreshold}""") { (s, d) =>
+    Dedup.minhashNearDuplicatesFixture(docsWithDups(s, d), "doc_id", "text",
+      shingle = OracleFixtures.MhShingle, numHashes = OracleFixtures.MhNumHashes,
+      bands = OracleFixtures.MhBands, threshold = OracleFixtures.MhThreshold)
+  }
+
   private val simhashQ = q("q_dedup_simhash") { (s, d) => // LSH: rows-only + ScalaTest
     Dedup.simhashNearDuplicates(docsWithDups(s, d), "doc_id", "text",
       shingle = 2, maxHamming = 3)
@@ -348,15 +376,29 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  private val annLshQ = q("q_ann_lsh") { (s, d) => // approximate; rows-only + recall ScalaTest
-    // measured sweep on these embeddings (worst case: unstructured random
-    // vectors, so true neighbors sit at cosine ≈0.35 where hyperplane
-    // collision is weak): bits=12/probe=2 → 7% recall; bits=8/probe=3 →
-    // 56% recall probing 93/256 buckets; bits=6/probe=3 → 81% at 2/3 of
-    // the corpus. Clustered real-world embeddings move every point up.
+  /** Multi-probe hyperplane LSH under FIXED literal planes
+    * (OracleFixtures.lshPlanes — dyadic entries, so the sign/bucket
+    * decision is exact double arithmetic), oracle-gated end to end:
+    * signature, hamming-≤3 multi-probe candidate set (equivalently a
+    * bit_count(xor) join in SQL), and exact cosine re-rank. The seeded
+    * xxhash-hyperplane path keeps its recall gates in SimilaritySpec/
+    * ProbeLsh. Dial notes (measured on these embeddings, worst-case
+    * unstructured vectors): bits=8/probe=3 → 56% recall probing 93/256
+    * buckets; bits=6/probe=3 → 81% at 2/3 of the corpus.
+    */
+  private val annLshQ = q("q_ann_lsh",
+    s"""WITH ${OracleFixtures.lshBucketCte},
+       pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, n.v) AS cos
+         FROM b q JOIN b n ON bit_count(xor(q.bkt, n.bkt)) <= ${OracleFixtures.LshProbeHamming}
+         WHERE q.vec_id < 50 AND n.vec_id <> q.vec_id)
+       SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       FROM pairs QUALIFY rank <= 10""") { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
     Similarity.lshTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
-      k = 10, bits = 8, probeHamming = 3)
+      k = 10, probeHamming = OracleFixtures.LshProbeHamming,
+      planes = Some(OracleFixtures.lshPlanes))
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
@@ -494,42 +536,82 @@ object ExtQueries {
         element_at(col("__c"), 2).as("code1"))
   }
 
-  /** PQ-compressed ANN sweep (rows-only like the other trained
-    * quantizers — codebook training is iterative; PqSpec carries the
-    * recall/reconstruction gates on planted fixtures).
+  /** PQ-compressed ANN sweep under the FIXED literal codebook
+    * (OracleFixtures.pqBooks), oracle-gated end to end: encode, per-query
+    * LUT, ADC scoring, and (adist, neighbor_id) ranking all replay in
+    * DuckDB — measured bit-exact including adist (max delta 0.0 at
+    * sf0.01), because dyadic-centroid squares are exact doubles and both
+    * engines fold distances left-to-right. The TRAINED-codebook path
+    * (iterative float k-means, not SQL-replayable) keeps its gates in
+    * PqSpec/ProbePq.
     */
-  private val annPqQ = q("q_ann_pq") { (s, d) =>
+  private val annPqQ = q("q_ann_pq",
+    s"""WITH ${OracleFixtures.pqCodeCtes},
+       pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ${OracleFixtures.pqAdcExpr("q", "n")} AS adist
+         FROM cc q, cc n WHERE q.vec_id < 50 AND n.vec_id <> q.vec_id)
+       SELECT query_id, neighbor_id, adist,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+       FROM pairs QUALIFY rank <= 10""") { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
-    val books = graft.functions.Pq.train(emb, "vec_id", "embedding",
-      m = 8, ksub = 16, sampleSize = 2048)
     graft.functions.Pq.topK(emb.where(col("vec_id") < 50), emb,
-      "vec_id", "embedding", books, k = 10)
+      "vec_id", "embedding", OracleFixtures.pqBooks, k = 10)
   }
 
   /** IVF-PQ: coarse-cell pruning + compressed-domain ADC scoring — the
-    * billion-scale composition (rows-only; gated by PqSpec).
+    * billion-scale composition, oracle-gated under the fixed codebook +
+    * the deterministic default quantizer (16 lowest-id centroids, the
+    * q_ann_ivf oracle's proven assignment CTEs). Rank-only output for ulp
+    * robustness across the extra assignment layer. Shared by the
+    * persistent-index twin below.
     */
-  private val annIvfPqQ = q("q_ann_ivfpq") { (s, d) =>
+  private val IvfPqOracleSql =
+    s"""WITH ${OracleFixtures.pqCodeCtes},
+       cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+       assigned AS (
+         SELECT vec_id, cell FROM (
+           SELECT cc.vec_id, cent.cell,
+                  row_number() OVER (PARTITION BY cc.vec_id
+                    ORDER BY list_distance(cc.v, cent.cv), cent.cell) AS r
+           FROM cc, cent) WHERE r = 1),
+       qa AS (
+         SELECT vec_id AS query_id, cell FROM (
+           SELECT cc.vec_id, cent.cell,
+                  row_number() OVER (PARTITION BY cc.vec_id
+                    ORDER BY list_distance(cc.v, cent.cv), cent.cell) AS r
+           FROM cc, cent WHERE cc.vec_id < 50) WHERE r <= 4),
+       pairs AS (SELECT qa.query_id, n.vec_id AS neighbor_id,
+           ${OracleFixtures.pqAdcExpr("q", "n")} AS adist
+         FROM qa
+         JOIN assigned a ON qa.cell = a.cell
+         JOIN cc q ON q.vec_id = qa.query_id
+         JOIN cc n ON n.vec_id = a.vec_id
+         WHERE qa.query_id <> a.vec_id)
+       SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+       FROM pairs QUALIFY rank <= 10"""
+
+  private val annIvfPqQ = q("q_ann_ivfpq", IvfPqOracleSql) { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
-    val books = graft.functions.Pq.train(emb, "vec_id", "embedding",
-      m = 8, ksub = 16, sampleSize = 2048)
     graft.functions.Pq.ivfTopK(emb.where(col("vec_id") < 50), emb,
-      "vec_id", "embedding", books, k = 10, nCells = 16, nProbe = 4)
+      "vec_id", "embedding", OracleFixtures.pqBooks, k = 10, nCells = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
   /** q_ann_ivfpq through the PERSISTENT compressed index (cell-partitioned
-    * codes on disk, partition-pruned probe; parity with the in-flight
-    * composition is spec-gated in AnnIndexSpec).
+    * codes on disk, partition-pruned probe) — SAME oracle as the in-flight
+    * twin, the q_ann_ivf_indexed discipline: same quantizer + same
+    * codebooks → same answer, now hash-gated rather than only spec-gated.
     */
-  private val annIvfPqIndexedQ = q("q_ann_ivfpq_indexed") { (s, d) =>
+  private val annIvfPqIndexedQ = q("q_ann_ivfpq_indexed", IvfPqOracleSql) { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
-    val books = graft.functions.Pq.train(emb, "vec_id", "embedding",
-      m = 8, ksub = 16, sampleSize = 2048)
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_ivfpq_idx_" + Integer.toHexString(d.hashCode)).getAbsolutePath
-    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path, books, nCells = 16)
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
+      OracleFixtures.pqBooks, nCells = 16)
     AnnIndex.probeIvfPq(s, path, emb.where(col("vec_id") < 50),
       "vec_id", "embedding", k = 10, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
   private val multimodalQ = q("q_multimodal") { (s, d) => // synthetic payloads; rows-only
@@ -1184,7 +1266,7 @@ object ExtQueries {
     repetitionQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ,
+    minhashQ, minhashFixedQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ,

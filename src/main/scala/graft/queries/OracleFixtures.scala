@@ -1,0 +1,113 @@
+package graft.queries
+
+/** Fixed literal parameters for the oracle-fixture twins of the hash/
+  * quantization query family, plus the DuckDB SQL fragments generated FROM
+  * the same constants — the q_pq_encode discipline (ExtQueries): Spark and
+  * the oracle read one definition, so they cannot drift.
+  *
+  * Why fixtures oracle cleanly where the production operators cannot:
+  * xxhash64 re-seeding and iterative float k-means are not replayable in
+  * DuckDB SQL, but the OPERATOR pipelines (encode→LUT→ADC ranking, sign
+  * bucket→multi-probe→re-rank, sign→band→candidate→verify) are hash-
+  * agnostic. Pinning literal parameters whose arithmetic both engines
+  * compute bit-identically — dyadic centroids/planes (float products and
+  * argmins in exact doubles), sub-2³¹ modular integer chains — puts the
+  * full pipeline behind the driver's hash-compare gate.
+  */
+object OracleFixtures {
+
+  // ---- PQ: m=4 subspaces x 16 dims over the 64-dim embeddings; ksub=4
+  // constant centroids per subspace at exactly-representable quarters.
+  // (x - c) is exact for float x and dyadic c; its square fits a double's
+  // 53-bit mantissa, so per-subspace distances differ across engines only
+  // via summation ORDER — and both sum left-to-right (measured bit-exact:
+  // max adist delta 0.0 on sf0.01).
+  val PqCents: Array[Double] = Array(0.75, 0.25, -0.25, -0.75)
+  val PqM = 4
+  val PqSubDim = 16
+
+  def pqBooks: Array[Array[Array[Float]]] =
+    Array.fill(PqM)(PqCents.map(c => Array.fill(PqSubDim)(c.toFloat)))
+
+  /** CTEs `dc` (per-subspace distance arrays — the encode input AND the
+    * per-query ADC lookup table) and `cc` (adds 1-based argmin codes,
+    * ties to the lowest index via list_position-of-min) over `embeddings`.
+    */
+  def pqCodeCtes: String = {
+    def dexpr(sl: String, c: Double): String = {
+      val op = if (c > 0) s"- $c" else s"+ ${-c}"
+      s"list_sum(list_transform($sl, x -> (x $op) * (x $op)))"
+    }
+    def darr(sl: String): String =
+      PqCents.map(c => dexpr(sl, c)).mkString("[", ",\n       ", "]")
+    val slices = (0 until PqM).map(j => s"v[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}]")
+    val dcols = slices.zipWithIndex
+      .map { case (sl, j) => s"${darr(sl)} AS d${j + 1}" }.mkString(",\n     ")
+    val ccols = (1 to PqM)
+      .map(j => s"list_position(d$j, list_min(d$j)) AS c$j").mkString(", ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       dc AS (SELECT vec_id, v,
+     $dcols FROM e),
+       cc AS (SELECT vec_id, v, ${(1 to PqM).map(j => s"d$j").mkString(", ")}, $ccols FROM dc)"""
+  }
+
+  /** `q.dJ[n.cJ]` ADC sum — query `q`'s distance arrays are its LUT. */
+  def pqAdcExpr(q: String, n: String): String =
+    (1 to PqM).map(j => s"$q.d$j[$n.c$j]").mkString(" + ")
+
+  // ---- LSH: 8 literal hyperplanes over 64 dims, entries dyadic
+  // (±1, ±0.5, ±0.25) by a deterministic pattern, so every product with an
+  // embedding float is EXACT in double and the sign decision (the bucket
+  // bit — where an ulp changes the candidate set, not just a rank) is
+  // bit-stable across engines.
+  val LshBits = 8
+  val LshProbeHamming = 3
+
+  def lshPlanes: Array[Array[Double]] =
+    Array.tabulate(LshBits, 64) { (i, d) =>
+      (if ((i * 7 + d * 3) % 2 == 0) 1.0 else -1.0) * Array(1.0, 0.5, 0.25)((i + d) % 3)
+    }
+
+  /** `b` CTE: per-vector bucket = Σ 2^i·[dot(v, plane_i) ≥ 0]. */
+  def lshBucketCte: String = {
+    val planes = lshPlanes
+    def dot(i: Int): String =
+      (0 until 64).map(d => s"v[${d + 1}]*(${planes(i)(d)})").mkString(" + ")
+    val bucket = (0 until LshBits)
+      .map(i => s"(CASE WHEN ${dot(i)} >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("\n       + ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bkt FROM e)"""
+  }
+
+  // ---- MinHash fixture family (Dedup.minhashSignatureFixture /
+  // bandHashesFixture): all-integer modular chains, coefficients
+  // (2s+3, 5s+7) small enough that a*h never leaves 64 bits.
+  val MhShingle = 3
+  val MhNumHashes = 64
+  val MhBands = 16
+  val MhRows: Int = MhNumHashes / MhBands
+  val MhThreshold = 0.7
+
+  /** CTEs from `documents` (∪ shifted copies, the docsWithDups corpus) to
+    * per-doc fixture signature + band-hash arrays.
+    */
+  def minhashSigCtes: String = {
+    val p = graft.operators.Dedup.FixtureP
+    s"""corpus AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id + 10000, text FROM documents),
+       toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus),
+       th AS (SELECT doc_id, list_transform(w, t ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT))),
+                  (a, c) -> (a*31 + c) % $p)) AS th FROM toks),
+       wh AS (SELECT doc_id, list_transform(range(1, greatest(len(th) - ${MhShingle - 1}, 1) + 1), w ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT), th[w:w+${MhShingle - 1}]),
+                  (a, h) -> (a*1000003 + h) % $p)) AS wh FROM th),
+       sig AS (SELECT doc_id, list_transform(range(0, $MhNumHashes), s ->
+                list_min(list_transform(wh, h -> ((s*2+3)*h + (s*5+7)) % $p))) AS sig FROM wh),
+       bh AS (SELECT doc_id, sig, list_transform(range(0, $MhBands), b ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*$MhRows+1:b*$MhRows+$MhRows]),
+                  (a, v) -> (a*1000003 + v) % $p)) AS bh FROM sig)"""
+  }
+}

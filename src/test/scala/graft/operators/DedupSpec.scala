@@ -46,6 +46,25 @@ class DedupSpec extends AnyFunSuite {
     assert(est.length == 1 && est.head.getDouble(2) == 1.0)
   }
 
+  test("fixture minhash family: same pipeline semantics as the xxhash family") {
+    // fixture hashes are SQL-replayable integer chains; the PIPELINE
+    // (band→candidate→first-agree→verify) is shared, so the behavioral
+    // contract must hold under either family
+    val pairs = Dedup.minhashNearDuplicatesFixture(docs(), "doc_id", "text",
+      shingle = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L)), "exact dup pair must be found")
+    assert(pairs.find(p => p._1 == 0L && p._2 == 3L).get._3 == 1.0)
+    assert(!keys.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+    // short-text degenerate window: fewer tokens than the shingle width
+    // must still sign (one whole-text window), mirroring MinHashTokens
+    val short = Seq((0L, "ab"), (1L, "ab"), (2L, "zq")).toDF("doc_id", "text")
+    val sp = Dedup.minhashNearDuplicatesFixture(short, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sp == Set((0L, 1L)))
+  }
+
   test("simhash hamming distance: 0 for exact dups, small for near dups, pairs exclude unrelated") {
     val pairs = Dedup.simhashNearDuplicates(docs(), "doc_id", "text",
       shingle = 2, maxHamming = 8)

@@ -36,13 +36,34 @@ object AsofJoin {
     * @param tolerance max allowed |leftTs - rightTs| for a match to
     *                  count (same units as the ts columns, which must be
     *                  numeric when set); beyond it the payload is null
+    * @param bucket time-bucket width (ts units) for the skew-safe
+    *               execution — see [[asofSkewSafe]]; any positive value
+    *               is correct, only skew behavior changes
     *
     * Null semantics match SQL: right rows with a null key or null
     * timestamp never match anything (the join condition can't be true for
     * NULL), and left rows with a null key or timestamp surface null
     * payload.
+    *
+    * DEFAULTS TO THE SKEW-SAFE EXECUTION ([[asofSkewSafe]] — result-
+    * identical, property-tested and oracle-shared): on 100 TB tick data a
+    * hot key must never become a single-task sort, so safety is opt-OUT.
+    * Call [[asofSingleWindow]] when keys are known well-distributed and
+    * the carry join is unwanted.
     */
   def asof(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String,
+      payload: Seq[String], direction: String = "backward",
+      tolerance: Option[Long] = None, bucket: Long = 86400000000L): DataFrame =
+    asofSkewSafe(left, right, keyCol, leftTs, rightTs, payload, direction,
+      tolerance, bucket)
+
+  /** Single-window fast path: ONE shuffle + ONE per-key sort, no carry
+    * join — the minimal plan, with the caveat that every row of a key
+    * sorts in one task. Same contract and result as [[asof]]; use when
+    * the key distribution is known un-skewed (or pre-capped).
+    */
+  def asofSingleWindow(left: DataFrame, right: DataFrame,
       keyCol: String, leftTs: String, rightTs: String,
       payload: Seq[String], direction: String = "backward",
       tolerance: Option[Long] = None): DataFrame = {
@@ -62,8 +83,8 @@ object AsofJoin {
         payload.map(q => when(p.tolOk, col(s"__m.$q")).as(q)): _*)
   }
 
-  /** Skew-safe as-of join, same result (and same contract) as [[asof]] —
-    * the hot-key dual, mirroring [[Sessions.batchSkewSafe]]. [[asof]]'s
+  /** Skew-safe as-of join — what [[asof]] runs by DEFAULT, mirroring
+    * [[Sessions.batchSkewSafe]]. [[asofSingleWindow]]'s
     * whole computation is one `Window.partitionBy(key)`: every row of a
     * key sorts in ONE task, so a 100 TB tick-data as-of on a hot
     * instrument key is a single-task sort. Here rows first match within

@@ -9,11 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * Classic two-window formulation: flag rows whose gap to the previous
   * event exceeds `gap` (lag window), running-sum the flags into a session
-  * index (cumulative window), then aggregate per (key, session). Both
-  * windows partition by the session key, so the whole computation is ONE
-  * hash shuffle on the key followed by per-partition sorts — no self-join,
-  * no collect. Skewed keys (one user with millions of events) sort within
-  * a single partition; cap upstream if a key can be pathological.
+  * index (cumulative window), then aggregate per (key, session). No
+  * self-join, no collect. [[batch]] defaults to the bucketed skew-safe
+  * execution ([[batchSkewSafe]]) so a pathological key never sorts in one
+  * task; [[batchSingleWindow]] is the explicit minimal-plan fast path.
   */
 object Sessions {
 
@@ -22,8 +21,32 @@ object Sessions {
     * (TimestampType subtraction yields an interval, not a number — convert
     * with `unix_micros`/`unix_millis` first); `tieBreak` makes ordering
     * (and therefore session ids) deterministic under equal timestamps.
+    *
+    * DEFAULTS TO THE SKEW-SAFE EXECUTION ([[batchSkewSafe]] — result-
+    * identical, property-tested and oracle-shared): a hot key (one user
+    * with millions of events) must never become a single-task sort at
+    * 100 TB, so safety is opt-OUT. `bucket` ≤ 0 picks an automatic width
+    * (1024 gaps, at least a day of micros); call [[batchSingleWindow]]
+    * when keys are known well-distributed.
     */
   def batch(df: DataFrame, keyCol: Column, tsCol: Column, tieBreak: Column,
+      gap: Long, bucket: Long = 0L): DataFrame = {
+    val b =
+      if (bucket > 0) bucket
+      else {
+        // auto width: ≫ gap so phase-2 stays tiny, overflow-clamped
+        val byGap = if (gap > Long.MaxValue / 1024) Long.MaxValue else gap * 1024
+        math.max(86400000000L, byGap)
+      }
+    batchSkewSafe(df, keyCol, tsCol, tieBreak, gap, b)
+  }
+
+  /** Single-window fast path: the classic two-window formulation in ONE
+    * hash shuffle + per-key sort — minimal plan, hot keys sort in one
+    * task. Same contract and result as [[batch]]; use when the key
+    * distribution is known un-skewed (or pre-capped).
+    */
+  def batchSingleWindow(df: DataFrame, keyCol: Column, tsCol: Column, tieBreak: Column,
       gap: Long): DataFrame = {
     val byTime = Window.partitionBy(keyCol).orderBy(tsCol, tieBreak)
     val newSession =

@@ -86,7 +86,7 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("asofSkewSafe == asof on random data, all directions x tolerance x bucket widths") {
+  test("asofSkewSafe == asofSingleWindow on random data, all directions x tolerance x bucket widths") {
     val rnd = new scala.util.Random(31)
     // one deliberately hot key (0) holding half the rows
     val left = (0 until 300).map(i =>
@@ -98,7 +98,7 @@ class AsofJoinSpec extends AnyFunSuite {
     val rDf = right.toDF("k", "rts", "rv")
     for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(9L));
          bucket <- Seq(1L, 7L, 64L, 1000L)) {
-      val want = AsofJoin.asof(lDf, rDf, "k", "ts", "rts", Seq("rv"),
+      val want = AsofJoin.asofSingleWindow(lDf, rDf, "k", "ts", "rts", Seq("rv"),
           direction = dir, tolerance = tol)
         .collect().map(r => (r.getString(2), r.getString(3))).toMap
       val got = AsofJoin.asofSkewSafe(lDf, rDf, "k", "ts", "rts", Seq("rv"),
@@ -130,6 +130,17 @@ class AsofJoinSpec extends AnyFunSuite {
       s"expected a (k, __bkt)-partitioned window:\n$plan")
   }
 
+  test("asof DEFAULTS to the skew-safe execution (bucketed window in the plan)") {
+    // safety is opt-OUT: the bare entry point must never plan the
+    // single-task-per-key window on 100 TB tick data with a hot key
+    val left = Seq((1, 10L, "x")).toDF("k", "ts", "lv")
+    val right = Seq((1, 5L, "a")).toDF("k", "rts", "rv")
+    val plan = AsofJoin.asof(left, right, "k", "ts", "rts", Seq("rv"))
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("windowspecdefinition\\(k#\\d+, __bkt#\\d+L?, __ts#".r.findFirstIn(plan).isDefined,
+      s"default asof must run the bucketed skew-safe window:\n$plan")
+  }
+
   test("rangeJoin: exact containment, boundaries inclusive, intervals spanning bins, no dup pairs") {
     val points = Seq((1L, 10L), (2L, 100L), (3L, 250L), (4L, 999L)).toDF("pid", "t")
     // interval B spans multiple 100-wide bins; A and B overlap
@@ -140,10 +151,10 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.toSet == Set((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B")))
   }
 
-  test("asof plans one shuffle (union + window), no range-join explosion") {
+  test("asofSingleWindow plans one shuffle (union + window), no range-join explosion") {
     val left = Seq((1, 10L, "x")).toDF("k", "ts", "lv")
     val right = Seq((1, 5L, "a")).toDF("k", "rts", "rv")
-    val plan = AsofJoin.asof(left, right, "k", "ts", "rts", Seq("rv"))
+    val plan = AsofJoin.asofSingleWindow(left, right, "k", "ts", "rts", Seq("rv"))
       .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       s"expected a single shuffle:\n$plan")

@@ -34,11 +34,24 @@ class SessionsSpec extends AnyFunSuite {
         }
       }
       val df = events.toSeq.toDF("user", "ts")
-      val plain = Sessions.batch(df, col("user"), col("ts"), col("ts"), gap = 50L)
+      val plain = Sessions.batchSingleWindow(df, col("user"), col("ts"), col("ts"), gap = 50L)
       val safe = Sessions.batchSkewSafe(df, col("user"), col("ts"), col("ts"),
         gap = 50L, bucket = 300L)
       assert(sessionsOf(safe) == sessionsOf(plain), s"trial $trial diverged")
     }
+  }
+
+  test("batch DEFAULTS to the skew-safe execution and matches the single-window result") {
+    val df = (0L until 200L).map(i => (i % 3, i * 30L)).toDF("user", "ts")
+    val byDefault = Sessions.batch(df, col("user"), col("ts"), col("ts"), gap = 50L)
+    val plan = byDefault.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("windowspecdefinition\\(user#\\d+L?, __bkt#".r.findFirstIn(plan).isDefined,
+      s"default batch must run the bucketed skew-safe window:\n$plan")
+    val plain = Sessions.batchSingleWindow(df, col("user"), col("ts"), col("ts"), gap = 50L)
+    assert(sessionsOf(byDefault) == sessionsOf(plain))
+    // explicit bucket still honored (must exceed gap)
+    intercept[IllegalArgumentException](
+      Sessions.batch(df, col("user"), col("ts"), col("ts"), gap = 50L, bucket = 10L).collect())
   }
 
   test("batchSkewSafe heals a session spanning many buckets into one row") {

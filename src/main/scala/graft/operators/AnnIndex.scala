@@ -163,6 +163,49 @@ object AnnIndex {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Compact a streamed IVF-PQ index
+    * ([[graft.streaming.GraftStreaming.indexStreamIvfPq]] appends one
+    * `batch=<id>` directory per microbatch — at streaming cadence that is
+    * the classic small-files decay: probe cost grows with FILE count even
+    * when pruned bytes do not). Rewrites every code row into a single
+    * `batch=-1` era with one file per cell partition, preserving the
+    * probe layout and the `_centroids`/`_codebooks` sidecars —
+    * [[probeIvfPq]] results are identical pre/post (spec-gated).
+    *
+    * Operational contract: run with the ingest STOPPED after a clean
+    * `processAllAvailable()`/`stop()` — a trailing batch whose sink write
+    * committed but whose checkpoint offset did not would replay AFTER
+    * compaction beside its compacted copy. `batch=-1` never collides with
+    * real microbatch ids, so ingest resumes against the same checkpoint
+    * and compaction itself is idempotent (re-compacting folds `batch=-1`
+    * back into `batch=-1`). Plain-parquet caveat, stated not hidden: the
+    * swap (write tmp → delete old dirs → rename in) is not crash-atomic —
+    * a compaction killed mid-swap leaves the full data in
+    * `<path>.__compact_tmp` for manual recovery; crash-atomic maintenance
+    * is what table formats (Delta/Iceberg) exist for.
+    */
+  def compactIvfPq(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // everything partition discovery sees is data; sidecars are _-prefixed
+    def dataDirs = fs.listStatus(root).filter(s => s.isDirectory &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    if (dataDirs.isEmpty) return // nothing ingested yet
+    val rows = spark.read.parquet(path).select("neighbor_id", "__cell", "__codes")
+    val tmp = new Path(path + ".__compact_tmp")
+    fs.delete(tmp, true)
+    // one shuffle keyed by cell → one file per cell partition
+    rows.repartition(col("__cell"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(tmp.toString)
+    dataDirs.foreach(d => fs.delete(d.getPath, true))
+    val era = new Path(root, "batch=-1")
+    fs.mkdirs(era)
+    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("__cell="))
+      .foreach(c => fs.rename(c.getPath, new Path(era, c.getPath.getName)))
+    fs.delete(tmp, true)
+  }
+
   /** Restrict an index scan to the probed cells as LITERAL partition
     * filters. The probed cell ids are collected to the driver (bounded by
     * the cell count — the faiss pattern: the coarse index lives with the

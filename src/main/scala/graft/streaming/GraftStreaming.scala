@@ -420,12 +420,26 @@ object GraftStreaming {
   /** Stream embeddings INTO a persistent IVF-PQ index: each arriving
     * vector assigns to its coarse cell and encodes to PQ codes map-side
     * (stream-static broadcast join against the one-row centroid relation
-    * + plan-constant codebooks — no state, no shuffle), and the file sink
-    * appends cell-partitioned code rows in exactly the layout
-    * [[graft.operators.AnnIndex.probeIvfPq]] reads. The quantizer itself
-    * is fixed at ingest time (the faiss operational split: train/build
-    * batch-side — [[graft.operators.AnnIndex.writeIvfPqMeta]] persists
-    * the sidecars — then append forever; retrain = rebuild).
+    * + plan-constant codebooks — no state, no shuffle), and each
+    * microbatch lands as cell-partitioned code rows under its OWN
+    * `batch=<id>` directory in exactly the layout
+    * [[graft.operators.AnnIndex.probeIvfPq]] reads (both `batch` and
+    * `__cell` are discovered partition columns, so cell pruning is
+    * unchanged). The quantizer itself is fixed at ingest time (the faiss
+    * operational split: train/build batch-side —
+    * [[graft.operators.AnnIndex.writeIvfPqMeta]] persists the sidecars —
+    * then append forever; retrain = rebuild).
+    *
+    * EXACTLY-ONCE under replay by idempotent rewrite, NOT the file-sink
+    * `_spark_metadata` log ([[storeStreamParquet]]'s mechanism): a
+    * foreachBatch sink re-invoked with a batch id it already wrote (the
+    * at-least-once contract after a crash between sink write and
+    * checkpoint commit) OVERWRITES `batch=<id>` wholesale — same rows,
+    * same layout, no duplicates ([[writeIndexBatch]]; replay-tested in
+    * GraftStreamingSpec). The log-free layout is what makes
+    * [[graft.operators.AnnIndex.compactIvfPq]] possible: a sink log
+    * pins the visible file set, so log-unaware compaction would corrupt
+    * reads.
     *
     * `stream` columns: (`idCol`, `vecCol`). Returns the running query.
     */
@@ -443,13 +457,35 @@ object GraftStreaming {
         graft.functions.Pq.encodeCol(col("__cv"), books).as("__codes"))
     assigned.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .partitionBy("__cell")
-      .format("parquet").option("path", path).start()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeIndexBatch(batch, path, batchId)
+      }
+      .start()
   }
+
+  /** The idempotent per-microbatch index write: `batch=<id>` is replaced
+    * wholesale, so replaying a batch id yields byte-equivalent state.
+    * Deterministic input for a given id is guaranteed by the streaming
+    * engine (offsets are committed to the checkpoint BEFORE the sink
+    * runs, so a replay reprocesses the same offset range).
+    */
+  private[graft] def writeIndexBatch(batch: DataFrame, path: String, batchId: Long): Unit =
+    batch.write.mode("overwrite")
+      .partitionBy("__cell")
+      .parquet(s"$path/batch=$batchId")
 
   // ---- sinks ----
 
-  /** `writeStream` to files with checkpointing; returns the query handle. */
+  /** `writeStream` to files with checkpointing; returns the query handle.
+    *
+    * Exactly-once via Spark's file-sink `_spark_metadata` log: a replayed
+    * batch's files are written again but only the LOGGED set is visible
+    * to (log-aware) readers, so duplicates never surface. The flip side:
+    * the log pins the file set, so files under `path` must never be
+    * rewritten or deleted out-of-band (no external compaction) — an
+    * index that needs compaction uses the log-free idempotent-rewrite
+    * layout of [[indexStreamIvfPq]] instead.
+    */
   def storeStreamParquet(df: DataFrame, path: String, checkpoint: String,
       outputMode: String = "append"): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.outputMode(outputMode)

@@ -429,13 +429,51 @@ class GraftStreamingSpec extends AnyFunSuite {
       input.addData(b2); query.processAllAvailable()
     } finally query.stop()
     val queries = df.where(col("vec_id") < 10)
-    val got = graft.operators.AnnIndex.probeIvfPq(spark, path, queries,
+    def probe() = graft.operators.AnnIndex.probeIvfPq(spark, path, queries,
         "vec_id", "embedding", k = 5, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val got = probe()
     val want = graft.functions.Pq.ivfTopK(queries, df, "vec_id", "embedding",
         books, k = 5, nCells = 8, nProbe = 3, centroids = Some(cells))
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
     assert(got == want && got.nonEmpty)
+
+    // ---- replay idempotence (the foreachBatch at-least-once contract):
+    // re-writing an ALREADY-WRITTEN batch id must leave probe results and
+    // row counts unchanged — batch=<id> is replaced wholesale
+    val before = spark.read.parquet(path).count()
+    val replay = df.where(col("vec_id") >= 100) // the second microbatch's rows
+      .join(broadcast(cells))
+      .withColumn("__cell", element_at(
+        graft.operators.Similarity.nearestCells(col("embedding"), col("__cells"), 1), 1)("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("__cell"),
+        graft.functions.Pq.encodeCol(col("embedding"), books).as("__codes"))
+    GraftStreaming.writeIndexBatch(replay, path, batchId = 1L)
+    assert(spark.read.parquet(path).count() == before, "replayed batch must not duplicate rows")
+    assert(probe() == want, "probe must be stable under batch replay")
+
+    // ---- compaction: per-microbatch directories fold into one batch=-1
+    // era, one file per cell; probe results identical, file count drops
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(f => f.getName.endsWith(".parquet") &&
+        !f.getAbsolutePath.contains("/_centroids") &&
+        !f.getAbsolutePath.contains("/_codebooks"))
+    }
+    val filesBefore = dataFiles().size
+    graft.operators.AnnIndex.compactIvfPq(spark, path)
+    val filesAfter = dataFiles().size
+    assert(probe() == want, "probe must be identical after compaction")
+    assert(spark.read.parquet(path).count() == before)
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    val eras = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(eras == Set("batch=-1"), s"all data must land in the compacted era, got $eras")
+    // idempotent: compacting a compacted index is a no-op result-wise
+    graft.operators.AnnIndex.compactIvfPq(spark, path)
+    assert(probe() == want && spark.read.parquet(path).count() == before)
   }
 }
 

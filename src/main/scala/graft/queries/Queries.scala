@@ -842,6 +842,106 @@ object Queries {
       .limit(20)
   }
 
+  /** TPC-H Q4 shape (order-priority checking): orders in a quarter having
+    * at least one returned line — the correlated EXISTS must plan as ONE
+    * semi join keyed on the order key (probe side shuffles once), never a
+    * per-row subquery re-scan. The adapted predicate (`l_returnflag = 'R'`)
+    * stands in for TPC-H's `l_commitdate < l_receiptdate`, which this
+    * dataset does not carry.
+    */
+  private val q4ish = q("q_q4",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY o_orderpriority""") { (s, d) =>
+    val returned = Tables.df(s, d, "lineitem")
+      .where(col("l_returnflag") === "R").select("l_orderkey")
+    Tables.df(s, d, "orders")
+      .where(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q16 shape (supplier-count by part attributes) with the NOT IN
+    * exclusion subquery. `l_suppkey` is non-null, so the NOT IN is exactly
+    * a left ANTI join; the exclusion set is tiny (suppliers in arrears), so
+    * it broadcasts — the anti probe is map-side, no extra shuffle. The
+    * broadcast part-dimension join runs FIRST so the size/brand predicates
+    * prune the fact before the anti probe and the distinct-count shuffle.
+    * (partsupp is not in this dataset; lineitem's (partkey, suppkey) pairs
+    * play its role.)
+    */
+  private val q16ish = q("q_q16",
+    """SELECT p_brand, p_type, p_size,
+              CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#11'
+         AND p_size IN (1,4,7,10,13,16,19,22)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size""") { (s, d) =>
+    val excluded = Tables.df(s, d, "supplier")
+      .where(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.df(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(Tables.df(s, d, "part")
+          .where(col("p_brand") =!= "Brand#11" &&
+            col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the sole
+    * returned-line supplier on a multi-supplier finished order — the
+    * classic multi-correlated EXISTS + NOT EXISTS. Both correlations key on
+    * `l_orderkey`, so the semi and anti legs hash/sort on the SAME key as
+    * the probe: one co-partitioned exchange per leg, residual
+    * `suppkey <> suppkey` evaluated inside the join, and exchange reuse
+    * collapses the identical scans. (An equivalent single-pass
+    * groupBy(orderkey) counting formulation exists; this one is the
+    * semi/anti planning the reference's filter-by/remove-by surface maps
+    * to, and it never re-scans per row.)
+    */
+  private val q21ish = q("q_q21",
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       FROM lineitem l1
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       JOIN supplier ON s_suppkey = l1.l_suppkey
+       WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_returnflag = 'R')
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name ASC
+       LIMIT 20""") { (s, d) =>
+    val li = Tables.df(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    val l1 = li.where(col("l_returnflag") === "R").select("l_orderkey", "l_suppkey")
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = li.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    val finished = Tables.df(s, d, "orders")
+      .where(col("o_orderstatus") === "F").select("o_orderkey")
+    l1.join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(finished, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.df(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
   private val windowLagQ = q("q_window_lag",
     """SELECT event_id,
               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -883,7 +983,8 @@ object Queries {
     filterByQ, removeByQ, cogroupQ, cogroup3Q, cogroup4Q, cogroup3FoldQ, groupByQ, groupStatsQ, topByQ,
     reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
     foldJuxtQ,
-    q1, q5ish, q3ish, q6, q10ish, q14ish, q18ish, windowLagQ, windowRunningQ, eventsAggQ)
+    q1, q5ish, q3ish, q6, q10ish, q14ish, q18ish, q4ish, q16ish, q21ish,
+    windowLagQ, windowRunningQ, eventsAggQ)
 
   val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all
 

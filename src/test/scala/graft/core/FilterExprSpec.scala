@@ -34,6 +34,28 @@ class FilterExprSpec extends AnyFunSuite {
       s"expected pushed filter in:\n$plan")
   }
 
+  test("let-scope inlines bound sub-expressions (script.clj:102-105 semantics)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    // (let [big (> ?p_size 40) b11 (= ?p_brand "Brand#11")] (and big (or b11 (= ?p_brand "Brand#22"))))
+    val letExpr = let(
+      "big" -> Gt(field("p_size"), value(40)),
+      "b11" -> Eq(field("p_brand"), value("Brand#11")))(
+      and(sym("big"), or(sym("b11"), Eq(field("p_brand"), value("Brand#22")))))
+    assert(df.filter(letExpr.compile).count() == df.filter(expr.compile).count())
+    // bindings may reference each other (scope is built before evaluation)
+    val chained = let(
+      "small" -> Leq(field("p_size"), value(10)),
+      "tiny" -> and(sym("small"), Lt(field("p_size"), value(3))))(sym("tiny"))
+    assert(df.filter(chained.compile).count() ==
+      df.filter(Lt(field("p_size"), value(3)).compile).count())
+    // inlined let stays pushdown-eligible
+    val plan = df.filter(let("b" -> Gt(field("p_size"), value(40)))(sym("b")).compile)
+      .select("p_partkey").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(p_size,40)"))
+    // unresolved symbol throws like the reference
+    assertThrows[IllegalArgumentException](sym("nope").compile)
+  }
+
   test("not / neq / leq / geq / lt compile correctly") {
     val df = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     assert(df.filter(Not(Leq(field("p_size"), value(40))).compile).count() ==

@@ -99,4 +99,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q3plan.contains("TakeOrderedAndProject"), s"q_q3 top-10 must be TakeOrdered:\n$q3plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("q_q4/q_q16/q_q21 plan semi/anti joins, never per-row subquery re-scans") {
+    val d = "/root/testdata/sf0.001"
+    val q4 = graft.queries.Queries.queries("q_q4")(spark, d)
+    val p4 = q4.queryExecution.executedPlan.toString
+    assert(p4.contains("LeftSemi"), s"q_q4 EXISTS must be a semi join:\n$p4")
+
+    val q16 = graft.queries.Queries.queries("q_q16")(spark, d)
+    val p16 = q16.queryExecution.executedPlan.toString
+    assert(p16.contains("LeftAnti"), s"q_q16 NOT IN must be an anti join:\n$p16")
+    // the tiny exclusion set broadcasts: the anti probe is map-side
+    assert(p16.contains("BroadcastHashJoin") || p16.contains("BroadcastExchange"),
+      s"q_q16 anti side must broadcast:\n$p16")
+
+    val q21 = graft.queries.Queries.queries("q_q21")(spark, d)
+    val p21 = q21.queryExecution.executedPlan.toString
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"q_q21 needs both the EXISTS semi and the NOT EXISTS anti join:\n$p21")
+    // top-20 with tiebreak plans TakeOrdered, not global sort+limit
+    assert(p21.contains("TakeOrderedAndProject"), s"q_q21 top-20 must be TakeOrdered:\n$p21")
+    assert(q4.count() > 0 && q16.count() > 0 && q21.count() > 0)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persistent ANN / dedup indexes — the last rung of the 100 TB story.
@@ -225,13 +225,22 @@ object AnnIndex {
   // ---- MinHash: bucketed band + signature tables ----
 
   /** (doc, band-hash array, full signature) per document — signed once;
-    * band rows and the sig table both derive from this.
+    * band rows and the sig table both derive from this. The signature and
+    * band-hash constructors are injectable so the SAME persistent-index
+    * pipeline runs under the production xxhash family or the
+    * SQL-replayable fixture family (the Dedup.minhashPairsFromSigs
+    * discipline applied to the index path).
     */
+  private def signedWith(df: DataFrame, idCol: String, textCol: String,
+      sig: Column => Column, band: Column => Column): DataFrame =
+    df.select(col(idCol).as("__id"), sig(col(textCol)).as("__sig"))
+      .withColumn("__bh", band(col("__sig")))
+
   private def signed(df: DataFrame, idCol: String, textCol: String,
       shingle: Int, numHashes: Int, bands: Int): DataFrame =
-    df.select(col(idCol).as("__id"),
-        Dedup.minhashSignature(col(textCol), shingle, numHashes).as("__sig"))
-      .withColumn("__bh", graft.functions.HashExpressions.bandHashes(col("__sig"), bands))
+    signedWith(df, idCol, textCol,
+      Dedup.minhashSignature(_, shingle, numHashes),
+      graft.functions.HashExpressions.bandHashes(_, bands))
 
   /** One row per (doc, band), keyed by `__bb` — the 64-bit hash of
     * (band index, band hash), one column so the table can bucket on it.
@@ -250,8 +259,26 @@ object AnnIndex {
     * layout; [[probeMinhash]] must be called with the same values.
     */
   def buildMinhash(df: DataFrame, idCol: String, textCol: String, tableName: String,
-      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16, buckets: Int = 32): Unit = {
-    val s = Materialize.once(signed(df, idCol, textCol, shingle, numHashes, bands))
+      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16, buckets: Int = 32): Unit =
+    persistMinhashTables(
+      Materialize.once(signed(df, idCol, textCol, shingle, numHashes, bands)),
+      tableName, buckets)
+
+  /** [[buildMinhash]] under the fixture hash family
+    * (Dedup.minhashSignatureFixture / bandHashesFixture): the same two
+    * bucketed tables, signatures swapped for SQL-replayable modular
+    * integer chains — what lets a DuckDB oracle gate the persistent-index
+    * probe path end to end (q_dedup_minhash_indexed_fixed).
+    */
+  def buildMinhashFixture(df: DataFrame, idCol: String, textCol: String, tableName: String,
+      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16, buckets: Int = 32): Unit =
+    persistMinhashTables(
+      Materialize.once(signedWith(df, idCol, textCol,
+        Dedup.minhashSignatureFixture(_, shingle, numHashes),
+        Dedup.bandHashesFixture(bands, numHashes / bands))),
+      tableName, buckets)
+
+  private def persistMinhashTables(s: DataFrame, tableName: String, buckets: Int): Unit = {
     replaceTable(bandedRows(s), tableName, "__bb", buckets)
     replaceTable(s.select(col("__id"), col("__sig")), tableName + "_sigs", "__id", buckets)
   }
@@ -296,8 +323,28 @@ object AnnIndex {
   def probeMinhash(spark: SparkSession, tableName: String, delta: DataFrame,
       idCol: String, textCol: String,
       shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
-    val s = Materialize.once(signed(delta, idCol, textCol, shingle, numHashes, bands))
+      threshold: Double = 0.7): DataFrame =
+    probeMinhashFromSigned(spark, tableName,
+      Materialize.once(signed(delta, idCol, textCol, shingle, numHashes, bands)),
+      threshold)
+
+  /** [[probeMinhash]] against a [[buildMinhashFixture]] index — the delta
+    * is signed with the SAME fixture family the index was built with; the
+    * probe pipeline (bucket join, first-agreeing-band filter, signature
+    * verify) is shared verbatim.
+    */
+  def probeMinhashFixture(spark: SparkSession, tableName: String, delta: DataFrame,
+      idCol: String, textCol: String,
+      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame =
+    probeMinhashFromSigned(spark, tableName,
+      Materialize.once(signedWith(delta, idCol, textCol,
+        Dedup.minhashSignatureFixture(_, shingle, numHashes),
+        Dedup.bandHashesFixture(bands, numHashes / bands))),
+      threshold)
+
+  private def probeMinhashFromSigned(spark: SparkSession, tableName: String,
+      s: DataFrame, threshold: Double): DataFrame = {
     val d = bandedRows(s)
       .select(col("__bb"), col("__id").as("idA"), col("__bh").as("__bhA"))
     val idx = spark.table(tableName)

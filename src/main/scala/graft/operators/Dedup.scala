@@ -130,16 +130,26 @@ object Dedup {
   private[graft] def minhashSignatureFixture(text: Column,
       shingle: Int = 3, numHashes: Int = 64): Column = {
     val p = FixtureP
+    transform(sequence(lit(0), lit(numHashes - 1)), s =>
+      array_min(transform(fixtureWindowHashes(text, shingle), h =>
+        ((s.cast("long") * 2 + 3) * h + (s.cast("long") * 5 + 7)) % p)))
+  }
+
+  /** Chained window hashes of the fixture family — the shared front half of
+    * [[minhashSignatureFixture]] and [[simhashSignatureFixture]]: per-char
+    * polynomial token hash, `shingle`-token chained window hash, all mod
+    * [[FixtureP]]. Window semantics mirror the production kernels
+    * (max(1, T-n+1) windows; short texts degrade to one whole-text window).
+    */
+  private def fixtureWindowHashes(text: Column, shingle: Int): Column = {
+    val p = FixtureP
     val toks = tokens(text)
     val th = transform(toks, t =>
       aggregate(
         transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")),
         lit(0L), (a, c) => (a * 31 + c) % p))
-    val wh = transform(sequence(lit(1), greatest(size(th) - (shingle - 1), lit(1))), w =>
+    transform(sequence(lit(1), greatest(size(th) - (shingle - 1), lit(1))), w =>
       aggregate(slice(th, w, lit(shingle)), lit(0L), (a, h) => (a * 1000003 + h) % p))
-    transform(sequence(lit(0), lit(numHashes - 1)), s =>
-      array_min(transform(wh, h =>
-        ((s.cast("long") * 2 + 3) * h + (s.cast("long") * 5 + 7)) % p)))
   }
 
   /** Per-band chained hash over the fixture signature — the banding dual
@@ -217,13 +227,24 @@ object Dedup {
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 2, maxHamming: Int = 3): DataFrame = {
+    val sigs = materializeOnce(
+      df.select(col(idCol).as("__id"), simhash(col(textCol), shingle).as("__sig")))
+    simhashPairsFromSigs(sigs, maxHamming)
+  }
+
+  /** The chunk-LSH→candidate→verify pipeline shared by the production
+    * simhash family ([[simhashNearDuplicates]]) and the oracle fixture
+    * family ([[simhashNearDuplicatesFixture]]) — the
+    * [[minhashPairsFromSigs]] discipline applied to simhash: swapping only
+    * the signature column keeps chunking, bucket join, first-agreeing-chunk
+    * exact-once filter, and the hamming verify on the oracle-gated path.
+    */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
     val chunks = maxHamming + 1
     val width = 64 / chunks
     // (1L << 64) wraps to 1 in JVM shift semantics: full-width mask is -1
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = materializeOnce(
-      df.select(col(idCol).as("__id"), simhash(col(textCol), shingle).as("__sig")))
     val chunked = sigs.select(col("__id"), col("__sig"),
       explode(array((0 until chunks).map(ci =>
         struct(lit(ci).as("__chunk"),
@@ -247,6 +268,47 @@ object Dedup {
       .withColumn("hamming", hammingDistance(col("__sigA"), col("__sigB")))
       .where(col("hamming") <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))
+  }
+
+  /** Effective bit width of the fixture simhash signature: the top 64-60
+    * bits are forced to zero so chunk keys come from plain nonnegative
+    * shifts — Spark's `shiftrightunsigned` and DuckDB's `>>` agree on
+    * every nonnegative long, with no sign-extension caveat to replay.
+    */
+  private[graft] val SimFixtureBits = 60
+
+  /** SimHash signature from the FIXTURE hash family: per-bit parity votes
+    * of the [[fixtureWindowHashes]] modular chains over DISTINCT windows
+    * (matching the production kernel's dedup), summed into a
+    * [[SimFixtureBits]]-bit signature — plain integer arithmetic end to
+    * end, so a DuckDB oracle replays signatures, chunk buckets, candidate
+    * pairs, and hamming distances exactly. Same fixture-vs-production
+    * trade as [[minhashSignatureFixture]]: HOF expressions for
+    * replayability on the oracle path, codegen'd kernels for the hot path.
+    */
+  private[graft] def simhashSignatureFixture(text: Column, shingle: Int = 2): Column = {
+    val p = FixtureP
+    val dwh = array_distinct(fixtureWindowHashes(text, shingle))
+    aggregate(sequence(lit(0), lit(SimFixtureBits - 1)), lit(0L), (acc, i) => {
+      val vote = aggregate(dwh, lit(0L), (a, w) =>
+        a + ((((i.cast("long") * 2 + 3) * w + (i.cast("long") * 5 + 7)) % p) % 2) * 2 - 1)
+      // 2^i is exact in double for i < 60, so the cast-back is lossless
+      acc + when(vote > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))
+    })
+  }
+
+  /** [[simhashNearDuplicates]] with the fixture hash family: the SAME
+    * chunk-LSH pipeline ([[simhashPairsFromSigs]]), signatures swapped for
+    * SQL-replayable integer arithmetic — what lets the driver's DuckDB
+    * oracle gate the simhash PIPELINE end to end (q_dedup_simhash_fixed);
+    * the production xxhash family keeps its rows-only gate plus ScalaTest
+    * replicas.
+    */
+  def simhashNearDuplicatesFixture(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 2, maxHamming: Int = 3): DataFrame = {
+    val sigs = materializeOnce(df.select(col(idCol).as("__id"),
+      simhashSignatureFixture(col(textCol), shingle).as("__sig")))
+    simhashPairsFromSigs(sigs, maxHamming)
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.

@@ -241,18 +241,7 @@ object ExtQueries {
     */
   private val minhashFixedQ = q("q_dedup_minhash_fixed",
     s"""WITH ${OracleFixtures.minhashSigCtes},
-       banded AS (SELECT doc_id, sig, bh, unnest(range(0, ${OracleFixtures.MhBands})) AS band FROM bh),
-       pairs AS (
-         SELECT l.doc_id AS idA, r.doc_id AS idB, l.sig AS sigA, r.sig AS sigB, l.band,
-                list_position(list_transform(range(0, ${OracleFixtures.MhBands}),
-                  k -> l.bh[k+1] = r.bh[k+1]), true) - 1 AS first_agree
-         FROM banded l JOIN banded r ON l.band = r.band AND l.bh[l.band+1] = r.bh[r.band+1]
-         WHERE l.doc_id < r.doc_id)
-       SELECT idA, idB,
-              CAST(len(list_filter(range(0, ${OracleFixtures.MhNumHashes}), k -> sigA[k+1] = sigB[k+1])) AS DOUBLE) / ${OracleFixtures.MhNumHashes} AS est_jaccard
-       FROM pairs
-       WHERE band = first_agree AND
-             CAST(len(list_filter(range(0, ${OracleFixtures.MhNumHashes}), k -> sigA[k+1] = sigB[k+1])) AS DOUBLE) / ${OracleFixtures.MhNumHashes} >= ${OracleFixtures.MhThreshold}""") { (s, d) =>
+       ${OracleFixtures.minhashPairsSql("l.doc_id < r.doc_id")}""") { (s, d) =>
     Dedup.minhashNearDuplicatesFixture(docsWithDups(s, d), "doc_id", "text",
       shingle = OracleFixtures.MhShingle, numHashes = OracleFixtures.MhNumHashes,
       bands = OracleFixtures.MhBands, threshold = OracleFixtures.MhThreshold)
@@ -261,6 +250,31 @@ object ExtQueries {
   private val simhashQ = q("q_dedup_simhash") { (s, d) => // LSH: rows-only + ScalaTest
     Dedup.simhashNearDuplicates(docsWithDups(s, d), "doc_id", "text",
       shingle = 2, maxHamming = 3)
+  }
+
+  /** The simhash PIPELINE under the fixture hash family
+    * (Dedup.simhashNearDuplicatesFixture): same chunk-LSH → bucket join →
+    * first-agreeing-chunk exact-once filter → hamming verify as
+    * q_dedup_simhash, with the signature swapped for parity votes of
+    * modular integer chains a DuckDB oracle replays exactly — signatures,
+    * chunk collisions, candidate pairs, and hamming distances all
+    * hash-gated end to end.
+    */
+  private val simhashFixedQ = q("q_dedup_simhash_fixed",
+    s"""WITH ${OracleFixtures.simhashSigCtes},
+       keyed AS (SELECT doc_id, sig, unnest(range(0, ${OracleFixtures.ShChunks})) AS chunk FROM sig),
+       pairs AS (
+         SELECT l.doc_id AS idA, r.doc_id AS idB, l.sig AS sigA, r.sig AS sigB, l.chunk,
+                list_position(list_transform(range(0, ${OracleFixtures.ShChunks}),
+                  c -> ${OracleFixtures.shChunkKey("l.sig", "c")} = ${OracleFixtures.shChunkKey("r.sig", "c")}), true) - 1 AS first_agree
+         FROM keyed l JOIN keyed r
+           ON l.chunk = r.chunk AND ${OracleFixtures.shChunkKey("l.sig", "l.chunk")} = ${OracleFixtures.shChunkKey("r.sig", "r.chunk")}
+         WHERE l.doc_id < r.doc_id)
+       SELECT idA, idB, CAST(bit_count(xor(sigA, sigB)) AS INTEGER) AS hamming
+       FROM pairs
+       WHERE chunk = first_agree AND bit_count(xor(sigA, sigB)) <= ${OracleFixtures.ShMaxHamming}""") { (s, d) =>
+    Dedup.simhashNearDuplicatesFixture(docsWithDups(s, d), "doc_id", "text",
+      shingle = OracleFixtures.ShShingle, maxHamming = OracleFixtures.ShMaxHamming)
   }
 
   private val ngramJaccardQ = q("q_ngram_jaccard",
@@ -503,6 +517,30 @@ object ExtQueries {
     AnnIndex.probeMinhash(s, "graft_mh_idx",
       docs.withColumn("doc_id", col("doc_id") + 10000), "doc_id", "text",
       shingle = 3, numHashes = 64, bands = 16, threshold = 0.7)
+  }
+
+  /** The persistent-index probe path under the fixture hash family: the
+    * corpus is signed/banded into the bucketed tables with SQL-replayable
+    * integer chains, the shifted-id delta probes them, and the DuckDB
+    * oracle replays the whole thing — build-side signatures, bucket
+    * collisions, first-agreeing-band survival, and est_jaccard. Together
+    * with q_dedup_minhash_fixed this puts both halves of the minhash
+    * story (batch pipeline AND index probe) behind the hash-compare gate;
+    * the delta side of the oracle is doc_id >= 10000 (the shifted copies),
+    * the index side doc_id < 10000, mirroring probeMinhash's
+    * delta-vs-corpus-only contract.
+    */
+  private val minhashIndexedFixedQ = q("q_dedup_minhash_indexed_fixed",
+    s"""WITH ${OracleFixtures.minhashSigCtes},
+       ${OracleFixtures.minhashPairsSql("l.doc_id >= 10000 AND r.doc_id < 10000")}""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    AnnIndex.buildMinhashFixture(docs, "doc_id", "text", "graft_mh_idx_fx",
+      shingle = OracleFixtures.MhShingle, numHashes = OracleFixtures.MhNumHashes,
+      bands = OracleFixtures.MhBands)
+    AnnIndex.probeMinhashFixture(s, "graft_mh_idx_fx",
+      docs.withColumn("doc_id", col("doc_id") + 10000), "doc_id", "text",
+      shingle = OracleFixtures.MhShingle, numHashes = OracleFixtures.MhNumHashes,
+      bands = OracleFixtures.MhBands, threshold = OracleFixtures.MhThreshold)
   }
 
   /** PQ ENCODE under a fixed literal codebook — the deterministic half of
@@ -1266,7 +1304,7 @@ object ExtQueries {
     repetitionQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, minhashIndexedQ, simhashQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ,
+    minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ,

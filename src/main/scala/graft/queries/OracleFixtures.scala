@@ -89,6 +89,50 @@ object OracleFixtures {
   val MhRows: Int = MhNumHashes / MhBands
   val MhThreshold = 0.7
 
+  // ---- SimHash fixture family (Dedup.simhashSignatureFixture): per-bit
+  // parity votes of modular integer chains over distinct windows, summed
+  // into a 60-bit signature (top 4 bits zero, so chunk-key shifts are
+  // plain nonnegative arithmetic in both engines).
+  val ShShingle = 2
+  val ShMaxHamming = 3
+  val ShChunks: Int = ShMaxHamming + 1
+  val ShWidth: Int = 64 / ShChunks
+  val ShMask: Long = (1L << ShWidth) - 1
+
+  /** CTEs from `documents` (∪ shifted copies) to the per-doc fixture
+    * simhash signature — the DuckDB replay of
+    * [[graft.operators.Dedup.simhashSignatureFixture]].
+    */
+  def simhashSigCtes: String = {
+    val p = graft.operators.Dedup.FixtureP
+    val bits = graft.operators.Dedup.SimFixtureBits
+    s"""corpus AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id + 10000, text FROM documents),
+       toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus),
+       th AS (SELECT doc_id, list_transform(w, t ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT))),
+                  (a, c) -> (a*31 + c) % $p)) AS th FROM toks),
+       wh AS (SELECT doc_id, list_distinct(
+                list_transform(range(1, greatest(len(th) - ${ShShingle - 1}, 1) + 1), w ->
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), th[w:w+${ShShingle - 1}]),
+                    (a, h) -> (a*1000003 + h) % $p))) AS wh FROM th),
+       sig AS (SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(0, $bits), i ->
+                    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(wh, h -> (((i*2+3)*h + (i*5+7)) % $p % 2) * 2 - 1)),
+                        (a, v) -> a + v) > 0
+                    THEN CAST(2**i AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+                  (a, v) -> a + v) AS sig FROM wh)"""
+  }
+
+  /** `(sig >> chunk*width) & mask` — one definition for both join keys and
+    * the first-agreeing-chunk filter.
+    */
+  def shChunkKey(sig: String, chunk: String): String =
+    s"(($sig >> ($chunk*$ShWidth)) & $ShMask)"
+
   /** CTEs from `documents` (∪ shifted copies, the docsWithDups corpus) to
     * per-doc fixture signature + band-hash arrays.
     */
@@ -109,5 +153,25 @@ object OracleFixtures {
        bh AS (SELECT doc_id, sig, list_transform(range(0, $MhBands), b ->
                 list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*$MhRows+1:b*$MhRows+$MhRows]),
                   (a, v) -> (a*1000003 + v) % $p)) AS bh FROM sig)"""
+  }
+
+  /** Banding → candidate pairs → first-agree filter → signature-agreement
+    * threshold over the [[minhashSigCtes]] `bh` CTE — ONE definition for
+    * the batch fixture twin (`pairWhere` = "l.doc_id < r.doc_id") and the
+    * persistent-index twin (delta-vs-corpus membership filter), exactly
+    * as Dedup.minhashPairsFromSigs is shared on the Spark side.
+    */
+  def minhashPairsSql(pairWhere: String): String = {
+    val est = s"CAST(len(list_filter(range(0, $MhNumHashes), k -> sigA[k+1] = sigB[k+1])) AS DOUBLE) / $MhNumHashes"
+    s"""banded AS (SELECT doc_id, sig, bh, unnest(range(0, $MhBands)) AS band FROM bh),
+       pairs AS (
+         SELECT l.doc_id AS idA, r.doc_id AS idB, l.sig AS sigA, r.sig AS sigB, l.band,
+                list_position(list_transform(range(0, $MhBands),
+                  k -> l.bh[k+1] = r.bh[k+1]), true) - 1 AS first_agree
+         FROM banded l JOIN banded r ON l.band = r.band AND l.bh[l.band+1] = r.bh[r.band+1]
+         WHERE $pairWhere)
+       SELECT idA, idB, $est AS est_jaccard
+       FROM pairs
+       WHERE band = first_agree AND $est >= $MhThreshold"""
   }
 }

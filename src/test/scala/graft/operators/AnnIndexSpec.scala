@@ -95,6 +95,27 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect() -> spark.sql("DROP TABLE IF EXISTS mh_idx_spec_sigs").collect()
   }
 
+  test("probeMinhashFixture == batch fixture twin restricted to delta-vs-corpus pairs") {
+    // the oracle-replayable analogue of the probeMinhash parity test: same
+    // shared pipeline, fixture hash family on both build and probe sides
+    val corpus = docs()
+    val delta = corpus.withColumn("doc_id", col("doc_id") + 10000)
+    AnnIndex.buildMinhashFixture(corpus, "doc_id", "text", "mh_idx_fx_spec",
+      shingle = 3, numHashes = 64, bands = 16, buckets = 4)
+    try {
+      val got = AnnIndex.probeMinhashFixture(spark, "mh_idx_fx_spec", delta, "doc_id", "text",
+          shingle = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Dedup.minhashNearDuplicatesFixture(corpus.unionByName(delta), "doc_id", "text",
+          shingle = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .where(col("idA") < 10000 && col("idB") >= 10000)
+        .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+      assert(got == want && got.nonEmpty)
+      assert(got.exists { case (a, b, j) => a == b + 10000 && j == 1.0 })
+    } finally spark.sql("DROP TABLE IF EXISTS mh_idx_fx_spec")
+      .collect() -> spark.sql("DROP TABLE IF EXISTS mh_idx_fx_spec_sigs").collect()
+  }
+
   test("probeMinhash plan: the indexed corpus is read pre-bucketed — no Exchange above the index scans") {
     val corpus = docs()
     val delta = corpus.withColumn("doc_id", col("doc_id") + 10000).limit(10)

@@ -74,6 +74,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("fixture simhash family: same pipeline semantics as the xxhash family") {
+    // shared chunk-LSH pipeline (simhashPairsFromSigs); only the signature
+    // swaps to SQL-replayable parity-vote integer arithmetic
+    val pairs = Dedup.simhashNearDuplicatesFixture(docs(), "doc_id", "text",
+      shingle = 2, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toList
+    val exact = pairs.find(p => p._1 == 0 && p._2 == 3)
+    assert(exact.exists(_._3 == 0L), s"exact dup must pair at hamming 0, got $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+    // the signature stays inside the declared 60-bit envelope (top bits
+    // zero — the cross-engine shift-semantics invariant)
+    import org.apache.spark.sql.functions.{col, max}
+    val sigs = docs().select(
+      Dedup.simhashSignatureFixture(col("text"), 2).as("sig"))
+    val maxSig = sigs.agg(max(col("sig"))).head.getLong(0)
+    assert(maxSig >= 0 && maxSig < (1L << Dedup.SimFixtureBits))
+  }
+
   test("ngram jaccard matches a locally computed exact jaccard") {
     def shingles(s: String, n: Int) =
       s.split("\\s+").sliding(n).map(_.mkString(" ")).toSet

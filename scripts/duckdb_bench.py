@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""External bench anchor: time the bench headliners' oracle SQL in DuckDB
+on the same parquet tables, same machine, and write duckdb_baseline.json.
+
+DuckDB here is an in-process vectorized OLAP engine at full parallelism —
+an unflattering, honest comparison point for Spark local[32], whose JVM/
+shuffle overheads a single-node engine does not pay. The point is to make
+BASELINE.md's "within 2x" gate falsifiable, not to win it at sf0.1; Spark's
+payoff is the 1000-executor scale-out DuckDB does not have.
+
+Usage: python3 scripts/duckdb_bench.py <sf_dir> <oracle_sql.json> [N]
+Writes duckdb_baseline.json next to this repo's root: {query: min_seconds}.
+Queries without an oracle (e.g. q_dedup_minhash's seeded xxhash pipeline is
+not DuckDB-expressible) are omitted — Bench reports no ratio for them.
+"""
+import sys, os, json, time
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+BENCH = ["q_q1", "q_revenue_by_nation", "q_window_lag", "q_pipeline",
+         "q_dedup_exact", "q_dedup_minhash", "q_ann_cosine", "q_sessionize",
+         "q_substring_spans"]
+
+def main(sf_dir, oracle_json, n=5):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(oracle_json))
+    out = {}
+    for name in BENCH:
+        sql = oracle.get(name)
+        if sql is None:
+            print(f"-- {name}: no oracle SQL, skipped")
+            continue
+        con.sql(sql).fetchall()  # warm the file cache / plan
+        best = min(
+            (lambda t0: (con.sql(sql).fetchall(), time.perf_counter() - t0)[1])(time.perf_counter())
+            for _ in range(n))
+        out[name] = round(best, 6)
+        print(f"   {name}: {best:.3f}s")
+    meta = {"sf_dir": sf_dir, "n": int(n), "threads":
+            con.sql("SELECT current_setting('threads')").fetchone()[0]}
+    dest = os.path.join(os.path.dirname(__file__), "..", "duckdb_baseline.json")
+    with open(dest, "w") as f:
+        json.dump({"queries": out, "meta": meta}, f, indent=1, sort_keys=True)
+    print(f"wrote {os.path.abspath(dest)}")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 5)

@@ -58,13 +58,36 @@ object Bench {
     val qs = results.map { case (k, v) =>
       jstr(k) + ":" + v.fold(_ => "-1", _.toString)
     }.mkString("{", ",", "}")
+    // external anchor: DuckDB min-of-N wall-times for the SAME oracle SQL
+    // on the SAME parquet (scripts/duckdb_bench.py → duckdb_baseline.json,
+    // provenance in BASELINE.md). ratio = spark/duckdb per query; queries
+    // whose pipeline has no SQL oracle (e.g. seeded-xxhash minhash) carry
+    // no ratio. Missing/unreadable anchor file ⇒ fields omitted.
+    val duckRef: Map[String, Double] = {
+      val candidates = Seq(sys.env.getOrElse("SPARK_GRAFT_DUCKDB_BASELINE", ""),
+        "duckdb_baseline.json", "/root/repo/duckdb_baseline.json")
+      candidates.filter(_.nonEmpty).map(new java.io.File(_)).find(_.isFile).map { f =>
+        import scala.jdk.CollectionConverters._
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        root.get("queries").fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble).toMap
+      }.getOrElse(Map.empty)
+    }
+    val anchorFields = if (duckRef.isEmpty) "" else {
+      val refs = results.collect { case (k, _) if duckRef.contains(k) =>
+        jstr(k) + ":" + duckRef(k) }
+      val ratios = results.collect { case (k, Right(t)) if duckRef.contains(k) && duckRef(k) > 0 =>
+        jstr(k) + ":" + f"${t / duckRef(k)}%.3f" }
+      refs.mkString(""","duckdb_ref":{""", ",", "}") +
+        ratios.mkString(""","spark_over_duckdb":{""", ",", "}")
+    }
     val errs = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     // any failure poisons the headline number: a crashed query must never
     // make the total LOOK faster (0-contribution would)
     val total =
       if (errs.nonEmpty) -1.0 else results.map(_._2.getOrElse(0.0)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$anchorFields,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -91,6 +91,27 @@ object ProbeScale {
         m = 8, ksub = 16, sampleSize = 2048)
       val (tPq, nPq) = time2(
         graft.functions.Pq.topK(queries, emb, "vec_id", "embedding", pqBooks, 10).count())
+
+      // persistent-index paths: the corpus grows 16×, the PROBE set stays
+      // fixed — a scale-clean index probe should grow with the probed
+      // slice (nProbe/nCells of the corpus; a constant-size delta for
+      // spans), never with the corpus-wide pass the build already paid
+      import graft.operators.AnnIndex
+      val idxBase = s"target/probe_idx/x$factor"
+      def time1(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }
+      val tBuildIvfPq = time1(AnnIndex.buildIvfPq(
+        emb, "vec_id", "embedding", s"$idxBase/ivfpq", pqBooks, nCells = 16))
+      val (tProbeIvfPq, nProbeIvfPq) = time2(AnnIndex.probeIvfPq(
+        spark, s"$idxBase/ivfpq", queries, "vec_id", "embedding", 10, nProbe = 4).count())
+      val tBuildGram = time1(AnnIndex.buildGramIndex(
+        d, "doc_id", "text", s"probe_grams_x$factor", k = 3))
+      // constant-size probe delta: the FIRST copy's tail slice at every factor
+      val delta = docs.where(col("doc_id") % 16 === 0)
+      val (tProbeSpans, nProbeSpans) = time2(AnnIndex.probeSpans(
+        spark, s"probe_grams_x$factor", delta, "doc_id", "text", k = 3, minSpan = 5).count())
+
       println(f"[scale] x$factor%-3d dedup_exact=$tDedup%7.0f ms ($nDedup rows)  " +
         f"minhash=$tMinhash%7.0f ms ($nMinhash rows)  " +
         f"sessionize=$tSess%7.0f ms ($nSess rows)  sessionize_skewsafe=$tSessSafe%7.0f ms  " +
@@ -98,6 +119,15 @@ object ProbeScale {
         f"ann_pq=$tPq%7.0f ms ($nPq)  " +
         f"contamination=$tCont%7.0f ms ($nCont rows)  " +
         f"substring_spans=$tSpans%7.0f ms ($nSpans rows)")
+      println(f"[scale-idx] x$factor%-3d ivfpq_build=$tBuildIvfPq%7.0f ms  " +
+        f"ivfpq_probe=$tProbeIvfPq%7.0f ms ($nProbeIvfPq)  " +
+        f"gram_build=$tBuildGram%7.0f ms  " +
+        f"spans_probe=$tProbeSpans%7.0f ms ($nProbeSpans rows, fixed-size delta)")
+      // factor hygiene: the index builds/tables of THIS factor must not
+      // bleed memory pressure into the NEXT factor's measurements (first
+      // observed as a 5× minhash-x16 inflation vs the standalone sweep)
+      spark.sql(s"DROP TABLE IF EXISTS probe_grams_x$factor")
+      spark.catalog.clearCache()
       d.unpersist(); e.unpersist(); emb.unpersist()
     }
     spark.stop()

@@ -371,6 +371,65 @@ object AnnIndex {
       .select(col("idA"), col("idB"), col("est_jaccard"))
   }
 
+  // ---- exact dedup: persistent fingerprint catalog ----
+
+  /** Persist the corpus's exact-dedup state ([[Dedup.exact]] semantics):
+    * one row per distinct canonical-text fingerprint with its winning
+    * (minimum) id and duplicate count, as a bucketed+sorted catalog table
+    * keyed by the fingerprint. The exact-dedup member of the persistent-
+    * index family: screening NEW data against an indexed 100 TB corpus
+    * becomes a delta-sized bucket-aligned join instead of a corpus
+    * re-scan, and re-builds are incremental by construction (union the
+    * delta's fingerprint aggregate with the table and re-aggregate).
+    */
+  def buildFingerprint(df: DataFrame, idCol: String, textCol: String,
+      tableName: String, buckets: Int = 32): Unit =
+    replaceTable(
+      df.select(col(idCol).as("__id"),
+          graft.functions.TextFunctions.fingerprint(col(textCol)).as("__fp"))
+        .groupBy("__fp")
+        .agg(min(col("__id")).as("__id"), count(lit(1)).as("__n")),
+      tableName, "__fp", buckets)
+
+  /** Screen a delta against a [[buildFingerprint]] index: one row per
+    * delta document with `dup_of` = the corpus winner id when its
+    * canonical text is already indexed, null when the document is new —
+    * the incremental-ingest twin of [[Dedup.exact]]. The delta is
+    * fingerprinted in-flight and shuffled INTO the table's bucketing; the
+    * indexed corpus is read pre-bucketed (no Exchange) and never
+    * re-fingerprinted, so every shuffle in the probe is delta-sized.
+    */
+  def probeFingerprint(spark: SparkSession, tableName: String, delta: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    delta.select(col(idCol),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .join(spark.table(tableName).select(col("__fp"), col("__id").as("dup_of")),
+        Seq("__fp"), "left")
+      .select(col(idCol), col("dup_of"))
+
+  /** Fold a delta INTO a [[buildFingerprint]] index: union the delta's
+    * fingerprint aggregate with the table and re-aggregate (min winner,
+    * summed counts — associative, so ingest order cannot change the
+    * result). The table side arrives pre-bucketed; only the delta and the
+    * merged aggregate shuffle. The rewrite is a full table replace —
+    * atomic at the catalog level, the same contract as the build.
+    */
+  def updateFingerprint(spark: SparkSession, tableName: String, delta: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 32): Unit = {
+    val deltaAgg = delta.select(col(idCol).as("__id"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .groupBy("__fp")
+      .agg(min(col("__id")).as("__id"), count(lit(1)).as("__n"))
+    val merged = spark.table(tableName).unionByName(deltaAgg)
+      .groupBy("__fp")
+      .agg(min(col("__id")).as("__id"), sum(col("__n")).as("__n"))
+    // the merged plan READS the table it will replace: materialize it
+    // fully before the replace drops the files underneath the scan
+    val rows = Materialize.once(merged)
+    rows.count()
+    replaceTable(rows, tableName, "__fp", buckets)
+  }
+
   // ---- substring dedup: persistent duplicated-gram index ----
 
   /** Persist the duplicated-gram set of [[Dedup.duplicateSpans]] (k-gram

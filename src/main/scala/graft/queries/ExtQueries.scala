@@ -157,6 +157,43 @@ object ExtQueries {
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
   }
 
+  /** Model-based quality scoring under the literal fixture weights
+    * (OracleFixtures.QmWeights): the logistic logit over
+    * QualityModel.featureVector, oracled term-for-term — each feature is
+    * a ratio of counts the q_quality oracle already replays, the weights
+    * are literal dyadics, and the add chain associates left-to-right in
+    * both engines, so logit and the keep decision (logit > 0) hash-match
+    * bit-exactly. The TRAINED path (QualityModel.trainLogistic) is
+    * iterative float and keeps its ScalaTest gate (QualityModelSpec).
+    */
+  private val qualityModelQ = q("q_quality_model", {
+    val w = OracleFixtures.QmWeights
+    raw"""SELECT doc_id,
+              round((1.0)*(${w(0)})
+                  + (alpha / greatest(n_chars, 1.0))*(${w(1)})
+                  + (punct / greatest(n_chars, 1.0))*(${w(2)})
+                  + ((n_chars / greatest(n_words, 1.0)) / 12.0)*(${w(3)})
+                  + (least(uniq / greatest(n_words, 1.0), 1.0))*(${w(4)})
+                  + (least(n_words / 100.0, 1.0))*(${w(5)}), 6) AS logit,
+              ((1.0)*(${w(0)})
+                  + (alpha / greatest(n_chars, 1.0))*(${w(1)})
+                  + (punct / greatest(n_chars, 1.0))*(${w(2)})
+                  + ((n_chars / greatest(n_words, 1.0)) / 12.0)*(${w(3)})
+                  + (least(uniq / greatest(n_words, 1.0), 1.0))*(${w(4)})
+                  + (least(n_words / 100.0, 1.0))*(${w(5)})) > 0 AS keep
+       FROM (
+         SELECT doc_id,
+           length(trim(text)) * 1.0 AS n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) * 1.0 AS n_words,
+           length(regexp_replace(trim(text), '[^\p{L}]', '', 'g')) * 1.0 AS alpha,
+           length(regexp_replace(trim(text), '[^[:punct:]]', '', 'g')) * 1.0 AS punct,
+           len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1.0 AS uniq
+         FROM documents) f"""
+  }) { (s, d) =>
+    graft.operators.QualityModel.scoreDocs(
+      Tables.df(s, d, "documents"), "doc_id", "text", OracleFixtures.QmWeights)
+  }
+
   private val qualityGateQ = q("q_quality_gate",
     // per-source above-average quality filter. The threshold is an EXACT
     // per-source mean: round-6 qualities scaled to integer micros, summed
@@ -517,6 +554,37 @@ object ExtQueries {
     AnnIndex.probeMinhash(s, "graft_mh_idx",
       docs.withColumn("doc_id", col("doc_id") + 10000), "doc_id", "text",
       shingle = 3, numHashes = 64, bands = 16, threshold = 0.7)
+  }
+
+  /** Incremental exact dedup through the persistent fingerprint catalog:
+    * the corpus's canonical-text fingerprints live in a bucketed table;
+    * the delta (shifted ids, a third of the texts made novel) probes it
+    * and every document gets a dup-or-new verdict without re-scanning the
+    * corpus. Fully oracle-gated — md5-over-canonical-text replays exactly
+    * in SQL, making this the one persistent-index probe whose PRODUCTION
+    * hash is already DuckDB-expressible (the LSH indexes need fixture
+    * twins for that).
+    */
+  private val dedupExactIndexedQ = q("q_dedup_exact_indexed",
+    """WITH corpus_fp AS (
+         SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                MIN(doc_id) AS dup_of
+         FROM documents GROUP BY 1),
+       delta AS (
+         SELECT doc_id + 10000 AS doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN concat(text, ' novel') ELSE text END AS text
+         FROM documents)
+       SELECT d.doc_id, c.dup_of
+       FROM (SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             FROM delta) d
+       LEFT JOIN corpus_fp c USING (fp)""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    AnnIndex.buildFingerprint(docs, "doc_id", "text", "graft_fp_idx")
+    val delta = docs.select((col("doc_id") + 10000).as("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(" novel")))
+        .otherwise(col("text")).as("text"))
+    AnnIndex.probeFingerprint(s, "graft_fp_idx", delta, "doc_id", "text")
   }
 
   /** The persistent-index probe path under the fixture hash family: the
@@ -1302,9 +1370,9 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     profileQ, profileNumericQ, profileTopQ,
     repetitionQ, contaminationQ, pipelineQ,
-    dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ,
+    dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ,
+    minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ,

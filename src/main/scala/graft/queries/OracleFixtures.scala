@@ -155,6 +155,13 @@ object OracleFixtures {
                   (a, v) -> (a*1000003 + v) % $p)) AS bh FROM sig)"""
   }
 
+  // ---- Quality-model fixture: literal logistic weights over the
+  // QualityModel.featureVector order [bias, alpha_ratio, punct_ratio,
+  // mean_word_len/12, min(distinct_ratio,1), min(n_words/100,1)]. Dyadic
+  // values, and the logit is a fixed left-to-right chain of rational
+  // arithmetic — no transcendentals — so both engines round identically.
+  val QmWeights: Seq[Double] = Seq(-1.5, 2.0, -4.0, 0.5, 1.25, 0.75)
+
   /** Banding → candidate pairs → first-agree filter → signature-agreement
     * threshold over the [[minhashSigCtes]] `bh` CTE — ONE definition for
     * the batch fixture twin (`pairWhere` = "l.doc_id < r.doc_id") and the

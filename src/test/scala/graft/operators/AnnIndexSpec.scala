@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 class AnnIndexSpec extends AnyFunSuite {
@@ -93,6 +93,59 @@ class AnnIndexSpec extends AnyFunSuite {
       assert(got.exists { case (a, b, j) => a == b + 10000 && j == 1.0 })
     } finally spark.sql("DROP TABLE IF EXISTS mh_idx_spec")
       .collect() -> spark.sql("DROP TABLE IF EXISTS mh_idx_spec_sigs").collect()
+  }
+
+  test("probeFingerprint: dup-or-new verdicts match batch exact-dedup semantics") {
+    val corpus = docs()
+    AnnIndex.buildFingerprint(corpus, "doc_id", "text", "fp_idx_spec", buckets = 4)
+    try {
+      // delta: doc 0's text verbatim (dup), doc 1 with novel text (new),
+      // a whitespace/case variant of doc 2 (dup via canonicalization)
+      val delta = Seq(
+        (100L, corpus.where(col("doc_id") === 0).head.getString(1)),
+        (101L, "entirely novel text never indexed"),
+        (102L, "  " + corpus.where(col("doc_id") === 2).head.getString(1).toUpperCase + "  ")
+      ).toDF("doc_id", "text")
+      val got = AnnIndex.probeFingerprint(spark, "fp_idx_spec", delta, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      assert(got(100L).contains(0L), "verbatim copy must resolve to the corpus winner")
+      assert(got(101L).isEmpty, "novel text must be null (new)")
+      assert(got(102L).contains(2L), "canonicalization variant must still resolve")
+      // winner is the MINIMUM corpus id per fingerprint (Dedup.exact rule)
+      val dupOf = AnnIndex.probeFingerprint(spark, "fp_idx_spec",
+        corpus.withColumn("doc_id", col("doc_id") + 500), "doc_id", "text")
+      val want = Dedup.exact(corpus, "doc_id", "text")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).head.getLong(0)
+      assert(dupOf.select("dup_of").distinct().count() == want,
+        "distinct winners must equal the batch exact-dedup group count")
+    } finally spark.sql("DROP TABLE IF EXISTS fp_idx_spec").collect()
+  }
+
+  test("updateFingerprint: incremental ingest equals a fresh build on the union") {
+    val corpus = docs()
+    val half1 = corpus.where(col("doc_id") < 200)
+    val half2 = corpus.where(col("doc_id") >= 200)
+      // overlap: re-ingest two docs verbatim so counts must MERGE, and the
+      // min-id winner rule must hold across the boundary
+      .unionByName(corpus.where(col("doc_id") === 0).withColumn("doc_id", lit(999L)))
+    AnnIndex.buildFingerprint(half1, "doc_id", "text", "fp_inc_spec", buckets = 4)
+    AnnIndex.updateFingerprint(spark, "fp_inc_spec", half2, "doc_id", "text", buckets = 4)
+    AnnIndex.buildFingerprint(corpus.unionByName(
+        corpus.where(col("doc_id") === 0).withColumn("doc_id", lit(999L))),
+      "doc_id", "text", "fp_full_spec", buckets = 4)
+    try {
+      val inc = spark.table("fp_inc_spec").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val full = spark.table("fp_full_spec").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(inc == full && inc.nonEmpty)
+      // the overlapped doc's fingerprint kept the ORIGINAL min id, count 2
+      val dup = AnnIndex.probeFingerprint(spark, "fp_inc_spec",
+        corpus.where(col("doc_id") === 0).withColumn("doc_id", lit(5000L)),
+        "doc_id", "text").head
+      assert(dup.getLong(1) == 0L)
+    } finally Seq("fp_inc_spec", "fp_full_spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t").collect())
   }
 
   test("probeMinhashFixture == batch fixture twin restricted to delta-vs-corpus pairs") {

@@ -942,6 +942,40 @@ object Queries {
       .limit(20)
   }
 
+  /** TPC-H Q15 shape (top supplier): suppliers whose quarterly revenue
+    * equals the maximum — the correlated scalar-subquery pattern. The
+    * revenue view is computed ONCE (materialized, two consumers: the rows
+    * and their max); the scalar max is a 1-row broadcast, so the filter is
+    * map-side — never a re-scan of the aggregate per row, never a global
+    * sort. Revenue goes through exact DECIMAL → round(2) → double, so the
+    * equality against the max cannot flip on summation order.
+    */
+  private val q15ish = q("q_q15",
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""") { (s, d) =>
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+    val revenue = graft.operators.Materialize.once(
+      Tables.df(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(rev), 2).cast("double").as("total_revenue")))
+    val top = revenue.agg(max(col("total_revenue")).as("__max"))
+    revenue.join(broadcast(top), col("total_revenue") === col("__max"))
+      .join(broadcast(Tables.df(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
   private val windowLagQ = q("q_window_lag",
     """SELECT event_id,
               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -983,7 +1017,7 @@ object Queries {
     filterByQ, removeByQ, cogroupQ, cogroup3Q, cogroup4Q, cogroup3FoldQ, groupByQ, groupStatsQ, topByQ,
     reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
     foldJuxtQ,
-    q1, q5ish, q3ish, q6, q10ish, q14ish, q18ish, q4ish, q16ish, q21ish,
+    q1, q5ish, q3ish, q6, q10ish, q14ish, q18ish, q4ish, q16ish, q21ish, q15ish,
     windowLagQ, windowRunningQ, eventsAggQ)
 
   val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all

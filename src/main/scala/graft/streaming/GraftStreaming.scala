@@ -474,6 +474,75 @@ object GraftStreaming {
       .partitionBy("__cell")
       .parquet(s"$path/batch=$batchId")
 
+  /** Stream documents INTO the persistent exact-dedup fingerprint catalog
+    * ([[graft.operators.AnnIndex.buildFingerprint]] layout): each
+    * microbatch folds into the bucketed table via the associative
+    * (min-winner, summed-count) merge
+    * ([[graft.operators.AnnIndex.updateFingerprint]]; the first batch
+    * builds the table). A sidecar batch mark skips microbatch ids already
+    * ingested, so the normal replay path is a no-op.
+    *
+    * Replay contract, stated honestly: the catalog is an AGGREGATE, so
+    * the `batch=<id>` wholesale-overwrite trick of [[indexStreamIvfPq]]
+    * does not apply, and the table replace and the mark write are not one
+    * atomic move. A crash in that window re-applies one batch, which can
+    * only INFLATE `__n` (duplicate counts) — the dedup VERDICTS are
+    * replay-proof regardless, because the winner rule is `min` (re-merging
+    * the same batch is idempotent on winners) — spec-gated. Pipelines
+    * needing exactly-once counts should re-derive them batch-side.
+    */
+  def indexStreamFingerprint(stream: DataFrame, idCol: String, textCol: String,
+      tableName: String, checkpoint: String, buckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestFingerprintBatch(batch, idCol, textCol, tableName, buckets, batchId)
+      }
+      .start()
+
+  /** One microbatch of [[indexStreamFingerprint]] — package-visible so the
+    * replay spec can drive it with explicit batch ids.
+    */
+  private[graft] def ingestFingerprintBatch(batch: DataFrame, idCol: String,
+      textCol: String, tableName: String, buckets: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val exists = spark.catalog.tableExists(tableName)
+    // a dropped/absent table invalidates any stale mark left behind by a
+    // previous stream over the same name
+    val mark = if (exists) readBatchMark(spark, tableName) else -1L
+    if (batchId > mark) {
+      if (exists)
+        graft.operators.AnnIndex.updateFingerprint(spark, tableName, batch, idCol, textCol, buckets)
+      else
+        graft.operators.AnnIndex.buildFingerprint(batch, idCol, textCol, tableName, buckets)
+      writeBatchMark(spark, tableName, batchId)
+    }
+  }
+
+  private def markPath(spark: SparkSession, tableName: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      tableName + "__batchmark")
+
+  private def readBatchMark(spark: SparkSession, tableName: String): Long = {
+    val p = markPath(spark, tableName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new java.io.BufferedReader(new java.io.InputStreamReader(in)).readLine().trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeBatchMark(spark: SparkSession, tableName: String, batchId: Long): Unit = {
+    val p = markPath(spark, tableName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+  }
+
   // ---- sinks ----
 
   /** `writeStream` to files with checkpointing; returns the query handle.

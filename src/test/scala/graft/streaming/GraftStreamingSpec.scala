@@ -404,6 +404,41 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("indexStreamFingerprint: streamed catalog equals a batch build; verdicts replay-proof") {
+    import spark.implicits._
+    val texts = (0L until 60L).map(i => (i, s"document body number ${i % 20} shared text")) // 3x dups
+    val df = texts.toDF("doc_id", "text")
+    val table = "fp_stream_idx"
+    Seq(table).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t").collect())
+    try {
+      // drive microbatches directly (the foreachBatch body, explicit ids)
+      val (b1, b2) = texts.splitAt(30)
+      GraftStreaming.ingestFingerprintBatch(b1.toDF("doc_id", "text"),
+        "doc_id", "text", table, buckets = 4, batchId = 0L)
+      GraftStreaming.ingestFingerprintBatch(b2.toDF("doc_id", "text"),
+        "doc_id", "text", table, buckets = 4, batchId = 1L)
+      def state() = spark.table(table).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val streamed = state()
+      graft.operators.AnnIndex.buildFingerprint(df, "doc_id", "text", "fp_stream_full", buckets = 4)
+      val batchBuilt = spark.table("fp_stream_full").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batchBuilt && streamed.nonEmpty)
+      // normal replay (mark guard): same batch id again is a NO-OP
+      GraftStreaming.ingestFingerprintBatch(b2.toDF("doc_id", "text"),
+        "doc_id", "text", table, buckets = 4, batchId = 1L)
+      assert(state() == batchBuilt, "guarded replay must not change the catalog")
+      // crash-window replay (mark lost): counts may inflate, but WINNERS
+      // are idempotent under min — the dedup verdicts cannot change
+      graft.operators.AnnIndex.updateFingerprint(spark, table,
+        b2.toDF("doc_id", "text"), "doc_id", "text", buckets = 4)
+      val winners = state().map(t => (t._1, t._2))
+      assert(winners == batchBuilt.map(t => (t._1, t._2)),
+        "winner ids must survive an unguarded batch re-apply")
+    } finally Seq(table, "fp_stream_full")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t").collect())
+  }
+
   test("indexStreamIvfPq: streamed code rows probe identically to the batch-built index") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

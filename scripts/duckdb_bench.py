@@ -17,9 +17,19 @@ import sys, os, json, time
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-BENCH = ["q_q1", "q_revenue_by_nation", "q_window_lag", "q_pipeline",
-         "q_dedup_exact", "q_dedup_minhash", "q_ann_cosine", "q_sessionize",
-         "q_substring_spans"]
+# fallback only: the authority is bench_set.json written by graft.Verify
+# next to oracle_sql.json (QueryDef.bench) — read when present so this
+# list cannot silently drift when the bench set changes
+BENCH_FALLBACK = ["q_q1", "q_revenue_by_nation", "q_window_lag", "q_pipeline",
+                  "q_dedup_exact", "q_dedup_minhash", "q_ann_cosine", "q_sessionize",
+                  "q_substring_spans"]
+
+def bench_set(oracle_json):
+    p = os.path.join(os.path.dirname(oracle_json), "bench_set.json")
+    if os.path.exists(p):
+        return json.load(open(p))
+    print(f"-- {p} not found; using the hardcoded fallback bench list")
+    return BENCH_FALLBACK
 
 def main(sf_dir, oracle_json, n=5):
     con = duckdb.connect()
@@ -27,7 +37,7 @@ def main(sf_dir, oracle_json, n=5):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(oracle_json))
     out = {}
-    for name in BENCH:
+    for name in bench_set(oracle_json):
         sql = oracle.get(name)
         if sql is None:
             print(f"-- {name}: no oracle SQL, skipped")

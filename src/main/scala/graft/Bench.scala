@@ -66,18 +66,24 @@ object Bench {
     val duckRef: Map[String, Double] = {
       val candidates = Seq(sys.env.getOrElse("SPARK_GRAFT_DUCKDB_BASELINE", ""),
         "duckdb_baseline.json", "/root/repo/duckdb_baseline.json")
-      candidates.filter(_.nonEmpty).map(new java.io.File(_)).find(_.isFile).map { f =>
-        import scala.jdk.CollectionConverters._
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-        root.get("queries").fields().asScala
-          .map(e => e.getKey -> e.getValue.asDouble).toMap
+      candidates.filter(_.nonEmpty).map(new java.io.File(_)).find(_.isFile).flatMap { f =>
+        // a corrupt/partial anchor must never take down the PRIMARY bench
+        // output — unreadable ⇒ fields omitted, same as missing
+        scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          Option(root.get("queries")).map(_.fields().asScala
+            .map(e => e.getKey -> e.getValue.asDouble).toMap)
+        }.toOption.flatten
       }.getOrElse(Map.empty)
     }
     val anchorFields = if (duckRef.isEmpty) "" else {
       val refs = results.collect { case (k, _) if duckRef.contains(k) =>
         jstr(k) + ":" + duckRef(k) }
+      // locale-independent rounding (an f"%.3f" would emit a comma decimal
+      // separator — invalid JSON — under e.g. de_DE default locale)
       val ratios = results.collect { case (k, Right(t)) if duckRef.contains(k) && duckRef(k) > 0 =>
-        jstr(k) + ":" + f"${t / duckRef(k)}%.3f" }
+        jstr(k) + ":" + (math.rint(t / duckRef(k) * 1000) / 1000).toString }
       refs.mkString(""","duckdb_ref":{""", ",", "}") +
         ratios.mkString(""","spark_over_duckdb":{""", ",", "}")
     }

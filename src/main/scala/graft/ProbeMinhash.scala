@@ -52,10 +52,10 @@ object ProbeMinhash {
       }
       import graft.functions.HashExpressions
       val sig = graft.operators.Dedup.minhashSignature(col("text"), 3, 64)
-      // sum(element_at) forces the full kernel per row (custom expression:
-      // no partial pruning), while aggregating to one tiny row
-      // max, not sum: signature values span the full long range and an
-      // 80k-row ANSI sum overflows; max still forces the kernel per row
+      // max over element_at forces the full kernel per row (custom
+      // expression: no partial pruning) while aggregating to one tiny
+      // row; NOT sum — signature values span the full long range and an
+      // 80k-row ANSI sum overflows
       t("signatures") {
         scaled.select(element_at(sig, 1).as("s1"))
           .agg(max(col("s1"))).head.getLong(0)

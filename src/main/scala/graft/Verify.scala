@@ -40,6 +40,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the bench set, exported from the ONE authority (QueryDef.bench) so
+    // external anchors (scripts/duckdb_bench.py) cannot drift from it;
+    // a separate file keeps oracle_sql.json's name→sql shape untouched
+    Files.writeString(Paths.get(s"$outDir/bench_set.json"),
+      graft.queries.Queries.all.filter(_.bench).map(qd => q(qd.name))
+        .mkString("[", ",", "]"))
     spark.stop()
   }
 }

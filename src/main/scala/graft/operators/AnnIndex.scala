@@ -423,11 +423,31 @@ object AnnIndex {
     val merged = spark.table(tableName).unionByName(deltaAgg)
       .groupBy("__fp")
       .agg(min(col("__id")).as("__id"), sum(col("__n")).as("__n"))
-    // the merged plan READS the table it will replace: materialize it
-    // fully before the replace drops the files underneath the scan
-    val rows = Materialize.once(merged)
-    rows.count()
-    replaceTable(rows, tableName, "__fp", buckets)
+    // stage-then-swap, NOT drop-then-rewrite: a crash inside a drop-first
+    // replace would lose the ACCUMULATED catalog and leave only the
+    // replayed batch after recovery. The merged state lands complete
+    // under the staging name first; only then is the old table dropped
+    // and the staging table renamed in. A crash between drop and rename
+    // leaves the complete staging table for [[recoverFingerprint]].
+    val staging = stagingName(tableName)
+    replaceTable(merged, staging, "__fp", buckets)
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$tableName`")
+  }
+
+  private[graft] def stagingName(tableName: String): String = tableName + "__staging"
+
+  /** Recover from a crash between [[updateFingerprint]]'s drop and rename:
+    * if the live table is gone but a complete staging table exists, rename
+    * it in. Returns true when the table exists afterwards.
+    */
+  private[graft] def recoverFingerprint(spark: SparkSession, tableName: String): Boolean = {
+    val exists = spark.catalog.tableExists(tableName)
+    val staged = spark.catalog.tableExists(stagingName(tableName))
+    if (!exists && staged) {
+      spark.sql(s"ALTER TABLE `${stagingName(tableName)}` RENAME TO `$tableName`")
+      true
+    } else exists
   }
 
   // ---- substring dedup: persistent duplicated-gram index ----

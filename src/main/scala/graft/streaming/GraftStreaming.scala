@@ -484,12 +484,17 @@ object GraftStreaming {
     *
     * Replay contract, stated honestly: the catalog is an AGGREGATE, so
     * the `batch=<id>` wholesale-overwrite trick of [[indexStreamIvfPq]]
-    * does not apply, and the table replace and the mark write are not one
-    * atomic move. A crash in that window re-applies one batch, which can
-    * only INFLATE `__n` (duplicate counts) — the dedup VERDICTS are
-    * replay-proof regardless, because the winner rule is `min` (re-merging
-    * the same batch is idempotent on winners) — spec-gated. Pipelines
-    * needing exactly-once counts should re-derive them batch-side.
+    * does not apply. The update is stage-then-swap (the merged state
+    * lands complete under a staging name before the old table drops;
+    * a crash between drop and rename is healed by
+    * [[graft.operators.AnnIndex.recoverFingerprint]] at the next batch),
+    * so no crash can lose accumulated state — but the swap and the mark
+    * write are still not one atomic move, and a crash in that window
+    * re-applies one batch, which can only INFLATE `__n` (duplicate
+    * counts). The dedup VERDICTS are replay-proof regardless, because the
+    * winner rule is `min` (re-merging the same batch is idempotent on
+    * winners) — spec-gated. Pipelines needing exactly-once counts should
+    * re-derive them batch-side.
     */
   def indexStreamFingerprint(stream: DataFrame, idCol: String, textCol: String,
       tableName: String, checkpoint: String, buckets: Int = 32)
@@ -497,47 +502,78 @@ object GraftStreaming {
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestFingerprintBatch(batch, idCol, textCol, tableName, buckets, batchId)
+        ingestFingerprintBatch(batch, idCol, textCol, tableName, buckets, batchId, checkpoint)
       }
       .start()
 
   /** One microbatch of [[indexStreamFingerprint]] — package-visible so the
-    * replay spec can drive it with explicit batch ids.
+    * replay spec can drive it with explicit batch ids. The mark is scoped
+    * to (table, CHECKPOINT): batch ids restart at 0 under a fresh
+    * checkpoint, so a per-table mark would silently discard the first
+    * mark+1 microbatches of a new stream appending to an existing table.
     */
   private[graft] def ingestFingerprintBatch(batch: DataFrame, idCol: String,
-      textCol: String, tableName: String, buckets: Int, batchId: Long): Unit = {
+      textCol: String, tableName: String, buckets: Int, batchId: Long,
+      checkpoint: String): Unit = {
     val spark = batch.sparkSession
-    val exists = spark.catalog.tableExists(tableName)
+    // crash between updateFingerprint's drop and rename leaves the live
+    // name absent but the complete staging table present — rename it in
+    val exists = graft.operators.AnnIndex.recoverFingerprint(spark, tableName)
     // a dropped/absent table invalidates any stale mark left behind by a
-    // previous stream over the same name
-    val mark = if (exists) readBatchMark(spark, tableName) else -1L
+    // previous stream over the same name — DELETE them, not just ignore:
+    // a later ingest under the same checkpoint string would otherwise
+    // read the stale mark back and silently skip its first batches
+    if (!exists) clearBatchMarks(spark, tableName)
+    val mark = if (exists) readBatchMark(spark, tableName, checkpoint) else -1L
     if (batchId > mark) {
       if (exists)
         graft.operators.AnnIndex.updateFingerprint(spark, tableName, batch, idCol, textCol, buckets)
       else
         graft.operators.AnnIndex.buildFingerprint(batch, idCol, textCol, tableName, buckets)
-      writeBatchMark(spark, tableName, batchId)
+      writeBatchMark(spark, tableName, checkpoint, batchId)
     }
   }
 
-  private def markPath(spark: SparkSession, tableName: String): org.apache.hadoop.fs.Path =
+  private def markPath(spark: SparkSession, tableName: String, checkpoint: String): org.apache.hadoop.fs.Path = {
+    // scope by checkpoint identity so a new stream (fresh batch ids) over
+    // the same table starts from mark -1 instead of inheriting the old one
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
-      tableName + "__batchmark")
+      s"${tableName}__batchmark_$tag")
+  }
 
-  private def readBatchMark(spark: SparkSession, tableName: String): Long = {
-    val p = markPath(spark, tableName)
+  /** Drop every checkpoint-scoped mark for `tableName` — called when the
+    * table itself is absent (fresh build), so no stream can inherit a mark
+    * from a dropped predecessor table of the same name.
+    */
+  private def clearBatchMarks(spark: SparkSession, tableName: String): Unit = {
+    val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val glob = new org.apache.hadoop.fs.Path(warehouse, s"${tableName}__batchmark_*")
+    Option(fs.globStatus(glob)).getOrElse(Array.empty)
+      .foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** Unreadable/empty/garbage marks degrade to -1 (one batch re-applies —
+    * the documented at-least-once count contract), never a crash loop: a
+    * crash between `fs.create`'s truncate and the write leaves a 0-byte
+    * file in exactly the window this scheme exists to tolerate.
+    */
+  private def readBatchMark(spark: SparkSession, tableName: String, checkpoint: String): Long = {
+    val p = markPath(spark, tableName, checkpoint)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) -1L
-    else {
+    else scala.util.Try {
       val in = fs.open(p)
       try new java.io.BufferedReader(new java.io.InputStreamReader(in)).readLine().trim.toLong
       finally in.close()
-    }
+    }.getOrElse(-1L)
   }
 
-  private def writeBatchMark(spark: SparkSession, tableName: String, batchId: Long): Unit = {
-    val p = markPath(spark, tableName)
+  private def writeBatchMark(spark: SparkSession, tableName: String, checkpoint: String, batchId: Long): Unit = {
+    val p = markPath(spark, tableName, checkpoint)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()

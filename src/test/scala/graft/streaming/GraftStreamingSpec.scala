@@ -412,11 +412,12 @@ class GraftStreamingSpec extends AnyFunSuite {
     Seq(table).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t").collect())
     try {
       // drive microbatches directly (the foreachBatch body, explicit ids)
+      val ckpt = "target/io_tmp/fp_stream_ckpt_a"
       val (b1, b2) = texts.splitAt(30)
       GraftStreaming.ingestFingerprintBatch(b1.toDF("doc_id", "text"),
-        "doc_id", "text", table, buckets = 4, batchId = 0L)
+        "doc_id", "text", table, buckets = 4, batchId = 0L, checkpoint = ckpt)
       GraftStreaming.ingestFingerprintBatch(b2.toDF("doc_id", "text"),
-        "doc_id", "text", table, buckets = 4, batchId = 1L)
+        "doc_id", "text", table, buckets = 4, batchId = 1L, checkpoint = ckpt)
       def state() = spark.table(table).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       val streamed = state()
@@ -426,7 +427,7 @@ class GraftStreamingSpec extends AnyFunSuite {
       assert(streamed == batchBuilt && streamed.nonEmpty)
       // normal replay (mark guard): same batch id again is a NO-OP
       GraftStreaming.ingestFingerprintBatch(b2.toDF("doc_id", "text"),
-        "doc_id", "text", table, buckets = 4, batchId = 1L)
+        "doc_id", "text", table, buckets = 4, batchId = 1L, checkpoint = ckpt)
       assert(state() == batchBuilt, "guarded replay must not change the catalog")
       // crash-window replay (mark lost): counts may inflate, but WINNERS
       // are idempotent under min — the dedup verdicts cannot change
@@ -435,8 +436,29 @@ class GraftStreamingSpec extends AnyFunSuite {
       val winners = state().map(t => (t._1, t._2))
       assert(winners == batchBuilt.map(t => (t._1, t._2)),
         "winner ids must survive an unguarded batch re-apply")
-    } finally Seq(table, "fp_stream_full")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t").collect())
+      // crash between updateFingerprint's drop and rename: live table
+      // gone, complete staging present — the next batch heals via
+      // recoverFingerprint instead of rebuilding from one batch
+      val staging = graft.operators.AnnIndex.stagingName(table)
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `$staging`")
+      val healedState = state _ // call only after recovery
+      GraftStreaming.ingestFingerprintBatch(
+        Seq((900L, "post crash new document")).toDF("doc_id", "text"),
+        "doc_id", "text", table, buckets = 4, batchId = 7L, checkpoint = ckpt)
+      assert(healedState().map(_._1).size > 1,
+        "recovered catalog must retain pre-crash fingerprints, not just the new batch")
+      assert(!spark.catalog.tableExists(staging), "staging must be renamed back in")
+      // fresh checkpoint over the SAME table: batch ids restart at 0 and
+      // must APPLY (a per-table mark would silently drop them)
+      val before = state()
+      GraftStreaming.ingestFingerprintBatch(
+        Seq((901L, "second stream novel document")).toDF("doc_id", "text"),
+        "doc_id", "text", table, buckets = 4, batchId = 0L,
+        checkpoint = "target/io_tmp/fp_stream_ckpt_b")
+      assert(state().size == before.size + 1,
+        "a fresh checkpoint's batch 0 must ingest into the existing table")
+    } finally Seq(table, "fp_stream_full", table + "__staging")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`").collect())
   }
 
   test("indexStreamIvfPq: streamed code rows probe identically to the batch-built index") {

@@ -1106,6 +1106,40 @@ object ExtQueries {
     wf.join(agg, "doc_id")
   }
 
+  /** The rest of the Gopher repetition family (Rae et al. 2021, Table A1):
+    * top-n-gram fraction and duplicated-n-gram fraction for n = 3, 4, 5 —
+    * one row per (doc, n). ONE pass over the corpus: each doc's token
+    * array expands to (n, gram-hash) pairs for all three n's in a single
+    * explode (no gram strings are built or shuffled — hashed identities
+    * only), then the same two-level hash aggregate as q_repetition. At
+    * 100 TB this is one narrow gram stage + one shuffle keyed by
+    * (doc, n, gram), never three corpus scans.
+    */
+  private val repetitionNgramsQ = q("q_repetition_ngrams",
+    raw"""WITH cnt AS (
+         SELECT doc_id, n, g, COUNT(*) AS c FROM (
+           SELECT doc_id, 3 AS n, g FROM (${gramsSql(3)}) g3
+           UNION ALL SELECT doc_id, 4 AS n, g FROM (${gramsSql(4)}) g4
+           UNION ALL SELECT doc_id, 5 AS n, g FROM (${gramsSql(5)}) g5
+         ) u GROUP BY 1, 2, 3)
+       SELECT doc_id, n,
+              round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_frac,
+              round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_frac
+       FROM cnt GROUP BY 1, 2""") { (s, d) =>
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    def tagged(n: Int) = transform(
+      graft.functions.HashExpressions.ngramHashesAll(toks, n),
+      g => struct(lit(n).as("n"), g.as("g")))
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"),
+        explode(flatten(array(tagged(3), tagged(4), tagged(5)))).as("t"))
+      .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n")
+      .agg(round(max("c").cast("double") / sum("c"), 6).as("top_frac"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum("c"), 6).as("dup_frac"))
+  }
+
   /** Benchmark decontamination: docs whose id is a multiple of 50 stand in
     * as the held-out benchmark; every other doc gets the containment of
     * its distinct 3-gram set in the pooled benchmark 3-grams.
@@ -1369,7 +1403,7 @@ object ExtQueries {
 
   val all: Seq[QueryDef] = Seq(
     profileQ, profileNumericQ, profileTopQ,
-    repetitionQ, contaminationQ, pipelineQ,
+    repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ,

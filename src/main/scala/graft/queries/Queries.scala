@@ -976,6 +976,137 @@ object Queries {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT join with
+    * the priority filter applied to the ORDERS side only (customers whose
+    * orders all fail the filter must still appear with c_count 0 — a
+    * post-join WHERE would drop them), then a second aggregation over the
+    * first. `count(o_orderkey)` counts matched rows only (nulls skipped).
+    * Both aggregates hash-shuffle on their keys; the second one's input
+    * is one row per customer, so the heavy shuffle happens exactly once.
+    */
+  private val q13ish = q("q_q13",
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+       FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             FROM customer LEFT JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             GROUP BY c_custkey) c_orders
+       GROUP BY c_count""") { (s, d) =>
+    Tables.df(s, d, "customer").select("c_custkey")
+      .join(Tables.df(s, d, "orders")
+          .where(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated scalar
+    * subquery `l_quantity < 0.2 * avg(quantity) per part` decorrelates to
+    * ONE per-part aggregate joined back to the fact — never a re-scan per
+    * probe row. The part-name filter broadcasts and prunes BOTH the
+    * aggregate and the probe side, and the per-part threshold relation
+    * (≤ |part| rows) broadcasts into the final join, so only the fact
+    * aggregate shuffles. Threshold and result go through exact DECIMAL
+    * sums (scale 2 — safe to cast straight to double) so the comparison
+    * boundary cannot flip between engines.
+    */
+  private val q17ish = q("q_q17",
+    """WITH pa AS (SELECT l_partkey,
+                          CAST(0.2 AS DOUBLE) * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                                 / COUNT(*)) AS threshold
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   WHERE p_name LIKE 'small%'
+                   GROUP BY l_partkey)
+       SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+       FROM lineitem JOIN pa USING (l_partkey)
+       WHERE l_quantity < threshold""") { (s, d) =>
+    val smallParts = broadcast(Tables.df(s, d, "part")
+      .where(col("p_name").like("small%")).select("p_partkey"))
+    val li = Tables.df(s, d, "lineitem")
+      .join(smallParts, col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val pa = li.groupBy("l_partkey")
+      .agg((lit(0.2) * (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)))).as("threshold"))
+    li.join(broadcast(pa), Seq("l_partkey"))
+      .where(col("l_quantity") < col("threshold"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q20 shape (excess-stock suppliers; partsupp-free adaptation):
+    * suppliers who shipped more than 15% of some red part's total
+    * quantity (threshold chosen so the result is non-empty at every
+    * test SF — parts have 16-36 suppliers, so shares top out near 0.2).
+    * The aggregate-threshold IN subquery plans as ONE
+    * (part, supplier) aggregate, a part-level window over that aggregate's
+    * (already small) output for the per-part total — no second fact scan —
+    * and a left-semi join into supplier. The window re-shuffles only
+    * aggregated rows, never lineitem.
+    */
+  private val q20ish = q("q_q20",
+    """WITH ps AS (SELECT l_partkey, l_suppkey,
+                          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   WHERE p_name LIKE 'red%'
+                   GROUP BY l_partkey, l_suppkey),
+       w AS (SELECT l_suppkey, CAST(supp_qty AS DOUBLE) AS sq,
+                    CAST(SUM(supp_qty) OVER (PARTITION BY l_partkey) AS DOUBLE) AS pq
+             FROM ps)
+       SELECT s_suppkey, s_name FROM supplier
+       WHERE s_suppkey IN (SELECT l_suppkey FROM w WHERE sq > CAST(0.15 AS DOUBLE) * pq)""") { (s, d) =>
+    val ps = Tables.df(s, d, "lineitem")
+      .join(broadcast(Tables.df(s, d, "part")
+          .where(col("p_name").like("red%")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("supp_qty"))
+    val byPart = Window.partitionBy(col("l_partkey"))
+    val qualifying = ps
+      .withColumn("pq", sum(col("supp_qty")).over(byPart).cast("double"))
+      .where(col("supp_qty").cast("double") > lit(0.15) * col("pq"))
+      .select("l_suppkey")
+    Tables.df(s, d, "supplier").select("s_suppkey", "s_name")
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+  }
+
+  /** TPC-H Q22 shape (wealthy customers who never placed an urgent
+    * order): a global scalar average (1-row broadcast → map-side filter,
+    * computed once) composed with a NOT EXISTS anti join — the only
+    * fact-sized shuffle is the anti join on custkey. Adapted to this
+    * dataset: grouping key is c_nationkey (no phone column), and the
+    * anti-join build side is priority-filtered (every customer here has
+    * SOME order, so the literal Q22 predicate would be vacuous).
+    */
+  private val q22ish = q("q_q22",
+    """WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*) AS avg_bal
+                   FROM customer WHERE c_acctbal > 0)
+       SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       FROM customer, ab
+       WHERE c_acctbal > avg_bal
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+       GROUP BY c_nationkey""") { (s, d) =>
+    val cust = Tables.df(s, d, "customer")
+    val avgBal = cust.where(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    cust.select("c_custkey", "c_nationkey", "c_acctbal")
+      .crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.df(s, d, "orders")
+          .where(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+  }
+
   private val windowLagQ = q("q_window_lag",
     """SELECT event_id,
               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -1018,6 +1149,7 @@ object Queries {
     reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
     foldJuxtQ,
     q1, q5ish, q3ish, q6, q10ish, q14ish, q18ish, q4ish, q16ish, q21ish, q15ish,
+    q13ish, q17ish, q20ish, q22ish,
     windowLagQ, windowRunningQ, eventsAggQ)
 
   val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all

@@ -864,21 +864,40 @@ object ExtQueries {
       .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk"))
   }
 
-  private val asofQ = q("q_asof_join",
-    // as-of join vs DuckDB's NATIVE ASOF JOIN: every event matched to the
-    // latest preceding marker (every 10th event) of the same user; ts
-    // compared at micro precision (nanos truncate differently per engine)
+  /** ONE oracle for the backward as-of twins (default/skew-bucket/fast) —
+    * DuckDB's NATIVE ASOF JOIN: every event matched to the latest
+    * preceding marker (every 10th event) of the same user; ts compared at
+    * micro precision (nanos truncate differently per engine).
+    */
+  private val AsofOracleSql =
     """WITH l AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu FROM events),
        r AS (SELECT user_id, epoch_ns(ts) // 1000 AS mtsu, MAX(event_id) AS marker_id
              FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
        SELECT l.event_id, l.user_id, r.marker_id
-       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.mtsu <= l.tsu""") { (s, d) =>
+       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.mtsu <= l.tsu"""
+
+  private def asofEventsMarkers(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ev = Tables.df(s, d, "events")
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("tsu"))
     val markers = ev.where(col("event_id") % 10 === 0)
       .groupBy(col("user_id"), col("tsu").as("mtsu"))
       .agg(max(col("event_id")).as("marker_id"))
+    (ev, markers)
+  }
+
+  private val asofQ = q("q_asof_join", AsofOracleSql) { (s, d) =>
+    val (ev, markers) = asofEventsMarkers(s, d)
     AsofJoin.asof(ev, markers, "user_id", "tsu", "mtsu", Seq("marker_id"))
+      .select(col("event_id"), col("user_id"), col("marker_id"))
+  }
+
+  /** The single-window fast path ([[AsofJoin.asofSingleWindow]]),
+    * oracle-gated on the same SQL as the default: the opt-out for known
+    * well-distributed keys must stay result-identical.
+    */
+  private val asofFastQ = q("q_asof_fast", AsofOracleSql) { (s, d) =>
+    val (ev, markers) = asofEventsMarkers(s, d)
+    AsofJoin.asofSingleWindow(ev, markers, "user_id", "tsu", "mtsu", Seq("marker_id"))
       .select(col("event_id"), col("user_id"), col("marker_id"))
   }
 
@@ -932,19 +951,10 @@ object ExtQueries {
     * match + bucket-boundary carry — identical answers without the
     * hot-key single-task sort.
     */
-  private val asofSkewQ = q("q_asof_skew",
-    """WITH l AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu FROM events),
-       r AS (SELECT user_id, epoch_ns(ts) // 1000 AS mtsu, MAX(event_id) AS marker_id
-             FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
-       SELECT l.event_id, l.user_id, r.marker_id
-       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.mtsu <= l.tsu""") { (s, d) =>
-    val ev = Tables.df(s, d, "events")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("tsu"))
-    val markers = ev.where(col("event_id") % 10 === 0)
-      .groupBy(col("user_id"), col("tsu").as("mtsu"))
-      .agg(max(col("event_id")).as("marker_id"))
+  private val asofSkewQ = q("q_asof_skew", AsofOracleSql) { (s, d) =>
+    val (ev, markers) = asofEventsMarkers(s, d)
     AsofJoin.asofSkewSafe(ev, markers, "user_id", "tsu", "mtsu", Seq("marker_id"),
-      bucket = 21600000000L) // 6 h of micros
+      bucket = 21600000000L) // 6 h of micros — narrower than the default's auto width
       .select(col("event_id"), col("user_id"), col("marker_id"))
   }
 
@@ -1003,12 +1013,11 @@ object ExtQueries {
       .select(col("event_id"), col("interval_id"))
   }
 
-  /** Same relation as q_sessionize (same DuckDB oracle) through the
-    * skew-safe two-phase operator: sub-sessions within 6-hour buckets,
-    * boundary merge at the session level — identical answers without the
-    * hot-key single-task sort.
+  /** ONE oracle for all three sessionize twins (default/skew-bucket/fast):
+    * the operator variants are result-identical by contract, so they must
+    * all hash-match the same SQL.
     */
-  private val sessionizeSkewQ = q("q_sessionize_skew",
+  private val SessionizeOracleSql =
     """WITH e AS (
          SELECT user_id, epoch_ns(ts) AS tns, event_id,
                 CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
@@ -1022,39 +1031,40 @@ object ExtQueries {
        SELECT user_id AS key, CAST(session_id AS BIGINT) AS session_id,
               MIN(tns) // 1000 AS start_us, MAX(tns) // 1000 AS end_us,
               CAST(COUNT(*) AS BIGINT) AS n_events
-       FROM s GROUP BY 1, 2""") { (s, d) =>
-    Sessions.batchSkewSafe(Tables.df(s, d, "events"),
-      col("user_id"), col("ts"), col("event_id"),
-      gap = 1800000000000L, bucket = 21600000000000L)
-      .select(col("key"), col("session_id"),
-        expr("start_ts DIV 1000").as("start_us"),
-        expr("end_ts DIV 1000").as("end_us"), col("n_events"))
-  }
+       FROM s GROUP BY 1, 2"""
 
-  private val sessionizeQ = qb("q_sessionize",
-    // 30-minute gap sessionization over the events stream table (ts is
-    // nanos-since-epoch); the two-window SQL mirrors the Spark plan shape
-    """WITH e AS (
-         SELECT user_id, epoch_ns(ts) AS tns, event_id,
-                CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-       s AS (
-         SELECT user_id, tns,
-                SUM(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-         FROM e)
-       SELECT user_id AS key, CAST(session_id AS BIGINT) AS session_id,
-              MIN(tns) // 1000 AS start_us, MAX(tns) // 1000 AS end_us,
-              CAST(COUNT(*) AS BIGINT) AS n_events
-       FROM s GROUP BY 1, 2""") { (s, d) =>
+  private def sessionizeOut(df: DataFrame): DataFrame =
     // compare at micro precision: DuckDB reads TIMESTAMP(NANOS) truncated
     // to micros, Spark (nanosAsLong) keeps full nanos
-    Sessions.batch(Tables.df(s, d, "events"),
-      col("user_id"), col("ts"), col("event_id"), gap = 1800000000000L)
-      .select(col("key"), col("session_id"),
-        expr("start_ts DIV 1000").as("start_us"),
-        expr("end_ts DIV 1000").as("end_us"), col("n_events"))
+    df.select(col("key"), col("session_id"),
+      expr("start_ts DIV 1000").as("start_us"),
+      expr("end_ts DIV 1000").as("end_us"), col("n_events"))
+
+  /** Same relation as q_sessionize through the skew-safe two-phase
+    * operator with an EXPLICIT narrow bucket (6 h — many boundary merges
+    * at this gap), stressing the merge pass harder than the default's
+    * auto-width.
+    */
+  private val sessionizeSkewQ = q("q_sessionize_skew", SessionizeOracleSql) { (s, d) =>
+    sessionizeOut(Sessions.batchSkewSafe(Tables.df(s, d, "events"),
+      col("user_id"), col("ts"), col("event_id"),
+      gap = 1800000000000L, bucket = 21600000000000L))
+  }
+
+  /** The minimal-plan single-window fast path ([[Sessions.batchSingleWindow]]),
+    * oracle-gated on the same SQL: the opt-out users take for known
+    * well-distributed keys must stay result-identical to the default.
+    */
+  private val sessionizeFastQ = q("q_sessionize_fast", SessionizeOracleSql) { (s, d) =>
+    sessionizeOut(Sessions.batchSingleWindow(Tables.df(s, d, "events"),
+      col("user_id"), col("ts"), col("event_id"), gap = 1800000000000L))
+  }
+
+  // 30-minute gap sessionization over the events stream table (ts is
+  // nanos-since-epoch) through the DEFAULT (skew-safe) path
+  private val sessionizeQ = qb("q_sessionize", SessionizeOracleSql) { (s, d) =>
+    sessionizeOut(Sessions.batch(Tables.df(s, d, "events"),
+      col("user_id"), col("ts"), col("event_id"), gap = 1800000000000L))
   }
 
   /** Shared SQL fragment: per-doc word 2-grams with the same short-text
@@ -1407,8 +1417,8 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ,
-    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ,
-    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ,
+    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ,
+    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)
 }

@@ -121,4 +121,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(p21.contains("TakeOrderedAndProject"), s"q_q21 top-20 must be TakeOrdered:\n$p21")
     assert(q4.count() > 0 && q16.count() > 0 && q21.count() > 0)
   }
+
+  test("q_q13/q_q17/q_q20/q_q22 plan shapes: outer-join agg, decorrelated scalar, window-over-agg, anti join") {
+    val d = "/root/testdata/sf0.001"
+    // Q13: the priority filter must NOT defeat the outer join (customers
+    // with zero surviving orders survive to the count)
+    val q13 = graft.queries.Queries.queries("q_q13")(spark, d)
+    val p13 = q13.queryExecution.executedPlan.toString
+    assert(p13.contains("LeftOuter"), s"q_q13 must keep the LEFT outer join:\n$p13")
+
+    // Q17: the correlated scalar avg decorrelates to ONE aggregate that
+    // BROADCASTS back into the probe — no per-row re-scan, no fact-fact
+    // shuffle join
+    val q17 = graft.queries.Queries.queries("q_q17")(spark, d)
+    val p17 = q17.queryExecution.executedPlan.toString
+    assert(p17.contains("BroadcastHashJoin"),
+      s"q_q17 threshold relation must broadcast into the probe:\n$p17")
+
+    // Q20: the per-part total comes from a Window over the (part,supp)
+    // AGGREGATE's output, never a second lineitem scan; the supplier
+    // filter is a semi join
+    val q20 = graft.queries.Queries.queries("q_q20")(spark, d)
+    val p20 = q20.queryExecution.executedPlan.toString
+    assert(p20.contains("Window"), s"q_q20 part totals must be a window over the aggregate:\n$p20")
+    assert(p20.contains("LeftSemi"), s"q_q20 IN must be a semi join:\n$p20")
+    assert("FileScan parquet.*lineitem".r.findAllIn(p20).size == 1,
+      s"q_q20 must scan lineitem exactly once:\n$p20")
+
+    // Q22: NOT EXISTS is an anti join; the global scalar average is a
+    // broadcast, not a re-aggregation per row
+    val q22 = graft.queries.Queries.queries("q_q22")(spark, d)
+    val p22 = q22.queryExecution.executedPlan.toString
+    assert(p22.contains("LeftAnti"), s"q_q22 NOT EXISTS must be an anti join:\n$p22")
+    assert(p22.contains("BroadcastNestedLoopJoin") || p22.contains("BroadcastHashJoin"),
+      s"q_q22 scalar average must broadcast:\n$p22")
+
+    assert(q13.count() > 0 && q17.count() > 0 && q20.count() > 0 && q22.count() > 0)
+  }
 }

@@ -135,6 +135,10 @@ object AnnIndex {
     */
   def probeIvfPq(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    // a crashed compaction install leaves a complete staged era: heal it
+    // before the scan so the probe never reads a partial layout
+    val rootPath = new org.apache.hadoop.fs.Path(path)
+    recoverCompaction(rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration), rootPath)
     val books: Array[Array[Array[Float]]] = spark.read.parquet(path + "/_codebooks")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -178,32 +182,75 @@ object AnnIndex {
     * compaction beside its compacted copy. `batch=-1` never collides with
     * real microbatch ids, so ingest resumes against the same checkpoint
     * and compaction itself is idempotent (re-compacting folds `batch=-1`
-    * back into `batch=-1`). Plain-parquet caveat, stated not hidden: the
-    * swap (write tmp → delete old dirs → rename in) is not crash-atomic —
-    * a compaction killed mid-swap leaves the full data in
-    * `<path>.__compact_tmp` for manual recovery; crash-atomic maintenance
-    * is what table formats (Delta/Iceberg) exist for.
+    * back into `batch=-1`).
+    *
+    * Crash discipline (the fingerprint catalog's stage-then-swap applied
+    * to a directory layout): the rewrite lands COMPLETE in a sibling tmp
+    * dir, atomically renames to an invisible `.compact_staged` inside the
+    * root, and only then are the old era dirs deleted and the staged dir
+    * flipped to `batch=-1` in one rename. Every crash window is healed by
+    * the recovery scan at the next compact/probe: staged present →
+    * re-run the install (the visible dirs are all pre-compaction state);
+    * only tmp present → the source dirs are untouched, delete tmp and
+    * start over. No window leaves a silently PARTIAL index: readers
+    * during the install see missing data only if they race the
+    * stop-the-world maintenance op itself.
     */
   def compactIvfPq(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, root) // heal a crashed prior install first
     // everything partition discovery sees is data; sidecars are _-prefixed
-    def dataDirs = fs.listStatus(root).filter(s => s.isDirectory &&
+    val dataDirs = fs.listStatus(root).filter(s => s.isDirectory &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     if (dataDirs.isEmpty) return // nothing ingested yet
     val rows = spark.read.parquet(path).select("neighbor_id", "__cell", "__codes")
     val tmp = new Path(path + ".__compact_tmp")
     fs.delete(tmp, true)
-    // one shuffle keyed by cell → one file per cell partition
+    // one shuffle keyed by cell → one file per cell partition; the
+    // parquet commit protocol leaves _SUCCESS in tmp on completion
     rows.repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(tmp.toString)
-    dataDirs.foreach(d => fs.delete(d.getPath, true))
-    val era = new Path(root, "batch=-1")
-    fs.mkdirs(era)
-    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("__cell="))
-      .foreach(c => fs.rename(c.getPath, new Path(era, c.getPath.getName)))
-    fs.delete(tmp, true)
+    fs.delete(stagedPath(root), true)
+    require(fs.rename(tmp, stagedPath(root)), s"staging rename failed: $tmp")
+    installStaged(fs, root)
+  }
+
+  private def stagedPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, ".compact_staged")
+
+  /** Install a complete staged compaction: delete every VISIBLE data dir
+    * (all of them are pre-compaction state — the staged dir is dot-
+    * prefixed and the sidecars underscore-prefixed) and flip the staged
+    * dir to the `batch=-1` era in one atomic rename. The `_SUCCESS`
+    * marker rides along inside the era dir; readers ignore `_` files.
+    */
+  private def installStaged(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .foreach(d => fs.delete(d.getPath, true))
+    require(fs.rename(stagedPath(root), new org.apache.hadoop.fs.Path(root, "batch=-1")),
+      s"compaction flip failed under $root")
+  }
+
+  /** Heal a compaction killed mid-install: a staged dir bearing the
+    * parquet `_SUCCESS` marker is a COMPLETE rewrite, so finish the
+    * install; a staged dir without it cannot exist (the rename happens
+    * only after the committed write) but is deleted defensively — the
+    * source dirs are untouched until the staged rename succeeds.
+    * Called from [[compactIvfPq]] and [[probeIvfPq]].
+    */
+  private[graft] def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val staged = stagedPath(root)
+    if (fs.exists(staged)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
+        installStaged(fs, root)
+      else fs.delete(staged, true)
+    }
   }
 
   /** Restrict an index scan to the probed cells as LITERAL partition

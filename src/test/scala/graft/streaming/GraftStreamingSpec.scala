@@ -531,6 +531,19 @@ class GraftStreamingSpec extends AnyFunSuite {
     // idempotent: compacting a compacted index is a no-op result-wise
     graft.operators.AnnIndex.compactIvfPq(spark, path)
     assert(probe() == want && spark.read.parquet(path).count() == before)
+
+    // crash-window recovery: a compaction killed between the staged
+    // rename and the final flip leaves only `.compact_staged` (complete,
+    // _SUCCESS inside) and NO visible era — the next probe must heal the
+    // install and read the full index, never a partial layout
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fsP = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsP.rename(new org.apache.hadoop.fs.Path(rootP, "batch=-1"),
+      new org.apache.hadoop.fs.Path(rootP, ".compact_staged")))
+    assert(probe() == want, "probe must heal a crashed compaction install")
+    val erasHealed = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(erasHealed == Set("batch=-1"), s"healed layout must be the compacted era, got $erasHealed")
   }
 }
 

@@ -200,6 +200,12 @@ object AnnIndex {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // refuse a file-sink-logged layout outright: spark.read would serve
+    // only the logged files and the install would delete files the log
+    // still references — log-unaware compaction corrupts such an index
+    require(!fs.exists(new Path(root, "_spark_metadata")),
+      s"$path carries a streaming file-sink log (_spark_metadata); " +
+        "compactIvfPq only supports the foreachBatch (writeIndexBatch) layout")
     recoverCompaction(fs, root) // heal a crashed prior install first
     // everything partition discovery sees is data; sidecars are _-prefixed
     val dataDirs = fs.listStatus(root).filter(s => s.isDirectory &&
@@ -232,8 +238,14 @@ object AnnIndex {
       .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .foreach(d => fs.delete(d.getPath, true))
-    require(fs.rename(stagedPath(root), new org.apache.hadoop.fs.Path(root, "batch=-1")),
-      s"compaction flip failed under $root")
+    // two healers can race here (probes are reads; callers won't
+    // serialize them): losing the rename is fine iff the WINNER installed
+    // the era — only a rename that failed with neither dir in place is a
+    // real error
+    if (!fs.rename(stagedPath(root), new org.apache.hadoop.fs.Path(root, "batch=-1")))
+      require(!fs.exists(stagedPath(root)) &&
+          fs.exists(new org.apache.hadoop.fs.Path(root, "batch=-1")),
+        s"compaction flip failed under $root")
   }
 
   /** Heal a compaction killed mid-install: a staged dir bearing the
@@ -305,11 +317,21 @@ object AnnIndex {
     * by `__id` (verification). Signature parameters are baked into the
     * layout; [[probeMinhash]] must be called with the same values.
     */
+  /** Same contract as Dedup.minhashNearDuplicates: a non-dividing band
+    * count would silently leave `numHashes % bands` signature positions
+    * outside every band (weaker candidate recall than the batch twin).
+    */
+  private def requireBands(numHashes: Int, bands: Int): Unit =
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide into bands ($bands)")
+
   def buildMinhash(df: DataFrame, idCol: String, textCol: String, tableName: String,
-      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16, buckets: Int = 32): Unit =
+      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16, buckets: Int = 32): Unit = {
+    requireBands(numHashes, bands)
     persistMinhashTables(
       Materialize.once(signed(df, idCol, textCol, shingle, numHashes, bands)),
       tableName, buckets)
+  }
 
   /** [[buildMinhash]] under the fixture hash family
     * (Dedup.minhashSignatureFixture / bandHashesFixture): the same two
@@ -318,12 +340,14 @@ object AnnIndex {
     * probe path end to end (q_dedup_minhash_indexed_fixed).
     */
   def buildMinhashFixture(df: DataFrame, idCol: String, textCol: String, tableName: String,
-      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16, buckets: Int = 32): Unit =
+      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16, buckets: Int = 32): Unit = {
+    requireBands(numHashes, bands)
     persistMinhashTables(
       Materialize.once(signedWith(df, idCol, textCol,
         Dedup.minhashSignatureFixture(_, shingle, numHashes),
         Dedup.bandHashesFixture(bands, numHashes / bands))),
       tableName, buckets)
+  }
 
   private def persistMinhashTables(s: DataFrame, tableName: String, buckets: Int): Unit = {
     replaceTable(bandedRows(s), tableName, "__bb", buckets)
@@ -370,10 +394,12 @@ object AnnIndex {
   def probeMinhash(spark: SparkSession, tableName: String, delta: DataFrame,
       idCol: String, textCol: String,
       shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame =
+      threshold: Double = 0.7): DataFrame = {
+    requireBands(numHashes, bands)
     probeMinhashFromSigned(spark, tableName,
       Materialize.once(signed(delta, idCol, textCol, shingle, numHashes, bands)),
       threshold)
+  }
 
   /** [[probeMinhash]] against a [[buildMinhashFixture]] index — the delta
     * is signed with the SAME fixture family the index was built with; the
@@ -383,12 +409,14 @@ object AnnIndex {
   def probeMinhashFixture(spark: SparkSession, tableName: String, delta: DataFrame,
       idCol: String, textCol: String,
       shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame =
+      threshold: Double = 0.7): DataFrame = {
+    requireBands(numHashes, bands)
     probeMinhashFromSigned(spark, tableName,
       Materialize.once(signedWith(delta, idCol, textCol,
         Dedup.minhashSignatureFixture(_, shingle, numHashes),
         Dedup.bandHashesFixture(bands, numHashes / bands))),
       threshold)
+  }
 
   private def probeMinhashFromSigned(spark: SparkSession, tableName: String,
       s: DataFrame, threshold: Double): DataFrame = {

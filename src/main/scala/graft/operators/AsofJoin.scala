@@ -54,7 +54,7 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame,
       keyCol: String, leftTs: String, rightTs: String,
       payload: Seq[String], direction: String = "backward",
-      tolerance: Option[Long] = None, bucket: Long = 86400000000L): DataFrame =
+      tolerance: Option[Long] = None, bucket: Long = 0L): DataFrame =
     asofSkewSafe(left, right, keyCol, leftTs, rightTs, payload, direction,
       tolerance, bucket)
 
@@ -95,18 +95,29 @@ object AsofJoin {
     * fix-up pass is bounded by the key's bucket count, never its row
     * count.
     *
-    * `bucket` is the time-bucket width in ts units; size it so a typical
-    * key has ≪ rows per bucket than total (e.g. a day of micros for
-    * tick data). Any positive value is correct — only the skew behavior
-    * changes.
+    * `bucket` is the time-bucket width IN TS UNITS and is therefore
+    * unit-bearing; size it so a typical key has ≪ rows per bucket than
+    * total. Any positive value is correct — only the skew behavior
+    * changes. `bucket` ≤ 0 picks automatically: 1024 tolerances when a
+    * tolerance is given (tolerance carries the caller's unit), else one
+    * day of MICROseconds — callers on millisecond/second timestamps
+    * without a tolerance must pass an explicit bucket, or the buckets
+    * degenerate to one per key and the single-task sort this path
+    * exists to prevent quietly returns.
     */
   def asofSkewSafe(left: DataFrame, right: DataFrame,
       keyCol: String, leftTs: String, rightTs: String,
       payload: Seq[String], direction: String = "backward",
-      tolerance: Option[Long] = None, bucket: Long = 86400000000L): DataFrame = {
-    require(bucket > 0, s"bucket must be positive, got $bucket")
+      tolerance: Option[Long] = None, bucket: Long = 0L): DataFrame = {
+    val bucketW =
+      if (bucket > 0) bucket
+      else tolerance match {
+        case Some(t) if t > 0 =>
+          if (t > Long.MaxValue / 1024) Long.MaxValue else t * 1024
+        case _ => 86400000000L
+      }
     val p = prep(left, right, keyCol, leftTs, rightTs, payload, direction, tolerance)
-    def bucketOf(ts: Column): Column = ts - pmod(ts, lit(bucket))
+    def bucketOf(ts: Column): Column = ts - pmod(ts, lit(bucketW))
     // phase 1: within-(key, bucket) running match — the hot key's rows
     // sort per bucket, not per key
     val unioned = p.unioned.withColumn("__bkt", bucketOf(col("__ts")))

@@ -535,10 +535,25 @@ object GraftStreaming {
   }
 
   private def markPath(spark: SparkSession, tableName: String, checkpoint: String): org.apache.hadoop.fs.Path = {
-    // scope by checkpoint identity so a new stream (fresh batch ids) over
-    // the same table starts from mark -1 instead of inheriting the old one
+    // scope by checkpoint IDENTITY, not just its path string: Spark
+    // stamps a fresh query uuid into <checkpoint>/metadata whenever the
+    // dir is (re)created, so "operator wiped the checkpoint in place and
+    // restarted" — same path, batch ids back at 0 — gets a NEW tag and
+    // starts from mark -1 instead of inheriting the old stream's mark
+    // and silently discarding its first batches. The path string stays
+    // in the digest for distinct checkpoints that carry no metadata
+    // (directly driven batches in specs).
+    val queryId = scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) "" else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+    }.getOrElse("")
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      .digest((checkpoint + " " + queryId).getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
     new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
       s"${tableName}__batchmark_$tag")

@@ -457,6 +457,35 @@ class GraftStreamingSpec extends AnyFunSuite {
         checkpoint = "target/io_tmp/fp_stream_ckpt_b")
       assert(state().size == before.size + 1,
         "a fresh checkpoint's batch 0 must ingest into the existing table")
+      // wiped-and-recreated checkpoint at the SAME path: Spark stamps a
+      // new query uuid into <ckpt>/metadata, so the mark scope changes
+      // and the restarted stream's batch 0 must apply — a path-string-
+      // only scope would read the old mark and silently discard it
+      val ckptC = new java.io.File("target/io_tmp/fp_stream_ckpt_c")
+      def writeMeta(uuid: String): Unit = {
+        ckptC.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(ckptC, "metadata").toPath, s"""{"id":"$uuid"}""")
+      }
+      writeMeta("run-a")
+      GraftStreaming.ingestFingerprintBatch(
+        Seq((902L, "third stream doc one")).toDF("doc_id", "text"),
+        "doc_id", "text", table, buckets = 4, batchId = 0L,
+        checkpoint = ckptC.getPath)
+      GraftStreaming.ingestFingerprintBatch(
+        Seq((903L, "third stream doc two")).toDF("doc_id", "text"),
+        "doc_id", "text", table, buckets = 4, batchId = 1L,
+        checkpoint = ckptC.getPath)
+      val beforeWipe = state()
+      // the operator's standard reset: delete the checkpoint, same path
+      org.apache.commons.io.FileUtils.deleteDirectory(ckptC)
+      writeMeta("run-b")
+      GraftStreaming.ingestFingerprintBatch(
+        Seq((904L, "fourth stream novel doc")).toDF("doc_id", "text"),
+        "doc_id", "text", table, buckets = 4, batchId = 0L,
+        checkpoint = ckptC.getPath)
+      assert(state().size == beforeWipe.size + 1,
+        "batch 0 after a checkpoint wipe must apply (new query uuid => new mark scope)")
     } finally Seq(table, "fp_stream_full", table + "__staging")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`").collect())
   }

@@ -1107,6 +1107,252 @@ object Queries {
         sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
   }
 
+  /** TPC-H Q5 shape (local-supplier volume): revenue from lineitems whose
+    * supplier sits in the CUSTOMER's nation, for one region and year. The
+    * n1 = n2 correlation rides the supplier join as a residual equality on
+    * the already-joined customer nation — no extra shuffle. Join order is
+    * dimension-first (region→nation→customer→orders prune before lineitem,
+    * the q_revenue_by_nation discipline); supplier broadcasts, so the only
+    * fact-sized exchange is the orderkey join.
+    */
+  private val q5full = q("q_q5",
+    """SELECT n_name,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY n_name""") { (s, d) =>
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+    val asiaNations = broadcast(Tables.df(s, d, "nation")
+      .join(broadcast(Tables.df(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .select("n_nationkey", "n_name"))
+    val custF = Tables.df(s, d, "customer")
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val ordF = Tables.df(s, d, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(custF, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey", "n_name")
+    Tables.df(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.df(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(rev), 2).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping between two nations): the two-alias
+    * nation join — supplier nation and customer nation resolve through the
+    * SAME broadcast dimension under different aliases, and the symmetric
+    * pair predicate is evaluated map-side after both broadcasts. Only the
+    * orderkey join shuffles fact-sized data; the year split is a plain
+    * projection of the shipdate.
+    */
+  private val q7ish = q("q_q7",
+    """SELECT supp_nation, cust_nation, l_year,
+              CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) AS volume
+             FROM lineitem
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+                 OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+               AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+       GROUP BY supp_nation, cust_nation, l_year""") { (s, d) =>
+    val nations = Tables.df(s, d, "nation").select("n_nationkey", "n_name")
+      .where(col("n_name").isin("NATION_13", "NATION_19"))
+    // both nation legs pre-filtered to the pair: customers/suppliers of
+    // other nations drop BEFORE their joins, and the pair predicate only
+    // rejects the two same-nation combinations at the end
+    val custF = Tables.df(s, d, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(nations.withColumnRenamed("n_name", "cust_nation")),
+        col("c_nationkey") === col("n_nationkey")).drop("n_nationkey", "c_nationkey")
+    val ordF = Tables.df(s, d, "orders").select("o_orderkey", "o_custkey")
+      .join(custF, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    Tables.df(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.df(s, d, "supplier").select("s_suppkey", "s_nationkey")
+          .join(broadcast(nations.withColumnRenamed("n_name", "supp_nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))), 2)
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's volume in one part type, by year — the conditional-sum /
+    * total-sum ratio computed in a SINGLE aggregation pass (two decimal
+    * sums over the same rows, divided after the exact rounding), never two
+    * scans or a self-join. Numerator selection is a map-side CASE on the
+    * broadcast-resolved supplier nation.
+    */
+  private val q8ish = q("q_q8",
+    """SELECT o_year,
+              CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(20,6)) END), 2) AS DOUBLE)
+                / CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS mkt_share
+       FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(20,6)) AS volume,
+                    n2.n_name AS supp_nation
+             FROM lineitem
+             JOIN part ON p_partkey = l_partkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             JOIN region ON n1.n_regionkey = r_regionkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+       GROUP BY o_year""") { (s, d) =>
+    val vol = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+    val asiaNationKeys = broadcast(Tables.df(s, d, "nation")
+      .join(broadcast(Tables.df(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA").select("n_nationkey"))
+    val custF = Tables.df(s, d, "customer").select("c_custkey", "c_nationkey")
+      .join(asiaNationKeys, col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select("c_custkey")
+    val ordF = Tables.df(s, d, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(custF, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_orderdate")
+    val econParts = broadcast(Tables.df(s, d, "part")
+      .where(col("p_type") === "ECONOMY").select("p_partkey"))
+    Tables.df(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(econParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(Tables.df(s, d, "supplier").select("s_suppkey", "s_nationkey")
+          .join(broadcast(Tables.df(s, d, "nation").select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg((round(sum(when(col("supp_nation") === "NATION_2", vol.cast("decimal(20,6)"))
+          .otherwise(lit(0).cast("decimal(20,6)"))), 2).cast("double") /
+        round(sum(vol.cast("decimal(20,6)")), 2).cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit by nation and year; adapted —
+    * this dataset has no partsupp/ps_supplycost, so profit is the
+    * discounted revenue). The part-name filter broadcasts and prunes the
+    * fact first; supplier nation resolves through a broadcast chain; the
+    * only fact-sized shuffles are the orderkey join and the final
+    * (nation, year) aggregate.
+    */
+  private val q9ish = q("q_q9",
+    """SELECT n_name AS nation,
+              CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_profit
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN orders ON o_orderkey = l_orderkey
+       WHERE p_name LIKE '%bolt%'
+       GROUP BY n_name, o_year""") { (s, d) =>
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+    Tables.df(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.df(s, d, "part")
+          .where(col("p_name").like("%bolt%")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(Tables.df(s, d, "supplier").select("s_suppkey", "s_nationkey")
+          .join(broadcast(Tables.df(s, d, "nation").select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.df(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(round(sum(rev), 2).cast("double").as("sum_profit"))
+  }
+
+  /** TPC-H Q12 shape (priority-class line counts; adapted — no l_shipmode
+    * or commit/receipt dates here, so the class split keys on
+    * l_returnflag and the date window on l_shipdate): the
+    * conditional-count aggregation — two CASE sums in ONE pass over the
+    * joined fact, the canonical "pivot without a pivot" shape.
+    */
+  private val q12ish = q("q_q12",
+    """SELECT l_returnflag,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY l_returnflag""") { (s, d) =>
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.df(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+      .join(Tables.df(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(isHigh, 1).otherwise(0)).as("high_line_count"),
+        sum(when(!isHigh, 1).otherwise(0)).as("low_line_count"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): three
+    * brand/size/quantity conjunctions OR'd across ONE partkey equi-join.
+    * The per-side envelopes of the disjunction (size ≤ 15, quantity ≤ 30)
+    * are pushed below the join explicitly — the parquet scans prune rows
+    * no disjunct can accept — and the exact OR evaluates as the join
+    * residual, never a BroadcastNestedLoopJoin.
+    */
+  private val q19ish = q("q_q19",
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""") { (s, d) =>
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+    def disjunct(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.df(s, d, "lineitem")
+      .where(col("l_quantity").between(1, 30))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.df(s, d, "part")
+          .where(col("p_size").between(1, 15) &&
+            col("p_brand").isin("Brand#12", "Brand#23", "Brand#24"))
+          .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .where(disjunct("Brand#12", 5, 1, 11) ||
+        disjunct("Brand#23", 10, 10, 20) ||
+        disjunct("Brand#24", 15, 20, 30))
+      .agg(round(sum(rev), 2).cast("double").as("revenue"))
+  }
+
   private val windowLagQ = q("q_window_lag",
     """SELECT event_id,
               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -1149,7 +1395,7 @@ object Queries {
     reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
     foldJuxtQ,
     q1, q5ish, q3ish, q6, q10ish, q14ish, q18ish, q4ish, q16ish, q21ish, q15ish,
-    q13ish, q17ish, q20ish, q22ish,
+    q13ish, q17ish, q20ish, q22ish, q5full, q7ish, q8ish, q9ish, q12ish, q19ish,
     windowLagQ, windowRunningQ, eventsAggQ)
 
   val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all

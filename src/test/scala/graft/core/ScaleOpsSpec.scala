@@ -158,4 +158,57 @@ class ScaleOpsSpec extends AnyFunSuite {
 
     assert(q13.count() > 0 && q17.count() > 0 && q20.count() > 0 && q22.count() > 0)
   }
+
+  test("q_q5/q_q7/q_q8/q_q9/q_q12/q_q19 plan shapes: broadcast dims, single-pass CASE aggs, no BNLJ") {
+    val d = "/root/testdata/sf0.001"
+    // Q5: the n1=n2 correlation rides the broadcast supplier join as a
+    // residual — no extra shuffle, no nested-loop join
+    val q5 = graft.queries.Queries.queries("q_q5")(spark, d)
+    val p5 = q5.queryExecution.executedPlan.toString
+    assert(!p5.contains("BroadcastNestedLoopJoin") && !p5.contains("CartesianProduct"),
+      s"q_q5 must stay equi-join only:\n$p5")
+    assert(p5.contains("BroadcastHashJoin"), s"q_q5 dims must broadcast:\n$p5")
+
+    // Q7: the two nation legs resolve through broadcasts; the symmetric
+    // pair predicate is a residual, never a cartesian of the aliases
+    val q7 = graft.queries.Queries.queries("q_q7")(spark, d)
+    val p7 = q7.queryExecution.executedPlan.toString
+    assert(!p7.contains("CartesianProduct") && !p7.contains("BroadcastNestedLoopJoin"),
+      s"q_q7 nation aliases must not cartesian:\n$p7")
+
+    // Q8: the share ratio is ONE aggregation pass (two CASE sums over the
+    // same rows) — exactly one partial/final HashAggregate pair downstream
+    // of the joins, never a self-join of two aggregates
+    val q8 = graft.queries.Queries.queries("q_q8")(spark, d)
+    val p8 = q8.queryExecution.executedPlan.toString
+    assert("FileScan parquet.*lineitem".r.findAllIn(p8).size == 1,
+      s"q_q8 must scan lineitem exactly once (numerator rides a CASE, not a second scan):\n$p8")
+
+    // Q9/Q12: fact scanned once, conditional split map-side
+    val q9 = graft.queries.Queries.queries("q_q9")(spark, d)
+    val p9 = q9.queryExecution.executedPlan.toString
+    assert("FileScan parquet.*lineitem".r.findAllIn(p9).size == 1,
+      s"q_q9 must scan lineitem exactly once:\n$p9")
+    val q12 = graft.queries.Queries.queries("q_q12")(spark, d)
+    val p12 = q12.queryExecution.executedPlan.toString
+    assert("FileScan parquet.*lineitem".r.findAllIn(p12).size == 1 &&
+      "FileScan parquet.*orders".r.findAllIn(p12).size == 1,
+      s"q_q12 high/low counts must come from ONE joined pass:\n$p12")
+
+    // Q19: the disjunction is a residual on the partkey equi-join (with
+    // the per-side envelopes pushed to the scans), never a nested loop
+    val q19 = graft.queries.Queries.queries("q_q19")(spark, d)
+    val p19 = q19.queryExecution.executedPlan.toString
+    assert(!p19.contains("BroadcastNestedLoopJoin") && !p19.contains("CartesianProduct"),
+      s"q_q19 OR-predicates must stay residual on the equi-join:\n$p19")
+    assert(p19.contains("BroadcastHashJoin"), s"q_q19 part side must broadcast:\n$p19")
+    // the quantity envelope (the union of the three disjunct ranges) must
+    // reach the lineitem scan as a pushed filter
+    assert(p19.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      "PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p19).isDefined,
+      s"q_q19 quantity envelope must push into the lineitem scan:\n$p19")
+
+    assert(q5.count() > 0 && q7.count() > 0 && q8.count() > 0 &&
+      q9.count() > 0 && q12.count() > 0 && q19.count() > 0)
+  }
 }

@@ -398,6 +398,56 @@ object Pq {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** IVF-PQ with an exact re-rank tail (the faiss IndexRefineFlat /
+    * IVFPQR discipline): ADC ranks `k * refine` candidates per query in
+    * the compressed domain, then ONLY those candidates' raw vectors are
+    * scored with the exact metric. Refinement fixes ADC's ORDERING
+    * errors inside the shortlist — it cannot recover a neighbor the
+    * compressed sweep missed entirely, so raise `refine` (or `nProbe`)
+    * to widen the net before trusting a dial (ProbePq measures both).
+    *
+    * Scale shape: the shortlist is |Q|·k·refine (query, neighbor) id
+    * pairs — broadcast-sized by construction since queries are the
+    * bounded side — so the re-rank is ONE more corpus scan with a
+    * map-side broadcast semi-join picking out shortlisted rows and a
+    * bounded-heap top-k. No corpus shuffle, no second ADC pass, and the
+    * raw vectors read are exactly the |Q|·k·refine shortlisted ones.
+    */
+  def ivfTopKRefined(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Float]]], k: Int,
+      nCells: Int = 16, nProbe: Int = 4, refine: Int = 3,
+      centroids: Option[DataFrame] = None,
+      residual: Boolean = false): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val shortlist = ivfTopK(queries, corpus, idCol, vecCol, books, k * refine,
+      nCells, nProbe, centroids, residual)
+      .select(col("query_id"), col("neighbor_id"))
+    refineExact(shortlist, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** Exact-L2 re-rank of a (query_id, neighbor_id) shortlist down to
+    * top-k. The shortlist and the query vectors broadcast; the corpus
+    * contributes raw vectors through a map-side broadcast join, so the
+    * only aggregation state is the per-query k-row heap.
+    */
+  def refineExact(shortlist: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cands = broadcast(shortlist.select(col("query_id"), col("neighbor_id")))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+      .join(cands, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("dist",
+        graft.functions.VectorFunctions.l2Distance(col("__qv"), col("__nv")))
+      .where(col("dist").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(AggExpressions.bottomK(struct(col("dist"), col("neighbor_id")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"),
+        col("col.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Approximate top-k by ADC distance over the PQ-compressed corpus.
     * Output (query_id, neighbor_id, adist, rank), rank tie-broken by
     * neighbor id. Exactness caveat by construction: distances are the

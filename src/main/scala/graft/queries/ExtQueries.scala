@@ -720,6 +720,54 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF-PQ + exact re-rank tail (faiss IndexRefineFlat): the ADC
+    * shortlist (k·refine = 30 per query) re-ranks by exact L2 from the
+    * raw vectors — oracle-gated end to end under the fixture codebook.
+    * The exact leg replays as `list_distance` over the same DOUBLE[]
+    * (Spark's L2Distance widens each float to double BEFORE subtracting,
+    * sums left-to-right, then sqrt — the q_ann_pq bit-parity argument);
+    * rank-only output tie-broken by neighbor id.
+    */
+  private val annIvfPqRefinedQ = q("q_ann_ivfpq_refined",
+    s"""WITH ${OracleFixtures.pqCodeCtes},
+       cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+       assigned AS (
+         SELECT vec_id, cell FROM (
+           SELECT cc.vec_id, cent.cell,
+                  row_number() OVER (PARTITION BY cc.vec_id
+                    ORDER BY list_distance(cc.v, cent.cv), cent.cell) AS r
+           FROM cc, cent) WHERE r = 1),
+       qa AS (
+         SELECT vec_id AS query_id, cell FROM (
+           SELECT cc.vec_id, cent.cell,
+                  row_number() OVER (PARTITION BY cc.vec_id
+                    ORDER BY list_distance(cc.v, cent.cv), cent.cell) AS r
+           FROM cc, cent WHERE cc.vec_id < 50) WHERE r <= 4),
+       pairs AS (SELECT qa.query_id, n.vec_id AS neighbor_id,
+           ${OracleFixtures.pqAdcExpr("q", "n")} AS adist
+         FROM qa
+         JOIN assigned a ON qa.cell = a.cell
+         JOIN cc q ON q.vec_id = qa.query_id
+         JOIN cc n ON n.vec_id = a.vec_id
+         WHERE qa.query_id <> a.vec_id),
+       short AS (SELECT query_id, neighbor_id FROM (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS r
+         FROM pairs) WHERE r <= 30),
+       ex AS (SELECT s.query_id, s.neighbor_id,
+                     list_distance(q.v, n.v) AS dist
+              FROM short s
+              JOIN e q ON q.vec_id = s.query_id
+              JOIN e n ON n.vec_id = s.neighbor_id)
+       SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+       FROM ex QUALIFY rank <= 10""") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    graft.functions.Pq.ivfTopKRefined(emb.where(col("vec_id") < 50), emb,
+      "vec_id", "embedding", OracleFixtures.pqBooks, k = 10, nCells = 16,
+      nProbe = 4, refine = 3)
+  }
+
   private val multimodalQ = q("q_multimodal") { (s, d) => // synthetic payloads; rows-only
     import s.implicits._
     val media = Multimodal.synthetic(s, 300)
@@ -1416,7 +1464,7 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ,
+    minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ,

@@ -162,6 +162,45 @@ class PqSpec extends AnyFunSuite {
     assert(resid >= 0.8, f"residual exact-L2 recall $resid%.2f below 0.8")
   }
 
+  test("exact re-rank tail (ivfTopKRefined) beats or matches plain ivf-pq recall") {
+    val df = planted()
+    val queries = df.where(col("vec_id") < 16)
+    val cells = Similarity.kmeansCells(df, "vec_id", "embedding", nCells = 16, iters = 4)
+    val books = Pq.train(df, "vec_id", "embedding", m = 4, ksub = 16, sampleSize = 320)
+    def exactRecall(got: Map[Long, Set[Long]]): Double = {
+      val all = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def l2(a: Array[Float], b: Array[Float]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val want = all.filter(_._1 < 16).map { case (qid, qv) =>
+        qid -> all.filter(_._1 != qid)
+          .map { case (nid, nv) => (l2(qv, nv), nid) }
+          .sortBy(identity).take(10).map(_._2).toSet
+      }.toMap
+      want.map { case (q, ws) =>
+        got.get(q).map(gs => (gs intersect ws).size.toDouble / ws.size).getOrElse(0.0)
+      }.sum / want.size
+    }
+    def toMapSet(r: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      r.collect().map(x => (x.getLong(0), x.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val plain = exactRecall(toMapSet(
+      Pq.ivfTopK(queries, df, "vec_id", "embedding", books, k = 10,
+        nCells = 16, nProbe = 4, centroids = Some(cells))))
+    val refined = exactRecall(toMapSet(
+      Pq.ivfTopKRefined(queries, df, "vec_id", "embedding", books, k = 10,
+        nCells = 16, nProbe = 4, refine = 3, centroids = Some(cells))))
+    // refinement re-orders the shortlist by the TRUE metric: it can only
+    // promote true neighbors ADC mis-ranked below the k cut, never demote
+    // one it already had (same candidate pool, exact ordering)
+    assert(refined >= plain,
+      f"refined recall $refined%.2f must not lose to plain $plain%.2f")
+    // planted clusters: plain codes collapse tight clusters (ties by id),
+    // so the exact tail must recover a visible chunk of recall
+    assert(refined > plain + 0.1,
+      f"refined recall $refined%.2f should clearly beat plain $plain%.2f on clusters")
+    assert(refined >= 0.8, f"refined exact-L2 recall $refined%.2f below 0.8")
+  }
+
   test("low-diversity subspace pads to uniform ksub; lut/adc strides stay sound") {
     // first 4 dims constant across every vector → that subspace has ONE
     // distinct subvector; pre-padding this trained a 1-centroid book while

@@ -167,6 +167,25 @@ object AnnIndex {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** [[probeIvfPq]] with the exact re-rank tail
+    * ([[graft.functions.Pq.ivfTopKRefined]]'s discipline on the
+    * PERSISTENT index): the partition-pruned compressed probe shortlists
+    * k·refine candidates per query, then ONLY those raw vectors are
+    * re-scored exactly from `corpus` — the caller supplies the raw-vector
+    * table because the index stores codes, not vectors (that 32× gap is
+    * the point of the index). One corpus scan with a broadcast semi-join;
+    * no corpus shuffle; the pruned index scan is unchanged.
+    */
+  def probeIvfPqRefined(spark: SparkSession, path: String, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4, refine: Int = 3): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    graft.functions.Pq.refineExact(
+      probeIvfPq(spark, path, queries, idCol, vecCol, k * refine, nProbe)
+        .select(col("query_id"), col("neighbor_id")),
+      queries, corpus, idCol, vecCol, k)
+  }
+
   /** Compact a streamed IVF-PQ index
     * ([[graft.streaming.GraftStreaming.indexStreamIvfPq]] appends one
     * `batch=<id>` directory per microbatch — at streaming cadence that is

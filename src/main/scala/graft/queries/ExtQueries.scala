@@ -728,7 +728,7 @@ object ExtQueries {
     * sums left-to-right, then sqrt — the q_ann_pq bit-parity argument);
     * rank-only output tie-broken by neighbor id.
     */
-  private val annIvfPqRefinedQ = q("q_ann_ivfpq_refined",
+  private val IvfPqRefinedOracleSql =
     s"""WITH ${OracleFixtures.pqCodeCtes},
        cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),
        assigned AS (
@@ -761,11 +761,27 @@ object ExtQueries {
               JOIN e n ON n.vec_id = s.neighbor_id)
        SELECT query_id, neighbor_id,
               CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
-       FROM ex QUALIFY rank <= 10""") { (s, d) =>
+       FROM ex QUALIFY rank <= 10"""
+
+  private val annIvfPqRefinedQ = q("q_ann_ivfpq_refined", IvfPqRefinedOracleSql) { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
     graft.functions.Pq.ivfTopKRefined(emb.where(col("vec_id") < 50), emb,
       "vec_id", "embedding", OracleFixtures.pqBooks, k = 10, nCells = 16,
       nProbe = 4, refine = 3)
+  }
+
+  /** The refined probe over the PERSISTENT compressed index — SAME oracle
+    * as the in-flight twin (the q_ann_ivfpq_indexed discipline): pruned
+    * index scan shortlists, the raw-vector corpus supplies the exact tail.
+    */
+  private val annIvfPqRefinedIndexedQ = q("q_ann_ivfpq_refined_indexed", IvfPqRefinedOracleSql) { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivfpq_idx_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
+      OracleFixtures.pqBooks, nCells = 16)
+    AnnIndex.probeIvfPqRefined(s, path, emb.where(col("vec_id") < 50), emb,
+      "vec_id", "embedding", k = 10, nProbe = 4, refine = 3)
   }
 
   private val multimodalQ = q("q_multimodal") { (s, d) => // synthetic payloads; rows-only
@@ -1464,7 +1480,7 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ,
+    minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ,

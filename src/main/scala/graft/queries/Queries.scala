@@ -1353,6 +1353,54 @@ object Queries {
       .agg(round(sum(rev), 2).cast("double").as("revenue"))
   }
 
+  /** GROUP BY ROLLUP: hierarchical subtotals in one pass. Spark plans an
+    * Expand (rows × grouping-set count = 3 here) feeding ONE hash
+    * aggregate — at 100 TB that multiplier is the cost dial: rollup over
+    * n columns expands n+1×, so push the detail filter below and keep the
+    * grouping column list short.
+    */
+  private val rollupQ = q("q_rollup",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""") { (s, d) =>
+    Tables.df(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+  }
+
+  /** GROUP BY CUBE: all 2^n grouping sets in one Expand+aggregate pass
+    * (4 sets here). Same scale caveat as rollup, squared: the Expand
+    * multiplier is 2^n, so cube is for LOW-cardinality dimension pairs.
+    */
+  private val cubeQ = q("q_cube",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""") { (s, d) =>
+    Tables.df(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  /** Pivot with an EXPLICIT value list: compiles to one conditional-sum
+    * aggregation pass (the q_q12 shape under the hood — no Expand, no
+    * second scan). Always pass the value list at scale: the implicit
+    * form runs a distinct-collect job on the pivot column first.
+    */
+  private val pivotQ = q("q_pivot",
+    """SELECT l_returnflag,
+              CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+              CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+       FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+    Tables.df(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+  }
+
   private val windowLagQ = q("q_window_lag",
     """SELECT event_id,
               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -1396,6 +1444,7 @@ object Queries {
     foldJuxtQ,
     q1, q5ish, q3ish, q6, q10ish, q14ish, q18ish, q4ish, q16ish, q21ish, q15ish,
     q13ish, q17ish, q20ish, q22ish, q5full, q7ish, q8ish, q9ish, q12ish, q19ish,
+    rollupQ, cubeQ, pivotQ,
     windowLagQ, windowRunningQ, eventsAggQ)
 
   val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all

@@ -35,8 +35,20 @@ object QualityModel {
     * mirrors the underlying features), bounded O(1) so no single feature
     * dwarfs the gradient.
     */
-  def featureVector(text: Column): Column = {
-    val f = qualityFeatures(text)
+  def featureVector(text: Column): Column =
+    featureVectorFrom(qualityFeatures(text))
+
+  /** [[featureVector]] from an ALREADY-BOUND features struct column.
+    * Referencing a bound alias instead of re-deriving the struct matters
+    * for codegen: inlining `qualityFeatures` into every array slot (and
+    * the logit into every consumer) multiplies the expression tree ~70×
+    * — big enough that Spark's projection codegen trips a Janino scoping
+    * error ("isNull_N is not an rvalue") and silently falls back to the
+    * interpreter. Staged aliases keep each projection small AND are safe
+    * from CollapseProject re-inlining (a non-cheap alias referenced more
+    * than once is never collapsed).
+    */
+  def featureVectorFrom(f: Column): Column =
     array(
       lit(1.0),
       f("alpha_ratio"),
@@ -44,7 +56,6 @@ object QualityModel {
       f("mean_word_len") / 12.0,
       least(f("distinct_ratio"), lit(1.0)),
       least(f("n_words") / 100.0, lit(1.0)))
-  }
 
   /** `w · x` as an EXPLICIT left-to-right add chain — the association the
     * SQL oracle mirrors term for term, so both engines round identically.
@@ -68,10 +79,11 @@ object QualityModel {
     * q_quality_model oracles.
     */
   def scoreDocs(df: DataFrame, idCol: String, textCol: String,
-      weights: Seq[Double]): DataFrame = {
-    val l = logit(featureVector(col(textCol)), weights)
-    df.select(col(idCol), round(l, 6).as("logit"), (l > 0).as("keep"))
-  }
+      weights: Seq[Double]): DataFrame =
+    df.select(col(idCol), qualityFeatures(col(textCol)).as("__f"))
+      .select(col(idCol), featureVectorFrom(col("__f")).as("__x"))
+      .select(col(idCol), logit(col("__x"), weights).as("__l"))
+      .select(col(idCol), round(col("__l"), 6).as("logit"), (col("__l") > 0).as("keep"))
 
   /** Batch-gradient logistic regression on the [[featureVector]] features
     * against a 0/1 label column. Each iteration: one aggregation computing

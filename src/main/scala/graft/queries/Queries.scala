@@ -1401,6 +1401,32 @@ object Queries {
       .withColumnRenamed("O", "qty_o")
   }
 
+  /** Ranking/distribution window-function breadth in ONE window pass:
+    * ntile, percent_rank, cume_dist, first_value, lead share a single
+    * (partition, order) spec, so Spark plans ONE sort+Window operator —
+    * five outputs for one shuffle. percent_rank/cume_dist are integer
+    * ratios cast to double (engine-exact); the order key carries the
+    * unique event_id tiebreak so every function is deterministic.
+    */
+  private val windowStatsQ = q("q_window_stats",
+    """SELECT event_id,
+              CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+              CAST(percent_rank() OVER w AS DOUBLE) AS pr,
+              CAST(cume_dist() OVER w AS DOUBLE) AS cd,
+              first_value(event_type) OVER w AS first_type,
+              CAST(lead(event_id, 1) OVER w AS BIGINT) AS next_event
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.df(s, d, "events")
+      .select(col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("event_type")).over(w).as("first_type"),
+        lead(col("event_id"), 1).over(w).as("next_event"))
+  }
+
   private val windowLagQ = q("q_window_lag",
     """SELECT event_id,
               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -1445,7 +1471,7 @@ object Queries {
     q1, q5ish, q3ish, q6, q10ish, q14ish, q18ish, q4ish, q16ish, q21ish, q15ish,
     q13ish, q17ish, q20ish, q22ish, q5full, q7ish, q8ish, q9ish, q12ish, q19ish,
     rollupQ, cubeQ, pivotQ,
-    windowLagQ, windowRunningQ, eventsAggQ)
+    windowLagQ, windowRunningQ, windowStatsQ, eventsAggQ)
 
   val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all
 

@@ -105,6 +105,12 @@ object ProbeScale {
         emb, "vec_id", "embedding", s"$idxBase/ivfpq", pqBooks, nCells = 16))
       val (tProbeIvfPq, nProbeIvfPq) = time2(AnnIndex.probeIvfPq(
         spark, s"$idxBase/ivfpq", queries, "vec_id", "embedding", 10, nProbe = 4).count())
+      // refined tail: adds ONE raw-corpus scan with a broadcast semi-join
+      // over the |Q|·k·refine shortlist — growth should track the corpus
+      // scan (linear), never the pair count
+      val (tProbeRefined, nProbeRefined) = time2(AnnIndex.probeIvfPqRefined(
+        spark, s"$idxBase/ivfpq", queries, emb, "vec_id", "embedding", 10,
+        nProbe = 4, refine = 3).count())
       val tBuildGram = time1(AnnIndex.buildGramIndex(
         d, "doc_id", "text", s"probe_grams_x$factor", k = 3))
       // constant-size probe delta: the FIRST copy's tail slice at every factor
@@ -121,6 +127,7 @@ object ProbeScale {
         f"substring_spans=$tSpans%7.0f ms ($nSpans rows)")
       println(f"[scale-idx] x$factor%-3d ivfpq_build=$tBuildIvfPq%7.0f ms  " +
         f"ivfpq_probe=$tProbeIvfPq%7.0f ms ($nProbeIvfPq)  " +
+        f"ivfpq_refined=$tProbeRefined%7.0f ms ($nProbeRefined)  " +
         f"gram_build=$tBuildGram%7.0f ms  " +
         f"spans_probe=$tProbeSpans%7.0f ms ($nProbeSpans rows, fixed-size delta)")
       // factor hygiene: the index builds/tables of THIS factor must not

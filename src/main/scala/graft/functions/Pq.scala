@@ -385,17 +385,12 @@ object Pq {
       .select(col("query_id"),
         lutCol(maybeResid(col("__qv"), col("__probe")("cell")), books).as("__lut"),
         col("__probe")("cell").as("__cell"))
-    assigned.join(broadcast(qProbes), "__cell")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adcCol(col("__lut"), col("__codes"), ksub))
-      .where(col("adist").isNotNull)
-      .groupBy(col("query_id"))
-      .agg(AggExpressions.bottomK(struct(col("adist"), col("neighbor_id")), k).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")))
-      .select(col("query_id"),
-        col("col.neighbor_id").as("neighbor_id"),
-        col("col.adist").as("adist"),
-        (col("pos") + 1).cast("int").as("rank"))
+    rankTail(
+      assigned.join(broadcast(qProbes), "__cell")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist", adcCol(col("__lut"), col("__codes"), ksub))
+        .where(col("adist").isNotNull),
+      "adist", k, keepScore = true)
   }
 
   /** IVF-PQ with an exact re-rank tail (the faiss IndexRefineFlat /
@@ -428,24 +423,40 @@ object Pq {
   /** Exact-L2 re-rank of a (query_id, neighbor_id) shortlist down to
     * top-k. The shortlist and the query vectors broadcast; the corpus
     * contributes raw vectors through a map-side broadcast join, so the
-    * only aggregation state is the per-query k-row heap.
+    * only aggregation state is the per-query k-row heap. The shortlist
+    * is deduped first: a repeated pair (a replayed ingest batch, a
+    * caller union) would otherwise score twice and occupy two of the k
+    * ranks, displacing a true candidate.
     */
   def refineExact(shortlist: DataFrame, queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val cands = broadcast(shortlist.select(col("query_id"), col("neighbor_id")))
+    val cands = broadcast(shortlist.select(col("query_id"), col("neighbor_id")).distinct())
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
       .join(cands, Seq("neighbor_id"))
       .join(qv, Seq("query_id"))
       .withColumn("dist",
         graft.functions.VectorFunctions.l2Distance(col("__qv"), col("__nv")))
       .where(col("dist").isNotNull)
+    rankTail(scored, "dist", k, keepScore = false)
+  }
+
+  /** Shared deterministic top-k tail for the ANN family: bounded-heap
+    * per query (≤k rows cross the shuffle), rank tie-broken by neighbor
+    * id. ONE definition so the tie-break discipline the oracles depend
+    * on cannot drift between the ADC variants, the index probe, and the
+    * exact re-rank.
+    */
+  private[graft] def rankTail(scored: DataFrame, scoreCol: String, k: Int,
+      keepScore: Boolean): DataFrame = {
+    val exploded = scored
       .groupBy(col("query_id"))
-      .agg(AggExpressions.bottomK(struct(col("dist"), col("neighbor_id")), k).as("__top"))
+      .agg(AggExpressions.bottomK(struct(col(scoreCol), col("neighbor_id")), k).as("__top"))
       .select(col("query_id"), posexplode(col("__top")))
-      .select(col("query_id"),
-        col("col.neighbor_id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"))
+    val cols = Seq(col("query_id"), col("col.neighbor_id").as("neighbor_id")) ++
+      (if (keepScore) Seq(col(s"col.$scoreCol").as(scoreCol)) else Nil) :+
+      (col("pos") + 1).cast("int").as("rank")
+    exploded.select(cols: _*)
   }
 
   /** Approximate top-k by ADC distance over the PQ-compressed corpus.
@@ -466,16 +477,11 @@ object Pq {
       encodeCol(col(vecCol), books).as("__codes"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       lutCol(col(vecCol), books).as("__lut")))
-    codes.crossJoin(q)
-      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("adist", adcCol(col("__lut"), col("__codes"), ksub))
-      .where(col("adist").isNotNull)
-      .groupBy(col("query_id"))
-      .agg(AggExpressions.bottomK(struct(col("adist"), col("neighbor_id")), k).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")))
-      .select(col("query_id"),
-        col("col.neighbor_id").as("neighbor_id"),
-        col("col.adist").as("adist"),
-        (col("pos") + 1).cast("int").as("rank"))
+    rankTail(
+      codes.crossJoin(q)
+        .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+        .withColumn("adist", adcCol(col("__lut"), col("__codes"), ksub))
+        .where(col("adist").isNotNull),
+      "adist", k, keepScore = true)
   }
 }

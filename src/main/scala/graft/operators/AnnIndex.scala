@@ -153,18 +153,12 @@ object AnnIndex {
       .select(col("query_id"), col("__lut"), col("__probe")("cell").as("__cell"))
     val probed = Materialize.once(q)
     val idx = pruneCells(spark.read.parquet(path), probed)
-    idx.join(broadcast(probed), "__cell")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", graft.functions.Pq.adcCol(col("__lut"), col("__codes"), ksub))
-      .where(col("adist").isNotNull)
-      .groupBy(col("query_id"))
-      .agg(graft.functions.AggExpressions.bottomK(
-        struct(col("adist"), col("neighbor_id")), k).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")))
-      .select(col("query_id"),
-        col("col.neighbor_id").as("neighbor_id"),
-        col("col.adist").as("adist"),
-        (col("pos") + 1).cast("int").as("rank"))
+    graft.functions.Pq.rankTail(
+      idx.join(broadcast(probed), "__cell")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist", graft.functions.Pq.adcCol(col("__lut"), col("__codes"), ksub))
+        .where(col("adist").isNotNull),
+      "adist", k, keepScore = true)
   }
 
   /** [[probeIvfPq]] with the exact re-rank tail

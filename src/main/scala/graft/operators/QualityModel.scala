@@ -101,11 +101,20 @@ object QualityModel {
     require(n > 0, "cannot train on an empty corpus")
     var w = Array.fill(Dim)(0.0)
     for (_ <- 0 until iters) {
-      val err = score(col("__x"), w.toIndexedSeq) - col("__y")
-      val gradCols = (0 until Dim).map(i =>
-        sum(element_at(col("__x"), i + 1) * err).as(s"g$i"))
-      val g = feats.agg(gradCols.head, gradCols.tail: _*).head
-      w = Array.tabulate(Dim)(i => w(i) - lr * g.getDouble(i) / n)
+      // gradient as ONE aggregate over (component, x_i·err) pairs: Dim
+      // parallel sums sharing the residual subtree made HashAggregate's
+      // subexpression-eliminated codegen trip a Janino scoping bug
+      // ("hashAgg_isNull_N is not an rvalue") and silently fall back to
+      // the interpreter; exploding the bounded-length feature vector
+      // keeps every stage small, codegen'd, and Dim-scalable. Still one
+      // shuffle of Dim partial sums per iteration.
+      val g = feats
+        .withColumn("__err", score(col("__x"), w.toIndexedSeq) - col("__y"))
+        .select(col("__err"), posexplode(col("__x")))
+        .groupBy(col("pos"))
+        .agg(sum(col("col") * col("__err")).as("__g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      w = Array.tabulate(Dim)(i => w(i) - lr * g(i) / n)
     }
     w
   }

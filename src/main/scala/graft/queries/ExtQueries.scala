@@ -671,8 +671,13 @@ object ExtQueries {
     * robustness across the extra assignment layer. Shared by the
     * persistent-index twin below.
     */
-  private val IvfPqOracleSql =
-    s"""WITH ${OracleFixtures.pqCodeCtes},
+  /** Shared CTE prefix for the IVF-PQ oracle family (cells → assignment
+    * → probed pairs with ADC distances) — ONE definition (the
+    * OracleFixtures discipline) so the base, indexed, and refined twins
+    * cannot drift in assignment tie-break or probe count.
+    */
+  private val IvfPqPairsCtes =
+    s"""${OracleFixtures.pqCodeCtes},
        cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),
        assigned AS (
          SELECT vec_id, cell FROM (
@@ -692,7 +697,10 @@ object ExtQueries {
          JOIN assigned a ON qa.cell = a.cell
          JOIN cc q ON q.vec_id = qa.query_id
          JOIN cc n ON n.vec_id = a.vec_id
-         WHERE qa.query_id <> a.vec_id)
+         WHERE qa.query_id <> a.vec_id)"""
+
+  private val IvfPqOracleSql =
+    s"""WITH $IvfPqPairsCtes
        SELECT query_id, neighbor_id,
               CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
        FROM pairs QUALIFY rank <= 10"""
@@ -709,13 +717,24 @@ object ExtQueries {
     * twin, the q_ann_ivf_indexed discipline: same quantizer + same
     * codebooks → same answer, now hash-gated rather than only spec-gated.
     */
+  /** Build-once fixture index shared by the indexed IVF-PQ twins (same
+    * path, same quantizer, same codebooks): one definition so the twins
+    * cannot drift apart on build parameters, and one build per JVM per
+    * sfDir instead of a redundant rebuild per query.
+    */
+  private val ivfPqFixtureIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqFixtureIndex(s: SparkSession, d: String): String =
+    ivfPqFixtureIndexes.computeIfAbsent(d, _ => {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfpq_idx_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      AnnIndex.buildIvfPq(Tables.df(s, d, "embeddings"), "vec_id", "embedding",
+        path, OracleFixtures.pqBooks, nCells = 16)
+      path
+    })
+
   private val annIvfPqIndexedQ = q("q_ann_ivfpq_indexed", IvfPqOracleSql) { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivfpq_idx_" + Integer.toHexString(d.hashCode)).getAbsolutePath
-    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
-      OracleFixtures.pqBooks, nCells = 16)
-    AnnIndex.probeIvfPq(s, path, emb.where(col("vec_id") < 50),
+    AnnIndex.probeIvfPq(s, ivfPqFixtureIndex(s, d), emb.where(col("vec_id") < 50),
       "vec_id", "embedding", k = 10, nProbe = 4)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
@@ -729,27 +748,7 @@ object ExtQueries {
     * rank-only output tie-broken by neighbor id.
     */
   private val IvfPqRefinedOracleSql =
-    s"""WITH ${OracleFixtures.pqCodeCtes},
-       cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-       assigned AS (
-         SELECT vec_id, cell FROM (
-           SELECT cc.vec_id, cent.cell,
-                  row_number() OVER (PARTITION BY cc.vec_id
-                    ORDER BY list_distance(cc.v, cent.cv), cent.cell) AS r
-           FROM cc, cent) WHERE r = 1),
-       qa AS (
-         SELECT vec_id AS query_id, cell FROM (
-           SELECT cc.vec_id, cent.cell,
-                  row_number() OVER (PARTITION BY cc.vec_id
-                    ORDER BY list_distance(cc.v, cent.cv), cent.cell) AS r
-           FROM cc, cent WHERE cc.vec_id < 50) WHERE r <= 4),
-       pairs AS (SELECT qa.query_id, n.vec_id AS neighbor_id,
-           ${OracleFixtures.pqAdcExpr("q", "n")} AS adist
-         FROM qa
-         JOIN assigned a ON qa.cell = a.cell
-         JOIN cc q ON q.vec_id = qa.query_id
-         JOIN cc n ON n.vec_id = a.vec_id
-         WHERE qa.query_id <> a.vec_id),
+    s"""WITH $IvfPqPairsCtes,
        short AS (SELECT query_id, neighbor_id FROM (
          SELECT query_id, neighbor_id,
                 row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS r
@@ -776,12 +775,8 @@ object ExtQueries {
     */
   private val annIvfPqRefinedIndexedQ = q("q_ann_ivfpq_refined_indexed", IvfPqRefinedOracleSql) { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivfpq_idx_" + Integer.toHexString(d.hashCode)).getAbsolutePath
-    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
-      OracleFixtures.pqBooks, nCells = 16)
-    AnnIndex.probeIvfPqRefined(s, path, emb.where(col("vec_id") < 50), emb,
-      "vec_id", "embedding", k = 10, nProbe = 4, refine = 3)
+    AnnIndex.probeIvfPqRefined(s, ivfPqFixtureIndex(s, d), emb.where(col("vec_id") < 50),
+      emb, "vec_id", "embedding", k = 10, nProbe = 4, refine = 3)
   }
 
   private val multimodalQ = q("q_multimodal") { (s, d) => // synthetic payloads; rows-only

@@ -1072,6 +1072,33 @@ object ExtQueries {
       .select(col("event_id"), col("interval_id"))
   }
 
+  /** Interval-overlap join (span-conflict shape): two derived interval
+    * sets over the events timeline, paired iff they overlap — the binned
+    * emit-at-first-shared-bin formulation vs the oracle's plain
+    * inequality join. Deterministic derivation (event_id arithmetic), so
+    * the pair set hash-compares.
+    */
+  private val intervalOverlapQ = q("q_interval_overlap",
+    """WITH a AS (SELECT event_id AS a_id, epoch_ns(ts) // 1000 AS a_lo,
+                         epoch_ns(ts) // 1000 + 7200000000 AS a_hi
+                  FROM events WHERE event_id % 100 = 0),
+       b AS (SELECT event_id AS b_id, epoch_ns(ts) // 1000 AS b_lo,
+                    epoch_ns(ts) // 1000 + 3600000000 AS b_hi
+             FROM events WHERE event_id % 100 = 5)
+       SELECT a_id, b_id FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""") { (s, d) =>
+    val ev = Tables.df(s, d, "events")
+      .select(col("event_id"), expr("ts DIV 1000").as("tsu"))
+    val a = ev.where(col("event_id") % 100 === 0)
+      .select(col("event_id").as("a_id"), col("tsu").as("a_lo"),
+        (col("tsu") + 7200000000L).as("a_hi"))
+    val b = ev.where(col("event_id") % 100 === 5)
+      .select(col("event_id").as("b_id"), col("tsu").as("b_lo"),
+        (col("tsu") + 3600000000L).as("b_hi"))
+    RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+      binWidth = 60000000L)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** ONE oracle for all three sessionize twins (default/skew-bucket/fast):
     * the operator variants are result-identical by contract, so they must
     * all hash-match the same SQL.
@@ -1478,6 +1505,6 @@ object ExtQueries {
     minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
-    asofForwardQ, asofToleranceQ, rangeJoinQ,
+    asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)
 }

@@ -151,6 +151,33 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.toSet == Set((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B")))
   }
 
+  test("intervalOverlap == brute force on random intervals; exactly-once emission") {
+    val rnd = new scala.util.Random(7)
+    val as = (0 until 60).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .map { case (id, lo) => (id, lo, lo + rnd.nextInt(300).toLong) }
+    val bs = (0 until 60).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .map { case (id, lo) => (id, lo, lo + rnd.nextInt(300).toLong) }
+    val want = (for {
+      (ai, alo, ahi) <- as; (bi, blo, bhi) <- bs
+      if alo <= bhi && blo <= ahi
+    } yield (ai, bi)).toSet
+    // binWidth far smaller than typical width: intervals span MANY bins,
+    // exercising the emit-at-first-shared-bin dedup the hardest
+    for (bw <- Seq(7L, 100L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(
+        as.toDF("a_id", "a_lo", "a_hi"), "a_lo", "a_hi",
+        bs.toDF("b_id", "b_lo", "b_hi"), "b_lo", "b_hi", binWidth = bw)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      assert(got.distinct.size == got.size, s"binWidth=$bw: a pair must emit exactly once")
+      assert(got.toSet == want, s"binWidth=$bw: pair set must match brute force")
+    }
+    // touching boundaries are overlaps (closed intervals)
+    val touch = RangeJoin.intervalOverlap(
+      Seq((1L, 0L, 10L)).toDF("a_id", "a_lo", "a_hi"), "a_lo", "a_hi",
+      Seq((2L, 10L, 20L)).toDF("b_id", "b_lo", "b_hi"), "b_lo", "b_hi", binWidth = 4L)
+    assert(touch.count() == 1, "hi == lo boundary contact must pair")
+  }
+
   test("asofSingleWindow plans one shuffle (union + window), no range-join explosion") {
     val left = Seq((1, 10L, "x")).toDF("k", "ts", "lv")
     val right = Seq((1, 5L, "a")).toDF("k", "rts", "rv")

@@ -1427,6 +1427,41 @@ object Queries {
         lead(col("event_id"), 1).over(w).as("next_event"))
   }
 
+  /** GROUP BY GROUPING SETS with an explicit (non-hierarchical) set list
+    * — the general form rollup/cube specialize. Expand multiplier =
+    * set count (2 here), same scale dial as q_rollup.
+    */
+  private val groupingSetsQ = q("q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""") { (s, d) =>
+    Tables.df(s, d, "lineitem")
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  /** RANGE window frame (time-valued, not row-counted): each event's
+    * trailing-hour value sum. Peers at the same timestamp aggregate
+    * identically by definition, so no tiebreak column is needed — the
+    * frame is value-bounded, which is what makes it deterministic AND
+    * what a sliding time-window aggregation over 100 TB of events needs
+    * (a rows-frame would be load-order-dependent).
+    */
+  private val windowRangeQ = q("q_window_range",
+    """SELECT event_id,
+              CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER
+                (PARTITION BY user_id ORDER BY tsu
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_value
+       FROM (SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS tsu FROM events)""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("tsu"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.df(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("value"), expr("ts DIV 1000").as("tsu"))
+      .select(col("event_id"),
+        sum(col("value").cast("decimal(28,4)")).over(w).cast("double").as("hour_value"))
+  }
+
   private val windowLagQ = q("q_window_lag",
     """SELECT event_id,
               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -1470,7 +1505,7 @@ object Queries {
     foldJuxtQ,
     q1, q5ish, q3ish, q6, q10ish, q14ish, q18ish, q4ish, q16ish, q21ish, q15ish,
     q13ish, q17ish, q20ish, q22ish, q5full, q7ish, q8ish, q9ish, q12ish, q19ish,
-    rollupQ, cubeQ, pivotQ,
+    rollupQ, cubeQ, pivotQ, groupingSetsQ, windowRangeQ,
     windowLagQ, windowRunningQ, windowStatsQ, eventsAggQ)
 
   val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all

@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  // backquoted so non-identifier column names can't mis-parse
+  private def bin(name: String, binWidth: Long): Column =
+    expr(s"CAST(`$name` AS BIGINT) DIV $binWidth")
+
+  /** Both sides' columns ride into the result un-renamed, and `__bin` is
+    * the internal join key — so neither a cross-side collision nor a
+    * pre-existing `__bin` (which withColumn would silently overwrite and
+    * drop) is representable.
+    */
+  private def requireDisjoint(a: DataFrame, b: DataFrame,
+      aName: String, bName: String): Unit = {
+    val shared = a.columns.intersect(b.columns)
+    require(shared.isEmpty, s"$aName and $bName share column names " +
+      s"${shared.mkString(",")} — rename one side (the result carries both sides' columns)")
+    (a.columns ++ b.columns).find(_ == "__bin").foreach(_ =>
+      throw new IllegalArgumentException(
+        "__bin is reserved by the binned join — rename that input column"))
+  }
+
   /** @param binWidth bin size in the same units as `ptCol`/`loCol`/`hiCol`
     *                 (must be positive; pt/lo/hi must be non-negative so
     *                 integer division floors consistently).
@@ -26,15 +45,11 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val shared = points.columns.intersect(intervals.columns)
-    require(shared.isEmpty, s"points and intervals share column names " +
-      s"${shared.mkString(",")} — rename one side (the result carries both sides' columns)")
-    // backquoted so non-identifier column names can't mis-parse
-    def bin(name: String): Column = expr(s"CAST(`$name` AS BIGINT) DIV $binWidth")
+    requireDisjoint(points, intervals, "points", "intervals")
     val binned = intervals.withColumn("__bin",
-      explode(sequence(bin(loCol), bin(hiCol))))
+      explode(sequence(bin(loCol, binWidth), bin(hiCol, binWidth))))
     points
-      .withColumn("__bin", bin(ptCol))
+      .withColumn("__bin", bin(ptCol, binWidth))
       .join(binned, "__bin")
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bin")
@@ -59,12 +74,11 @@ object RangeJoin {
       right: DataFrame, loR: String, hiR: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val shared = left.columns.intersect(right.columns)
-    require(shared.isEmpty, s"left and right share column names " +
-      s"${shared.mkString(",")} — rename one side (the result carries both sides' columns)")
-    def bin(name: String): Column = expr(s"CAST(`$name` AS BIGINT) DIV $binWidth")
-    val lb = left.withColumn("__bin", explode(sequence(bin(loL), bin(hiL))))
-    val rb = right.withColumn("__bin", explode(sequence(bin(loR), bin(hiR))))
+    requireDisjoint(left, right, "left", "right")
+    val lb = left.withColumn("__bin",
+      explode(sequence(bin(loL, binWidth), bin(hiL, binWidth))))
+    val rb = right.withColumn("__bin",
+      explode(sequence(bin(loR, binWidth), bin(hiR, binWidth))))
     lb.join(rb, "__bin")
       .where(col(loL) <= col(hiR) && col(loR) <= col(hiL))
       .where(col("__bin") ===

@@ -1094,8 +1094,11 @@ object ExtQueries {
     val b = ev.where(col("event_id") % 100 === 5)
       .select(col("event_id").as("b_id"), col("tsu").as("b_lo"),
         (col("tsu") + 3600000000L).as("b_hi"))
+    // binWidth near the typical interval width (the scaladoc dial): 1h
+    // bins keep the 1-2h intervals in 2-3 bins each; the exactly-once
+    // emission under binWidth << width is what the property test stresses
     RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
-      binWidth = 60000000L)
+      binWidth = 3600000000L)
       .select(col("a_id"), col("b_id"))
   }
 

@@ -453,6 +453,22 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Z-order (Morton) value for multi-column data skipping, oracle-gated
+    * end to end: [[graft.functions.ZOrder.zSqlExpr]] generates the SAME
+    * bit-interleave for DuckDB that [[graft.functions.ZOrder.zValue]]
+    * plans in Spark (one generator, zero drift). The layout effect — each
+    * z-sorted file covering a compact rectangle of the key plane, so
+    * min/max footers prune on BOTH columns — is gated by ZOrderSpec.
+    */
+  private val zorderQ = q("q_zorder",
+    s"""SELECT l_orderkey, l_linenumber,
+              ${graft.functions.ZOrder.zSqlExpr("l_partkey", "l_suppkey")} AS zv
+       FROM lineitem""") { (s, d) =>
+    Tables.df(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("zv"))
+  }
+
   private val quantizeQ = q("q_quantize",
     // int8 storage quantization, integer-summarized so the oracle is
     // exact: trunc-toward-zero is bit-identical across engines (round's
@@ -1506,7 +1522,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
-    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ,
+    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, zorderQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)

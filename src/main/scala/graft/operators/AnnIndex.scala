@@ -192,21 +192,30 @@ object AnnIndex {
     * Operational contract: run with the ingest STOPPED after a clean
     * `processAllAvailable()`/`stop()` — a trailing batch whose sink write
     * committed but whose checkpoint offset did not would replay AFTER
-    * compaction beside its compacted copy. `batch=-1` never collides with
-    * real microbatch ids, so ingest resumes against the same checkpoint
-    * and compaction itself is idempotent (re-compacting folds `batch=-1`
-    * back into `batch=-1`).
+    * compaction beside its compacted copy. Compacted eras carry NEGATIVE
+    * batch ids (`batch=-1`, then `batch=-2` on re-compaction, …), which
+    * never collide with real microbatch ids, so ingest resumes against
+    * the same checkpoint and compaction itself is idempotent result-wise
+    * (re-compacting folds the current era into the next one).
     *
     * Crash discipline (the fingerprint catalog's stage-then-swap applied
     * to a directory layout): the rewrite lands COMPLETE in a sibling tmp
-    * dir, atomically renames to an invisible `.compact_staged` inside the
-    * root, and only then are the old era dirs deleted and the staged dir
-    * flipped to `batch=-1` in one rename. Every crash window is healed by
-    * the recovery scan at the next compact/probe: staged present →
-    * re-run the install (the visible dirs are all pre-compaction state);
-    * only tmp present → the source dirs are untouched, delete tmp and
-    * start over. No window leaves a silently PARTIAL index: readers
-    * during the install see missing data only if they race the
+    * dir together with a `_COMPACTION_MANIFEST` naming the target era and
+    * the EXACT source dirs folded in, atomically renames to an invisible
+    * `.compact_staged` inside the root, and only then are the manifest's
+    * source dirs deleted and the staged dir flipped to the target era in
+    * one rename. The manifest is what makes every heal SAFE against
+    * concurrent progress: a batch dir ingested AFTER the staging rename
+    * (crash, stream resumed — [[graft.streaming.GraftStreaming.writeIndexBatch]]
+    * also heals before appending) is not in the manifest and can never be
+    * deleted by the install, and the target era name is fresh per
+    * compaction, so a racing second healer replaying the same manifest
+    * can delete only already-deleted sources — never the installed era.
+    * Every crash window is healed by the recovery scan at the next
+    * compact/probe/ingest: staged present → re-run the install from its
+    * manifest; only tmp present → the source dirs are untouched, delete
+    * tmp and start over. No window leaves a silently PARTIAL index:
+    * readers during the install see missing data only if they race the
     * stop-the-world maintenance op itself.
     */
   def compactIvfPq(spark: SparkSession, path: String): Unit = {
@@ -224,6 +233,10 @@ object AnnIndex {
     val dataDirs = fs.listStatus(root).filter(s => s.isDirectory &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     if (dataDirs.isEmpty) return // nothing ingested yet
+    val sources = dataDirs.map(_.getPath.getName).toSeq
+    // fresh era per compaction: one below the lowest compacted era so the
+    // install target can never appear in ANY manifest's source list
+    val nextEra = sources.flatMap(eraId).filter(_ < 0L).minOption.getOrElse(0L) - 1L
     val rows = spark.read.parquet(path).select("neighbor_id", "__cell", "__codes")
     val tmp = new Path(path + ".__compact_tmp")
     fs.delete(tmp, true)
@@ -231,6 +244,7 @@ object AnnIndex {
     // parquet commit protocol leaves _SUCCESS in tmp on completion
     rows.repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(tmp.toString)
+    writeManifest(fs, tmp, s"batch=$nextEra", sources)
     fs.delete(stagedPath(root), true)
     require(fs.rename(tmp, stagedPath(root)), s"staging rename failed: $tmp")
     installStaged(fs, root)
@@ -239,40 +253,71 @@ object AnnIndex {
   private def stagedPath(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, ".compact_staged")
 
-  /** Install a complete staged compaction: delete every VISIBLE data dir
-    * (all of them are pre-compaction state — the staged dir is dot-
-    * prefixed and the sidecars underscore-prefixed) and flip the staged
-    * dir to the `batch=-1` era in one atomic rename. The `_SUCCESS`
-    * marker rides along inside the era dir; readers ignore `_` files.
+  private val ManifestName = "_COMPACTION_MANIFEST"
+
+  private def eraId(dirName: String): Option[Long] =
+    if (dirName.startsWith("batch=")) dirName.stripPrefix("batch=").toLongOption else None
+
+  /** First line: target era dir name; remaining lines: the source dirs
+    * this compaction folded in. Underscore-prefixed, so invisible to
+    * parquet readers; written into tmp BEFORE the staging rename, so a
+    * staged dir always carries the manifest that describes it.
+    */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, target: String, sources: Seq[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, ManifestName), true)
+    try out.write((target +: sources).mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      staged: org.apache.hadoop.fs.Path): (String, Seq[String]) = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(staged, ManifestName))
+    val lines = try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq finally in.close()
+    (lines.head, lines.tail)
+  }
+
+  /** Install a complete staged compaction: delete ONLY the source dirs
+    * recorded in the staged manifest (a dir ingested after the staging
+    * rename is live data the snapshot does not contain — it must survive)
+    * and flip the staged dir to the manifest's target era in one atomic
+    * rename. The `_SUCCESS` marker and manifest ride along inside the era
+    * dir; readers ignore `_` files.
+    *
+    * Two healers can race here (probes are reads; callers won't serialize
+    * them): both replay the SAME manifest, so the loser's deletes hit
+    * already-deleted sources (no-ops) and can never touch the winner's
+    * installed era — the target name is fresh per compaction and by
+    * construction absent from every source list. Losing the rename is
+    * fine iff the winner installed the era; only a rename that failed
+    * with neither dir in place is a real error.
     */
   private def installStaged(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
-    fs.listStatus(root)
-      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .foreach(d => fs.delete(d.getPath, true))
-    // two healers can race here (probes are reads; callers won't
-    // serialize them): losing the rename is fine iff the WINNER installed
-    // the era — only a rename that failed with neither dir in place is a
-    // real error
-    if (!fs.rename(stagedPath(root), new org.apache.hadoop.fs.Path(root, "batch=-1")))
-      require(!fs.exists(stagedPath(root)) &&
-          fs.exists(new org.apache.hadoop.fs.Path(root, "batch=-1")),
+    val staged = stagedPath(root)
+    val (target, sources) = readManifest(fs, staged)
+    sources.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    val targetPath = new org.apache.hadoop.fs.Path(root, target)
+    if (!fs.rename(staged, targetPath))
+      require(!fs.exists(staged) && fs.exists(targetPath),
         s"compaction flip failed under $root")
   }
 
   /** Heal a compaction killed mid-install: a staged dir bearing the
-    * parquet `_SUCCESS` marker is a COMPLETE rewrite, so finish the
-    * install; a staged dir without it cannot exist (the rename happens
-    * only after the committed write) but is deleted defensively — the
-    * source dirs are untouched until the staged rename succeeds.
-    * Called from [[compactIvfPq]] and [[probeIvfPq]].
+    * parquet `_SUCCESS` marker AND its manifest is a COMPLETE rewrite, so
+    * finish the install; a staged dir missing either cannot exist (both
+    * land in tmp before the staging rename) but is deleted defensively —
+    * the source dirs are untouched until the staged rename succeeds.
+    * Called from [[compactIvfPq]], [[probeIvfPq]], and the streaming
+    * ingest ([[graft.streaming.GraftStreaming.writeIndexBatch]]), so a
+    * resumed stream converges a crashed install instead of appending
+    * beside it forever.
     */
   private[graft] def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
     val staged = stagedPath(root)
     if (fs.exists(staged)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
+      if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staged, ManifestName)))
         installStaged(fs, root)
       else fs.delete(staged, true)
     }

@@ -29,7 +29,7 @@ object ProbeRange {
     // localCheckpoint RETURNS the checkpointed dataset — registering the
     // returned plans means the timed runs probe the join paths, not the
     // parquet scan+projection
-    val ev = spark.read.parquet(sfDir + "/events.parquet")
+    val ev = graft.queries.Tables.eventsNs(spark, sfDir)
       .select(col("event_id"), expr("ts DIV 1000").as("tsu"))
       .localCheckpoint(true)
     val iv = ev.where(col("event_id") % 100 === 0)

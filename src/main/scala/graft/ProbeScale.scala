@@ -42,7 +42,7 @@ object ProbeScale {
     }
 
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
-    val events = spark.read.parquet(sfDir + "/events.parquet")
+    val events = graft.queries.Tables.eventsNs(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts"))
     val embeddings = spark.read.parquet(sfDir + "/embeddings.parquet")
 

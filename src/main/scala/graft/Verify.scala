@@ -19,8 +19,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as nanos-since-epoch
-      // longs (ordering-compatible with the oracle's native ns timestamps)
+      // events.ts physical type has varied by round (int64 ns, then
+      // timestamp[us]); nanosAsLong covers the ns variant and
+      // Tables.eventsNs normalizes whichever arrives to nanos longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -952,7 +952,7 @@ object ExtQueries {
        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.mtsu <= l.tsu"""
 
   private def asofEventsMarkers(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val ev = Tables.df(s, d, "events")
+    val ev = Tables.eventsNs(s, d)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("tsu"))
     val markers = ev.where(col("event_id") % 10 === 0)
       .groupBy(col("user_id"), col("tsu").as("mtsu"))
@@ -1041,7 +1041,7 @@ object ExtQueries {
              FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
        SELECT l.event_id, l.user_id, r.marker_id
        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.mtsu >= l.tsu""") { (s, d) =>
-    val ev = Tables.df(s, d, "events")
+    val ev = Tables.eventsNs(s, d)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("tsu"))
     val markers = ev.where(col("event_id") % 10 === 0)
       .groupBy(col("user_id"), col("tsu").as("mtsu"))
@@ -1060,7 +1060,7 @@ object ExtQueries {
        SELECT l.event_id, l.user_id,
               CASE WHEN l.tsu - r.mtsu <= 60000000 THEN r.marker_id END AS marker_id
        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.mtsu <= l.tsu""") { (s, d) =>
-    val ev = Tables.df(s, d, "events")
+    val ev = Tables.eventsNs(s, d)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("tsu"))
     val markers = ev.where(col("event_id") % 10 === 0)
       .groupBy(col("user_id"), col("tsu").as("mtsu"))
@@ -1079,7 +1079,7 @@ object ExtQueries {
              FROM events WHERE event_id % 100 = 0)
        SELECT p.event_id, i.interval_id
        FROM p JOIN i ON p.tsu BETWEEN i.lo AND i.hi""") { (s, d) =>
-    val ev = Tables.df(s, d, "events")
+    val ev = Tables.eventsNs(s, d)
       .select(col("event_id"), expr("ts DIV 1000").as("tsu"))
     val iv = ev.where(col("event_id") % 100 === 0)
       .select(col("event_id").as("interval_id"), col("tsu").as("lo"),
@@ -1102,7 +1102,7 @@ object ExtQueries {
                     epoch_ns(ts) // 1000 + 3600000000 AS b_hi
              FROM events WHERE event_id % 100 = 5)
        SELECT a_id, b_id FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""") { (s, d) =>
-    val ev = Tables.df(s, d, "events")
+    val ev = Tables.eventsNs(s, d)
       .select(col("event_id"), expr("ts DIV 1000").as("tsu"))
     val a = ev.where(col("event_id") % 100 === 0)
       .select(col("event_id").as("a_id"), col("tsu").as("a_lo"),
@@ -1151,7 +1151,7 @@ object ExtQueries {
     * auto-width.
     */
   private val sessionizeSkewQ = q("q_sessionize_skew", SessionizeOracleSql) { (s, d) =>
-    sessionizeOut(Sessions.batchSkewSafe(Tables.df(s, d, "events"),
+    sessionizeOut(Sessions.batchSkewSafe(Tables.eventsNs(s, d),
       col("user_id"), col("ts"), col("event_id"),
       gap = 1800000000000L, bucket = 21600000000000L))
   }
@@ -1161,14 +1161,14 @@ object ExtQueries {
     * well-distributed keys must stay result-identical to the default.
     */
   private val sessionizeFastQ = q("q_sessionize_fast", SessionizeOracleSql) { (s, d) =>
-    sessionizeOut(Sessions.batchSingleWindow(Tables.df(s, d, "events"),
+    sessionizeOut(Sessions.batchSingleWindow(Tables.eventsNs(s, d),
       col("user_id"), col("ts"), col("event_id"), gap = 1800000000000L))
   }
 
   // 30-minute gap sessionization over the events stream table (ts is
   // nanos-since-epoch) through the DEFAULT (skew-safe) path
   private val sessionizeQ = qb("q_sessionize", SessionizeOracleSql) { (s, d) =>
-    sessionizeOut(Sessions.batch(Tables.df(s, d, "events"),
+    sessionizeOut(Sessions.batch(Tables.eventsNs(s, d),
       col("user_id"), col("ts"), col("event_id"), gap = 1800000000000L))
   }
 

@@ -1418,7 +1418,7 @@ object Queries {
        FROM events
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""") { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables.df(s, d, "events")
+    Tables.eventsNs(s, d)
       .select(col("event_id"),
         ntile(4).over(w).as("quartile"),
         percent_rank().over(w).as("pr"),
@@ -1456,7 +1456,7 @@ object Queries {
        FROM (SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS tsu FROM events)""") { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy(col("tsu"))
       .rangeBetween(-3600000000L, Window.currentRow)
-    Tables.df(s, d, "events")
+    Tables.eventsNs(s, d)
       .select(col("event_id"), col("user_id"), col("value"), expr("ts DIV 1000").as("tsu"))
       .select(col("event_id"),
         sum(col("value").cast("decimal(28,4)")).over(w).cast("double").as("hour_value"))
@@ -1468,7 +1468,7 @@ object Queries {
        FROM events""",
     bench = true) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables.df(s, d, "events")
+    Tables.eventsNs(s, d)
       .select(col("event_id"), lag(col("event_type"), 1).over(w).as("prev_type"))
   }
 
@@ -1480,7 +1480,7 @@ object Queries {
        FROM events""") { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.df(s, d, "events")
+    Tables.eventsNs(s, d)
       .select(col("event_id"),
         sum(col("value").cast("decimal(28,4)")).over(w).cast("double").as("running_value"))
   }
@@ -1489,7 +1489,7 @@ object Queries {
     """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
        FROM events GROUP BY event_type""") { (s, d) =>
-    Tables.df(s, d, "events").groupBy("event_type")
+    Tables.eventsNs(s, d).groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,4)")).cast("double").as("total_value"))
   }

@@ -554,12 +554,15 @@ class GraftStreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == before)
     assert(filesAfter < filesBefore,
       s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
-    val eras = new java.io.File(path).listFiles()
+    // compacted eras carry fresh NEGATIVE ids (batch=-1, then -2, …) so
+    // an install target can never appear in any manifest's source list
+    def eras() = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
-    assert(eras == Set("batch=-1"), s"all data must land in the compacted era, got $eras")
-    // idempotent: compacting a compacted index is a no-op result-wise
+    assert(eras() == Set("batch=-1"), s"all data must land in the compacted era, got ${eras()}")
+    // idempotent result-wise: re-compacting folds the era into the next one
     graft.operators.AnnIndex.compactIvfPq(spark, path)
     assert(probe() == want && spark.read.parquet(path).count() == before)
+    assert(eras() == Set("batch=-2"), s"re-compaction must install a fresh era, got ${eras()}")
 
     // crash-window recovery: a compaction killed between the staged
     // rename and the final flip leaves only `.compact_staged` (complete,
@@ -567,12 +570,14 @@ class GraftStreamingSpec extends AnyFunSuite {
     // install and read the full index, never a partial layout
     val rootP = new org.apache.hadoop.fs.Path(path)
     val fsP = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fsP.rename(new org.apache.hadoop.fs.Path(rootP, "batch=-1"),
+    val currentEra = eras().head
+    assert(fsP.rename(new org.apache.hadoop.fs.Path(rootP, currentEra),
       new org.apache.hadoop.fs.Path(rootP, ".compact_staged")))
     assert(probe() == want, "probe must heal a crashed compaction install")
-    val erasHealed = new java.io.File(path).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
-    assert(erasHealed == Set("batch=-1"), s"healed layout must be the compacted era, got $erasHealed")
+    val erasHealed = eras()
+    assert(erasHealed.head.stripPrefix("batch=").toLong < 0,
+      s"healed layout must be a compacted era, got $erasHealed")
+    assert(erasHealed.size == 1 && spark.read.parquet(path).count() == before)
   }
 }
 

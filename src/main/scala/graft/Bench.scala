@@ -47,6 +47,15 @@ object Bench {
       }
     }
     val passes = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt, 1)
+    // drift sentinel: the SAME fixed calibration query timed once before
+    // and once after the whole suite. On an idle box the two reads agree
+    // to a few percent; host contention mid-run (the r6 artifact's
+    // failure mode, SCALE.md drift envelope) shows up as a large spread —
+    // drift_pct makes a contaminated artifact machine-visible instead of
+    // a prose footnote. Single-pass by design: min-of-N would hide the
+    // very contention this measures.
+    val calibration = benchSet.find(_.name == "q_q1").orElse(benchSet.headOption)
+    val calFirst = calibration.map(timed)
     val results = benchSet.map { qd =>
       val runs = Seq.fill(passes)(timed(qd))
       // min over the good passes; any failed pass poisons the query
@@ -54,6 +63,7 @@ object Bench {
         .getOrElse(Right(runs.collect { case Right(t) => t }.min))
       qd.name -> r
     }
+    val calLast = calibration.map(timed)
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) =>
       jstr(k) + ":" + v.fold(_ => "-1", _.toString)
@@ -87,13 +97,19 @@ object Bench {
       refs.mkString(""","duckdb_ref":{""", ",", "}") +
         ratios.mkString(""","spark_over_duckdb":{""", ",", "}")
     }
+    val driftField = (calibration, calFirst, calLast) match {
+      case (Some(qd), Some(Right(t0)), Some(Right(t1))) if math.min(t0, t1) > 0 =>
+        val pct = math.rint(math.abs(t1 - t0) / math.min(t0, t1) * 1000) / 10
+        s""","calibration":{"query":${jstr(qd.name)},"first":$t0,"last":$t1},"drift_pct":$pct"""
+      case _ => "" // calibration crash already surfaces via the query's own error entry
+    }
     val errs = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     // any failure poisons the headline number: a crashed query must never
     // make the total LOOK faster (0-contribution would)
     val total =
       if (errs.nonEmpty) -1.0 else results.map(_._2.getOrElse(0.0)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$anchorFields,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$anchorFields$driftField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1036,6 +1036,113 @@ object Queries {
         .as("avg_yearly"))
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier) over the deterministic
+    * [[PartSupp]] fixture — the LAST undemonstrated decorrelation shape:
+    * the correlated `ps_supplycost = (SELECT min(ps_supplycost) … WHERE
+    * ps_partkey = outer.ps_partkey)` subquery decorrelates to ONE
+    * per-part aggregate joined back (never a per-row re-scan). Join
+    * order is dimension-first at every step: the selective part filter
+    * (size + type) broadcasts and prunes partsupp BEFORE anything
+    * shuffles; the region-side supplier filter broadcasts too; the
+    * region-priced relation is materialized ONCE and feeds both the min
+    * aggregate and the probe (min-per-part is invariant to the part
+    * filter, so pruning first is semantics-preserving). Costs stay in
+    * integer cents end-to-end — the min and its equality probe are exact
+    * — and convert to dollars only in the projection.
+    */
+  private val q2ish = q("q_q2",
+    s"""WITH ${PartSupp.sqlCte},
+       costs AS (
+         SELECT ps_partkey, ps_costcents, s_acctbal, s_name, n_name
+         FROM partsupp
+         JOIN (SELECT p_partkey FROM part
+               WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD') fp
+           ON ps_partkey = p_partkey
+         JOIN supplier ON s_suppkey = ps_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         JOIN region ON r_regionkey = n_regionkey
+         WHERE r_name = 'EUROPE'),
+       mc AS (SELECT ps_partkey, MIN(ps_costcents) AS min_cents
+              FROM costs GROUP BY ps_partkey)
+       SELECT c.s_acctbal, c.s_name, c.n_name, p.p_partkey, p.p_brand,
+              CAST(c.ps_costcents AS DOUBLE) / 100.0 AS supplycost
+       FROM costs c
+       JOIN mc ON mc.ps_partkey = c.ps_partkey AND c.ps_costcents = mc.min_cents
+       JOIN part p ON p.p_partkey = c.ps_partkey""") { (s, d) =>
+    val fp = broadcast(Tables.df(s, d, "part")
+      .where(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_brand"))
+    val euroSup = broadcast(Tables.df(s, d, "supplier")
+      .join(broadcast(Tables.df(s, d, "nation")
+          .join(broadcast(Tables.df(s, d, "region")
+              .where(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    val costs = graft.operators.Materialize.once(
+      PartSupp.df(s, d)
+        .join(fp, col("ps_partkey") === col("p_partkey"))
+        .join(euroSup, col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"), col("ps_costcents"), col("s_acctbal"),
+          col("s_name"), col("n_name"), col("p_brand")))
+    val mc = costs.groupBy(col("ps_partkey").as("__mk"))
+      .agg(min(col("ps_costcents")).as("min_cents"))
+    costs.join(broadcast(mc),
+        col("ps_partkey") === col("__mk") && col("ps_costcents") === col("min_cents"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("ps_partkey").as("p_partkey"), col("p_brand"),
+        (col("ps_costcents").cast("double") / 100.0).as("supplycost"))
+  }
+
+  /** TPC-H Q11 shape (important stock) over the [[PartSupp]] fixture:
+    * per-part inventory value within one nation, kept iff above a fixed
+    * fraction of the nation's TOTAL value — the scalar-threshold
+    * subquery. Plans as ONE aggregate over the nation-filtered fixture
+    * (the nation filter broadcasts into the supplier dimension), whose
+    * small output feeds both a 1-row total (broadcast → map-side HAVING)
+    * and the result rows: the fixture is scanned once, the threshold is
+    * never recomputed per group. Values are exact integer cents
+    * (cost × qty ≤ 10^9 per row, summed in BIGINT), so the > boundary
+    * cannot flip on double summation order. TPC-H's fixed 0.0001/SF
+    * fraction needs the scale factor at query-authoring time; the
+    * scale-FREE equivalent is a mean-relative threshold — keep parts
+    * above 2× the mean per-part value (measured selective and non-empty
+    * at sf0.001/0.01/0.1: 16/123/1666 rows).
+    */
+  private val q11ish = q("q_q11",
+    s"""WITH ${PartSupp.sqlCte},
+       v AS (SELECT ps_partkey, ps_costcents * ps_availqty AS val_cents
+             FROM partsupp
+             JOIN supplier ON s_suppkey = ps_suppkey
+             JOIN nation ON n_nationkey = s_nationkey
+             JOIN region ON r_regionkey = n_regionkey
+             WHERE r_name = 'EUROPE'),
+       g AS (SELECT ps_partkey, SUM(val_cents) AS cents FROM v GROUP BY ps_partkey),
+       t AS (SELECT SUM(cents) AS total, CAST(COUNT(*) AS BIGINT) AS cnt FROM g)
+       SELECT ps_partkey, CAST(cents AS DOUBLE) / 100.0 AS value
+       FROM g CROSS JOIN t
+       WHERE CAST(cents AS DOUBLE) > CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE) * 2.0""") { (s, d) =>
+    val euroSup = broadcast(Tables.df(s, d, "supplier")
+      .join(broadcast(Tables.df(s, d, "nation")
+          .join(broadcast(Tables.df(s, d, "region")
+              .where(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey"))
+    val g = graft.operators.Materialize.once(
+      PartSupp.df(s, d)
+        .join(euroSup, col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("ps_costcents") * col("ps_availqty")).as("cents")))
+    val t = g.agg(sum(col("cents")).as("total"), count(lit(1)).as("cnt"))
+    g.crossJoin(broadcast(t))
+      .where(col("cents").cast("double") >
+        col("total").cast("double") / col("cnt").cast("double") * 2.0)
+      .select(col("ps_partkey"), (col("cents").cast("double") / 100.0).as("value"))
+  }
+
   /** TPC-H Q20 shape (excess-stock suppliers; partsupp-free adaptation):
     * suppliers who shipped more than 15% of some red part's total
     * quantity (threshold chosen so the result is non-empty at every
@@ -1504,7 +1611,8 @@ object Queries {
     reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
     foldJuxtQ,
     q1, q5ish, q3ish, q6, q10ish, q14ish, q18ish, q4ish, q16ish, q21ish, q15ish,
-    q13ish, q17ish, q20ish, q22ish, q5full, q7ish, q8ish, q9ish, q12ish, q19ish,
+    q13ish, q17ish, q2ish, q11ish, q20ish, q22ish, q5full, q7ish, q8ish, q9ish,
+    q12ish, q19ish,
     rollupQ, cubeQ, pivotQ, groupingSetsQ, windowRangeQ,
     windowLagQ, windowRunningQ, windowStatsQ, eventsAggQ)
 

@@ -159,6 +159,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q13.count() > 0 && q17.count() > 0 && q20.count() > 0 && q22.count() > 0)
   }
 
+  test("q_q2/q_q11 plan shapes: min-cost decorrelates to aggregate+join; scalar threshold broadcasts") {
+    val d = "/root/testdata/sf0.001"
+    // Q2: the correlated min-cost subquery is ONE aggregate over the
+    // materialized region-priced relation, joined back by broadcast —
+    // never a per-row re-scan (no nested-loop over the costs relation),
+    // and the costs relation is computed once (checkpoint-backed scan
+    // feeds both the aggregate and the probe)
+    val q2 = graft.queries.Queries.queries("q_q2")(spark, d)
+    val p2 = q2.queryExecution.executedPlan.toString
+    assert(p2.contains("HashAggregate"),
+      s"q_q2 min-cost must be an aggregate:\n$p2")
+    assert(p2.contains("BroadcastHashJoin"),
+      s"q_q2 per-part minimum must broadcast back into the probe:\n$p2")
+    assert(!p2.contains("CartesianProduct"),
+      s"q_q2 must not plan a per-row re-scan:\n$p2")
+
+    // Q11: the total/count threshold is a 1-row broadcast into the
+    // grouped relation — the fixture aggregate is never recomputed
+    val q11 = graft.queries.Queries.queries("q_q11")(spark, d)
+    val p11 = q11.queryExecution.executedPlan.toString
+    assert(p11.contains("BroadcastNestedLoopJoin") || p11.contains("BroadcastHashJoin"),
+      s"q_q11 scalar threshold must broadcast:\n$p11")
+    assert(q2.count() > 0 && q11.count() > 0)
+  }
+
   test("q_q5/q_q7/q_q8/q_q9/q_q12/q_q19 plan shapes: broadcast dims, single-pass CASE aggs, no BNLJ") {
     val d = "/root/testdata/sf0.001"
     // Q5: the n1=n2 correlation rides the broadcast supplier join as a

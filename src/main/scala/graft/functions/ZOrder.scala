@@ -22,45 +22,72 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Bit-interleaved z-value of two non-negative columns, each truncated
-    * to `bits` low bits (columns are masked, so callers hash or bucket
-    * wider domains first). Output fits a BIGINT for bits ≤ 31.
-    */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val mask = (1L << bits) - 1
-    val x = a.cast("bigint").bitwiseAND(lit(mask))
-    val y = b.cast("bigint").bitwiseAND(lit(mask))
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+  private def checkDims(n: Int, bits: Int): Unit = {
+    require(n >= 2, s"z-order needs at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must fit a signed BIGINT: $n cols x $bits bits = ${n * bits} > 63")
   }
+
+  /** Bit-interleaved z-value of N non-negative columns, each truncated to
+    * `bits` low bits (columns are masked, so callers hash or bucket wider
+    * domains first). Bit `i` of column `j` lands at position `i*n + j` —
+    * the round-robin Morton layout — so every column contributes equally
+    * at every octave. Real corpus layouts cluster on 3-4 keys (source,
+    * lang, time bucket, quality bucket); `n*bits ≤ 63` keeps the value a
+    * BIGINT (e.g. 4 cols x 15 bits, 3 x 21, 2 x 31).
+    */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    checkDims(n, bits)
+    val mask = (1L << bits) - 1
+    val masked = cols.map(_.cast("bigint").bitwiseAND(lit(mask)))
+    (for {
+      i <- 0 until bits
+      (c, j) <- masked.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** 2-column convenience (the original API; layout-identical to
+    * `zValue(Seq(a, b), bits)`).
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    zValue(Seq(a, b), bits)
 
   /** The same interleave as [[zValue]], as an ANSI-SQL string over column
     * (or expression) names — ONE generator for both engines so the Spark
     * path and its oracle cannot drift.
     */
-  def zSqlExpr(a: String, b: String, bits: Int = 16): String = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+  def zSqlExpr(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    checkDims(n, bits)
     val mask = (1L << bits) - 1
-    val x = s"(CAST($a AS BIGINT) & $mask)"
-    val y = s"(CAST($b AS BIGINT) & $mask)"
-    (0 until bits).map { i =>
-      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
-    }.mkString("(", " | ", ")")
+    val masked = cols.map(c => s"(CAST($c AS BIGINT) & $mask)")
+    (for {
+      i <- 0 until bits
+      (c, j) <- masked.zipWithIndex
+    } yield s"((($c >> $i) & 1) << ${i * n + j})")
+      .mkString("(", " | ", ")")
   }
 
-  /** Write `df` z-ordered on (`colA`, `colB`): range-partition by z-value
-    * into `numFiles` partitions, sort within each, drop the helper column,
-    * write parquet. Each output file then covers a compact hyper-rectangle
-    * of the (colA, colB) space — min/max footers prune on BOTH columns.
+  def zSqlExpr(a: String, b: String, bits: Int = 16): String =
+    zSqlExpr(Seq(a, b), bits)
+
+  /** Write `df` z-ordered on `zCols`: range-partition by z-value into
+    * `numFiles` partitions, sort within each, drop the helper column,
+    * write parquet. Each output file then covers a compact
+    * hyper-rectangle of the key space — min/max footers prune on EVERY
+    * participating column.
     */
-  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      numFiles: Int, bits: Int = 16): Unit =
-    df.withColumn("__z", zValue(col(colA), col(colB), bits))
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int, bits: Int): Unit =
+    df.withColumn("__z", zValue(zCols.map(col), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int, bits: Int = 16): Unit =
+    writeZOrdered(df, path, Seq(colA, colB), numFiles, bits)
 }

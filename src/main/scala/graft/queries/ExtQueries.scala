@@ -469,6 +469,22 @@ object ExtQueries {
         graft.functions.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("zv"))
   }
 
+  /** N-column z-value (3 keys, 21 bits each — the full 63-bit BIGINT):
+    * the corpus-layout shape (source, lang, time-bucket, …) where
+    * 2-column Morton is not enough. Same one-generator-for-both-engines
+    * discipline as q_zorder.
+    */
+  private val zorderNQ = q("q_zorder_n",
+    s"""SELECT l_orderkey, l_linenumber,
+              ${graft.functions.ZOrder.zSqlExpr(
+                 Seq("l_partkey", "l_suppkey", "l_linenumber"), bits = 21)} AS zv
+       FROM lineitem""") { (s, d) =>
+    Tables.df(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.ZOrder.zValue(
+          Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber")), bits = 21).as("zv"))
+  }
+
   private val quantizeQ = q("q_quantize",
     // int8 storage quantization, integer-summarized so the oracle is
     // exact: trunc-toward-zero is bit-identical across engines (round's
@@ -1522,7 +1538,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
-    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, zorderQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ,
+    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)

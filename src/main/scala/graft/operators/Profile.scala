@@ -54,6 +54,35 @@ object Profile {
       .select("__p.*")
   }
 
+  /** The 100 TB numeric profile: same output shape as [[numeric]], but
+    * percentiles come from the Greenwald-Khanna sketch
+    * (`approx_percentile`) — ONE streaming pass, no per-column sort.
+    * `accuracy` bounds the rank error at n/accuracy rows; with accuracy
+    * ≥ n the sketch degenerates to exact DISCRETE percentiles (an actual
+    * element at the target rank, `quantile_disc` semantics — not the
+    * interpolated `quantile_cont` the exact twin reports), which is what
+    * lets the driver hash-gate this path on the small-SF tables while
+    * the same code runs sketched at scale.
+    */
+  def numericApprox(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75), accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "numeric profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(round(avg(col(c)), 6).as(s"__avg_$c"),
+        round(stddev_samp(col(c)), 6).as(s"__sd_$c")) ++
+        ps.zipWithIndex.map { case (p, i) =>
+          round(approx_percentile(col(c), lit(p), lit(accuracy)).cast("double"), 6)
+            .as(s"__p${i}_$c") }
+    }
+    val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    one.select(explode(array(cols.map(c => struct(
+        Seq(lit(c).as("column"), col(s"__avg_$c").as("mean"),
+          col(s"__sd_$c").as("stddev")) ++
+          ps.zipWithIndex.map { case (p, i) =>
+            col(s"__p${i}_$c").as(s"p${(p * 100).round}") }: _*)): _*)).as("__p"))
+      .select("__p.*")
+  }
+
   /** Per-column most-frequent values — the categorical half of intake
     * profiling. ONE pass: rows explode to (column, value) pairs (nulls
     * skipped), one count shuffle on that pair, then a per-COLUMN top-k.

@@ -1516,6 +1516,28 @@ object ExtQueries {
       Seq("n_chars", "doc_id"))
   }
 
+  /** The sketch-percentile twin of q_profile_numeric: accuracy ≥ n makes
+    * approx_percentile exact DISCRETE percentiles (quantile_disc), so
+    * the 100 TB code path itself sits behind the hash gate; the sketch-
+    * error regime (accuracy < n) is bounded by ProfileSpec.
+    */
+  private val profileNumericApproxQ = q("q_profile_numeric_approx",
+    """SELECT 'n_chars' AS column, round(avg(n_chars), 6) AS mean,
+              round(stddev_samp(n_chars), 6) AS stddev,
+              round(CAST(quantile_disc(n_chars, 0.25) AS DOUBLE), 6) AS p25,
+              round(CAST(quantile_disc(n_chars, 0.5) AS DOUBLE), 6) AS p50,
+              round(CAST(quantile_disc(n_chars, 0.75) AS DOUBLE), 6) AS p75
+       FROM documents
+       UNION ALL
+       SELECT 'doc_id', round(avg(doc_id), 6), round(stddev_samp(doc_id), 6),
+              round(CAST(quantile_disc(doc_id, 0.25) AS DOUBLE), 6),
+              round(CAST(quantile_disc(doc_id, 0.5) AS DOUBLE), 6),
+              round(CAST(quantile_disc(doc_id, 0.75) AS DOUBLE), 6)
+       FROM documents""") { (s, d) =>
+    graft.operators.Profile.numericApprox(Tables.df(s, d, "documents"),
+      Seq("n_chars", "doc_id"), accuracy = 1000000)
+  }
+
   private val profileTopQ = q("q_profile_top",
     """WITH pairs AS (
          SELECT 'lang' AS "column", lang AS value FROM documents WHERE lang IS NOT NULL
@@ -1533,7 +1555,7 @@ object ExtQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    profileQ, profileNumericQ, profileTopQ,
+    profileQ, profileNumericQ, profileNumericApproxQ, profileTopQ,
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,

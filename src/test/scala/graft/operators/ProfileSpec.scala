@@ -41,6 +41,33 @@ class ProfileSpec extends AnyFunSuite {
     assert(got == Set(("a", "x", 2L), ("a", "y", 2L), ("b", "p", 2L), ("b", "q", 2L)))
   }
 
+  test("numericApprox: exact-discrete at accuracy >= n; sketch error bounded below it") {
+    val n = 20000
+    val d = (1 to n).map(_.toLong).toDF("v")
+    // accuracy >= n: the GK sketch holds every rank — values are exact
+    // DISCRETE percentiles (an element at the target rank)
+    val exact = Profile.numericApprox(d, Seq("v"), accuracy = n + 1).head()
+    assert(exact.getDouble(3) == 5000.0 && exact.getDouble(4) == 10000.0 &&
+      exact.getDouble(5) == 15000.0, s"exact-mode percentiles off: $exact")
+    // mean/stddev are sketch-independent (same aggregates as the exact twin)
+    val twin = Profile.numeric(d, Seq("v")).head()
+    assert(exact.getDouble(1) == twin.getDouble(1) &&
+      exact.getDouble(2) == twin.getDouble(2))
+    // accuracy = 100 ⇒ rank error ≤ n/100 = 1% of rows ⇒ value error ≤ 1%
+    // of the uniform domain (GK guarantee, with headroom for partial-merge
+    // slack: assert 2x the bound)
+    val sketched = Profile.numericApprox(d, Seq("v"), accuracy = 100).head()
+    Seq(3 -> 5000.0, 4 -> 10000.0, 5 -> 15000.0).foreach { case (i, want) =>
+      assert(math.abs(sketched.getDouble(i) - want) <= 2.0 * n / 100,
+        s"p at col $i drifted past the GK bound: ${sketched.getDouble(i)} vs $want")
+    }
+    // the scale story: NO per-column Sort in the plan (the exact twin's
+    // `percentile` buffers/sorts full columns; the sketch streams)
+    val plan = Profile.numericApprox(d, Seq("v"), accuracy = 100)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Sort"), s"sketch profile must not sort:\n$plan")
+  }
+
   test("approx: HLL distinct within rsd, exact rows/nulls/minmax, NO Expand in the plan") {
     val wide = (1 to 2000).map(i => (i.toLong, s"t${i % 37}")).toDF("id", "tag")
     val res = Profile.approx(wide, Seq("id", "tag"), rsd = 0.05)

@@ -316,4 +316,85 @@ class AnnIndexSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS gram_idx_spec").collect()
     }
   }
+
+  test("compaction torn-state matrix: probe heals EVERY crash window to identical results") {
+    import org.apache.commons.io.FileUtils
+    import org.apache.spark.sql.functions.{broadcast, element_at, explode}
+    val rnd = new scala.util.Random(47)
+    val df = (0L until 200L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val books = graft.functions.Pq.train(df, "vec_id", "embedding",
+      m = 4, ksub = 8, sampleSize = 200)
+    val cells = Similarity.kmeansCells(df, "vec_id", "embedding", nCells = 8, iters = 2)
+    val base = "target/io_tmp/ivfpq_torn"
+    FileUtils.deleteQuietly(new java.io.File(base))
+
+    def codeRows(part: org.apache.spark.sql.DataFrame) = part
+      .join(broadcast(cells))
+      .withColumn("__cell",
+        element_at(Similarity.nearestCells(col("embedding"), col("__cells"), 1), 1)("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("__cell"),
+        graft.functions.Pq.encodeCol(col("embedding"), books).as("__codes"))
+    def buildPristine(dir: String): Unit = {
+      AnnIndex.writeIvfPqMeta(spark, dir, cells, books)
+      graft.streaming.GraftStreaming.writeIndexBatch(
+        codeRows(df.where(col("vec_id") < 100)), dir, 0L)
+      graft.streaming.GraftStreaming.writeIndexBatch(
+        codeRows(df.where(col("vec_id") >= 100)), dir, 1L)
+    }
+    val queries = df.where(col("vec_id") < 10)
+    def probe(dir: String) = AnnIndex.probeIvfPq(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    def eras(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+
+    val pristine = s"$base/pristine"
+    buildPristine(pristine)
+    val want = probe(pristine)
+    assert(want.nonEmpty)
+    // donor: a completed compaction whose era dir carries the EXACT
+    // staged content (parquet _SUCCESS + manifest naming batch=0/batch=1
+    // as sources and batch=-1 as target) every torn state below re-stages
+    val donor = s"$base/donor"
+    buildPristine(donor)
+    AnnIndex.compactIvfPq(spark, donor)
+    val donorEra = new java.io.File(donor).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).head
+
+    // every intermediate state a crash can leave, checked on a FRESH
+    // pristine copy each time: heal-on-probe must return identical
+    // results and converge the layout with no staged dir left behind
+    val matrix = Seq(
+      // crash immediately after the staging rename: sources all present
+      "staged-sources-present" -> Seq.empty[String],
+      // crash mid-install: one source deleted, one left
+      "half-installed" -> Seq("batch=0"),
+      // crash after all source deletes, before the final flip
+      "staged-only" -> Seq("batch=0", "batch=1"),
+      // torn staged writes ("cannot exist" by construction, healed
+      // defensively): missing commit marker / missing manifest
+      "no-success-marker" -> Seq.empty[String],
+      "no-manifest" -> Seq.empty[String])
+    matrix.foreach { case (state, deletedSources) =>
+      val dir = s"$base/$state"
+      buildPristine(dir)
+      FileUtils.copyDirectory(donorEra, new java.io.File(dir, ".compact_staged"))
+      deletedSources.foreach(sd =>
+        FileUtils.deleteDirectory(new java.io.File(dir, sd)))
+      if (state == "no-success-marker")
+        assert(new java.io.File(dir, ".compact_staged/_SUCCESS").delete())
+      if (state == "no-manifest")
+        assert(new java.io.File(dir, ".compact_staged/_COMPACTION_MANIFEST").delete())
+      assert(probe(dir) == want, s"torn state '$state' must heal to identical results")
+      assert(!new java.io.File(dir, ".compact_staged").exists,
+        s"torn state '$state' must not leave a staged dir")
+      val e = eras(dir)
+      if (state.startsWith("no-"))
+        // incomplete staged: discarded, the untouched sources remain live
+        assert(e == Set("batch=0", "batch=1"), s"$state kept wrong eras: $e")
+      else
+        assert(e == Set("batch=-1"), s"$state must finish the install, got $e")
+    }
+  }
 }

@@ -548,7 +548,27 @@ object AnnIndex {
     * atomic at the catalog level, the same contract as the build.
     */
   def updateFingerprint(spark: SparkSession, tableName: String, delta: DataFrame,
-      idCol: String, textCol: String, buckets: Int = 32): Unit = {
+      idCol: String, textCol: String, buckets: Int = 32,
+      stageSidecar: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit = {
+    stageFingerprintUpdate(spark, tableName, delta, idCol, textCol, buckets, stageSidecar)
+    swapFingerprintStaging(spark, tableName)
+  }
+
+  /** First half of [[updateFingerprint]]'s stage-then-swap (NOT drop-then-
+    * rewrite: a crash inside a drop-first replace would lose the
+    * ACCUMULATED catalog and leave only the replayed batch after
+    * recovery): the merged state lands complete under the staging name,
+    * then `stageSidecar` runs with the staging table's directory — the
+    * hook the streaming ingest uses to stamp its batch mark INSIDE the
+    * staging dir, so the catalog rename later makes state and mark live
+    * in ONE atomic move (exactly-once counts; see
+    * [[graft.streaming.GraftStreaming.indexStreamFingerprint]]).
+    * Package-visible separately from [[swapFingerprintStaging]] so the
+    * crash-window spec can stop between the two.
+    */
+  private[graft] def stageFingerprintUpdate(spark: SparkSession, tableName: String,
+      delta: DataFrame, idCol: String, textCol: String, buckets: Int,
+      stageSidecar: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit = {
     val deltaAgg = delta.select(col(idCol).as("__id"),
         graft.functions.TextFunctions.fingerprint(col(textCol)).as("__fp"))
       .groupBy("__fp")
@@ -556,17 +576,29 @@ object AnnIndex {
     val merged = spark.table(tableName).unionByName(deltaAgg)
       .groupBy("__fp")
       .agg(min(col("__id")).as("__id"), sum(col("__n")).as("__n"))
-    // stage-then-swap, NOT drop-then-rewrite: a crash inside a drop-first
-    // replace would lose the ACCUMULATED catalog and leave only the
-    // replayed batch after recovery. The merged state lands complete
-    // under the staging name first; only then is the old table dropped
-    // and the staging table renamed in. A crash between drop and rename
-    // leaves the complete staging table for [[recoverFingerprint]].
     val staging = stagingName(tableName)
     replaceTable(merged, staging, "__fp", buckets)
+    stageSidecar(tableLocation(spark, staging))
+  }
+
+  /** Second half: drop the old table and rename the staging table in. A
+    * crash between the two leaves the complete staging table (sidecars
+    * included) for [[recoverFingerprint]].
+    */
+  private[graft] def swapFingerprintStaging(spark: SparkSession, tableName: String): Unit = {
+    val staging = stagingName(tableName)
     spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$tableName`")
   }
+
+  /** Managed-table data directory (the same warehouse/name resolution
+    * [[replaceTable]] cleans) — where in-table sidecar files (underscore-
+    * prefixed, invisible to parquet readers) live and MOVE with the
+    * table on rename.
+    */
+  private[graft] def tableLocation(spark: SparkSession, tableName: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), tableName)
 
   private[graft] def stagingName(tableName: String): String = tableName + "__staging"
 

@@ -488,13 +488,15 @@ object GraftStreaming {
     * lands complete under a staging name before the old table drops;
     * a crash between drop and rename is healed by
     * [[graft.operators.AnnIndex.recoverFingerprint]] at the next batch),
-    * so no crash can lose accumulated state — but the swap and the mark
-    * write are still not one atomic move, and a crash in that window
-    * re-applies one batch, which can only INFLATE `__n` (duplicate
-    * counts). The dedup VERDICTS are replay-proof regardless, because the
-    * winner rule is `min` (re-merging the same batch is idempotent on
-    * winners) — spec-gated. Pipelines needing exactly-once counts should
-    * re-derive them batch-side.
+    * so no crash can lose accumulated state. Counts are EXACTLY-once:
+    * the batch mark is stamped INSIDE the staging table's directory
+    * (underscore-prefixed sidecar, invisible to parquet readers) before
+    * the swap, so the catalog rename publishes state and mark in ONE
+    * atomic move — a replay after any crash either sees the old state
+    * without the mark (re-applies, which is the correct fold) or the new
+    * state with it (skips). Same discipline as [[indexStreamIvfPq]]'s
+    * batch-era overwrite, adapted to an aggregate that cannot be
+    * wholesale-replayed.
     */
   def indexStreamFingerprint(stream: DataFrame, idCol: String, textCol: String,
       tableName: String, checkpoint: String, buckets: Int = 32)
@@ -518,31 +520,50 @@ object GraftStreaming {
     val spark = batch.sparkSession
     // crash between updateFingerprint's drop and rename leaves the live
     // name absent but the complete staging table present — rename it in
+    // (the staged mark sidecar rides along, so the replay then skips)
     val exists = graft.operators.AnnIndex.recoverFingerprint(spark, tableName)
-    // a dropped/absent table invalidates any stale mark left behind by a
-    // previous stream over the same name — DELETE them, not just ignore:
-    // a later ingest under the same checkpoint string would otherwise
-    // read the stale mark back and silently skip its first batches
-    if (!exists) clearBatchMarks(spark, tableName)
+    // marks live INSIDE the table directory, so they die with the table
+    // (a dropped predecessor of the same name cannot leak a stale mark)
+    // and move with the swap rename — state and mark are one atom
     val mark = if (exists) readBatchMark(spark, tableName, checkpoint) else -1L
     if (batchId > mark) {
       if (exists)
-        graft.operators.AnnIndex.updateFingerprint(spark, tableName, batch, idCol, textCol, buckets)
-      else
-        graft.operators.AnnIndex.buildFingerprint(batch, idCol, textCol, tableName, buckets)
-      writeBatchMark(spark, tableName, checkpoint, batchId)
+        graft.operators.AnnIndex.updateFingerprint(spark, tableName, batch,
+          idCol, textCol, buckets,
+          stageSidecar = stagingDir => {
+            // other checkpoints' marks must survive the swap: copy every
+            // mark sidecar from the live dir, then stamp our own
+            copyMarks(spark, tableName, stagingDir)
+            writeMarkInto(spark, stagingDir, checkpoint, batchId)
+          })
+      else {
+        // first batch: build under the STAGING name, stamp the mark into
+        // the staged dir, then swap — the same atomic (state, mark)
+        // publication as the update path. A direct build-then-mark would
+        // leave a crash window where the replay finds the table present
+        // but unmarked and re-MERGES batch 0 onto itself.
+        val staging = graft.operators.AnnIndex.stagingName(tableName)
+        graft.operators.AnnIndex.buildFingerprint(batch, idCol, textCol, staging, buckets)
+        writeMarkInto(spark,
+          graft.operators.AnnIndex.tableLocation(spark, staging), checkpoint, batchId)
+        graft.operators.AnnIndex.swapFingerprintStaging(spark, tableName)
+      }
     }
   }
 
-  private def markPath(spark: SparkSession, tableName: String, checkpoint: String): org.apache.hadoop.fs.Path = {
-    // scope by checkpoint IDENTITY, not just its path string: Spark
-    // stamps a fresh query uuid into <checkpoint>/metadata whenever the
-    // dir is (re)created, so "operator wiped the checkpoint in place and
-    // restarted" — same path, batch ids back at 0 — gets a NEW tag and
-    // starts from mark -1 instead of inheriting the old stream's mark
-    // and silently discarding its first batches. The path string stays
-    // in the digest for distinct checkpoints that carry no metadata
-    // (directly driven batches in specs).
+  private val MarkPrefix = "_INGEST_MARK_"
+
+  /** Checkpoint-identity tag for a mark sidecar file name: scope by the
+    * checkpoint's query uuid, not just its path string — Spark stamps a
+    * fresh uuid into <checkpoint>/metadata whenever the dir is
+    * (re)created, so "operator wiped the checkpoint in place and
+    * restarted" (same path, batch ids back at 0) gets a NEW tag and
+    * starts from mark -1 instead of inheriting the old stream's mark and
+    * silently discarding its first batches. The path string stays in the
+    * digest for distinct checkpoints that carry no metadata (directly
+    * driven batches in specs).
+    */
+  private def markTag(spark: SparkSession, checkpoint: String): String = {
     val queryId = scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -551,28 +572,49 @@ object GraftStreaming {
         try new String(in.readAllBytes(), "UTF-8") finally in.close()
       }
     }.getOrElse("")
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest((checkpoint + " " + queryId).getBytes("UTF-8"))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((checkpoint + " " + queryId).getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
-    new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
-      s"${tableName}__batchmark_$tag")
   }
 
-  /** Drop every checkpoint-scoped mark for `tableName` — called when the
-    * table itself is absent (fresh build), so no stream can inherit a mark
-    * from a dropped predecessor table of the same name.
+  /** The mark sidecar lives INSIDE the table's data directory
+    * (underscore-prefixed — parquet readers skip it): it dies with the
+    * table and MOVES with the staging-swap rename, which is what makes
+    * (state, mark) one atomic publication.
     */
-  private def clearBatchMarks(spark: SparkSession, tableName: String): Unit = {
-    val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val glob = new org.apache.hadoop.fs.Path(warehouse, s"${tableName}__batchmark_*")
-    Option(fs.globStatus(glob)).getOrElse(Array.empty)
-      .foreach(st => fs.delete(st.getPath, false))
+  private def markPath(spark: SparkSession, tableName: String, checkpoint: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      graft.operators.AnnIndex.tableLocation(spark, tableName),
+      MarkPrefix + markTag(spark, checkpoint))
+
+  private def writeMarkInto(spark: SparkSession, dir: org.apache.hadoop.fs.Path,
+      checkpoint: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, MarkPrefix + markTag(spark, checkpoint))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
   }
 
-  /** Unreadable/empty/garbage marks degrade to -1 (one batch re-applies —
-    * the documented at-least-once count contract), never a crash loop: a
+  /** Copy every checkpoint's mark sidecar from the live table dir into
+    * the staging dir, so OTHER streams' progress survives this stream's
+    * swap (each stream only ever overwrites its own tag).
+    */
+  private def copyMarks(spark: SparkSession, tableName: String,
+      stagingDir: org.apache.hadoop.fs.Path): Unit = {
+    val live = graft.operators.AnnIndex.tableLocation(spark, tableName)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val glob = new org.apache.hadoop.fs.Path(live, MarkPrefix + "*")
+    Option(fs.globStatus(glob)).getOrElse(Array.empty).foreach { st =>
+      val in = fs.open(st.getPath)
+      val bytes = try in.readAllBytes() finally in.close()
+      val out = fs.create(new org.apache.hadoop.fs.Path(stagingDir, st.getPath.getName), true)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  /** Unreadable/empty/garbage marks degrade to -1 (one batch re-applies
+    * against the PRE-swap state it describes — safe, because the mark
+    * and the state publish atomically), never a crash loop: a
     * crash between `fs.create`'s truncate and the write leaves a 0-byte
     * file in exactly the window this scheme exists to tolerate.
     */
@@ -585,13 +627,6 @@ object GraftStreaming {
       try new java.io.BufferedReader(new java.io.InputStreamReader(in)).readLine().trim.toLong
       finally in.close()
     }.getOrElse(-1L)
-  }
-
-  private def writeBatchMark(spark: SparkSession, tableName: String, checkpoint: String, batchId: Long): Unit = {
-    val p = markPath(spark, tableName, checkpoint)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
   }
 
   // ---- sinks ----

@@ -490,6 +490,49 @@ class GraftStreamingSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`").collect())
   }
 
+  test("fingerprint ingest: counts exactly-once through every crash window (atomic state+mark swap)") {
+    import spark.implicits._
+    val table = "fp_eo_idx"
+    val ckpt = "target/io_tmp/fp_eo_ckpt"
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"shared body ${i % 5}")).toDF("doc_id", "text")
+    def truthOn(hi: Long, name: String) = {
+      graft.operators.AnnIndex.buildFingerprint(batch(0, hi), "doc_id", "text", name, buckets = 4)
+      spark.table(name).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    def state() = spark.table(table).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def ingest(df: org.apache.spark.sql.DataFrame, id: Long) =
+      GraftStreaming.ingestFingerprintBatch(df, "doc_id", "text", table,
+        buckets = 4, batchId = id, checkpoint = ckpt)
+    val staging = graft.operators.AnnIndex.stagingName(table)
+    Seq(table, staging, "fp_eo_t1", "fp_eo_t2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`").collect())
+    try {
+      ingest(batch(0, 20), 0L)
+      // crash window A: batch 1 staged (no mark yet), live still present.
+      // The replay must re-apply ONCE against the pre-swap state — the
+      // dangling staging is overwritten, counts land exact.
+      graft.operators.AnnIndex.stageFingerprintUpdate(spark, table,
+        batch(20, 40), "doc_id", "text", buckets = 4)
+      ingest(batch(20, 40), 1L)
+      assert(state() == truthOn(40, "fp_eo_t1"),
+        "crash-before-swap replay must yield exactly-once COUNTS, not just winners")
+      // crash window B: batch 2 fully staged AND marked, live dropped,
+      // rename not yet run (simulated by renaming live away after a
+      // completed ingest — the staged dir carries state + mark as one
+      // unit). The replay must heal the install and SKIP: re-applying
+      // here is what used to inflate __n.
+      ingest(batch(40, 60), 2L)
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `$staging`")
+      ingest(batch(40, 60), 2L)
+      assert(state() == truthOn(60, "fp_eo_t2"),
+        "crash-between-drop-and-rename replay must heal then skip — counts exact")
+      assert(!spark.catalog.tableExists(staging))
+    } finally Seq(table, staging, "fp_eo_t1", "fp_eo_t2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`").collect())
+  }
+
   test("indexStreamIvfPq: streamed code rows probe identically to the batch-built index") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

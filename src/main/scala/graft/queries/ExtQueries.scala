@@ -381,6 +381,38 @@ object ExtQueries {
       .withColumn("cosine", round(col("cosine"), 4))
   }
 
+  /** SemDeDup over the embeddings table with planted duplicates (the
+    * q_dedup_embedding union trick: a +10000-shifted copy of every
+    * vector — dup pairs sit at cosine 1.0, the closest DISTINCT pair at
+    * ≈0.51, so the 0.9 threshold has a wide engine-stability margin).
+    * Cells are the id-seeded IVF quantizer (first 16 vectors), making
+    * assignment AND verdicts fully SQL-replayable: copies assign to the
+    * same cell as their original (identical vectors, identical
+    * tie-break), so every copy reports dup_of = its original, and no
+    * original is anyone's duplicate.
+    */
+  private val semDedupQ = q("q_semdedup",
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                  UNION ALL
+                  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+       cent AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+       assigned AS (
+         SELECT vec_id, v, cell FROM (
+           SELECT c.vec_id, c.v, cent.cell,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY list_distance(c.v, cent.cv), cent.cell) AS r
+           FROM c, cent) WHERE r = 1),
+       p AS (SELECT a.vec_id AS id, MIN(b.vec_id) AS dup_of
+             FROM assigned a JOIN assigned b
+               ON a.cell = b.cell AND b.vec_id < a.vec_id
+             WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+             GROUP BY a.vec_id)
+       SELECT c.vec_id, p.dup_of FROM c LEFT JOIN p ON c.vec_id = p.id""") { (s, d) =>
+    val base = Tables.df(s, d, "embeddings")
+    val dups = base.unionByName(base.withColumn("vec_id", col("vec_id") + 10000))
+    Dedup.semanticDedup(dups, "vec_id", "embedding", tau = 0.9, nCells = 16)
+  }
+
   private val annQuantQ = q("q_ann_topk",
     """WITH pairs AS (
          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1559,7 +1591,7 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
+    minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,

@@ -333,4 +333,52 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("semanticDedup matches a local cluster-then-prune reference; pair join is cell-keyed") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    // seeded random base + exact copies + near-copies (one flipped sign
+    // at low magnitude keeps cosine high but < 1)
+    val base = (0L until 60L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val copies = base.take(20).map { case (i, v) => (i + 100, v.clone()) }
+    val near = base.slice(20, 30).map { case (i, v) =>
+      val w = v.clone(); w(dim - 1) = w(dim - 1) + 0.01f; (i + 200, w)
+    }
+    val all = base ++ copies ++ near
+    val df = all.toDF("vec_id", "embedding")
+    val nCells = 4
+    val got = Dedup.semanticDedup(df, "vec_id", "embedding", tau = 0.95, nCells = nCells)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    // local reference: same cell rule (nearest of the first nCells ids,
+    // L2, tie to lower cell id), same verdict rule
+    val cents = all.sortBy(_._1).take(nCells)
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    def cos(a: Array[Float], b: Array[Float]) = {
+      val dp = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dp / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val cell = all.map { case (i, v) =>
+      i -> cents.minBy { case (ci, cv) => (d2(v, cv), ci) }._1
+    }.toMap
+    val want = all.map { case (i, v) =>
+      val partners = all.filter { case (j, w) =>
+        j < i && cell(j) == cell(i) && cos(v, w) >= 0.95 }
+      i -> partners.map(_._1).sorted.headOption
+    }.toMap
+    assert(got == want)
+    // every exact copy must be verdict'd against its original (same cell
+    // by construction: identical vectors, identical tie-break)
+    copies.foreach { case (i, _) => assert(got(i).contains(i - 100), s"copy $i") }
+
+    // scale shape: the pair join is keyed on the cell column — never a
+    // cartesian across cells
+    val plan = Dedup.semanticDedup(df, "vec_id", "embedding", tau = 0.95, nCells = nCells)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"),
+      s"semanticDedup pair join must be cell-keyed:\n$plan")
+  }
 }

@@ -407,9 +407,39 @@ object AnnIndex {
       tableName, buckets)
   }
 
+  /** The minhash index is a PAIR of tables (banded rows + signatures)
+    * that must stay coherent: both stage completely first, then two
+    * metadata swaps commit — the torn window shrinks from two
+    * distributed writes to two catalog renames, and
+    * [[recoverMinhashPair]] rolls the second swap forward whenever the
+    * first committed (staging(bands) consumed ⇒ the new pair is the
+    * durable state).
+    */
   private def persistMinhashTables(s: DataFrame, tableName: String, buckets: Int): Unit = {
-    replaceTable(bandedRows(s), tableName, "__bb", buckets)
-    replaceTable(s.select(col("__id"), col("__sig")), tableName + "_sigs", "__id", buckets)
+    val spark = s.sparkSession
+    recoverMinhashPair(spark, tableName) // converge any torn predecessor first
+    replaceTable(bandedRows(s), stagingName(tableName), "__bb", buckets)
+    replaceTable(s.select(col("__id"), col("__sig")),
+      stagingName(tableName + "_sigs"), "__id", buckets)
+    swapStaging(spark, tableName)
+    swapStaging(spark, tableName + "_sigs")
+  }
+
+  /** Heal every crash window of [[persistMinhashTables]]'s two-table
+    * commit: per-table drop/rename windows first, then pair coherence —
+    * the sigs staging surviving AFTER the bands staging was consumed can
+    * only mean the crash hit between the two swaps, so finish the
+    * second. Both stagings still present = crash before either swap: the
+    * OLD pair is the durable state, stagings are dead weight the next
+    * build overwrites. Called from the probes and the next build.
+    */
+  private[graft] def recoverMinhashPair(spark: SparkSession, tableName: String): Unit = {
+    recoverFingerprint(spark, tableName)
+    recoverFingerprint(spark, tableName + "_sigs")
+    if (!spark.catalog.tableExists(stagingName(tableName)) &&
+        spark.catalog.tableExists(stagingName(tableName + "_sigs")) &&
+        spark.catalog.tableExists(tableName))
+      swapStaging(spark, tableName + "_sigs")
   }
 
   /** `mode(overwrite).saveAsTable` replaces a table the CATALOG knows, but
@@ -478,6 +508,9 @@ object AnnIndex {
 
   private def probeMinhashFromSigned(spark: SparkSession, tableName: String,
       s: DataFrame, threshold: Double): DataFrame = {
+    // a crashed build swap leaves a torn bands/sigs pair — converge it
+    // before reading either table (the compactIvfPq heal-on-probe rule)
+    recoverMinhashPair(spark, tableName)
     val d = bandedRows(s)
       .select(col("__bb"), col("__id").as("idA"), col("__bh").as("__bhA"))
     val idx = spark.table(tableName)
@@ -517,7 +550,7 @@ object AnnIndex {
     */
   def buildFingerprint(df: DataFrame, idCol: String, textCol: String,
       tableName: String, buckets: Int = 32): Unit =
-    replaceTable(
+    replaceTableStaged(
       df.select(col(idCol).as("__id"),
           graft.functions.TextFunctions.fingerprint(col(textCol)).as("__fp"))
         .groupBy("__fp")
@@ -533,12 +566,14 @@ object AnnIndex {
     * re-fingerprinted, so every shuffle in the probe is delta-sized.
     */
   def probeFingerprint(spark: SparkSession, tableName: String, delta: DataFrame,
-      idCol: String, textCol: String): DataFrame =
+      idCol: String, textCol: String): DataFrame = {
+    recoverFingerprint(spark, tableName) // heal a crashed staged swap
     delta.select(col(idCol),
         graft.functions.TextFunctions.fingerprint(col(textCol)).as("__fp"))
       .join(spark.table(tableName).select(col("__fp"), col("__id").as("dup_of")),
         Seq("__fp"), "left")
       .select(col(idCol), col("dup_of"))
+  }
 
   /** Fold a delta INTO a [[buildFingerprint]] index: union the delta's
     * fingerprint aggregate with the table and re-aggregate (min winner,
@@ -551,7 +586,7 @@ object AnnIndex {
       idCol: String, textCol: String, buckets: Int = 32,
       stageSidecar: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit = {
     stageFingerprintUpdate(spark, tableName, delta, idCol, textCol, buckets, stageSidecar)
-    swapFingerprintStaging(spark, tableName)
+    swapStaging(spark, tableName)
   }
 
   /** First half of [[updateFingerprint]]'s stage-then-swap (NOT drop-then-
@@ -563,7 +598,7 @@ object AnnIndex {
     * staging dir, so the catalog rename later makes state and mark live
     * in ONE atomic move (exactly-once counts; see
     * [[graft.streaming.GraftStreaming.indexStreamFingerprint]]).
-    * Package-visible separately from [[swapFingerprintStaging]] so the
+    * Package-visible separately from [[swapStaging]] so the
     * crash-window spec can stop between the two.
     */
   private[graft] def stageFingerprintUpdate(spark: SparkSession, tableName: String,
@@ -585,9 +620,17 @@ object AnnIndex {
     * crash between the two leaves the complete staging table (sidecars
     * included) for [[recoverFingerprint]].
     */
-  private[graft] def swapFingerprintStaging(spark: SparkSession, tableName: String): Unit = {
+  private[graft] def swapStaging(spark: SparkSession, tableName: String): Unit = {
     val staging = stagingName(tableName)
     spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    // a managed dir can outlive its catalog entry (previous session's
+    // in-memory catalog is gone, the files are not — the replaceTable
+    // defense): the rename would fail LOCATION_ALREADY_EXISTS. Deleting
+    // here is safe: the complete staged table is the durable state, and a
+    // crash before the rename is exactly recoverFingerprint's window.
+    val loc = tableLocation(spark, tableName)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!spark.catalog.tableExists(tableName) && fs.exists(loc)) fs.delete(loc, true)
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$tableName`")
   }
 
@@ -601,6 +644,19 @@ object AnnIndex {
       new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), tableName)
 
   private[graft] def stagingName(tableName: String): String = tableName + "__staging"
+
+  /** Stage-then-swap single-table replace: the new state lands COMPLETE
+    * under the staging name before the old table is touched — a crash
+    * during the (arbitrarily long, 100 TB) write leaves the old index
+    * fully live, where a drop-first replace would have destroyed it and
+    * left nothing; the remaining drop/rename metadata window is healed
+    * by [[recoverFingerprint]]. Every catalog-index build funnels here.
+    */
+  private def replaceTableStaged(df: DataFrame, tableName: String,
+      bucketCol: String, buckets: Int): Unit = {
+    replaceTable(df, stagingName(tableName), bucketCol, buckets)
+    swapStaging(df.sparkSession, tableName)
+  }
 
   /** Recover from a crash between [[updateFingerprint]]'s drop and rename:
     * if the live table is gone but a complete staging table exists, rename
@@ -629,7 +685,7 @@ object AnnIndex {
     val grams = Dedup.gramPositions(df, idCol, textCol, k)
     val dup = grams.groupBy("__gh").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= 2).select("__gh")
-    replaceTable(dup, tableName, "__gh", buckets)
+    replaceTableStaged(dup, tableName, "__gh", buckets)
   }
 
   /** [[Dedup.duplicateSpans]] through a [[buildGramIndex]] table: gram the
@@ -640,6 +696,7 @@ object AnnIndex {
     */
   def probeSpans(spark: SparkSession, tableName: String, df: DataFrame,
       idCol: String, textCol: String, k: Int = 3, minSpan: Int = 5): DataFrame = {
+    recoverFingerprint(spark, tableName) // heal a crashed staged-build swap
     val grams = Dedup.gramPositions(df, idCol, textCol, k)
     val dupPos = grams.join(spark.table(tableName), Seq("__gh"), "left_semi")
     Dedup.spansFromDupPositions(dupPos, idCol, k, minSpan)

@@ -546,7 +546,7 @@ object GraftStreaming {
         graft.operators.AnnIndex.buildFingerprint(batch, idCol, textCol, staging, buckets)
         writeMarkInto(spark,
           graft.operators.AnnIndex.tableLocation(spark, staging), checkpoint, batchId)
-        graft.operators.AnnIndex.swapFingerprintStaging(spark, tableName)
+        graft.operators.AnnIndex.swapStaging(spark, tableName)
       }
     }
   }

@@ -317,6 +317,45 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash pair-table build: staged swap heals every torn window; old pair survives a crashed write") {
+    val d = docs()
+    val delta = d.where(col("doc_id") >= 90)
+    val table = "mh_torn_idx"
+    val sigs = table + "_sigs"
+    val stag = AnnIndex.stagingName(table)
+    val stagS = AnnIndex.stagingName(sigs)
+    def drop(): Unit = Seq(table, sigs, stag, stagS)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`").collect())
+    drop()
+    try {
+      AnnIndex.buildMinhash(d, "doc_id", "text", table, shingle = 2, numHashes = 16, bands = 8)
+      def probe() = AnnIndex.probeMinhash(spark, table, delta, "doc_id", "text",
+          shingle = 2, numHashes = 16, bands = 8, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = probe()
+      assert(want.nonEmpty)
+      // torn window: crash between the two metadata swaps — bands swapped
+      // (staging consumed), sigs staging still waiting. Simulate by
+      // re-staging the SAME pair and consuming only the bands swap.
+      spark.sql(s"CREATE TABLE `$stagS` AS SELECT * FROM `$sigs`")
+      assert(probe() == want, "pair recovery must finish the second swap")
+      assert(!spark.catalog.tableExists(stagS), "sigs staging must be consumed")
+      // torn window: crash between sigs-staging drop and rename
+      // (recoverFingerprint's window) — live sigs gone, staging complete
+      spark.sql(s"ALTER TABLE `$sigs` RENAME TO `$stagS`")
+      assert(probe() == want, "probe must heal the drop/rename window")
+      assert(spark.catalog.tableExists(sigs) && !spark.catalog.tableExists(stagS))
+      // crash BEFORE any swap (both stagings complete, old pair live):
+      // the old pair stays the durable state; a rebuild converges
+      spark.sql(s"CREATE TABLE `$stag` AS SELECT * FROM `$table`")
+      spark.sql(s"CREATE TABLE `$stagS` AS SELECT * FROM `$sigs`")
+      assert(probe() == want, "a not-yet-committed staged pair must not change answers")
+      AnnIndex.buildMinhash(d, "doc_id", "text", table, shingle = 2, numHashes = 16, bands = 8)
+      assert(probe() == want && !spark.catalog.tableExists(stag) &&
+        !spark.catalog.tableExists(stagS))
+    } finally drop()
+  }
+
   test("compaction torn-state matrix: probe heals EVERY crash window to identical results") {
     import org.apache.commons.io.FileUtils
     import org.apache.spark.sql.functions.{broadcast, element_at, explode}

@@ -354,6 +354,54 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** Blocked edit-distance fuzzy duplicate pairs: (idA, idB, dist) with
+    * Levenshtein distance ≤ `maxDist` between (optionally head-truncated)
+    * texts. Exact for the compared text — the only blocking key is the
+    * character length, and |len(a) − len(b)| ≤ dist is a NECESSARY
+    * condition for edit distance, so length-bucket candidate generation
+    * loses no qualifying pair:
+    *
+    *  - each doc lands in bucket ⌊len / (maxDist+1)⌋ and additionally
+    *    probes bucket+1; joining probe-key = home-bucket covers every pair
+    *    within `maxDist` of each other in length (their buckets differ by
+    *    at most 1), in either id order — pairs are then canonicalized to
+    *    idA < idB and de-duplicated;
+    *  - `maxLen > 0` compares `substr(text, 1, maxLen)` — the standard
+    *    head-window trick that bounds the O(len·maxDist) verify cost per
+    *    pair at corpus scale (Spark's banded `levenshtein(_, _, threshold)`
+    *    stops early; the head window bounds the other factor).
+    *
+    * Scale shape: one shuffle on the length-bucket key; bucket population
+    * is data-dependent — for skewed length distributions compose with a
+    * cheap second key (e.g. a prefix fingerprint) before the join, at the
+    * cost of exactness. The quadratic term is per-bucket, never corpus-
+    * wide.
+    */
+  def fuzzyEditDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, maxLen: Int = 0): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val w = maxDist + 1
+    val t = if (maxLen > 0) substring(col(textCol), 1, maxLen) else col(textCol)
+    val base = df.select(col(idCol).as("__id"), t.as("__t"))
+      .withColumn("__len", length(col("__t")))
+      .withColumn("__b", floor(col("__len") / w))
+    val probes = base.withColumn("__k", explode(array(col("__b"), col("__b") + 1)))
+    val cands = probes.as("a").join(base.as("b"), col("a.__k") === col("b.__b"))
+      .where(col("a.__id") =!= col("b.__id") &&
+        abs(col("a.__len") - col("b.__len")) <= maxDist)
+      .select(
+        least(col("a.__id"), col("b.__id")).as("idA"),
+        greatest(col("a.__id"), col("b.__id")).as("idB"),
+        // texts follow the id canonicalization so dist args are stable
+        when(col("a.__id") < col("b.__id"), col("a.__t")).otherwise(col("b.__t")).as("__ta"),
+        when(col("a.__id") < col("b.__id"), col("b.__t")).otherwise(col("a.__t")).as("__tb"))
+      .dropDuplicates("idA", "idB")
+    cands
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("idA"), col("idB"), col("dist"))
+  }
+
   /** Duplicate-cluster resolution: turns near-duplicate PAIRS (any of the
     * *NearDuplicates/ngramJaccardPairs outputs) into connected components,
     * labeling every member with the minimum id of its component — the

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over the corpus, transcendental-free.
+  *
+  * Textbook BM25 (Robertson/Spärck Jones) scores
+  * `idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))` with
+  * `idf = ln((N-df+0.5)/(df+0.5))`. Two determinism obstacles for the
+  * oracle gate: `ln` (engines differ in the last ulp) and cross-term
+  * float summation order. Both are removed without changing the RANKING
+  * semantics the operator exists for:
+  *
+  *  - the idf log is monotone, so scoring with the RAW odds ratio
+  *    `(N-df+0.5)/(df+0.5)` = `(2(N-df)+1)/(2df+1)` preserves per-term
+  *    orderings; doubled-integer form keeps it exact;
+  *  - `avgdl = SUMDL/N` is cleared by scaling numerator and denominator
+  *    by `k1d*bd*SUMDL` (k1 = k1n/k1d, b = bn/bd as exact rationals),
+  *    leaving INTEGER numerator/denominator:
+  *      Nu = (k1n+k1d)*bd*SUMDL*tf
+  *      D  = k1d*bd*SUMDL*tf + k1n*(bd-bn)*SUMDL + k1n*bn*dl*N
+  *    and the score is three IEEE-exact double ops in fixed order:
+  *    `(idfn/idfd) * (Nu/D)` — bit-identical across engines;
+  *  - output is per-(term, doc) rows ranked per term, so no float is ever
+  *    summed. (Multi-term additive retrieval would sum per-term scores;
+  *    do that through the DECIMAL-sum discipline if needed.)
+  *
+  * Overflow bound: D < k1d*bd*SUMDL*tf + k1n*bd*SUMDL + k1n*bn*dl*N.
+  * With default k1=6/5, b=3/4 and a 100 TB corpus (SUMDL ~ 2.5e13 tokens,
+  * N ~ 1e11 docs, tf ≤ 1e4, dl ≤ 1e6): the tf term ~ 5e18 exceeds Long —
+  * at that scale cap tf (BM25 saturates anyway) or shift to DECIMAL(38).
+  * Long arithmetic is exact through PB-scale corpora with tf ≤ ~1e3.
+  *
+  * Scale shape: token stats are two hash aggregations over the exploded
+  * stream; (N, SUMDL) is a 1-row broadcast; per-term df is a terms-sized
+  * broadcast; tf⋈dl joins two aggregations of the SAME shuffle key
+  * (doc id) — co-partitioned, no extra exchange; the per-term top-k is a
+  * rank window over |terms| partitions of candidate docs only (docs with
+  * tf ≥ 1), never the corpus.
+  */
+object Retrieval {
+
+  /** Integer coefficients (nuTf, dTf, dConst, dDlN) for k1 = k1n/k1d,
+    * b = bn/bd — shared by the Column path and [[bm25ScoreSql]] so the
+    * two engines cannot drift.
+    */
+  def bm25Coefficients(k1n: Long, k1d: Long, bn: Long, bd: Long): (Long, Long, Long, Long) =
+    ((k1n + k1d) * bd, k1d * bd, k1n * (bd - bn), k1n * bn)
+
+  /** DuckDB score expression over columns tf, dl, dfn (per-term doc freq),
+    * nn (corpus doc count), sumdl (corpus token count).
+    */
+  def bm25ScoreSql(k1n: Long, k1d: Long, bn: Long, bd: Long): String = {
+    val (nuTf, dTf, dConst, dDlN) = bm25Coefficients(k1n, k1d, bn, bd)
+    s"""(CAST(2*(nn - dfn) + 1 AS DOUBLE) / CAST(2*dfn + 1 AS DOUBLE)) *
+        (CAST($nuTf * sumdl * tf AS DOUBLE) /
+         CAST($dTf * sumdl * tf + $dConst * sumdl + $dDlN * dl * nn AS DOUBLE))"""
+  }
+
+  /** Top-k docs per query term: (term, rank, doc_id-named idCol, score). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      topK: Int = 10, k1n: Long = 6, k1d: Long = 5, bn: Long = 3, bd: Long = 4): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val (nuTf, dTf, dConst, dDlN) = bm25Coefficients(k1n, k1d, bn, bd)
+    val toks = docs.select(col(idCol).as("__id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .where(col("term") =!= "")
+    val dl = toks.groupBy("__id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("sumdl"))
+    val tf = toks.where(col("term").isin(terms: _*))
+      .groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("dfn"))
+    val scored = tf.join(dl, "__id")
+      .crossJoin(broadcast(totals))
+      .join(broadcast(dfc), "term")
+      .withColumn("score",
+        (((lit(2L) * (col("nn") - col("dfn")) + lit(1L)).cast("double") /
+          (lit(2L) * col("dfn") + lit(1L)).cast("double")) *
+         ((lit(nuTf) * col("sumdl") * col("tf")).cast("double") /
+          (lit(dTf) * col("sumdl") * col("tf") + lit(dConst) * col("sumdl") +
+            lit(dDlN) * col("dl") * col("nn")).cast("double"))))
+    val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("__id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("term"), col("rank"), col("__id").as(idCol), col("score"))
+  }
+}

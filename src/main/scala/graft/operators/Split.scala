@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/val/test splitting for corpus curation.
+  *
+  * The reference has no split operator (its `sample` is bernoulli,
+  * pigpen-core/src/main/clojure/pigpen/filter.clj:88-100 — non-deterministic
+  * by design); a training-data pipeline needs the opposite: assignments that
+  * are (a) stable across runs and cluster layouts, (b) replayable by any
+  * engine from the id alone, and (c) leakage-safe under deduplication —
+  * near-duplicate documents must land in the SAME split or held-out eval
+  * contaminates training.
+  *
+  * All three variants hash through [[graft.core.Flow.lcg31]] (the same
+  * 31-bit mix the sampling family uses, SQL mirror in
+  * [[graft.queries.OracleSql.lcg31]]) and decide with exact integer
+  * arithmetic only — no doubles anywhere, so DuckDB replays every
+  * assignment bit-for-bit and the driver's hash gate covers the operator.
+  *
+  * Scale notes (100 TB):
+  *  - [[byHash]] is a pure narrow map — no shuffle, no state; proportions
+  *    are approximate (binomial around the weights), which is what every
+  *    production split uses at corpus scale.
+  *  - [[stratifiedExact]] hits the weights exactly per stratum but needs a
+  *    per-stratum total order (window partitioned by the stratum): one
+  *    shuffle, and a stratum's rows sort within single tasks. Use it when
+  *    strata are balanced-ish (language, source); for open-ended strata
+  *    prefer [[byHash]] on (stratum, id).
+  *  - [[groupAware]] hashes the GROUP representative, so it adds exactly
+  *    the aggregation+join the group key itself costs (one shuffle on the
+  *    group key; the join back is on the same key, so AQE plans it without
+  *    a second exchange of the big side when the group table is small).
+  */
+object Split {
+
+  /** Column replay of Flow.lcg31: xor-fold then one LCG step, masked to
+    * 31 bits. `>>` matches Scala `>>>` on the nonnegative ids this is
+    * documented for (same caveat as the sampling family).
+    */
+  def lcg31(id: Column): Column =
+    (id.bitwiseXOR(shiftrightunsigned(id, 31)) * lit(1103515245L) + lit(12345L))
+      .bitwiseAND(lit(2147483647L))
+
+  /** Cumulative integer thresholds over the 2^31 hash space for integer
+    * part weights, e.g. Seq(("train",90),("val",5),("test",5)). Exact:
+    * threshold_i = round-down of cum_i * 2^31 / total in Long arithmetic.
+    */
+  private[graft] def thresholds(parts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = parts.map(_._2).sum
+    require(total > 0, "split weights must sum > 0")
+    var cum = 0L
+    parts.map { case (name, w) =>
+      cum += w
+      name -> (cum * 2147483648L) / total
+    }
+  }
+
+  /** CASE expression assigning a split name from a 31-bit bucket value. */
+  private def assignExpr(bucket: Column, parts: Seq[(String, Long)]): Column = {
+    val ts = thresholds(parts)
+    // last threshold == 2^31 covers the whole space; fold the rest as WHENs
+    ts.init.foldRight(lit(ts.last._1): Column) { case ((name, t), rest) =>
+      when(bucket < lit(t), lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Hash split: adds `split` from the id alone. Narrow, stateless,
+    * proportions approximate.
+    */
+  def byHash(df: DataFrame, idCol: String, parts: Seq[(String, Long)]): DataFrame =
+    df.withColumn("split", assignExpr(lcg31(col(idCol)), parts))
+
+  /** Exact stratified split: within each stratum, rows ordered by
+    * (lcg31(id), id) are cut at exact integer proportions —
+    * rn * total <= n * cum_i picks split i. The (hash, id) order makes the
+    * cut pseudorandom but fully deterministic; the id tiebreak makes it
+    * total. One shuffle on the stratum column.
+    */
+  def stratifiedExact(
+      df: DataFrame, idCol: String, strataCol: String,
+      parts: Seq[(String, Long)]): DataFrame = {
+    val total = parts.map(_._2).sum
+    val w = Window.partitionBy(col(strataCol))
+    val rn = row_number().over(w.orderBy(lcg31(col(idCol)), col(idCol)))
+    val n = count(lit(1)).over(w)
+    val cums = parts.scanLeft(0L)(_ + _._2).tail
+    val scaled = col("__rn") * lit(total)
+    val assign = parts.init.zip(cums.init).foldRight(lit(parts.last._1): Column) {
+      case (((name, _), cum), rest) =>
+        when(scaled <= col("__n") * lit(cum), lit(name)).otherwise(rest)
+    }
+    df.withColumn("__rn", rn.cast("long")).withColumn("__n", n)
+      .withColumn("split", assign)
+      .drop("__rn", "__n")
+  }
+
+  // ---- oracle-SQL twins: generated from the SAME thresholds/cut
+  // arithmetic the Column path uses (the OracleFixtures discipline — one
+  // definition, two engines, zero drift).
+
+  /** DuckDB CASE over a 31-bit bucket SQL fragment, same thresholds as
+    * [[byHash]]/[[groupAware]].
+    */
+  def assignSql(bucketSql: String, parts: Seq[(String, Long)]): String = {
+    val ts = thresholds(parts)
+    val whens = ts.init
+      .map { case (name, t) => s"WHEN ($bucketSql) < $t THEN '$name'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${ts.last._1}' END"
+  }
+
+  /** DuckDB CASE over per-stratum (rn, n) columns, same integer cuts as
+    * [[stratifiedExact]].
+    */
+  def stratifiedCaseSql(rnSql: String, nSql: String, parts: Seq[(String, Long)]): String = {
+    val total = parts.map(_._2).sum
+    val cums = parts.scanLeft(0L)(_ + _._2).tail
+    val whens = parts.init.zip(cums.init)
+      .map { case ((name, _), cum) => s"WHEN ($rnSql) * $total <= ($nSql) * $cum THEN '$name'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${parts.last._1}' END"
+  }
+
+  /** Leakage-safe split: every row of a group follows the group
+    * representative's hash, so duplicate clusters can never straddle a
+    * split boundary. `groupCol` is any long-valued cluster/group key (e.g.
+    * the min-id representative from [[Dedup]] clustering); rows with the
+    * same value always co-assign.
+    */
+  def groupAware(df: DataFrame, groupCol: String, parts: Seq[(String, Long)]): DataFrame =
+    df.withColumn("split", assignExpr(lcg31(col(groupCol)), parts))
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Frequent, Retrieval, Snapshot, Split}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators that close the loop from raw documents to a
+  * training set: deterministic splits (plain / stratified-exact /
+  * leakage-safe), snapshot diffing + incremental recompute, blocked
+  * edit-distance fuzzy dedup, per-group heavy hitters, and BM25 ranked
+  * retrieval. Every query here is fully DuckDB-oracled — the split
+  * thresholds, BM25 coefficients, and stratified cuts are GENERATED from
+  * the same Scala definitions the Spark path executes (the
+  * OracleFixtures discipline), so the two engines cannot drift.
+  */
+object CurationQueries {
+
+  private def q(name: String, oracle: String = null, bench: Boolean = false)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Option(oracle), bench)
+
+  // 90/5/5 and 80/10/10 — the standard corpus split shapes
+  private val Parts955 = Seq(("train", 90L), ("val", 5L), ("test", 5L))
+  private val Parts811 = Seq(("train", 80L), ("val", 10L), ("test", 10L))
+
+  private val splitQ = q("q_split",
+    s"""SELECT doc_id, ${Split.assignSql(OracleSql.lcg31("doc_id"), Parts955)} AS split
+       FROM documents""") { (s, d) =>
+    Split.byHash(Tables.df(s, d, "documents"), "doc_id", Parts955)
+      .select("doc_id", "split")
+  }
+
+  private val splitStratifiedQ = q("q_split_stratified",
+    s"""WITH r AS (SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY ${OracleSql.lcg31("doc_id")}, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+         FROM documents)
+       SELECT doc_id, lang, ${Split.stratifiedCaseSql("rn", "n", Parts811)} AS split
+       FROM r""") { (s, d) =>
+    Split.stratifiedExact(Tables.df(s, d, "documents"), "doc_id", "lang", Parts811)
+      .select("doc_id", "lang", "split")
+  }
+
+  /** Leakage-safe split over a corpus with planted exact duplicates: every
+    * member of a duplicate cluster follows the min-id representative's
+    * hash — SplitSpec additionally asserts zero clusters straddle splits.
+    */
+  private val splitGroupQ = q("q_split_group",
+    s"""WITH c AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                   FROM (SELECT doc_id, text FROM documents
+                         UNION ALL SELECT doc_id + 10000, text FROM documents)),
+         g AS (SELECT fp, MIN(doc_id) AS rep FROM c GROUP BY fp)
+       SELECT c.doc_id AS doc_id, g.rep AS rep,
+              ${Split.assignSql(OracleSql.lcg31("g.rep"), Parts955)} AS split
+       FROM c JOIN g USING (fp)""") { (s, d) =>
+    val base = Tables.df(s, d, "documents").select("doc_id", "text")
+    val corpus = base.unionByName(base.withColumn("doc_id", col("doc_id") + 10000))
+    val c = corpus.withColumn("fp", fingerprint(col("text")))
+    val g = c.groupBy("fp").agg(min(col("doc_id")).as("rep"))
+    Split.groupAware(c.join(g, "fp"), "rep", Parts955)
+      .select("doc_id", "rep", "split")
+  }
+
+  /** The synthetic "next crawl" snapshot, defined ONCE as SQL and mirrored
+    * in Spark: every 17th doc removed, every 11th edited, every 13th
+    * re-added under a new id.
+    */
+  private val NewSnapSql =
+    """SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'edit ' || text ELSE text END AS text
+       FROM documents WHERE doc_id % 17 <> 0
+       UNION ALL
+       SELECT doc_id + 50000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0"""
+
+  private def newSnap(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.df(s, d, "documents").select("doc_id", "text")
+    base.where(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(lit("edit "), col("text")))
+          .otherwise(col("text")))
+      .unionByName(base.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 50000))
+  }
+
+  private val snapshotDiffQ = q("q_snapshot_diff",
+    s"""WITH o AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                   FROM documents),
+         n AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+               FROM ($NewSnapSql))
+       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN o.fp = n.fp THEN 'unchanged'
+                   ELSE 'changed' END AS status
+       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""") { (s, d) =>
+    Snapshot.diff(
+      Tables.df(s, d, "documents").select("doc_id", "text"),
+      newSnap(s, d), "doc_id", "text")
+  }
+
+  /** Incremental recompute vs the full-recompute oracle: the Spark side
+    * re-derives token counts ONLY for added/changed docs and carries the
+    * old run's results for unchanged ids; DuckDB recomputes everything
+    * from the new snapshot. Hash-equality of the two IS the correctness
+    * claim of [[graft.operators.Snapshot.incremental]].
+    */
+  private val incrementalQ = q("q_incremental",
+    s"""SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       FROM ($NewSnapSql)""") { (s, d) =>
+    val oldDf = Tables.df(s, d, "documents").select("doc_id", "text")
+    val fn: DataFrame => DataFrame = df =>
+      df.select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+    Snapshot.incremental(oldDf, newSnap(s, d), fn(oldDf), "doc_id", "text")(fn)
+  }
+
+  /** Fuzzy dedup corpus: originals plus head-edited twins at edit distance
+    * doc_id % 4 (prepended 'x's), so distances 0, 1, 2 qualify at
+    * maxDist = 2 and 3 is provably excluded. The oracle is the BRUTE-FORCE
+    * definition (all id-ordered pairs within the length precondition) —
+    * agreement proves the length-bucket blocking loses nothing.
+    */
+  private val dedupFuzzyQ = q("q_dedup_fuzzy",
+    """WITH c AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 10000, repeat('x', CAST(doc_id % 4 AS INT)) || text
+                  FROM documents)
+       SELECT a.doc_id AS idA, b.doc_id AS idB,
+              CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+       FROM c a JOIN c b ON a.doc_id < b.doc_id
+       WHERE abs(length(a.text) - length(b.text)) <= 2
+         AND levenshtein(a.text, b.text) <= 2""") { (s, d) =>
+    val base = Tables.df(s, d, "documents").select("doc_id", "text")
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 10000).as("doc_id"),
+        concat(expr("repeat('x', CAST(doc_id % 4 AS INT))"), col("text")).as("text")))
+    Dedup.fuzzyEditDistancePairs(corpus, "doc_id", "text", maxDist = 2)
+  }
+
+  private val frequentTokensQ = q("q_frequent_tokens",
+    """WITH t AS (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+                  FROM documents),
+         tok AS (SELECT * FROM t WHERE word <> ''),
+         c AS (SELECT source, word, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+         tot AS (SELECT source, COUNT(*) AS total FROM tok GROUP BY 1)
+       SELECT c.source AS source, c.word AS word, CAST(c.n AS BIGINT) AS n
+       FROM c JOIN tot USING (source)
+       WHERE c.n * 50 >= tot.total * 1""") { (s, d) =>
+    Frequent.frequentTokens(Tables.df(s, d, "documents"), "source", "text",
+      supNum = 1, supDen = 50)
+  }
+
+  private val Bm25Terms = Seq("join", "merge", "vector")
+
+  private val bm25Q = q("q_bm25",
+    s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+                   FROM documents),
+         tok AS (SELECT * FROM t WHERE term <> ''),
+         dls AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS nn, SUM(dl) AS sumdl FROM dls),
+         tfs AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+                 WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+                 GROUP BY 1, 2),
+         dfs AS (SELECT term, COUNT(*) AS dfn FROM tfs GROUP BY 1),
+         sc AS (SELECT tfs.doc_id, tfs.term,
+                  ${Retrieval.bm25ScoreSql(6, 5, 3, 4)} AS score
+                FROM tfs JOIN dls USING (doc_id) CROSS JOIN tot JOIN dfs USING (term))
+       SELECT term, CAST(rnk AS BIGINT) AS rank, doc_id, score
+       FROM (SELECT *, row_number() OVER (PARTITION BY term
+               ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+       WHERE rnk <= 10""") { (s, d) =>
+    Retrieval.bm25(Tables.df(s, d, "documents"), "doc_id", "text", Bm25Terms, topK = 10)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    splitQ, splitStratifiedQ, splitGroupQ, snapshotDiffQ, incrementalQ,
+    dedupFuzzyQ, frequentTokensQ, bm25Q)
+}

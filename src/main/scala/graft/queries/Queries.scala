@@ -1616,7 +1616,8 @@ object Queries {
     rollupQ, cubeQ, pivotQ, groupingSetsQ, windowRangeQ,
     windowLagQ, windowRunningQ, windowStatsQ, eventsAggQ)
 
-  val all: Seq[QueryDef] = relational ++ IoQueries.all ++ ExtQueries.all
+  val all: Seq[QueryDef] =
+    relational ++ IoQueries.all ++ ExtQueries.all ++ CurationQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(qd => qd.name -> qd.fn).toMap

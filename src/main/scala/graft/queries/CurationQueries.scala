@@ -63,6 +63,32 @@ object CurationQueries {
       .select("doc_id", "rep", "split")
   }
 
+  /** End-to-end dedup-aware split: near-duplicate clusters (the exact
+    * 2-gram-Jaccard component graph of q_dedup_clusters) collapse to their
+    * min-id representative, singletons represent themselves, and every doc
+    * follows its representative's hash — so a near-duplicate of a training
+    * doc can never leak into eval. This is the full pipeline a curation
+    * stack actually runs; the oracle replays clustering (recursive CTE)
+    * AND the split thresholds from the same shared definitions.
+    */
+  private val splitNearDupQ = q("q_split_neardup",
+    raw"""WITH RECURSIVE
+       ${ExtQueries.NgramCcCtes},
+       cc AS (SELECT node, least(node, MIN(x)) AS cluster FROM reach GROUP BY node)
+       SELECT d.doc_id AS doc_id, COALESCE(cc.cluster, d.doc_id) AS rep,
+              ${Split.assignSql(OracleSql.lcg31("COALESCE(cc.cluster, d.doc_id)"), Parts955)} AS split
+       FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val cc = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingle = 2, threshold = 0.1),
+      "idA", "idB")
+    val withRep = docs.select("doc_id")
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+    Split.groupAware(withRep, "rep", Parts955)
+      .select("doc_id", "rep", "split")
+  }
+
   /** The synthetic "next crawl" snapshot, defined ONCE as SQL and mirrored
     * in Spark: every 17th doc removed, every 11th edited, every 13th
     * re-added under a new id.
@@ -173,6 +199,6 @@ object CurationQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    splitQ, splitStratifiedQ, splitGroupQ, snapshotDiffQ, incrementalQ,
+    splitQ, splitStratifiedQ, splitGroupQ, splitNearDupQ, snapshotDiffQ, incrementalQ,
     dedupFuzzyQ, frequentTokensQ, bm25Q)
 }

@@ -32,7 +32,7 @@ object ExtQueries {
     * `documents` (threshold 0.1) plus its transitive closure — used by both
     * q_dedup_clusters and q_dedup_apply (always under WITH RECURSIVE).
     */
-  private val NgramCcCtes =
+  private[queries] val NgramCcCtes =
     """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
        sh AS (SELECT DISTINCT doc_id,
                 unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),

@@ -81,6 +81,43 @@ object GraftStreaming {
       .agg(agg.as("topk"))
   }
 
+  /** Streaming heavy hitters: one Misra-Gries summary per group key,
+    * updated each trigger and emitted in Update mode as (group, word, est,
+    * n). State is the sketch itself — k counters + processed-count, so
+    * per-group state is O(k) regardless of stream length or vocabulary
+    * (the reason to sketch at all: an exact streaming token count would
+    * hold vocabulary-sized state forever). Within a group the sketch
+    * evolves by sequential `reduce` across batches, so the classic
+    * guarantee holds over everything processed so far: every token with
+    * true count > n/(k+1) is present, and reported counts undershoot by
+    * at most n/(k+1) (spec-gated, not SQL-replayable — the summary
+    * depends on arrival order).
+    */
+  def heavyHittersStream(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new graft.operators.Frequent.MisraGriesAgg(k)
+    df.select(col(groupCol).cast("string").as("grp"),
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .where(col("word") =!= "")
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[graft.operators.Frequent.MgState, (String, Map[String, Long], Long)](
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[(String, String)],
+            state: GroupState[graft.operators.Frequent.MgState]) =>
+          var s = state.getOption.getOrElse(agg.zero)
+          rows.foreach { case (_, w) => s = agg.reduce(s, w) }
+          state.update(s)
+          (grp, agg.finish(s), s.n)
+      }
+      .toDF("grp", "summary", "n")
+      .select(col("grp").as(groupCol), col("n"),
+        explode(col("summary")).as(Seq("word", "est")))
+      .select(col(groupCol), col("word"), col("est"), col("n"))
+  }
+
   // ---- sessionization (custom state via flatMapGroupsWithState) ----
 
   /** Event-time sessionization: events for a key belong to one session while

@@ -57,6 +57,39 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("heavyHittersStream: Misra-Gries guarantee holds over everything processed so far") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "src", "text")
+    val hh = GraftStreaming.heavyHittersStream(df, "src", "text", k = 3)
+    val query = GraftStreaming.storeStreamMemory(hh, "hh_test", outputMode = "update")
+    try {
+      // batch 1: hot:8, warm:3, c1..c4 ×1 → n=15
+      input.addData((ts(1), "g", ("hot " * 8) + ("warm " * 3) + "c1 c2 c3 c4"))
+      query.processAllAvailable()
+      // batch 2: hot:4 more, warm:3 more, d1..d3 ×1 → n=25 total
+      input.addData((ts(2), "g", ("hot " * 4) + ("warm " * 3) + "d1 d2 d3"))
+      query.processAllAvailable()
+      // latest update per word (update mode appends re-emissions; take max n)
+      val t = spark.table("hh_test").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      val n = t.map(_._3).max
+      assert(n == 25, s"processed-count must track the full stream, got $n")
+      val latest = t.filter(_._3 == n).map(x => (x._1, x._2)).toMap
+      assert(latest.size <= 3)
+      val truth = Map("hot" -> 12L, "warm" -> 6L)
+      val bound = n / 4 // n/(k+1)
+      truth.foreach { case (w, c) =>
+        if (c > bound) assert(latest.contains(w), s"heavy $w missing")
+      }
+      latest.foreach { case (w, e) =>
+        val c = truth.getOrElse(w, 1L)
+        assert(e <= c && c - e <= bound, s"$w estimate $e outside [${c - bound}, $c]")
+      }
+    } finally query.stop()
+  }
+
   test("dedupMinHashStream: exact dup dropped; stream agrees with replayed signature semantics") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

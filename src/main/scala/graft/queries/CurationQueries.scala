@@ -163,6 +163,51 @@ object CurationQueries {
     Dedup.fuzzyEditDistancePairs(corpus, "doc_id", "text", maxDist = 2)
   }
 
+  /** Unrolled-CTE oracle for [[graft.operators.Graph.pageRank]] over the
+    * deterministic doc-id link graph (v → 3v mod m, v → 5v mod m; dense
+    * ids make 0 and m/2 dangling). Each iteration's update expression
+    * comes from Graph.rankUpdateExpr — the SAME template the Spark loop
+    * executes, rendered with DuckDB's `//`.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val S = graft.operators.Graph.Scale
+    val head =
+      s"""WITH nodes AS (SELECT doc_id AS v FROM documents),
+         nn AS (SELECT COUNT(*) AS n, MAX(v) + 1 AS m FROM nodes),
+         cand AS (SELECT v AS src, (v * 3) % (SELECT m FROM nn) AS dst FROM nodes
+                  UNION ALL SELECT v, (v * 5) % (SELECT m FROM nn) FROM nodes),
+         edges AS (SELECT DISTINCT src, dst FROM cand
+                   WHERE src <> dst AND dst IN (SELECT v FROM nodes)),
+         outd AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         r0 AS (SELECT v, $S // (SELECT n FROM nn) AS r FROM nodes)"""
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS v, CAST(SUM($p.r // o.deg) AS BIGINT) AS c
+             FROM edges e JOIN outd o ON e.src = o.src JOIN $p ON $p.v = e.src
+             GROUP BY 1),
+         d$i AS (SELECT CAST(COALESCE(SUM($p.r), 0) AS BIGINT) AS dm FROM $p
+                 LEFT JOIN outd o ON $p.v = o.src WHERE o.src IS NULL),
+         r$i AS (SELECT nodes.v AS v,
+                   ${graft.operators.Graph.rankUpdateExpr("//", s"c$i.c",
+                     s"(SELECT dm FROM d$i)", "(SELECT n FROM nn)")} AS r
+                 FROM nodes LEFT JOIN c$i ON nodes.v = c$i.v)"""
+    }.mkString(",\n")
+    s"$head,\n$iterCtes\nSELECT v AS doc_id, CAST(r AS BIGINT) AS rank_units FROM r$iters"
+  }
+
+  private val pageRankQ = q("q_pagerank", pageRankOracleSql(3)) { (s, d) =>
+    val nodes = Tables.df(s, d, "documents").select(col("doc_id").as("v"))
+    val mAgg = nodes.agg((max(col("v")) + 1).as("m"))
+    def half(mult: Int) = nodes.crossJoin(broadcast(mAgg))
+      .select(col("v").as("src"), ((col("v") * mult) % col("m")).as("dst"))
+    val edges = half(3).unionByName(half(5))
+      .where(col("src") =!= col("dst"))
+      .join(nodes.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+      .distinct()
+    graft.operators.Graph.pageRank(nodes, edges, iters = 3)
+      .select(col("v").as("doc_id"), col("r").as("rank_units"))
+  }
+
   private val frequentTokensQ = q("q_frequent_tokens",
     """WITH t AS (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
                   FROM documents),
@@ -200,5 +245,5 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     splitQ, splitStratifiedQ, splitGroupQ, splitNearDupQ, snapshotDiffQ, incrementalQ,
-    dedupFuzzyQ, frequentTokensQ, bm25Q)
+    dedupFuzzyQ, frequentTokensQ, bm25Q, pageRankQ)
 }

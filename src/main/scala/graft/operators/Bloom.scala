@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter benchmark decontamination — the 100 TB variant of
+  * [[Dedup.ngramContamination]].
+  *
+  * The exact operator broadcasts the benchmark's distinct n-gram set; at
+  * corpus scale that pool can reach hundreds of millions of grams (every
+  * eval suite, every contest problem, every held-out shard), and an exact
+  * broadcast set stops fitting the executor heap. A Bloom filter holds the
+  * SAME membership signal in `mBits` bits — ~10 bits per gram for a 1%
+  * false-positive rate — at the cost of a deterministic, quantifiable
+  * overcount: false positives only ever INFLATE a doc's contamination
+  * fraction, never hide a hit, which is the safe direction for a
+  * decontamination gate (you drop slightly more than you must, never less).
+  *
+  * Scale shape: building the filter is one distinct-aggregate over the
+  * benchmark grams (shuffled by position, bounded output ≤ mBits rows)
+  * followed by a driver-side bitset of mBits/8 bytes — the WHOLE point is
+  * that this is small. Probing is a pure map-side expression over the
+  * corpus grams (array literal + O(1) bit tests, stays inside whole-stage
+  * codegen); the only corpus shuffle is the per-doc count aggregate, same
+  * as the exact operator. For filters past ~10^8 bits, embed-in-plan stops
+  * being the right vehicle — keep the exact semi-join path
+  * ([[Dedup.ngramContamination]]) for that regime instead of a broadcast
+  * variable + UDF, which would leave codegen.
+  *
+  * Two lanes, the established dedup discipline:
+  *  - [[ngramContaminationBloom]]: production xxhash64 gram identities
+  *    ([[graft.functions.HashExpressions.ngramHashes]]) — rows-only gate.
+  *  - [[ngramContaminationBloomFixture]]: the SQL-replayable fixture gram
+  *    hashes (Dedup.fixtureWindowHashes, all sub-2^31 modular integer
+  *    arithmetic), position mixes `((2j+3)·g + (5j+7)) mod P mod m` shared
+  *    with the DuckDB oracle via [[positionSqls]] — fully oracle-green,
+  *    INCLUDING the false positives, which both engines reproduce
+  *    bit-identically.
+  */
+object Bloom {
+
+  private val P = Dedup.FixtureP
+
+  /** k filter positions of a nonnegative sub-2^31 gram hash: small-literal
+    * LCG finalizers mod P, folded to m bits. Products stay < 2^36 — exact
+    * in 64-bit arithmetic on both engines.
+    */
+  def positionExprs(g: Column, mBits: Int, k: Int): Seq[Column] =
+    (0 until k).map(j => ((lit(2L * j + 3) * g + lit(5L * j + 7)) % P) % mBits)
+
+  /** The same k position mixes as DuckDB SQL fragments — ONE arithmetic
+    * definition rendered for both engines (the OracleFixtures discipline).
+    */
+  def positionSqls(g: String, mBits: Int, k: Int): Seq[String] =
+    (0 until k).map(j => s"(((${2 * j + 3}*$g + ${5 * j + 7}) % $P) % $mBits)")
+
+  /** Positions for FULL-RANGE (possibly negative) 64-bit gram hashes —
+    * the production lane. The hash is xor-folded to 31 nonnegative bits
+    * first so the LCG products stay far under 2^63 (ANSI mode overflow-
+    * checks multiplication — no wrap-around tricks); the fold costs a
+    * vanishing extra collision rate next to the filter's own fp rate.
+    */
+  private def positionExprsWide(g: Column, mBits: Int, k: Int): Seq[Column] = {
+    val folded = g.bitwiseXOR(shiftrightunsigned(g, 33)).bitwiseAND(lit(0x7FFFFFFFL))
+    (0 until k).map(j => ((lit(2L * j + 3) * folded + lit(5L * j + 7)) % P) % mBits)
+  }
+
+  /** Build the bitmap: the distinct filter positions of a gram-hash column
+    * (single-column DataFrame), collected to a driver bitset. Driver state
+    * is bounded by mBits/64 longs REGARDLESS of pool size — that bound is
+    * the operator's reason to exist.
+    */
+  private def buildBits(gramHashes: DataFrame, posOf: Column => Seq[Column],
+      mBits: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    val g = col(gramHashes.columns.head)
+    val words = new Array[Long](mBits / 64)
+    gramHashes
+      .select(explode(array(posOf(g): _*)).as("__pos"))
+      .distinct()
+      .collect()
+      .foreach { r =>
+        val p = r.getLong(0).toInt
+        words(p >> 6) |= 1L << (p & 63)
+      }
+    words
+  }
+
+  /** Probe: all k positions set. The bitmap rides as an array literal
+    * (mBits/64 longs in the plan); each test is element_at + shiftright +
+    * mask — constant-time, codegen'd, no UDF.
+    */
+  private def mightContain(words: Array[Long], posOf: Column => Seq[Column],
+      g: Column): Column =
+    posOf(g).map { p =>
+      val word = element_at(typedlit(words.toSeq), (p / 64).cast("int") + 1)
+      call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+
+  /** Shared pipeline: build from benchmark grams, probe corpus grams, one
+    * per-doc aggregate — the same single-pass/no-re-explode accounting as
+    * [[Dedup.ngramContamination]].
+    */
+  private def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      gramsOf: DataFrame => DataFrame, posOf: Column => Seq[Column],
+      mBits: Int): DataFrame = {
+    val bits = buildBits(gramsOf(benchmark).select("__g").distinct(), posOf, mBits)
+    gramsOf(corpus)
+      .withColumn("__hit", when(mightContain(bits, posOf, col("__g")), lit(1)))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__n"), count(col("__hit")).as("__h"))
+      .select(col("__id").as(idCol),
+        round(col("__h").cast("double") / col("__n"), 6).as("contamination_bloom"))
+  }
+
+  /** Production lane: xxhash64 gram identities, wide-mix positions. */
+  def ngramContaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingle: Int = 3,
+      mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    val grams = (df: DataFrame) => df.select(col(idCol).as("__id"),
+      explode(graft.functions.HashExpressions.ngramHashes(
+        graft.functions.TextFunctions.tokens(col(textCol)), shingle)).as("__g"))
+    contamination(corpus, benchmark, idCol, grams,
+      positionExprsWide(_, mBits, k), mBits)
+  }
+
+  /** Oracle lane: fixture gram hashes + literal position mixes; DuckDB
+    * replays the filter — false positives included — bit-for-bit.
+    */
+  def ngramContaminationBloomFixture(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingle: Int = 3,
+      mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    val grams = (df: DataFrame) => df.select(col(idCol).as("__id"),
+      explode(array_distinct(
+        Dedup.fixtureWindowHashes(col(textCol), shingle))).as("__g"))
+    contamination(corpus, benchmark, idCol, grams,
+      positionExprs(_, mBits, k), mBits)
+  }
+}

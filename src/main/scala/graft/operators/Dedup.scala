@@ -141,7 +141,7 @@ object Dedup {
     * [[FixtureP]]. Window semantics mirror the production kernels
     * (max(1, T-n+1) windows; short texts degrade to one whole-text window).
     */
-  private def fixtureWindowHashes(text: Column, shingle: Int): Column = {
+  private[graft] def fixtureWindowHashes(text: Column, shingle: Int): Column = {
     val p = FixtureP
     val toks = tokens(text)
     val th = transform(toks, t =>

@@ -75,4 +75,37 @@ object Graph {
     }
     r
   }
+
+  /** `iters` rounds of synchronous min-label propagation over the
+    * UNDIRECTED view of `edges`: l_0(v) = v,
+    * l_{i+1}(v) = min(l_i(v), min over neighbors l_i(u)).
+    *
+    * Run to convergence this computes connected components; BOUNDED
+    * rounds give "communities within `iters` hops" — the cheap
+    * domain-clustering pass for link-spam and mirror detection, where
+    * real web neighborhoods have small diameter and a full CC fixpoint
+    * (with its data-dependent iteration count) is oracle-hostile and
+    * often unnecessary. All arithmetic is integer MIN over joins, so
+    * every round replays bit-for-bit in SQL (unrolled CTEs — the
+    * PageRank discipline).
+    *
+    * Scale shape per round: one shuffle join of labels against the
+    * undirected edge list on the source key + one MIN aggregation on the
+    * destination key; labels re-materialized to truncate lineage. Same
+    * pre-partition-by-src reuse note as [[pageRank]].
+    */
+  def labelPropagate(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var l = nodes.select(col("v"), col("v").as("l"))
+    for (_ <- 1 to iters) {
+      val viaNbr = l.join(und, l("v") === und("src"))
+        .groupBy(und("dst").as("v")).agg(min(col("l")).as("nl"))
+      l = Materialize.once(l.join(viaNbr, Seq("v"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l")))
+    }
+    l
+  }
 }

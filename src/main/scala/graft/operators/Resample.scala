@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling: fixed-width bucketing with gap-fill and
+  * forward-fill — the densification step between an event stream and
+  * anything windowed (rate limits, activity features, training-curriculum
+  * time curves). The as-of join family answers "nearest value at query
+  * time"; resample answers "one row per (key, bucket), including the
+  * buckets where nothing happened", which is what downstream window
+  * functions and charting need.
+  *
+  * Scale shape (100 TB of events):
+  *  - the bucket aggregate is one hash aggregate keyed by (key, bucket) —
+  *    map-side partial combine collapses each task to its distinct bucket
+  *    set before the shuffle;
+  *  - gap generation is per-key `sequence(lo, hi)` — output volume is the
+  *    DENSIFIED series (keys x their active span / width), which the
+  *    caller prices by choosing `bucketWidth`; nothing materializes a
+  *    global time axis;
+  *  - the fill join is keyed (key, bucket) against the aggregate output —
+  *    two small sides derived from the same shuffle, planned by AQE; the
+  *    raw event table is read exactly once;
+  *  - forward-fill is `last(ignoreNulls)` over (key, bucket-order) — a
+  *    per-key window whose partitions are the densified series, never the
+  *    raw events.
+  *
+  * Determinism: counts are BIGINT, sums go through DECIMAL(28,4) (order
+  * independent) and surface as DOUBLE — the registry-wide discipline.
+  */
+object Resample {
+
+  /** Per (key, bucket = ts div bucketWidth): event count, value sum, with
+    * empty buckets between each key's first and last filled in as
+    * (n=0, total=0.0) and `filled` carrying the last non-empty bucket's
+    * total forward. `tsCol` must be a nonnegative long (the events-table
+    * normalization: nanos since epoch).
+    * Output: (keyCol, bucket, n, total, filled).
+    */
+  def resample(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val bucketed = df
+      .select(col(keyCol).as("__k"),
+        expr(s"$tsCol div $bucketWidth").as("bucket"),
+        col(valueCol).cast("decimal(28,4)").as("__v"))
+      .groupBy("__k", "bucket")
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__tot"))
+    val spans = bucketed.groupBy("__k")
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+    val dense = spans.select(col("__k"),
+      explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("bucket"))
+    dense.join(bucketed, Seq("__k", "bucket"), "left")
+      .select(col("__k"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("__tot"), lit(BigDecimal(0)).cast("decimal(28,4)")).as("total"),
+        last(col("__tot"), ignoreNulls = true).over(w).as("filled"))
+      .select(col("__k").as(keyCol), col("bucket"), col("n"),
+        col("total").cast("double").as("total"),
+        col("filled").cast("double").as("filled"))
+  }
+}

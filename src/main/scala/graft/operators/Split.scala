@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deterministic train/val/test splitting for corpus curation.
   *
@@ -132,4 +133,63 @@ object Split {
     */
   def groupAware(df: DataFrame, groupCol: String, parts: Seq[(String, Long)]): DataFrame =
     df.withColumn("split", assignExpr(lcg31(col(groupCol)), parts))
+
+  /** Equi-depth quantile binning: rows ordered by (scoreCol, idCol) are cut
+    * into nBins near-equal bins — bin = floor(rank * nBins / n), rank
+    * 0-based. The curation use is quality-bucket assignment (decile gates,
+    * stratified-by-quality layouts, curriculum schedules) where the bucket
+    * must be a POPULATION quantile, not a fixed threshold.
+    *
+    * Scale design: no global-window single reducer. The total order comes
+    * from a range-partitioned sort (Spark samples split points), the global
+    * index from zipWithIndex (per-partition counts to the driver — one long
+    * per partition), and the bin from exact integer arithmetic, so DuckDB
+    * replays every assignment from `row_number()` alone. Costs one count
+    * job + one sort shuffle.
+    */
+  def byQuantile(df: DataFrame, scoreCol: String, idCol: String, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val spark = df.sparkSession
+    val n = df.count()
+    if (n == 0) return df.withColumn("bin", lit(0))
+    val sorted = df.orderBy(col(scoreCol), col(idCol))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(indexed, sorted.schema.add("__rn", LongType, nullable = false))
+      .withColumn("bin", expr(s"CAST((__rn * $nBins) div ${n}L AS INT)"))
+      .drop("__rn")
+  }
+
+  /** The oracle twin of [[byQuantile]]'s cut arithmetic over a 1-based
+    * `row_number()` SQL fragment.
+    */
+  def quantileBinSql(rnSql: String, nSql: String, nBins: Int): String =
+    s"CAST((($rnSql - 1) * $nBins) // ($nSql) AS INT)"
+
+  /** Per-bin 31-bit LCG acceptance thresholds for exact rational rates
+    * `num/den` — threshold_b = num_b * 2^31 / den_b in Long arithmetic
+    * (the sampling family's scheme).
+    */
+  private[graft] def rateThresholds(rates: Seq[(Long, Long)]): Seq[Long] =
+    rates.map { case (num, den) =>
+      require(den > 0 && num >= 0 && num <= den, s"rate must be in [0,1]: $num/$den")
+      (num * 2147483648L) / den
+    }
+
+  /** Curriculum sampling: [[byQuantile]] by score, then keep each row iff
+    * lcg31(id) < threshold(bin) — e.g. rates rising with the quality
+    * decile keep most of the best material and thin the tail, the
+    * standard quality-curriculum corpus shape. Deterministic and
+    * engine-replayable end to end; output keeps the `bin` column.
+    */
+  def curriculumSample(df: DataFrame, scoreCol: String, idCol: String,
+      rates: Seq[(Long, Long)]): DataFrame = {
+    val thr = rateThresholds(rates)
+    val binned = byQuantile(df, scoreCol, idCol, rates.length)
+    binned.where(lcg31(col(idCol)) <
+      element_at(typedlit(thr), col("bin") + 1))
+  }
+
+  /** DuckDB list-literal lookup of the SAME thresholds: `[t..][bin+1]`. */
+  def rateThresholdSql(binSql: String, rates: Seq[(Long, Long)]): String =
+    s"(${rateThresholds(rates).mkString("[", ", ", "]")})[($binSql) + 1]"
 }

@@ -172,12 +172,7 @@ object CurationQueries {
   private def pageRankOracleSql(iters: Int): String = {
     val S = graft.operators.Graph.Scale
     val head =
-      s"""WITH nodes AS (SELECT doc_id AS v FROM documents),
-         nn AS (SELECT COUNT(*) AS n, MAX(v) + 1 AS m FROM nodes),
-         cand AS (SELECT v AS src, (v * 3) % (SELECT m FROM nn) AS dst FROM nodes
-                  UNION ALL SELECT v, (v * 5) % (SELECT m FROM nn) FROM nodes),
-         edges AS (SELECT DISTINCT src, dst FROM cand
-                   WHERE src <> dst AND dst IN (SELECT v FROM nodes)),
+      s"""WITH $LinkGraphCtes,
          outd AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
          r0 AS (SELECT v, $S // (SELECT n FROM nn) AS r FROM nodes)"""
     val iterCtes = (1 to iters).map { i =>
@@ -195,7 +190,11 @@ object CurationQueries {
     s"$head,\n$iterCtes\nSELECT v AS doc_id, CAST(r AS BIGINT) AS rank_units FROM r$iters"
   }
 
-  private val pageRankQ = q("q_pagerank", pageRankOracleSql(3)) { (s, d) =>
+  /** The deterministic doc-id link graph shared by q_pagerank and
+    * q_label_prop: v → 3v mod m, v → 5v mod m (m = max id + 1), self-loops
+    * and out-of-corpus targets dropped.
+    */
+  private def linkGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val nodes = Tables.df(s, d, "documents").select(col("doc_id").as("v"))
     val mAgg = nodes.agg((max(col("v")) + 1).as("m"))
     def half(mult: Int) = nodes.crossJoin(broadcast(mAgg))
@@ -204,8 +203,47 @@ object CurationQueries {
       .where(col("src") =!= col("dst"))
       .join(nodes.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
       .distinct()
+    (nodes, edges)
+  }
+
+  /** The matching oracle CTE block: `nodes` and `edges` from `documents`. */
+  private val LinkGraphCtes =
+    """nodes AS (SELECT doc_id AS v FROM documents),
+       nn AS (SELECT COUNT(*) AS n, MAX(v) + 1 AS m FROM nodes),
+       cand AS (SELECT v AS src, (v * 3) % (SELECT m FROM nn) AS dst FROM nodes
+                UNION ALL SELECT v, (v * 5) % (SELECT m FROM nn) FROM nodes),
+       edges AS (SELECT DISTINCT src, dst FROM cand
+                 WHERE src <> dst AND dst IN (SELECT v FROM nodes))"""
+
+  private val pageRankQ = q("q_pagerank", pageRankOracleSql(3)) { (s, d) =>
+    val (nodes, edges) = linkGraph(s, d)
     graft.operators.Graph.pageRank(nodes, edges, iters = 3)
       .select(col("v").as("doc_id"), col("r").as("rank_units"))
+  }
+
+  /** Unrolled-CTE oracle for [[graft.operators.Graph.labelPropagate]]:
+    * each round is MIN over the undirected neighborhood — integer-exact,
+    * so the 3-hop community labels hash-match engine to engine.
+    */
+  private def labelPropOracleSql(iters: Int): String = {
+    val head =
+      s"""WITH $LinkGraphCtes,
+         und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         l0 AS (SELECT v, v AS l FROM nodes)"""
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"l${i - 1}"
+      s"""n$i AS (SELECT u.dst AS v, MIN($p.l) AS nl
+             FROM und u JOIN $p ON $p.v = u.src GROUP BY 1),
+         l$i AS (SELECT $p.v AS v, least($p.l, COALESCE(n$i.nl, $p.l)) AS l
+                 FROM $p LEFT JOIN n$i ON $p.v = n$i.v)"""
+    }.mkString(",\n")
+    s"$head,\n$iterCtes\nSELECT v AS doc_id, CAST(l AS BIGINT) AS label FROM l$iters"
+  }
+
+  private val labelPropQ = q("q_label_prop", labelPropOracleSql(3)) { (s, d) =>
+    val (nodes, edges) = linkGraph(s, d)
+    graft.operators.Graph.labelPropagate(nodes, edges, iters = 3)
+      .select(col("v").as("doc_id"), col("l").as("label"))
   }
 
   private val frequentTokensQ = q("q_frequent_tokens",
@@ -245,5 +283,5 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     splitQ, splitStratifiedQ, splitGroupQ, splitNearDupQ, snapshotDiffQ, incrementalQ,
-    dedupFuzzyQ, frequentTokensQ, bm25Q, pageRankQ)
+    dedupFuzzyQ, frequentTokensQ, bm25Q, pageRankQ, labelPropQ)
 }

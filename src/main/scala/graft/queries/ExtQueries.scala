@@ -135,7 +135,7 @@ object ExtQueries {
     * q_quality and q_quality_gate so heuristic and oracles stay in
     * lockstep.
     */
-  private val QualityDocsSql =
+  private[queries] val QualityDocsSql =
     raw"""SELECT doc_id, source,
               round(((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
                    + (CASE WHEN n_chars / greatest(n_words, 1.0) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)

@@ -286,6 +286,22 @@ object Queries {
       .toDF.toDF("o_orderkey", "c_name")
   }
 
+  /** Same oracle as q_join_inner — [[graft.operators.SkewJoin.saltedJoin]]
+    * is semantics-preserving by construction; the driver's hash gate proves
+    * it on real data while SkewJoinSpec proves the hot key actually
+    * spreads.
+    */
+  private val joinSaltedQ = q("q_join_salted",
+    """SELECT o_orderkey, c_name FROM orders JOIN customer
+       ON o_custkey = c_custkey""") { (s, d) =>
+    graft.operators.SkewJoin.saltedJoin(
+      Tables.df(s, d, "orders"),
+      Tables.df(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name")),
+      keys = Seq("o_custkey"), salts = 8, saltOn = Seq("o_orderkey"))
+      .select("o_orderkey", "c_name")
+  }
+
   private val joinLeftQ = q("q_join_left",
     """SELECT c_custkey, o_orderkey FROM customer
        LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 100000""") { (s, d) =>
@@ -1606,7 +1622,7 @@ object Queries {
     sortQ, takeQ, sampleQ, sampleHashQ, sampleFixedQ, sampleWeightedQ, returnQ, selfJoinQ,
     distinctQ, unionQ, concatQ, intersectionQ, intersectionMultisetQ,
     differenceQ, differenceMultisetQ,
-    joinInnerQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,
+    joinInnerQ, joinSaltedQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,
     filterByQ, removeByQ, cogroupQ, cogroup3Q, cogroup4Q, cogroup3FoldQ, groupByQ, groupStatsQ, topByQ,
     reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
     foldJuxtQ,
@@ -1617,7 +1633,8 @@ object Queries {
     windowLagQ, windowRunningQ, windowStatsQ, eventsAggQ)
 
   val all: Seq[QueryDef] =
-    relational ++ IoQueries.all ++ ExtQueries.all ++ CurationQueries.all
+    relational ++ IoQueries.all ++ ExtQueries.all ++ CurationQueries.all ++
+      SignalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(qd => qd.name -> qd.fn).toMap

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.operators.{Bloom, Pooling, Resample, Split, Vocabulary}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-signal operators over the documents/embeddings/events tables:
+  * Bloom-filter decontamination, vocabulary-coverage (OOV) scoring,
+  * time-series resampling with gap/forward fill, embedding mean-pooling,
+  * and population-quantile quality binning. Every query is fully
+  * DuckDB-oracled; shared arithmetic (bloom positions, bin cuts) is
+  * generated from the same Scala definitions the Spark path executes.
+  */
+object SignalQueries {
+
+  private def q(name: String, oracle: String = null, bench: Boolean = false)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Option(oracle), bench)
+
+  // ---- Bloom decontamination: same corpus/pool cut as q_contamination
+  // (pool = every 50th doc), fixture gram hashes, 2^16-bit filter, k=3.
+
+  private val BloomM = 1 << 16
+  private val BloomK = 3
+
+  /** Fixture-hash CTEs (documents -> per-doc DISTINCT window hashes) —
+    * the minhashSigCtes front half, shingle 3, without the shifted-copy
+    * corpus.
+    */
+  private val FixtureGramCtes = {
+    val p = graft.operators.Dedup.FixtureP
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       th AS (SELECT doc_id, list_transform(w, t ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT))),
+                  (a, c) -> (a*31 + c) % $p)) AS th FROM toks),
+       wh AS (SELECT doc_id, list_distinct(
+                list_transform(range(1, greatest(len(th) - 2, 1) + 1), w ->
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), th[w:w+2]),
+                    (a, h) -> (a*1000003 + h) % $p))) AS wh FROM th),
+       g AS (SELECT doc_id, unnest(wh) AS g FROM wh)"""
+  }
+
+  private val contaminationBloomQ = q("q_contamination_bloom", {
+    val pos = Bloom.positionSqls("g", BloomM, BloomK).mkString("[", ", ", "]")
+    s"""WITH $FixtureGramCtes,
+       poolpos AS (SELECT DISTINCT pos FROM
+                     (SELECT unnest($pos) AS pos FROM
+                       (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0) pg)),
+       cpos AS (SELECT doc_id, g, unnest($pos) AS pos FROM g WHERE doc_id % 50 <> 0),
+       mk AS (SELECT cpos.doc_id, cpos.g,
+                CASE WHEN pp.pos IS NULL THEN 0 ELSE 1 END AS hit
+              FROM cpos LEFT JOIN poolpos pp ON cpos.pos = pp.pos),
+       gv AS (SELECT doc_id, g, MIN(hit) AS allhit FROM mk GROUP BY 1, 2)
+       SELECT doc_id, round(CAST(SUM(allhit) AS DOUBLE) / COUNT(*), 6) AS contamination_bloom
+       FROM gv GROUP BY doc_id"""
+  }) { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    Bloom.ngramContaminationBloomFixture(
+      docs.where(col("doc_id") % 50 =!= 0),
+      docs.where(col("doc_id") % 50 === 0),
+      "doc_id", "text", shingle = 3, mBits = BloomM, k = BloomK)
+  }
+
+  // ---- OOV rate against the self-built minCount=20 vocabulary.
+
+  private val oovRateQ = q("q_oov_rate",
+    raw"""WITH tok AS (SELECT doc_id, w FROM
+             (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+              FROM documents) t
+           WHERE w <> ''),
+       vc AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY 1),
+       v AS (SELECT w FROM vc WHERE n >= 20),
+       j AS (SELECT tok.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+             FROM tok LEFT JOIN v ON tok.w = v.w)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(oov) AS BIGINT) AS n_oov,
+              round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+       FROM j GROUP BY doc_id""") { (s, d) =>
+    Vocabulary.oovRate(Tables.df(s, d, "documents"), "doc_id", "text", minCount = 20)
+  }
+
+  // ---- 6-hour resample of the events stream, per user.
+
+  private val ResampleBucketNs = 21600000000000L // 6 hours
+
+  private val resampleQ = q("q_resample",
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // $ResampleBucketNs AS bucket, value FROM events),
+       b AS (SELECT user_id, bucket, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(28,4))) AS tot
+             FROM e GROUP BY 1, 2),
+       r AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1),
+       dense AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM r),
+       f AS (SELECT dense.user_id, dense.bucket, COALESCE(b.n, 0) AS n, b.tot
+             FROM dense LEFT JOIN b
+               ON dense.user_id = b.user_id AND dense.bucket = b.bucket)
+       SELECT user_id, bucket, CAST(n AS BIGINT) AS n,
+              CAST(COALESCE(tot, 0) AS DOUBLE) AS total,
+              CAST(last_value(tot IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY bucket) AS DOUBLE) AS filled
+       FROM f""") { (s, d) =>
+    Resample.resample(Tables.eventsNs(s, d), "user_id", "ts", "value", ResampleBucketNs)
+  }
+
+  // ---- Chunk->doc embedding mean-pool (8 chunks per synthetic doc),
+  // exact explode shape; the array-native twin is PoolingSpec-gated.
+
+  private val embedPoolQ = q("q_embed_pool",
+    """WITH e AS (SELECT vec_id // 8 AS grp, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       x AS (SELECT grp, i - 1 AS dim, v[CAST(i AS INT)] AS val
+             FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx),
+       a AS (SELECT grp, dim, COUNT(*) AS n,
+               SUM(CAST(val AS DECIMAL(28,8))) AS s
+             FROM x GROUP BY 1, 2)
+       SELECT grp, CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+              CAST(s AS DOUBLE) / n AS avg
+       FROM a""") { (s, d) =>
+    Pooling.meanPoolExact(
+      Tables.embeddings(s, d).select(expr("vec_id div 8").as("grp"), col("embedding")),
+      "grp", "embedding")
+  }
+
+  // ---- Decile quality binning via the distributed rank cut.
+
+  private val qualityBinsQ = q("q_quality_bins",
+    s"""WITH qd AS (${ExtQueries.QualityDocsSql}),
+       r AS (SELECT doc_id, quality,
+               row_number() OVER (ORDER BY quality, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+             FROM qd)
+       SELECT doc_id, quality, ${Split.quantileBinSql("rn", "n", 10)} AS bin
+       FROM r""") { (s, d) =>
+    val scored = Tables.df(s, d, "documents")
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    Split.byQuantile(scored, "quality", "doc_id", nBins = 10)
+  }
+
+  // ---- Quality-curriculum sampling: keep rate rises with the decile
+  // ((b+1)/10 — drop 90% of the worst bin, keep all of the best), every
+  // decision replayed from (id, bin) alone.
+
+  private val CurriculumRates: Seq[(Long, Long)] = (1L to 10L).map(b => (b, 10L))
+
+  private val curriculumQ = q("q_curriculum",
+    s"""WITH qd AS (${ExtQueries.QualityDocsSql}),
+       r AS (SELECT doc_id, quality,
+               row_number() OVER (ORDER BY quality, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+             FROM qd),
+       b AS (SELECT doc_id, quality, ${Split.quantileBinSql("rn", "n", 10)} AS bin
+             FROM r)
+       SELECT doc_id, quality, bin FROM b
+       WHERE ${OracleSql.lcg31("doc_id")} < ${Split.rateThresholdSql("bin", CurriculumRates)}""") { (s, d) =>
+    val scored = Tables.df(s, d, "documents")
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    Split.curriculumSample(scored, "quality", "doc_id", CurriculumRates)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    contaminationBloomQ, oovRateQ, resampleQ, embedPoolQ, qualityBinsQ,
+    curriculumQ)
+}

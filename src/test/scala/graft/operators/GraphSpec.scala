@@ -52,4 +52,41 @@ class GraphSpec extends AnyFunSuite {
     val total = rc.values.sum
     assert(total <= Graph.Scale && Graph.Scale - total < 1000L)
   }
+
+  private def runLp(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagate(nodes.toDF("v"), edges.toDF("src", "dst"), iters)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+
+  test("labelPropagate: bounded rounds reach exactly the k-hop min; enough rounds = components") {
+    // path 0-1-2-3-4 (undirected view), plus isolated 10, plus pair 20-21
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 10L, 20L, 21L)
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 21L -> 20L)
+    val one = runLp(nodes, edges, 1)
+    assert(one(2L) == 1L && one(4L) == 3L, "1 round = 1-hop min")
+    assert(one(10L) == 10L && one(20L) == 20L && one(21L) == 20L)
+    val conv = runLp(nodes, edges, 4) // diameter of the path
+    assert(conv == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      10L -> 10L, 20L -> 20L, 21L -> 20L))
+    // agreement with the exact component operator at convergence
+    val cc = Dedup.connectedComponents(
+      edges.toDF("idA", "idB"), "idA", "idB")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    nodes.filter(cc.contains).foreach { v =>
+      assert(conv(v) == cc(v), s"node $v: lp ${conv(v)} vs cc ${cc(v)}")
+    }
+  }
+
+  test("labelPropagate is monotone in rounds and layout-independent") {
+    val rnd = new scala.util.Random(11)
+    val nodes = (0L until 60L)
+    val edges = Seq.fill(70)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val l2 = runLp(nodes, edges, 2)
+    val l3 = runLp(nodes, edges, 3)
+    nodes.foreach(v => assert(l3(v) <= l2(v)))
+    val l3b = Graph.labelPropagate(nodes.toDF("v").repartition(7),
+      edges.toDF("src", "dst").repartition(5), 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(l3b == l3)
+  }
 }

@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bloom decontamination, vocabulary/OOV, resample, pooling, and quantile
+  * binning on constructed fixtures: one-sided-error and inflation bounds
+  * for the filter, exact counts for the rest, layout independence
+  * throughout.
+  */
+class SignalOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic mini-corpus: 40 docs of cycling words, every 8th doc is
+  // a benchmark item
+  private def corpusDf = {
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    (0 until 40).map { i =>
+      val text = (0 until 12).map(j => words((i * 3 + j) % words.length)).mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  // ---------------- Bloom ----------------
+
+  test("bloom contamination has no false negatives vs the exact operator (both hash lanes)") {
+    val docs = corpusDf
+    val corpus = docs.where(col("doc_id") % 8 =!= 0)
+    val bench = docs.where(col("doc_id") % 8 === 0)
+    // production lane vs exact production operator (same xxhash gram family)
+    val exact = Dedup.ngramContamination(corpus, bench, "doc_id", "text", shingle = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bloom = Bloom.ngramContaminationBloom(corpus, bench, "doc_id", "text",
+      shingle = 3, mBits = 1 << 12, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, e) =>
+      assert(bloom(id) >= e - 1e-9, s"doc $id: bloom ${bloom(id)} < exact $e")
+    }
+    // fixture lane: same one-sided-error property against a fixture-hash
+    // exact containment computed inline
+    val grams = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), explode(array_distinct(
+        Dedup.fixtureWindowHashes(col("text"), 3))).as("g"))
+    val pool = grams(bench).select("g").distinct().withColumn("hit", lit(1))
+    val exactFix = grams(corpus).join(pool, Seq("g"), "left")
+      .groupBy("doc_id").agg((count(col("hit")).cast("double") / count(lit(1))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bloomFix = Bloom.ngramContaminationBloomFixture(corpus, bench, "doc_id", "text",
+      shingle = 3, mBits = 1 << 12, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    exactFix.foreach { case (id, e) =>
+      assert(bloomFix(id) >= e - 1e-6, s"doc $id: fixture bloom ${bloomFix(id)} < exact $e")
+    }
+  }
+
+  test("bloom false-positive inflation stays small at the sized load factor") {
+    val docs = corpusDf
+    val corpus = docs.where(col("doc_id") % 8 =!= 0)
+    val bench = docs.where(col("doc_id") % 8 === 0)
+    val exact = Dedup.ngramContamination(corpus, bench, "doc_id", "text", shingle = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ~350 distinct grams * 3 positions in 2^12 bits → load ~0.23,
+    // per-gram fp ≈ (1-e^-0.23)^3 ≈ 0.9% → mean inflation well under 5%
+    val bloom = Bloom.ngramContaminationBloom(corpus, bench, "doc_id", "text",
+      shingle = 3, mBits = 1 << 12, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val meanInflation = exact.keys.map(id => bloom(id) - exact(id)).sum / exact.size
+    assert(meanInflation >= 0.0 && meanInflation < 0.05,
+      s"mean inflation $meanInflation out of expected band")
+  }
+
+  test("bloom results are layout-independent") {
+    val docs = corpusDf
+    val corpus = docs.where(col("doc_id") % 8 =!= 0)
+    val bench = docs.where(col("doc_id") % 8 === 0)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Bloom.ngramContaminationBloomFixture(c, bench, "doc_id", "text",
+        shingle = 3, mBits = 1 << 12, k = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(corpus) == run(corpus.repartition(7)))
+  }
+
+  // ---------------- Vocabulary / OOV ----------------
+
+  test("oovRate: exact counts on a hand fixture") {
+    val docs = Seq(
+      (1L, "cat dog cat"),        // cat,dog in vocab (minCount 2)
+      (2L, "dog bird"),           // bird appears once → oov
+      (3L, "CAT unique2 dog")     // lowercased → cat known; unique2 oov
+    ).toDF("doc_id", "text")
+    val r = Vocabulary.oovRate(docs, "doc_id", "text", minCount = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((3L, 0L)))
+    assert(r(2L) == ((2L, 1L)))
+    assert(r(3L) == ((3L, 1L)))
+  }
+
+  test("oovRateAgainst: reference-vocabulary scoring") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha nope")).toDF("doc_id", "text")
+    val vocab = Seq("alpha", "beta").toDF("word").withColumn("n", lit(99L))
+    val r = Vocabulary.oovRateAgainst(docs, "doc_id", "text", vocab)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(1L) == 1L && r(2L) == 1L)
+  }
+
+  // ---------------- Resample ----------------
+
+  test("resample: gap-fill rows, zero counts, exact sums, forward fill") {
+    // key 1: buckets 0 and 3 active; key 2: single bucket
+    val events = Seq(
+      (1L, 5L, 1.5), (1L, 7L, 2.5),        // bucket 0, total 4.0
+      (1L, 35L, 10.0),                      // bucket 3
+      (2L, 21L, 7.0)                        // bucket 2
+    ).toDF("user_id", "ts", "value")
+    val r = Resample.resample(events, "user_id", "ts", "value", bucketWidth = 10L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r.size == 5) // key1: buckets 0..3 → 4 rows; key2: 1 row
+    assert(r((1L, 0L)) == ((2L, 4.0, 4.0)))
+    assert(r((1L, 1L)) == ((0L, 0.0, 4.0)))  // gap: n=0, ffill carries 4.0
+    assert(r((1L, 2L)) == ((0L, 0.0, 4.0)))
+    assert(r((1L, 3L)) == ((1L, 10.0, 10.0)))
+    assert(r((2L, 2L)) == ((1L, 7.0, 7.0)))
+  }
+
+  // ---------------- Pooling ----------------
+
+  test("meanPoolExact: exact per-dimension averages") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 6.0f)),
+      (2L, Array(10.0f, 0.0f))
+    ).toDF("grp", "embedding")
+    val r = Pooling.meanPoolExact(vecs, "grp", "embedding")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(3)).toMap
+    assert(r((1L, 0L)) == 2.0 && r((1L, 1L)) == 4.0)
+    assert(r((2L, 0L)) == 10.0 && r((2L, 1L)) == 0.0)
+  }
+
+  test("meanPool (array-native) agrees with the exact explode twin") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 64).map { i =>
+      (i.toLong / 4, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("grp", "embedding")
+    val exact = Pooling.meanPoolExact(vecs, "grp", "embedding")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(3)).toMap
+    val pooled = Pooling.meanPool(vecs, "grp", "embedding")
+      .collect().map { x =>
+        val vec = x.getSeq[Double](2)
+        x.getLong(0) -> vec
+      }.toMap
+    // the exact twin quantizes each addend through DECIMAL(28,8): the two
+    // paths can legitimately differ by ~1e-8 per element
+    exact.foreach { case ((g, dim), v) =>
+      assert(math.abs(pooled(g)(dim.toInt) - v) < 1e-7,
+        s"group $g dim $dim: ${pooled(g)(dim.toInt)} vs $v")
+    }
+  }
+
+  // ---------------- byQuantile ----------------
+
+  test("byQuantile: near-equal bin sizes, order-respecting cuts, layout independence") {
+    val df = (0 until 103).map(i => (i.toLong, (i * 37 % 103).toDouble)).toDF("id", "score")
+    val binned = Split.byQuantile(df, "score", "id", nBins = 10)
+    val rows = binned.collect().map(x => (x.getLong(0), x.getDouble(1), x.getInt(2)))
+    // sizes differ by at most 1
+    val sizes = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (0 until 10).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // cuts respect score order
+    val byBin = rows.groupBy(_._3)
+    (0 until 9).foreach { b =>
+      assert(byBin(b).map(_._2).max <= byBin(b + 1).map(_._2).min)
+    }
+    // layout independence
+    val again = Split.byQuantile(df.repartition(5), "score", "id", nBins = 10)
+      .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(again == rows.map(x => x._1 -> x._3).toMap)
+  }
+
+  test("curriculumSample: keep decision replays from (id, bin); rates honored per bin") {
+    val df = (0 until 2000).map(i => (i.toLong, (i * 37 % 2000).toDouble)).toDF("id", "score")
+    val rates = (1L to 10L).map(b => (b, 10L))
+    val kept = Split.curriculumSample(df, "score", "id", rates)
+      .collect().map(x => (x.getLong(0), x.getInt(2)))
+    // every kept row satisfies the threshold; every satisfying row is kept
+    val bins = Split.byQuantile(df, "score", "id", 10)
+      .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    val thr = rates.map { case (n, d) => n * 2147483648L / d }
+    def lcg(id: Long): Long = ((id ^ (id >>> 31)) * 1103515245L + 12345L) & 2147483647L
+    val expect = bins.filter { case (id, b) => lcg(id) < thr(b) }.keySet
+    assert(kept.map(_._1).toSet == expect)
+    // per-bin keep counts roughly track the rate ladder (200 per bin)
+    val byBin = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byBin(9) == 200, "rate 10/10 keeps the whole top bin")
+    assert(byBin.getOrElse(0, 0) < byBin(9))
+  }
+}

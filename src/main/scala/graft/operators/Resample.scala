@@ -42,12 +42,15 @@ object Resample {
   def resample(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val bucketed = df
+    // materialized once: the aggregate output (distinct buckets — small)
+    // feeds BOTH the span derivation and the fill join; without it the
+    // raw-event scan and bucket aggregate would run twice via lineage
+    val bucketed = Materialize.once(df
       .select(col(keyCol).as("__k"),
         expr(s"$tsCol div $bucketWidth").as("bucket"),
         col(valueCol).cast("decimal(28,4)").as("__v"))
       .groupBy("__k", "bucket")
-      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__tot"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__tot")))
     val spans = bucketed.groupBy("__k")
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
     val dense = spans.select(col("__k"),

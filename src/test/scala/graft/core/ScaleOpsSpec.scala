@@ -236,4 +236,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q5.count() > 0 && q7.count() > 0 && q8.count() > 0 &&
       q9.count() > 0 && q12.count() > 0 && q19.count() > 0)
   }
+
+  test("bloom probe is map-side: no join in the corpus plan, one doc-keyed exchange") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.queries.Queries.queries("q_contamination_bloom")(
+        spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"),
+        s"the bitmap probe must be a literal expression, never a join:\n${plan.take(2000)}")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"exactly one exchange (the per-doc aggregate) expected:\n${plan.take(2000)}")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("salted join: dim side replicated via explode, exactly one join, no extra big-side exchange") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.queries.Queries.queries("q_join_salted")(
+        spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+      assert(joinLines.size == 1 && joinLines.head.contains("__salt"),
+        s"exactly one join, keyed on the salted key:\n${plan.take(2000)}")
+      // the constant-folded sequence(0, salts-1) explodes on the dim side
+      assert(plan.contains("Generate explode("),
+        s"dim side must replicate through explode:\n${plan.take(2000)}")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("resample reads the raw events exactly once (bucket aggregate materialized)") {
+    val df = graft.queries.Queries.queries("q_resample")(
+      spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 0 &&
+      !plan.contains("events.parquet"),
+      s"both fill-join branches must read the materialized buckets, not re-scan events:\n${plan.take(2000)}")
+  }
 }

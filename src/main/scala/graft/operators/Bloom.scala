@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   * Scale shape: building the filter is one distinct-aggregate over the
   * benchmark grams (shuffled by position, bounded output ≤ mBits rows)
   * followed by a driver-side bitset of mBits/8 bytes — the WHOLE point is
-  * that this is small. Probing is a pure map-side expression over the
-  * corpus grams (array literal + O(1) bit tests, stays inside whole-stage
-  * codegen); the only corpus shuffle is the per-doc count aggregate, same
-  * as the exact operator. For filters past ~10^8 bits, embed-in-plan stops
-  * being the right vehicle — keep the exact semi-join path
-  * ([[Dedup.ngramContamination]]) for that regime instead of a broadcast
+  * that this is small. Scoring is then a PURE PROJECTION: the doc's gram
+  * array is filtered against the plan-literal bitmap inside one
+  * whole-stage-codegen'd expression (array `filter` HOF + O(1) bit tests),
+  * so the corpus pass has NO explode, NO join and NO shuffle — which also
+  * makes the operator stateless-streamable
+  * ([[graft.streaming.GraftStreaming]] `decontaminateStream`). The exact
+  * operator needs the relational explode+join shape because its pool is a
+  * broadcast TABLE; the bloom probe needs nothing relational at all. For
+  * filters past ~10^8 bits, embed-in-plan stops being the right vehicle —
+  * keep the exact semi-join path for that regime instead of a broadcast
   * variable + UDF, which would leave codegen.
   *
   * Two lanes, the established dedup discipline:
@@ -65,18 +69,27 @@ object Bloom {
     (0 until k).map(j => ((lit(2L * j + 3) * folded + lit(5L * j + 7)) % P) % mBits)
   }
 
-  /** Build the bitmap: the distinct filter positions of a gram-hash column
-    * (single-column DataFrame), collected to a driver bitset. Driver state
-    * is bounded by mBits/64 longs REGARDLESS of pool size — that bound is
-    * the operator's reason to exist.
+  /** Distinct per-doc gram-hash arrays for each lane. */
+  private def gramsWide(text: Column, shingle: Int): Column =
+    graft.functions.HashExpressions.ngramHashes(
+      graft.functions.TextFunctions.tokens(text), shingle)
+
+  private def gramsFixture(text: Column, shingle: Int): Column =
+    array_distinct(Dedup.fixtureWindowHashes(text, shingle))
+
+  /** Build the bitmap from a benchmark table: the distinct filter
+    * positions of its gram hashes, collected to a driver bitset. Driver
+    * state is bounded by mBits/64 longs REGARDLESS of pool size — that
+    * bound is the operator's reason to exist.
     */
-  private def buildBits(gramHashes: DataFrame, posOf: Column => Seq[Column],
+  private def buildBits(benchmark: DataFrame, textCol: String,
+      gramArr: Column => Column, posOf: Column => Seq[Column],
       mBits: Int): Array[Long] = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
-    val g = col(gramHashes.columns.head)
     val words = new Array[Long](mBits / 64)
-    gramHashes
-      .select(explode(array(posOf(g): _*)).as("__pos"))
+    benchmark
+      .select(explode(gramArr(col(textCol))).as("__g"))
+      .select(explode(array(posOf(col("__g")): _*)).as("__pos"))
       .distinct()
       .collect()
       .foreach { r =>
@@ -97,31 +110,28 @@ object Bloom {
       call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
 
-  /** Shared pipeline: build from benchmark grams, probe corpus grams, one
-    * per-doc aggregate — the same single-pass/no-re-explode accounting as
-    * [[Dedup.ngramContamination]].
+  /** The per-doc contamination fraction as ONE column expression: filter
+    * the gram array against the bitmap, divide by its size. Stateless and
+    * shuffle-free — usable on batch and streaming rows alike.
     */
-  private def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      gramsOf: DataFrame => DataFrame, posOf: Column => Seq[Column],
-      mBits: Int): DataFrame = {
-    val bits = buildBits(gramsOf(benchmark).select("__g").distinct(), posOf, mBits)
-    gramsOf(corpus)
-      .withColumn("__hit", when(mightContain(bits, posOf, col("__g")), lit(1)))
-      .groupBy("__id")
-      .agg(count(lit(1)).as("__n"), count(col("__hit")).as("__h"))
-      .select(col("__id").as(idCol),
-        round(col("__h").cast("double") / col("__n"), 6).as("contamination_bloom"))
-  }
+  private def contaminationExpr(gramArr: Column, posOf: Column => Seq[Column],
+      words: Array[Long]): Column =
+    round(
+      size(filter(gramArr, g => mightContain(words, posOf, g))).cast("double") /
+        size(gramArr), 6)
 
-  /** Production lane: xxhash64 gram identities, wide-mix positions. */
+  /** Production lane: xxhash64 gram identities, wide-mix positions.
+    * Output: (idCol, contamination_bloom) — one projection over the
+    * corpus, zero shuffles.
+    */
   def ngramContaminationBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, shingle: Int = 3,
       mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
-    val grams = (df: DataFrame) => df.select(col(idCol).as("__id"),
-      explode(graft.functions.HashExpressions.ngramHashes(
-        graft.functions.TextFunctions.tokens(col(textCol)), shingle)).as("__g"))
-    contamination(corpus, benchmark, idCol, grams,
-      positionExprsWide(_, mBits, k), mBits)
+    val pos = positionExprsWide(_: Column, mBits, k)
+    val bits = buildBits(benchmark, textCol, gramsWide(_, shingle), pos, mBits)
+    corpus.select(col(idCol),
+      contaminationExpr(gramsWide(col(textCol), shingle), pos, bits)
+        .as("contamination_bloom"))
   }
 
   /** Oracle lane: fixture gram hashes + literal position mixes; DuckDB
@@ -130,10 +140,25 @@ object Bloom {
   def ngramContaminationBloomFixture(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, shingle: Int = 3,
       mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
-    val grams = (df: DataFrame) => df.select(col(idCol).as("__id"),
-      explode(array_distinct(
-        Dedup.fixtureWindowHashes(col(textCol), shingle))).as("__g"))
-    contamination(corpus, benchmark, idCol, grams,
-      positionExprs(_, mBits, k), mBits)
+    val pos = positionExprs(_: Column, mBits, k)
+    val bits = buildBits(benchmark, textCol, gramsFixture(_, shingle), pos, mBits)
+    corpus.select(col(idCol),
+      contaminationExpr(gramsFixture(col(textCol), shingle), pos, bits)
+        .as("contamination_bloom"))
   }
+
+  /** The production-lane scoring expression against a pre-built filter —
+    * the streaming entry point: build once per (micro)batch epoch from the
+    * static benchmark, then score rows statelessly.
+    */
+  def contaminationColumn(text: Column, bits: Array[Long], shingle: Int,
+      mBits: Int, k: Int): Column =
+    contaminationExpr(gramsWide(text, shingle),
+      positionExprsWide(_: Column, mBits, k), bits)
+
+  /** Build the production-lane filter from a static benchmark table. */
+  def buildFilter(benchmark: DataFrame, textCol: String, shingle: Int = 3,
+      mBits: Int = 1 << 20, k: Int = 3): Array[Long] =
+    buildBits(benchmark, textCol, gramsWide(_, shingle),
+      positionExprsWide(_: Column, mBits, k), mBits)
 }

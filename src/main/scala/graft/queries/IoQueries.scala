@@ -92,6 +92,15 @@ object IoQueries {
     GraftIO.loadParquet(s, path)
   }
 
+  /** ORC round-trip (beyond the reference — warehouse interchange). */
+  private val orcRt = q("q_io_orc",
+    "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part") { (s, d) =>
+    val path = tmp(d, "orc")
+    GraftIO.storeOrc(path)(Tables.df(s, d, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_retailprice"))
+    GraftIO.loadOrc(s, path)
+  }
+
   /** load-binary / store-binary (reference io.clj:30-35, 151-157): opaque
     * serialized values in a binary column — the frozen lane on disk.
     */
@@ -137,5 +146,5 @@ object IoQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    stringRt, tsvRt, csvRt, jsonRt, cljRt, parquetRt, binaryRt, avroRt, storeManyQ)
+    stringRt, tsvRt, csvRt, jsonRt, cljRt, parquetRt, orcRt, binaryRt, avroRt, storeManyQ)
 }

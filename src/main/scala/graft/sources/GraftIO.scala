@@ -60,6 +60,17 @@ object GraftIO {
   def loadParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — beyond the reference's format list (it had no columnar store
+    * besides parquet); included because warehouse interchange at corpus
+    * scale regularly lands ORC. Same pushdown/pruning properties via
+    * Spark's native vectorized ORC source.
+    */
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def storeOrc(path: String)(df: DataFrame): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Arbitrary-source escape hatch (reference `load-tap`,
     * pigpen-cascading/cascading.clj:50-70 wrapped any Cascading tap): any
     * registered DataSource format with options.

@@ -173,6 +173,25 @@ object GraftStreaming {
     * "seen set" of a naive streaming dedup is exactly what this avoids at
     * corpus-ingest scale.
     */
+  /** Stateless streaming decontamination: score each arriving doc against
+    * a Bloom filter built ONCE from the static benchmark table when the
+    * stream is DEFINED, keep rows at or below `maxContamination`. The
+    * probe is a pure codegen'd projection
+    * ([[graft.operators.Bloom.contaminationColumn]]) — no state, no
+    * watermark, append-safe; the scored column rides along as
+    * `contamination_bloom`. Refresh cadence for a moving benchmark set is
+    * the caller's restart policy (the filter is immutable per run — the
+    * same property that makes it exactly replayable).
+    */
+  def decontaminateStream(stream: DataFrame, textCol: String,
+      benchmark: DataFrame, maxContamination: Double, shingle: Int = 3,
+      mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    val bits = graft.operators.Bloom.buildFilter(benchmark, textCol, shingle, mBits, k)
+    stream.withColumn("contamination_bloom",
+        graft.operators.Bloom.contaminationColumn(col(textCol), bits, shingle, mBits, k))
+      .where(col("contamination_bloom") <= maxContamination)
+  }
+
   def dedupExactStream(df: DataFrame, tsCol: String, watermarkDelay: String,
       keyCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)

@@ -237,17 +237,16 @@ class ScaleOpsSpec extends AnyFunSuite {
       q9.count() > 0 && q12.count() > 0 && q19.count() > 0)
   }
 
-  test("bloom probe is map-side: no join in the corpus plan, one doc-keyed exchange") {
+  test("bloom scoring is one shuffle-free projection: no join, no exchange, no explode") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = graft.queries.Queries.queries("q_contamination_bloom")(
         spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Join"),
-        s"the bitmap probe must be a literal expression, never a join:\n${plan.take(2000)}")
-      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
-        s"exactly one exchange (the per-doc aggregate) expected:\n${plan.take(2000)}")
+      assert(!plan.contains("Join") && !plan.contains("Exchange") &&
+        !plan.contains("Generate"),
+        s"the bitmap probe must be a pure map-side expression:\n${plan.take(2000)}")
       assert(df.count() > 0)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }

@@ -43,7 +43,7 @@ object ProbeScale {
 
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
     val events = graft.queries.Tables.eventsNs(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("ts"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
     val embeddings = spark.read.parquet(sfDir + "/embeddings.parquet")
 
     // distinct copies: rotating the FULL vector preserves the norm but
@@ -125,6 +125,21 @@ object ProbeScale {
         f"ann_pq=$tPq%7.0f ms ($nPq)  " +
         f"contamination=$tCont%7.0f ms ($nCont rows)  " +
         f"substring_spans=$tSpans%7.0f ms ($nSpans rows)")
+      // round-8 signal operators: bloom scoring must track the narrow
+      // corpus scan (compare against the exact contamination column above
+      // — same cut, same factor); oov is the two canonical passes;
+      // resample is one agg + per-key densify
+      val (tBloom, nBloom) = time2(
+        graft.operators.Bloom.ngramContaminationBloom(
+          d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", 3).count())
+      val (tOov, nOov) = time2(
+        graft.operators.Vocabulary.oovRate(d, "doc_id", "text", 20).count())
+      val (tRes, nRes) = time2(
+        graft.operators.Resample.resample(e, "user_id", "ts", "value",
+          21600000000000L).count())
+      println(f"[scale-sig] x$factor%-3d bloom_contamination=$tBloom%7.0f ms ($nBloom rows)  " +
+        f"oov_rate=$tOov%7.0f ms ($nOov rows)  resample=$tRes%7.0f ms ($nRes rows)")
       println(f"[scale-idx] x$factor%-3d ivfpq_build=$tBuildIvfPq%7.0f ms  " +
         f"ivfpq_probe=$tProbeIvfPq%7.0f ms ($nProbeIvfPq)  " +
         f"ivfpq_refined=$tProbeRefined%7.0f ms ($nProbeRefined)  " +

@@ -99,26 +99,34 @@ object Bloom {
     words
   }
 
-  /** Probe: all k positions set. The bitmap rides as an array literal
-    * (mBits/64 longs in the plan); each test is element_at + shiftright +
-    * mask — constant-time, codegen'd, no UDF.
+  /** Probe: all k positions set. The bitmap rides as ONE array literal
+    * (mBits/64 longs in the plan, hoisted — not one copy per hash); each
+    * test is element_at + shiftright + mask — constant-time, codegen'd,
+    * no UDF.
     */
-  private def mightContain(words: Array[Long], posOf: Column => Seq[Column],
+  private def mightContain(wordsLit: Column, posOf: Column => Seq[Column],
       g: Column): Column =
     posOf(g).map { p =>
-      val word = element_at(typedlit(words.toSeq), (p / 64).cast("int") + 1)
+      val word = element_at(wordsLit, (p / 64).cast("int") + 1)
       call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
 
-  /** The per-doc contamination fraction as ONE column expression: filter
-    * the gram array against the bitmap, divide by its size. Stateless and
-    * shuffle-free — usable on batch and streaming rows alike.
+  /** (idCol, contamination_bloom) in TWO chained projections: the gram
+    * array materializes under a name first, then the fraction reads that
+    * column. CollapseProject keeps the split (the array is non-cheap and
+    * referenced multiple times), so the tokenize+hash work runs once per
+    * row instead of once per reference.
     */
-  private def contaminationExpr(gramArr: Column, posOf: Column => Seq[Column],
-      words: Array[Long]): Column =
-    round(
-      size(filter(gramArr, g => mightContain(words, posOf, g))).cast("double") /
-        size(gramArr), 6)
+  private def score(corpus: DataFrame, idCol: String, gramArr: Column,
+      posOf: Column => Seq[Column], words: Array[Long]): DataFrame = {
+    val wordsLit = typedlit(words.toSeq)
+    corpus.select(col(idCol), gramArr.as("__grams"))
+      .select(col(idCol),
+        round(
+          size(filter(col("__grams"), g => mightContain(wordsLit, posOf, g)))
+            .cast("double") / size(col("__grams")), 6)
+          .as("contamination_bloom"))
+  }
 
   /** Production lane: xxhash64 gram identities, wide-mix positions.
     * Output: (idCol, contamination_bloom) — one projection over the
@@ -129,9 +137,7 @@ object Bloom {
       mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
     val pos = positionExprsWide(_: Column, mBits, k)
     val bits = buildBits(benchmark, textCol, gramsWide(_, shingle), pos, mBits)
-    corpus.select(col(idCol),
-      contaminationExpr(gramsWide(col(textCol), shingle), pos, bits)
-        .as("contamination_bloom"))
+    score(corpus, idCol, gramsWide(col(textCol), shingle), pos, bits)
   }
 
   /** Oracle lane: fixture gram hashes + literal position mixes; DuckDB
@@ -142,19 +148,24 @@ object Bloom {
       mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
     val pos = positionExprs(_: Column, mBits, k)
     val bits = buildBits(benchmark, textCol, gramsFixture(_, shingle), pos, mBits)
-    corpus.select(col(idCol),
-      contaminationExpr(gramsFixture(col(textCol), shingle), pos, bits)
-        .as("contamination_bloom"))
+    score(corpus, idCol, gramsFixture(col(textCol), shingle), pos, bits)
   }
 
   /** The production-lane scoring expression against a pre-built filter —
-    * the streaming entry point: build once per (micro)batch epoch from the
-    * static benchmark, then score rows statelessly.
+    * the streaming entry point: build once from the static benchmark,
+    * then score rows statelessly. Single-reference form (the gram array
+    * is evaluated inline); for a batch table prefer
+    * [[ngramContaminationBloom]], whose two-step projection shares it.
     */
   def contaminationColumn(text: Column, bits: Array[Long], shingle: Int,
-      mBits: Int, k: Int): Column =
-    contaminationExpr(gramsWide(text, shingle),
-      positionExprsWide(_: Column, mBits, k), bits)
+      mBits: Int, k: Int): Column = {
+    val pos = positionExprsWide(_: Column, mBits, k)
+    val wordsLit = typedlit(bits.toSeq)
+    val grams = gramsWide(text, shingle)
+    round(
+      size(filter(grams, g => mightContain(wordsLit, pos, g))).cast("double") /
+        size(grams), 6)
+  }
 
   /** Build the production-lane filter from a static benchmark table. */
   def buildFilter(benchmark: DataFrame, textCol: String, shingle: Int = 3,

@@ -42,7 +42,9 @@ object SignalQueries {
        g AS (SELECT doc_id, unnest(wh) AS g FROM wh)"""
   }
 
-  private val contaminationBloomQ = q("q_contamination_bloom", {
+  // bench headliner: the corpus pass is a shuffle-free projection while
+  // the oracle must replay it relationally — the ratio is the point
+  private val contaminationBloomQ = q("q_contamination_bloom", bench = true, oracle = {
     val pos = Bloom.positionSqls("g", BloomM, BloomK).mkString("[", ", ", "]")
     s"""WITH $FixtureGramCtes,
        poolpos AS (SELECT DISTINCT pos FROM
@@ -65,8 +67,8 @@ object SignalQueries {
 
   // ---- OOV rate against the self-built minCount=20 vocabulary.
 
-  private val oovRateQ = q("q_oov_rate",
-    raw"""WITH tok AS (SELECT doc_id, w FROM
+  private val oovRateQ = q("q_oov_rate", bench = true,
+    oracle = raw"""WITH tok AS (SELECT doc_id, w FROM
              (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
               FROM documents) t
            WHERE w <> ''),

@@ -505,6 +505,86 @@ case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Bloom-filter hit count over an array of gram hashes: how many grams
+  * have ALL k filter positions set in the `words` bitset. The scoring
+  * kernel of [[graft.operators.Bloom]] — a higher-order `filter` would be
+  * CodegenFallback (interpreted per gram), while this is one codegen'd
+  * loop with O(1) bit tests; the bitmap rides the generated class as a
+  * referenced object, not a plan literal.
+  *
+  * Position arithmetic is EXACTLY the operator's two lanes: `foldWide`
+  * xor-folds a full-range 64-bit hash to 31 nonnegative bits first (the
+  * production xxhash lane); without it the input must already be a
+  * sub-2^31 nonnegative hash (the SQL-replayable fixture lane, mixes
+  * mirrored in Bloom.positionSqls).
+  */
+case class BloomHits(child: Expression, words: Array[Long], mBits: Int, k: Int,
+    foldWide: Boolean) extends UnaryExpression {
+  require(mBits > 0 && mBits % 64 == 0 && words.length == mBits / 64,
+    s"words must hold exactly mBits/64 longs (mBits=$mBits, got ${words.length})")
+  override def prettyName: String = "graft_bloom_hits"
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.simpleString}")
+  }
+
+  private val P = 1000000007L
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var hits = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      val g = arr.getLong(i)
+      val base = if (foldWide) (g ^ (g >>> 33)) & 0x7FFFFFFFL else g
+      var all = true
+      var j = 0
+      while (all && j < k) {
+        val pos = (((2L * j + 3) * base + (5L * j + 7)) % P % mBits).toInt
+        all = (words(pos >> 6) >>> (pos & 63) & 1L) == 1L
+        j += 1
+      }
+      if (all) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val w = ctx.addReferenceObj("bloomWords", words, "long[]")
+      val hits = ctx.freshName("hits")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val g = ctx.freshName("g")
+      val base = ctx.freshName("base")
+      val all = ctx.freshName("all")
+      val pos = ctx.freshName("pos")
+      val baseExpr =
+        if (foldWide) s"($g ^ ($g >>> 33)) & 0x7FFFFFFFL" else g
+      s"""
+         |int $hits = 0;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  long $g = $arr.getLong($i);
+         |  long $base = $baseExpr;
+         |  boolean $all = true;
+         |  for (int $j = 0; $all && $j < $k; $j++) {
+         |    int $pos = (int) (((2L * $j + 3) * $base + (5L * $j + 7)) % ${P}L % $mBits);
+         |    $all = (($w[$pos >> 6] >>> ($pos & 63)) & 1L) == 1L;
+         |  }
+         |  if ($all) $hits++;
+         |}
+         |${ev.value} = $hits;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Unicode NFC normalization (no Spark built-in exists). Composed
   * sequences compare equal across sources — required before fingerprint/
   * dedup of multi-source corpora.
@@ -631,4 +711,9 @@ object HashExpressions {
     */
   def ngramHashesAll(tokens: Column, n: Int): Column =
     GraftBridge.column(NgramHashes(GraftBridge.expression(tokens), n, dedupe = false))
+
+  /** Bloom hit count over an array<bigint> of gram hashes. */
+  def bloomHits(grams: Column, words: Array[Long], mBits: Int, k: Int,
+      foldWide: Boolean): Column =
+    GraftBridge.column(BloomHits(GraftBridge.expression(grams), words, mBits, k, foldWide))
 }

@@ -99,34 +99,25 @@ object Bloom {
     words
   }
 
-  /** Probe: all k positions set. The bitmap rides as ONE array literal
-    * (mBits/64 longs in the plan, hoisted — not one copy per hash); each
-    * test is element_at + shiftright + mask — constant-time, codegen'd,
-    * no UDF.
-    */
-  private def mightContain(wordsLit: Column, posOf: Column => Seq[Column],
-      g: Column): Column =
-    posOf(g).map { p =>
-      val word = element_at(wordsLit, (p / 64).cast("int") + 1)
-      call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
-    }.reduce(_ && _)
-
   /** (idCol, contamination_bloom) in TWO chained projections: the gram
     * array materializes under a name first, then the fraction reads that
     * column. CollapseProject keeps the split (the array is non-cheap and
     * referenced multiple times), so the tokenize+hash work runs once per
-    * row instead of once per reference.
+    * row instead of once per reference. The probe itself is the native
+    * [[graft.functions.BloomHits]] expression — one codegen'd loop with
+    * O(1) bit tests (a `filter` HOF would fall back to interpreted eval
+    * per gram); the bitmap rides the generated class as a referenced
+    * object.
     */
   private def score(corpus: DataFrame, idCol: String, gramArr: Column,
-      posOf: Column => Seq[Column], words: Array[Long]): DataFrame = {
-    val wordsLit = typedlit(words.toSeq)
+      words: Array[Long], mBits: Int, k: Int, foldWide: Boolean): DataFrame =
     corpus.select(col(idCol), gramArr.as("__grams"))
       .select(col(idCol),
         round(
-          size(filter(col("__grams"), g => mightContain(wordsLit, posOf, g)))
+          graft.functions.HashExpressions
+            .bloomHits(col("__grams"), words, mBits, k, foldWide)
             .cast("double") / size(col("__grams")), 6)
           .as("contamination_bloom"))
-  }
 
   /** Production lane: xxhash64 gram identities, wide-mix positions.
     * Output: (idCol, contamination_bloom) — one projection over the
@@ -137,7 +128,7 @@ object Bloom {
       mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
     val pos = positionExprsWide(_: Column, mBits, k)
     val bits = buildBits(benchmark, textCol, gramsWide(_, shingle), pos, mBits)
-    score(corpus, idCol, gramsWide(col(textCol), shingle), pos, bits)
+    score(corpus, idCol, gramsWide(col(textCol), shingle), bits, mBits, k, foldWide = true)
   }
 
   /** Oracle lane: fixture gram hashes + literal position mixes; DuckDB
@@ -148,7 +139,7 @@ object Bloom {
       mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
     val pos = positionExprs(_: Column, mBits, k)
     val bits = buildBits(benchmark, textCol, gramsFixture(_, shingle), pos, mBits)
-    score(corpus, idCol, gramsFixture(col(textCol), shingle), pos, bits)
+    score(corpus, idCol, gramsFixture(col(textCol), shingle), bits, mBits, k, foldWide = false)
   }
 
   /** The production-lane scoring expression against a pre-built filter —
@@ -159,12 +150,10 @@ object Bloom {
     */
   def contaminationColumn(text: Column, bits: Array[Long], shingle: Int,
       mBits: Int, k: Int): Column = {
-    val pos = positionExprsWide(_: Column, mBits, k)
-    val wordsLit = typedlit(bits.toSeq)
     val grams = gramsWide(text, shingle)
     round(
-      size(filter(grams, g => mightContain(wordsLit, pos, g))).cast("double") /
-        size(grams), 6)
+      graft.functions.HashExpressions.bloomHits(grams, bits, mBits, k, foldWide = true)
+        .cast("double") / size(grams), 6)
   }
 
   /** Build the production-lane filter from a static benchmark table. */

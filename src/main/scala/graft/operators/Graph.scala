@@ -76,6 +76,57 @@ object Graph {
     r
   }
 
+  /** The personalized-PageRank iteration-update template: teleport mass
+    * and dangling redistribution land ONLY on seed nodes (`isSeed` — a
+    * SQL boolean fragment; `s` = seed count). Non-seeds receive purely
+    * propagated mass. Same integer-exactness contract as
+    * [[rankUpdateExpr]].
+    */
+  def pprUpdateExpr(div: String, c: String, dm: String, s: String,
+      isSeed: String, dampN: Long = 85, dampD: Long = 100): String =
+    s"(CASE WHEN $isSeed THEN (($Scale $div $s) * ${dampD - dampN}) $div $dampD " +
+      s"ELSE CAST(0 AS BIGINT) END) + " +
+      s"(($dampN * (COALESCE($c, CAST(0 AS BIGINT)) + " +
+      s"(CASE WHEN $isSeed THEN ($dm $div $s) ELSE CAST(0 AS BIGINT) END))) $div $dampD)"
+
+  /** Personalized PageRank: random walks restart at the SEED set instead
+    * of uniformly — the crawl-frontier / trusted-source-expansion scorer
+    * (relevance radiates from seeds; spam far from any seed scores ~0).
+    * `seeds` is a single-column (`v`) DataFrame, a subset of `nodes`.
+    * Same per-iteration shape and integer-exact arithmetic as
+    * [[pageRank]]; r0 puts Scale÷|S| on each seed and 0 elsewhere.
+    */
+  def pageRankPersonalized(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int,
+      dampN: Long = 85, dampD: Long = 100): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val outd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seedTbl = seeds.select(col("v")).distinct()
+    val sAgg = seedTbl.agg(count(lit(1)).as("s"))
+    val marked = nodes
+      .join(seedTbl.withColumn("__isSeed", lit(true)), Seq("v"), "left")
+      .select(col("v"), coalesce(col("__isSeed"), lit(false)).as("is_seed"))
+    var r = marked.crossJoin(broadcast(sAgg))
+      .select(col("v"), col("is_seed"),
+        when(col("is_seed"), expr(s"$Scale DIV s")).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val rd = Materialize.once(
+        r.join(outd, r("v") === outd("src"), "left")
+          .select(r("v").as("u"), col("r"), col("deg")))
+      val contrib = rd.where(col("deg").isNotNull)
+        .join(edges, col("u") === edges("src"))
+        .groupBy(edges("dst").as("v"))
+        .agg(sum(expr("r DIV deg")).as("c"))
+      val dang = rd.where(col("deg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      r = marked.crossJoin(broadcast(sAgg)).crossJoin(broadcast(dang))
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"), col("is_seed"),
+          expr(pprUpdateExpr("DIV", "c", "dm", "s", "is_seed", dampN, dampD)).as("r"))
+    }
+    r.select(col("v"), col("r"))
+  }
+
   /** `iters` rounds of synchronous min-label propagation over the
     * UNDIRECTED view of `edges`: l_0(v) = v,
     * l_{i+1}(v) = min(l_i(v), min over neighbors l_i(u)).

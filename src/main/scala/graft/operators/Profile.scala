@@ -105,6 +105,25 @@ object Profile {
       .drop("__r")
   }
 
+  /** Embedding-column intake profile: row count, zero vectors (broken
+    * upstream encoders show up here first), norm-squared min/max and
+    * exact mean. Per-vector norm² is a fixed left-to-right array reduce
+    * (bit-stable across engines — the PQ-oracle discipline); the mean
+    * crosses rows through DECIMAL so it is summation-order independent.
+    * One narrow aggregation pass, no shuffle beyond the single global agg.
+    */
+  def vector(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val norm2 = aggregate(v, lit(0.0d), (a, x) => a + x * x)
+    df.select(norm2.as("__n2"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("__n2") === 0.0, 1)).as("zero_vecs"),
+        min(col("__n2")).as("min_norm2"),
+        max(col("__n2")).as("max_norm2"),
+        (sum(col("__n2").cast("decimal(28,8)")).cast("double") /
+          count(lit(1))).as("avg_norm2"))
+  }
+
   private def build(df: DataFrame, cols: Seq[String],
       distinctAgg: String => Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -246,6 +246,46 @@ object CurationQueries {
       .select(col("v").as("doc_id"), col("l").as("label"))
   }
 
+  /** Unrolled-CTE oracle for
+    * [[graft.operators.Graph.pageRankPersonalized]] — teleport/dangling
+    * mass confined to the seed set (every 25th doc), update expression
+    * rendered from Graph.pprUpdateExpr for both engines.
+    */
+  private def pprOracleSql(iters: Int): String = {
+    val S = graft.operators.Graph.Scale
+    val head =
+      s"""WITH $LinkGraphCtes,
+         seeds AS (SELECT v FROM nodes WHERE v % 25 = 0),
+         ss AS (SELECT COUNT(*) AS s FROM seeds),
+         mk AS (SELECT nodes.v AS v, (seeds.v IS NOT NULL) AS is_seed
+                FROM nodes LEFT JOIN seeds ON nodes.v = seeds.v),
+         outd AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         r0 AS (SELECT v, is_seed,
+                  CASE WHEN is_seed THEN $S // (SELECT s FROM ss)
+                       ELSE CAST(0 AS BIGINT) END AS r
+                FROM mk)"""
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS v, CAST(SUM($p.r // o.deg) AS BIGINT) AS c
+             FROM edges e JOIN outd o ON e.src = o.src JOIN $p ON $p.v = e.src
+             GROUP BY 1),
+         d$i AS (SELECT CAST(COALESCE(SUM($p.r), 0) AS BIGINT) AS dm FROM $p
+                 LEFT JOIN outd o ON $p.v = o.src WHERE o.src IS NULL),
+         r$i AS (SELECT mk.v AS v, mk.is_seed AS is_seed,
+                   ${graft.operators.Graph.pprUpdateExpr("//", s"c$i.c",
+                     s"(SELECT dm FROM d$i)", "(SELECT s FROM ss)", "mk.is_seed")} AS r
+                 FROM mk LEFT JOIN c$i ON mk.v = c$i.v)"""
+    }.mkString(",\n")
+    s"$head,\n$iterCtes\nSELECT v AS doc_id, CAST(r AS BIGINT) AS rank_units FROM r$iters"
+  }
+
+  private val pageRankSeededQ = q("q_pagerank_seeded", pprOracleSql(3)) { (s, d) =>
+    val (nodes, edges) = linkGraph(s, d)
+    graft.operators.Graph.pageRankPersonalized(nodes, edges,
+      nodes.where(col("v") % 25 === 0), iters = 3)
+      .select(col("v").as("doc_id"), col("r").as("rank_units"))
+  }
+
   private val frequentTokensQ = q("q_frequent_tokens",
     """WITH t AS (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
                   FROM documents),
@@ -283,5 +323,5 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     splitQ, splitStratifiedQ, splitGroupQ, splitNearDupQ, snapshotDiffQ, incrementalQ,
-    dedupFuzzyQ, frequentTokensQ, bm25Q, pageRankQ, labelPropQ)
+    dedupFuzzyQ, frequentTokensQ, bm25Q, pageRankQ, labelPropQ, pageRankSeededQ)
 }

@@ -159,7 +159,81 @@ object SignalQueries {
     Split.curriculumSample(scored, "quality", "doc_id", CurriculumRates)
   }
 
+  private val CuratedParts = Seq(("train", 90L), ("val", 5L), ("test", 5L))
+
+  /** The round-8 composed pipeline: quality-decile curriculum sampling →
+    * Bloom decontamination gate (benchmark pool = every 50th doc; pool
+    * members surviving the curriculum self-identify at contamination 1.0
+    * and are gated out) → exact-dup-aware split (every doc follows its
+    * min-id fingerprint representative). Every stage is an operator
+    * oracled on its own elsewhere; this query pins their COMPOSITION as
+    * one declarative plan, the q_pipeline discipline.
+    */
+  private val pipelineCuratedQ = q("q_pipeline_curated", {
+    val pos = Bloom.positionSqls("g", BloomM, BloomK).mkString("[", ", ", "]")
+    s"""WITH qd AS (${ExtQueries.QualityDocsSql}),
+       r AS (SELECT doc_id, quality,
+               row_number() OVER (ORDER BY quality, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+             FROM qd),
+       b AS (SELECT doc_id, quality, ${Split.quantileBinSql("rn", "n", 10)} AS bin
+             FROM r),
+       cur AS (SELECT doc_id, quality, bin FROM b
+               WHERE ${OracleSql.lcg31("doc_id")} < ${Split.rateThresholdSql("bin", CurriculumRates)}),
+       $FixtureGramCtes,
+       poolpos AS (SELECT DISTINCT pos FROM
+                     (SELECT unnest($pos) AS pos FROM
+                       (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0) pg)),
+       cg AS (SELECT g.doc_id, g.g FROM g JOIN cur ON g.doc_id = cur.doc_id),
+       cpos AS (SELECT doc_id, g, unnest($pos) AS pos FROM cg),
+       mk AS (SELECT cpos.doc_id, cpos.g,
+                CASE WHEN pp.pos IS NULL THEN 0 ELSE 1 END AS hit
+              FROM cpos LEFT JOIN poolpos pp ON cpos.pos = pp.pos),
+       gv AS (SELECT doc_id, g, MIN(hit) AS allhit FROM mk GROUP BY 1, 2),
+       cont AS (SELECT doc_id,
+                  round(CAST(SUM(allhit) AS DOUBLE) / COUNT(*), 6) AS contamination
+                FROM gv GROUP BY doc_id),
+       gated AS (SELECT cur.doc_id AS doc_id, quality, bin, contamination
+                 FROM cur JOIN cont ON cur.doc_id = cont.doc_id
+                 WHERE contamination <= 0.2),
+       fps AS (SELECT gated.doc_id AS doc_id, quality, bin, contamination,
+                 md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+               FROM gated JOIN documents d ON gated.doc_id = d.doc_id),
+       reps AS (SELECT fp, MIN(doc_id) AS rep FROM fps GROUP BY 1)
+       SELECT fps.doc_id AS doc_id, quality, bin, contamination,
+              ${Split.assignSql(OracleSql.lcg31("reps.rep"), CuratedParts)} AS split
+       FROM fps JOIN reps ON fps.fp = reps.fp"""
+  }) { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val scored = docs.select(col("doc_id"), col("text"),
+      qualityScore(col("text")).as("quality"))
+    val kept = Split.curriculumSample(scored, "quality", "doc_id", CurriculumRates)
+    val contam = Bloom.ngramContaminationBloomFixture(
+      kept, docs.where(col("doc_id") % 50 === 0),
+      "doc_id", "text", shingle = 3, mBits = BloomM, k = BloomK)
+      .withColumnRenamed("contamination_bloom", "contamination")
+    val gated = kept.join(contam, Seq("doc_id"))
+      .where(col("contamination") <= 0.2)
+    val withFp = gated.withColumn("fp", fingerprint(col("text")))
+    val reps = withFp.groupBy("fp").agg(min(col("doc_id")).as("rep"))
+    Split.groupAware(withFp.join(reps, Seq("fp")), "rep", CuratedParts)
+      .select("doc_id", "quality", "bin", "contamination", "split")
+  }
+
+  // ---- Embedding-column intake profile.
+
+  private val profileVecQ = q("q_profile_vec",
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT list_sum(list_transform(v, x -> x * x)) AS n2 FROM e)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vecs,
+              MIN(n2) AS min_norm2, MAX(n2) AS max_norm2,
+              CAST(SUM(CAST(n2 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS avg_norm2
+       FROM n""") { (s, d) =>
+    graft.operators.Profile.vector(Tables.embeddings(s, d), "embedding")
+  }
+
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, resampleQ, embedPoolQ, qualityBinsQ,
-    curriculumQ)
+    curriculumQ, profileVecQ, pipelineCuratedQ)
 }

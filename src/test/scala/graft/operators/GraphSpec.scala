@@ -53,6 +53,39 @@ class GraphSpec extends AnyFunSuite {
     assert(total <= Graph.Scale && Graph.Scale - total < 1000L)
   }
 
+  private def localPpr(nodes: Seq[Long], edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int, dampN: Long = 85, dampD: Long = 100): Map[Long, Long] = {
+    val s = seeds.size.toLong
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(v => v -> (if (seeds(v)) Graph.Scale / s else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      val dm = nodes.filterNot(deg.contains).map(r).sum
+      r = nodes.map { v =>
+        val base = if (seeds(v)) ((Graph.Scale / s) * (dampD - dampN)) / dampD else 0L
+        val tele = if (seeds(v)) dm / s else 0L
+        v -> (base + (dampN * (contrib.getOrElse(v, 0L) + tele)) / dampD)
+      }.toMap
+    }
+    r
+  }
+
+  test("personalized PageRank: matches local reference; mass radiates from seeds only") {
+    val nodes = (0L to 6L)
+    // 0→1→2→3 chain; 5↔6 island; 4 dangling
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 5L -> 6L, 6L -> 5L)
+    val seeds = Set(0L)
+    val got = Graph.pageRankPersonalized(nodes.toDF("v"),
+      edges.toDF("src", "dst"), Seq(0L).toDF("v"), iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got == localPpr(nodes, edges, seeds, 3))
+    // the island is unreachable from the seed: exactly zero mass
+    assert(got(5L) == 0L && got(6L) == 0L)
+    // mass decays along the chain from the seed
+    assert(got(0L) > got(1L) && got(1L) > got(2L))
+  }
+
   private def runLp(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
     Graph.labelPropagate(nodes.toDF("v"), edges.toDF("src", "dst"), iters)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toMap

@@ -84,4 +84,17 @@ class ProfileSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(exactPlan.contains("Expand"))
   }
+
+  test("vector: zero-vector count, norm bounds, exact mean norm") {
+    import spark.implicits._
+    val vecs = Seq(
+      Array(3.0f, 4.0f),   // norm2 = 25
+      Array(0.0f, 0.0f),   // zero vector
+      Array(1.0f, 0.0f)    // norm2 = 1
+    ).toDF("embedding")
+    val r = Profile.vector(vecs, "embedding").head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 1)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 25.0)
+    assert(math.abs(r.getDouble(4) - 26.0 / 3) < 1e-9)
+  }
 }

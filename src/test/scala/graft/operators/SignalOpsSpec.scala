@@ -197,4 +197,37 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(byBin(9) == 200, "rate 10/10 keeps the whole top bin")
     assert(byBin.getOrElse(0, 0) < byBin(9))
   }
+
+  // ---------------- edge cases ----------------
+
+  test("edge cases: empty inputs, degenerate parameters") {
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      corpusDf.schema)
+    // empty benchmark → all-zero bitmap → contamination 0 everywhere
+    val noBench = Bloom.ngramContaminationBloom(corpusDf, emptyDocs,
+      "doc_id", "text", shingle = 3, mBits = 1 << 12, k = 3)
+      .collect().map(_.getDouble(1))
+    assert(noBench.length == 40 && noBench.forall(_ == 0.0))
+    // empty corpus → empty result, no crash
+    assert(Bloom.ngramContaminationBloom(emptyDocs, corpusDf,
+      "doc_id", "text", shingle = 3, mBits = 1 << 12, k = 3).count() == 0)
+    // resample of nothing is nothing
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Seq((1L, 1L, 1.0)).toDF("user_id", "ts", "value").schema)
+    assert(Resample.resample(emptyEvents, "user_id", "ts", "value", 10L).count() == 0)
+    // more bins than rows: every row its own bin index, no out-of-range
+    val tiny = Seq((1L, 0.3), (2L, 0.1)).toDF("id", "score")
+    val bins = Split.byQuantile(tiny, "score", "id", nBins = 10)
+      .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(bins.values.forall(b => b >= 0 && b < 10) && bins(2L) < bins(1L))
+    // a zero rate drops its whole bin deterministically
+    val allZero = Split.curriculumSample(tiny, "score", "id", Seq((0L, 1L), (0L, 1L)))
+    assert(allZero.count() == 0)
+    // oov on a vocabulary nothing reaches: everything oov
+    val oov = Vocabulary.oovRate(corpusDf, "doc_id", "text", minCount = Long.MaxValue)
+      .agg(sum(col("n_oov")).as("o"), sum(col("n_tokens")).as("t")).head()
+    assert(oov.getLong(0) == oov.getLong(1))
+  }
 }

@@ -75,25 +75,33 @@ object Dedup {
     * filter, full-signature verify — on the oracle-gated path.
     */
   private[graft] def minhashPairsFromSigs(sigs: DataFrame, bands: Int,
-      threshold: Double, bandHash: Column => Column): DataFrame = {
+      threshold: Double, bandHash: Column => Column,
+      pairWhere: Option[Column] = None): DataFrame = {
     // Candidate generation carries only (id, band hashes): the banding
     // explode and bucket join shuffle `bands` longs per doc, not the full
     // `numHashes`-long signature. A pair colliding in k bands appears k
     // times; instead of a dropDuplicates SHUFFLE, keep the copy whose band
     // is the FIRST band where the two band-hash arrays agree — a map-side
-    // filter that is exact-once by construction.
-    val withBh = sigs.select(col("__id"), bandHash(col("__sig")).as("__bh"))
-    val banded = withBh.select(col("__id"), col("__bh"),
-        posexplode(col("__bh")))
+    // filter that is exact-once by construction. An optional `__side`
+    // column on `sigs` rides along as `__sideA`/`__sideB` so `pairWhere`
+    // can restrict to cross-corpus pairs instead of the id-ordered
+    // self-join default.
+    val side = if (sigs.columns.contains("__side")) Seq(col("__side")) else Nil
+    val withBh = sigs.select(
+      Seq(col("__id"), bandHash(col("__sig")).as("__bh")) ++ side: _*)
+    val banded = withBh.select(
+        Seq(col("__id"), col("__bh")) ++ side :+ posexplode(col("__bh")): _*)
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
-    val l = banded.select(col("__band"), col("__bucket"),
-      col("__id").as("idA"), col("__bh").as("__bhA"))
-    val rg = banded.select(col("__band"), col("__bucket"),
-      col("__id").as("idB"), col("__bh").as("__bhB"))
+    def tagged(idName: String, bhName: String, sideName: String) =
+      banded.select(Seq(col("__band"), col("__bucket"),
+        col("__id").as(idName), col("__bh").as(bhName)) ++
+        side.map(_ => col("__side").as(sideName)): _*)
+    val l = tagged("idA", "__bhA", "__sideA")
+    val rg = tagged("idB", "__bhB", "__sideB")
     val firstAgree =
       array_position(zip_with(col("__bhA"), col("__bhB"), (a, b) => a === b), true)
     val pairs = l.join(rg, Seq("__band", "__bucket"))
-      .where(col("idA") < col("idB"))
+      .where(pairWhere.getOrElse(col("idA") < col("idB")))
       .where(col("__band") === firstAgree - 1)
       .select(col("idA"), col("idB"))
     // full-signature verify only for surviving candidate pairs
@@ -104,6 +112,50 @@ object Dedup {
         graft.functions.HashExpressions.signatureAgreement(col("__sigA"), col("__sigB")))
       .where(col("est_jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("est_jaccard"))
+  }
+
+  /** Cross-corpus near-duplicate pairs: documents in `probe` whose MinHash
+    * signature agrees ≥ threshold with some document in `reference` — the
+    * doc-level decontamination sweep (drop training docs that near-
+    * duplicate an eval item) without building a persistent index (for the
+    * standing-index version see
+    * [[graft.operators.AnnIndex.probeMinhash]]). Ids must be unique
+    * ACROSS both inputs. Output: (probe_id, ref_id, est_jaccard).
+    *
+    * Scale shape: identical to [[minhashNearDuplicates]] — the side tag
+    * rides the banding explode; only (probe, reference) pairs survive the
+    * bucket join's map-side restriction, so cross-corpus costs exactly
+    * what self-dedup costs on the union.
+    */
+  def minhashCrossDuplicates(probe: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, shingle: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    def sigSide(df: DataFrame, s: Int) = df.select(col(idCol).as("__id"),
+      minhashSignature(col(textCol), shingle, numHashes).as("__sig"),
+      lit(s).as("__side"))
+    val sigs = materializeOnce(sigSide(probe, 0).unionByName(sigSide(reference, 1)))
+    minhashPairsFromSigs(sigs, bands, threshold,
+      graft.functions.HashExpressions.bandHashes(_, bands),
+      Some(col("__sideA") === 0 && col("__sideB") === 1))
+      .withColumnsRenamed(Map("idA" -> "probe_id", "idB" -> "ref_id"))
+  }
+
+  /** [[minhashCrossDuplicates]] under the fixture hash family — the
+    * oracle-gated twin (the q_dedup_minhash_fixed discipline).
+    */
+  def minhashCrossDuplicatesFixture(probe: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, shingle: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    def sigSide(df: DataFrame, s: Int) = df.select(col(idCol).as("__id"),
+      minhashSignatureFixture(col(textCol), shingle, numHashes).as("__sig"),
+      lit(s).as("__side"))
+    val sigs = materializeOnce(sigSide(probe, 0).unionByName(sigSide(reference, 1)))
+    minhashPairsFromSigs(sigs, bands, threshold,
+      bandHashesFixture(bands, numHashes / bands),
+      Some(col("__sideA") === 0 && col("__sideB") === 1))
+      .withColumnsRenamed(Map("idA" -> "probe_id", "idB" -> "ref_id"))
   }
 
   /** The SQL-replayable minhash modulus: a prime just under 2³¹, so every

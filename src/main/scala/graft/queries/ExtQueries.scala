@@ -284,6 +284,30 @@ object ExtQueries {
       bands = OracleFixtures.MhBands, threshold = OracleFixtures.MhThreshold)
   }
 
+  /** Cross-corpus doc-level decontamination: originals probe their shifted
+    * twins as the "reference" set. Fixture lane fully oracle-replayed
+    * (same sig/band CTEs as q_dedup_minhash_fixed; only the pair
+    * restriction changes from id-order to side membership); production
+    * xxhash lane rows-only with the exact-agreement spec in DedupSpec.
+    */
+  private val minhashCrossFixedQ = q("q_dedup_cross_fixed",
+    s"""WITH ${OracleFixtures.minhashSigCtes},
+       ${OracleFixtures.minhashPairsSql(
+        "l.doc_id < 10000 AND r.doc_id >= 10000", "probe_id", "ref_id")}""") { (s, d) =>
+    val base = Tables.df(s, d, "documents")
+    Dedup.minhashCrossDuplicatesFixture(
+      base, base.withColumn("doc_id", col("doc_id") + 10000),
+      "doc_id", "text",
+      shingle = OracleFixtures.MhShingle, numHashes = OracleFixtures.MhNumHashes,
+      bands = OracleFixtures.MhBands, threshold = OracleFixtures.MhThreshold)
+  }
+
+  private val minhashCrossQ = q("q_dedup_cross") { (s, d) => // LSH: rows-only + ScalaTest
+    val base = Tables.df(s, d, "documents")
+    Dedup.minhashCrossDuplicates(
+      base, base.withColumn("doc_id", col("doc_id") + 10000), "doc_id", "text")
+  }
+
   private val simhashQ = q("q_dedup_simhash") { (s, d) => // LSH: rows-only + ScalaTest
     Dedup.simhashNearDuplicates(docsWithDups(s, d), "doc_id", "text",
       shingle = 2, maxHamming = 3)
@@ -1591,7 +1615,7 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
+    minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,

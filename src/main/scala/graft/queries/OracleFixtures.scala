@@ -168,7 +168,8 @@ object OracleFixtures {
     * persistent-index twin (delta-vs-corpus membership filter), exactly
     * as Dedup.minhashPairsFromSigs is shared on the Spark side.
     */
-  def minhashPairsSql(pairWhere: String): String = {
+  def minhashPairsSql(pairWhere: String,
+      aliasA: String = "idA", aliasB: String = "idB"): String = {
     val est = s"CAST(len(list_filter(range(0, $MhNumHashes), k -> sigA[k+1] = sigB[k+1])) AS DOUBLE) / $MhNumHashes"
     s"""banded AS (SELECT doc_id, sig, bh, unnest(range(0, $MhBands)) AS band FROM bh),
        pairs AS (
@@ -177,7 +178,7 @@ object OracleFixtures {
                   k -> l.bh[k+1] = r.bh[k+1]), true) - 1 AS first_agree
          FROM banded l JOIN banded r ON l.band = r.band AND l.bh[l.band+1] = r.bh[r.band+1]
          WHERE $pairWhere)
-       SELECT idA, idB, $est AS est_jaccard
+       SELECT idA AS $aliasA, idB AS $aliasB, $est AS est_jaccard
        FROM pairs
        WHERE band = first_agree AND $est >= $MhThreshold"""
   }

@@ -46,6 +46,30 @@ class DedupSpec extends AnyFunSuite {
     assert(est.length == 1 && est.head.getDouble(2) == 1.0)
   }
 
+  test("cross-corpus minhash: only (probe, reference) pairs; agrees with self-dedup on the union") {
+    import org.apache.spark.sql.functions.col
+    val probe = docs()
+    val ref = docs().withColumn("doc_id", col("doc_id") + 1000)
+    val cross = Dedup.minhashCrossDuplicates(probe, ref, "doc_id", "text",
+      shingle = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // sides respected: probe ids < 1000, ref ids >= 1000
+    assert(cross.forall(p => p._1 < 1000 && p._2 >= 1000))
+    // every doc exactly matches its own copy at est 1.0
+    probe.select("doc_id").collect().map(_.getLong(0)).foreach { i =>
+      assert(cross.exists(p => p._1 == i && p._2 == i + 1000 && p._3 == 1.0),
+        s"doc $i must match its cross copy exactly")
+    }
+    // reference restriction: self-dedup on the union, filtered to
+    // cross-side pairs, is the same pair set
+    val union = probe.unionByName(ref)
+    val self = Dedup.minhashNearDuplicates(union, "doc_id", "text",
+      shingle = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 < 1000 && p._2 >= 1000).toSet
+    assert(cross.toSet == self, "cross pairs must equal side-filtered self-dedup pairs")
+  }
+
   test("fixture minhash family: same pipeline semantics as the xxhash family") {
     // fixture hashes are SQL-replayable integer chains; the PIPELINE
     // (band→candidate→first-agree→verify) is shared, so the behavioral

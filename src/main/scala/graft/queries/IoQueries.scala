@@ -92,6 +92,26 @@ object IoQueries {
     GraftIO.loadParquet(s, path)
   }
 
+  /** Loose-file round-trip: rows → one real file each (storeBinaryFiles)
+    * → re-ingested via the `binaryFile` source; the oracle compares
+    * parsed ids, file sizes, and decoded payloads against the source
+    * table (ASCII corpus: octet_length == file bytes).
+    */
+  private val binaryFilesRt = q("q_io_binary_files",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, text
+       FROM documents WHERE doc_id < 20""") { (s, d) =>
+    val path = tmp(d, "binfiles")
+    val rows = Tables.df(s, d, "documents").where(col("doc_id") < 20)
+      .select(concat(lit("doc_"), col("doc_id"), lit(".bin")).as("name"),
+        col("text").cast("binary").as("payload"))
+    GraftIO.storeBinaryFiles(path)(rows)
+    GraftIO.loadBinaryFiles(s, path)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        col("content").cast("string").as("text"))
+  }
+
   /** ORC round-trip (beyond the reference — warehouse interchange). */
   private val orcRt = q("q_io_orc",
     "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part") { (s, d) =>
@@ -146,5 +166,6 @@ object IoQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    stringRt, tsvRt, csvRt, jsonRt, cljRt, parquetRt, orcRt, binaryRt, avroRt, storeManyQ)
+    stringRt, tsvRt, csvRt, jsonRt, cljRt, parquetRt, orcRt, binaryRt,
+    binaryFilesRt, avroRt, storeManyQ)
 }

@@ -87,6 +87,43 @@ object GraftIO {
       options: Map[String, String] = Map.empty)(df: DataFrame): Unit =
     df.write.mode("overwrite").format(format).options(options).save(path)
 
+  /** Raw-file ingestion via Spark's `binaryFile` source: one row per file
+    * with (path, modificationTime, length, content) — the intake path for
+    * multimodal payloads that arrive as loose image/audio files before
+    * they are compacted into parquet (`graft.operators.Multimodal`).
+    * Pushdown note: a `length < N` predicate prunes at the FILE listing
+    * (the source's supported filter), so oversized payloads never read.
+    */
+  def loadBinaryFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+
+  /** Per-row file export: each row becomes one file `nameCol` holding
+    * `payloadCol` bytes, written per-partition straight to the target
+    * filesystem (no driver funnel). The EXPORT side of the loose-file
+    * boundary — corpus-scale storage should pack payloads into parquet
+    * instead (small-files problem); this exists for interchange with
+    * tools that want real files.
+    */
+  def storeBinaryFiles(dir: String, nameCol: String = "name",
+      payloadCol: String = "payload")(df: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    fs.mkdirs(root)
+    df.select(org.apache.spark.sql.functions.col(nameCol),
+        org.apache.spark.sql.functions.col(payloadCol))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pfs = new Path(dir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        it.foreach { r =>
+          val out = pfs.create(new Path(dir, r.getString(0)), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+  }
+
   /** Opaque-blob storage (reference `load-binary`, io.clj:30-35: nippy
     * blobs; here: java-serialized values in a one-binary-column parquet).
     */

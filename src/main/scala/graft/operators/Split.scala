@@ -192,4 +192,18 @@ object Split {
   /** DuckDB list-literal lookup of the SAME thresholds: `[t..][bin+1]`. */
   def rateThresholdSql(binSql: String, rates: Seq[(Long, Long)]): String =
     s"(${rateThresholds(rates).mkString("[", ", ", "]")})[($binSql) + 1]"
+
+  /** Deterministic corpus shuffle: a total pretraining order from the id
+    * alone — `pos` = rank under (lcg31(id), id). Replayable by any engine
+    * and stable across runs/layouts, which is what makes a training run
+    * reproducible; feed `pos` to [[Packing.packByBudget]] as the order
+    * column. Same distributed machinery as [[byQuantile]] (range sort +
+    * zipWithIndex), no global window.
+    */
+  def shufflePositions(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(lcg31(col(idCol)), col(idCol))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(indexed, sorted.schema.add("pos", LongType, nullable = false))
+  }
 }

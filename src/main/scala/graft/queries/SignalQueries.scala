@@ -220,6 +220,15 @@ object SignalQueries {
       .select("doc_id", "quality", "bin", "contamination", "split")
   }
 
+  // ---- Deterministic pretraining shuffle order.
+
+  private val shuffleQ = q("q_shuffle",
+    s"""SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY ${OracleSql.lcg31("doc_id")}, doc_id) - 1 AS BIGINT) AS pos
+       FROM documents""") { (s, d) =>
+    Split.shufflePositions(Tables.df(s, d, "documents").select("doc_id"), "doc_id")
+  }
+
   // ---- Embedding-column intake profile.
 
   private val profileVecQ = q("q_profile_vec",
@@ -235,5 +244,5 @@ object SignalQueries {
 
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, resampleQ, embedPoolQ, qualityBinsQ,
-    curriculumQ, profileVecQ, pipelineCuratedQ)
+    curriculumQ, profileVecQ, pipelineCuratedQ, shuffleQ)
 }

@@ -197,6 +197,23 @@ object GraftStreaming {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-vs-static exact dedup: drop arriving docs whose canonical
+    * fingerprint already exists in a STATIC reference corpus — "don't
+    * re-ingest what the lake already holds", the stateless complement of
+    * [[dedupTextStream]] (within-stream) and of the persistent
+    * fingerprint catalog ([[graft.operators.AnnIndex]], for a reference
+    * that itself grows). Planned as a stream-static left-anti hash join;
+    * the reference side broadcasts under AQE when it fits.
+    */
+  def dedupAgainstStream(stream: DataFrame, textCol: String,
+      reference: DataFrame, refTextCol: String): DataFrame = {
+    val refFp = reference.select(
+      graft.functions.TextFunctions.fingerprint(col(refTextCol)).as("__fp")).distinct()
+    stream.withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .join(refFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Streaming content dedup: exact dedup keyed on the canonical text
     * fingerprint ([[graft.functions.TextFunctions.fingerprint]]), so
     * whitespace/case variants of the same document dedup too — the

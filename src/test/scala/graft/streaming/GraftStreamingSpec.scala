@@ -154,6 +154,27 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dedupAgainstStream: arriving docs already in the static reference are dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val reference = Seq((100L, "Known   Doc"), (101L, "other known")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = GraftStreaming.dedupAgainstStream(
+      input.toDF().toDF("doc_id", "text"), "text", reference, "text")
+    val query = GraftStreaming.storeStreamMemory(out, "dedup_static_test")
+    try {
+      // canonical variant of a known doc + two novel docs across batches
+      input.addData((1L, "known doc"), (2L, "fresh content"))
+      query.processAllAvailable()
+      input.addData((3L, "OTHER KNOWN"), (4L, "also new"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_static_test")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 4L),
+        s"canonical matches of reference docs must drop, got $ids")
+    } finally query.stop()
+  }
+
   test("decontaminateStream: stateless gate agrees exactly with the batch operator") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -522,6 +522,7 @@ case class BloomHits(child: Expression, words: Array[Long], mBits: Int, k: Int,
     foldWide: Boolean) extends UnaryExpression {
   require(mBits > 0 && mBits % 64 == 0 && words.length == mBits / 64,
     s"words must hold exactly mBits/64 longs (mBits=$mBits, got ${words.length})")
+  require(k > 0, s"k must be positive, got $k — k=0 would count EVERY gram as a hit")
   override def prettyName: String = "graft_bloom_hits"
   override def nullable: Boolean = true
   override def dataType: DataType = IntegerType
@@ -532,7 +533,10 @@ case class BloomHits(child: Expression, words: Array[Long], mBits: Int, k: Int,
       s"$prettyName expects array<bigint>, got ${other.simpleString}")
   }
 
-  private val P = 1000000007L
+  // the ONE fixture modulus: build-side positions (Bloom.positionExprs /
+  // positionSqls) derive from the same constant, so build and probe can
+  // never mix moduli
+  private val P = graft.operators.Dedup.FixtureP
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -101,7 +101,12 @@ object Graph {
       dampN: Long = 85, dampD: Long = 100): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     val outd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // seeds restricted to real nodes: a stale seed id must not inflate s
+    // (its teleport share would silently vanish from the total mass)
     val seedTbl = seeds.select(col("v")).distinct()
+      .join(nodes.select(col("v")), Seq("v"), "left_semi")
+    require(!seedTbl.isEmpty,
+      "pageRankPersonalized: the seed set is empty (or disjoint from nodes)")
     val sAgg = seedTbl.agg(count(lit(1)).as("s"))
     val marked = nodes
       .join(seedTbl.withColumn("__isSeed", lit(true)), Seq("v"), "left")

@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
 object Pooling {
 
   /** Exact mean-pool: one row per (group, dim). Output:
-    * (groupCol, dim, n, avg) — dim 0-based, avg = round(sum/n, 6).
+    * (groupCol, dim, n, avg) — dim 0-based, avg at full double precision
+    * (the decimal sum cast to double then divided; deliberately NOT
+    * rounded — see the inline note).
     */
   def meanPoolExact(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.select(col(groupCol).as("__grp"),

@@ -47,7 +47,7 @@ object Resample {
     // raw-event scan and bucket aggregate would run twice via lineage
     val bucketed = Materialize.once(df
       .select(col(keyCol).as("__k"),
-        expr(s"$tsCol div $bucketWidth").as("bucket"),
+        expr(s"`$tsCol` div $bucketWidth").as("bucket"),
         col(valueCol).cast("decimal(28,4)").as("__v"))
       .groupBy("__k", "bucket")
       .agg(count(lit(1)).as("n"), sum(col("__v")).as("__tot")))

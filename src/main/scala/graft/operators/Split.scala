@@ -147,14 +147,37 @@ object Split {
     * replays every assignment from `row_number()` alone. Costs one count
     * job + one sort shuffle.
     */
+  /** Range-sort `df` by (scoreCol, idCol) and append a 0-based global
+    * index `posName`; returns the indexed frame plus the total count. One
+    * pass computes the per-partition counts (one long per partition to
+    * the driver — the zipWithIndex discipline, but the total rides along
+    * instead of costing a separate full-upstream count() job); the second
+    * pass re-reads the SORT SHUFFLE output (map stages skip), never the
+    * raw upstream.
+    */
+  private def withGlobalIndex(df: DataFrame, scoreCol: String, idCol: String,
+      posName: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(col(scoreCol), col(idCol))
+    val rdd = sorted.rdd
+    val partCounts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val n = partCounts.sum
+    val offsets = partCounts.scanLeft(0L)(_ + _).init
+    val indexed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var idx = offsets(i)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ idx); idx += 1; out }
+    }
+    (spark.createDataFrame(indexed,
+      sorted.schema.add(posName, LongType, nullable = false)), n)
+  }
+
   def byQuantile(df: DataFrame, scoreCol: String, idCol: String, nBins: Int): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")
-    val spark = df.sparkSession
-    val n = df.count()
+    val (indexed, n) = withGlobalIndex(df, scoreCol, idCol, "__rn")
     if (n == 0) return df.withColumn("bin", lit(0))
-    val sorted = df.orderBy(col(scoreCol), col(idCol))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(indexed, sorted.schema.add("__rn", LongType, nullable = false))
+    indexed
       .withColumn("bin", expr(s"CAST((__rn * $nBins) div ${n}L AS INT)"))
       .drop("__rn")
   }
@@ -200,10 +223,7 @@ object Split {
     * column. Same distributed machinery as [[byQuantile]] (range sort +
     * zipWithIndex), no global window.
     */
-  def shufflePositions(df: DataFrame, idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.orderBy(lcg31(col(idCol)), col(idCol))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(indexed, sorted.schema.add("pos", LongType, nullable = false))
-  }
+  def shufflePositions(df: DataFrame, idCol: String): DataFrame =
+    withGlobalIndex(df.withColumn("__h", lcg31(col(idCol))), "__h", idCol, "pos")
+      ._1.drop("__h")
 }

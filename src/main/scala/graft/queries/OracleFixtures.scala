@@ -99,6 +99,29 @@ object OracleFixtures {
   val ShWidth: Int = 64 / ShChunks
   val ShMask: Long = (1L << ShWidth) - 1
 
+  /** toks/th/wh fixture window-hash CTE chain over `src` (a relation with
+    * doc_id, text): per-char polynomial token hash, then chained window
+    * hash, all mod FixtureP — THE one SQL rendering of
+    * Dedup.fixtureWindowHashes, shared by the minhash, simhash, and bloom
+    * oracle families so the arithmetic cannot fork. `distinct`
+    * list_distincts the windows (the simhash/bloom SET form; minhash
+    * keeps duplicates, mirroring the Spark kernels).
+    */
+  def windowHashCtes(src: String, shingle: Int, distinct: Boolean): String = {
+    val p = graft.operators.Dedup.FixtureP
+    val windows =
+      s"""list_transform(range(1, greatest(len(th) - ${shingle - 1}, 1) + 1), w ->
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), th[w:w+${shingle - 1}]),
+                    (a, h) -> (a*1000003 + h) % $p))"""
+    val whExpr = if (distinct) s"list_distinct(\n                $windows)" else windows
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src),
+       th AS (SELECT doc_id, list_transform(w, t ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT))),
+                  (a, c) -> (a*31 + c) % $p)) AS th FROM toks),
+       wh AS (SELECT doc_id, $whExpr AS wh FROM th)"""
+  }
+
   /** CTEs from `documents` (∪ shifted copies) to the per-doc fixture
     * simhash signature — the DuckDB replay of
     * [[graft.operators.Dedup.simhashSignatureFixture]].
@@ -108,15 +131,7 @@ object OracleFixtures {
     val bits = graft.operators.Dedup.SimFixtureBits
     s"""corpus AS (SELECT doc_id, text FROM documents
                    UNION ALL SELECT doc_id + 10000, text FROM documents),
-       toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus),
-       th AS (SELECT doc_id, list_transform(w, t ->
-                list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT))),
-                  (a, c) -> (a*31 + c) % $p)) AS th FROM toks),
-       wh AS (SELECT doc_id, list_distinct(
-                list_transform(range(1, greatest(len(th) - ${ShShingle - 1}, 1) + 1), w ->
-                  list_reduce(list_prepend(CAST(0 AS BIGINT), th[w:w+${ShShingle - 1}]),
-                    (a, h) -> (a*1000003 + h) % $p))) AS wh FROM th),
+       ${windowHashCtes("corpus", ShShingle, distinct = true)},
        sig AS (SELECT doc_id,
                 list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(range(0, $bits), i ->
@@ -140,14 +155,7 @@ object OracleFixtures {
     val p = graft.operators.Dedup.FixtureP
     s"""corpus AS (SELECT doc_id, text FROM documents
                    UNION ALL SELECT doc_id + 10000, text FROM documents),
-       toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus),
-       th AS (SELECT doc_id, list_transform(w, t ->
-                list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT))),
-                  (a, c) -> (a*31 + c) % $p)) AS th FROM toks),
-       wh AS (SELECT doc_id, list_transform(range(1, greatest(len(th) - ${MhShingle - 1}, 1) + 1), w ->
-                list_reduce(list_prepend(CAST(0 AS BIGINT), th[w:w+${MhShingle - 1}]),
-                  (a, h) -> (a*1000003 + h) % $p)) AS wh FROM th),
+       ${windowHashCtes("corpus", MhShingle, distinct = false)},
        sig AS (SELECT doc_id, list_transform(range(0, $MhNumHashes), s ->
                 list_min(list_transform(wh, h -> ((s*2+3)*h + (s*5+7)) % $p))) AS sig FROM wh),
        bh AS (SELECT doc_id, sig, list_transform(range(0, $MhBands), b ->

@@ -24,23 +24,14 @@ object SignalQueries {
   private val BloomM = 1 << 16
   private val BloomK = 3
 
-  /** Fixture-hash CTEs (documents -> per-doc DISTINCT window hashes) —
-    * the minhashSigCtes front half, shingle 3, without the shifted-copy
-    * corpus.
+  /** Fixture-hash CTEs (documents -> per-doc DISTINCT window hashes →
+    * exploded gram rows) — rendered from the ONE shared generator
+    * ([[OracleFixtures.windowHashCtes]], shingle 3, set form), so the
+    * bloom oracles can never drift from the minhash/simhash families.
     */
-  private val FixtureGramCtes = {
-    val p = graft.operators.Dedup.FixtureP
-    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
-       th AS (SELECT doc_id, list_transform(w, t ->
-                list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT))),
-                  (a, c) -> (a*31 + c) % $p)) AS th FROM toks),
-       wh AS (SELECT doc_id, list_distinct(
-                list_transform(range(1, greatest(len(th) - 2, 1) + 1), w ->
-                  list_reduce(list_prepend(CAST(0 AS BIGINT), th[w:w+2]),
-                    (a, h) -> (a*1000003 + h) % $p))) AS wh FROM th),
+  private val FixtureGramCtes =
+    s"""${OracleFixtures.windowHashCtes("documents", 3, distinct = true)},
        g AS (SELECT doc_id, unnest(wh) AS g FROM wh)"""
-  }
 
   // bench headliner: the corpus pass is a shuffle-free projection while
   // the oracle must replay it relationally — the ratio is the point

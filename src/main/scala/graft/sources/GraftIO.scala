@@ -112,11 +112,15 @@ object GraftIO {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
     fs.mkdirs(root)
+    // ship the SESSION's Hadoop conf to executors (credentials, scheme
+    // registrations, defaultFS) — a bare new Configuration() would write
+    // against a different filesystem view than the driver just prepared
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     df.select(org.apache.spark.sql.functions.col(nameCol),
         org.apache.spark.sql.functions.col(payloadCol))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val pfs = new Path(dir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val pfs = new Path(dir).getFileSystem(serConf.value)
         it.foreach { r =>
           val out = pfs.create(new Path(dir, r.getString(0)), true)
           try out.write(r.getAs[Array[Byte]](1)) finally out.close()

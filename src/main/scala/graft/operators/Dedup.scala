@@ -525,6 +525,31 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] with an explicit canonical-selection rule:
+    * each cluster keeps its argmax-`prefCol` member (ties to the smallest
+    * id) instead of the min id — the realistic canonicalization, where
+    * the HIGHEST-QUALITY copy survives and its mirrors drop.
+    *
+    * Scale: identical pair/cluster machinery; selection adds one join of
+    * the (small) cluster table against (id, pref) and a per-CLUSTER
+    * window — partitions are duplicate clusters, bounded by cluster size,
+    * never corpus-keyed.
+    */
+  def dropNearDuplicatesBy(df: DataFrame, idCol: String, textCol: String,
+      prefCol: String, shingle: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val clusters = connectedComponents(
+      ngramJaccardPairs(df, idCol, textCol, shingle, threshold, maxDocFreq),
+      "idA", "idB")
+    val member = clusters.join(
+      df.select(col(idCol).as("id"), col(prefCol).as("__pref")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("__pref").desc, col("id").asc)
+    val losers = member.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > 1).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Substring-level exact dedup, span DISCOVERY (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better" suffix-style
     * pass, re-expressed for Spark): find maximal token spans of ≥ `minSpan`

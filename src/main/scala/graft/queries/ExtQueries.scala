@@ -387,6 +387,31 @@ object ExtQueries {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** Canonical-by-quality dedup apply: the q_dedup_apply component graph,
+    * but each cluster keeps its HIGHEST-quality member (ties to smallest
+    * id) — the realistic canonicalization rule, oracled with the same
+    * recursive-CTE closure plus the shared quality SQL.
+    */
+  private val dedupApplyPrefQ = q("q_dedup_apply_pref",
+    raw"""WITH RECURSIVE
+       $NgramCcCtes,
+       cc AS (SELECT node, least(node, MIN(x)) AS cluster FROM reach GROUP BY node),
+       qd AS ($QualityDocsSql),
+       member AS (SELECT cc.node AS id, cc.cluster, qd.quality
+                  FROM cc JOIN qd ON cc.node = qd.doc_id),
+       win AS (SELECT id, row_number() OVER (PARTITION BY cluster
+                 ORDER BY quality DESC, id ASC) AS rk FROM member),
+       dropped AS (SELECT id FROM win WHERE rk > 1)
+       SELECT d.doc_id, d.n_chars FROM documents d
+       LEFT JOIN dropped ON d.doc_id = dropped.id
+       WHERE dropped.id IS NULL""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+      .withColumn("quality", qualityScore(col("text")))
+    Dedup.dropNearDuplicatesBy(docs, "doc_id", "text", "quality",
+        shingle = 2, threshold = 0.1)
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   private val embDedupQ = q("q_dedup_embedding",
     // at threshold 0.98 the LSH answer IS the exact answer for this data:
     // duplicate pairs (identical vectors, cos=1) always share a bucket,
@@ -1194,17 +1219,23 @@ object ExtQueries {
     * the operator variants are result-identical by contract, so they must
     * all hash-match the same SQL.
     */
-  private val SessionizeOracleSql =
-    """WITH e AS (
+  /** Per-event session rows (`s`: user_id, tns, event_id, session_id) —
+    * shared by the sessionize aggregate oracle and the attribution join.
+    */
+  private val SessionRowCtes =
+    """e AS (
          SELECT user_id, epoch_ns(ts) AS tns, event_id,
                 CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        s AS (
-         SELECT user_id, tns,
+         SELECT user_id, tns, event_id,
                 SUM(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-         FROM e)
+         FROM e)"""
+
+  private val SessionizeOracleSql =
+    s"""WITH $SessionRowCtes
        SELECT user_id AS key, CAST(session_id AS BIGINT) AS session_id,
               MIN(tns) // 1000 AS start_us, MAX(tns) // 1000 AS end_us,
               CAST(COUNT(*) AS BIGINT) AS n_events
@@ -1235,6 +1266,35 @@ object ExtQueries {
   private val sessionizeFastQ = q("q_sessionize_fast", SessionizeOracleSql) { (s, d) =>
     sessionizeOut(Sessions.batchSingleWindow(Tables.eventsNs(s, d),
       col("user_id"), col("ts"), col("event_id"), gap = 1800000000000L))
+  }
+
+  /** Session attribution: every event joined to ITS session — composed
+    * as Sessions.batch + a backward AS-OF on the session start (sessions
+    * never overlap and every event lies in one, so "last session starting
+    * at or before ts" is exact), which keeps attribution LINEAR (one
+    * asof shuffle) instead of the |events_u| x |sessions_u| equi-join +
+    * range-filter a naive formulation pays per user. The oracle reuses
+    * the shared per-event session rows.
+    */
+  private val sessionAttributionQ = q("q_session_attribution",
+    s"""WITH $SessionRowCtes,
+       sess AS (SELECT user_id, session_id, MIN(tns) AS st,
+                  CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM s GROUP BY 1, 2)
+       SELECT s.event_id, s.user_id, CAST(s.session_id AS BIGINT) AS session_id,
+              sess.st // 1000 AS start_us, sess.n_events
+       FROM s JOIN sess ON s.user_id = sess.user_id AND s.session_id = sess.session_id""") { (s, d) =>
+    val ev = Tables.eventsNs(s, d)
+    val sessions = Sessions.batch(ev, col("user_id"), col("ts"), col("event_id"),
+        gap = 1800000000000L)
+      .select(col("key").as("user_id"), col("session_id"),
+        col("start_ts"), col("start_ts").as("sess_start"), col("n_events"))
+    graft.operators.AsofJoin.asof(
+      ev.select("event_id", "user_id", "ts"), sessions,
+      "user_id", "ts", "start_ts",
+      payload = Seq("session_id", "sess_start", "n_events"))
+      .select(col("event_id"), col("user_id"), col("session_id"),
+        expr("sess_start DIV 1000").as("start_us"), col("n_events"))
   }
 
   // 30-minute gap sessionization over the events stream table (ts is
@@ -1615,8 +1675,8 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
-    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ,
+    minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
+    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)

@@ -81,6 +81,26 @@ object ProbeSkew {
     }
     run("aqe-skew-OFF", skewJoin = false)
     run("aqe-skew-ON", skewJoin = true)
+
+    // the MANUAL dial on the same data: salted join with AQE skew-join
+    // off — the regime where AQE can't help (stream-static, cached
+    // subplans); equivalence is SkewJoinSpec's + the shared oracle's job,
+    // this measures the spread's effect
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", false)
+    val salted = graft.operators.SkewJoin.saltedJoin(
+        fact, orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        keys = Seq("l_orderkey"), salts = 16, saltOn = Seq("l_linenumber"))
+      .groupBy("o_custkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+        * (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+        .as("revenue"))
+    salted.collect() // warm-up
+    val saltedTimes = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      salted.collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    println(f"[skew] salted-16     min=${saltedTimes.min}%7.0f ms  (AQE skew off)")
     spark.stop()
   }
 }

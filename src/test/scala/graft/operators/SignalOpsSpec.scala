@@ -198,6 +198,60 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(byBin.getOrElse(0, 0) < byBin(9))
   }
 
+  test("resample matches a local reference on random event streams") {
+    val rnd = new scala.util.Random(23)
+    val events = Seq.fill(400)((rnd.nextInt(5).toLong,
+      rnd.nextInt(1000).toLong, (rnd.nextInt(200) - 100) / 4.0))
+    val width = 37L
+    val got = Resample.resample(events.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", width)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    // local reference
+    val byKey = events.groupBy(_._1)
+    val want = byKey.flatMap { case (k, evs) =>
+      val buckets = evs.groupBy(e => e._2 / width)
+      val lo = buckets.keys.min
+      val hi = buckets.keys.max
+      var lastTot = Double.NaN
+      (lo to hi).map { b =>
+        val n = buckets.get(b).map(_.size.toLong).getOrElse(0L)
+        val tot = buckets.get(b).map(es =>
+          es.map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble).getOrElse(0.0)
+        if (n > 0) lastTot = tot
+        (k, b) -> ((n, tot, lastTot))
+      }
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (kb, (n, tot, filled)) =>
+      val (wn, wtot, wfilled) = want(kb)
+      assert(n == wn && math.abs(tot - wtot) < 1e-9 &&
+        math.abs(filled - wfilled) < 1e-9, s"$kb: got ($n,$tot,$filled) want ${want(kb)}")
+    }
+  }
+
+  test("byQuantile/shufflePositions match local sorts on random data") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(40).toDouble))
+    val df = rows.toDF("id", "score")
+    // byQuantile = local sort by (score, id), floor cut
+    val bins = Split.byQuantile(df, "score", "id", nBins = 7)
+      .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    val order = rows.sortBy(r => (r._2, r._1)).map(_._1)
+    order.zipWithIndex.foreach { case (id, rn) =>
+      assert(bins(id) == (rn.toLong * 7 / 500).toInt, s"id $id rank $rn")
+    }
+    // shufflePositions = local sort by (lcg31(id), id)
+    def lcg(id: Long): Long = ((id ^ (id >>> 31)) * 1103515245L + 12345L) & 2147483647L
+    val pos = Split.shufflePositions(df.select("id"), "id")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val wantOrder = rows.map(_._1).sortBy(id => (lcg(id), id))
+    wantOrder.zipWithIndex.foreach { case (id, p) =>
+      assert(pos(id) == p.toLong, s"id $id pos ${pos(id)} want $p")
+    }
+  }
+
   // ---------------- edge cases ----------------
 
   test("edge cases: empty inputs, degenerate parameters") {

@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_band_hashes"),
       info("graft_band_hashes", "graft_band_hashes(sig, bands) - LSH band bucket keys"),
       (es: Seq[Expression]) => BandHashes(es(0), intArg(es(1), "graft_band_hashes", "bands"))))
+    ext.injectFunction((FunctionIdentifier("graft_ngram_hashes"),
+      info("graft_ngram_hashes",
+        "graft_ngram_hashes(tokens, n) - distinct hashed n-gram identities of array<string>"),
+      (es: Seq[Expression]) => NgramHashes(es(0),
+        intArg(es(1), "graft_ngram_hashes", "n"))))
     ext.injectFunction((FunctionIdentifier("graft_sig_agreement"),
       info("graft_sig_agreement", "graft_sig_agreement(a, b) - fraction of agreeing signature positions"),
       (es: Seq[Expression]) => SignatureAgreement(es(0), es(1))))

@@ -38,7 +38,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
                 graft_l2(array(0.0d, 3.0d), array(4.0d, 0.0d)) AS l,
                 graft_quantized_dot(array(0.5d), array(2.0d), 1000) AS q,
                 graft_simhash(array('a', 'b')) AS sh,
-                size(graft_minhash(array('a', 'b'), 8)) AS mh
+                size(graft_minhash(array('a', 'b'), 8)) AS mh,
+                size(graft_ngram_hashes(array('a', 'b', 'a', 'b'), 2)) AS ng
       """).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 1.0)
@@ -46,6 +47,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 500L * 2000L)
     assert(r.getLong(4) != 0L)
     assert(r.getInt(5) == 8)
+    assert(r.getInt(6) == 2, "4 tokens / 2-grams: (a b), (b a), (a b) → 2 distinct")
   }
 
   test("graft_bpe_apply is SQL-callable with a literal merge table") {

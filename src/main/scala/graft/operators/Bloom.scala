@@ -105,9 +105,11 @@ object Bloom {
     * referenced multiple times), so the tokenize+hash work runs once per
     * row instead of once per reference. The probe itself is the native
     * [[graft.functions.BloomHits]] expression — one codegen'd loop with
-    * O(1) bit tests (a `filter` HOF would fall back to interpreted eval
-    * per gram); the bitmap rides the generated class as a referenced
-    * object.
+    * O(1) bit tests, the bitmap riding the generated class as a
+    * referenced object. A `filter` HOF computes the same thing through
+    * interpreted lambda eval; measured equivalent at corpus scale
+    * (ProbeBloom — gram hashing dominates either way), the native form
+    * is kept for the library-wide no-codegen-fallback discipline.
     */
   private def score(corpus: DataFrame, idCol: String, gramArr: Column,
       words: Array[Long], mBits: Int, k: Int, foldWide: Boolean): DataFrame =

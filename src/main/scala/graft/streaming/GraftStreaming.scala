@@ -192,6 +192,25 @@ object GraftStreaming {
       .where(col("contamination_bloom") <= maxContamination)
   }
 
+  /** The composed streaming curation pipeline — the streaming dual of the
+    * batch q_pipeline (quality gate → exact dedup → decontamination):
+    * stateless quality filter, watermark-bounded canonical-text dedup,
+    * stateless Bloom decontamination against a static benchmark. Output
+    * carries `contamination_bloom`; the only stateful stage is the dedup
+    * (watermark-evicted seen-fingerprints), so the pipeline's state bound
+    * is exactly [[dedupTextStream]]'s.
+    */
+  def curateStream(stream: DataFrame, tsCol: String, watermarkDelay: String,
+      textCol: String, minQuality: Double, benchmark: DataFrame,
+      maxContamination: Double, shingle: Int = 3,
+      mBits: Int = 1 << 20, k: Int = 3): DataFrame =
+    decontaminateStream(
+      dedupTextStream(
+        stream.where(
+          graft.functions.TextFunctions.qualityScore(col(textCol)) >= minQuality),
+        tsCol, watermarkDelay, textCol),
+      textCol, benchmark, maxContamination, shingle, mBits, k)
+
   def dedupExactStream(df: DataFrame, tsCol: String, watermarkDelay: String,
       keyCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)

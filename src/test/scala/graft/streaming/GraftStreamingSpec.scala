@@ -154,6 +154,45 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("curateStream: composed quality->dedup->decontaminate agrees with the batch stages") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val bench = Seq((900L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a decent document with reasonably many distinct words here"),
+      (2L, "x"),                                              // fails quality gate
+      (3L, "a decent document with reasonably many distinct words here"), // dup of 1
+      (4L, "alpha beta gamma delta epsilon zeta and more"),   // contaminated
+      (5L, "another clean piece of text with enough variety inside"))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = GraftStreaming.curateStream(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "10 seconds", "text",
+      minQuality = 0.7, bench, maxContamination = 0.4,
+      shingle = 3, mBits = 1 << 12)
+    val query = GraftStreaming.storeStreamMemory(out, "curate_test")
+    try {
+      docs.zipWithIndex.foreach { case ((id, text), i) =>
+        input.addData((ts(i + 1), id, text))
+      }
+      query.processAllAvailable()
+      val got = spark.table("curate_test")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // batch replica of the three stages, first-arrival == min-id here
+      val batch = docs.toDF("doc_id", "text")
+        .where(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.7)
+      val deduped = graft.operators.Dedup.exact(batch, "doc_id", "text")
+        .select("doc_id")
+      val want = graft.operators.Bloom.ngramContaminationBloom(
+          batch.join(deduped, Seq("doc_id"), "left_semi"), bench,
+          "doc_id", "text", shingle = 3, mBits = 1 << 12)
+        .where(col("contamination_bloom") <= 0.4)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want, s"stream $got vs batch $want")
+      assert(got.contains(1L) && got.contains(5L) && !got.contains(2L) &&
+        !got.contains(3L) && !got.contains(4L))
+    } finally query.stop()
+  }
+
   test("dedupAgainstStream: arriving docs already in the static reference are dropped") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

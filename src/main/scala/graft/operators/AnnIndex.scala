@@ -350,7 +350,12 @@ object AnnIndex {
     */
   private def signedWith(df: DataFrame, idCol: String, textCol: String,
       sig: Column => Column, band: Column => Column): DataFrame =
-    df.select(col(idCol).as("__id"), sig(col(textCol)).as("__sig"))
+    // spread before signing: signature cost must not be serialized
+    // through the input file layout (a small parquet reads as one
+    // partition — the Dedup.spread rationale; the fixture chains are
+    // interpreted and pay for it hardest)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"), sig(col(textCol)).as("__sig"))
       .withColumn("__bh", band(col("__sig")))
 
   private def signed(df: DataFrame, idCol: String, textCol: String,

@@ -144,11 +144,22 @@ object Dedup {
   /** [[minhashCrossDuplicates]] under the fixture hash family — the
     * oracle-gated twin (the q_dedup_minhash_fixed discipline).
     */
+  /** The fixture signatures are interpreted HOF chains (deliberately —
+    * that is what makes them SQL-replayable); their cost must never be
+    * serialized through the input FILE layout, where a small parquet
+    * reads as ONE partition and the whole corpus hashes in one task
+    * (measured: the q_dedup_*_fixed family at 10x data sat for tens of
+    * minutes single-threaded). Spread the rows across the session's
+    * parallelism before the signature projection — round-robin, no key.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def minhashCrossDuplicatesFixture(probe: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, shingle: Int = 3, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    def sigSide(df: DataFrame, s: Int) = df.select(col(idCol).as("__id"),
+    def sigSide(df: DataFrame, s: Int) = spread(df).select(col(idCol).as("__id"),
       minhashSignatureFixture(col(textCol), shingle, numHashes).as("__sig"),
       lit(s).as("__side"))
     val sigs = materializeOnce(sigSide(probe, 0).unionByName(sigSide(reference, 1)))
@@ -226,7 +237,7 @@ object Dedup {
       shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val sigs = materializeOnce(df.select(col(idCol).as("__id"),
+    val sigs = materializeOnce(spread(df).select(col(idCol).as("__id"),
       minhashSignatureFixture(col(textCol), shingle, numHashes).as("__sig")))
     minhashPairsFromSigs(sigs, bands, threshold,
       bandHashesFixture(bands, numHashes / bands))
@@ -358,7 +369,7 @@ object Dedup {
     */
   def simhashNearDuplicatesFixture(df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 2, maxHamming: Int = 3): DataFrame = {
-    val sigs = materializeOnce(df.select(col(idCol).as("__id"),
+    val sigs = materializeOnce(spread(df).select(col(idCol).as("__id"),
       simhashSignatureFixture(col(textCol), shingle).as("__sig")))
     simhashPairsFromSigs(sigs, maxHamming)
   }

@@ -350,11 +350,10 @@ object AnnIndex {
     */
   private def signedWith(df: DataFrame, idCol: String, textCol: String,
       sig: Column => Column, band: Column => Column): DataFrame =
-    // spread before signing: signature cost must not be serialized
-    // through the input file layout (a small parquet reads as one
-    // partition — the Dedup.spread rationale; the fixture chains are
-    // interpreted and pay for it hardest)
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // spread before signing (Dedup.spread: conditional — only when the
+    // file layout is narrower than the session; the fixture chains are
+    // interpreted and pay for single-partition inputs hardest)
+    Dedup.spread(df)
       .select(col(idCol).as("__id"), sig(col(textCol)).as("__sig"))
       .withColumn("__bh", band(col("__sig")))
 

@@ -61,7 +61,7 @@ object Dedup {
     // the signature table feeds banding AND both verify joins; measured 2x
     // faster materialized once than recomputed per consumer, even with the
     // cheap token-chain signatures (lifetime/fault notes: materializeOnce)
-    val sigs = materializeOnce(df.select(col(idCol).as("__id"),
+    val sigs = materializeOnce(spread(df).select(col(idCol).as("__id"),
       minhashSignature(col(textCol), shingle, numHashes).as("__sig")))
     minhashPairsFromSigs(sigs, bands, threshold,
       graft.functions.HashExpressions.bandHashes(_, bands))
@@ -144,16 +144,19 @@ object Dedup {
   /** [[minhashCrossDuplicates]] under the fixture hash family — the
     * oracle-gated twin (the q_dedup_minhash_fixed discipline).
     */
-  /** The fixture signatures are interpreted HOF chains (deliberately —
-    * that is what makes them SQL-replayable); their cost must never be
-    * serialized through the input FILE layout, where a small parquet
-    * reads as ONE partition and the whole corpus hashes in one task
-    * (measured: the q_dedup_*_fixed family at 10x data sat for tens of
-    * minutes single-threaded). Spread the rows across the session's
-    * parallelism before the signature projection — round-robin, no key.
+  /** Signature cost must never be serialized through the input FILE
+    * layout: a small parquet reads as ONE partition and the whole corpus
+    * hashes in one task (measured: the interpreted fixture chains at 10x
+    * data sat single-threaded for tens of minutes; 23x utilization after
+    * spreading). CONDITIONAL on the input actually being narrower than
+    * the session — at corpus scale file splits already provide the
+    * parallelism and an unconditional repartition would shuffle the raw
+    * text for nothing.
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   def minhashCrossDuplicatesFixture(probe: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, shingle: Int = 3, numHashes: Int = 64,
@@ -290,8 +293,8 @@ object Dedup {
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 2, maxHamming: Int = 3): DataFrame = {
-    val sigs = materializeOnce(
-      df.select(col(idCol).as("__id"), simhash(col(textCol), shingle).as("__sig")))
+    val sigs = materializeOnce(spread(df)
+      .select(col(idCol).as("__id"), simhash(col(textCol), shingle).as("__sig")))
     simhashPairsFromSigs(sigs, maxHamming)
   }
 

@@ -65,4 +65,22 @@ object Resample {
         col("total").cast("double").as("total"),
         col("filled").cast("double").as("filled"))
   }
+
+  /** Rolling mean over the last `nRows` rows per key — the standard
+    * consumer of a gap-filled series (a rolling window over SPARSE
+    * buckets silently spans arbitrary time; over the densified series it
+    * means exactly "the last `nRows` periods"). Determinism: the frame
+    * sum runs through DECIMAL(28,4) (a ≤15-significant-digit double
+    * round-trips decimal exactly), divided by the frame COUNT as double —
+    * engine-independent, so the composition stays under the hash gate.
+    */
+  def rollingMean(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, nRows: Int, outCol: String = "rolling"): DataFrame = {
+    require(nRows > 0, s"nRows must be positive, got $nRows")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+    df.withColumn(outCol,
+      sum(col(valueCol).cast("decimal(28,4)")).over(w).cast("double") /
+        count(lit(1)).over(w))
+  }
 }

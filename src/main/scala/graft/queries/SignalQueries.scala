@@ -78,7 +78,7 @@ object SignalQueries {
 
   private val ResampleBucketNs = 21600000000000L // 6 hours
 
-  private val resampleQ = q("q_resample",
+  private val ResampleOracleSql =
     s"""WITH e AS (SELECT user_id, epoch_ns(ts) // $ResampleBucketNs AS bucket, value FROM events),
        b AS (SELECT user_id, bucket, COUNT(*) AS n,
                SUM(CAST(value AS DECIMAL(28,4))) AS tot
@@ -92,8 +92,28 @@ object SignalQueries {
               CAST(COALESCE(tot, 0) AS DOUBLE) AS total,
               CAST(last_value(tot IGNORE NULLS)
                      OVER (PARTITION BY user_id ORDER BY bucket) AS DOUBLE) AS filled
-       FROM f""") { (s, d) =>
+       FROM f"""
+
+  private val resampleQ = q("q_resample", ResampleOracleSql) { (s, d) =>
     Resample.resample(Tables.eventsNs(s, d), "user_id", "ts", "value", ResampleBucketNs)
+  }
+
+  /** Rolling 4-bucket mean over the DENSIFIED series — the consumer the
+    * gap-fill exists for (over sparse buckets a ROWS frame silently spans
+    * arbitrary time). Decimal frame sum / frame count keeps the window
+    * engine-deterministic.
+    */
+  private val resampleRollingQ = q("q_resample_rolling",
+    s"""SELECT user_id, bucket, n, total,
+         CAST(SUM(CAST(total AS DECIMAL(28,4))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS rolling
+       FROM ($ResampleOracleSql) base
+       WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""") { (s, d) =>
+    Resample.rollingMean(
+      Resample.resample(Tables.eventsNs(s, d), "user_id", "ts", "value", ResampleBucketNs)
+        .drop("filled"),
+      "user_id", "bucket", "total", nRows = 4)
   }
 
   // ---- Chunk->doc embedding mean-pool (8 chunks per synthetic doc),
@@ -234,6 +254,6 @@ object SignalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    contaminationBloomQ, oovRateQ, resampleQ, embedPoolQ, qualityBinsQ,
-    curriculumQ, profileVecQ, pipelineCuratedQ, shuffleQ)
+    contaminationBloomQ, oovRateQ, resampleQ, resampleRollingQ, embedPoolQ,
+    qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ, shuffleQ)
 }

@@ -74,6 +74,32 @@ object SignalQueries {
     Vocabulary.oovRate(Tables.df(s, d, "documents"), "doc_id", "text", minCount = 20)
   }
 
+  /** OOV against a REFERENCE corpus (every 3rd doc, minCount 5) — the
+    * cross-corpus configuration: score candidate text by coverage in a
+    * trusted vocabulary rather than self-coverage.
+    */
+  private val oovRefQ = q("q_oov_ref",
+    raw"""WITH rtok AS (SELECT w FROM
+             (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+              FROM documents WHERE doc_id % 3 = 0) t
+           WHERE w <> ''),
+       v AS (SELECT w FROM (SELECT w, COUNT(*) AS n FROM rtok GROUP BY 1) WHERE n >= 5),
+       tok AS (SELECT doc_id, w FROM
+             (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+              FROM documents) t
+           WHERE w <> ''),
+       j AS (SELECT tok.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+             FROM tok LEFT JOIN v ON tok.w = v.w)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(oov) AS BIGINT) AS n_oov,
+              round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+       FROM j GROUP BY doc_id""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    Vocabulary.oovRateAgainst(docs, "doc_id", "text",
+      Vocabulary.vocabulary(docs.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", minCount = 5))
+  }
+
   // ---- 6-hour resample of the events stream, per user.
 
   private val ResampleBucketNs = 21600000000000L // 6 hours
@@ -254,6 +280,7 @@ object SignalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    contaminationBloomQ, oovRateQ, resampleQ, resampleRollingQ, embedPoolQ,
-    qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ, shuffleQ)
+    contaminationBloomQ, oovRateQ, oovRefQ, resampleQ, resampleRollingQ,
+    embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
+    shuffleQ)
 }

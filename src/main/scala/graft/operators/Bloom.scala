@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * benchmark grams (shuffled by position, bounded output ≤ mBits rows)
   * followed by a driver-side bitset of mBits/8 bytes — the WHOLE point is
   * that this is small. Scoring is then a PURE PROJECTION: the doc's gram
-  * array is filtered against the plan-literal bitmap inside one
-  * whole-stage-codegen'd expression (array `filter` HOF + O(1) bit tests),
-  * so the corpus pass has NO explode, NO join and NO shuffle — which also
+  * array is probed by the native `BloomHits` Catalyst expression (the
+  * bitmap rides the plan as an `addReferenceObj` long-array, the per-gram
+  * O(1) bit tests are emitted by `doGenCode` inside whole-stage codegen —
+  * the array-`filter`-HOF form was rejected because HOFs are
+  * CodegenFallback; see `score()` below), so the corpus pass has NO
+  * explode, NO join and NO shuffle — which also
   * makes the operator stateless-streamable
   * ([[graft.streaming.GraftStreaming]] `decontaminateStream`). The exact
   * operator needs the relational explode+join shape because its pool is a

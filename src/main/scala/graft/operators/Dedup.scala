@@ -152,10 +152,27 @@ object Dedup {
     * the session — at corpus scale file splits already provide the
     * parallelism and an unconditional repartition would shuffle the raw
     * text for nothing.
+    *
+    * The partition probe (`df.rdd.getNumPartitions`) is gated to
+    * SCAN-ROOTED plans (scan + project/filter only): on those, building
+    * the RDD is just file listing — no exchange exists, so AQE has no
+    * query stage to materialize eagerly. Any other shape (a join/agg
+    * upstream) already owes its parallelism to the shuffle settings, and
+    * probing it under AQE could execute upstream stages at
+    * pipeline-CONSTRUCTION time — so those pass through untouched.
     */
   private[graft] def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode, LogicalPlan, Project}
+    def scanRooted(p: LogicalPlan): Boolean = p match {
+      case pr: Project  => scanRooted(pr.child)
+      case f: LFilter   => scanRooted(f.child)
+      case _: LeafNode  => true
+      case _            => false
+    }
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (scanRooted(df.queryExecution.optimizedPlan) &&
+        df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   def minhashCrossDuplicatesFixture(probe: DataFrame, reference: DataFrame,

@@ -158,7 +158,12 @@ object Split {
   private def withGlobalIndex(df: DataFrame, scoreCol: String, idCol: String,
       posName: String): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(col(scoreCol), col(idCol))
+    // NULLS LAST pinned explicitly: Spark's default is NULLS FIRST but the
+    // row_number() oracle twins replay in DuckDB whose default is NULLS
+    // LAST — a nullable score column would silently diverge otherwise.
+    // Oracle-side ORDER BY fragments need no annotation (LAST is DuckDB's
+    // default); Spark-side it must be spelled.
+    val sorted = df.orderBy(asc_nulls_last(scoreCol), asc_nulls_last(idCol))
     val rdd = sorted.rdd
     val partCounts = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))

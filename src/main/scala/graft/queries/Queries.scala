@@ -341,6 +341,33 @@ object Queries {
       .toDF.toDF("lk", "n_chars", "rk", "p_size")
   }
 
+  /** Same oracle as q_join_full, verbatim — the salted full join's union
+    * decomposition ([[graft.operators.SkewJoin.saltedJoin]]) is
+    * semantics-preserving; both aggregate inputs have non-null payloads,
+    * so lk/rk are recovered from payload nullness after the using-join
+    * coalesces the key.
+    */
+  private val joinSaltedFullQ = q("q_join_salted_full",
+    """SELECT a.k AS lk, a.n_chars, b.k AS rk, b.p_size FROM
+         (SELECT doc_id % 700 AS k, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY 1) a
+       FULL JOIN
+         (SELECT CAST(p_partkey % 900 AS BIGINT) AS k, CAST(SUM(p_size) AS BIGINT) AS p_size
+            FROM part GROUP BY 1) b
+       ON a.k = b.k""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+      .groupBy((col("doc_id") % 700).cast("long").as("k"))
+      .agg(sum("n_chars").cast("long").as("n_chars"))
+    val parts = Tables.df(s, d, "part")
+      .groupBy((col("p_partkey") % 900).cast("long").as("k"))
+      .agg(sum("p_size").cast("long").as("p_size"))
+    graft.operators.SkewJoin.saltedJoin(docs, parts, Seq("k"),
+        salts = 8, joinType = "full", saltOn = Seq("k"))
+      .select(
+        when(col("n_chars").isNotNull, col("k")).as("lk"), col("n_chars"),
+        when(col("p_size").isNotNull, col("k")).as("rk"), col("p_size"))
+  }
+
   private val joinNilsQ = q("q_join_nils",
     """SELECT a.k, CAST(COUNT(*) AS BIGINT) AS n FROM
          (SELECT NULLIF(c_nationkey, 3) AS k FROM customer) a
@@ -1622,7 +1649,8 @@ object Queries {
     sortQ, takeQ, sampleQ, sampleHashQ, sampleFixedQ, sampleWeightedQ, returnQ, selfJoinQ,
     distinctQ, unionQ, concatQ, intersectionQ, intersectionMultisetQ,
     differenceQ, differenceMultisetQ,
-    joinInnerQ, joinSaltedQ, joinLeftQ, joinRightQ, joinFullQ, joinNilsQ, joinNilsDefaultQ,
+    joinInnerQ, joinSaltedQ, joinLeftQ, joinRightQ, joinFullQ, joinSaltedFullQ,
+    joinNilsQ, joinNilsDefaultQ,
     filterByQ, removeByQ, cogroupQ, cogroup3Q, cogroup4Q, cogroup3FoldQ, groupByQ, groupStatsQ, topByQ,
     reduceQ, foldAllQ, intoQ, avgFoldQ, foldDistinctQ, foldAvgLibQ, foldSortTakeQ,
     foldJuxtQ,

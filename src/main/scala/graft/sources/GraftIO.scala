@@ -107,7 +107,26 @@ object GraftIO {
   def storeBinaryFiles(dir: String, nameCol: String = "name",
       payloadCol: String = "payload")(df: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{col, count, lit}
     val spark = df.sparkSession
+    // Validate BEFORE the destructive delete: names are data, so a '..'
+    // or '/' would escape the target directory, a null name/payload NPEs
+    // mid-write, and duplicate names across rows overwrite each other
+    // nondeterministically (last writer wins per partition order). One
+    // name-column-only aggregate catches all of it up front.
+    val bad = df
+      .select(col(nameCol).as("__name"),
+        (col(payloadCol).isNull).cast("int").as("__nullPayload"))
+      .groupBy("__name")
+      .agg(count(lit(1)).as("__n"),
+        org.apache.spark.sql.functions.sum(col("__nullPayload")).as("__nulls"))
+      .where(col("__name").isNull || col("__name") === "" ||
+        col("__name").contains("/") || col("__name").contains("\\") ||
+        col("__name").contains("..") || col("__n") > 1 || col("__nulls") > 0)
+      .select("__name").limit(5).collect().map(r => String.valueOf(r.get(0)))
+    require(bad.isEmpty,
+      s"storeBinaryFiles: invalid export names (null/empty/path-separator/" +
+        s"'..'/duplicate, or null payload): ${bad.mkString(", ")}")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)

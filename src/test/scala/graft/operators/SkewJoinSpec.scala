@@ -45,6 +45,37 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(spread >= 12, s"hot key landed on only $spread of 16 salts")
   }
 
+  // misses both ways: small keeps k<5 and adds keys 100..104 absent from big
+  private def smallBoth = smallDf.where(col("k") < 5)
+    .union((100L until 105L).map(k => (k, s"dim$k")).toDF("k", "name"))
+
+  private def canonOuter(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String)] =
+    df.select(coalesce(col("k"), lit(-1L)).as("k"),
+        coalesce(col("id"), lit(-1L)).as("id"),
+        coalesce(col("name"), lit("-")).as("name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+
+  test("right salted join equals the plain right join under skew with misses") {
+    val plain = bigDf.join(smallBoth, Seq("k"), "right")
+    val salted = SkewJoin.saltedJoin(bigDf, smallBoth, Seq("k"), salts = 16,
+      saltOn = Seq("id"), joinType = "right")
+    assert(canonOuter(salted) == canonOuter(plain))
+  }
+
+  test("full salted join equals the plain full join under skew with misses both ways") {
+    val plain = bigDf.join(smallBoth, Seq("k"), "full")
+    val salted = SkewJoin.saltedJoin(bigDf, smallBoth, Seq("k"), salts = 16,
+      saltOn = Seq("id"), joinType = "full")
+    assert(canonOuter(salted) == canonOuter(plain))
+  }
+
+  test("an existing __salt column is rejected") {
+    val tainted = bigDf.withColumn("__salt", lit(1))
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(tainted, smallDf, Seq("k"), salts = 4)
+    }
+  }
+
   test("salts=1 degenerates to the plain join") {
     val plain = bigDf.join(smallDf, Seq("k")).count()
     assert(SkewJoin.saltedJoin(bigDf, smallDf, Seq("k"), salts = 1).count() == plain)

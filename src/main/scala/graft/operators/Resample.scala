@@ -53,8 +53,22 @@ object Resample {
       .agg(count(lit(1)).as("n"), sum(col("__v")).as("__tot")))
     val spans = bucketed.groupBy("__k")
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
-    val dense = spans.select(col("__k"),
-      explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    // densify in TWO chunked explode levels, never one `sequence(lo, hi)`
+    // array per key: a single long-lived sparse key (span S buckets) would
+    // otherwise materialize S longs as ONE array value inside a row.
+    // Level 1 emits chunk ordinals (≤ S/chunk elements), level 2 emits one
+    // ≤chunk-element sequence per ordinal — peak per-row memory is
+    // max(S/chunk, chunk) longs, minimized around sqrt(S); chunk=65536
+    // keeps both sides ≤ 0.5 MB out to S = 2^32 buckets. Output rows are
+    // identical to the flat form, so oracles are unchanged.
+    val chunk = 65536L
+    val dense = spans
+      .select(col("__k"), col("__lo"), col("__hi"),
+        explode(sequence(lit(0L), expr(s"(__hi - __lo) div $chunk"))).as("__c"))
+      .select(col("__k"),
+        explode(sequence(
+          col("__lo") + col("__c") * chunk,
+          least(col("__hi"), col("__lo") + (col("__c") + 1) * chunk - 1))).as("bucket"))
     val w = Window.partitionBy(col("__k")).orderBy(col("bucket"))
     dense.join(bucketed, Seq("__k", "bucket"), "left")
       .select(col("__k"), col("bucket"),

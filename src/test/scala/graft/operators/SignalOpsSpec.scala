@@ -198,6 +198,26 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(byBin.getOrElse(0, 0) < byBin(9))
   }
 
+  test("resample densify is chunked: a sparse key spanning millions of buckets stays bounded") {
+    // one key, events only at bucket 0 and bucket 5M: the old flat
+    // sequence(lo, hi) materialized the whole 5M-long span as ONE array
+    // value; the chunked form caps per-row arrays at 65536 elements
+    val span = 5000000L
+    val events = Seq((1L, 0L, 2.0), (1L, span * 10L, 8.0))
+      .toDF("user_id", "ts", "value")
+    val r = Resample.resample(events, "user_id", "ts", "value", bucketWidth = 10L)
+    assert(r.count() == span + 1)
+    val probe = r.where(col("bucket").isin(1L, span / 2, span - 1, span))
+      .collect().map(x => x.getLong(1) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(probe(1L) == ((0L, 0.0, 2.0)))
+    assert(probe(span / 2) == ((0L, 0.0, 2.0)))
+    assert(probe(span - 1) == ((0L, 0.0, 2.0)))
+    assert(probe(span) == ((1L, 8.0, 8.0)))
+    // chunk-boundary continuity: no dropped or doubled buckets at 65536
+    assert(r.where(col("bucket").between(65530L, 65540L)).count() == 11)
+  }
+
   test("resample matches a local reference on random event streams") {
     val rnd = new scala.util.Random(23)
     val events = Seq.fill(400)((rnd.nextInt(5).toLong,

@@ -677,6 +677,75 @@ case class SignatureAgreement(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** phash(payload, bits): integer average-hash (aHash) perceptual signature
+  * of a binary payload. The payload's bytes are partitioned into `bits`
+  * contiguous cells (cell of byte i = i*bits div n — the integer
+  * downsample an 8x8 aHash does over pixels); bit c is set iff cell c's
+  * byte mean exceeds the payload mean, compared by exact integer
+  * cross-multiplication (cellSum*n > totalSum*cellCount — no division, no
+  * floats), so a DuckDB oracle replays every bit. Near-identical payloads
+  * flip few cells, so Hamming distance over the signature is the
+  * perceptual near-dup metric; `bits` <= 60 keeps the signature a
+  * NONNEGATIVE long (the SimFixtureBits discipline: both engines agree on
+  * plain `>>` chunk keys with no sign-extension caveat).
+  *
+  * Exactness bound: the cross-products stay inside a signed 64-bit long
+  * for payloads up to ~1.5 GB (255*n*(n/bits+1) < 2^63) — far beyond any
+  * sane single-row media payload. Empty payloads hash to 0.
+  */
+case class PhashBytes(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits <= 60, s"bits must be in [1, 60], got $bits")
+  override def prettyName: String = "graft_phash"
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    PhashBytes.hash(b, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val helper = PhashBytes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.hash($in, $bits);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PhashBytes {
+  /** Shared by eval and codegen — ONE definition of the arithmetic. */
+  def hash(bytes: Array[Byte], bits: Int): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    var tot = 0L
+    val cs = new Array[Long](bits)
+    val cc = new Array[Long](bits)
+    var i = 0
+    while (i < n) {
+      val v = (bytes(i) & 0xff).toLong
+      val c = ((i.toLong * bits) / n).toInt
+      cs(c) += v
+      cc(c) += 1
+      tot += v
+      i += 1
+    }
+    var sig = 0L
+    var c = 0
+    while (c < bits) {
+      if (cs(c) * n > tot * cc(c)) sig |= 1L << c
+      c += 1
+    }
+    sig
+  }
+}
+
 object HashExpressions {
   /** One-pass MinHash signature of an array<string> shingle column. */
   def minhash(shingles: Column, numHashes: Int): Column =
@@ -715,6 +784,10 @@ object HashExpressions {
     */
   def ngramHashesAll(tokens: Column, n: Int): Column =
     GraftBridge.column(NgramHashes(GraftBridge.expression(tokens), n, dedupe = false))
+
+  /** Integer average-hash perceptual signature of a binary payload. */
+  def phashBytes(payload: Column, bits: Int = 60): Column =
+    GraftBridge.column(PhashBytes(GraftBridge.expression(payload), bits))
 
   /** Bloom hit count over an array<bigint> of gram hashes. */
   def bloomHits(grams: Column, words: Array[Long], mBits: Int, k: Int,

@@ -131,6 +131,33 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"))
   }
 
+  /** Integer average-hash perceptual signature of the payload bytes —
+    * [[graft.functions.PhashBytes]]: cells over the byte stream, bit =
+    * cell mean vs payload mean by exact integer cross-multiply, so the
+    * signature is engine-replayable (for an ASCII-text-derived fixture
+    * payload a DuckDB oracle recomputes it character-by-character — the
+    * q_io_binary_files ASCII-corpus assumption). This closes the DEDUP
+    * half of the multimodal boundary without a codec: a real deployment
+    * swaps the byte stream for decoded luma pixels and keeps everything
+    * downstream (banding, verify, clustering) unchanged.
+    */
+  def phash(payload: org.apache.spark.sql.Column, bits: Int = 60): org.apache.spark.sql.Column =
+    graft.functions.HashExpressions.phashBytes(payload, bits)
+
+  /** Perceptual near-duplicate payload pairs within `maxHamming` bits,
+    * through the SAME chunk-LSH spine as simhash text dedup
+    * ([[Dedup.simhashPairsFromSigs]]): pigeonhole chunking → bucket join →
+    * first-agreeing-chunk exact-once filter → exact Hamming verify. One
+    * narrow signature pass over payloads (never shuffled), then all
+    * quadratic work confined inside chunk buckets — the 100 TB shape.
+    */
+  def payloadNearDuplicates(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    val sigs = Materialize.once(df.select(col(idCol).as("__id"),
+      phash(col(payloadCol), bits).as("__sig")))
+    Dedup.simhashPairsFromSigs(sigs, maxHamming)
+  }
+
   /** Metadata-only filter that never touches payload bytes — verifies (via
     * .explain) that payload columns are pruned from the scan when only
     * meta predicates/projections are used.

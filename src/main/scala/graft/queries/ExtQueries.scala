@@ -1008,6 +1008,47 @@ object ExtQueries {
         max(col("meta.width")).as("max_width"))
   }
 
+  /** Per-payload perceptual average-hash — the production
+    * [[graft.functions.PhashBytes]] expression is all-integer, so the
+    * oracle replays the REAL operator bit for bit (no fixture twin
+    * needed, unlike the xxhash dedup families).
+    */
+  private val phashQ = q("q_phash",
+    s"""WITH ${OracleFixtures.phashSigCtes("documents")}
+       SELECT doc_id, sig AS phash FROM sig""") { (s, d) =>
+    Multimodal.fromKeyedText(Tables.df(s, d, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"),
+        Multimodal.phash(col("payload"), OracleFixtures.PhBits).as("phash"))
+  }
+
+  /** Multimodal payload dedup: perceptual phash signatures Hamming-banded
+    * through the SAME chunk-LSH spine as q_dedup_simhash_fixed
+    * (Dedup.simhashPairsFromSigs — chunk keys, bucket join,
+    * first-agreeing-chunk exact-once filter, exact Hamming verify), over
+    * the duplicated-corpus payload bytes. Closes the dedup half of the
+    * multimodal boundary without a codec: swap byte stream for decoded
+    * pixels in production, everything downstream is unchanged.
+    */
+  private val dedupMultimodalQ = q("q_dedup_multimodal",
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+                        UNION ALL SELECT doc_id + 10000, text FROM documents),
+       ${OracleFixtures.phashSigCtes("corpus")},
+       keyed AS (SELECT doc_id, sig, unnest(range(0, ${OracleFixtures.ShChunks})) AS chunk FROM sig),
+       pairs AS (
+         SELECT l.doc_id AS idA, r.doc_id AS idB, l.sig AS sigA, r.sig AS sigB, l.chunk,
+                list_position(list_transform(range(0, ${OracleFixtures.ShChunks}),
+                  c -> ${OracleFixtures.shChunkKey("l.sig", "c")} = ${OracleFixtures.shChunkKey("r.sig", "c")}), true) - 1 AS first_agree
+         FROM keyed l JOIN keyed r
+           ON l.chunk = r.chunk AND ${OracleFixtures.shChunkKey("l.sig", "l.chunk")} = ${OracleFixtures.shChunkKey("r.sig", "r.chunk")}
+         WHERE l.doc_id < r.doc_id)
+       SELECT idA, idB, CAST(bit_count(xor(sigA, sigB)) AS INTEGER) AS hamming
+       FROM pairs
+       WHERE chunk = first_agree AND bit_count(xor(sigA, sigB)) <= ${OracleFixtures.ShMaxHamming}""") { (s, d) =>
+    val media = Multimodal.fromKeyedText(docsWithDups(s, d), "doc_id", "text")
+    Multimodal.payloadNearDuplicates(media, "id", "payload",
+      maxHamming = OracleFixtures.ShMaxHamming, bits = OracleFixtures.PhBits)
+  }
+
   private val normalizeQ = q("q_normalize",
     // explicit Cc ranges (minus \n \t): Java's [..&&[^..]] class
     // intersection is not RE2 syntax, so spell the class out — both
@@ -1676,7 +1717,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
-    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
+    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)

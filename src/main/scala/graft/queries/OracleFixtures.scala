@@ -163,6 +163,36 @@ object OracleFixtures {
                   (a, v) -> (a*1000003 + v) % $p)) AS bh FROM sig)"""
   }
 
+  // ---- Perceptual average-hash (Multimodal.phash / PhashBytes): integer
+  // cell-mean-vs-payload-mean votes over payload bytes, 60 bits (the
+  // SimFixtureBits discipline: nonnegative signature, plain `>>` chunk
+  // keys). Unlike the minhash/simhash families this needs NO fixture
+  // twin — the production arithmetic is already all-integer, so the
+  // oracle replays the REAL operator.
+  val PhBits = 60
+
+  /** CTEs pb/pagg/sig: per-doc average-hash signature from `src` (a
+    * relation with doc_id, text) — the DuckDB replay of
+    * [[graft.functions.PhashBytes]] over the UTF-8 payload bytes that
+    * [[graft.operators.Multimodal.fromKeyedText]] derives from the text
+    * (ASCII corpus: characters == bytes, the q_io_binary_files
+    * assumption). Cross-multiplied integer comparisons, no division.
+    */
+  def phashSigCtes(src: String): String =
+    s"""pb AS (SELECT doc_id, len(text) AS n,
+                list_transform(range(1, len(text) + 1),
+                  i -> CAST(unicode(text[i:i]) AS BIGINT)) AS bv FROM $src),
+       pagg AS (SELECT doc_id, n, bv, list_sum(bv) AS tot FROM pb),
+       sig AS (SELECT doc_id,
+                CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(0, $PhBits), c ->
+                    CASE WHEN list_sum(list_transform(range(1, n+1), i ->
+                          CASE WHEN ((i-1) * $PhBits) // n = c THEN bv[i] ELSE CAST(0 AS BIGINT) END)) * n
+                        > tot * len(list_filter(range(1, n+1), i -> ((i-1) * $PhBits) // n = c))
+                    THEN CAST(2**c AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+                  (a, v) -> a + v) END AS sig FROM pagg)"""
+
   // ---- Quality-model fixture: literal logistic weights over the
   // QualityModel.featureVector order [bias, alpha_ratio, punct_ratio,
   // mean_word_len/12, min(distinct_ratio,1), min(n_words/100,1)]. Dyadic

@@ -49,6 +49,7 @@ class CodegenNoFallbackSpec extends AnyFunSuite {
         HashExpressions.minhashTokens(toks, 3, 16),
         HashExpressions.minhashTokens(toks, 3, 16)).as("agree"),
       HashExpressions.nfc(col("text")).as("nfc"),
+      HashExpressions.phashBytes(encode(col("text"), "UTF-8"), 60).as("ph"),
       HashExpressions.bloomHits(HashExpressions.ngramHashes(toks, 3),
         Array.fill(64)(-1L), mBits = 4096, k = 3, foldWide = true).as("bloom_all"),
       HashExpressions.bloomHits(HashExpressions.ngramHashes(toks, 3),
@@ -57,8 +58,8 @@ class CodegenNoFallbackSpec extends AnyFunSuite {
       Bpe.bpeTextExpr(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpeExpr")).collect()
     assert(out.length == 2)
     // all-ones bitmap hits every gram; all-zeros hits none
-    assert(out(0).getInt(12) == out(0).getSeq[Long](4).size &&
-      out(0).getInt(13) == 0, "bloom hit count bounds under CODEGEN_ONLY")
+    assert(out(0).getInt(13) == out(0).getSeq[Long](4).size &&
+      out(0).getInt(14) == 0, "bloom hit count bounds under CODEGEN_ONLY")
     val r0 = out(0)
     assert(r0.getStruct(0).getDouble(0) == 1.0) // quantize scale = maxabs
     assert(r0.getDouble(1) > 0)

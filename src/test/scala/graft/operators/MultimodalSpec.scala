@@ -60,4 +60,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
     assert(frames.forall(_.getInt(1) % 100 == 0))
   }
+
+  // deterministic structured payload: a "gradient" byte pattern per seed,
+  // so small perturbations move few cell means (the planted-feature
+  // discipline: near-dups must pair, random payloads must not)
+  private def gradientPayload(seed: Int, len: Int = 4096): Array[Byte] =
+    Array.tabulate(len)(i => (((i * 255L) / len + seed * 17) % 256).toByte)
+
+  private def perturb(p: Array[Byte], at: Int, n: Int): Array[Byte] = {
+    val out = p.clone()
+    for (j <- at until math.min(at + n, out.length)) out(j) = (out(j) ^ 0x7f).toByte
+    out
+  }
+
+  test("phash expression: locality, empty payload, eval==codegen") {
+    import org.apache.spark.sql.functions._
+    val base = gradientPayload(1)
+    val near = perturb(base, 100, 40)       // flips <1 cell of 60
+    val far = gradientPayload(9)            // different phase entirely
+    val df = Seq((0L, base), (1L, near), (2L, far), (3L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val got = df.select(col("id"), Multimodal.phash(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(got(0L), got(1L)) <= 3,
+      s"near-identical payloads must be within 3 bits, got ${hamming(got(0L), got(1L))}")
+    assert(got(3L) == 0L, "empty payload hashes to 0")
+    // interpreted eval agrees with the codegen'd column path
+    for ((id, h) <- got) {
+      val payload = Seq(base, near, far, Array.empty[Byte])(id.toInt)
+      assert(graft.functions.PhashBytes.hash(payload, 60) == h)
+    }
+  }
+
+  test("payloadNearDuplicates: planted near-dup payloads pair, random payloads don't") {
+    // 8 bases: offsets stay under 256 (seed*17 <= 119), so no two bases
+    // are cyclic-rotation near-collisions of each other
+    val rows =
+      (0 until 8).map(i => (i.toLong, gradientPayload(i))) ++
+      Seq((100L, gradientPayload(3)),                   // exact dup of 3
+          (101L, perturb(gradientPayload(7), 500, 30))) // near dup of 7
+    val df = rows.toDF("id", "payload")
+    val pairs = Multimodal.payloadNearDuplicates(df, "id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 100L)), "exact duplicate payload must pair at hamming 0")
+    assert(pairs.contains((7L, 101L)), "planted near-duplicate payload must pair")
+    // no pair between distinct gradient phases (different seeds shift all
+    // cell votes): everything found involves the planted twins
+    val planted = Set(3L, 100L, 7L, 101L)
+    assert(pairs.forall { case (a, b) => planted.contains(a) && planted.contains(b) },
+      s"unexpected pairs: ${pairs.filterNot { case (a, b) => planted.contains(a) && planted.contains(b) }}")
+  }
 }

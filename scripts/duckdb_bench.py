@@ -8,8 +8,11 @@ shuffle overheads a single-node engine does not pay. The point is to make
 BASELINE.md's "within 2x" gate falsifiable, not to win it at sf0.1; Spark's
 payoff is the 1000-executor scale-out DuckDB does not have.
 
-Usage: python3 scripts/duckdb_bench.py <sf_dir> <oracle_sql.json> [N]
-Writes duckdb_baseline.json next to this repo's root: {query: min_seconds}.
+Usage: python3 scripts/duckdb_bench.py <sf_dir> <oracle_sql.json> [N] [out.json]
+Writes duckdb_baseline.json (or out.json) next to this repo's root:
+{query: min_seconds}. sf_dir may hold either single-file tables
+(<t>.parquet) or Spark-written directories (<t>.parquet/part-*.parquet) —
+the inflated x16 twin is the latter.
 Queries without an oracle (e.g. q_dedup_minhash's seeded xxhash pipeline is
 not DuckDB-expressible) are omitted — Bench reports no ratio for them.
 """
@@ -31,10 +34,13 @@ def bench_set(oracle_json):
     print(f"-- {p} not found; using the hardcoded fallback bench list")
     return BENCH_FALLBACK
 
-def main(sf_dir, oracle_json, n=5):
+def main(sf_dir, oracle_json, n=5, out_name="duckdb_baseline.json"):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written directory table
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(oracle_json))
     out = {}
     for name in bench_set(oracle_json):
@@ -50,10 +56,12 @@ def main(sf_dir, oracle_json, n=5):
         print(f"   {name}: {best:.3f}s")
     meta = {"sf_dir": sf_dir, "n": int(n), "threads":
             con.sql("SELECT current_setting('threads')").fetchone()[0]}
-    dest = os.path.join(os.path.dirname(__file__), "..", "duckdb_baseline.json")
+    dest = os.path.join(os.path.dirname(__file__), "..", out_name)
     with open(dest, "w") as f:
         json.dump({"queries": out, "meta": meta}, f, indent=1, sort_keys=True)
     print(f"wrote {os.path.abspath(dest)}")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 5)
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 5,
+         sys.argv[4] if len(sys.argv) > 4 else "duckdb_baseline.json")

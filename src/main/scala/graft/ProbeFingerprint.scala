@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe: stage-by-stage cost of the exact-dedup fingerprint path on
+  * the inflated corpus — separates parquet scan, whitespace-collapse
+  * normalization, md5, and the dedup shuffle, so a rising x16
+  * spark/duckdb ratio can be attributed to a stage instead of guessed.
+  */
+object ProbeFingerprint {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_x16/sf0.1")
+    val spark = DevSpark.session()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val both = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
+
+    def t(label: String)(f: => Long): Unit = {
+      f // warm
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e3
+      }
+      println(f"[fp] $label%-28s ${runs.min / 1000}%8.1f ms")
+    }
+
+    val stats = docs.agg(count(lit(1)), sum(length(col("text"))) / 1048576.0).head()
+    println(s"[fp] docs=${stats.getLong(0)} textMB=${"%.1f".format(stats.getDouble(1))}")
+
+    t("scan text")(both.select(col("text")).agg(count(col("text"))).head().getLong(0))
+    t("scan+length")(both.select(length(col("text")).as("l")).agg(sum(col("l"))).head().getLong(0))
+    t("trim+lower")(both.select(length(lower(trim(col("text")))).as("l"))
+      .agg(sum(col("l"))).head().getLong(0))
+    t("regex collapse")(both.select(
+      length(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("l"))
+      .agg(sum(col("l"))).head().getLong(0))
+    t("md5 only")(both.select(length(md5(col("text"))).as("l"))
+      .agg(sum(col("l"))).head().getLong(0))
+    t("full fingerprint")(both.select(
+      length(graft.functions.TextFunctions.fingerprint(col("text"))).as("l"))
+      .agg(sum(col("l"))).head().getLong(0))
+    t("dedup exact e2e")(
+      graft.operators.Dedup.exact(both, "doc_id", "text").count())
+    spark.stop()
+  }
+}
+
+/** Dev probe: q_substring_spans stage costs on the inflated corpus — is
+  * the 2-pass gram explode (count pass + join pass) the x16 ratio gap?
+  */
+object ProbeSpansCost {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_x16/sf0.1")
+    val spark = DevSpark.session()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def t(label: String)(f: => Long): Unit = {
+      f
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e3
+      }
+      println(f"[spans] $label%-28s ${runs.min / 1000}%8.1f ms")
+    }
+    import org.apache.spark.sql.functions._
+    val toks = docs.select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+    t("tokenize only")(toks.select(size(col("t")).as("n")).agg(sum("n")).head().getLong(0))
+    val gh = docs.select(col("doc_id"),
+      graft.functions.HashExpressions.ngramHashesAll(graft.functions.TextFunctions.tokens(col("text")), 3).as("g"))
+    t("tokenize+gramhash")(gh.select(size(col("g")).as("n")).agg(sum("n")).head().getLong(0))
+    t("explode grams count")(gh.select(explode(col("g")).as("g")).count())
+    t("groupBy gh (dup grams)")(gh.select(explode(col("g")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c")).where(col("c") >= 2).count())
+    t("spans e2e")(graft.operators.Dedup.duplicateSpans(docs, "doc_id", "text", 3, 5).count())
+    spark.stop()
+  }
+}

@@ -610,23 +610,53 @@ object Dedup {
     * (separate maximal runs of duplicated WINDOW STARTS); the removal
     * variant unions covered tokens, so overlap is harmless.
     *
-    * Scan accounting (deliberate, the ngramContamination precedent): the
-    * gram lineage runs twice — once into the count aggregate, once into
-    * the semi join. Materializing it instead would write ~20 bytes per
-    * TOKEN (id+pos+hash ≈ 3× the corpus text bytes) to save one re-scan
-    * of the corpus; at 100 TB re-reading source parquet beats writing a
-    * 300 TB intermediate. ProbeScale measures the recompute shape linear
-    * (16× input → 1.7× time).
+    * Scan accounting: the gram stream feeds two consumers (count
+    * aggregate, semi join). The EXPLODED gram table is never
+    * materialized — that would write ~20 bytes per token (id+pos+hash ≈
+    * 3× the corpus text bytes; at 100 TB, a 300 TB intermediate). What IS
+    * materialized, once, is the pre-explode per-doc hash array: 8 bytes
+    * per token (≈ 1× the text bytes — no id/pos replication per window),
+    * strictly smaller than the gram shuffle each consumer already pays,
+    * so both passes explode from the cached arrays and the corpus is
+    * scanned and tokenized exactly once. The x16 bench lane measured the
+    * earlier recompute-both-passes shape as this query's whole
+    * Spark-vs-DuckDB gap (DuckDB materializes the shared CTE).
+    * ProbeScale measures the shape linear (16× input → ~1.7× time).
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minSpan: Int = 5): DataFrame = {
     require(k >= 1 && minSpan >= k, "need minSpan >= k >= 1")
-    val grams = gramPositions(df, idCol, textCol, k)
+    // Both halves (dup-gram count, position semi-join) need the gram
+    // stream; recomputing it re-scans and re-tokenizes the corpus, which
+    // the x16 bench lane measured as the whole Spark-vs-DuckDB gap on this
+    // query (DuckDB materializes the shared CTE). Materialize the PRE-
+    // explode per-doc hash array instead: 8 B/token — strictly smaller
+    // than the gram shuffle each pass already pays, so caching it trades
+    // no scale headroom — and each pass re-runs only the cheap explode.
+    val arrays = materializeOnce(gramArrays(df, idCol, textCol, k))
+    val grams = explodeGramArrays(arrays)
     val dupGrams = grams.groupBy("__gh").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= 2).select("__gh")
     spansFromDupPositions(
       grams.join(dupGrams, Seq("__gh"), "left_semi"), idCol, k, minSpan)
   }
+
+  /** (__id, __g): per-doc k-gram hash array (window order, duplicates
+    * kept) for every doc with ≥ k tokens — the one scan+tokenize+hash
+    * pass behind [[gramPositions]].
+    */
+  private def gramArrays(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(col("__id"),
+        graft.functions.HashExpressions.ngramHashesAll(col("__t"), k).as("__g"))
+  }
+
+  private def explodeGramArrays(arrays: DataFrame): DataFrame =
+    arrays.select(col("__id"), posexplode(col("__g")))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__gh"))
 
   /** (__id, __pos, __gh): every k-gram window start of every doc with ≥ k
     * tokens, gram identity as the 64-bit token-chain hash. The shared
@@ -634,14 +664,8 @@ object Dedup {
     * ([[AnnIndex.buildGramIndex]]/probeSpans).
     */
   private[operators] def gramPositions(df: DataFrame, idCol: String,
-      textCol: String, k: Int): DataFrame = {
-    import graft.functions.TextFunctions.tokens
-    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
-      .where(size(col("__t")) >= k)
-      .select(col("__id"),
-        posexplode(graft.functions.HashExpressions.ngramHashesAll(col("__t"), k)))
-      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__gh"))
-  }
+      textCol: String, k: Int): DataFrame =
+    explodeGramArrays(gramArrays(df, idCol, textCol, k))
 
   /** Gaps-and-islands back half of [[duplicateSpans]]: duplicated window
     * starts → maximal runs → spans ≥ minSpan.

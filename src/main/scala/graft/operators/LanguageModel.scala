@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet/Wenzek et al.
+  * perplexity-filter discipline (arXiv:1911.00359) re-expressed with
+  * exact integer arithmetic so the driver's DuckDB oracle hash-gates it
+  * end to end: train a unigram+bigram count LM with add-one smoothing on
+  * a trusted reference slice, then score every candidate document by its
+  * per-token surprisal under that model. Gibberish, OCR noise, base64
+  * runs, and wrong-language text are built from tokens (and token
+  * transitions) the reference never saw → high surprisal; fluent text in
+  * the reference's language scores low. CCNet ranks a web corpus by
+  * exactly this signal (with a 5-gram Kneser–Ney LM) and keeps the
+  * low-perplexity head.
+  *
+  * The transcendental-free trick (q_quality_model discipline): true log
+  * probabilities need `ln`, whose libm rounding is not cross-engine
+  * reproducible. Surprisal is measured in WHOLE BITS instead:
+  *
+  *   bits(p = num/den) ≈ ilog2(den) - ilog2(num),   ilog2(x) = |bin(x)| - 1
+  *
+  * where |bin(x)| is the length of x's minimal binary representation —
+  * exact integer arithmetic both engines compute identically (Spark
+  * `bin`, DuckDB `bin`), within 1 bit of -log2(p) per n-gram. Summed over
+  * a document the proxy orders documents the same way a float log-prob
+  * would, up to per-token rounding — and it is bit-replayable, so the
+  * ORACLE gates the production arithmetic, not a fixture twin.
+  *
+  * Model (add-one smoothing, integer counts):
+  *   p(w)        = (c(w) + 1) / (T + V)            — first token
+  *   p(w | u)    = (c(u,w) + 1) / (c(u) + V)       — subsequent tokens
+  *   doc bits    = bits(p(t1)) + Σ_{i≥2} bits(p(t_i | t_{i-1}))
+  *
+  * Scale shape (100 TB corpus, bounded reference): training is two hash
+  * aggregations over the REFERENCE slice only (CCNet trains on Wikipedia,
+  * not on the corpus being scored) — vocabulary-bounded outputs, two
+  * scalar driver values (T, V). Scoring is one corpus pass: per-doc token
+  * arrays explode to a transition stream that left-joins the two count
+  * tables (AQE broadcasts them when they fit, shuffled hash join when
+  * not) and re-aggregates by doc id. No driver-side state rides the
+  * scoring pass.
+  */
+object LanguageModel {
+
+  /** A trained count LM. `unigrams`: (word, c); `bigrams`: (w1, w2, c);
+    * `totalTokens` = T (reference token count, minCount-surviving words
+    * only); `vocabSize` = V. Count tables are materialized once —
+    * training is paid per model, not per scoring action.
+    */
+  final case class NgramLm(unigrams: DataFrame, bigrams: DataFrame,
+      totalTokens: Long, vocabSize: Long)
+
+  /** Lowercased whitespace token array per doc, empties dropped so token
+    * POSITIONS (bigram adjacency) survive multi-space runs identically in
+    * both engines: (`__id`, `__t`), rows with ≥1 token only.
+    */
+  private def tokenArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        filter(graft.functions.TextFunctions.tokens(lower(col(textCol))),
+          w => w =!= "").as("__t"))
+      .where(size(col("__t")) >= 1)
+
+  /** ilog2(x)+1 — the |bin(x)| surprisal building block. */
+  private def binLen(c: Column): Column = length(bin(c))
+
+  /** Train the count LM on a reference corpus. `minCount` bounds the
+    * vocabulary (words below it are dropped from BOTH tables and from T,
+    * exactly as if they were never in the reference — they score as
+    * unseen); at web scale Heaps' law keeps the minCount≥20 unigram table
+    * around 10^7 rows and the bigram table within a small multiple of the
+    * reference size, which is the bounded slice, not the 100 TB corpus.
+    */
+  def train(ref: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L): NgramLm = {
+    val toks = Materialize.once(tokenArrays(ref, idCol, textCol))
+    val uni = Materialize.once(
+      toks.select(explode(col("__t")).as("__w"))
+        .groupBy(col("__w").as("word"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= minCount))
+    // bigram adjacency from the per-doc arrays (no cross-doc bigrams);
+    // both ends must survive the vocabulary cut so p(w|u) conditions on
+    // an in-vocab context — the standard closed-vocabulary construction
+    val pairs = toks.where(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val vocab1 = uni.select(col("word").as("w1"))
+    val vocab2 = uni.select(col("word").as("w2"))
+    val bi = Materialize.once(
+      pairs.join(vocab1, Seq("w1"), "left_semi")
+        .join(vocab2, Seq("w2"), "left_semi")
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c")))
+    val agg = uni.agg(
+      coalesce(sum(col("c")), lit(0L)).as("t"),
+      count(lit(1)).as("v")).head()
+    NgramLm(uni, bi, agg.getLong(0), agg.getLong(1))
+  }
+
+  /** Score documents under a trained LM: (idCol, n_tokens, lm_bits,
+    * bits_per_token). Higher bits-per-token = more surprising = worse
+    * fit to the reference (CCNet keeps the LOW end). Docs with zero
+    * tokens are absent from the output (no probability is defined for
+    * them), matching the oovRate contract.
+    */
+  def scoreDocs(df: DataFrame, idCol: String, textCol: String,
+      lm: NgramLm): DataFrame = {
+    require(lm.vocabSize >= 1, "reference vocabulary is empty")
+    val toks = tokenArrays(df, idCol, textCol)
+    // transition stream: pos 0 carries (null → t1) scored by the unigram
+    // model; pos i≥1 carries (t_i-1 → t_i) scored by the bigram model.
+    // One explode, two count-table left joins, one re-aggregation.
+    val events = toks.select(col("__id"), col("__t"), size(col("__t")).as("__n"),
+        posexplode(col("__t")))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__w"))
+      .withColumn("__prev",
+        when(col("__pos") === 0, lit(null).cast("string"))
+          .otherwise(element_at(col("__t"), col("__pos"))))
+      .select(col("__id"), col("__n"), col("__pos"), col("__w"), col("__prev"))
+    val uni = lm.unigrams.select(col("word"), col("c").as("__cw"))
+    val uniPrev = lm.unigrams.select(col("word").as("__prevw"), col("c").as("__cu"))
+    val bi = lm.bigrams.select(col("w1"), col("w2"), col("c").as("__cb"))
+    val scored = events
+      .join(uni, events("__w") === uni("word"), "left").drop("word")
+      .join(uniPrev, col("__prev") === col("__prevw"), "left").drop("__prevw")
+      .join(bi, col("__prev") === bi("w1") && col("__w") === bi("w2"), "left")
+      .drop("w1", "w2")
+      .withColumn("__bits",
+        when(col("__pos") === 0,
+          // ilog2 difference: the +1/-1 of |bin| cancels across the ratio
+          binLen(lit(lm.totalTokens + lm.vocabSize)) -
+            binLen(coalesce(col("__cw"), lit(0L)) + lit(1L)))
+          .otherwise(
+            binLen(coalesce(col("__cu"), lit(0L)) + lit(lm.vocabSize)) -
+              binLen(coalesce(col("__cb"), lit(0L)) + lit(1L))))
+    scored.groupBy(col("__id"))
+      .agg(max(col("__n")).cast("long").as("n_tokens"),
+        sum(col("__bits")).cast("long").as("lm_bits"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("lm_bits"),
+        round(col("lm_bits").cast("double") / col("n_tokens"), 6).as("bits_per_token"))
+  }
+
+  /** Train-on-slice + score-corpus composition (the q_lm_score shape). */
+  def scoreAgainstSlice(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, minCount: Long = 1L): DataFrame =
+    scoreDocs(df, idCol, textCol, train(ref, idCol, textCol, minCount))
+}

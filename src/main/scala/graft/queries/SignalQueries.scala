@@ -100,6 +100,53 @@ object SignalQueries {
         "doc_id", "text", minCount = 5))
   }
 
+  // ---- N-gram LM quality scoring (the CCNet/Wenzek perplexity-filter
+  // discipline): unigram+bigram count LM with add-one smoothing trained
+  // on the every-3rd-doc reference slice (the q_oov_ref cut), surprisal
+  // in whole bits via the |bin(x)| integer log2 — the PRODUCTION
+  // arithmetic is integer/rational end to end, so the oracle replays the
+  // real operator, no fixture twin needed.
+
+  private val LmMinCount = 2L
+
+  private val lmScoreQ = q("q_lm_score",
+    raw"""WITH tok0 AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '') AS t
+           FROM documents),
+       td AS (SELECT doc_id, t, len(t) AS n FROM tok0 WHERE len(t) >= 1),
+       refu AS (SELECT unnest(t) AS w FROM td WHERE doc_id % 3 = 0),
+       uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM refu GROUP BY 1
+               HAVING COUNT(*) >= $LmMinCount),
+       tv AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t_tok,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+       refp AS (SELECT p['w1'] AS w1, p['w2'] AS w2 FROM
+                 (SELECT unnest(list_transform(range(1, len(t)),
+                    i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+                  FROM td WHERE doc_id % 3 = 0)),
+       bi0 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM refp GROUP BY 1, 2),
+       bi AS (SELECT bi0.w1, bi0.w2, bi0.c FROM bi0
+              JOIN uni u1 ON bi0.w1 = u1.w JOIN uni u2 ON bi0.w2 = u2.w),
+       ev AS (SELECT doc_id, n, i, t[i+1] AS w,
+                     CASE WHEN i = 0 THEN NULL ELSE t[i] END AS prev
+              FROM (SELECT doc_id, t, n, unnest(range(0, n)) AS i FROM td)),
+       sc AS (SELECT e.doc_id, e.n,
+                CASE WHEN e.i = 0
+                  THEN len(bin((SELECT t_tok + v FROM tv))) - len(bin(COALESCE(u.c, 0) + 1))
+                  ELSE len(bin(COALESCE(up.c, 0) + (SELECT v FROM tv))) - len(bin(COALESCE(b.c, 0) + 1))
+                END AS bits
+              FROM ev e
+              LEFT JOIN uni u ON e.w = u.w
+              LEFT JOIN uni up ON e.prev = up.w
+              LEFT JOIN bi b ON e.prev = b.w1 AND e.w = b.w2)
+       SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+              CAST(SUM(bits) AS BIGINT) AS lm_bits,
+              round(CAST(SUM(bits) AS DOUBLE) / MAX(n), 6) AS bits_per_token
+       FROM sc GROUP BY doc_id""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    graft.operators.LanguageModel.scoreAgainstSlice(docs, "doc_id", "text",
+      docs.where(col("doc_id") % 3 === 0), minCount = LmMinCount)
+  }
+
   // ---- 6-hour resample of the events stream, per user.
 
   private val ResampleBucketNs = 21600000000000L // 6 hours
@@ -280,7 +327,7 @@ object SignalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    contaminationBloomQ, oovRateQ, oovRefQ, resampleQ, resampleRollingQ,
+    contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)
 }

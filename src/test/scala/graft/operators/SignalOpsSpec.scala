@@ -304,4 +304,47 @@ class SignalOpsSpec extends AnyFunSuite {
       .agg(sum(col("n_oov")).as("o"), sum(col("n_tokens")).as("t")).head()
     assert(oov.getLong(0) == oov.getLong(1))
   }
+
+  // ---------------- n-gram LM quality scoring ----------------
+
+  test("lm scoring ranks planted gibberish above planted clean text") {
+    // reference: fluent-ish text with repeated words AND repeated
+    // transitions; candidates: one doc reusing reference phrases verbatim,
+    // one doc of unique never-seen tokens (deterministic "gibberish")
+    val refDocs = (0 until 30).map { i =>
+      val s = Seq("the", "quick", "fox", "jumps", "over", "the", "lazy", "dog",
+        "and", "the", "fox", "runs")
+      (i.toLong, s.mkString(" "))
+    }
+    val clean = (1000L, "the quick fox jumps over the lazy dog")
+    val gibberish = (1001L, (0 until 8).map(j => s"zq${j}xv${j * 7}").mkString(" "))
+    val docs = (refDocs :+ clean :+ gibberish).toDF("doc_id", "text")
+    val lm = LanguageModel.train(docs.where(col("doc_id") < 100), "doc_id", "text")
+    assert(lm.vocabSize == 9 && lm.totalTokens == 30L * 12)
+    val scores = LanguageModel.scoreDocs(docs, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(1000L) < scores(1001L),
+      s"clean ${scores(1000L)} should beat gibberish ${scores(1001L)}")
+    // every reference doc (seen transitions only) scores below gibberish too
+    refDocs.foreach { case (id, _) => assert(scores(id) < scores(1001L)) }
+    // OOV-token surprisal: every gibberish token is unseen, so each costs
+    // the full bits — check the exact integer:
+    // first = |bin(360+9)|-|bin(1)| = 9-1 = 8; rest = |bin(0+9)|-|bin(1)| = 3
+    val gBits = LanguageModel.scoreDocs(docs.where(col("doc_id") === 1001), "doc_id", "text", lm)
+      .head().getLong(2)
+    assert(gBits == 8 + 7 * 3, s"gibberish bits $gBits")
+  }
+
+  test("lm scoring: bigram context halves the cost of seen transitions vs unseen pairs") {
+    // two-word vocab with ONE observed transition direction: "a b" seen
+    // often, "b a" never — the bigram term must separate them
+    val ref = (0 until 20).map(i => (i.toLong, "a b")).toDF("doc_id", "text")
+    val lm = LanguageModel.train(ref, "doc_id", "text")
+    val cand = Seq((100L, "a b"), (101L, "b a")).toDF("doc_id", "text")
+    val s = LanguageModel.scoreDocs(cand, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // seen transition: c(a,b)=20, c(a)=20, V=2 → bits = |bin(22)|-|bin(21)| = 0
+    // unseen: c(b,a)=0, c(b)=20 → bits = |bin(22)|-|bin(1)| = 5
+    assert(s(100L) < s(101L), s"seen ${s(100L)} vs unseen ${s(101L)}")
+  }
 }

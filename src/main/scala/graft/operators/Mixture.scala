@@ -26,27 +26,45 @@ object Mixture {
     ((x.bitwiseXOR(shiftright(x, 31))) * 1103515245L + 12345L).bitwiseAND(2147483647L)
   }
 
-  /** Sample `targetFraction` of the corpus with per-source rates
-    * ∝ sqrt(source share), capped at keeping a source whole.
+  /** Per-source LCG keep-thresholds for `targetFraction` of the profiled
+    * corpus with rates ∝ sqrt(source share), capped at keeping a source
+    * whole: (sourceCol, __thr). Distilled once from a (static) profile —
+    * one tiny aggregate — and broadcast onto whatever is being sampled;
+    * the keep decision downstream is a pure function of (source, id), so
+    * the SAME thresholds gate a batch corpus or an unbounded stream
+    * ([[graft.streaming.GraftStreaming.mixtureStream]]) identically.
     */
-  def sqrtMixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+  def sqrtMixtureRates(profile: DataFrame, sourceCol: String,
       targetFraction: Double): DataFrame = {
     require(targetFraction > 0 && targetFraction <= 1.0,
       s"targetFraction must be in (0, 1], got $targetFraction")
-    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val counts = profile.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
     // integer-scaled weights so the normalizing sum is exact (a double
     // sum's value would depend on aggregation order)
     val weights = counts.withColumn("__w",
       floor(sqrt(col("__n").cast("double")) * 1000000.0).cast("long"))
     val tot = weights.agg(sum("__w").as("__sumw"), sum("__n").as("__total"))
-    val rates = weights.crossJoin(broadcast(tot))
+    weights.crossJoin(broadcast(tot))
       .withColumn("__rate", least(lit(1.0),
         (col("__w").cast("double") / col("__sumw").cast("double"))
           * (col("__total").cast("double") * targetFraction) / col("__n").cast("double")))
       .withColumn("__thr", floor(col("__rate") * 2147483648.0).cast("long"))
       .select(col(sourceCol), col("__thr"))
+  }
+
+  /** Gate rows by pre-computed [[sqrtMixtureRates]] thresholds: broadcast
+    * join + map-side LCG filter, zero shuffle on the data side.
+    */
+  def applyRates(df: DataFrame, sourceCol: String, idCol: String,
+      rates: DataFrame): DataFrame =
     df.join(broadcast(rates), sourceCol)
       .where(lcg31Col(col(idCol)) < col("__thr"))
       .drop("__thr")
-  }
+
+  /** Sample `targetFraction` of the corpus with per-source rates
+    * ∝ sqrt(source share), capped at keeping a source whole.
+    */
+  def sqrtMixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+      targetFraction: Double): DataFrame =
+    applyRates(df, sourceCol, idCol, sqrtMixtureRates(df, sourceCol, targetFraction))
 }

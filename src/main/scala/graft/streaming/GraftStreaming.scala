@@ -192,6 +192,24 @@ object GraftStreaming {
       .where(col("contamination_bloom") <= maxContamination)
   }
 
+  /** Stateless temperature-mixture gate — the streaming source
+    * re-weighter the batch lane gets from
+    * [[graft.operators.Mixture.sqrtMixtureSample]]. The per-source keep
+    * thresholds are distilled ONCE from a STATIC corpus profile (the
+    * same sqrt-share arithmetic, bit-identical), and because the keep
+    * decision is a pure function of (source, id) — the replayable LCG
+    * threshold scheme — the stream form is a broadcast join + map-side
+    * filter: no state, no watermark, append-safe, and EXACTLY the rows
+    * the batch operator keeps on the same data (spec-gated against the
+    * q_mixture oracle config). Re-profiling a drifting source
+    * distribution is the caller's restart policy, same contract as
+    * [[decontaminateStream]]'s benchmark filter.
+    */
+  def mixtureStream(stream: DataFrame, sourceCol: String, idCol: String,
+      profile: DataFrame, targetFraction: Double): DataFrame =
+    graft.operators.Mixture.applyRates(stream, sourceCol, idCol,
+      graft.operators.Mixture.sqrtMixtureRates(profile, sourceCol, targetFraction))
+
   /** The composed streaming curation pipeline — the streaming dual of the
     * batch q_pipeline (quality gate → exact dedup → decontamination):
     * stateless quality filter, watermark-bounded canonical-text dedup,

@@ -747,6 +747,40 @@ class GraftStreamingSpec extends AnyFunSuite {
       s"healed layout must be a compacted era, got $erasHealed")
     assert(erasHealed.size == 1 && spark.read.parquet(path).count() == before)
   }
+
+  test("mixtureStream == batch sqrtMixtureSample on the same rows (q_mixture config)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // skewed source distribution: web dominates, books is tiny — the
+    // sqrt-temperature gate must down-weight web and keep books whole
+    val rows = (0 until 600).map(i => (i.toLong, "web")) ++
+      (600 until 700).map(i => (i.toLong, "wiki")) ++
+      (700 until 710).map(i => (i.toLong, "books"))
+    val staticDf = rows.toDF("doc_id", "source")
+    val batch = graft.operators.Mixture
+      .sqrtMixtureSample(staticDf, "source", "doc_id", targetFraction = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch.nonEmpty && batch.size < rows.size)
+    // tiny source survives whole (rate capped at 1), dominant is thinned
+    assert((700L until 710L).forall(batch.contains))
+    assert(batch.count(_ < 600) < 600)
+
+    val input = MemoryStream[(Long, String)]
+    val gated = GraftStreaming.mixtureStream(
+      input.toDF().toDF("doc_id", "source"), "source", "doc_id",
+      profile = staticDf, targetFraction = 0.5)
+    val query = GraftStreaming.storeStreamMemory(gated, "mixture_test")
+    try {
+      val (a, b) = rows.splitAt(350) // two batches, arbitrary split
+      input.addData(a)
+      query.processAllAvailable()
+      input.addData(b)
+      query.processAllAvailable()
+      val streamed = spark.table("mixture_test")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, "stateless gate must keep EXACTLY the batch rows")
+    } finally query.stop()
+  }
 }
 
 case class StreamEvent(ts: java.sql.Timestamp, k: String)

@@ -50,6 +50,22 @@ def main(sf_dir, out_dir):
         flag = "  " if status.startswith(("OK", "ROWS_ONLY(")) and "!!EMPTY" not in status else "XX"
         if flag == "XX": bad += 1
         print(f"{flag} {k}: {status[:300]}")
+    # manifest cross-check: every rows-only query must declare a fixture
+    # twin that is itself oracle-gated (and, when this run executed it,
+    # passing) — twin coverage is a machine-checked invariant, not prose
+    mpath = f"{out_dir}/manifest.json"
+    if os.path.exists(mpath):
+        manifest = {m["name"]: m for m in json.load(open(mpath))}
+        for name, m in sorted(manifest.items()):
+            if m["gate"] != "rows_only":
+                continue
+            twin = m.get("twin")
+            if not twin:
+                print(f"XX {name}: rows-only with NO declared twin"); bad += 1
+            elif manifest.get(twin, {}).get("gate") != "oracle":
+                print(f"XX {name}: twin {twin} is not an oracle-gated query"); bad += 1
+            elif twin in results and not results[twin].startswith("OK"):
+                print(f"XX {name}: twin {twin} did not pass ({results[twin][:80]})"); bad += 1
     print(f"\n{len(results) - bad}/{len(results)} pass")
     return 1 if bad else 0
 

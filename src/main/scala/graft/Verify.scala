@@ -57,6 +57,16 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/bench_set.json"),
       graft.queries.Queries.all.filter(_.bench).map(qd => q(qd.name))
         .mkString("[", ",", "]"))
+    // gate manifest (one line per query: oracle vs rows-only, declared
+    // fixture twin) — selfcheck.py cross-checks that every rows-only
+    // query names an oracle-gated twin, so twin coverage is machine-
+    // checkable instead of prose-asserted
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      graft.queries.Queries.all.map { qd =>
+        val gate = if (qd.oracle.isDefined) "oracle" else "rows_only"
+        val twin = qd.twin.map(q).getOrElse("null")
+        s"""{"name":${q(qd.name)},"gate":${q(gate)},"twin":$twin}"""
+      }.mkString("[\n", ",\n", "\n]"))
     spark.stop()
   }
 }

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object ExtQueries {
 
-  private def q(name: String, oracle: String = null, bench: Boolean = false)(
+  private def q(name: String, oracle: String = null, bench: Boolean = false,
+      twin: String = null)(
       fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, fn, Option(oracle), bench)
+    QueryDef(name, fn, Option(oracle), bench, Option(twin))
 
   private def qb(name: String, oracle: String)(
       fn: (SparkSession, String) => DataFrame): QueryDef =
@@ -262,7 +263,7 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"))
   }
 
-  private val minhashQ = q("q_dedup_minhash", bench = true) { (s, d) => // LSH: rows-only + ScalaTest
+  private val minhashQ = q("q_dedup_minhash", bench = true, twin = "q_dedup_minhash_fixed") { (s, d) => // LSH: rows-only + ScalaTest
     Dedup.minhashNearDuplicates(docsWithDups(s, d), "doc_id", "text",
       shingle = 3, numHashes = 64, bands = 16, threshold = 0.7)
   }
@@ -302,13 +303,13 @@ object ExtQueries {
       bands = OracleFixtures.MhBands, threshold = OracleFixtures.MhThreshold)
   }
 
-  private val minhashCrossQ = q("q_dedup_cross") { (s, d) => // LSH: rows-only + ScalaTest
+  private val minhashCrossQ = q("q_dedup_cross", twin = "q_dedup_cross_fixed") { (s, d) => // LSH: rows-only + ScalaTest
     val base = Tables.df(s, d, "documents")
     Dedup.minhashCrossDuplicates(
       base, base.withColumn("doc_id", col("doc_id") + 10000), "doc_id", "text")
   }
 
-  private val simhashQ = q("q_dedup_simhash") { (s, d) => // LSH: rows-only + ScalaTest
+  private val simhashQ = q("q_dedup_simhash", twin = "q_dedup_simhash_fixed") { (s, d) => // LSH: rows-only + ScalaTest
     Dedup.simhashNearDuplicates(docsWithDups(s, d), "doc_id", "text",
       shingle = 2, maxHamming = 3)
   }
@@ -595,7 +596,7 @@ object ExtQueries {
   // trained-quantizer IVF: farthest-point seeding + Lloyd steps are
   // iterative float means, not SQL-replayable → rows-only gate here;
   // semantics pinned by SimilaritySpec's planted-cluster fixture
-  private val annIvfTrainedQ = q("q_ann_ivf_trained") { (s, d) =>
+  private val annIvfTrainedQ = q("q_ann_ivf_trained", twin = "q_ann_ivf") { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
     val cells = Similarity.kmeansCells(emb, "vec_id", "embedding", nCells = 16, iters = 2)
     Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
@@ -660,7 +661,7 @@ object ExtQueries {
     * (LSH, like q_dedup_minhash); batch-parity is property-tested in
     * DedupSpec.
     */
-  private val minhashIndexedQ = q("q_dedup_minhash_indexed") { (s, d) =>
+  private val minhashIndexedQ = q("q_dedup_minhash_indexed", twin = "q_dedup_minhash_indexed_fixed") { (s, d) =>
     val docs = Tables.df(s, d, "documents")
     AnnIndex.buildMinhash(docs, "doc_id", "text", "graft_mh_idx",
       shingle = 3, numHashes = 64, bands = 16)
@@ -892,7 +893,7 @@ object ExtQueries {
       emb, "vec_id", "embedding", k = 10, nProbe = 4, refine = 3)
   }
 
-  private val multimodalQ = q("q_multimodal") { (s, d) => // synthetic payloads; rows-only
+  private val multimodalQ = q("q_multimodal", twin = "q_multimodal_meta") { (s, d) => // synthetic payloads; rows-only
     import s.implicits._
     val media = Multimodal.synthetic(s, 300)
     val feats = Multimodal.extractFeatures(media, dim = 16)

@@ -21,7 +21,12 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    // for a rows-only query (oracle == None): the name of the ORACLED
+    // query that gates the same pipeline under a replayable hash family
+    // ("fixture twin"). Emitted in Verify's manifest and cross-checked by
+    // scripts/selfcheck.py, so twin coverage is machine-checkable.
+    twin: Option[String] = None)
 
 /** Oracle-SQL fragments shared across query files. */
 private[queries] object OracleSql {
@@ -35,9 +40,10 @@ private[queries] object OracleSql {
 
 object Queries {
 
-  private def q(name: String, oracle: String = null, bench: Boolean = false)(
+  private def q(name: String, oracle: String = null, bench: Boolean = false,
+      twin: String = null)(
       fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, fn, Option(oracle), bench)
+    QueryDef(name, fn, Option(oracle), bench, Option(twin))
 
   /** Exact decimal sum of a 2-dp double column, surfaced as double. */
   private def dsum(c: org.apache.spark.sql.Column) =
@@ -137,7 +143,7 @@ object Queries {
       .map(o => (o.o_orderkey, o.o_totalprice)).toDF.toDF("o_orderkey", "o_totalprice")
   }
 
-  private val sampleQ = q("q_sample") { (s, d) => // non-deterministic: rows-only
+  private val sampleQ = q("q_sample", twin = "q_sample_hash") { (s, d) => // non-deterministic: rows-only
     import s.implicits._
     Flow(Tables.orders(s, d)).sample(0.1).map(_.o_orderkey).toDF.toDF("o_orderkey")
   }

@@ -71,3 +71,84 @@ object ProbeSpansCost {
     spark.stop()
   }
 }
+
+/** Dev probe: q_revenue_by_nation stage timings + executed plan on the
+  * inflated corpus — the worst x16 spark/duckdb ratio (12×).
+  */
+object ProbeRevenue {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_x16/sf0.1")
+    val spark = DevSpark.session()
+    import org.apache.spark.sql.functions._
+    def t(label: String)(f: => Long): Unit = {
+      f
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e3
+      }
+      println(f"[rev] $label%-32s ${runs.min / 1000}%8.1f ms")
+    }
+    val q = graft.queries.Queries.all.find(_.name == "q_revenue_by_nation").get
+    t("e2e")(q.fn(spark, dir).count())
+    // stages
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    val nations = broadcast(nation.join(broadcast(region),
+        col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name").isin("ASIA", "EUROPE"))
+      .select("n_nationkey", "n_name"))
+    val custF = customer.join(nations, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    t("customer join (scan+bcast)")(custF.count())
+    val ordF = orders.join(custF, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "n_name")
+    t("orders join")(ordF.count())
+    t("lineitem scan 2col")(lineitem.select("l_orderkey", "l_extendedprice").count())
+    val joined = lineitem.join(ordF, col("l_orderkey") === col("o_orderkey"))
+    t("lineitem join")(joined.select(col("l_orderkey")).count())
+    q.fn(spark, dir).explain("formatted")
+    spark.stop()
+  }
+}
+
+/** Dev probe: SMJ vs shuffled-hash for the q_revenue_by_nation fact join. */
+object ProbeRevenueJoin {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_x16/sf0.1")
+    val spark = DevSpark.session()
+    import org.apache.spark.sql.functions._
+    def t(label: String)(f: => Long): Unit = {
+      f
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e3
+      }
+      println(f"[revj] $label%-32s ${runs.min / 1000}%8.1f ms")
+    }
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+    val nations = broadcast(nation.join(broadcast(region),
+        col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name").isin("ASIA", "EUROPE"))
+      .select("n_nationkey", "n_name"))
+    def ordF = orders.join(customer.join(nations,
+        col("c_nationkey") === col("n_nationkey")).select("c_custkey", "n_name"),
+      col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "n_name")
+    def agg(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy(col("n_name")).agg(round(sum(rev), 2).cast("double").as("revenue"))
+    t("fact join SMJ (default)")(
+      agg(lineitem.join(ordF, col("l_orderkey") === col("o_orderkey"))).count())
+    t("fact join shuffle_hash")(
+      agg(lineitem.join(ordF.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))).count())
+    t("fact join SMJ again")(
+      agg(lineitem.join(ordF, col("l_orderkey") === col("o_orderkey"))).count())
+    spark.stop()
+  }
+}

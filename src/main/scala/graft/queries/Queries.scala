@@ -740,12 +740,17 @@ object Queries {
     val ordF = Tables.df(s, d, "orders")
       .join(custF, col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "n_name")
-    // the fact-side join stays declarative: AQE broadcasts whichever side
-    // fits locally and degrades to sort-merge at cluster scale (measured:
-    // forcing shuffle_hash here is timing-neutral at sf0.1, so the
-    // adaptive plan is strictly better across scales)
+    // fact-side join: SHUFFLE_HASH on the filtered-orders side. The x16
+    // bench lane exposed the default sort-merge as the bottleneck (two
+    // full sorts of the fact shuffle); hashing the build side instead is
+    // 16-50% faster at x16 and still faster at sf0.1 (ProbeRevenueJoin).
+    // Scale-safe: the build side is the region-filtered (o_orderkey,
+    // n_name) projection — a bounded fraction of lineitem bytes, UNIQUE
+    // join key so no build-side skew, per-partition size controlled by
+    // shuffle partitioning — and AQE's skew-split + broadcast demotion
+    // still apply to shuffled hash joins on the probe side.
     Tables.df(s, d, "lineitem")
-      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .join(ordF.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(rev), 2).cast("double").as("revenue"))
   }
@@ -756,7 +761,10 @@ object Queries {
     * tiebreak (revenue desc, orderkey asc) on BOTH sides so the LIMIT is
     * oracle-stable. Scale shape mirrors q_revenue_by_nation: the segment
     * filter prunes customers BEFORE the orders join; the lineitem join
-    * stays adaptive; top-10 is a TakeOrdered, never a global sort.
+    * hashes the filtered-orders build side (same ProbeRevenueJoin
+    * measurement — shuffled hash beats two fact-shuffle sorts, unique
+    * build key so no build skew); top-10 is a TakeOrdered, never a
+    * global sort.
     */
   private val q3ish = q("q_q3",
     """SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
@@ -781,7 +789,7 @@ object Queries {
       .select("o_orderkey", "o_orderdate")
     Tables.df(s, d, "lineitem")
       .where(col("l_shipdate") > cutoff)
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(rev), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)

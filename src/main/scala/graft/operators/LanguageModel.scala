@@ -149,4 +149,78 @@ object LanguageModel {
   def scoreAgainstSlice(df: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, minCount: Long = 1L): DataFrame =
     scoreDocs(df, idCol, textCol, train(ref, idCol, textCol, minCount))
+
+  /** A distilled LM: the count tables collected into driver maps, bounded
+    * by `maxEntries` (the Bloom-mBits / BPE-maxVocab driver-state
+    * discipline — distillation REFUSES an unbounded model rather than
+    * silently OOMing the driver). Bigram keys are `"w1 w2"` — tokens are
+    * whitespace-split, so the space join is collision-free.
+    */
+  final case class DistilledLm(uni: Map[String, Long], bi: Map[String, Long],
+      totalTokens: Long, vocabSize: Long)
+
+  /** Collect a trained LM into plan-literal maps for [[scoreColumn]].
+    * Use a `minCount`-bounded [[train]] (Heaps' law) to keep the tables
+    * inside `maxEntries`; CCNet itself ships a compact distilled model to
+    * its scoring pass rather than joining against raw counts.
+    */
+  def distill(lm: NgramLm, maxEntries: Int = 500000): DistilledLm = {
+    val nUni = lm.unigrams.count()
+    val nBi = lm.bigrams.count()
+    require(nUni + nBi <= maxEntries,
+      s"LM too large to distill: $nUni unigrams + $nBi bigrams > $maxEntries " +
+        "(raise minCount at train time, or score with the join-based scoreDocs)")
+    DistilledLm(
+      lm.unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      lm.bigrams.collect().map(r => r.getString(0) + " " + r.getString(1) -> r.getLong(2)).toMap,
+      lm.totalTokens, lm.vocabSize)
+  }
+
+  /** Per-row surprisal under a distilled LM: ONE map-side expression —
+    * token array fold with plan-literal map lookups, no joins, no
+    * shuffle, no state — so it is streaming-append-safe (the stateless
+    * quality gate, [[graft.streaming.GraftStreaming.lmScoreStream]]) and,
+    * by construction, computes EXACTLY the same bits as the join-based
+    * [[scoreDocs]] (spec-gated equal).
+    *
+    * Returns struct(n_tokens, lm_bits, bits_per_token); null for texts
+    * with zero tokens (no probability is defined — the scoreDocs rows
+    * that simply don't exist).
+    */
+  def scoreColumn(text: Column, d: DistilledLm): Column = {
+    require(d.vocabSize >= 1, "reference vocabulary is empty")
+    val uniM = typedLit(d.uni)
+    val biM = typedLit(d.bi)
+    def L(c: Column) = length(bin(c))
+    def cnt(m: Column, key: Column) = coalesce(element_at(m, key), lit(0L))
+    val t = filter(graft.functions.TextFunctions.tokens(lower(text)), w => w =!= "")
+    val n = size(t)
+    val first = (L(lit(d.totalTokens + d.vocabSize)) -
+      L(cnt(uniM, element_at(t, 1)) + lit(1L))).cast("long")
+    // positions 2..n: p(t_i | t_{i-1}); sequence(2, n) is only evaluated
+    // under the n >= 2 guard (sequence(2, 1) would count DOWN)
+    val rest = aggregate(
+      sequence(lit(2), n), lit(0L),
+      (acc, i) => acc +
+        (L(cnt(uniM, element_at(t, i - 1)) + lit(d.vocabSize)) -
+          L(cnt(biM, concat(element_at(t, i - 1), lit(" "), element_at(t, i))) +
+            lit(1L))).cast("long"))
+    val bits = first + when(n >= 2, rest).otherwise(lit(0L))
+    when(n >= 1,
+      struct(n.cast("long").as("n_tokens"), bits.as("lm_bits"),
+        round(bits.cast("double") / n, 6).as("bits_per_token")))
+      .otherwise(lit(null))
+  }
+
+  /** [[scoreDocs]]' exact output through the distilled map-side scorer —
+    * same schema, same rows, zero shuffles and zero joins on the corpus
+    * pass (the 100 TB shape when the model fits the plan).
+    */
+  def scoreDocsDistilled(df: DataFrame, idCol: String, textCol: String,
+      d: DistilledLm): DataFrame =
+    df.select(col(idCol), scoreColumn(col(textCol), d).as("__s"))
+      .where(col("__s").isNotNull)
+      .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
+        col("__s.lm_bits").as("lm_bits"),
+        col("__s.bits_per_token").as("bits_per_token"))
 }

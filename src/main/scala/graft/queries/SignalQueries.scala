@@ -147,6 +147,20 @@ object SignalQueries {
       docs.where(col("doc_id") % 3 === 0), minCount = LmMinCount)
   }
 
+  /** Same relation as q_lm_score through the DISTILLED map-side scorer
+    * (zero joins/shuffles on the corpus pass) — reuses q_lm_score's
+    * oracle VERBATIM, the q_join_salted equivalence discipline: the
+    * distilled path must reproduce the join-based arithmetic exactly.
+    */
+  private val lmScoreDistilledQ = q("q_lm_score_distilled",
+    lmScoreQ.oracle.get) { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val lm = graft.operators.LanguageModel.train(
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text", minCount = LmMinCount)
+    graft.operators.LanguageModel.scoreDocsDistilled(docs, "doc_id", "text",
+      graft.operators.LanguageModel.distill(lm))
+  }
+
   // ---- 6-hour resample of the events stream, per user.
 
   private val ResampleBucketNs = 21600000000000L // 6 hours
@@ -327,7 +341,8 @@ object SignalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, resampleQ, resampleRollingQ,
+    contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
+    resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)
 }

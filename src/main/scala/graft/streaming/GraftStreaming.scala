@@ -210,6 +210,26 @@ object GraftStreaming {
     graft.operators.Mixture.applyRates(stream, sourceCol, idCol,
       graft.operators.Mixture.sqrtMixtureRates(profile, sourceCol, targetFraction))
 
+  /** Stateless n-gram LM quality gate — CCNet's perplexity filter as a
+    * streaming stage: score each arriving document's per-token surprisal
+    * under a DISTILLED count LM
+    * ([[graft.operators.LanguageModel.scoreColumn]] — plan-literal maps,
+    * one map-side fold, no joins/shuffle/state) and drop everything above
+    * `maxBitsPerToken`. The scored column rides along as
+    * `bits_per_token`; texts with zero tokens are dropped (no probability
+    * is defined). Model refresh is the caller's restart policy, same
+    * contract as [[decontaminateStream]]'s benchmark filter.
+    */
+  def lmScoreStream(stream: DataFrame, textCol: String,
+      lm: graft.operators.LanguageModel.DistilledLm,
+      maxBitsPerToken: Double): DataFrame =
+    stream.withColumn("__lm",
+        graft.operators.LanguageModel.scoreColumn(col(textCol), lm))
+      .where(col("__lm").isNotNull)
+      .withColumn("bits_per_token", col("__lm.bits_per_token"))
+      .drop("__lm")
+      .where(col("bits_per_token") <= maxBitsPerToken)
+
   /** The composed streaming curation pipeline — the streaming dual of the
     * batch q_pipeline (quality gate → exact dedup → decontamination):
     * stateless quality filter, watermark-bounded canonical-text dedup,

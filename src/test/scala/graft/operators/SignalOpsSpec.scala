@@ -335,6 +335,20 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(gBits == 8 + 7 * 3, s"gibberish bits $gBits")
   }
 
+  test("distilled map-side scorer == join-based scoreDocs, and refuses oversized models") {
+    import org.apache.spark.sql.functions.col
+    val docs = corpusDf
+    val lm = LanguageModel.train(docs.where(col("doc_id") % 3 === 0), "doc_id", "text")
+    val joined = LanguageModel.scoreDocs(docs, "doc_id", "text", lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val distilled = LanguageModel.scoreDocsDistilled(docs, "doc_id", "text",
+      LanguageModel.distill(lm))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(distilled == joined)
+    // bounded-driver-state contract: an over-budget model is refused
+    intercept[IllegalArgumentException](LanguageModel.distill(lm, maxEntries = 3))
+  }
+
   test("lm scoring: bigram context halves the cost of seen transitions vs unseen pairs") {
     // two-word vocab with ONE observed transition direction: "a b" seen
     // often, "b a" never — the bigram term must separate them

@@ -781,6 +781,40 @@ class GraftStreamingSpec extends AnyFunSuite {
       assert(streamed == batch, "stateless gate must keep EXACTLY the batch rows")
     } finally query.stop()
   }
+
+  test("lmScoreStream: stateless surprisal gate keeps exactly the batch-scored rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.LanguageModel
+    val ref = (0 until 30).map(i =>
+      (i.toLong, "the quick fox jumps over the lazy dog and the fox runs"))
+      .toDF("doc_id", "text")
+    val lm = LanguageModel.distill(LanguageModel.train(ref, "doc_id", "text"))
+    val cand = Seq(
+      (100L, "the quick fox jumps over the lazy dog"), // fluent: low bits
+      (101L, "zq1xv7 qb9ke lw0pj mmz4t"),              // gibberish: high bits
+      (102L, "fox runs over the dog"),
+      (103L, "   "))                                    // zero tokens: dropped
+    val batchKept = LanguageModel.scoreDocsDistilled(
+      cand.toDF("doc_id", "text"), "doc_id", "text", lm)
+      .where(col("bits_per_token") <= 3.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept.contains(100L) && !batchKept.contains(101L))
+
+    val input = MemoryStream[(Long, String)]
+    val gated = GraftStreaming.lmScoreStream(
+      input.toDF().toDF("doc_id", "text"), "text", lm, maxBitsPerToken = 3.5)
+    val query = GraftStreaming.storeStreamMemory(gated, "lm_gate_test")
+    try {
+      input.addData(cand.take(2))
+      query.processAllAvailable()
+      input.addData(cand.drop(2))
+      query.processAllAvailable()
+      val streamed = spark.table("lm_gate_test")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batchKept, "stream gate must keep EXACTLY the batch rows")
+    } finally query.stop()
+  }
 }
 
 case class StreamEvent(ts: java.sql.Timestamp, k: String)

@@ -152,3 +152,82 @@ object ProbeRevenueJoin {
     spark.stop()
   }
 }
+
+/** Dev probe: q_dedup_minhash exactly as benched (docsWithDups corpus)
+  * on the inflated dir — bench read 3.6 s at x16 vs SCALE.md's 1.7 s
+  * standalone pipeline; attribute the difference.
+  */
+object ProbeMinhashBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_x16/sf0.1")
+    val spark = DevSpark.session()
+    import org.apache.spark.sql.functions._
+    def t(label: String)(f: => Long): Unit = {
+      f
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e3
+      }
+      println(f"[mhb] $label%-30s ${runs.min / 1000}%8.1f ms")
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val both = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
+    t("signatures only")(both.select(col("doc_id"),
+      graft.operators.Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
+      .select(count(col("sig"))).head().getLong(0))
+    t("q_dedup_minhash e2e")(graft.operators.Dedup.minhashNearDuplicates(
+      both, "doc_id", "text", shingle = 3, numHashes = 64, bands = 16,
+      threshold = 0.7).count())
+    spark.stop()
+  }
+}
+
+/** Dev probe: first-agreeing-band (carry bh[] through the bucket join)
+  * vs distinct-pairs (narrow join rows + pair dedup shuffle) for minhash
+  * candidate generation, on the x16 bench corpus.
+  */
+object ProbeMinhashVariant {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_x16/sf0.1")
+    val spark = DevSpark.session()
+    import org.apache.spark.sql.functions._
+    def t(label: String)(f: => Long): Unit = {
+      f
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e3
+      }
+      println(f"[mhv] $label%-30s ${runs.min / 1000}%8.1f ms")
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val both = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
+
+    def variant(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val sigs = df.select(col("doc_id").as("__id"),
+        graft.operators.Dedup.minhashSignature(col("text"), 3, 64).as("__sig"))
+        .localCheckpoint(false)
+      val banded = sigs.select(col("__id"),
+          posexplode(graft.functions.HashExpressions.bandHashes(col("__sig"), 16)))
+        .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
+        .select(col("__band"), col("__bucket"), col("__id"))
+      val pairs = banded.join(banded.withColumnRenamed("__id", "idB"), Seq("__band", "__bucket"))
+        .where(col("__id") < col("idB"))
+        .select(col("__id").as("idA"), col("idB"))
+        .distinct()
+      pairs
+        .join(sigs.select(col("__id").as("idA"), col("__sig").as("__sigA")), "idA")
+        .join(sigs.select(col("__id").as("idB"), col("__sig").as("__sigB")), "idB")
+        .withColumn("est_jaccard",
+          graft.functions.HashExpressions.signatureAgreement(col("__sigA"), col("__sigB")))
+        .where(col("est_jaccard") >= 0.7)
+        .select(col("idA"), col("idB"), col("est_jaccard"))
+    }
+    t("current (first-agree)")(graft.operators.Dedup.minhashNearDuplicates(
+      both, "doc_id", "text", 3, 64, 16, 0.7).count())
+    t("variant (distinct pairs)")(variant(both).count())
+    // results must be identical pair sets
+    val a = graft.operators.Dedup.minhashNearDuplicates(both, "doc_id", "text", 3, 64, 16, 0.7)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = variant(both).select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[mhv] equal=${a == b} pairs=${a.size}")
+    spark.stop()
+  }
+}

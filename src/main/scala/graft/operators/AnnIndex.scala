@@ -620,6 +620,79 @@ object AnnIndex {
     stageSidecar(tableLocation(spark, staging))
   }
 
+  // ---- persistent n-gram LM catalog ---------------------------------
+  // A PAIR of bucketed count tables (tableName = unigrams (word, c),
+  // tableName_bi = bigrams (w1, w2, c)) holding RAW counts: minCount is
+  // applied at loadLm time (LanguageModel.fromRaw), never at count time,
+  // so updates merge by plain count addition (associative — ingest order
+  // cannot change the model) and words can cross the vocabulary
+  // threshold as deltas arrive. Commit/crash discipline is the minhash
+  // pair's: both tables stage completely, then two catalog swaps;
+  // recoverLmPair rolls the second swap forward whenever the first
+  // committed.
+
+  /** Persist a reference corpus's LM counts as a coherent two-table
+    * catalog. Word-bucketed so [[updateLm]]'s merge re-aggregation and
+    * [[loadLm]]'s vocabulary semi-joins read pre-bucketed.
+    */
+  def buildLm(ref: DataFrame, idCol: String, textCol: String,
+      tableName: String, buckets: Int = 32): Unit = {
+    val (uni, bi) = graft.operators.LanguageModel.rawCounts(ref, idCol, textCol)
+    persistLmTables(uni, bi, tableName, buckets)
+  }
+
+  /** Fold a delta corpus into the LM catalog: counts add (associative).
+    * The table sides arrive pre-bucketed; only the delta counts and the
+    * merged aggregates shuffle. Both merged tables stage completely
+    * before either swap — a crash anywhere leaves a state
+    * [[recoverLmPair]] converges.
+    */
+  def updateLm(spark: SparkSession, tableName: String, delta: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 32): Unit = {
+    recoverLmPair(spark, tableName)
+    val (du, db) = graft.operators.LanguageModel.rawCounts(delta, idCol, textCol)
+    persistLmTables(
+      spark.table(tableName).unionByName(du)
+        .groupBy("word").agg(sum(col("c")).as("c")),
+      spark.table(tableName + "_bi").unionByName(db)
+        .groupBy("w1", "w2").agg(sum(col("c")).as("c")),
+      tableName, buckets)
+  }
+
+  /** Assemble a scoring model from the catalog under a `minCount`
+    * vocabulary cut (heals any torn predecessor first). The result feeds
+    * [[graft.operators.LanguageModel.scoreDocs]] directly, or
+    * [[graft.operators.LanguageModel.distill]] for the map-side/streaming
+    * scorer.
+    */
+  def loadLm(spark: SparkSession, tableName: String,
+      minCount: Long = 1L): graft.operators.LanguageModel.NgramLm = {
+    recoverLmPair(spark, tableName)
+    graft.operators.LanguageModel.fromRaw(
+      spark.table(tableName), spark.table(tableName + "_bi"), minCount)
+  }
+
+  private def persistLmTables(uni: DataFrame, bi: DataFrame,
+      tableName: String, buckets: Int): Unit = {
+    val spark = uni.sparkSession
+    recoverLmPair(spark, tableName) // converge any torn predecessor first
+    replaceTable(uni, stagingName(tableName), "word", buckets)
+    replaceTable(bi, stagingName(tableName + "_bi"), "w1", buckets)
+    swapStaging(spark, tableName)
+    swapStaging(spark, tableName + "_bi")
+  }
+
+  /** Heal every crash window of the LM pair commit (the
+    * [[recoverMinhashPair]] logic on the `_bi` sidecar table). */
+  private[graft] def recoverLmPair(spark: SparkSession, tableName: String): Unit = {
+    recoverFingerprint(spark, tableName)
+    recoverFingerprint(spark, tableName + "_bi")
+    if (!spark.catalog.tableExists(stagingName(tableName)) &&
+        spark.catalog.tableExists(stagingName(tableName + "_bi")) &&
+        spark.catalog.tableExists(tableName))
+      swapStaging(spark, tableName + "_bi")
+  }
+
   /** Second half: drop the old table and rename the staging table in. A
     * crash between the two leaves the complete staging table (sidecars
     * included) for [[recoverFingerprint]].

@@ -74,28 +74,54 @@ object LanguageModel {
     */
   def train(ref: DataFrame, idCol: String, textCol: String,
       minCount: Long = 1L): NgramLm = {
+    val (uni, bi) = rawCounts(ref, idCol, textCol)
+    fromRaw(uni, bi, minCount)
+  }
+
+  /** Raw (uncut) count tables — the PERSISTABLE form of the model
+    * ([[graft.operators.AnnIndex.buildLm]]): `minCount` is applied at
+    * model-assembly time ([[fromRaw]]), never at count time, so an
+    * incremental catalog can merge deltas by plain count addition
+    * (associative — ingest order cannot change the model) and a word can
+    * cross the vocabulary threshold as later deltas arrive. One
+    * scan+tokenize pass feeds both aggregates (the duplicateSpans
+    * materialize-the-front-half discipline). Output: ((word, c),
+    * (w1, w2, c)).
+    */
+  def rawCounts(ref: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
     val toks = Materialize.once(tokenArrays(ref, idCol, textCol))
-    val uni = Materialize.once(
-      toks.select(explode(col("__t")).as("__w"))
-        .groupBy(col("__w").as("word"))
-        .agg(count(lit(1)).as("c"))
-        .where(col("c") >= minCount))
-    // bigram adjacency from the per-doc arrays (no cross-doc bigrams);
-    // both ends must survive the vocabulary cut so p(w|u) conditions on
-    // an in-vocab context — the standard closed-vocabulary construction
-    val pairs = toks.where(size(col("__t")) >= 2)
+    val uni = toks.select(explode(col("__t")).as("__w"))
+      .groupBy(col("__w").as("word"))
+      .agg(count(lit(1)).as("c"))
+    // bigram adjacency from the per-doc arrays (no cross-doc bigrams)
+    val bi = toks.where(size(col("__t")) >= 2)
       .select(explode(zip_with(
         slice(col("__t"), lit(1), size(col("__t")) - 1),
         slice(col("__t"), lit(2), size(col("__t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    (uni, bi)
+  }
+
+  /** Assemble a scoring model from raw count tables: vocabulary =
+    * words with count >= minCount; bigrams restricted to in-vocab ends
+    * (the standard closed-vocabulary construction — p(w|u) conditions on
+    * an in-vocab context); T/V from the surviving vocabulary. Filtering
+    * aggregated counts here equals filtering pairs before aggregation,
+    * so train == fromRaw∘rawCounts by construction.
+    */
+  def fromRaw(uniRaw: DataFrame, biRaw: DataFrame, minCount: Long = 1L): NgramLm = {
+    val uni = Materialize.once(uniRaw.where(col("c") >= minCount))
     val vocab1 = uni.select(col("word").as("w1"))
     val vocab2 = uni.select(col("word").as("w2"))
+    // re-pin column ORDER after the using-column semi-joins (they move
+    // the join column first); consumers that collect read positionally
     val bi = Materialize.once(
-      pairs.join(vocab1, Seq("w1"), "left_semi")
+      biRaw.join(vocab1, Seq("w1"), "left_semi")
         .join(vocab2, Seq("w2"), "left_semi")
-        .groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c")))
+        .select("w1", "w2", "c"))
     val agg = uni.agg(
       coalesce(sum(col("c")), lit(0L)).as("t"),
       count(lit(1)).as("v")).head()
@@ -171,8 +197,10 @@ object LanguageModel {
       s"LM too large to distill: $nUni unigrams + $nBi bigrams > $maxEntries " +
         "(raise minCount at train time, or score with the join-based scoreDocs)")
     DistilledLm(
-      lm.unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
-      lm.bigrams.collect().map(r => r.getString(0) + " " + r.getString(1) -> r.getLong(2)).toMap,
+      lm.unigrams.select("word", "c").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      lm.bigrams.select("w1", "w2", "c").collect()
+        .map(r => r.getString(0) + " " + r.getString(1) -> r.getLong(2)).toMap,
       lm.totalTokens, lm.vocabSize)
   }
 

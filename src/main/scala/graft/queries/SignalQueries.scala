@@ -161,6 +161,24 @@ object SignalQueries {
       graft.operators.LanguageModel.distill(lm))
   }
 
+  /** Same relation as q_lm_score through the PERSISTENT LM catalog,
+    * exercising the full lifecycle on the oracled path: build on half
+    * the reference slice, fold the other half in via the associative
+    * count merge, load under the same minCount — must equal training on
+    * the whole slice at once, so q_lm_score's oracle is reused VERBATIM.
+    */
+  private val lmScoreIndexedQ = q("q_lm_score_indexed",
+    lmScoreQ.oracle.get) { (s, d) =>
+    import graft.operators.AnnIndex
+    val docs = Tables.df(s, d, "documents")
+    val ref = docs.where(col("doc_id") % 3 === 0)
+    AnnIndex.buildLm(ref.where(col("doc_id") % 2 === 0), "doc_id", "text", "graft_lm_idx")
+    AnnIndex.updateLm(s, "graft_lm_idx",
+      ref.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+    graft.operators.LanguageModel.scoreDocs(docs, "doc_id", "text",
+      AnnIndex.loadLm(s, "graft_lm_idx", minCount = LmMinCount))
+  }
+
   // ---- 6-hour resample of the events stream, per user.
 
   private val ResampleBucketNs = 21600000000000L // 6 hours
@@ -342,7 +360,7 @@ object SignalQueries {
 
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
-    resampleQ, resampleRollingQ,
+    lmScoreIndexedQ, resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)
 }

@@ -436,4 +436,43 @@ class AnnIndexSpec extends AnyFunSuite {
         assert(e == Set("batch=-1"), s"$state must finish the install, got $e")
     }
   }
+
+  test("LM catalog: incremental update == fresh train; vocab threshold crossing; torn pair heals") {
+    val d = docs()
+    val table = "lm_idx_spec"
+    val stagBi = AnnIndex.stagingName(table + "_bi")
+    def drop(): Unit = Seq(table, table + "_bi",
+        AnnIndex.stagingName(table), stagBi)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`").collect())
+    drop()
+    try {
+      // build on half, fold the other half in — must equal one-shot train
+      AnnIndex.buildLm(d.where(col("doc_id") % 2 === 0), "doc_id", "text", table, buckets = 4)
+      AnnIndex.updateLm(spark, table, d.where(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", buckets = 4)
+      val inc = AnnIndex.loadLm(spark, table, minCount = 2)
+      val fresh = LanguageModel.train(d, "doc_id", "text", minCount = 2)
+      assert(inc.totalTokens == fresh.totalTokens && inc.vocabSize == fresh.vocabSize)
+      def scores(lm: LanguageModel.NgramLm) =
+        LanguageModel.scoreDocs(d, "doc_id", "text", lm)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val want = scores(fresh)
+      assert(scores(inc) == want && want.nonEmpty)
+      // torn window: crash between the two pair swaps (uni committed, bi
+      // staging waiting) — loadLm must finish the second swap, unchanged
+      spark.sql(s"CREATE TABLE `$stagBi` AS SELECT * FROM `${table}_bi`")
+      assert(scores(AnnIndex.loadLm(spark, table, minCount = 2)) == want)
+      assert(!spark.catalog.tableExists(stagBi), "bi staging must be consumed")
+      // raw-count persistence: a word below minCount in the first slice
+      // must CROSS the vocabulary threshold once a later delta lifts it
+      drop()
+      AnnIndex.buildLm(Seq((1L, "rare common common")).toDF("doc_id", "text"),
+        "doc_id", "text", table, buckets = 2)
+      assert(AnnIndex.loadLm(spark, table, minCount = 2).vocabSize == 1)
+      AnnIndex.updateLm(spark, table,
+        Seq((2L, "rare common")).toDF("doc_id", "text"), "doc_id", "text", buckets = 2)
+      val crossed = AnnIndex.loadLm(spark, table, minCount = 2)
+      assert(crossed.vocabSize == 2 && crossed.totalTokens == 5)
+    } finally drop()
+  }
 }

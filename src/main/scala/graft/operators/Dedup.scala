@@ -708,6 +708,43 @@ object Dedup {
       .drop("__spans")
   }
 
+  /** Paragraph-level exact dedup — the RefinedWeb/Dolma pipeline stage
+    * between document dedup and substring spans: boilerplate (nav bars,
+    * cookie banners, license headers) repeats VERBATIM across documents
+    * at paragraph granularity, so each distinct canonical paragraph keeps
+    * exactly its FIRST occurrence (ordered by (doc id, position) — a
+    * deterministic winner) and every other copy is dropped; documents are
+    * reassembled from their surviving paragraphs in original order.
+    * Documents whose every paragraph loses disappear from the output
+    * (they contained nothing but boilerplate — the standard drop).
+    *
+    * Scale shape: one narrow explode (doc → paragraphs with position),
+    * one hash aggregate on the 128-bit canonical fingerprint for the
+    * winner (min struct — map-side combining, no window over the
+    * fingerprint key space), one fingerprint-keyed join back, one per-doc
+    * re-aggregation. Paragraph count per doc is bounded by document
+    * length, so the reassembly groups have the sessionize skew envelope.
+    *
+    * Output: (idCol, dedup_text).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\\n{2,}"): DataFrame = {
+    val paras = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), sepRegex)))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__para"))
+      .where(trim(col("__para")) =!= "")
+      .withColumn("__fp", fingerprint(col("__para")))
+    val winners = paras.groupBy("__fp")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+    paras.join(winners, Seq("__fp"))
+      .where(col("__id") === col("__w.__id") && col("__pos") === col("__w.__pos"))
+      .groupBy(col("__id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          p => p("__para")), "\n\n").as("dedup_text"))
+      .select(col("__id").as(idCol), col("dedup_text"))
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold pairs, candidates via
     * random-hyperplane LSH buckets (exact within-bucket verify). At corpus
     * scale the bucket join replaces the n² cross product.

@@ -179,6 +179,36 @@ object SignalQueries {
       AnnIndex.loadLm(s, "graft_lm_idx", minCount = LmMinCount))
   }
 
+  /** Paragraph-level exact dedup (RefinedWeb/Dolma boilerplate removal).
+    * The synthetic docs are single-line, so the query SYNTHESIZES a
+    * multi-paragraph corpus both engines derive identically: doc i =
+    * text_i + "\n\n" + text_{i+1} (adjacent-pair join — scale-free, no
+    * corpus-size constants). Every source text then appears as a
+    * paragraph of two synthesized docs; the (doc_id, pos) winner rule
+    * keeps its first occurrence and the reassembly is hash-gated.
+    */
+  private val paragraphDedupQ = q("q_dedup_paragraph",
+    raw"""WITH corpus AS (
+         SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+       pl AS (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS l FROM corpus),
+       pe AS (SELECT doc_id, unnest(range(0, len(l))) AS pos, l FROM pl),
+       ps AS (SELECT doc_id, pos, l[pos+1] AS para FROM pe WHERE trim(l[pos+1]) <> ''),
+       fp AS (SELECT doc_id, pos, para,
+                md5(regexp_replace(lower(trim(para)), '\s+', ' ', 'g')) AS fp FROM ps),
+       keep AS (SELECT doc_id, pos, para FROM
+                 (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+                  FROM fp)
+                WHERE rn = 1)
+       SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS dedup_text
+       FROM keep GROUP BY doc_id""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("__t2"))
+    val corpus = docs.join(nxt, "doc_id")
+      .select(col("doc_id"), concat(col("text"), lit("\n\n"), col("__t2")).as("text"))
+    graft.operators.Dedup.paragraphDedup(corpus, "doc_id", "text")
+  }
+
   // ---- 6-hour resample of the events stream, per user.
 
   private val ResampleBucketNs = 21600000000000L // 6 hours
@@ -360,7 +390,7 @@ object SignalQueries {
 
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
-    lmScoreIndexedQ, resampleQ, resampleRollingQ,
+    lmScoreIndexedQ, paragraphDedupQ, resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)
 }

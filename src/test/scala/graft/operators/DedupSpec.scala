@@ -405,4 +405,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"semanticDedup pair join must be cell-keyed:\n$plan")
   }
+
+  test("paragraphDedup: boilerplate keeps its first occurrence only; all-boilerplate docs drop") {
+    val boiler = "accept all cookies to continue reading"
+    val docs = Seq(
+      (1L, s"unique intro one\n\n$boiler\n\nunique body one"),
+      (2L, s"$boiler\n\nunique body two"),      // boilerplate already seen
+      (3L, boiler),                              // NOTHING but boilerplate
+      (4L, s"unique body two\n\nunique tail"),   // cross-DOC paragraph dup
+      (5L, s"Accept   ALL cookies to continue reading")) // canonical dup (case/ws)
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"unique intro one\n\n$boiler\n\nunique body one")
+    assert(out(2L) == "unique body two")
+    assert(!out.contains(3L), "all-boilerplate doc must drop")
+    assert(out(4L) == "unique tail", "paragraph seen in an earlier doc must drop")
+    assert(!out.contains(5L), "canonical (case/whitespace) dup must drop")
+    // within-doc repetition: second copy loses to the first by position
+    val rep = Seq((7L, "same para\n\nmiddle\n\nsame para")).toDF("doc_id", "text")
+    assert(Dedup.paragraphDedup(rep, "doc_id", "text").head.getString(1)
+      == "same para\n\nmiddle")
+  }
 }

@@ -746,6 +746,61 @@ object PhashBytes {
   }
 }
 
+/** Integer surprisal total of a byte stream under its OWN byte
+  * distribution — the transcendental-free Shannon-entropy stand-in (the
+  * q_lm_score whole-bits discipline applied at byte level):
+  *
+  *   num = Σ_b f_b · (|bin(n)| − |bin(f_b)|),  |bin(x)| = 64 − nlz(x)
+  *
+  * num/n approximates H(bytes) in bits/byte within 1 bit (each term is
+  * floor-log2 of n/f_b). All-integer ⇒ a DuckDB oracle replays it
+  * exactly. High values flag base64/compressed/random payloads, low
+  * values flag degenerate repetition — the standard cheap corpus-quality
+  * cut at both tails. One pass, 256-long histogram, codegen'd.
+  */
+case class ByteEntropyBits(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_byte_entropy_bits"
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ByteEntropyBits.num(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val helper = ByteEntropyBits.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.num($in);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ByteEntropyBits {
+  /** Shared by eval and codegen — ONE definition of the arithmetic. */
+  def num(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val f = new Array[Long](256)
+    var i = 0
+    while (i < n) { f(bytes(i) & 0xff) += 1; i += 1 }
+    val ln = 64 - java.lang.Long.numberOfLeadingZeros(n.toLong)
+    var s = 0L
+    var b = 0
+    while (b < 256) {
+      val c = f(b)
+      if (c > 0) s += c * (ln - (64 - java.lang.Long.numberOfLeadingZeros(c)))
+      b += 1
+    }
+    s
+  }
+}
+
 object HashExpressions {
   /** One-pass MinHash signature of an array<string> shingle column. */
   def minhash(shingles: Column, numHashes: Int): Column =
@@ -788,6 +843,11 @@ object HashExpressions {
   /** Integer average-hash perceptual signature of a binary payload. */
   def phashBytes(payload: Column, bits: Int = 60): Column =
     GraftBridge.column(PhashBytes(GraftBridge.expression(payload), bits))
+
+  /** Integer byte-entropy surprisal total (bits numerator) of a binary
+    * payload; divide by its length for ≈ bits/byte. */
+  def byteEntropyBits(payload: Column): Column =
+    GraftBridge.column(ByteEntropyBits(GraftBridge.expression(payload)))
 
   /** Bloom hit count over an array<bigint> of gram hashes. */
   def bloomHits(grams: Column, words: Array[Long], mBits: Int, k: Int,

@@ -209,6 +209,36 @@ object SignalQueries {
     graft.operators.Dedup.paragraphDedup(corpus, "doc_id", "text")
   }
 
+  /** Byte-entropy quality signal — Shannon entropy's integer-bits
+    * stand-in (ByteEntropyBits scaladoc): flags base64/compressed payloads
+    * high and degenerate repetition low. The production expression is
+    * all-integer, so the oracle replays it exactly (ASCII corpus:
+    * characters == bytes, the PhashBytes boundary). One shuffle-free
+    * codegen'd projection over the corpus.
+    */
+  private val entropyQ = q("q_entropy",
+    raw"""WITH pb AS (SELECT doc_id, len(text) AS n,
+                list_transform(range(1, len(text) + 1),
+                  i -> CAST(unicode(text[i:i]) AS BIGINT)) AS bv
+              FROM documents WHERE len(text) > 0),
+       f AS (SELECT doc_id, n, b, COUNT(*) AS c FROM
+              (SELECT doc_id, n, unnest(bv) AS b FROM pb) GROUP BY 1, 2, 3),
+       e AS (SELECT doc_id, n, SUM(c * (len(bin(n)) - len(bin(c)))) AS num
+             FROM f GROUP BY 1, 2)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+              CAST(num AS BIGINT) AS entropy_num,
+              round(CAST(num AS DOUBLE) / n, 6) AS bits_per_char
+       FROM e""") { (s, d) =>
+    val num = graft.functions.HashExpressions.byteEntropyBits(
+      encode(col("text"), "UTF-8"))
+    Tables.df(s, d, "documents")
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        num.as("entropy_num"))
+      .withColumn("bits_per_char",
+        round(col("entropy_num").cast("double") / col("n_chars"), 6))
+  }
+
   // ---- 6-hour resample of the events stream, per user.
 
   private val ResampleBucketNs = 21600000000000L // 6 hours
@@ -390,7 +420,7 @@ object SignalQueries {
 
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
-    lmScoreIndexedQ, paragraphDedupQ, resampleQ, resampleRollingQ,
+    lmScoreIndexedQ, paragraphDedupQ, entropyQ, resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)
 }

@@ -55,7 +55,8 @@ class CodegenNoFallbackSpec extends AnyFunSuite {
       HashExpressions.bloomHits(HashExpressions.ngramHashes(toks, 3),
         new Array[Long](64), mBits = 4096, k = 3, foldWide = true).as("bloom_none"),
       Bpe.bpeText(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpe"),
-      Bpe.bpeTextExpr(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpeExpr")).collect()
+      Bpe.bpeTextExpr(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpeExpr"),
+      HashExpressions.byteEntropyBits(encode(col("text"), "UTF-8")).as("ent")).collect()
     assert(out.length == 2)
     // all-ones bitmap hits every gram; all-zeros hits none
     assert(out(0).getInt(13) == out(0).getSeq[Long](4).size &&

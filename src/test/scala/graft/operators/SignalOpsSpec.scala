@@ -305,6 +305,26 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(oov.getLong(0) == oov.getLong(1))
   }
 
+  // ---------------- byte-entropy quality signal ----------------
+
+  test("byteEntropyBits: exact integer bits; orders repetition < english < random") {
+    import graft.functions.HashExpressions.byteEntropyBits
+    def bits(s: String): Long =
+      Seq(s).toDF("t").select(byteEntropyBits(encode(col("t"), "UTF-8")))
+        .head().getLong(0)
+    // exact: "aabb" — two symbols, f=2 each, n=4: each byte costs
+    // |bin(4)|-|bin(2)| = 1 bit → 4; uniform repetition costs 0
+    assert(bits("aabb") == 4L)
+    assert(bits("aaaaaaaa") == 0L)
+    assert(bits("") == 0L)
+    val repetitive = "spam " * 40
+    val english = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val randomish = (0 until 200).map(i => ((i * 2654435761L) % 94 + 33).toChar).mkString
+    def perChar(s: String) = bits(s).toDouble / s.length
+    assert(perChar(repetitive) < perChar(english) && perChar(english) < perChar(randomish),
+      s"${perChar(repetitive)} < ${perChar(english)} < ${perChar(randomish)} expected")
+  }
+
   // ---------------- n-gram LM quality scoring ----------------
 
   test("lm scoring ranks planted gibberish above planted clean text") {

@@ -109,8 +109,12 @@ object SignalQueries {
 
   private val LmMinCount = 2L
 
-  private val lmScoreQ = q("q_lm_score",
-    raw"""WITH tok0 AS (SELECT doc_id,
+  /** The q_lm_score CTE chain (documents → per-doc (doc_id, n_tokens,
+    * lm_bits)) as a shareable fragment, so the composed pipeline oracle
+    * reuses the EXACT same arithmetic instead of a re-derivation.
+    */
+  private val LmScoreCtes =
+    raw"""tok0 AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '') AS t
            FROM documents),
        td AS (SELECT doc_id, t, len(t) AS n FROM tok0 WHERE len(t) >= 1),
@@ -137,11 +141,16 @@ object SignalQueries {
               FROM ev e
               LEFT JOIN uni u ON e.w = u.w
               LEFT JOIN uni up ON e.prev = up.w
-              LEFT JOIN bi b ON e.prev = b.w1 AND e.w = b.w2)
-       SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
-              CAST(SUM(bits) AS BIGINT) AS lm_bits,
-              round(CAST(SUM(bits) AS DOUBLE) / MAX(n), 6) AS bits_per_token
-       FROM sc GROUP BY doc_id""") { (s, d) =>
+              LEFT JOIN bi b ON e.prev = b.w1 AND e.w = b.w2),
+       lmdoc AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+                   CAST(SUM(bits) AS BIGINT) AS lm_bits
+                 FROM sc GROUP BY doc_id)"""
+
+  private val lmScoreQ = q("q_lm_score",
+    s"""WITH $LmScoreCtes
+       SELECT doc_id, n_tokens, lm_bits,
+              round(CAST(lm_bits AS DOUBLE) / n_tokens, 6) AS bits_per_token
+       FROM lmdoc""") { (s, d) =>
     val docs = Tables.df(s, d, "documents")
     graft.operators.LanguageModel.scoreAgainstSlice(docs, "doc_id", "text",
       docs.where(col("doc_id") % 3 === 0), minCount = LmMinCount)
@@ -237,6 +246,56 @@ object SignalQueries {
         num.as("entropy_num"))
       .withColumn("bits_per_char",
         round(col("entropy_num").cast("double") / col("n_chars"), 6))
+  }
+
+  /** Composed corpus-preparation v4 — the round-9 signal stack end to
+    * end in ONE declarative plan: byte-entropy band (drop compressed/
+    * random-looking AND degenerate-repetition tails) ∧ n-gram LM
+    * surprisal gate (CCNet keep-the-low-perplexity-head) → exact-dedup
+    * winners → (doc_id, n_tokens). Every gate compares INTEGERS
+    * cross-multiplied (10·num vs 36·n_chars, 1000·lm_bits vs
+    * 4970·n_tokens), so no float threshold can flip a row between
+    * engines; the LM half reuses the q_lm_score CTE chain verbatim.
+    */
+  private val pipelineSignalsQ = q("q_pipeline_signals",
+    s"""WITH $LmScoreCtes,
+       pb AS (SELECT doc_id, len(text) AS n,
+                list_transform(range(1, len(text) + 1),
+                  i -> CAST(unicode(text[i:i]) AS BIGINT)) AS bv
+              FROM documents WHERE len(text) > 0),
+       f AS (SELECT doc_id, n, b, COUNT(*) AS c FROM
+              (SELECT doc_id, n, unnest(bv) AS b FROM pb) GROUP BY 1, 2, 3),
+       ent AS (SELECT doc_id, n AS n_chars,
+                 SUM(c * (len(bin(n)) - len(bin(c)))) AS num
+               FROM f GROUP BY 1, 2),
+       gated AS (SELECT lmdoc.doc_id, lmdoc.n_tokens
+                 FROM lmdoc JOIN ent USING (doc_id)
+                 WHERE 10 * ent.num >= 36 * ent.n_chars
+                   AND 10 * ent.num <= 44 * ent.n_chars
+                   AND 1000 * lmdoc.lm_bits <= 4970 * lmdoc.n_tokens),
+       gfp AS (SELECT d.doc_id, g.n_tokens,
+                 md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+               FROM documents d JOIN gated g USING (doc_id)),
+       win AS (SELECT fp, MIN(doc_id) AS doc_id FROM gfp GROUP BY 1)
+       SELECT gfp.doc_id, gfp.n_tokens
+       FROM gfp JOIN win ON gfp.fp = win.fp AND gfp.doc_id = win.doc_id""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val lm = graft.operators.LanguageModel.scoreAgainstSlice(docs, "doc_id", "text",
+      docs.where(col("doc_id") % 3 === 0), minCount = LmMinCount)
+    val ent = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        graft.functions.HashExpressions.byteEntropyBits(
+          encode(col("text"), "UTF-8")).as("num"))
+    val gated = lm.join(ent, "doc_id")
+      .where(col("num") * 10 >= col("n_chars") * 36 &&
+        col("num") * 10 <= col("n_chars") * 44 &&
+        col("lm_bits") * 1000 <= col("n_tokens") * 4970)
+      .select("doc_id", "n_tokens")
+    val gfp = docs.join(gated, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), fingerprint(col("text")).as("__fp"))
+    val win = gfp.groupBy("__fp").agg(min(col("doc_id")).as("doc_id"))
+    gfp.join(win, Seq("__fp", "doc_id"), "left_semi")
+      .select("doc_id", "n_tokens")
   }
 
   // ---- 6-hour resample of the events stream, per user.
@@ -420,7 +479,8 @@ object SignalQueries {
 
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
-    lmScoreIndexedQ, paragraphDedupQ, entropyQ, resampleQ, resampleRollingQ,
+    lmScoreIndexedQ, paragraphDedupQ, entropyQ, pipelineSignalsQ,
+    resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)
 }

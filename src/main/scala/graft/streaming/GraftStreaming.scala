@@ -249,6 +249,37 @@ object GraftStreaming {
         tsCol, watermarkDelay, textCol),
       textCol, benchmark, maxContamination, shingle, mBits, k)
 
+  /** The round-9 composed streaming curation — every signal the batch
+    * q_pipeline_signals/q_pipeline_curated stack uses, in its streaming
+    * form. Stage order mirrors cost: the three STATELESS gates run first
+    * (byte-entropy band and distilled-LM surprisal are pure map-side
+    * expressions; the mixture gate is a broadcast join + pure filter), so
+    * the only stateful stage — watermark-bounded exact dedup — and the
+    * stateless Bloom decontamination see only surviving rows. State
+    * bound is exactly [[dedupTextStream]]'s; everything else is
+    * append-safe with no watermark interaction. Scored columns ride
+    * along (`bits_per_token`, `contamination_bloom`).
+    */
+  def curateStreamSignals(stream: DataFrame, tsCol: String, watermarkDelay: String,
+      textCol: String, idCol: String, sourceCol: String,
+      lm: graft.operators.LanguageModel.DistilledLm, maxBitsPerToken: Double,
+      minBitsPerChar: Double, maxBitsPerChar: Double,
+      mixtureProfile: DataFrame, targetFraction: Double,
+      benchmark: DataFrame, maxContamination: Double): DataFrame = {
+    val entropyNum = graft.functions.HashExpressions.byteEntropyBits(
+      encode(col(textCol), "UTF-8"))
+    val nChars = length(col(textCol))
+    val entropyGated = stream
+      .where(nChars > 0)
+      .where(entropyNum >= nChars * minBitsPerChar &&
+        entropyNum <= nChars * maxBitsPerChar)
+    val lmGated = lmScoreStream(entropyGated, textCol, lm, maxBitsPerToken)
+    val mixed = mixtureStream(lmGated, sourceCol, idCol, mixtureProfile, targetFraction)
+    decontaminateStream(
+      dedupTextStream(mixed, tsCol, watermarkDelay, textCol),
+      textCol, benchmark, maxContamination)
+  }
+
   def dedupExactStream(df: DataFrame, tsCol: String, watermarkDelay: String,
       keyCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)

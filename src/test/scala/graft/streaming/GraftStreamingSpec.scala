@@ -815,6 +815,67 @@ class GraftStreamingSpec extends AnyFunSuite {
       assert(streamed == batchKept, "stream gate must keep EXACTLY the batch rows")
     } finally query.stop()
   }
+
+  test("curateStreamSignals: every gate fires; stream == hand-composed batch stack") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.{LanguageModel, Mixture}
+    val fluent = "the quick fox jumps over the lazy dog and the fox runs"
+    val ref = (0 until 30).map(i => (i.toLong, fluent)).toDF("doc_id", "text")
+    val lm = LanguageModel.distill(LanguageModel.train(ref, "doc_id", "text"))
+    val benchmark = Seq((900L, "held out evaluation answer string")).toDF("doc_id", "text")
+    // candidates: each row exists to trip exactly one gate
+    val rows = Seq(
+      (100L, "web", fluent),                                   // survives everything
+      (101L, "web", "zq1xv7 qb9ke lw0pj mmz4t zq1xv7 qb9ke lw0pj mmz4t"), // LM gate
+      (102L, "web", "aaaa aaaa aaaa aaaa aaaa aaaa"),          // entropy low tail
+      (103L, "web", fluent + " extra"),                        // survives (distinct text)
+      (104L, "web", fluent),                                   // dedup: dup of 100
+      (105L, "web", "held out evaluation answer string")       // decontamination
+    ) ++ (200L until 230L).map(i => (i, "filler", fluent + s" tail $i")) // mixture thinning
+    val staticDf = rows.toDF("doc_id", "source", "text")
+      .withColumn("ts", lit(new java.sql.Timestamp(1000L)))
+
+    // hand-composed batch mirror: the SAME stateless stages (they are
+    // plain column programs, so they run on a static frame), dedup as
+    // first-arrival == min id (ids are assigned in arrival order)
+    val ent = graft.functions.HashExpressions.byteEntropyBits(encode(col("text"), "UTF-8"))
+    val e1 = staticDf.where(length(col("text")) > 0)
+      .where(ent >= length(col("text")) * 2.0 && ent <= length(col("text")) * 4.6)
+    val l1 = GraftStreaming.lmScoreStream(e1, "text", lm, maxBitsPerToken = 3.5)
+    val m1 = Mixture.applyRates(l1, "source", "doc_id",
+      Mixture.sqrtMixtureRates(staticDf, "source", targetFraction = 0.6))
+    val d1fp = m1.withColumn("__fp",
+      graft.functions.TextFunctions.fingerprint(col("text")))
+    val d1 = d1fp.join(d1fp.groupBy("__fp").agg(min(col("doc_id")).as("doc_id")),
+      Seq("__fp", "doc_id"), "left_semi").drop("__fp")
+    val batchKept = GraftStreaming.decontaminateStream(d1, "text", benchmark,
+      maxContamination = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept.contains(100L) && batchKept.contains(103L))
+    assert(!batchKept.contains(101L) && !batchKept.contains(102L) &&
+      !batchKept.contains(104L) && !batchKept.contains(105L))
+    assert(batchKept.count(_ >= 200L) < 30, "mixture gate must thin the filler source")
+
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val curated = GraftStreaming.curateStreamSignals(
+      input.toDF().toDF("doc_id", "source", "text", "ts"),
+      "ts", "10 seconds", "text", "doc_id", "source",
+      lm, maxBitsPerToken = 3.5, minBitsPerChar = 2.0, maxBitsPerChar = 4.6,
+      mixtureProfile = staticDf, targetFraction = 0.6,
+      benchmark = benchmark, maxContamination = 0.5)
+    val query = GraftStreaming.storeStreamMemory(curated, "curate_sig_test")
+    try {
+      val data = rows.map { case (id, src, t) => (id, src, t, new java.sql.Timestamp(1000L)) }
+      input.addData(data.take(8)) // id order: first arrival == min id
+      query.processAllAvailable()
+      input.addData(data.drop(8))
+      query.processAllAvailable()
+      val streamed = spark.table("curate_sig_test")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batchKept, "stream must keep EXACTLY the batch rows")
+    } finally query.stop()
+  }
 }
 
 case class StreamEvent(ts: java.sql.Timestamp, k: String)

@@ -140,6 +140,23 @@ object ProbeScale {
           21600000000000L).count())
       println(f"[scale-sig] x$factor%-3d bloom_contamination=$tBloom%7.0f ms ($nBloom rows)  " +
         f"oov_rate=$tOov%7.0f ms ($nOov rows)  resample=$tRes%7.0f ms ($nRes rows)")
+      // round-9 signal operators: LM train+score is the two-agg train +
+      // one-join-pass score; entropy is a shuffle-free projection;
+      // paragraph dedup explodes the synthesized two-paragraph corpus
+      val (tLm, nLm) = time2(
+        graft.operators.LanguageModel.scoreAgainstSlice(d, "doc_id", "text",
+          d.where(col("doc_id") % 3 === 0), minCount = 2).count())
+      val (tEnt, nEnt) = time2(
+        d.where(length(col("text")) > 0).select(col("doc_id"),
+          graft.functions.HashExpressions.byteEntropyBits(
+            encode(col("text"), "UTF-8")).as("num"))
+          .agg(count(col("num"))).head().getLong(0))
+      val paraCorpus = d.select(col("doc_id"),
+        concat(col("text"), lit("\n\n"), reverse(col("text"))).as("text"))
+      val (tPara, nPara) = time2(
+        graft.operators.Dedup.paragraphDedup(paraCorpus, "doc_id", "text").count())
+      println(f"[scale-sig9] x$factor%-3d lm_score=$tLm%7.0f ms ($nLm rows)  " +
+        f"entropy=$tEnt%7.0f ms ($nEnt rows)  paragraph_dedup=$tPara%7.0f ms ($nPara rows)")
       println(f"[scale-idx] x$factor%-3d ivfpq_build=$tBuildIvfPq%7.0f ms  " +
         f"ivfpq_probe=$tProbeIvfPq%7.0f ms ($nProbeIvfPq)  " +
         f"ivfpq_refined=$tProbeRefined%7.0f ms ($nProbeRefined)  " +

@@ -146,8 +146,8 @@ object SignalQueries {
                    CAST(SUM(bits) AS BIGINT) AS lm_bits
                  FROM sc GROUP BY doc_id)"""
 
-  private val lmScoreQ = q("q_lm_score",
-    s"""WITH $LmScoreCtes
+  private val lmScoreQ = q("q_lm_score", bench = true,
+    oracle = s"""WITH $LmScoreCtes
        SELECT doc_id, n_tokens, lm_bits,
               round(CAST(lm_bits AS DOUBLE) / n_tokens, 6) AS bits_per_token
        FROM lmdoc""") { (s, d) =>
@@ -196,8 +196,8 @@ object SignalQueries {
     * paragraph of two synthesized docs; the (doc_id, pos) winner rule
     * keeps its first occurrence and the reassembly is hash-gated.
     */
-  private val paragraphDedupQ = q("q_dedup_paragraph",
-    raw"""WITH corpus AS (
+  private val paragraphDedupQ = q("q_dedup_paragraph", bench = true,
+    oracle = raw"""WITH corpus AS (
          SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
        pl AS (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS l FROM corpus),
@@ -225,8 +225,8 @@ object SignalQueries {
     * characters == bytes, the PhashBytes boundary). One shuffle-free
     * codegen'd projection over the corpus.
     */
-  private val entropyQ = q("q_entropy",
-    raw"""WITH pb AS (SELECT doc_id, len(text) AS n,
+  private val entropyQ = q("q_entropy", bench = true,
+    oracle = raw"""WITH pb AS (SELECT doc_id, len(text) AS n,
                 list_transform(range(1, len(text) + 1),
                   i -> CAST(unicode(text[i:i]) AS BIGINT)) AS bv
               FROM documents WHERE len(text) > 0),

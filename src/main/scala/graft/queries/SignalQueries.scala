@@ -298,6 +298,70 @@ object SignalQueries {
       .select("doc_id", "n_tokens")
   }
 
+  /** Shared entropy-score CTEs: documents → (doc_id, bits_per_char s,
+    * lang-is-en label y) — the evaluation queries' input relation. */
+  private val EntropyScoreCtes =
+    raw"""pb2 AS (SELECT doc_id, len(text) AS n,
+                list_transform(range(1, len(text) + 1),
+                  i -> CAST(unicode(text[i:i]) AS BIGINT)) AS bv
+              FROM documents WHERE len(text) > 0),
+       f2 AS (SELECT doc_id, n, b, COUNT(*) AS c FROM
+              (SELECT doc_id, n, unnest(bv) AS b FROM pb2) GROUP BY 1, 2, 3),
+       ent2 AS (SELECT doc_id, n, SUM(c * (len(bin(n)) - len(bin(c)))) AS num
+                FROM f2 GROUP BY 1, 2),
+       scl AS (SELECT round(CAST(num AS DOUBLE) / n, 6) AS s,
+                      CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM ent2 JOIN documents d USING (doc_id))"""
+
+  /** Exact Mann–Whitney AUC of the byte-entropy score against the
+    * lang='en' label — evaluation of a quality signal as a first-class
+    * oracled aggregate (2U integer accumulation over distinct-score
+    * groups, tie-corrected; Eval.auc scaladoc).
+    */
+  private val aucQ = q("q_auc",
+    s"""WITH $EntropyScoreCtes,
+       g AS (SELECT s, SUM(y) AS p, SUM(1 - y) AS q FROM scl GROUP BY 1),
+       cq AS (SELECT s, p, q,
+                COALESCE(SUM(q) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumq
+              FROM g)
+       SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(q) AS BIGINT) AS n_neg,
+              round(CAST(SUM(p * (2 * cumq + q)) AS DOUBLE)
+                    / (SUM(p) * SUM(q) * 2), 6) AS auc
+       FROM cq""") { (s, d) =>
+    graft.operators.Eval.auc(entropyScored(s, d), "s", "y")
+  }
+
+  /** Confusion counts + precision/recall/f1 for the gate s >= 4.0 on the
+    * same scored relation — exact integer counts, rational metrics.
+    */
+  private val confusionQ = q("q_confusion",
+    s"""WITH $EntropyScoreCtes,
+       c AS (SELECT CASE WHEN s >= 4.0 THEN 1 ELSE 0 END AS pred, y FROM scl)
+       SELECT CAST(SUM(pred * y) AS BIGINT) AS tp,
+              CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+              CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+              CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn,
+              round(CAST(SUM(pred * y) AS DOUBLE) / SUM(pred), 6) AS precision,
+              round(CAST(SUM(pred * y) AS DOUBLE) / SUM(y), 6) AS recall,
+              round(CAST(2 * SUM(pred * y) AS DOUBLE)
+                    / (2 * SUM(pred * y) + SUM(pred * (1 - y)) + SUM((1 - pred) * y)), 6) AS f1
+       FROM c""") { (s, d) =>
+    graft.operators.Eval.confusionAt(entropyScored(s, d), "s", "y", lit(4.0))
+  }
+
+  /** (s = rounded bits_per_char, y = lang-is-en) scored relation shared
+    * by the evaluation queries — the Spark twin of [[EntropyScoreCtes]].
+    */
+  private def entropyScored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.df(s, d, "documents")
+    docs.where(length(col("text")) > 0)
+      .select(
+        round(graft.functions.HashExpressions.byteEntropyBits(
+          encode(col("text"), "UTF-8")).cast("double") / length(col("text")), 6).as("s"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+  }
+
   // ---- 6-hour resample of the events stream, per user.
 
   private val ResampleBucketNs = 21600000000000L // 6 hours
@@ -480,7 +544,7 @@ object SignalQueries {
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
     lmScoreIndexedQ, paragraphDedupQ, entropyQ, pipelineSignalsQ,
-    resampleQ, resampleRollingQ,
+    aucQ, confusionQ, resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)
 }

@@ -325,6 +325,32 @@ class SignalOpsSpec extends AnyFunSuite {
       s"${perChar(repetitive)} < ${perChar(english)} < ${perChar(randomish)} expected")
   }
 
+  // ---------------- evaluation metrics ----------------
+
+  test("auc: exact Mann-Whitney with tie correction; degenerate classes yield null") {
+    // scores [1,2,2,3] labels [0,0,1,1]: pos@2 beats neg@1 (1) and ties
+    // neg@2 (0.5); pos@3 beats both (2) -> U = 3.5, AUC = 3.5/4
+    val df = Seq((1.0, 0), (2.0, 0), (2.0, 1), (3.0, 1)).toDF("s", "y")
+    val r = Eval.auc(df, "s", "y").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getDouble(2) == 0.875)
+    // perfect separation and perfect anti-separation
+    val sep = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("s", "y")
+    assert(Eval.auc(sep, "s", "y").head().getDouble(2) == 1.0)
+    val anti = Seq((1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)).toDF("s", "y")
+    assert(Eval.auc(anti, "s", "y").head().getDouble(2) == 0.0)
+    // one class empty: auc must be null, not a fabricated 0.5
+    val one = Seq((1.0, 1), (2.0, 1)).toDF("s", "y")
+    assert(Eval.auc(one, "s", "y").head().isNullAt(2))
+  }
+
+  test("confusionAt: exact counts and rational metrics") {
+    val df = Seq((0.9, 1), (0.8, 0), (0.4, 1), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    val r = Eval.confusionAt(df, "s", "y", lit(0.5)).head()
+    // pred>=0.5: rows 1,2 -> tp=1 fp=1; below: fn=1 tn=2
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 2L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5 && r.getDouble(6) == 0.5)
+  }
+
   // ---------------- n-gram LM quality scoring ----------------
 
   test("lm scoring ranks planted gibberish above planted clean text") {

@@ -801,6 +801,109 @@ object ByteEntropyBits {
   }
 }
 
+/** Single-pass language-ID heuristic — semantically IDENTICAL to the
+  * Column composition it replaced (script-range char ratios → stopword
+  * ratios → the same strictly-greater fold and threshold chain, same
+  * double arithmetic, q_langid's oracle unchanged), but one pass: the
+  * x16 sweep caught the HOF form at 16.7 s for 80k docs (6 interpreted
+  * `filter(toks, isin(20 words))` passes + 4 char-class regex replaces
+  * per document — language-ID runs over EVERY document at 100 TB, so
+  * 0.2 ms/doc is a real corpus-pass cost). Here: one codepoint loop for
+  * the script counts, one whitespace split with a shared stopword→langs
+  * hash map for all six ratios.
+  */
+case class LangIdHeuristic(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_langid"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    LangIdHeuristic.id(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val helper = LangIdHeuristic.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.id($in);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object LangIdHeuristic {
+  private val Langs = Array("en", "de", "fr", "es", "it", "pt")
+  // word → indexes of every language whose stopword list contains it
+  // (e.g. "la" is fr AND es AND it) — built once from the SAME lists the
+  // oracle SQL interpolates
+  private lazy val stopLangs: java.util.HashMap[String, Array[Int]] = {
+    val lists = Array(TextFunctions.EnStop, TextFunctions.DeStop, TextFunctions.FrStop,
+      TextFunctions.EsStop, TextFunctions.ItStop, TextFunctions.PtStop)
+    val m = new java.util.HashMap[String, Array[Int]]()
+    for (i <- lists.indices; w <- lists(i)) {
+      val prev = Option(m.get(w)).getOrElse(Array.empty[Int])
+      m.put(w, prev :+ i)
+    }
+    m
+  }
+
+  /** Shared by eval and codegen — ONE definition of the heuristic.
+    * Mirrors `lower(trim(text))` exactly: UTF8String.trim (spaces only,
+    * like Catalyst StringTrim) then UTF8String.toLowerCase.
+    */
+  def id(raw: UTF8String): UTF8String = {
+    val t = raw.trim().toLowerCase.toString
+    // script counts over CODEPOINTS (length()/regexp_replace count
+    // codepoints, so the ratios must too)
+    var nChars = 0L
+    var han = 0L; var kana = 0L; var hangul = 0L; var cyr = 0L
+    var ci = 0
+    while (ci < t.length) {
+      val cp = t.codePointAt(ci)
+      nChars += 1
+      if (cp >= 0x4e00 && cp <= 0x9fff) han += 1
+      else if (cp >= 0x3040 && cp <= 0x30ff) kana += 1
+      else if (cp >= 0xac00 && cp <= 0xd7af) hangul += 1
+      else if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
+      ci += Character.charCount(cp)
+    }
+    val nc = math.max(nChars, 1L).toDouble
+    // tokens: split("\s+") on the trimmed lowered string — after trim
+    // there are no boundary whitespace runs, so Java split == Spark split
+    // here ("" still yields the single empty token both ways)
+    val toks = t.split("\\s+", -1)
+    val nWords = math.max(toks.length, 1L).toDouble
+    val hits = new Array[Long](Langs.length)
+    var wi = 0
+    while (wi < toks.length) {
+      val ls = stopLangs.get(toks(wi))
+      if (ls != null) { var j = 0; while (j < ls.length) { hits(ls(j)) += 1; j += 1 } }
+      wi += 1
+    }
+    // the SAME strictly-greater fold (ties keep the EARLIER language)
+    var bestIdx = 0
+    var bestScore = hits(0) / nWords
+    var li = 1
+    while (li < Langs.length) {
+      val s = hits(li) / nWords
+      if (s > bestScore) { bestIdx = li; bestScore = s }
+      li += 1
+    }
+    val out =
+      if (kana / nc > 0.05) "ja"
+      else if (hangul / nc > 0.05) "ko"
+      else if (han / nc > 0.05) "zh"
+      else if (cyr / nc > 0.3) "ru"
+      else if (bestScore > 0.0) Langs(bestIdx)
+      else "und"
+    UTF8String.fromString(out)
+  }
+}
+
 object HashExpressions {
   /** One-pass MinHash signature of an array<string> shingle column. */
   def minhash(shingles: Column, numHashes: Int): Column =
@@ -848,6 +951,11 @@ object HashExpressions {
     * payload; divide by its length for ≈ bits/byte. */
   def byteEntropyBits(payload: Column): Column =
     GraftBridge.column(ByteEntropyBits(GraftBridge.expression(payload)))
+
+  /** Single-pass language-ID heuristic (script ratios + stopword
+    * ratios); see [[LangIdHeuristic]]. */
+  def langIdHeuristic(text: Column): Column =
+    GraftBridge.column(LangIdHeuristic(GraftBridge.expression(text)))
 
   /** Bloom hit count over an array<bigint> of gram hashes. */
   def bloomHits(grams: Column, words: Array[Long], mBits: Int, k: Int,

@@ -161,33 +161,13 @@ object TextFunctions {
 
   /** Language ID: n-gram-free stopword + script heuristic. Scores each
     * candidate language by stopword hits; CJK/Cyrillic/etc. decided by
-    * Unicode script ratio first. Pure Column composition — runs in codegen.
+    * Unicode script ratio first. A single-pass native codegen expression
+    * ([[graft.functions.LangIdHeuristic]]) since round 9 — the x16 sweep
+    * measured the previous 6-HOF-pass Column composition at 0.2 ms/doc,
+    * a real corpus-pass cost for an every-document operator.
     */
-  def langId(text: Column): Column = {
-    val t = lower(trim(text))
-    val nChars = greatest(length(t).cast("double"), lit(1.0))
-    val han = length(regexp_replace(t, "[^\\u4e00-\\u9fff]", "")).cast("double") / nChars
-    val kana = length(regexp_replace(t, "[^\\u3040-\\u30ff]", "")).cast("double") / nChars
-    val hangul = length(regexp_replace(t, "[^\\uac00-\\ud7af]", "")).cast("double") / nChars
-    val cyr = length(regexp_replace(t, "[^\\u0400-\\u04ff]", "")).cast("double") / nChars
-    val toks = tokens(t)
-    val nWords = greatest(size(toks).cast("double"), lit(1.0))
-    def ratio(words: Seq[String]): Column =
-      size(filter(toks, w => w.isin(words: _*))).cast("double") / nWords
-    val scores = Seq(
-      "en" -> ratio(EnStop), "de" -> ratio(DeStop), "fr" -> ratio(FrStop),
-      "es" -> ratio(EsStop), "it" -> ratio(ItStop), "pt" -> ratio(PtStop))
-    val best = scores.tail.foldLeft(struct(lit("en").as("l"), scores.head._2.as("s"))) {
-      case (acc, (lang, sc)) =>
-        when(sc > acc("s"), struct(lit(lang).as("l"), sc.as("s"))).otherwise(acc)
-    }
-    when(kana > 0.05, "ja")
-      .when(hangul > 0.05, "ko")
-      .when(han > 0.05, "zh")
-      .when(cyr > 0.3, "ru")
-      .when(best("s") > 0.0, best("l"))
-      .otherwise("und")
-  }
+  def langId(text: Column): Column =
+    HashExpressions.langIdHeuristic(text)
 
   // private[graft]: the DuckDB oracle SQL interpolates these same lists,
   // so the heuristic and its oracle can never drift apart

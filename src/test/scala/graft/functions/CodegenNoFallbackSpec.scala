@@ -56,7 +56,8 @@ class CodegenNoFallbackSpec extends AnyFunSuite {
         new Array[Long](64), mBits = 4096, k = 3, foldWide = true).as("bloom_none"),
       Bpe.bpeText(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpe"),
       Bpe.bpeTextExpr(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpeExpr"),
-      HashExpressions.byteEntropyBits(encode(col("text"), "UTF-8")).as("ent")).collect()
+      HashExpressions.byteEntropyBits(encode(col("text"), "UTF-8")).as("ent"),
+      HashExpressions.langIdHeuristic(col("text")).as("lang")).collect()
     assert(out.length == 2)
     // all-ones bitmap hits every gram; all-zeros hits none
     assert(out(0).getInt(13) == out(0).getSeq[Long](4).size &&

@@ -147,6 +147,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("langId edge semantics: empty/und, shared-stopword tie keeps list order") {
+    def id(s: String): String =
+      Seq(s).toDF("t").select(langId(col("t"))).head().getString(0)
+    assert(id("") == "und")
+    assert(id("   ") == "und")
+    assert(id("xyzzy plugh quux") == "und")
+    // "la" is a stopword of fr, es AND it: equal scores must keep the
+    // EARLIEST language in the candidate order (fr before es/it) — the
+    // strictly-greater fold the Column composition used
+    assert(id("la la la") == "fr")
+    // script gate precedence: kana (checked first) beats a han-heavy mix
+    // once STRICTLY above the 5% bar (2/20 = 10%)...
+    assert(id("中中中中中中中中中中中中中中中中中中けけ") == "ja")
+    // ...but exactly AT the bar (1/20 = 5%) the strictly-greater test
+    // falls through to the han branch
+    assert(id("中中中中中中中中中中中中中中中中中中中け") == "zh")
+  }
+
   test("qualityScore favors diverse prose over degenerate text") {
     val prose = "The quick brown fox jumps over the lazy dog near a quiet river bank today."
     val repeated = "spam spam spam spam spam spam spam spam spam spam spam spam"

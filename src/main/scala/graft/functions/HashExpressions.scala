@@ -904,6 +904,340 @@ object LangIdHeuristic {
   }
 }
 
+/** Single-pass quality-features struct — semantically IDENTICAL to the
+  * Column composition it replaced (TextFunctions.qualityFeatures r1-r8:
+  * trim → codepoint counts for chars/letters/ASCII-punct, whitespace
+  * split for word count / lowercased-stopword hits / distinct tokens,
+  * the same greatest(·,1.0) guards and double divisions — q_quality's
+  * oracle unchanged), but ONE pass instead of two char-class
+  * `regexp_replace` passes plus an interpreted `filter(toks, isin(20
+  * words))` HOF pass per document. Same x16-sweep rationale as
+  * [[LangIdHeuristic]]: quality scoring runs over EVERY document, so
+  * per-document interpreted passes are a full-corpus-pass cost at
+  * 100 TB.
+  *
+  * Char classes mirror the Java-regex semantics the composition used
+  * (Spark compiles `regexp_replace` patterns with default flags):
+  * `\p{L}` = Character.isLetter's five L* categories; `\p{Punct}` =
+  * the 32-char POSIX ASCII set. Per-token lowercase mirrors Spark's
+  * `lower` (UTF8String.toLowerCase: ASCII fast path, full mapping
+  * otherwise).
+  */
+case class QualityFeaturesExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_quality_features"
+  override def nullable: Boolean = true
+  override def dataType: DataType = QualityFeaturesExpr.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    QualityFeaturesExpr.features(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val helper = QualityFeaturesExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.features($in);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object QualityFeaturesExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", DoubleType), StructField("n_words", DoubleType),
+    StructField("alpha_ratio", DoubleType), StructField("punct_ratio", DoubleType),
+    StructField("stopword_ratio", DoubleType), StructField("mean_word_len", DoubleType),
+    StructField("distinct_ratio", DoubleType)))
+
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextFunctions.EnStop.foreach(s.add)
+    s
+  }
+
+  // Java \p{Punct}: !"#$%&'()*+,-./ : ;<=>?@ [\]^_` {|}~ (ASCII-only
+  // under default Pattern flags, which is what regexp_replace compiles)
+  private def isAsciiPunct(cp: Int): Boolean =
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126)
+
+  /** Spark `lower` on one token: ASCII fast path, UTF8String full
+    * mapping otherwise — exactly UTF8String.toLowerCase's strategy.
+    */
+  private def lowerLikeSpark(w: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < w.length) { if (w.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) {
+      val a = new Array[Char](w.length)
+      var j = 0
+      while (j < w.length) {
+        val c = w.charAt(j)
+        a(j) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        j += 1
+      }
+      new String(a)
+    } else UTF8String.fromString(w).toLowerCase.toString
+  }
+
+  /** Shared by eval and codegen — ONE definition of the features. */
+  def features(raw: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    // mirrors trim(text): UTF8String.trim (spaces only, like Catalyst
+    // StringTrim); counts are over CODEPOINTS like length/regexp_replace
+    val t = raw.trim().toString
+    var nChars = 0L; var alpha = 0L; var punct = 0L
+    var ci = 0
+    while (ci < t.length) {
+      val cp = t.codePointAt(ci)
+      nChars += 1
+      if (Character.isLetter(cp)) alpha += 1
+      else if (isAsciiPunct(cp)) punct += 1
+      ci += Character.charCount(cp)
+    }
+    // tokens(trim(text)): split("\s+") on the trimmed string — no
+    // boundary whitespace runs left, so Java split == Spark split here
+    // ("" still yields the single empty token both ways)
+    val toks = t.split("\\s+", -1)
+    var stop = 0L
+    val seen = new java.util.HashSet[String](math.max(16, toks.length * 2))
+    var wi = 0
+    while (wi < toks.length) {
+      val w = toks(wi)
+      seen.add(w)
+      if (stopSet.contains(lowerLikeSpark(w))) stop += 1
+      wi += 1
+    }
+    val ncD = nChars.toDouble
+    val nwD = toks.length.toDouble
+    val ncG = math.max(ncD, 1.0)
+    val nwG = math.max(nwD, 1.0)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      ncD, nwD, alpha.toDouble / ncG, punct.toDouble / ncG,
+      stop.toDouble / nwG, ncD / nwG, seen.size.toDouble / nwG))
+  }
+}
+
+/** Native kernels for the FIXTURE hash family (the DuckDB-replayable
+  * integer chains behind q_dedup_minhash_fixed / q_dedup_simhash_fixed /
+  * q_contamination_bloom: per-char polynomial token hash, chained k-gram
+  * window hash, LCG-finalized minhash/simhash, chained band hash — all
+  * mod 1000000007).
+  *
+  * Bit-identical to the HOF Column compositions they replaced (kept
+  * verbatim in FixtureHashEquivalenceSpec as the reference
+  * implementation): same trim/split tokenization, codepoint-level char
+  * chain, max(1, T-n+1) window rule, strictly-positive simhash votes,
+  * and modular coefficients — so every fixture oracle replays unchanged.
+  * The HOF forms were interpreted (nested ArrayAggregate/ArrayTransform
+  * evaluate per-lambda-frame, no codegen): the round-9 x16 robustness
+  * sweep caught a fixture signature pass pinning 32 cores for minutes on
+  * 160k docs, which also taxed every per-round Verify. One codegen'd
+  * pass per document now, same shape as the production xxhash kernels.
+  */
+object FixtureHashes {
+  private val P = 1000000007L
+
+  /** Chained window hashes: per-token char chain (a*31+cp)%P over the
+    * codepoints of each whitespace token of trim(text), then per-window
+    * chain (a*1000003+h)%P over `shingle`-length slices; max(1, T-n+1)
+    * windows (short texts degrade to one whole-text window).
+    */
+  def windowHashes(raw: UTF8String, shingle: Int): Array[Long] = {
+    val t = raw.trim().toString
+    val toks = t.split("\\s+", -1)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val tok = toks(i)
+      var a = 0L
+      var ci = 0
+      while (ci < tok.length) {
+        val cp = tok.codePointAt(ci)
+        a = (a * 31 + cp) % P
+        ci += Character.charCount(cp)
+      }
+      th(i) = a
+      i += 1
+    }
+    val nWin = math.max(th.length - (shingle - 1), 1)
+    val wh = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      var a = 0L
+      var j = w
+      val end = math.min(w + shingle, th.length)
+      while (j < end) { a = (a * 1000003 + th(j)) % P; j += 1 }
+      wh(w) = a
+      w += 1
+    }
+    wh
+  }
+
+  def windowHashArray(raw: UTF8String, shingle: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(windowHashes(raw, shingle))
+
+  /** MinHash: sig(s) = min over windows of ((2s+3)·h + (5s+7)) % P. */
+  def minhashSig(raw: UTF8String, shingle: Int, numHashes: Int): ArrayData = {
+    val wh = windowHashes(raw, shingle)
+    val sig = new Array[Long](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      val m1 = s.toLong * 2 + 3
+      val m2 = s.toLong * 5 + 7
+      var mn = Long.MaxValue
+      var w = 0
+      while (w < wh.length) {
+        val v = (m1 * wh(w) + m2) % P
+        if (v < mn) mn = v
+        w += 1
+      }
+      sig(s) = mn
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** SimHash: per-bit ±1 votes of the DISTINCT window hashes under the
+    * same LCG finalizers, bit set iff the vote is strictly positive;
+    * 60 bits (SimFixtureBits) so chunk keys shift nonnegatively.
+    */
+  def simhashSig(raw: UTF8String, shingle: Int, bits: Int): Long = {
+    val wh = windowHashes(raw, shingle)
+    // dedupe once (array_distinct in the HOF form); votes are sums, so
+    // first-occurrence order is irrelevant
+    val seen = new java.util.HashSet[java.lang.Long](math.max(16, wh.length * 2))
+    val dw = new Array[Long](wh.length)
+    var nd = 0
+    var w = 0
+    while (w < wh.length) {
+      if (seen.add(wh(w))) { dw(nd) = wh(w); nd += 1 }
+      w += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      val m1 = i.toLong * 2 + 3
+      val m2 = i.toLong * 5 + 7
+      var vote = 0L
+      var d = 0
+      while (d < nd) {
+        vote += ((m1 * dw(d) + m2) % P % 2) * 2 - 1
+        d += 1
+      }
+      if (vote > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** Per-band chained hash over a signature array: (a*1000003+v)%P. */
+  def bandHashes(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val s = sig.toLongArray()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var a = 0L
+      var j = b * rowsPerBand
+      val end = math.min(j + rowsPerBand, s.length)
+      while (j < end) { a = (a * 1000003 + s(j)) % P; j += 1 }
+      out(b) = a
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** String → array<long> fixture kernels ([[FixtureHashes]]); `mode`
+  * selects windowHashes or the minhash signature.
+  */
+case class FixtureTextHashes(child: Expression, shingle: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(shingle > 0)
+  override def prettyName: String =
+    if (numHashes == 0) "graft_fixture_window_hashes" else "graft_fixture_minhash_sig"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    if (numHashes == 0) FixtureHashes.windowHashArray(s, shingle)
+    else FixtureHashes.minhashSig(s, shingle, numHashes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val helper = FixtureHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      if (numHashes == 0)
+        s"${ev.value} = $helper.windowHashArray($in, $shingle);"
+      else
+        s"${ev.value} = $helper.minhashSig($in, $shingle, $numHashes);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** String → long fixture simhash signature ([[FixtureHashes.simhashSig]]). */
+case class FixtureSimhashSig(child: Expression, shingle: Int, bits: Int)
+    extends UnaryExpression {
+  require(shingle > 0 && bits > 0 && bits < 63)
+  override def prettyName: String = "graft_fixture_simhash_sig"
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    FixtureHashes.simhashSig(input.asInstanceOf[UTF8String], shingle, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val helper = FixtureHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.simhashSig($in, $shingle, $bits);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array<long> signature → array<long> per-band chained fixture hash. */
+case class FixtureBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands > 0 && rowsPerBand > 0)
+  override def prettyName: String = "graft_fixture_band_hashes"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    FixtureHashes.bandHashes(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val helper = FixtureHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.bandHashes($in, $bands, $rowsPerBand);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashExpressions {
   /** One-pass MinHash signature of an array<string> shingle column. */
   def minhash(shingles: Column, numHashes: Int): Column =
@@ -956,6 +1290,28 @@ object HashExpressions {
     * ratios); see [[LangIdHeuristic]]. */
   def langIdHeuristic(text: Column): Column =
     GraftBridge.column(LangIdHeuristic(GraftBridge.expression(text)))
+
+  /** Single-pass quality-features struct; see [[QualityFeaturesExpr]]. */
+  def qualityFeaturesExpr(text: Column): Column =
+    GraftBridge.column(QualityFeaturesExpr(GraftBridge.expression(text)))
+
+  /** Fixture-family chained window hashes; see [[FixtureHashes]]. */
+  def fixtureWindowHashes(text: Column, shingle: Int): Column =
+    GraftBridge.column(FixtureTextHashes(GraftBridge.expression(text), shingle, 0))
+
+  /** Fixture-family minhash signature; see [[FixtureHashes]]. */
+  def fixtureMinhashSig(text: Column, shingle: Int, numHashes: Int): Column = {
+    require(numHashes > 0)
+    GraftBridge.column(FixtureTextHashes(GraftBridge.expression(text), shingle, numHashes))
+  }
+
+  /** Fixture-family simhash signature; see [[FixtureHashes]]. */
+  def fixtureSimhashSig(text: Column, shingle: Int, bits: Int): Column =
+    GraftBridge.column(FixtureSimhashSig(GraftBridge.expression(text), shingle, bits))
+
+  /** Fixture-family per-band chained hashes; see [[FixtureHashes]]. */
+  def fixtureBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftBridge.column(FixtureBandHashes(GraftBridge.expression(sig), bands, rowsPerBand))
 
   /** Bloom hit count over an array<bigint> of gram hashes. */
   def bloomHits(grams: Column, words: Array[Long], mBits: Int, k: Int,

@@ -128,25 +128,15 @@ object TextFunctions {
   /** Quality-score heuristics (0..1-ish features + a blended score),
     * returned as a struct column: length, word stats, alpha ratio,
     * punctuation ratio, stopword ratio, mean word length, repetition.
+    * A single-pass native codegen expression
+    * ([[graft.functions.QualityFeaturesExpr]]) since round 9 — the
+    * Column composition it replaced paid two char-class regexp_replace
+    * passes plus an interpreted `filter(toks, isin(...))` HOF pass per
+    * document (TextFunctionsSpec pins exact equivalence against the old
+    * composition, kept there as the reference implementation).
     */
-  def qualityFeatures(text: Column): Column = {
-    val t = trim(text)
-    val nChars = length(t).cast("double")
-    val toks = tokens(t)
-    val nWords = size(toks).cast("double")
-    val alpha = length(regexp_replace(t, "[^\\p{L}]", "")).cast("double")
-    val punct = length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double")
-    val stop = size(filter(toks, w => lower(w).isin(EnStop: _*))).cast("double")
-    val uniq = size(array_distinct(toks)).cast("double")
-    struct(
-      nChars.as("n_chars"),
-      nWords.as("n_words"),
-      (alpha / greatest(nChars, lit(1.0))).as("alpha_ratio"),
-      (punct / greatest(nChars, lit(1.0))).as("punct_ratio"),
-      (stop / greatest(nWords, lit(1.0))).as("stopword_ratio"),
-      (nChars / greatest(nWords, lit(1.0))).as("mean_word_len"),
-      (uniq / greatest(nWords, lit(1.0))).as("distinct_ratio"))
-  }
+  def qualityFeatures(text: Column): Column =
+    HashExpressions.qualityFeaturesExpr(text)
 
   /** Blended [0,1] quality score (Gopher/C4-style rule blend). */
   def qualityScore(text: Column): Column = {

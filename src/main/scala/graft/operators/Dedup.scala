@@ -205,18 +205,16 @@ object Dedup {
     * production family has no such caveat.
     *
     * Scale shape: identical to the production signature — one map-side
-    * pass per document, no shuffle — but built from HOF expressions
-    * rather than a codegen'd kernel, so it trades throughput for
-    * replayability. Use for oracle gates and cross-engine audits, not the
-    * 100 TB hot path.
+    * codegen'd pass per document, no shuffle
+    * ([[graft.functions.FixtureHashes]]; the original HOF composition is
+    * kept in FixtureHashEquivalenceSpec as the reference implementation —
+    * the interpreted nesting pinned 32 cores for minutes on the x16
+    * sweep). Production dedup still wants the xxhash family for hash
+    * quality; this one exists for oracle gates and cross-engine audits.
     */
   private[graft] def minhashSignatureFixture(text: Column,
-      shingle: Int = 3, numHashes: Int = 64): Column = {
-    val p = FixtureP
-    transform(sequence(lit(0), lit(numHashes - 1)), s =>
-      array_min(transform(fixtureWindowHashes(text, shingle), h =>
-        ((s.cast("long") * 2 + 3) * h + (s.cast("long") * 5 + 7)) % p)))
-  }
+      shingle: Int = 3, numHashes: Int = 64): Column =
+    graft.functions.HashExpressions.fixtureMinhashSig(text, shingle, numHashes)
 
   /** Chained window hashes of the fixture family — the shared front half of
     * [[minhashSignatureFixture]] and [[simhashSignatureFixture]]: per-char
@@ -224,25 +222,15 @@ object Dedup {
     * [[FixtureP]]. Window semantics mirror the production kernels
     * (max(1, T-n+1) windows; short texts degrade to one whole-text window).
     */
-  private[graft] def fixtureWindowHashes(text: Column, shingle: Int): Column = {
-    val p = FixtureP
-    val toks = tokens(text)
-    val th = transform(toks, t =>
-      aggregate(
-        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")),
-        lit(0L), (a, c) => (a * 31 + c) % p))
-    transform(sequence(lit(1), greatest(size(th) - (shingle - 1), lit(1))), w =>
-      aggregate(slice(th, w, lit(shingle)), lit(0L), (a, h) => (a * 1000003 + h) % p))
-  }
+  private[graft] def fixtureWindowHashes(text: Column, shingle: Int): Column =
+    graft.functions.HashExpressions.fixtureWindowHashes(text, shingle)
 
   /** Per-band chained hash over the fixture signature — the banding dual
     * of [[minhashSignatureFixture]] (replaces the xxhash
     * [[graft.functions.BandHashes]] on the fixture path).
     */
   private[graft] def bandHashesFixture(bands: Int, rowsPerBand: Int)(sig: Column): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      aggregate(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-        lit(0L), (a, v) => (a * 1000003 + v) % FixtureP))
+    graft.functions.HashExpressions.fixtureBandHashes(sig, bands, rowsPerBand)
 
   /** [[minhashNearDuplicates]] with the fixture hash family: the SAME
     * banding→candidate→verify pipeline ([[minhashPairsFromSigs]] — band
@@ -365,20 +353,12 @@ object Dedup {
     * (matching the production kernel's dedup), summed into a
     * [[SimFixtureBits]]-bit signature — plain integer arithmetic end to
     * end, so a DuckDB oracle replays signatures, chunk buckets, candidate
-    * pairs, and hamming distances exactly. Same fixture-vs-production
-    * trade as [[minhashSignatureFixture]]: HOF expressions for
-    * replayability on the oracle path, codegen'd kernels for the hot path.
+    * pairs, and hamming distances exactly. Native codegen'd kernel since
+    * round 9 ([[graft.functions.FixtureHashes.simhashSig]]), equivalence-
+    * gated against the original HOF form in FixtureHashEquivalenceSpec.
     */
-  private[graft] def simhashSignatureFixture(text: Column, shingle: Int = 2): Column = {
-    val p = FixtureP
-    val dwh = array_distinct(fixtureWindowHashes(text, shingle))
-    aggregate(sequence(lit(0), lit(SimFixtureBits - 1)), lit(0L), (acc, i) => {
-      val vote = aggregate(dwh, lit(0L), (a, w) =>
-        a + ((((i.cast("long") * 2 + 3) * w + (i.cast("long") * 5 + 7)) % p) % 2) * 2 - 1)
-      // 2^i is exact in double for i < 60, so the cast-back is lossless
-      acc + when(vote > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))
-    })
-  }
+  private[graft] def simhashSignatureFixture(text: Column, shingle: Int = 2): Column =
+    graft.functions.HashExpressions.fixtureSimhashSig(text, shingle, SimFixtureBits)
 
   /** [[simhashNearDuplicates]] with the fixture hash family: the SAME
     * chunk-LSH pipeline ([[simhashPairsFromSigs]]), signatures swapped for

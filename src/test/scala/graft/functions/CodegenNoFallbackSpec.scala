@@ -57,7 +57,13 @@ class CodegenNoFallbackSpec extends AnyFunSuite {
       Bpe.bpeText(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpe"),
       Bpe.bpeTextExpr(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpeExpr"),
       HashExpressions.byteEntropyBits(encode(col("text"), "UTF-8")).as("ent"),
-      HashExpressions.langIdHeuristic(col("text")).as("lang")).collect()
+      HashExpressions.langIdHeuristic(col("text")).as("lang"),
+      HashExpressions.qualityFeaturesExpr(col("text")).as("qf"),
+      HashExpressions.fixtureWindowHashes(col("text"), 3).as("fwh"),
+      HashExpressions.fixtureMinhashSig(col("text"), 3, 8).as("fmh"),
+      HashExpressions.fixtureSimhashSig(col("text"), 2, 60).as("fsh"),
+      HashExpressions.fixtureBandHashes(
+        HashExpressions.fixtureMinhashSig(col("text"), 3, 8), 4, 2).as("fbh")).collect()
     assert(out.length == 2)
     // all-ones bitmap hits every gram; all-zeros hits none
     assert(out(0).getInt(13) == out(0).getSeq[Long](4).size &&

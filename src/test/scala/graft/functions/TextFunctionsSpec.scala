@@ -165,6 +165,50 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(id("中中中中中中中中中中中中中中中中中中中け") == "zh")
   }
 
+  test("qualityFeatures: native expression == the r1-r8 Column composition, bit for bit") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    // the retired composition, kept verbatim as the reference impl
+    def legacy(text: Column): Column = {
+      val t = trim(text)
+      val nChars = length(t).cast("double")
+      val toks = TextFunctions.tokens(t)
+      val nWords = size(toks).cast("double")
+      val alpha = length(regexp_replace(t, "[^\\p{L}]", "")).cast("double")
+      val punct = length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double")
+      val stop = size(filter(toks, w => lower(w).isin(TextFunctions.EnStop: _*))).cast("double")
+      val uniq = size(array_distinct(toks)).cast("double")
+      struct(
+        nChars.as("n_chars"),
+        nWords.as("n_words"),
+        (alpha / greatest(nChars, lit(1.0))).as("alpha_ratio"),
+        (punct / greatest(nChars, lit(1.0))).as("punct_ratio"),
+        (stop / greatest(nWords, lit(1.0))).as("stopword_ratio"),
+        (nChars / greatest(nWords, lit(1.0))).as("mean_word_len"),
+        (uniq / greatest(nWords, lit(1.0))).as("distinct_ratio"))
+    }
+    val sp = SparkTestSession.spark
+    import sp.implicits._
+    val samples = Seq(
+      "", "   ", "The quick brown fox jumps over the lazy dog.",
+      "THE THE the ThE", "a", "!!! ??? ... ;;;",
+      "Café déjà vu über straße",
+      "中文文本 and english mixed",
+      "num8er5 m1xed w1th w0rds 12345",
+      "tabs\tand\nnewlines   collapse?", "😀 emoji 🎉 test",
+      "repeat repeat repeat repeat unique",
+      "AKT the of and (Kelvin-sign edge)",
+      "punct-uation: semi;colons, (parens) [brackets] {braces} @at #hash")
+    val df = samples.toDF("t")
+    val both = df.select(
+      qualityFeatures(col("t")).as("n"), legacy(col("t")).as("l"),
+      qualityScore(col("t")).as("ns"))
+      .collect()
+    both.zip(samples).foreach { case (r, s) =>
+      assert(r.getStruct(0) == r.getStruct(1), s"features diverge on: '$s'")
+    }
+  }
+
   test("qualityScore favors diverse prose over degenerate text") {
     val prose = "The quick brown fox jumps over the lazy dog near a quiet river bank today."
     val repeated = "spam spam spam spam spam spam spam spam spam spam spam spam"

@@ -507,9 +507,16 @@ object Flow {
   /** Shared sampling hash: xor-fold the 64-bit key (the final mod-2^31 is
     * blind to bits ≥31, see [[Flow.sampleBy]]) then a 31-bit LCG — plain
     * integer arithmetic any engine (and any oracle) can replay.
+    *
+    * The fold is masked to 31 bits BEFORE the multiply so the product
+    * stays ≤ (2^31−1)·1103515245 < 2^62 — without the mask, ids ≥ ~2^33
+    * overflow the multiply (silent wraparound here; an ANSI-mode ERROR in
+    * the Column twins — the x16 probe corpus, whose ids carry 10^9-scale
+    * copy offsets, caught exactly that in q_mixture). For ids < 2^31 the
+    * mask is a no-op, so every existing oracle replays unchanged.
     */
   private[graft] def lcg31(k: Long): Long = {
-    val folded = k ^ (k >>> 31)
+    val folded = (k ^ (k >>> 31)) & 0x7fffffffL
     (folded * 1103515245L + 12345L) & 0x7fffffffL
   }
 

@@ -176,6 +176,76 @@ object LanguageModel {
       ref: DataFrame, minCount: Long = 1L): DataFrame =
     scoreDocs(df, idCol, textCol, train(ref, idCol, textCol, minCount))
 
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", arXiv:2302.03169) under the
+    * whole-bits discipline: weight w(x) = p_target(x) / p_raw(x) under
+    * two n-gram LMs, so log2 w(x) ≈ bits_raw(x) − bits_target(x) — the
+    * same |bin| integer surprisal as [[scoreDocs]], computed under BOTH
+    * models. Documents that look much more like the target distribution
+    * than the raw one get large positive `dsir_bits`; DSIR keeps the
+    * high-weight head (see `Split.curriculumSample` over
+    * `dsir_bits_per_token` for the resampling step).
+    *
+    * Scale shape: ONE corpus tokenize + explode feeds both models — the
+    * transition stream left-joins six count tables (2× uni/uniPrev/bi;
+    * AQE broadcasts those that fit) and re-aggregates by doc id once.
+    * Scoring under k models is one pass + k·3 bounded-table joins, never
+    * k corpus passes (the duplicateSpans shared-front-half discipline).
+    * Spec-gated exactly equal to two independent [[scoreDocs]] passes.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      lmTarget: NgramLm, lmRaw: NgramLm): DataFrame = {
+    require(lmTarget.vocabSize >= 1, "target vocabulary is empty")
+    require(lmRaw.vocabSize >= 1, "raw vocabulary is empty")
+    val toks = tokenArrays(df, idCol, textCol)
+    val events = toks.select(col("__id"), col("__t"), size(col("__t")).as("__n"),
+        posexplode(col("__t")))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__w"))
+      .withColumn("__prev",
+        when(col("__pos") === 0, lit(null).cast("string"))
+          .otherwise(element_at(col("__t"), col("__pos"))))
+      .select(col("__id"), col("__n"), col("__pos"), col("__w"), col("__prev"))
+    def joined(ev: DataFrame, lm: NgramLm, sfx: String): DataFrame = {
+      val uni = lm.unigrams.select(col("word").as(s"__word$sfx"), col("c").as(s"__cw$sfx"))
+      val uniPrev = lm.unigrams.select(col("word").as(s"__pword$sfx"), col("c").as(s"__cu$sfx"))
+      val bi = lm.bigrams.select(col("w1").as(s"__w1$sfx"), col("w2").as(s"__w2$sfx"),
+        col("c").as(s"__cb$sfx"))
+      ev.join(uni, col("__w") === col(s"__word$sfx"), "left").drop(s"__word$sfx")
+        .join(uniPrev, col("__prev") === col(s"__pword$sfx"), "left").drop(s"__pword$sfx")
+        .join(bi, col("__prev") === col(s"__w1$sfx") && col("__w") === col(s"__w2$sfx"), "left")
+        .drop(s"__w1$sfx", s"__w2$sfx")
+    }
+    def bits(lm: NgramLm, sfx: String): Column =
+      when(col("__pos") === 0,
+        binLen(lit(lm.totalTokens + lm.vocabSize)) -
+          binLen(coalesce(col(s"__cw$sfx"), lit(0L)) + lit(1L)))
+        .otherwise(
+          binLen(coalesce(col(s"__cu$sfx"), lit(0L)) + lit(lm.vocabSize)) -
+            binLen(coalesce(col(s"__cb$sfx"), lit(0L)) + lit(1L)))
+    joined(joined(events, lmTarget, "T"), lmRaw, "R")
+      .withColumn("__bt", bits(lmTarget, "T"))
+      .withColumn("__br", bits(lmRaw, "R"))
+      .groupBy(col("__id"))
+      .agg(max(col("__n")).cast("long").as("n_tokens"),
+        sum(col("__bt")).cast("long").as("bits_target"),
+        sum(col("__br")).cast("long").as("bits_raw"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        col("bits_target"), col("bits_raw"),
+        (col("bits_raw") - col("bits_target")).as("dsir_bits"),
+        round((col("bits_raw") - col("bits_target")).cast("double") / col("n_tokens"), 6)
+          .as("dsir_bits_per_token"))
+  }
+
+  /** Train-both-slices + weigh-corpus composition (the q_dsir shape):
+    * the target slice plays Wikipedia/The Pile's trusted subset, the raw
+    * slice plays the web crawl being re-weighted.
+    */
+  def dsirAgainstSlices(df: DataFrame, idCol: String, textCol: String,
+      targetRef: DataFrame, rawRef: DataFrame, minCount: Long = 1L): DataFrame =
+    dsirWeights(df, idCol, textCol,
+      train(targetRef, idCol, textCol, minCount),
+      train(rawRef, idCol, textCol, minCount))
+
   /** A distilled LM: the count tables collected into driver maps, bounded
     * by `maxEntries` (the Bloom-mBits / BPE-maxVocab driver-state
     * discipline — distillation REFUSES an unbounded model rather than

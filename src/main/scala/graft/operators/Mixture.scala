@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
-  /** Column replay of `Flow.lcg31` (ids must be non-negative). */
+  /** Column replay of `Flow.lcg31` (ids must be non-negative; the
+    * pre-multiply mask keeps the product overflow-free for 64-bit ids —
+    * see Flow.lcg31).
+    */
   def lcg31Col(id: Column): Column = {
     val x = id.cast("long")
-    ((x.bitwiseXOR(shiftright(x, 31))) * 1103515245L + 12345L).bitwiseAND(2147483647L)
+    ((x.bitwiseXOR(shiftright(x, 31)).bitwiseAND(2147483647L))
+      * 1103515245L + 12345L).bitwiseAND(2147483647L)
   }
 
   /** Per-source LCG keep-thresholds for `targetFraction` of the profiled

@@ -39,10 +39,14 @@ object Split {
 
   /** Column replay of Flow.lcg31: xor-fold then one LCG step, masked to
     * 31 bits. `>>` matches Scala `>>>` on the nonnegative ids this is
-    * documented for (same caveat as the sampling family).
+    * documented for (same caveat as the sampling family). The pre-multiply
+    * 31-bit mask keeps the product inside a long for arbitrary 64-bit ids
+    * (see Flow.lcg31 — ANSI mode made the unmasked form an ERROR, not a
+    * wrap, for ids ≥ ~2^33).
     */
   def lcg31(id: Column): Column =
-    (id.bitwiseXOR(shiftrightunsigned(id, 31)) * lit(1103515245L) + lit(12345L))
+    ((id.bitwiseXOR(shiftrightunsigned(id, 31)).bitwiseAND(lit(2147483647L)))
+      * lit(1103515245L) + lit(12345L))
       .bitwiseAND(lit(2147483647L))
 
   /** Cumulative integer thresholds over the 2^31 hash space for integer

@@ -36,7 +36,8 @@ object PartSupp {
     * FlowSpec's cross-check).
     */
   private def lcg31Col(k: Column): Column =
-    (k.bitwiseXOR(shiftright(k, 31)) * lit(1103515245L) + lit(12345L))
+    ((k.bitwiseXOR(shiftright(k, 31)).bitwiseAND(lit(2147483647L)))
+      * lit(1103515245L) + lit(12345L))
       .bitwiseAND(lit(2147483647L))
 
   /** partsupp as a DataFrame: (ps_partkey, ps_suppkey, ps_availqty,

@@ -34,7 +34,7 @@ private[queries] object OracleSql {
     * sampling oracles can't drift from the Scala arithmetic.
     */
   def lcg31(col: String): String =
-    s"((xor(CAST($col AS BIGINT), CAST($col AS BIGINT) >> 31)" +
+    s"(((xor(CAST($col AS BIGINT), CAST($col AS BIGINT) >> 31) & 2147483647)" +
       s" * 1103515245 + 12345) & 2147483647)"
 }
 

@@ -188,6 +188,111 @@ object SignalQueries {
       AnnIndex.loadLm(s, "graft_lm_idx", minCount = LmMinCount))
   }
 
+  // ---- DSIR importance resampling (Xie et al., arXiv:2302.03169):
+  // importance weight log2(p_target/p_raw) in whole bits = bits_raw −
+  // bits_target under two add-one-smoothed n-gram LMs (target slice =
+  // every-3rd-doc, raw slice = the doc_id%3=1 cut), then quantile-rate
+  // resampling of the high-weight head. Production arithmetic is
+  // integer/rational end to end, so the oracle replays the real operator.
+
+  private val DsirTargetPred = "doc_id % 3 = 0"
+  private val DsirRawPred = "doc_id % 3 = 1"
+
+  /** One model's CTE chain under prefix `px` over the shared `td` token
+    * table — the q_lm_score model construction verbatim (minCount cut,
+    * closed-vocabulary bigrams), prefixed so two models coexist.
+    */
+  private def lmModelCtes(px: String, slicePred: String): String =
+    raw"""${px}refu AS (SELECT unnest(t) AS w FROM td WHERE $slicePred),
+       ${px}uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ${px}refu GROUP BY 1
+               HAVING COUNT(*) >= $LmMinCount),
+       ${px}tv AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t_tok,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM ${px}uni),
+       ${px}refp AS (SELECT p['w1'] AS w1, p['w2'] AS w2 FROM
+                 (SELECT unnest(list_transform(range(1, len(t)),
+                    i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+                  FROM td WHERE $slicePred)),
+       ${px}bi0 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM ${px}refp GROUP BY 1, 2),
+       ${px}bi AS (SELECT b0.w1, b0.w2, b0.c FROM ${px}bi0 b0
+              JOIN ${px}uni u1 ON b0.w1 = u1.w JOIN ${px}uni u2 ON b0.w2 = u2.w)"""
+
+  /** documents → (doc_id, n_tokens, bits_target, bits_raw): one
+    * transition stream scored under both models — the SQL mirror of
+    * LanguageModel.dsirWeights' single-pass six-join shape.
+    */
+  private val DsirCtes =
+    raw"""tok0 AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '') AS t
+           FROM documents),
+       td AS (SELECT doc_id, t, len(t) AS n FROM tok0 WHERE len(t) >= 1),
+       ${lmModelCtes("t_", DsirTargetPred)},
+       ${lmModelCtes("r_", DsirRawPred)},
+       ev AS (SELECT doc_id, n, i, t[i+1] AS w,
+                     CASE WHEN i = 0 THEN NULL ELSE t[i] END AS prev
+              FROM (SELECT doc_id, t, n, unnest(range(0, n)) AS i FROM td)),
+       sc AS (SELECT e.doc_id, e.n,
+                CASE WHEN e.i = 0
+                  THEN len(bin((SELECT t_tok + v FROM t_tv))) - len(bin(COALESCE(tu.c, 0) + 1))
+                  ELSE len(bin(COALESCE(tup.c, 0) + (SELECT v FROM t_tv))) - len(bin(COALESCE(tb.c, 0) + 1))
+                END AS bt,
+                CASE WHEN e.i = 0
+                  THEN len(bin((SELECT t_tok + v FROM r_tv))) - len(bin(COALESCE(ru.c, 0) + 1))
+                  ELSE len(bin(COALESCE(rup.c, 0) + (SELECT v FROM r_tv))) - len(bin(COALESCE(rb.c, 0) + 1))
+                END AS br
+              FROM ev e
+              LEFT JOIN t_uni tu ON e.w = tu.w
+              LEFT JOIN t_uni tup ON e.prev = tup.w
+              LEFT JOIN t_bi tb ON e.prev = tb.w1 AND e.w = tb.w2
+              LEFT JOIN r_uni ru ON e.w = ru.w
+              LEFT JOIN r_uni rup ON e.prev = rup.w
+              LEFT JOIN r_bi rb ON e.prev = rb.w1 AND e.w = rb.w2),
+       dsird AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+                   CAST(SUM(bt) AS BIGINT) AS bits_target,
+                   CAST(SUM(br) AS BIGINT) AS bits_raw
+                 FROM sc GROUP BY doc_id)"""
+
+  private def dsirSpark(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.df(s, d, "documents")
+    graft.operators.LanguageModel.dsirAgainstSlices(docs, "doc_id", "text",
+      docs.where(expr(DsirTargetPred)), docs.where(expr(DsirRawPred)),
+      minCount = LmMinCount)
+  }
+
+  private val dsirQ = q("q_dsir", bench = true,
+    oracle = s"""WITH $DsirCtes
+       SELECT doc_id, n_tokens, bits_target, bits_raw,
+              bits_raw - bits_target AS dsir_bits,
+              round(CAST(bits_raw - bits_target AS DOUBLE) / n_tokens, 6)
+                AS dsir_bits_per_token
+       FROM dsird""")(dsirSpark)
+
+  private val DsirRates: Seq[(Long, Long)] = (1L to 10L).map(b => (b, 10L))
+
+  /** The resampling half of DSIR: decile-rate sampling rising with the
+    * importance weight (the deterministic LCG analogue of
+    * weight-proportional sampling — the top decile keeps 10/10, the
+    * bottom 1/10), on the Split.curriculumSample machinery.
+    */
+  private val dsirSelectQ = q("q_dsir_select",
+    s"""WITH $DsirCtes,
+       w AS (SELECT doc_id,
+               round(CAST(bits_raw - bits_target AS DOUBLE) / n_tokens, 6)
+                 AS dsir_bits_per_token
+             FROM dsird),
+       r AS (SELECT doc_id, dsir_bits_per_token,
+               row_number() OVER (ORDER BY dsir_bits_per_token, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+             FROM w),
+       b AS (SELECT doc_id, dsir_bits_per_token,
+               ${Split.quantileBinSql("rn", "n", 10)} AS bin
+             FROM r)
+       SELECT doc_id, dsir_bits_per_token, bin FROM b
+       WHERE ${OracleSql.lcg31("doc_id")} < ${Split.rateThresholdSql("bin", DsirRates)}""") { (s, d) =>
+    Split.curriculumSample(
+      dsirSpark(s, d).select(col("doc_id"), col("dsir_bits_per_token")),
+      "dsir_bits_per_token", "doc_id", DsirRates)
+  }
+
   /** Paragraph-level exact dedup (RefinedWeb/Dolma boilerplate removal).
     * The synthetic docs are single-line, so the query SYNTHESIZES a
     * multi-paragraph corpus both engines derive identically: doc i =
@@ -543,7 +648,7 @@ object SignalQueries {
 
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
-    lmScoreIndexedQ, paragraphDedupQ, entropyQ, pipelineSignalsQ,
+    lmScoreIndexedQ, dsirQ, dsirSelectQ, paragraphDedupQ, entropyQ, pipelineSignalsQ,
     aucQ, confusionQ, resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)

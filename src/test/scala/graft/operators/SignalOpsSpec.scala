@@ -189,7 +189,7 @@ class SignalOpsSpec extends AnyFunSuite {
     val bins = Split.byQuantile(df, "score", "id", 10)
       .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
     val thr = rates.map { case (n, d) => n * 2147483648L / d }
-    def lcg(id: Long): Long = ((id ^ (id >>> 31)) * 1103515245L + 12345L) & 2147483647L
+    def lcg(id: Long): Long = (((id ^ (id >>> 31)) & 2147483647L) * 1103515245L + 12345L) & 2147483647L
     val expect = bins.filter { case (id, b) => lcg(id) < thr(b) }.keySet
     assert(kept.map(_._1).toSet == expect)
     // per-bin keep counts roughly track the rate ladder (200 per bin)
@@ -263,7 +263,7 @@ class SignalOpsSpec extends AnyFunSuite {
       assert(bins(id) == (rn.toLong * 7 / 500).toInt, s"id $id rank $rn")
     }
     // shufflePositions = local sort by (lcg31(id), id)
-    def lcg(id: Long): Long = ((id ^ (id >>> 31)) * 1103515245L + 12345L) & 2147483647L
+    def lcg(id: Long): Long = (((id ^ (id >>> 31)) & 2147483647L) * 1103515245L + 12345L) & 2147483647L
     val pos = Split.shufflePositions(df.select("id"), "id")
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     val wantOrder = rows.map(_._1).sortBy(id => (lcg(id), id))
@@ -393,6 +393,44 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(distilled == joined)
     // bounded-driver-state contract: an over-budget model is refused
     intercept[IllegalArgumentException](LanguageModel.distill(lm, maxEntries = 3))
+  }
+
+  test("dsirWeights == two independent scoreDocs passes, exactly") {
+    val docs = corpusDf
+    val lmT = LanguageModel.train(docs.where(col("doc_id") % 3 === 0), "doc_id", "text")
+    val lmR = LanguageModel.train(docs.where(col("doc_id") % 3 === 1), "doc_id", "text")
+    val dual = LanguageModel.dsirWeights(docs, "doc_id", "text", lmT, lmR)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val st = LanguageModel.scoreDocs(docs, "doc_id", "text", lmT)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sr = LanguageModel.scoreDocs(docs, "doc_id", "text", lmR)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dual.keySet == st.keySet && dual.keySet == sr.keySet)
+    dual.foreach { case (id, (n, bt, br, gap)) =>
+      assert((n, bt) == st(id), s"target bits diverge for doc $id")
+      assert(br == sr(id), s"raw bits diverge for doc $id")
+      assert(gap == br - bt, s"dsir_bits is not the difference for doc $id")
+    }
+  }
+
+  test("dsir: target-distribution docs get higher importance weights than raw-distribution docs") {
+    // target distribution: phrase A; raw distribution: phrase B; two
+    // candidates, one from each distribution — the A-like doc must carry
+    // the (strictly) larger dsir gap
+    val target = (0 until 25).map(i => (i.toLong, "alpha beta gamma delta alpha beta"))
+    val raw = (100 until 125).map(i => (i.toLong, "omega psi chi phi omega psi"))
+    val candA = (1000L, "alpha beta gamma delta")
+    val candB = (1001L, "omega psi chi phi")
+    val docs = (target ++ raw :+ candA :+ candB).toDF("doc_id", "text")
+    val w = LanguageModel.dsirWeights(docs, "doc_id", "text",
+        LanguageModel.train(docs.where(col("doc_id") < 100), "doc_id", "text"),
+        LanguageModel.train(docs.where(col("doc_id").between(100, 999)), "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(w(1000L) > 0, s"target-like doc should have positive dsir_bits, got ${w(1000L)}")
+    assert(w(1001L) < 0, s"raw-like doc should have negative dsir_bits, got ${w(1001L)}")
+    assert(w(1000L) > w(1001L))
   }
 
   test("lm scoring: bigram context halves the cost of seen transitions vs unseen pairs") {

@@ -1238,6 +1238,102 @@ case class FixtureBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Threshold-banded Levenshtein distance with common-affix stripping:
+  * returns the exact edit distance when it is ≤ `maxDist`, −1 otherwise —
+  * the contract of Spark's `levenshtein(l, r, threshold)`, which this
+  * replaces on the fuzzy-dedup verify path. Two optimizations the
+  * builtin lacks, both exact:
+  *
+  *  - strip the common prefix and suffix first (unit-cost edit distance
+  *    is invariant under shared affixes). Near-duplicate verification is
+  *    the regime where candidates are near-IDENTICAL, so a 300-char pair
+  *    differing by one edit leaves a ≤3-codepoint remainder — the DP
+  *    runs on that, not on 300×300;
+  *  - Ukkonen band of width 2·maxDist+1 over the remainder with an
+  *    early-exit when a row's minimum exceeds maxDist.
+  *
+  * Codepoint-level like the builtin (surrogate pairs are one unit);
+  * distances ≤ maxDist are THE Levenshtein distance, so any correct
+  * engine (the DuckDB oracle included) agrees on every emitted value.
+  */
+case class BandedLevenshtein(left: Expression, right: Expression, maxDist: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(maxDist >= 0, "maxDist must be >= 0")
+  override def prettyName: String = "graft_banded_levenshtein"
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, string), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    BandedLevenshtein.dist(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val helper = BandedLevenshtein.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.dist($l, $r, $maxDist);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object BandedLevenshtein {
+  /** Exact distance if ≤ tau, else −1. Shared by eval and codegen. */
+  def dist(ua: UTF8String, ub: UTF8String, tau: Int): Int = {
+    val sa = ua.toString
+    val sb = ub.toString
+    // codepoint arrays (the builtin's unit); cheap relative to the DP it
+    // replaces, and what makes affix stripping surrogate-safe
+    val a = sa.codePoints().toArray
+    val b = sb.codePoints().toArray
+    var lo = 0
+    var aHi = a.length
+    var bHi = b.length
+    if (math.abs(aHi - bHi) > tau) return -1
+    while (lo < aHi && lo < bHi && a(lo) == b(lo)) lo += 1
+    while (aHi > lo && bHi > lo && a(aHi - 1) == b(bHi - 1)) { aHi -= 1; bHi -= 1 }
+    val n = aHi - lo
+    val m = bHi - lo
+    if (n == 0) return m // m ≤ tau by the length guard above
+    if (m == 0) return n
+    // banded DP: prev(j)/cur(j) = distance over a[0..i) × b[0..j), only
+    // the |i−j| ≤ tau diagonal band is live
+    val INF = Int.MaxValue / 2
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= tau) j else INF; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val jLo = math.max(1, i - tau)
+      val jHi = math.min(m, i + tau)
+      if (jLo > 1) cur(jLo - 1) = INF
+      cur(0) = if (i <= tau) i else INF
+      var best = if (jLo == 1) cur(0) else INF
+      j = jLo
+      while (j <= jHi) {
+        val sub = prev(j - 1) + (if (a(lo + i - 1) == b(lo + j - 1)) 0 else 1)
+        val del = (if (j <= i + tau - 1) prev(j) else INF) + 1
+        val ins = cur(j - 1) + 1
+        val v = math.min(sub, math.min(del, ins))
+        cur(j) = v
+        if (v < best) best = v
+        j += 1
+      }
+      if (best > tau) return -1
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    if (prev(m) <= tau) prev(m) else -1
+  }
+}
+
 object HashExpressions {
   /** One-pass MinHash signature of an array<string> shingle column. */
   def minhash(shingles: Column, numHashes: Int): Column =
@@ -1294,6 +1390,14 @@ object HashExpressions {
   /** Single-pass quality-features struct; see [[QualityFeaturesExpr]]. */
   def qualityFeaturesExpr(text: Column): Column =
     GraftBridge.column(QualityFeaturesExpr(GraftBridge.expression(text)))
+
+  /** Threshold-banded Levenshtein with common-affix stripping; returns
+    * the distance if ≤ maxDist else −1 (the builtin 3-arg contract);
+    * see [[BandedLevenshtein]].
+    */
+  def bandedLevenshtein(l: Column, r: Column, maxDist: Int): Column =
+    GraftBridge.column(BandedLevenshtein(
+      GraftBridge.expression(l), GraftBridge.expression(r), maxDist))
 
   /** Fixture-family chained window hashes; see [[FixtureHashes]]. */
   def fixtureWindowHashes(text: Column, shingle: Int): Column =

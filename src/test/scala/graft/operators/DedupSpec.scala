@@ -171,6 +171,17 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents converges on a long chain in O(log diameter) rounds") {
+    // a 300-hop chain: plain min-label propagation needs 300 rounds (and
+    // would THROW at maxIter 12); pointer jumping must land it in
+    // ceil(log2) + a few — maxIter 12 makes the complexity claim a gate,
+    // not a comment
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val got = Dedup.connectedComponents(chain, "idA", "idB", maxIter = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 301 && got.forall(_._2 == 0L))
+  }
+
   test("connectedComponents matches a reference union-find on seeded random graphs") {
     // reference: plain union-find with path compression
     def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {

@@ -230,6 +230,33 @@ object GraftStreaming {
       .drop("__lm")
       .where(col("bits_per_token") <= maxBitsPerToken)
 
+  /** Stateless DSIR importance gate — the streaming form of
+    * [[graft.operators.LanguageModel.dsirWeights]]: score each arriving
+    * document under TWO distilled count LMs (target and raw), keep rows
+    * whose importance weight in whole bits (bits_raw − bits_target, the
+    * log2 of the DSIR weight) is at least `minDsirBits`. Both scores are
+    * plan-literal map-side folds — no joins, no shuffle, no state — so
+    * the gate is append-safe; the weight rides along as `dsir_bits`.
+    * Zero-token texts are dropped (no probability is defined). Exactly
+    * the batch arithmetic: scoreColumn is spec-gated equal to the
+    * join-based scoreDocs, and dsirWeights to two scoreDocs passes, so
+    * stream==batch agreement is compositional (and spec-tripped in
+    * GraftStreamingSpec).
+    */
+  def dsirStream(stream: DataFrame, textCol: String,
+      lmTarget: graft.operators.LanguageModel.DistilledLm,
+      lmRaw: graft.operators.LanguageModel.DistilledLm,
+      minDsirBits: Long): DataFrame =
+    stream
+      .withColumn("__t",
+        graft.operators.LanguageModel.scoreColumn(col(textCol), lmTarget))
+      .withColumn("__r",
+        graft.operators.LanguageModel.scoreColumn(col(textCol), lmRaw))
+      .where(col("__t").isNotNull && col("__r").isNotNull)
+      .withColumn("dsir_bits", col("__r.lm_bits") - col("__t.lm_bits"))
+      .drop("__t", "__r")
+      .where(col("dsir_bits") >= minDsirBits)
+
   /** The composed streaming curation pipeline — the streaming dual of the
     * batch q_pipeline (quality gate → exact dedup → decontamination):
     * stateless quality filter, watermark-bounded canonical-text dedup,

@@ -816,6 +816,48 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dsirStream: stateless dual-LM importance gate keeps exactly the batch-weighed rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.LanguageModel
+    // target distribution: phrase A; raw distribution: phrase B
+    val target = (0 until 25).map(i => (i.toLong, "alpha beta gamma delta alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = (0 until 25).map(i => (i.toLong + 100, "omega psi chi phi omega psi"))
+      .toDF("doc_id", "text")
+    val lmT = LanguageModel.distill(LanguageModel.train(target, "doc_id", "text"))
+    val lmR = LanguageModel.distill(LanguageModel.train(raw, "doc_id", "text"))
+    val cand = Seq(
+      (1000L, "alpha beta gamma delta"),  // target-like: big positive dsir_bits
+      (1001L, "omega psi chi phi"),       // raw-like: negative
+      (1002L, "alpha beta omega psi"),    // mixed
+      (1003L, ""))                        // zero tokens: dropped
+    // batch truth via the join-based dual scorer (already spec-gated
+    // equal to two scoreDocs passes)
+    val batchKept = LanguageModel.dsirWeights(
+      cand.toDF("doc_id", "text"),
+      "doc_id", "text",
+      LanguageModel.train(target, "doc_id", "text"),
+      LanguageModel.train(raw, "doc_id", "text"))
+      .where(col("dsir_bits") >= 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept.contains(1000L) && !batchKept.contains(1001L))
+
+    val input = MemoryStream[(Long, String)]
+    val gated = GraftStreaming.dsirStream(
+      input.toDF().toDF("doc_id", "text"), "text", lmT, lmR, minDsirBits = 1L)
+    val query = GraftStreaming.storeStreamMemory(gated, "dsir_gate_test")
+    try {
+      input.addData(cand.take(2))
+      query.processAllAvailable()
+      input.addData(cand.drop(2))
+      query.processAllAvailable()
+      val streamed = spark.table("dsir_gate_test")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batchKept, "stream gate must keep EXACTLY the batch rows")
+    } finally query.stop()
+  }
+
   test("curateStreamSignals: every gate fires; stream == hand-composed batch stack") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -205,6 +205,42 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /** Corpus-wide kNN self-join: the top-k cosine neighbors of EVERY
+    * vector — the kNN-graph builder behind graph-based clustering,
+    * diversity scoring, and SemDeDup-style curation (feed the edges to
+    * `Graph.labelPropagate` / `Dedup.connectedComponents`). Same IVF
+    * coarse-quantizer shape as [[ivfTopK]], but the probe side is the
+    * corpus itself, so NOTHING is broadcast: one assignment pass
+    * (map-side against the broadcast centroid row) is materialized once
+    * and read twice — member side keyed by its nearest cell, probe side
+    * exploded to its `nProbe` nearest cells — then a single shuffle join
+    * on the cell key. Per-cell work is O(|cell|²·d·nProbe), the same
+    * bucketed-quadratic invariant as every dedup in the family (never
+    * all-pairs); cell count scales with the corpus, per-cell cost stays
+    * flat. Ranking ties break by neighbor id ([[topKByCosine]]).
+    */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val c = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
+    val centroidRow = broadcast(centroids.getOrElse(defaultCells(c, nCells)))
+    val base = Materialize.once(c.join(centroidRow)
+      .withColumn("__pc", nearestCells(col("__cv"), col("__cells"), nProbe))
+      .select(col("neighbor_id"), col("__cv"), col("__cn"), col("__pc")))
+    val member = base.select(col("neighbor_id"), col("__cv"), col("__cn"),
+      element_at(col("__pc"), 1)("cell").as("__cell"))
+    val probe = base.select(col("neighbor_id").as("query_id"),
+        col("__cv").as("__qv"), col("__cn").as("__qn"),
+        explode(col("__pc")).as("__probe"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("__probe")("cell").as("__cell"))
+    val scored = member.join(probe, Seq("__cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", pairCosine)
+    topKByCosine(scored, k)
+  }
+
   /** Lloyd-refined coarse quantizer for [[ivfTopK]], seeded by
     * farthest-point traversal: the classic fix for seed collapse — id-order
     * seeds can all land in one dense cluster, and Lloyd alone cannot pull

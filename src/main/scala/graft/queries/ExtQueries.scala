@@ -633,6 +633,79 @@ object ExtQueries {
               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
        FROM scored QUALIFY rank <= 10"""
 
+  /** Corpus-wide kNN self-join (Similarity.knnJoin): every vector's top-5
+    * neighbors through the id-seeded IVF quantizer, nProbe 2 — the SQL
+    * mirror replays assignment, probing, and the (cos DESC, neighbor)
+    * rank exactly (the IvfOracleSql discipline with the probe side = the
+    * whole corpus). A (query, neighbor) candidate appears at most once:
+    * the neighbor lives in exactly one cell, so only the probe row
+    * landing on that cell pairs them.
+    */
+  /** The knnJoin CTE chain up to a ranked `knn(query_id, neighbor_id,
+    * rank)` table — shared by q_knn_join and the q_knn_cluster
+    * composition so the graph oracle can never drift from the join
+    * oracle.
+    */
+  private def knnCtes(k: Int): String =
+    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cent AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+       pc AS (SELECT vec_id, v, cell, r FROM (
+           SELECT c.vec_id, c.v, cent.cell,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY list_distance(c.v, cent.cv), cent.cell) AS r
+           FROM c, cent) WHERE r <= 2),
+       assigned AS (SELECT vec_id, v, cell FROM pc WHERE r = 1),
+       scored AS (
+         SELECT pc.vec_id AS query_id, a.vec_id AS neighbor_id,
+                list_cosine_similarity(pc.v, a.v) AS cos
+         FROM pc JOIN assigned a ON pc.cell = a.cell
+         WHERE pc.vec_id <> a.vec_id),
+       knn AS (SELECT query_id, neighbor_id, rank FROM (
+           SELECT query_id, neighbor_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM scored) WHERE rank <= $k)"""
+
+  private val knnJoinQ = q("q_knn_join",
+    s"""WITH ${knnCtes(5)}
+       SELECT query_id, neighbor_id, rank FROM knn""") { (s, d) =>
+    Similarity.knnJoin(Tables.df(s, d, "embeddings"), "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Embedding clustering: the k=3 kNN graph under 3 rounds of min-label
+    * propagation (Graph.labelPropagate over the knnJoin edges) — the
+    * graph-based semantic-grouping pass (mixture balancing, per-cluster
+    * caps, SemDeDup pre-grouping). The oracle unrolls the label rounds
+    * over the SAME knn CTE chain.
+    */
+  private val knnClusterQ = q("q_knn_cluster", {
+    val head =
+      s"""WITH ${knnCtes(3)},
+       nodes AS (SELECT vec_id AS v FROM c),
+       und AS (SELECT query_id AS src, neighbor_id AS dst FROM knn
+               UNION SELECT neighbor_id, query_id FROM knn),
+       l0 AS (SELECT v, v AS l FROM nodes)"""
+    val iterCtes = (1 to 3).map { i =>
+      val p = s"l${i - 1}"
+      s"""n$i AS (SELECT u.dst AS v, MIN($p.l) AS nl
+             FROM und u JOIN $p ON $p.v = u.src GROUP BY 1),
+         l$i AS (SELECT $p.v AS v, least($p.l, COALESCE(n$i.nl, $p.l)) AS l
+                 FROM $p LEFT JOIN n$i ON $p.v = n$i.v)"""
+    }.mkString(",\n")
+    s"$head,\n$iterCtes\nSELECT v AS vec_id, CAST(l AS BIGINT) AS label FROM l3"
+  }) { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    val knn = Similarity.knnJoin(emb, "vec_id", "embedding",
+      k = 3, nCells = 16, nProbe = 2)
+    graft.operators.Graph.labelPropagate(
+      emb.select(col("vec_id").as("v")),
+      knn.select(col("query_id").as("src"), col("neighbor_id").as("dst")),
+      iters = 3)
+      .select(col("v").as("vec_id"), col("l").as("label"))
+  }
+
   private val annIvfQ = q("q_ann_ivf", IvfOracleSql) { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
     Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
@@ -1718,7 +1791,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
-    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
+    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnClusterQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)

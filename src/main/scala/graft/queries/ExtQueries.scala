@@ -1068,33 +1068,63 @@ object ExtQueries {
     * Correlation is scale-invariant, so the unit scaling changes
     * nothing.
     */
-  private val profileCorrQ = q("q_profile_corr",
-    """WITH a AS (SELECT l_returnflag AS flag,
+  /** The shared exact-sums CTE for the correlation/regression pair:
+    * (flag, n, Σx, Σy, Σx², Σy², Σxy) in integer units through
+    * DECIMAL(28,0).
+    */
+  private val CorrSumsSql =
+    """a AS (SELECT l_returnflag AS flag,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(round(l_quantity) AS DECIMAL(28,0))) AS DOUBLE) AS sx,
            CAST(SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(28,0))) AS DOUBLE) AS sy,
            CAST(SUM(CAST(round(l_quantity) * round(l_quantity) AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
            CAST(SUM(CAST(round(l_extendedprice * 100) * round(l_extendedprice * 100) AS DECIMAL(28,0))) AS DOUBLE) AS syy,
            CAST(SUM(CAST(round(l_quantity) * round(l_extendedprice * 100) AS DECIMAL(28,0))) AS DOUBLE) AS sxy
-         FROM lineitem GROUP BY 1)
-       SELECT flag, n,
-              round((n * sxy - sx * sy) /
-                sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
-       FROM a""") { (s, d) =>
+         FROM lineitem GROUP BY 1)"""
+
+  private def corrSums(s: SparkSession, d: String): DataFrame = {
     val qi = round(col("l_quantity"))
     val pc = round(col("l_extendedprice") * 100)
     def dsum0(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(28,0)")).cast("double")
-    val a = Tables.df(s, d, "lineitem")
+    Tables.df(s, d, "lineitem")
       .groupBy(col("l_returnflag").as("flag"))
       .agg(count(lit(1)).as("n"),
         dsum0(qi).as("sx"), dsum0(pc).as("sy"),
         dsum0(qi * qi).as("sxx"), dsum0(pc * pc).as("syy"),
         dsum0(qi * pc).as("sxy"))
-    a.select(col("flag"), col("n"),
+  }
+
+  private val profileCorrQ = q("q_profile_corr",
+    s"""WITH $CorrSumsSql
+       SELECT flag, n,
+              round((n * sxy - sx * sy) /
+                sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+       FROM a""") { (s, d) =>
+    corrSums(s, d).select(col("flag"), col("n"),
       round((col("n") * col("sxy") - col("sx") * col("sy")) /
         sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
           (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"))
+  }
+
+  /** Grouped least-squares fit y = slope·x + intercept (y in price
+    * cents, x in quantity units) over the SAME exact sums: slope =
+    * (n·Σxy − Σx·Σy)/(n·Σx² − Σx²·), intercept = (Σy − slope·Σx)/n —
+    * both engines evaluate the identical double expression over
+    * identical decimal-exact inputs. The per-group regression audit
+    * (pricing curves, drift checks) without any ML dependency.
+    */
+  private val regressionQ = q("q_regression",
+    s"""WITH $CorrSumsSql
+       SELECT flag, n,
+              round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+              round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+       FROM a""") { (s, d) =>
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    corrSums(s, d).select(col("flag"), col("n"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
 
   private val tokenStatsQ = q("q_token_stats",
@@ -1895,7 +1925,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnClusterQ, diversityCapQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, profileCorrQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, profileCorrQ, regressionQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)
 }

@@ -1127,6 +1127,30 @@ object ExtQueries {
       round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
 
+  /** Fixed-width histogram profiling in integer cents: bin width is the
+    * integer ⌈(max−min+1)/nBins⌉ and bin assignment (x−min) div w — all
+    * BIGINT arithmetic, so bin edges can never flip on a double ulp
+    * between engines. Two aggregations (global min/max broadcast back,
+    * then the bin count) — the scale shape of every range-bucketing
+    * profile at 100 TB.
+    */
+  private val profileHistQ = q("q_profile_hist",
+    """WITH x AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+       mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM x),
+       b AS (SELECT (v - (SELECT lo FROM mm)) //
+                    CAST(ceil(((SELECT hi FROM mm) - (SELECT lo FROM mm) + 1) / 20.0) AS BIGINT) AS bin
+             FROM x)
+       SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
+       FROM b GROUP BY 1""") { (s, d) =>
+    val x = Tables.df(s, d, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val mm = x.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    x.crossJoin(broadcast(mm))
+      // `div` = BIGINT floor division, the exact mirror of DuckDB's `//`
+      .select(expr("(v - lo) div CAST(ceil((hi - lo + 1) / 20.0) AS BIGINT)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
   private val tokenStatsQ = q("q_token_stats",
     // corpus token-budget stats per source: doc count, total tokens, and
     // exact interpolated median/p95 (Spark `percentile` ⟷ DuckDB
@@ -1925,7 +1949,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnClusterQ, diversityCapQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, profileCorrQ, regressionQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)
 }

@@ -124,6 +124,45 @@ object Profile {
           count(lit(1))).as("avg_norm2"))
   }
 
+  /** Key-skew audit for a prospective join/aggregation key: distinct-key
+    * count, total rows, the heaviest key's share, and the exact Gini
+    * coefficient of the key-count distribution — the decision input for
+    * the skew toolbox (AQE skew join vs `SkewJoin.saltedJoin` vs a
+    * repartition). Gini here is the standard sorted-rank form
+    *
+    *   G = Σ_i (2i − n − 1)·c_(i)  /  (n·Σc),   c_(1) ≤ … ≤ c_(n)
+    *
+    * whose numerator is EXACT integer arithmetic over ranked counts, so
+    * the metric oracles bit-for-bit. Scale shape: one count aggregation
+    * (distinct-key-bounded), a distributed rank over the count table
+    * (range sort + zipWithIndex — one long per partition to the driver,
+    * never a global window), one broadcast of the 1-row stats, one sum.
+    * Keys must be long-typed (hash non-numeric keys first).
+    *
+    * Output: one row (n_keys, total, top1_share, gini). G≈0 = uniform
+    * keys (skew machinery unnecessary), G→1 = a handful of hot keys own
+    * the table (salt or isolate before the join).
+    */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = graft.operators.Materialize.once(
+      df.groupBy(col(keyCol).cast("long").as("k"))
+        .agg(count(lit(1)).cast("long").as("cnt")))
+    val stats = counts.agg(count(lit(1)).as("n"),
+      sum(col("cnt")).cast("long").as("tot"), max(col("cnt")).cast("long").as("mx"))
+    val ranked = graft.core.Flow(counts.select(col("cnt"), col("k")).as[(Long, Long)])
+      .rankBy(t => t)
+      .toDF.toDF("i", "ck")
+    val num = ranked.crossJoin(broadcast(stats))
+      .agg(sum((lit(2L) * (col("i") + 1) - col("n") - 1) * col("ck._1"))
+        .cast("long").as("num"))
+    num.crossJoin(broadcast(stats))
+      .select(col("n").as("n_keys"), col("tot").as("total"),
+        round(col("mx").cast("double") / col("tot"), 6).as("top1_share"),
+        round(col("num").cast("double") / (col("n") * col("tot")), 6).as("gini"))
+  }
+
   private def build(df: DataFrame, cols: Seq[String],
       distinctAgg: String => Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.{Flow, Fold}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnIndex, AsofJoin, Dedup, Multimodal, RangeJoin, Sessions, Similarity}
+import graft.operators.{AnnIndex, AsofJoin, Dedup, Multimodal, Profile, RangeJoin, Sessions, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1868,6 +1868,25 @@ object ExtQueries {
       .select(col("doc_id"), col("dedup_text"))
   }
 
+  /** Key-skew audit (Profile.keySkew) on the orders.o_custkey join key:
+    * exact integer Gini numerator over the ranked count table, replayed
+    * by the oracle with a window the ENGINE never uses (the distributed
+    * rank is range-sort + zipWithIndex).
+    */
+  private val keySkewQ = q("q_key_skew",
+    """WITH c AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM orders GROUP BY 1),
+       s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS tot,
+                    CAST(MAX(cnt) AS BIGINT) AS mx FROM c),
+       r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS i FROM c),
+       g AS (SELECT CAST(SUM((2*i - (SELECT n FROM s) - 1) * cnt) AS BIGINT) AS num FROM r)
+       SELECT (SELECT n FROM s) AS n_keys, (SELECT tot FROM s) AS total,
+              round(CAST((SELECT mx FROM s) AS DOUBLE) / (SELECT tot FROM s), 6) AS top1_share,
+              round(CAST((SELECT num FROM g) AS DOUBLE)
+                / ((SELECT n FROM s) * (SELECT tot FROM s)), 6) AS gini""") { (s, d) =>
+    Profile.keySkew(Tables.df(s, d, "orders"), "o_custkey")
+  }
+
   private val profileQ = q("q_profile",
     """SELECT 'doc_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
               CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
@@ -1943,7 +1962,7 @@ object ExtQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    profileQ, profileNumericQ, profileNumericApproxQ, profileTopQ,
+    profileQ, profileNumericQ, profileNumericApproxQ, profileTopQ, keySkewQ,
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,

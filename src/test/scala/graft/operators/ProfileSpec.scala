@@ -85,6 +85,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(exactPlan.contains("Expand"))
   }
 
+  test("keySkew: hand-computed Gini on planted distributions; uniform ≈ 0, hot key high") {
+    import spark.implicits._
+    // uniform: 4 keys × 5 rows each → sorted counts (5,5,5,5),
+    // num = Σ(2i−n−1)·c = (−3−1+1+3)·5 = 0 → gini 0
+    val uniform = (0 until 20).map(i => (i % 4).toLong).toDF("k")
+    val u = Profile.keySkew(uniform, "k").head()
+    assert(u.getLong(0) == 4 && u.getLong(1) == 20)
+    assert(u.getDouble(2) == 0.25 && u.getDouble(3) == 0.0)
+    // skewed: counts (1,1,1,17) sorted asc →
+    // num = (2·1−5)·1 + (2·2−5)·1 + (2·3−5)·1 + (2·4−5)·17 = −3−1+1+51 = 48
+    // gini = 48 / (4·20) = 0.6; top1 = 17/20
+    val hot = ((0 until 17).map(_ => 0L) ++ Seq(1L, 2L, 3L)).toDF("k")
+    val h = Profile.keySkew(hot, "k").head()
+    assert(h.getLong(0) == 4 && h.getLong(1) == 20)
+    assert(h.getDouble(2) == 0.85 && h.getDouble(3) == 0.6,
+      s"got top1=${h.getDouble(2)} gini=${h.getDouble(3)}")
+  }
+
   test("vector: zero-vector count, norm bounds, exact mean norm") {
     import spark.implicits._
     val vecs = Seq(

@@ -22,9 +22,10 @@ import org.apache.spark.sql.SparkSession
   *    The lane materializes the twin once per machine (marker-gated) and
   *    can be disabled with SPARK_GRAFT_X16=0.
   *
-  * Drift sentinel (both lanes): the same calibration query timed once
-  * before and once after the suite; drift_pct > 25 means host contention
-  * contaminated the run, and since r9 the JSON self-labels it
+  * Drift sentinel (both lanes): the same calibration query timed before
+  * and after the suite (median-of-3 per read — sensitive to sustained
+  * contention, immune to a lone GC/JIT spike); drift_pct > 25 means host
+  * contention contaminated the run, and since r9 the JSON self-labels it
   * ("valid": false) instead of relying on the reader to apply SCALE.md's
   * discard rule.
   */
@@ -58,14 +59,29 @@ object Bench {
       try qd.fn(spark, dir).count()
       catch { case _: Throwable => () }
     }
-    // drift sentinel: the SAME fixed calibration query timed once before
-    // and once after the whole suite. On an idle box the two reads agree
-    // to a few percent; host contention mid-run (the r6 artifact's
-    // failure mode, SCALE.md drift envelope) shows up as a large spread.
-    // Single-pass by design: min-of-N would hide the very contention this
+    // drift sentinel: the SAME fixed calibration query timed before and
+    // after the whole suite. On an idle box the two reads agree to a few
+    // percent; host contention mid-run (the r6 artifact's failure mode,
+    // SCALE.md drift envelope) shows up as a large spread. Each read is
+    // the MEDIAN of 3 runs: sustained contention raises all three (so
+    // the sentinel still fires), while a single GC/JIT spike — which on
+    // the x16 lane swings a lone q_q1 run 0.27-0.57 s and was tripping
+    // the sentinel on an IDLE box (drift_pct 30-48 across three runs,
+    // always first>last) — cannot fake a drift reading by itself.
+    // min-of-3 would go too far: it hides the very contention this
     // measures.
+    def calRead(qd: QueryDef): Either[String, Double] = {
+      val runs = Seq.fill(3)(timed(spark, qd, dir))
+      runs.collectFirst { case l @ Left(_) => l }
+        .getOrElse(Right(runs.collect { case Right(t) => t }.sorted.apply(1)))
+    }
     val calibration = benchSet.find(_.name == "q_q1").orElse(benchSet.headOption)
-    val calFirst = calibration.map(timed(spark, _, dir))
+    // prime the calibration query specifically (beyond the one suite
+    // warm-up pass) so the first read compares a C2-warm JVM against a
+    // C2-warm JVM — without this, a fresh-JVM first lane reads its own
+    // JIT warm-in as 25-30% "drift" on an idle box
+    calibration.foreach(qd => (1 to 3).foreach(_ => timed(spark, qd, dir)))
+    val calFirst = calibration.map(calRead)
     val results = benchSet.map { qd =>
       val runs = Seq.fill(passes)(timed(spark, qd, dir))
       // min over the good passes; any failed pass poisons the query
@@ -73,7 +89,7 @@ object Bench {
         .getOrElse(Right(runs.collect { case Right(t) => t }.min))
       qd.name -> r
     }
-    val calLast = calibration.map(timed(spark, _, dir))
+    val calLast = calibration.map(calRead)
     Lane(results, (calibration, calFirst, calLast) match {
       case (Some(qd), Some(f), Some(l)) => Some((qd.name, f, l))
       case _ => None

@@ -157,6 +157,19 @@ object ProbeScale {
         graft.operators.Dedup.paragraphDedup(paraCorpus, "doc_id", "text").count())
       println(f"[scale-sig9] x$factor%-3d lm_score=$tLm%7.0f ms ($nLm rows)  " +
         f"entropy=$tEnt%7.0f ms ($nEnt rows)  paragraph_dedup=$tPara%7.0f ms ($nPara rows)")
+      // round-9 session-3 operators: DSIR is one transition stream with
+      // six bounded count-table joins (two-model train + weigh); knnJoin
+      // scales nCells with the corpus so per-cell cost stays flat (the
+      // IVF dial ProbeKnn measures at fixed cells)
+      val (tDsir, nDsir) = time2(
+        graft.operators.LanguageModel.dsirAgainstSlices(d, "doc_id", "text",
+          d.where(col("doc_id") % 3 === 0), d.where(col("doc_id") % 3 === 1),
+          minCount = 2).count())
+      val (tKnn, nKnn) = time2(
+        graft.operators.Similarity.knnJoin(emb, "vec_id", "embedding",
+          k = 5, nCells = 16 * factor, nProbe = 2).count())
+      println(f"[scale-sig9b] x$factor%-3d dsir=$tDsir%7.0f ms ($nDsir rows)  " +
+        f"knn_join=$tKnn%7.0f ms ($nKnn rows, nCells=${16 * factor})")
       println(f"[scale-idx] x$factor%-3d ivfpq_build=$tBuildIvfPq%7.0f ms  " +
         f"ivfpq_probe=$tProbeIvfPq%7.0f ms ($nProbeIvfPq)  " +
         f"ivfpq_refined=$tProbeRefined%7.0f ms ($nProbeRefined)  " +

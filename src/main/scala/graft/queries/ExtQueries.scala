@@ -674,6 +674,24 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** The PRODUCTION configuration of the kNN self-join: the auto cell
+    * dial (nCells ∝ corpus, ~1000 vectors per cell) with Lloyd-trained
+    * centroids, instead of q_knn_join's oracle-pinned 16 id-seeded cells.
+    * Not oracle-replayable (iterative float k-means); gated by
+    * SimilaritySpec's auto-dial equivalence + recall fixtures with
+    * q_knn_join as the oracle-green twin of the same operator. This is
+    * the dial that takes the x16 join 35 s → 4 s (ProbeKnn) — cell count
+    * grows with the corpus, per-cell quadratic cost stays flat.
+    */
+  private val knnJoinAutoQ = q("q_knn_join_auto", twin = "q_knn_join") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    val nCells = math.max(16L, emb.count() / 1000L).toInt
+    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding", nCells = nCells, iters = 2)
+    Similarity.knnJoin(emb, "vec_id", "embedding", k = 5, nProbe = 2,
+      centroids = Some(cells))
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Embedding clustering: the k=3 kNN graph under 3 rounds of min-label
     * propagation (Graph.labelPropagate over the knnJoin edges) — the
     * graph-based semantic-grouping pass (mixture balancing, per-cluster
@@ -1967,7 +1985,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
-    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnClusterQ, diversityCapQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
+    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, diversityCapQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)

@@ -740,19 +740,22 @@ object Queries {
     val ordF = Tables.df(s, d, "orders")
       .join(custF, col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "n_name")
-    // fact-side join: SHUFFLE_HASH on the filtered-orders side. The x16
-    // bench lane exposed the default sort-merge as the bottleneck (two
-    // full sorts of the fact shuffle); hashing the build side instead is
-    // 16-50% faster at x16 and still faster at sf0.1 (ProbeRevenueJoin).
-    // Scale-safe: the build side is the region-filtered (o_orderkey,
-    // n_name) projection — a bounded fraction of lineitem bytes, UNIQUE
-    // join key so no build-side skew, per-partition size controlled by
-    // shuffle partitioning — and AQE's skew-split + broadcast demotion
-    // still apply to shuffled hash joins on the probe side.
+    // fact side: pre-aggregate revenue per orderkey BEFORE the join (sum
+    // is distributive over the orderkey→nation function, so the result is
+    // identical) — the map-side partial agg compresses the lineitem
+    // shuffle by the per-order fan-out (~4×), and the aggregate's hash
+    // partitioning on l_orderkey is REUSED by the join (no second
+    // exchange on the fact lineage). The join stays SHUFFLE_HASH on the
+    // filtered-orders side (the x16 lane showed sort-merge paying two
+    // full fact-shuffle sorts): build side is the region-filtered
+    // (o_orderkey, n_name) projection — UNIQUE join key so no build-side
+    // skew, and AQE skew-split/broadcast demotion still apply.
     Tables.df(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(rev).as("__rev"))
       .join(ordF.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(rev), 2).cast("double").as("revenue"))
+      .agg(round(sum(col("__rev")), 2).cast("double").as("revenue"))
   }
 
   /** TPC-H Q3 shape (shipping-priority revenue; no o_shippriority column in

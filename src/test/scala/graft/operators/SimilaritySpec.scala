@@ -78,6 +78,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.5, s"recall $recall too low for nProbe=3 of 8 cells")
   }
 
+  test("knnJoin nCells=0 auto-dial: floors at 16 cells on a small corpus") {
+    // the auto dial is max(16, n/1000): any corpus under 16k vectors gets
+    // the same 16-cell quantizer as the oracle-pinned configuration, so
+    // the outputs must be IDENTICAL row-for-row — the dial changes the
+    // plan only when the corpus is large enough to need more cells
+    val df = corpus()
+    val pinned = Similarity.knnJoin(df, "vec_id", "embedding", k = 4,
+        nCells = 16, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val auto = Similarity.knnJoin(df, "vec_id", "embedding", k = 4,
+        nCells = 0, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(auto == pinned)
+    assertThrows[IllegalArgumentException] {
+      Similarity.knnJoin(df, "vec_id", "embedding", k = 4, nCells = -1)
+    }
+  }
+
+  test("knnJoin auto-dial + trained centroids (the q_knn_join_auto shape) keeps recall") {
+    val df = corpus()
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nCells = math.max(16L, df.count() / 1000L).toInt
+    val trained = Similarity.kmeansCells(df, "vec_id", "embedding", nCells = nCells, iters = 2)
+    val rows = Similarity.knnJoin(df, "vec_id", "embedding", k = 4,
+      nProbe = 2, centroids = Some(trained)).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-pair leaked")
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall > 0.5, s"recall $recall too low for trained 16-cell nProbe=2")
+  }
+
   test("lshTopK returns a subset of real neighbors with decent recall") {
     val df = corpus()
     val queries = df.where($"vec_id" < 10)

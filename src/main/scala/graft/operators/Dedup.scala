@@ -814,6 +814,62 @@ object Dedup {
       .select(col("__id").as(idCol), col("dedup_text"))
   }
 
+  /** Distinct canonical paragraph fingerprints of a reference corpus —
+    * the static catalog the against-catalog paragraph dedup forms gate
+    * on ("drop boilerplate the lake already holds", the paragraph-level
+    * analogue of [[graft.streaming.GraftStreaming.dedupAgainstStream]]'s
+    * document catalog). One narrow explode + one distinct shuffle.
+    * Output: (fp).
+    */
+  def paragraphCatalog(reference: DataFrame, textCol: String,
+      sepRegex: String = "\\n{2,}"): DataFrame =
+    reference.select(explode(split(col(textCol), sepRegex)).as("__para"))
+      .where(trim(col("__para")) =!= "")
+      .select(fingerprint(col("__para")).as("fp")).distinct()
+
+  /** Paragraph dedup AGAINST a static catalog: drop every paragraph whose
+    * canonical fingerprint appears in `catalog` (all copies — the catalog
+    * is the winner set), reassemble surviving paragraphs in original
+    * order, and drop documents left empty. This is the join form — the
+    * catalog can be arbitrarily large (anti-join shuffles on the
+    * fingerprint; broadcasts under AQE when it fits) — and the batch twin
+    * of the stateless streaming gate
+    * ([[graft.streaming.GraftStreaming.paragraphDedupStream]], spec-gated
+    * exactly equal). Within-corpus first-winner dedup is
+    * [[paragraphDedup]].
+    *
+    * Output: (idCol, dedup_text).
+    */
+  def paragraphDedupAgainst(df: DataFrame, idCol: String, textCol: String,
+      catalog: DataFrame, sepRegex: String = "\\n{2,}"): DataFrame = {
+    val paras = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), sepRegex)))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__para"))
+      .where(trim(col("__para")) =!= "")
+      .withColumn("__fp", fingerprint(col("__para")))
+    paras.join(catalog.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          p => p("__para")), "\n\n").as("dedup_text"))
+      .select(col("__id").as(idCol), col("dedup_text"))
+  }
+
+  /** Distill a paragraph catalog to a bounded, sorted driver array for
+    * the plan-literal streaming gate — the [[LanguageModel.distill]]
+    * driver-state discipline: the collect is guarded by `maxEntries`
+    * (refuse loudly, never a silent OOM); a catalog too large to distill
+    * belongs in the join form ([[paragraphDedupAgainst]]) or the
+    * persistent fingerprint catalog ([[AnnIndex]]).
+    */
+  def distillParagraphCatalog(catalog: DataFrame, maxEntries: Int = 500000): Array[String] = {
+    val n = catalog.count()
+    require(n <= maxEntries,
+      s"paragraph catalog too large to distill: $n > $maxEntries entries — " +
+        "use the join-based paragraphDedupAgainst or a persistent fingerprint catalog")
+    catalog.select(col("fp")).collect().map(_.getString(0)).sorted
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold pairs, candidates via
     * random-hyperplane LSH buckets (exact within-bucket verify). At corpus
     * scale the bucket join replaces the n² cross product.

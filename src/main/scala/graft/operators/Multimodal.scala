@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * payload bytes; payloads stream through `mapPartitions` in bounded
   * batches so executor memory stays flat.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container): `decodeStub` derives a deterministic fake feature vector
-  * from the payload bytes. The Spark-side contract — schema, batching,
-  * partitioning, null passthrough — is real and tested; swap
-  * `decodeStub`'s body for a JNI/ffmpeg/ImageIO call in production.
+  * Codec boundary (settled in r10): IMAGE decode is REAL for the formats
+  * the JDK itself ships codecs for — PNG/BMP/GIF/JPEG through
+  * javax.imageio ([[decodeLumaGrid]] → [[phashDecoded]] /
+  * [[decodedNearDuplicates]], spec-gated on planted images). Audio/video
+  * demux has no JDK codec and stays stubbed: `decodeStub` derives a
+  * deterministic fake feature vector from the payload bytes, and the
+  * Spark-side contract — schema, batching, partitioning, null
+  * passthrough — is real and tested; swap `decodeStub`'s body for a
+  * JNI/ffmpeg call in production.
   */
 object Multimodal {
 
@@ -155,6 +159,91 @@ object Multimodal {
       maxHamming: Int = 3, bits: Int = 60): DataFrame = {
     val sigs = Materialize.once(df.select(col(idCol).as("__id"),
       phash(col(payloadCol), bits).as("__sig")))
+    Dedup.simhashPairsFromSigs(sigs, maxHamming)
+  }
+
+  /** REAL codec for the formats the JDK itself decodes (PNG, BMP, GIF,
+    * JPEG via javax.imageio — no external library): payload bytes →
+    * integer BT.601 luma plane box-downsampled to a `grid`×`grid` byte
+    * matrix, the canonical average-hash input. Returns None for payloads
+    * ImageIO cannot decode (truncated, not an image, unsupported format)
+    * — flagged downstream, never a task failure. This closes the declared
+    * codec stub boundary for one real path; audio/video demux stays out
+    * of scope (no JDK codec exists).
+    *
+    * All-integer arithmetic (sums + one division per grid cell), so the
+    * luma grid — and everything hashed from it — is deterministic across
+    * JVMs/platforms for a given decoded pixel matrix.
+    */
+  private[graft] def decodeLumaGrid(payload: Array[Byte], grid: Int = 8): Option[Array[Byte]] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val gy = (y.toLong * grid / h).toInt
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            val c = gy * grid + (x.toLong * grid / w).toInt
+            sums(c) += luma
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(Array.tabulate(grid * grid)(c =>
+          (if (counts(c) == 0) 0L else sums(c) / counts(c)).toByte))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Perceptual hash of the DECODED pixels: javax.imageio decode →
+    * 8×8 luma grid → [[graft.functions.PhashBytes]] over the 64 grid
+    * bytes (each hash cell ≈ one grid cell vs the whole-image mean — the
+    * classic average-hash). Unlike the byte-level [[phash]], two
+    * encodings of the SAME pixels (a PNG and a BMP of one image) hash
+    * EQUAL, and re-encoded/nearly-identical images land within a small
+    * Hamming distance — the property a dedup signature over media needs.
+    *
+    * Decode streams per partition in bounded batches (the
+    * [[extractFeatures]] shape); undecodable payloads get a null hash and
+    * a false `decoded` flag rather than failing the task or silently
+    * falling back to byte hashing. Output: (id, decoded, phash).
+    */
+  def phashDecoded(media: Dataset[MediaRow], bits: Int = 60,
+      batchSize: Int = 128): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary = where a real native codec would reuse its ctx
+        batch.iterator.map(m => (m.id, decodeLumaGrid(m.payload)))
+      }
+    }.toDF("id", "__grid")
+      .select(col("id"), col("__grid").isNotNull.as("decoded"),
+        when(col("__grid").isNotNull, phash(col("__grid"), bits)).as("phash"))
+  }
+
+  /** Perceptual near-duplicate pairs over DECODED pixels — the
+    * [[payloadNearDuplicates]] spine (pigeonhole chunk-LSH → bucket join
+    * → exact Hamming verify) fed by [[phashDecoded]] instead of the byte
+    * hash, so visually-identical media dedup across container formats.
+    * Undecodable rows are excluded (no signature exists for them).
+    */
+  def decodedNearDuplicates(media: Dataset[MediaRow], maxHamming: Int = 3,
+      bits: Int = 60): DataFrame = {
+    val sigs = Materialize.once(phashDecoded(media, bits)
+      .where(col("decoded"))
+      .select(col("id").as("__id"), col("phash").as("__sig")))
     Dedup.simhashPairsFromSigs(sigs, maxHamming)
   }
 

@@ -329,6 +329,35 @@ object GraftStreaming {
       .drop("__fp")
   }
 
+  /** Stateless streaming paragraph dedup — the RefinedWeb/Dolma
+    * boilerplate stage ([[graft.operators.Dedup.paragraphDedup]]) as an
+    * ingest gate: drop every paragraph of an arriving document whose
+    * canonical fingerprint appears in a DISTILLED static catalog
+    * ([[graft.operators.Dedup.distillParagraphCatalog]] — bounded,
+    * plan-literal, the [[lmScoreStream]] driver-state discipline),
+    * reassemble the survivors in original order, and drop documents left
+    * all-boilerplate. Pure per-row column arithmetic — no explode, no
+    * join, no shuffle, no state — so the gate is append-safe; spec-gated
+    * EXACTLY equal to the join-based batch form
+    * ([[graft.operators.Dedup.paragraphDedupAgainst]]) on the same data.
+    * Catalog refresh is the caller's restart policy, same contract as
+    * [[decontaminateStream]]'s benchmark filter; a catalog too large to
+    * distill belongs in the batch join form run as compaction.
+    *
+    * `textCol` is replaced by the deduped text in the output.
+    */
+  def paragraphDedupStream(stream: DataFrame, textCol: String,
+      catalogFps: Array[String], sepRegex: String = "\\n{2,}"): DataFrame = {
+    val catM = typedLit[Map[String, Int]](catalogFps.map(_ -> 1).toMap)
+    val paras = filter(split(col(textCol), sepRegex), p => trim(p) =!= "")
+    val kept =
+      if (catalogFps.isEmpty) paras
+      else filter(paras, p =>
+        element_at(catM, graft.functions.TextFunctions.fingerprint(p)).isNull)
+    stream.withColumn(textCol, array_join(kept, "\n\n"))
+      .where(col(textCol) =!= "")
+  }
+
   /** Streaming content dedup: exact dedup keyed on the canonical text
     * fingerprint ([[graft.functions.TextFunctions.fingerprint]]), so
     * whitespace/case variants of the same document dedup too — the

@@ -93,6 +93,82 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- real-codec (javax.imageio) planted-image fixtures ----
+  // 64×48 block image: 8×8 grid of 8×6-px blocks, each solid black or
+  // white by a seed pattern — every phash grid cell sits at 0 or 255,
+  // far from the global mean, so bits are robust and one inverted block
+  // flips (about) one bit: the average-hash locality contract.
+  private def blockImage(seed: Int, invertBlock: Option[(Int, Int)] = None) = {
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val (gx, gy) = (x / 8, y / 6)
+      val on0 = (gx * 3 + gy * 5 + seed) % 4 < 2
+      val on = if (invertBlock.contains((gx, gy))) !on0 else on0
+      img.setRGB(x, y, if (on) 0xffffff else 0x000000)
+    }
+    img
+  }
+
+  private def encodeImage(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must ship a $fmt writer")
+    out.toByteArray
+  }
+
+  private def mediaRows(rows: Seq[(Long, Array[Byte])]) =
+    spark.createDataset(rows.map { case (id, p) =>
+      Multimodal.MediaRow(id, Multimodal.MediaMeta("image", "png", 64, 48, 0), p)
+    })
+
+  test("phashDecoded: PNG and BMP encodings of the same pixels hash EQUAL; bytes don't") {
+    import org.apache.spark.sql.functions._
+    val png = encodeImage(blockImage(1), "png")
+    val bmp = encodeImage(blockImage(1), "bmp")
+    assert(!java.util.Arrays.equals(png, bmp), "the two containers differ at byte level")
+    val got = Multimodal.phashDecoded(mediaRows(Seq((0L, png), (1L, bmp))))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(got(0L)._1 && got(1L)._1, "both payloads must decode")
+    assert(got(0L)._2 == got(1L)._2,
+      s"same pixels must hash equal across containers, got $got")
+    // the byte-level phash cannot have this property — different containers
+    val byteHashes = mediaRows(Seq((0L, png), (1L, bmp))).toDF()
+      .select(Multimodal.phash(col("payload"))).collect().map(_.getLong(0))
+    assert(byteHashes(0) != byteHashes(1),
+      "byte-level hashes of different containers differ (why decode matters)")
+  }
+
+  test("phashDecoded: locality on decoded pixels; undecodable rows flagged null") {
+    val base = encodeImage(blockImage(1), "png")
+    val near = encodeImage(blockImage(1, invertBlock = Some((2, 3))), "png")
+    val far = encodeImage(blockImage(2), "png")
+    val junk = gradientPayload(5, 512) // not an image
+    val got = Multimodal.phashDecoded(
+        mediaRows(Seq((0L, base), (1L, near), (2L, far), (3L, junk))))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(got(0L)._2, got(1L)._2) <= 3,
+      s"one inverted block must stay within 3 bits, got ${hamming(got(0L)._2, got(1L)._2)}")
+    assert(hamming(got(0L)._2, got(2L)._2) > 10,
+      s"a different pattern must be far, got ${hamming(got(0L)._2, got(2L)._2)}")
+    assert(!got(3L)._1 && got(3L)._2 == -1L,
+      "undecodable payload is flagged (decoded=false, null hash), not a failure")
+  }
+
+  test("decodedNearDuplicates: cross-container twins pair; undecodable rows excluded") {
+    val rows = (0 until 6).map(i => (i.toLong, encodeImage(blockImage(i + 10), "png"))) ++
+      Seq((100L, encodeImage(blockImage(10), "bmp")),       // same pixels as 0, other container
+          (101L, encodeImage(blockImage(13, invertBlock = Some((4, 4))), "png")), // near dup of 3
+          (102L, gradientPayload(3, 512)))                  // undecodable
+    val pairs = Multimodal.decodedNearDuplicates(mediaRows(rows), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)), "cross-container identical pixels must pair")
+    assert(pairs.contains((3L, 101L)), "planted near-duplicate image must pair")
+    assert(pairs.forall { case (a, b) => a != 102L && b != 102L },
+      "undecodable rows have no signature and never pair")
+  }
+
   test("payloadNearDuplicates: planted near-dup payloads pair, random payloads don't") {
     // 8 bases: offsets stay under 256 (seed*17 <= 119), so no two bases
     // are cyclic-rotation near-collisions of each other

@@ -214,6 +214,39 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("paragraphDedupStream: stateless gate agrees exactly with the batch join form") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val reference = Seq(
+      (100L, "COOKIE BANNER\n\nreference body"),
+      (101L, "license   header\n\nmore reference text")).toDF("doc_id", "text")
+    val catalog = graft.operators.Dedup.paragraphCatalog(reference, "text")
+    val fps = graft.operators.Dedup.distillParagraphCatalog(catalog)
+    val docs = Seq(
+      (1L, "cookie   banner\n\nunique body one\n\nLicense Header"), // boilerplate stripped
+      (2L, "Cookie Banner\n\nlicense header"),                      // all boilerplate → dropped
+      (3L, "fresh paragraph\n\n\n\nanother fresh one"))             // untouched (empty para skipped)
+    val input = MemoryStream[(Long, String)]
+    val out = GraftStreaming.paragraphDedupStream(
+      input.toDF().toDF("doc_id", "text"), "text", fps)
+    val query = GraftStreaming.storeStreamMemory(out, "para_dedup_stream_test")
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("para_dedup_stream_test")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = graft.operators.Dedup.paragraphDedupAgainst(
+          docs.toDF("doc_id", "text"), "doc_id", "text", catalog)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch, s"stream $streamed must equal batch $batch")
+      assert(!streamed.contains(2L), "all-boilerplate doc must disappear")
+      assert(streamed(1L) == "unique body one",
+        "canonical-variant boilerplate paragraphs strip; the body survives")
+    } finally query.stop()
+  }
+
   test("decontaminateStream: stateless gate agrees exactly with the batch operator") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

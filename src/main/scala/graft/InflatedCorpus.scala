@@ -53,18 +53,57 @@ object InflatedCorpus {
     Alpha.drop(k) + Alpha.take(k)
   }
 
+  /** The m-th stride-shift permutation of [[Alpha]]: source letter t maps
+    * to Alpha[(k + t·s) % 16] with shift k = m % 16 and stride s an odd
+    * step (coprime to 16, so each stride is a bijection). 8 strides × 16
+    * shifts = 128 DISTINCT permutations (k is pinned by the image of
+    * t = 0, s by t = 1), and perm(0) = identity. The document-LENGTH
+    * inflation needs factor·docLen distinct transforms so that no two
+    * segments — within a doc or across copies — share letter statistics:
+    * a plain cyclic-rotation set (16 members) would force segment reuse,
+    * and reordered-segment copies would collide in shingle space (minhash
+    * would see every copy of a doc as a near-duplicate of every other,
+    * exploding cross-copy pairs instead of scaling work linearly).
+    */
+  private def perm(m: Int): String = {
+    val strides = Array(1, 3, 5, 7, 9, 11, 13, 15)
+    val s = strides((m / Alpha.length) % strides.length)
+    val k = m % Alpha.length
+    new String(Array.tabulate(Alpha.length)(t => Alpha((k + t * s) % Alpha.length)))
+  }
+
   final case class Build(dir: String, factor: Int, built: Boolean, buildSec: Double)
 
-  private def marker(sfDir: String, factor: Int): String =
-    s"graft-inflated v$RecipeVersion factor=$factor src=$sfDir"
+  private def marker(sfDir: String, factor: Int, docLen: Int): String =
+    if (docLen == 1) s"graft-inflated v$RecipeVersion factor=$factor src=$sfDir"
+    else s"graft-inflated v$RecipeVersion factor=$factor len=$docLen src=$sfDir"
 
-  /** Materialize (or reuse) the factor-× twin of sfDir at outDir. */
-  def ensure(spark: SparkSession, sfDir: String, factor: Int, outDir: String): Build = {
+  /** Materialize (or reuse) the factor-× twin of sfDir at outDir.
+    *
+    * `docLen > 1` additionally inflates every DOCUMENT's length ~docLen×:
+    * the text becomes docLen letter-permuted variants of the source doc
+    * joined by paragraph breaks (~300 B → ~5 KB at docLen 16). The 16×
+    * row lane alone never moves the per-document operators (langid, LM,
+    * quality, fingerprint, phash) out of the fixed-cost regime — at 300
+    * bytes/doc the scan IS the job (ProbeFingerprint: 209 ms of 457 ms
+    * e2e) — so the length lane is where their ratios measure WORK.
+    * Segment (i, j) of copy i uses perm(i·docLen + j): all segments of
+    * all copies are distinct permutations, so near-dup shingle structure
+    * stays linear while planted exact-dup twins (same source text, same
+    * copy ⇒ same transform) survive verbatim, and each inflated doc is
+    * docLen genuine paragraphs for the paragraph-level stages. Only the
+    * documents table changes; all other tables follow the row recipe.
+    */
+  def ensure(spark: SparkSession, sfDir: String, factor: Int, outDir: String,
+      docLen: Int = 1): Build = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    require(docLen >= 1, s"docLen must be >= 1, got $docLen")
+    require(docLen == 1 || factor * docLen <= 128,
+      s"factor*docLen must be <= 128 distinct permutations, got ${factor * docLen}")
     val root = new Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markerPath = new Path(root, "_GRAFT_INFLATED")
-    val expect = marker(sfDir, factor)
+    val expect = marker(sfDir, factor, docLen)
     val current =
       if (!fs.exists(markerPath)) None
       else scala.util.Try {
@@ -109,8 +148,11 @@ object InflatedCorpus {
     })
 
     write("documents", copies(src("documents")) { (df, i) =>
-      shiftKeys("doc_id")(df, i)
-        .withColumn("text", translate(col("text"), Alpha, rot(i)))
+      val inflated =
+        if (docLen == 1) translate(col("text"), Alpha, rot(i))
+        else concat_ws("\n\n",
+          (0 until docLen).map(j => translate(col("text"), Alpha, perm(i * docLen + j))): _*)
+      shiftKeys("doc_id")(df, i).withColumn("text", inflated)
     })
 
     val emb = src("embeddings")
@@ -129,19 +171,21 @@ object InflatedCorpus {
     Build(outDir, factor, built = true, (System.nanoTime() - t0) / 1e9)
   }
 
-  def defaultDir(sfDir: String, factor: Int): String =
-    s"/tmp/graft_x$factor/${new java.io.File(sfDir).getName}"
+  def defaultDir(sfDir: String, factor: Int, docLen: Int = 1): String =
+    if (docLen == 1) s"/tmp/graft_x$factor/${new java.io.File(sfDir).getName}"
+    else s"/tmp/graft_x${factor}len$docLen/${new java.io.File(sfDir).getName}"
 
   /** Standalone generation (for the offline DuckDB anchor run):
-    * runMain graft.InflatedCorpus [sfDir] [factor] [outDir]
+    * runMain graft.InflatedCorpus [sfDir] [factor] [outDir] [docLen]
     */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val factor = args.lift(1).map(_.toInt).getOrElse(16)
-    val outDir = args.lift(2).getOrElse(defaultDir(sfDir, factor))
+    val docLen = args.lift(3).map(_.toInt).getOrElse(1)
+    val outDir = args.lift(2).getOrElse(defaultDir(sfDir, factor, docLen))
     val spark = DevSpark.session()
-    val b = ensure(spark, sfDir, factor, outDir)
+    val b = ensure(spark, sfDir, factor, outDir, docLen)
     println(s"[inflate] dir=${b.dir} factor=${b.factor} built=${b.built} " +
       f"build_sec=${b.buildSec}%.1f")
     spark.stop()

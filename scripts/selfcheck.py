@@ -66,6 +66,25 @@ def main(sf_dir, out_dir):
                 print(f"XX {name}: twin {twin} is not an oracle-gated query"); bad += 1
             elif twin in results and not results[twin].startswith("OK"):
                 print(f"XX {name}: twin {twin} did not pass ({results[twin][:80]})"); bad += 1
+    # manifest FRESHNESS gate: the committed snapshot (repo MANIFEST.json)
+    # must match the manifest this run emitted — r9 shipped a 195-entry
+    # committed copy against 207 registered queries and the gap was only
+    # caught by the judge. Count + per-name + per-field diff.
+    committed_path = os.path.join(os.path.dirname(__file__), "..", "MANIFEST.json")
+    if os.path.exists(mpath) and os.path.exists(committed_path):
+        emitted = {m["name"]: m for m in json.load(open(mpath))}
+        committed = {m["name"]: m for m in json.load(open(committed_path))}
+        missing = sorted(set(emitted) - set(committed))
+        extra = sorted(set(committed) - set(emitted))
+        changed = sorted(n for n in set(emitted) & set(committed)
+                         if emitted[n] != committed[n])
+        if missing or extra or changed:
+            bad += 1
+            print(f"XX committed MANIFEST.json is STALE "
+                  f"({len(committed)} committed vs {len(emitted)} emitted): "
+                  f"missing={missing[:8]} extra={extra[:8]} changed={changed[:8]}")
+            print(f"   fix: cp {os.path.abspath(mpath)} {os.path.abspath(committed_path)}")
+
     print(f"\n{len(results) - bad}/{len(results)} pass")
     return 1 if bad else 0
 

@@ -56,7 +56,7 @@ object Bench {
   private val LenLaneQueries = Set(
     "q_dedup_exact", "q_dedup_paragraph", "q_substring_spans",
     "q_contamination_bloom", "q_oov_rate", "q_lm_score", "q_entropy",
-    "q_pipeline")
+    "q_pipeline", "q_phash")
 
   private def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 

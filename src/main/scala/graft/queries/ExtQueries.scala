@@ -719,12 +719,24 @@ object ExtQueries {
   }
 
   /** The Spark side of [[KnnClusterCtes]]: knnJoin edges under 3 rounds
-    * of min-label propagation → (v, l).
+    * of min-label propagation → (v, l). `auto = true` is the PRODUCTION
+    * quantizer configuration (nCells ∝ corpus via the knnJoin auto dial +
+    * Lloyd-trained centroids — per-cell population and quadratic cost
+    * stay flat as the corpus grows); `auto = false` pins nCells=16 for
+    * the deterministic cross-engine oracle replay.
     */
-  private def knnClusters(s: SparkSession, d: String): DataFrame = {
+  private def knnClusters(s: SparkSession, d: String,
+      auto: Boolean = false): DataFrame = {
     val emb = Tables.df(s, d, "embeddings")
-    val knn = Similarity.knnJoin(emb, "vec_id", "embedding",
-      k = 3, nCells = 16, nProbe = 2)
+    val knn =
+      if (auto) {
+        val nCells = math.max(16L, emb.count() / 1000L).toInt
+        val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
+          nCells = nCells, iters = 2)
+        Similarity.knnJoin(emb, "vec_id", "embedding", k = 3, nProbe = 2,
+          centroids = Some(cells))
+      } else Similarity.knnJoin(emb, "vec_id", "embedding",
+        k = 3, nCells = 16, nProbe = 2)
     graft.operators.Graph.labelPropagate(
       emb.select(col("vec_id").as("v")),
       knn.select(col("query_id").as("src"), col("neighbor_id").as("dst")),
@@ -751,6 +763,28 @@ object ExtQueries {
        QUALIFY row_number() OVER (PARTITION BY l ORDER BY v ASC) <= 10""") { (s, d) =>
     import s.implicits._
     Flow(knnClusters(s, d).select(col("v").cast("long"), col("l").cast("long"))
+        .as[(Long, Long)])
+      .groupBy(_._2)
+      .fold(Fold.topBy[(Long, Long), Long](10)(t => -t._1))
+      .mapcat(p => p._2.map(t => (t._1, p._1)))
+      .toDF.toDF("vec_id", "cluster")
+  }
+
+  /** Production-config twins of the two knn-graph queries: the auto
+    * quantizer dial + trained centroids (the 100 TB configuration —
+    * ProbeKnn measured the pinned-16 oracle config 35 s vs 4 s at x16 on
+    * identical output rows). Rows-only by the same argument as
+    * q_knn_join_auto: cell boundaries shift with the trained centroids,
+    * so the approximate neighbor set is not oracle-replayable; each
+    * declares its pinned oracle-green twin.
+    */
+  private val knnClusterAutoQ = q("q_knn_cluster_auto", twin = "q_knn_cluster") { (s, d) =>
+    knnClusters(s, d, auto = true).select(col("v").as("vec_id"), col("l").as("label"))
+  }
+
+  private val diversityCapAutoQ = q("q_diversity_cap_auto", twin = "q_diversity_cap") { (s, d) =>
+    import s.implicits._
+    Flow(knnClusters(s, d, auto = true).select(col("v").cast("long"), col("l").cast("long"))
         .as[(Long, Long)])
       .groupBy(_._2)
       .fold(Fold.topBy[(Long, Long), Long](10)(t => -t._1))
@@ -1262,8 +1296,8 @@ object ExtQueries {
     * oracle replays the REAL operator bit for bit (no fixture twin
     * needed, unlike the xxhash dedup families).
     */
-  private val phashQ = q("q_phash",
-    s"""WITH ${OracleFixtures.phashSigCtes("documents")}
+  private val phashQ = q("q_phash", bench = true, // headliner: payload-length-sensitive, the len lane's multimodal row
+    oracle = s"""WITH ${OracleFixtures.phashSigCtes("documents")}
        SELECT doc_id, sig AS phash FROM sig""") { (s, d) =>
     Multimodal.fromKeyedText(Tables.df(s, d, "documents"), "doc_id", "text")
       .select(col("id").as("doc_id"),
@@ -1985,7 +2019,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
-    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, diversityCapQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
+    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)

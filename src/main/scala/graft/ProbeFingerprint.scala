@@ -149,6 +149,19 @@ object ProbeRevenueJoin {
       agg(lineitem.join(ordF.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))).count())
     t("fact join SMJ again")(
       agg(lineitem.join(ordF, col("l_orderkey") === col("o_orderkey"))).count())
+    // r10 variants: when the region-filtered (o_orderkey, n_name)
+    // projection fits an executor, broadcasting it deletes the fact-side
+    // exchange entirely — and then the per-orderkey pre-aggregation (whose
+    // only job is compressing that exchange) is pure overhead. Price both.
+    def preagg = lineitem.groupBy(col("l_orderkey")).agg(sum(rev).as("__rev"))
+    def aggR(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy(col("n_name")).agg(round(sum(col("__rev")), 2).cast("double").as("revenue"))
+    t("preagg + shuffle_hash (reg.)")(
+      aggR(preagg.join(ordF.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))).count())
+    t("preagg + broadcast ordF")(
+      aggR(preagg.join(broadcast(ordF), col("l_orderkey") === col("o_orderkey"))).count())
+    t("direct + broadcast ordF")(
+      agg(lineitem.join(broadcast(ordF), col("l_orderkey") === col("o_orderkey"))).count())
     spark.stop()
   }
 }

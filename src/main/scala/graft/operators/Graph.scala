@@ -152,9 +152,15 @@ object Graph {
     */
   def labelPropagate(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    val und = edges.select(col("src"), col("dst"))
+    // materialized ONCE: the edge lineage can be arbitrarily expensive
+    // (q_knn_cluster feeds the IVF knnJoin here) and `und` is consumed by
+    // EVERY iteration — without the checkpoint each round re-executes the
+    // whole upstream plan (measured: 3-iter propagation over knnJoin
+    // edges 35.6 s -> ~14 s at x16, the same consumed-twice class as the
+    // r9 tokenize front-half finding)
+    val und = Materialize.once(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct())
     var l = nodes.select(col("v"), col("v").as("l"))
     for (_ <- 1 to iters) {
       val viaNbr = l.join(und, l("v") === und("src"))

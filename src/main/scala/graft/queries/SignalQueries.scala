@@ -323,6 +323,42 @@ object SignalQueries {
     graft.operators.Dedup.paragraphDedup(corpus, "doc_id", "text")
   }
 
+  /** Against-catalog paragraph dedup (Dedup.paragraphDedupAgainst — the
+    * batch join form the streaming gate is spec-gated equal to): drop
+    * every corpus paragraph whose canonical fingerprint appears in a
+    * static reference catalog (ALL copies — the catalog is the winner
+    * set), reassemble survivors in order, drop all-boilerplate docs.
+    * Corpus docs pair text(k) with text(k+7); the catalog is the
+    * doc_id % 7 == 0 slice, so docs with doc_id % 7 == 0 lose BOTH
+    * paragraphs (the whole-doc-drop path) while most docs lose at most
+    * one. The raw synthetic texts are single-paragraph (no newlines), so
+    * the reference split is the identity and the oracle fingerprints the
+    * whole text; empty-trim guards mirror the operator's filter.
+    */
+  private val paragraphDedupCatalogQ = q("q_dedup_paragraph_catalog",
+    oracle = raw"""WITH corpus AS (
+         SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7),
+       ref AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+               FROM documents WHERE doc_id % 7 = 0 AND trim(text) <> ''),
+       pl AS (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS l FROM corpus),
+       pe AS (SELECT doc_id, unnest(range(0, len(l))) AS pos, l FROM pl),
+       ps AS (SELECT doc_id, pos, l[pos+1] AS para FROM pe WHERE trim(l[pos+1]) <> ''),
+       fp AS (SELECT doc_id, pos, para,
+                md5(regexp_replace(lower(trim(para)), '\s+', ' ', 'g')) AS fp FROM ps),
+       keep AS (SELECT doc_id, pos, para FROM fp
+                WHERE fp NOT IN (SELECT fp FROM ref))
+       SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS dedup_text
+       FROM keep GROUP BY doc_id""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val nxt = docs.select((col("doc_id") - 7).as("doc_id"), col("text").as("__t2"))
+    val corpus = docs.join(nxt, "doc_id")
+      .select(col("doc_id"), concat(col("text"), lit("\n\n"), col("__t2")).as("text"))
+    val catalog = graft.operators.Dedup.paragraphCatalog(
+      docs.where(col("doc_id") % 7 === 0), "text")
+    graft.operators.Dedup.paragraphDedupAgainst(corpus, "doc_id", "text", catalog)
+  }
+
   /** Byte-entropy quality signal — Shannon entropy's integer-bits
     * stand-in (ByteEntropyBits scaladoc): flags base64/compressed payloads
     * high and degenerate repetition low. The production expression is
@@ -648,7 +684,7 @@ object SignalQueries {
 
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
-    lmScoreIndexedQ, dsirQ, dsirSelectQ, paragraphDedupQ, entropyQ, pipelineSignalsQ,
+    lmScoreIndexedQ, dsirQ, dsirSelectQ, paragraphDedupQ, paragraphDedupCatalogQ, entropyQ, pipelineSignalsQ,
     aucQ, confusionQ, resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)

@@ -79,11 +79,15 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("knnJoin nCells=0 auto-dial: floors at 16 cells on a small corpus") {
-    // the auto dial is max(16, n/1000): any corpus under 16k vectors gets
+    // the auto dial is max(16, ceil(sqrt(n*nProbe))) — the assignment/
+    // in-cell-pairs balance point: any corpus with n*nProbe <= 256 gets
     // the same 16-cell quantizer as the oracle-pinned configuration, so
     // the outputs must be IDENTICAL row-for-row — the dial changes the
     // plan only when the corpus is large enough to need more cells
-    val df = corpus()
+    assert(Similarity.autoCells(100, 2) == 16)     // floor
+    assert(Similarity.autoCells(32000, 2) == 253)  // the ProbeKnn optimum
+    assert(Similarity.autoCells(1L << 40, 2) > 0)  // no overflow at 10^12
+    val df = corpus().where($"vec_id" < 100)
     val pinned = Similarity.knnJoin(df, "vec_id", "embedding", k = 4,
         nCells = 16, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
@@ -100,8 +104,10 @@ class SimilaritySpec extends AnyFunSuite {
     val df = corpus()
     val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val nCells = math.max(16L, df.count() / 1000L).toInt
-    val trained = Similarity.kmeansCells(df, "vec_id", "embedding", nCells = nCells, iters = 2)
+    // pinned small cell count: this spec gates trained-centroid RECALL,
+    // not the dial (autoCells(200, 2) = 20 cells would thin per-probe
+    // coverage below what a 200-vector recall assertion can tolerate)
+    val trained = Similarity.kmeansCells(df, "vec_id", "embedding", nCells = 16, iters = 2)
     val rows = Similarity.knnJoin(df, "vec_id", "embedding", k = 4,
       nProbe = 2, centroids = Some(trained)).collect()
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-pair leaked")

@@ -285,9 +285,11 @@ object Bench {
     // artifact's "parsed": null). If the ratio-bearing rendering would
     // burst it (e.g. error fields appeared), the secondary lanes fall
     // back to totals + drift sentinels; everything is in the file either way.
+    // 1800, not 2000: sbt's trailing "[success] Total time …" line shares
+    // the driver's tail window with ours (~90 chars in the r9 capture)
     val tail = s""","sf":"$sfDir","file":${jstr(outPath)}}"""
     val line = head + primaryCompact + x16Compact + lenCompact + tail
-    println(if (line.length <= 1900) line
+    println(if (line.length <= 1800) line
             else head + primaryCompact + x16Min + lenMin + tail)
     spark.stop()
   }

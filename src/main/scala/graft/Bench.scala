@@ -241,13 +241,13 @@ object Bench {
     // "<lane>_error" field; it can never take down the primary artifact.
     def twinLane(tag: String, enableVar: String, factor: Int, docLen: Int,
         set: Seq[QueryDef], anchorVar: String, anchorFile: String,
-        passesVar: String): (String, String, String) =
+        passesVar: String, defPasses: String = "2"): (String, String, String) =
       if (sys.env.getOrElse(enableVar, "1") != "1" || set.isEmpty) ("", "", "")
       else try {
         val dir = sys.env.getOrElse(s"SPARK_GRAFT_${tag.toUpperCase}_DIR",
           InflatedCorpus.defaultDir(sfDir, factor, docLen))
         val build = InflatedCorpus.ensure(spark, sfDir, factor, dir, docLen)
-        val lanePasses = math.max(sys.env.getOrElse(passesVar, "2").toInt, 1)
+        val lanePasses = math.max(sys.env.getOrElse(passesVar, defPasses).toInt, 1)
         val lane = runValidLane(spark, set, dir, lanePasses, maxAttempts)
         val duck = duckRef(anchorVar, anchorFile)
         val buildSec = math.rint(build.buildSec * 1000) / 1000
@@ -265,9 +265,12 @@ object Bench {
       }
 
     val x16Factor = sys.env.getOrElse("SPARK_GRAFT_X16_FACTOR", "16").toInt
+    // min-of-3 on the x16 lane (was 2): the sub-second ratios there swing
+    // ±30% between two passes (sessionize read 0.79x and 1.03x in two
+    // same-day valid runs); a third pass costs ~1 min and steadies the min
     val (x16Full, x16Compact, x16Min) = twinLane("x16", "SPARK_GRAFT_X16", x16Factor, 1,
       benchSet, "SPARK_GRAFT_DUCKDB_BASELINE_X16", "duckdb_baseline_x16.json",
-      "SPARK_GRAFT_X16_N")
+      "SPARK_GRAFT_X16_N", defPasses = "3")
     val lenSet = benchSet.filter(qd => LenLaneQueries(qd.name))
     val (lenFull, lenCompact, lenMin) = twinLane("len", "SPARK_GRAFT_LEN", 4, 16,
       lenSet, "SPARK_GRAFT_DUCKDB_BASELINE_LEN", "duckdb_baseline_len.json",

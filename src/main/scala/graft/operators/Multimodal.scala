@@ -233,6 +233,42 @@ object Multimodal {
         when(col("__grid").isNotNull, phash(col("__grid"), bits)).as("phash"))
   }
 
+  /** REAL feature extraction for decodable images: the normalized,
+    * mean-centered luma grid as the feature vector (the classic
+    * raw-pixel baseline embedding — what you'd feed IVF/PQ before a
+    * learned model exists). Decoded rows carry featureDim = grid², the
+    * values in [-1, 1] (luma/127.5 − 1 shifted by the grid mean so
+    * brightness cancels); undecodable payloads fall back to the declared
+    * [[decodeStub]] so the pipeline shape (every row gets a vector of
+    * the same dim) is preserved and the stub boundary stays visible in
+    * the `decoded` flag rather than silently changing schema. Feeds the
+    * existing ANN surface ([[graft.operators.Similarity]]) unchanged.
+    * Output: Dataset[(id, decoded, features)] via DataFrame columns
+    * (id, decoded, featureDim, features).
+    */
+  def extractFeaturesDecoded(media: Dataset[MediaRow], grid: Int = 8,
+      batchSize: Int = 128): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val dim = grid * grid
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          decodeLumaGrid(m.payload, grid) match {
+            case Some(g) =>
+              val raw = g.map(b => (b & 0xff) / 127.5f - 1f)
+              val mean = raw.sum / dim
+              (m.id, true, dim, raw.map(_ - mean))
+            case None =>
+              (m.id, false, dim,
+                if (m.payload == null || m.payload.isEmpty) new Array[Float](dim)
+                else decodeStub(m.payload, dim))
+          }
+        }
+      }
+    }.toDF("id", "decoded", "featureDim", "features")
+  }
+
   /** Perceptual near-duplicate pairs over DECODED pixels — the
     * [[payloadNearDuplicates]] spine (pigeonhole chunk-LSH → bucket join
     * → exact Hamming verify) fed by [[phashDecoded]] instead of the byte

@@ -156,6 +156,30 @@ class MultimodalSpec extends AnyFunSuite {
       "undecodable payload is flagged (decoded=false, null hash), not a failure")
   }
 
+  test("extractFeaturesDecoded: real pixels for decodable images, stub fallback flagged") {
+    import org.apache.spark.sql.functions._
+    val png = encodeImage(blockImage(1), "png")
+    val bmp = encodeImage(blockImage(1), "bmp")
+    val junk = gradientPayload(5, 512)
+    val got = Multimodal.extractFeaturesDecoded(
+        mediaRows(Seq((0L, png), (1L, bmp), (2L, junk))))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getInt(2), r.getSeq[Float](3).toArray)).toMap
+    assert(got.values.forall(_._2 == 64), "every row gets the same dim")
+    assert(got(0L)._1 && got(1L)._1 && !got(2L)._1)
+    // same pixels, different containers -> identical real features
+    assert(got(0L)._3.sameElements(got(1L)._3))
+    // mean-centered: brightness term cancels
+    assert(math.abs(got(0L)._3.sum) < 1e-4)
+    // ANN-composable: cosine of the cross-container twin pair is 1.0
+    val df = Multimodal.extractFeaturesDecoded(mediaRows(Seq((0L, png), (1L, bmp))))
+      .select(col("id").as("vec_id"), col("features").as("embedding"))
+    val top = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", k = 1)
+      .collect()
+    assert(top.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-6),
+      s"cross-container twins must be exact ANN matches, got ${top.mkString(",")}")
+  }
+
   test("decodedNearDuplicates: cross-container twins pair; undecodable rows excluded") {
     val rows = (0 until 6).map(i => (i.toLong, encodeImage(blockImage(i + 10), "png"))) ++
       Seq((100L, encodeImage(blockImage(10), "bmp")),       // same pixels as 0, other container

@@ -47,7 +47,7 @@ object InflatedCorpus {
     * ProbeScale rotation set) — rot(i) maps copy i's text to a distinct
     * letter permutation; rot(0) is the identity, so copy 0 IS the source.
     */
-  private val Alpha = "etaoinshrdlcumwf"
+  private[graft] val Alpha = "etaoinshrdlcumwf"
   private def rot(i: Int): String = {
     val k = i % Alpha.length
     Alpha.drop(k) + Alpha.take(k)
@@ -65,7 +65,7 @@ object InflatedCorpus {
     * would see every copy of a doc as a near-duplicate of every other,
     * exploding cross-copy pairs instead of scaling work linearly).
     */
-  private def perm(m: Int): String = {
+  private[graft] def perm(m: Int): String = {
     val strides = Array(1, 3, 5, 7, 9, 11, 13, 15)
     val s = strides((m / Alpha.length) % strides.length)
     val k = m % Alpha.length

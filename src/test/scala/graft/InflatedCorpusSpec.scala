@@ -23,6 +23,11 @@ class InflatedCorpusSpec extends AnyFunSuite {
   test("docLen build: paragraphs are distinct per doc, twins survive, marker gates reuse") {
     val src = "/root/testdata/sf0.001"
     val out = "target/test_inflated_len"
+    // idempotent across runs: a twin left by a previous test execution
+    // would make the first ensure() a (correct) reuse, not a build
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
     val b1 = InflatedCorpus.ensure(spark, src, factor = 2, out, docLen = 4)
     assert(b1.built, "first ensure() must build")
     val b2 = InflatedCorpus.ensure(spark, src, factor = 2, out, docLen = 4)

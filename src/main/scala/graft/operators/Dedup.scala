@@ -763,9 +763,20 @@ object Dedup {
     * duplicateSpans' own.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, minSpan: Int = 5): DataFrame = {
+      k: Int = 3, minSpan: Int = 5): DataFrame =
+    stripSpans(df, idCol, textCol, duplicateSpans(df, idCol, textCol, k, minSpan))
+
+  /** Shared span-removal renderer: strip every token covered by a span of
+    * `spans` (idCol, span_start, span_end) and rebuild with single
+    * spaces; docs without spans pass through whitespace-normalized. The
+    * per-doc span list rides as an array on a left join (spans per doc
+    * are few — bounded by len/minSpan); the covered-token test is a
+    * map-side `exists` over that array, no extra shuffle.
+    */
+  private def stripSpans(df: DataFrame, idCol: String, textCol: String,
+      spanDf: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val spans = duplicateSpans(df, idCol, textCol, k, minSpan)
+    val spans = spanDf
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     df.join(spans, Seq(idCol), "left")
@@ -776,6 +787,52 @@ object Dedup {
           lit(false)))))
       .drop("__spans")
   }
+
+  /** Benchmark-overlap span DISCOVERY — SURGICAL decontamination (the
+    * span-level dual of [[ngramContamination]]'s whole-document rate):
+    * maximal ≥ `minSpan` token spans of the corpus whose every k-gram
+    * window also occurs anywhere in `benchmark`. Where the containment
+    * gate DROPS a contaminated document, the span form localizes exactly
+    * WHICH text overlaps the benchmark so [[removeContaminationSpans]]
+    * can excise it and keep the rest — the standard practice when eval
+    * sets leak into large crawls as quoted fragments, not whole pages.
+    *
+    * Scale shape = [[duplicateSpans]] with the dup-gram count replaced by
+    * a semi-join against the benchmark's DISTINCT gram-hash set: one
+    * corpus gram pass (hashed windows, pre-explode arrays — nothing
+    * string-shuffled), one benchmark gram pass (benchmarks are corpus-
+    * scale-small; the distinct set shuffles on the 64-bit hash and
+    * broadcasts under AQE when it fits), then the same per-doc
+    * gaps-and-islands merge (bounded by document length).
+    *
+    * Returns (id, span_start, span_end, span_tokens), 0-based inclusive
+    * token positions.
+    */
+  def contaminationSpans(df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      k: Int = 3, minSpan: Int = 5): DataFrame = {
+    require(k >= 1 && minSpan >= k, "need minSpan >= k >= 1")
+    import graft.functions.TextFunctions.tokens
+    val pool = benchmark.select(tokens(col(benchTextCol)).as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(explode(
+        graft.functions.HashExpressions.ngramHashesAll(col("__t"), k)).as("__gh"))
+      .distinct()
+    val grams = gramPositions(df, idCol, textCol, k)
+    spansFromDupPositions(
+      grams.join(pool, Seq("__gh"), "left_semi"), idCol, k, minSpan)
+  }
+
+  /** Surgical decontamination, REMOVAL: excise every token covered by a
+    * [[contaminationSpans]] span and keep the document — corpus in,
+    * decontaminated corpus out ([[stripSpans]] rendering; docs without
+    * overlap pass through whitespace-normalized).
+    */
+  def removeContaminationSpans(df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      k: Int = 3, minSpan: Int = 5): DataFrame =
+    stripSpans(df, idCol, textCol,
+      contaminationSpans(df, idCol, textCol, benchmark, benchTextCol, k, minSpan))
 
   /** Paragraph-level exact dedup — the RefinedWeb/Dolma pipeline stage
     * between document dedup and substring spans: boilerplate (nav bars,

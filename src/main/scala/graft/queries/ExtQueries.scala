@@ -1824,6 +1824,78 @@ object ExtQueries {
 
   private val SubstringSpanCtes = substringCtesFor("documents")
 
+  /** CTE chain for SURGICAL decontamination — [[substringCtesFor]]'s
+    * duplicated-gram detector swapped for a join against the BENCHMARK
+    * relation's distinct gram set; islands/spans/removal rendering
+    * identical (one shared SQL shape per concern, so the two span
+    * families cannot drift).
+    */
+  private def contamSpanCtesFor(rel: String, benchRel: String) =
+    raw"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM $rel),
+       g0 AS (SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                       i -> {'p': i - 1, 's': array_to_string(w[i:i+2], ' ')})) AS pg
+              FROM toks WHERE len(w) >= 3),
+       gr AS (SELECT doc_id, pg.p AS pos, pg.s AS gram FROM g0),
+       btoks AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM $benchRel),
+       bpool AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> array_to_string(w[i:i+2], ' '))) AS gram
+                 FROM btoks WHERE len(w) >= 3),
+       dp AS (SELECT gr.doc_id, gr.pos FROM gr JOIN bpool USING (gram)),
+       isl AS (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM dp),
+       spans AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                        CAST(MAX(pos) + 2 AS BIGINT) AS span_end
+                 FROM isl GROUP BY doc_id, grp
+                 HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 5),
+       tk AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(w) + 1),
+                       i -> {'p': i - 1, 't': w[i]})) AS e
+              FROM toks),
+       kept AS (SELECT tk.doc_id, (tk.e).p AS pos, (tk.e).t AS tok FROM tk
+                WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                  WHERE s.doc_id = tk.doc_id
+                                    AND (tk.e).p BETWEEN s.span_start AND s.span_end)),
+       dt AS (SELECT r.doc_id, coalesce(k.txt, '') AS dedup_text
+              FROM $rel r
+              LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+                         FROM kept GROUP BY doc_id) k USING (doc_id))"""
+
+  private val ContamSpanPrelude =
+    """corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+       bench AS (SELECT text FROM documents WHERE doc_id % 50 = 0)"""
+
+  /** Surgical decontamination, span DISCOVERY (Dedup.contaminationSpans):
+    * maximal ≥5-token spans whose every trigram window also occurs in the
+    * benchmark pool (the q_contamination %50 cut) — localizes WHICH text
+    * overlaps an eval set instead of scoring the whole document.
+    */
+  private val contaminationSpansQ = q("q_contamination_spans",
+    s"""WITH $ContamSpanPrelude,
+       ${contamSpanCtesFor("corp", "bench")}
+       SELECT doc_id, span_start, span_end,
+              span_end - span_start + 1 AS span_tokens
+       FROM spans""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    Dedup.contaminationSpans(docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      docs.where(col("doc_id") % 50 === 0), "text", k = 3, minSpan = 5)
+  }
+
+  /** Surgical decontamination, REMOVAL: the benchmark-overlapping spans
+    * excised, the rest of every document KEPT — the span-level
+    * alternative to dropping contaminated documents wholesale.
+    */
+  private val decontaminateSpansQ = q("q_decontaminate_spans",
+    s"""WITH $ContamSpanPrelude,
+       ${contamSpanCtesFor("corp", "bench")}
+       SELECT doc_id, dedup_text FROM dt""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    Dedup.removeContaminationSpans(docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+        docs.where(col("doc_id") % 50 === 0), "text", k = 3, minSpan = 5)
+      .select(col("doc_id"), col("dedup_text"))
+  }
+
   // bench headline since r5 (set-boundary note in SCALE.md: totals are not
   // comparable across the r4→r5 boundary, compare per-query)
   private val substringSpansQ = q("q_substring_spans",
@@ -2022,5 +2094,6 @@ object ExtQueries {
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
-    substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ)
+    substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
+    contaminationSpansQ, decontaminateSpansQ)
 }

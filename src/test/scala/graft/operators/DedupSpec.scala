@@ -242,6 +242,29 @@ class DedupSpec extends AnyFunSuite {
     assert(spans == Set((10L, 2L, 9L, 8L), (11L, 3L, 10L, 8L)))
   }
 
+  test("contaminationSpans localizes the planted benchmark fragment; removal keeps the rest") {
+    // doc 1 quotes an 8-token benchmark sentence verbatim mid-document;
+    // doc 2 shares nothing with the benchmark
+    val leaked = "the quick brown fox jumps over lazy dogs"
+    val corpus = Seq(
+      (1L, s"intro words here $leaked and a unique tail follows"),
+      (2L, "completely unrelated content with no benchmark overlap at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"some eval context $leaked more eval text"))
+      .toDF("bid", "btext")
+    val spans = Dedup.contaminationSpans(corpus, "doc_id", "text",
+        bench, "btext", k = 3, minSpan = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the leaked run sits at tokens 3..10 of doc 1; doc 2 is clean
+    assert(spans == Set((1L, 3L, 10L, 8L)), s"got $spans")
+    val cleaned = Dedup.removeContaminationSpans(corpus, "doc_id", "text",
+        bench, "btext", k = 3, minSpan = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("dedup_text")).toMap
+    assert(cleaned(1L) == "intro words here and a unique tail follows",
+      "only the benchmark-overlapping span is excised; the document survives")
+    assert(cleaned(2L) == "completely unrelated content with no benchmark overlap at all")
+  }
+
   test("duplicateSpans counts within-doc self-repeats (Lee et al. semantics)") {
     val d = Seq(
       (1L, "a b c d e x y z a b c d e"), // "a b c d e" twice in ONE doc

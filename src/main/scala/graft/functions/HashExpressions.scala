@@ -37,9 +37,11 @@ abstract class ShingleHashExpression extends UnaryExpression {
   protected final val xxh = classOf[XXH64].getName
   protected final val uad = classOf[UnsafeArrayData].getName
   /** Seed matching Spark's `xxhash64` default so base hashes agree with
-    * the built-in function.
+    * the built-in function. ONE definition — the stream-side per-row
+    * twin ([[graft.streaming.GraftStreaming.decontaminateSpanStream]])
+    * reads [[HashExpressions.ShingleSeed]], which this aliases.
     */
-  protected final val Seed = 42L
+  protected final val Seed = HashExpressions.ShingleSeed
 }
 
 /** minhash(shingles, k): array<long> of per-seed minima in one pass. Empty
@@ -1335,6 +1337,12 @@ object BandedLevenshtein {
 }
 
 object HashExpressions {
+  /** The shingle-hash seed (= Spark's xxhash64 default) — the single
+    * definition behind every ShingleHashExpression AND the stream-side
+    * per-row gram arithmetic, so the two can never drift.
+    */
+  final val ShingleSeed = 42L
+
   /** One-pass MinHash signature of an array<string> shingle column. */
   def minhash(shingles: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSignatures(GraftBridge.expression(shingles), numHashes))

@@ -834,6 +834,32 @@ object Dedup {
     stripSpans(df, idCol, textCol,
       contaminationSpans(df, idCol, textCol, benchmark, benchTextCol, k, minSpan))
 
+  /** Distill the benchmark's DISTINCT k-gram hash set to a bounded,
+    * sorted driver array for the stream-side surgical-decontamination
+    * gate ([[graft.streaming.GraftStreaming.decontaminateSpanStream]]) —
+    * the [[LanguageModel.distill]]/[[distillParagraphCatalog]]
+    * driver-state discipline: benchmarks are corpus-scale-small, the
+    * collect is guarded by `maxEntries` (refuse loudly, never a silent
+    * OOM), and the hashes are the SAME NgramHashes window chains the
+    * batch semi-join keys on.
+    */
+  def distillBenchmarkGrams(benchmark: DataFrame, textCol: String,
+      k: Int = 3, maxEntries: Int = 2000000): Array[Long] = {
+    import graft.functions.TextFunctions.tokens
+    val pool = benchmark.select(tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(explode(
+        graft.functions.HashExpressions.ngramHashesAll(col("__t"), k)).as("__gh"))
+      .distinct()
+    val n = pool.count()
+    require(n <= maxEntries,
+      s"benchmark gram set too large to distill: $n > $maxEntries entries — " +
+        "run the batch removeContaminationSpans as compaction instead")
+    val arr = pool.collect().map(_.getLong(0))
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
   /** Paragraph-level exact dedup — the RefinedWeb/Dolma pipeline stage
     * between document dedup and substring spans: boilerplate (nav bars,
     * cookie banners, license headers) repeats VERBATIM across documents

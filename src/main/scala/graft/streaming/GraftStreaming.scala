@@ -358,6 +358,87 @@ object GraftStreaming {
       .where(col(textCol) =!= "")
   }
 
+  /** Stateless streaming SURGICAL decontamination — the ingest form of
+    * [[graft.operators.Dedup.removeContaminationSpans]]: excise every
+    * maximal ≥ `minSpan`-token span of an arriving document whose every
+    * k-gram window hash is in the DISTILLED benchmark gram set
+    * ([[graft.operators.Dedup.distillBenchmarkGrams]] — bounded driver
+    * state, same discipline as the distilled LM / paragraph catalog),
+    * keep the rest of the document. Adds `dedup_text`; spec-gated
+    * EXACTLY equal to the batch operator on the same rows.
+    *
+    * Implementation note (the one deliberate UDF in the streaming lane):
+    * the per-row islands scan over window-hash hits has no shuffle-free
+    * Column form — the batch path's gaps-and-islands needs a window
+    * function (not append-stream-safe) and an `aggregate` HOF fold would
+    * copy the accumulator array per token (O(n²/doc)). The UDF walks the
+    * token array once per row, and its arithmetic CALLS the same XXH64
+    * primitives under [[graft.functions.HashExpressions.ShingleSeed]]
+    * that the batch NgramHashes expression compiles to, so the two paths
+    * cannot drift (and the agreement spec would trip if they did). It is
+    * a pure map — no state, no watermark, append-safe.
+    */
+  def decontaminateSpanStream(stream: DataFrame, textCol: String,
+      benchGrams: Array[Long], k: Int = 3, minSpan: Int = 5): DataFrame = {
+    require(k >= 1 && minSpan >= k, "need minSpan >= k >= 1")
+    val grams = benchGrams.clone()
+    java.util.Arrays.sort(grams)
+    val seed = graft.functions.HashExpressions.ShingleSeed
+    val clean = udf { (text: String) =>
+      if (text == null) null
+      else {
+        // token + window-hash arithmetic identical to tokens() +
+        // NgramHashes(dedupe = false): trim-split on \s+, xxhash64 each
+        // token at the shingle seed, chain k token hashes per window
+        val toks = text.trim.split("\\s+")
+        val t = toks.length
+        if (t < k) toks.mkString(" ") // no window can exist; normalize like stripSpans
+        else {
+          import org.apache.spark.sql.catalyst.expressions.XXH64
+          val th = new Array[Long](t)
+          var i = 0
+          while (i < t) {
+            th(i) = XXH64.hashUTF8String(
+              org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)), seed)
+            i += 1
+          }
+          val windows = t - k + 1
+          val wh = new Array[Long](windows)
+          var w = 0
+          while (w < windows) {
+            var h = seed
+            var j = w
+            while (j < w + k) { h = XXH64.hashLong(th(j), h); j += 1 }
+            wh(w) = h
+            w += 1
+          }
+          val covered = new Array[Boolean](t)
+          w = 0
+          while (w < windows) {
+            if (java.util.Arrays.binarySearch(grams, wh(w)) >= 0) {
+              var e = w
+              while (e + 1 < windows &&
+                java.util.Arrays.binarySearch(grams, wh(e + 1)) >= 0) e += 1
+              if (e - w + k >= minSpan) {
+                var j = w
+                while (j <= e + k - 1) { covered(j) = true; j += 1 }
+              }
+              w = e + 1
+            } else w += 1
+          }
+          val sb = new StringBuilder
+          var j = 0
+          while (j < t) {
+            if (!covered(j)) { if (sb.nonEmpty) sb.append(' '); sb.append(toks(j)) }
+            j += 1
+          }
+          sb.toString
+        }
+      }
+    }
+    stream.withColumn("dedup_text", clean(col(textCol)))
+  }
+
   /** Streaming content dedup: exact dedup keyed on the canonical text
     * fingerprint ([[graft.functions.TextFunctions.fingerprint]]), so
     * whitespace/case variants of the same document dedup too — the

@@ -247,6 +247,42 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("decontaminateSpanStream: surgical excision agrees exactly with the batch operator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val leaked = "the quick brown fox jumps over lazy dogs"
+    val second = "pack my box with five dozen jugs"
+    val bench = Seq((100L, s"eval context $leaked more text"),
+      (101L, s"other eval $second tail")).toDF("bid", "btext")
+    val docs = Seq(
+      (1L, s"intro words here $leaked and a unique tail follows"),   // one excision
+      (2L, s"aa $leaked bb cc dd $second ee"),                       // two spans, one doc
+      (3L, "completely unrelated content with no benchmark overlap at all"),
+      (4L, "shorty"),                                                // < k tokens
+      (5L, s"  spaced   out    $leaked   text  "))                   // whitespace variants
+    val grams = graft.operators.Dedup.distillBenchmarkGrams(bench, "btext", k = 3)
+    val input = MemoryStream[(Long, String)]
+    val out = GraftStreaming.decontaminateSpanStream(
+      input.toDF().toDF("doc_id", "text"), "text", grams, k = 3, minSpan = 5)
+    val query = GraftStreaming.storeStreamMemory(out, "decontam_span_stream_test")
+    try {
+      input.addData(docs.take(3): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("decontam_span_stream_test")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("dedup_text")).toMap
+      val batch = graft.operators.Dedup.removeContaminationSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", bench, "btext",
+          k = 3, minSpan = 5)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("dedup_text")).toMap
+      assert(streamed == batch, s"stream $streamed must equal batch $batch")
+      assert(streamed(1L) == "intro words here and a unique tail follows")
+      assert(streamed(2L) == "aa bb cc dd ee", "both leaked fragments excised")
+      assert(streamed(5L) == "spaced out text", "whitespace-normalized like the batch renderer")
+    } finally query.stop()
+  }
+
   test("decontaminateStream: stateless gate agrees exactly with the batch operator") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -748,6 +748,160 @@ object PhashBytes {
   }
 }
 
+/** Acoustic fingerprint of a PCM-ish sample stream: `bits`+1 equal-span
+  * frames over the stream, per-frame energy E_f = Σ v², signature bit c =
+  * [E_{c+1} > E_c] — the sign-of-delta-energy discipline of the classic
+  * audio fingerprints (Haitsma–Kalker / Chromaprint's coarsest band),
+  * reduced to its integer core. Unlike [[PhashBytes]] (cell mean vs
+  * global mean) this hashes the energy CONTOUR, so it is invariant under
+  * amplitude scaling (E scales by k² uniformly; strict comparisons are
+  * unchanged) — the property an audio near-dup signature needs that an
+  * image hash does not.
+  *
+  * Byte payloads hash their unsigned byte values as samples (the
+  * ASCII-fixture oracle replays this arithmetic character-by-character);
+  * the decoded lane ([[graft.operators.Multimodal.audioFingerprintDecoded]])
+  * feeds real 16-bit PCM through [[AudioFingerprint.hashSamples]] — ONE
+  * energy/bit definition for both. Exactness bound: E_f ≤ 32768²·len/frames
+  * stays inside a signed long for any payload under ~8 GB of 16-bit
+  * samples. Empty payloads hash to 0; `bits` ≤ 60 keeps the signature a
+  * nonnegative long (the SimFixtureBits chunk-key discipline).
+  */
+case class AudioFingerprint(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits <= 60, s"bits must be in [1, 60], got $bits")
+  override def prettyName: String = "graft_audio_fingerprint"
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AudioFingerprint.hashBytes(input.asInstanceOf[Array[Byte]], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val helper = AudioFingerprint.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.hashBytes($in, $bits);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object AudioFingerprint {
+  /** Bytes-as-samples lane (unsigned byte values): one pass, no
+    * intermediate array — shared by eval and codegen. */
+  def hashBytes(bytes: Array[Byte], bits: Int): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val frames = bits + 1
+    val e = new Array[Long](frames)
+    var i = 0
+    while (i < n) {
+      val v = (bytes(i) & 0xff).toLong
+      e(((i.toLong * frames) / n).toInt) += v * v
+      i += 1
+    }
+    fromEnergies(e, bits)
+  }
+
+  /** Decoded-PCM lane (signed samples, any bit depth that fits an Int). */
+  def hashSamples(samples: Array[Int], bits: Int): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val frames = bits + 1
+    val e = new Array[Long](frames)
+    var i = 0
+    while (i < n) {
+      val v = samples(i).toLong
+      e(((i.toLong * frames) / n).toInt) += v * v
+      i += 1
+    }
+    fromEnergies(e, bits)
+  }
+
+  /** ONE definition of the bit rule for every lane. */
+  def fromEnergies(e: Array[Long], bits: Int): Long = {
+    var sig = 0L
+    var c = 0
+    while (c < bits) {
+      if (e(c + 1) > e(c)) sig |= 1L << c
+      c += 1
+    }
+    sig
+  }
+}
+
+/** Single-pass integer audio statistics of a sample stream:
+  * `n_samples`, total `energy` = Σ v², and `mean_crossings` — the
+  * zero-crossing-rate numerator computed against the stream's own mean
+  * (sign changes of v_i·n − Σv between consecutive samples; exact
+  * integer cross-multiplication, no division). For unsigned byte
+  * payloads a plain zero-crossing count is degenerate (all values
+  * nonnegative), so crossing the MEAN is the informative rate — high
+  * for noisy/oscillating signals, near zero for flat ones. Sign-based
+  * comparison (never a product of two cross-multiplied terms) keeps the
+  * arithmetic overflow-free for any payload under ~2⁵⁶ total amplitude.
+  */
+case class AudioStatsBytes(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_audio_stats"
+  override def nullable: Boolean = true
+  override def dataType: DataType = AudioStatsBytes.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AudioStatsBytes.stats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val helper = AudioStatsBytes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.stats($in);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object AudioStatsBytes {
+  val schema: StructType = StructType(Seq(
+    StructField("n_samples", LongType), StructField("energy", LongType),
+    StructField("mean_crossings", LongType)))
+
+  def stats(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = bytes.length
+    var tot = 0L
+    var energy = 0L
+    var i = 0
+    while (i < n) {
+      val v = (bytes(i) & 0xff).toLong
+      tot += v
+      energy += v * v
+      i += 1
+    }
+    var crossings = 0L
+    if (n > 1) {
+      var prev = bytes(0).toLong
+      prev = ((prev & 0xff)) * n - tot
+      i = 1
+      while (i < n) {
+        val cur = (bytes(i) & 0xff).toLong * n - tot
+        if ((cur > 0 && prev < 0) || (cur < 0 && prev > 0)) crossings += 1
+        prev = cur
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, energy, crossings))
+  }
+}
+
 /** Integer surprisal total of a byte stream under its OWN byte
   * distribution — the transcendental-free Shannon-entropy stand-in (the
   * q_lm_score whole-bits discipline applied at byte level):
@@ -1389,6 +1543,16 @@ object HashExpressions {
     * payload; divide by its length for ≈ bits/byte. */
   def byteEntropyBits(payload: Column): Column =
     GraftBridge.column(ByteEntropyBits(GraftBridge.expression(payload)))
+
+  /** Sign-of-delta-frame-energy acoustic fingerprint of a binary
+    * payload's samples; see [[AudioFingerprint]]. */
+  def audioFingerprint(payload: Column, bits: Int = 60): Column =
+    GraftBridge.column(AudioFingerprint(GraftBridge.expression(payload), bits))
+
+  /** Single-pass integer audio stats struct (n_samples, energy,
+    * mean_crossings); see [[AudioStatsBytes]]. */
+  def audioStats(payload: Column): Column =
+    GraftBridge.column(AudioStatsBytes(GraftBridge.expression(payload)))
 
   /** Single-pass language-ID heuristic (script ratios + stopword
     * ratios); see [[LangIdHeuristic]]. */

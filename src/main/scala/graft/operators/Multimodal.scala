@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * Codec boundary (settled in r10): IMAGE decode is REAL for the formats
   * the JDK itself ships codecs for — PNG/BMP/GIF/JPEG through
   * javax.imageio ([[decodeLumaGrid]] → [[phashDecoded]] /
-  * [[decodedNearDuplicates]], spec-gated on planted images). Audio/video
-  * demux has no JDK codec and stays stubbed: `decodeStub` derives a
-  * deterministic fake feature vector from the payload bytes, and the
-  * Spark-side contract — schema, batching, partitioning, null
+  * [[decodedNearDuplicates]], spec-gated on planted images) — and AUDIO
+  * decode is REAL for the containers javax.sound.sampled parses
+  * (WAV/AU/AIFF PCM, [[decodeAudioSamples]] → [[audioFingerprintDecoded]]
+  * / [[decodedAudioNearDuplicates]], spec-gated on planted waveforms).
+  * Only VIDEO demux has no JDK codec and stays stubbed: `decodeStub`
+  * derives a deterministic fake feature vector from the payload bytes,
+  * and the Spark-side contract — schema, batching, partitioning, null
   * passthrough — is real and tested; swap `decodeStub`'s body for a
   * JNI/ffmpeg call in production.
   */
@@ -290,6 +293,182 @@ object Multimodal {
   def filterByMeta(media: DataFrame, mediaType: String, minWidth: Int): DataFrame =
     media.where(col("meta.mediaType") === mediaType && col("meta.width") >= minWidth)
       .select(col("id"), col("meta"))
+
+  // ---- Audio lane ---------------------------------------------------
+
+  /** Sign-of-delta-frame-energy acoustic fingerprint of the payload's
+    * samples — [[graft.functions.AudioFingerprint]]: `bits`+1 frames,
+    * per-frame integer energy, bit = "energy rose into this frame". The
+    * energy-CONTOUR hash (amplitude-invariant), the audio analog of
+    * [[phash]]'s brightness-grid hash; for an ASCII-text-derived fixture
+    * payload a DuckDB oracle replays it character-by-character.
+    */
+  def audioFingerprint(payload: org.apache.spark.sql.Column,
+      bits: Int = 60): org.apache.spark.sql.Column =
+    graft.functions.HashExpressions.audioFingerprint(payload, bits)
+
+  /** Acoustic near-duplicate payload pairs within `maxHamming` bits —
+    * the [[payloadNearDuplicates]] chunk-LSH spine fed by the audio
+    * fingerprint: one narrow signature pass, quadratic work confined
+    * inside chunk buckets.
+    */
+  def audioNearDuplicates(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    val sigs = Materialize.once(df.select(col(idCol).as("__id"),
+      audioFingerprint(col(payloadCol), bits).as("__sig")))
+    Dedup.simhashPairsFromSigs(sigs, maxHamming)
+  }
+
+  /** Minimal RIFF/WAVE container around 16-bit little-endian mono PCM —
+    * the fixture-side encoder for the REAL decode path (the decode goes
+    * through javax.sound's WAV parser, not this writer, so round-trip
+    * specs exercise a genuine codec boundary).
+    */
+  private[graft] def wavBytes(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  /** Minimal Sun AU container around 16-bit BIG-endian mono PCM — the
+    * second real JDK-parsed container, so cross-container identity specs
+    * (WAV vs AU of the same waveform) go through two genuinely different
+    * parsers and byte orders.
+    */
+  private[graft] def auBytes(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(24 + dataLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(".snd".getBytes("US-ASCII")).putInt(24).putInt(dataLen)
+      .putInt(3) // encoding 3 = 16-bit linear PCM
+      .putInt(sampleRate).putInt(1) // mono
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  /** REAL audio codec for the containers the JDK itself parses (WAV, AU,
+    * AIFF via javax.sound.sampled — no external library): payload bytes →
+    * signed 16-bit mono PCM samples. Non-16-bit or multi-channel streams
+    * are converted through AudioSystem's PCM_SIGNED conversion (channel 0
+    * kept), so every decodable payload lands in ONE canonical sample
+    * space and two containers of the same waveform decode identically.
+    * Returns None for payloads javax.sound cannot parse (truncated, not
+    * audio, unsupported) — flagged downstream, never a task failure.
+    */
+  private[graft] def decodeAudioSamples(payload: Array[Byte]): Option[Array[Int]] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = raw.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, f.getChannels * 2, f.getSampleRate, false)
+      val in =
+        if (f.matches(target)) raw
+        else javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+      val bytes = in.readAllBytes()
+      val ch = in.getFormat.getChannels
+      val n = bytes.length / (2 * ch)
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val off = i * 2 * ch // channel 0 of frame i, little-endian
+        out(i) = ((bytes(off + 1).toInt << 8) | (bytes(off) & 0xff))
+        i += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
+  /** Acoustic fingerprint of the DECODED samples: javax.sound decode →
+    * [[graft.functions.AudioFingerprint.hashSamples]] over the PCM
+    * stream (the same energy/bit arithmetic as the byte lane). Two
+    * containers of the SAME waveform (a WAV and an AU) fingerprint
+    * EQUAL, and amplitude-rescaled copies fingerprint EQUAL — the
+    * properties an audio dedup signature needs. Decode streams per
+    * partition in bounded batches; unparseable payloads get a null hash
+    * and a false `decoded` flag. Output: (id, decoded, afp).
+    */
+  def audioFingerprintDecoded(media: Dataset[MediaRow], bits: Int = 60,
+      batchSize: Int = 128): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          decodeAudioSamples(m.payload) match {
+            case Some(s) =>
+              (m.id, true, Some(graft.functions.AudioFingerprint.hashSamples(s, bits)))
+            case None => (m.id, false, None: Option[Long])
+          }
+        }
+      }
+    }.toDF("id", "decoded", "afp")
+  }
+
+  /** REAL feature extraction for decodable audio: the per-frame
+    * log-free RMS contour as the feature vector (frame energies from the
+    * same partition as the fingerprint, each √(E/cnt) normalized by the
+    * stream's peak RMS so amplitude cancels) — the classic cheap
+    * audio embedding before a learned model exists, ANN-composable like
+    * the image luma grid. Undecodable payloads fall back to the declared
+    * [[decodeStub]] with `decoded=false`, preserving the
+    * every-row-gets-a-vector pipeline shape. Output: (id, decoded,
+    * featureDim, features).
+    */
+  def audioFeaturesDecoded(media: Dataset[MediaRow], frames: Int = 32,
+      batchSize: Int = 128): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          decodeAudioSamples(m.payload) match {
+            case Some(s) if s.nonEmpty =>
+              val e = new Array[Long](frames)
+              val cnt = new Array[Long](frames)
+              var i = 0
+              while (i < s.length) {
+                val f = ((i.toLong * frames) / s.length).toInt
+                e(f) += s(i).toLong * s(i); cnt(f) += 1
+                i += 1
+              }
+              val rms = Array.tabulate(frames)(f =>
+                if (cnt(f) == 0) 0f else math.sqrt(e(f).toDouble / cnt(f)).toFloat)
+              val peak = rms.max
+              (m.id, true, frames,
+                if (peak == 0f) rms else rms.map(_ / peak))
+            case _ =>
+              (m.id, false, frames,
+                if (m.payload == null || m.payload.isEmpty) new Array[Float](frames)
+                else decodeStub(m.payload, frames))
+          }
+        }
+      }
+    }.toDF("id", "decoded", "featureDim", "features")
+  }
+
+  /** Acoustic near-duplicate pairs over DECODED samples — the
+    * [[decodedNearDuplicates]] spine fed by [[audioFingerprintDecoded]],
+    * so the same waveform dedups across container formats and amplitude
+    * scalings. Unparseable rows are excluded (no signature exists).
+    */
+  def decodedAudioNearDuplicates(media: Dataset[MediaRow], maxHamming: Int = 3,
+      bits: Int = 60): DataFrame = {
+    val sigs = Materialize.once(audioFingerprintDecoded(media, bits)
+      .where(col("decoded"))
+      .select(col("id").as("__id"), col("afp").as("__sig")))
+    Dedup.simhashPairsFromSigs(sigs, maxHamming)
+  }
 
   /** Frame-sample stub for video: emit every `stride`-th synthetic frame
     * reference (real impl would demux; the Spark shape — one row per

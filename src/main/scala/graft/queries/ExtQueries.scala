@@ -1332,6 +1332,70 @@ object ExtQueries {
       maxHamming = OracleFixtures.ShMaxHamming, bits = OracleFixtures.PhBits)
   }
 
+  /** Per-payload integer audio stats — the production
+    * [[graft.functions.AudioStatsBytes]] single-pass kernel (n_samples,
+    * Σv² energy, mean-crossing count via sign-of-cross-multiplied
+    * comparisons). All-integer, so the oracle replays the REAL operator.
+    */
+  private val audioEnergyQ = q("q_audio_energy",
+    """WITH ab AS (SELECT doc_id, len(text) AS n,
+            list_transform(range(1, len(text) + 1),
+              i -> CAST(unicode(text[i:i]) AS BIGINT)) AS sv FROM documents),
+       at AS (SELECT doc_id, n, sv, list_sum(sv) AS tot FROM ab)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+              CAST(COALESCE(list_sum(list_transform(range(1, n+1), i -> sv[i] * sv[i])), 0) AS BIGINT) AS energy,
+              CAST(COALESCE(list_sum(list_transform(range(2, n+1), i ->
+                CASE WHEN sign(sv[i]*n - tot) * sign(sv[i-1]*n - tot) = -1 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS mean_crossings
+       FROM at""") { (s, d) =>
+    Multimodal.fromKeyedText(Tables.df(s, d, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"),
+        graft.functions.HashExpressions.audioStats(col("payload")).as("st"))
+      .select(col("doc_id"), col("st.n_samples").as("n_samples"),
+        col("st.energy").as("energy"),
+        col("st.mean_crossings").as("mean_crossings"))
+  }
+
+  /** Per-payload acoustic fingerprint — the production
+    * [[graft.functions.AudioFingerprint]] sign-of-delta-frame-energy
+    * expression; all-integer, oracle on the REAL arithmetic (the audio
+    * analog of q_phash).
+    */
+  private val audioFingerprintQ = q("q_audio_fingerprint",
+    s"""WITH ${OracleFixtures.audioSigCtes("documents")}
+       SELECT doc_id, sig AS afp FROM asig""") { (s, d) =>
+    Multimodal.fromKeyedText(Tables.df(s, d, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"),
+        Multimodal.audioFingerprint(col("payload"), OracleFixtures.AfBits).as("afp"))
+  }
+
+  /** Acoustic payload dedup: audio fingerprints Hamming-banded through
+    * the SAME chunk-LSH spine as q_dedup_multimodal
+    * (Dedup.simhashPairsFromSigs), over the duplicated-corpus payloads.
+    * Scale note: payloads shorter than the frame count leave zero-energy
+    * tail frames, so very short rows concentrate in the zero high-chunk
+    * bucket — a length-class prefilter is the 100 TB mitigation; at the
+    * verified scales the bucket stays O(percent of corpus).
+    */
+  private val dedupAudioQ = q("q_dedup_audio",
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+                        UNION ALL SELECT doc_id + 10000, text FROM documents),
+       ${OracleFixtures.audioSigCtes("corpus")},
+       keyed AS (SELECT doc_id, sig, unnest(range(0, ${OracleFixtures.ShChunks})) AS chunk FROM asig),
+       pairs AS (
+         SELECT l.doc_id AS idA, r.doc_id AS idB, l.sig AS sigA, r.sig AS sigB, l.chunk,
+                list_position(list_transform(range(0, ${OracleFixtures.ShChunks}),
+                  c -> ${OracleFixtures.shChunkKey("l.sig", "c")} = ${OracleFixtures.shChunkKey("r.sig", "c")}), true) - 1 AS first_agree
+         FROM keyed l JOIN keyed r
+           ON l.chunk = r.chunk AND ${OracleFixtures.shChunkKey("l.sig", "l.chunk")} = ${OracleFixtures.shChunkKey("r.sig", "r.chunk")}
+         WHERE l.doc_id < r.doc_id)
+       SELECT idA, idB, CAST(bit_count(xor(sigA, sigB)) AS INTEGER) AS hamming
+       FROM pairs
+       WHERE chunk = first_agree AND bit_count(xor(sigA, sigB)) <= ${OracleFixtures.ShMaxHamming}""") { (s, d) =>
+    val media = Multimodal.fromKeyedText(docsWithDups(s, d), "doc_id", "text")
+    Multimodal.audioNearDuplicates(media, "id", "payload",
+      maxHamming = OracleFixtures.ShMaxHamming, bits = OracleFixtures.AfBits)
+  }
+
   private val normalizeQ = q("q_normalize",
     // explicit Cc ranges (minus \n \t): Java's [..&&[^..]] class
     // intersection is not RE2 syntax, so spell the class out — both
@@ -2091,7 +2155,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
-    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
+    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,

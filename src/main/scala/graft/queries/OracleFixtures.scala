@@ -193,6 +193,36 @@ object OracleFixtures {
                     THEN CAST(2**c AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
                   (a, v) -> a + v) END AS sig FROM pagg)"""
 
+  // ---- Acoustic fingerprint (Multimodal.audioFingerprint /
+  // AudioFingerprint): sign-of-delta-frame-energy bits over payload
+  // samples, 60 bits. Like phash, production arithmetic is all-integer
+  // — the oracle replays the REAL operator, no fixture twin.
+  val AfBits = 60
+
+  /** CTEs ab/ae/asig: per-doc acoustic fingerprint from `src` (doc_id,
+    * text) — the DuckDB replay of [[graft.functions.AudioFingerprint]]
+    * over the UTF-8 payload bytes as unsigned samples (ASCII corpus:
+    * characters == bytes). `AfBits`+1 frames of Σv² energy; bit c =
+    * [E_{c+1} > E_c].
+    */
+  def audioSigCtes(src: String): String =
+    s"""ab AS (SELECT doc_id, len(text) AS n,
+                list_transform(range(1, len(text) + 1),
+                  i -> CAST(unicode(text[i:i]) AS BIGINT)) AS sv FROM $src),
+       ae AS (SELECT doc_id, n,
+                list_transform(range(0, ${AfBits + 1}), f ->
+                  list_sum(list_transform(range(1, n+1), i ->
+                    CASE WHEN ((i-1) * ${AfBits + 1}) // n = f
+                         THEN sv[i] * sv[i] ELSE CAST(0 AS BIGINT) END))) AS e
+              FROM ab),
+       asig AS (SELECT doc_id,
+                CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(0, $AfBits), c ->
+                    CASE WHEN e[c+2] > e[c+1]
+                    THEN CAST(2**c AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+                  (a, v) -> a + v) END AS sig FROM ae)"""
+
   // ---- Quality-model fixture: literal logistic weights over the
   // QualityModel.featureVector order [bias, alpha_ratio, punct_ratio,
   // mean_word_len/12, min(distinct_ratio,1), min(n_words/100,1)]. Dyadic

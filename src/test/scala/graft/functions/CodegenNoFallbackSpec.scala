@@ -57,6 +57,8 @@ class CodegenNoFallbackSpec extends AnyFunSuite {
       Bpe.bpeText(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpe"),
       Bpe.bpeTextExpr(col("text"), Seq(("t", "h"), ("th", "e"))).as("bpeExpr"),
       HashExpressions.byteEntropyBits(encode(col("text"), "UTF-8")).as("ent"),
+      HashExpressions.audioFingerprint(encode(col("text"), "UTF-8"), 60).as("afp"),
+      HashExpressions.audioStats(encode(col("text"), "UTF-8")).as("ast"),
       HashExpressions.langIdHeuristic(col("text")).as("lang"),
       HashExpressions.qualityFeaturesExpr(col("text")).as("qf"),
       HashExpressions.bandedLevenshtein(col("text"), col("text"), 2).as("blev"),

@@ -135,4 +135,21 @@ class HashExpressionsSpec extends AnyFunSuite {
     val r = df.select(HashExpressions.signatureAgreement($"a", $"b")).collect().head.getDouble(0)
     assert(r == 0.75)
   }
+
+  test("audio stats: hand-computed energy + mean-crossings, empty, eval==codegen") {
+    import org.apache.spark.sql.functions.col
+    // bytes [10, 20, 10]: n=3, tot=40, energy=600; v*n-tot = [-10, 20, -10]
+    // → two sign changes
+    val df = Seq((0L, Array[Byte](10, 20, 10)), (1L, Array.empty[Byte]),
+      (2L, Array[Byte](5, 5, 5, 5))).toDF("id", "payload")
+    val got = df.select(col("id"), HashExpressions.audioStats(col("payload")).as("st"))
+      .select(col("id"), col("st.n_samples"), col("st.energy"), col("st.mean_crossings"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) == ((3L, 600L, 2L)))
+    assert(got(1L) == ((0L, 0L, 0L)))
+    assert(got(2L) == ((4L, 100L, 0L)), "flat signal never crosses its mean")
+    // interpreted eval agrees with the codegen'd column path
+    val ir = AudioStatsBytes.stats(Array[Byte](10, 20, 10))
+    assert(ir.getLong(0) == 3L && ir.getLong(1) == 600L && ir.getLong(2) == 2L)
+  }
 }

@@ -193,6 +193,131 @@ class MultimodalSpec extends AnyFunSuite {
       "undecodable rows have no signature and never pair")
   }
 
+  // ---- real-codec (javax.sound.sampled) planted-waveform fixtures ----
+  // 61 frames × 100 samples of seeded noise under a per-frame amplitude
+  // envelope: the delta-energy fingerprint bits follow the envelope, so
+  // perturbing one frame moves at most its two boundary bits and a
+  // different seed reshuffles the whole contour.
+  private def waveform(seed: Int, framesN: Int = 61, perFrame: Int = 100): Array[Int] = {
+    val rnd = new java.util.Random(seed)
+    val out = new Array[Int](framesN * perFrame)
+    var f = 0
+    var i = 0
+    while (f < framesN) {
+      val amp = 200 + rnd.nextInt(4000)
+      var j = 0
+      while (j < perFrame) {
+        out(i) = rnd.nextInt(2 * amp + 1) - amp
+        i += 1; j += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  private def audioRows(rows: Seq[(Long, Array[Byte])]) =
+    spark.createDataset(rows.map { case (id, p) =>
+      Multimodal.MediaRow(id, Multimodal.MediaMeta("audio", "wav", 0, 0, 1000), p)
+    })
+
+  test("audio fingerprint: amplitude invariance, locality, empty, eval==codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.AudioFingerprint
+    val base = waveform(1)
+    // ×2 amplitude: every frame energy scales by 4, every strict
+    // comparison is unchanged — the contour hash's defining property
+    assert(AudioFingerprint.hashSamples(base, 60) ==
+      AudioFingerprint.hashSamples(base.map(_ * 2), 60))
+    // zero 5 of 100 samples in one mid frame: only that frame's two
+    // boundary bits can move
+    val near = base.clone()
+    for (j <- 3000 until 3005) near(j) = 0
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(AudioFingerprint.hashSamples(base, 60),
+      AudioFingerprint.hashSamples(near, 60)) <= 2)
+    // an independent envelope is far
+    assert(hamming(AudioFingerprint.hashSamples(base, 60),
+      AudioFingerprint.hashSamples(waveform(9), 60)) > 10)
+    assert(AudioFingerprint.hashSamples(Array.empty[Int], 60) == 0L)
+    // byte lane: codegen'd column path == shared static arithmetic
+    val payloads = Seq(gradientPayload(1), gradientPayload(5), Array.empty[Byte])
+    val got = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.audioFingerprint(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((p, i) <- payloads.zipWithIndex)
+      assert(AudioFingerprint.hashBytes(p, 60) == got(i.toLong))
+    assert(got(2L) == 0L, "empty payload fingerprints to 0")
+  }
+
+  test("decodeAudioSamples: WAV and AU round-trip through the REAL javax.sound parsers") {
+    val s = waveform(3)
+    assert(Multimodal.decodeAudioSamples(Multimodal.wavBytes(s)).get.sameElements(s),
+      "RIFF/WAVE little-endian PCM16 must decode to the exact samples")
+    assert(Multimodal.decodeAudioSamples(Multimodal.auBytes(s)).get.sameElements(s),
+      "Sun AU big-endian PCM16 must decode to the exact samples")
+    assert(Multimodal.decodeAudioSamples(gradientPayload(5, 512)).isEmpty,
+      "non-audio bytes are None, not a task failure")
+    assert(Multimodal.decodeAudioSamples(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeAudioSamples(null).isEmpty)
+  }
+
+  test("audioFingerprintDecoded: WAV and AU of the same waveform hash EQUAL; bytes don't") {
+    import org.apache.spark.sql.functions._
+    val s = waveform(4)
+    val wav = Multimodal.wavBytes(s)
+    val au = Multimodal.auBytes(s)
+    assert(!java.util.Arrays.equals(wav, au), "the two containers differ at byte level")
+    val got = Multimodal.audioFingerprintDecoded(audioRows(Seq((0L, wav), (1L, au))))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(got(0L)._1 && got(1L)._1, "both containers must decode")
+    assert(got(0L)._2 == got(1L)._2,
+      s"same waveform must fingerprint equal across containers, got $got")
+    // byte-level fingerprints of different containers differ — why decode matters
+    val byteHashes = audioRows(Seq((0L, wav), (1L, au))).toDF()
+      .select(Multimodal.audioFingerprint(col("payload"))).collect().map(_.getLong(0))
+    assert(byteHashes(0) != byteHashes(1))
+  }
+
+  test("audioFeaturesDecoded: real RMS contour, amplitude cancels, stub fallback flagged") {
+    import org.apache.spark.sql.functions._
+    val s = waveform(6)
+    val wav = Multimodal.wavBytes(s)
+    val au = Multimodal.auBytes(s)
+    val loud = Multimodal.wavBytes(s.map(_ * 2))
+    val junk = gradientPayload(5, 512)
+    val got = Multimodal.audioFeaturesDecoded(
+        audioRows(Seq((0L, wav), (1L, au), (2L, loud), (3L, junk))))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getInt(2), r.getSeq[Float](3).toArray)).toMap
+    assert(got.values.forall(_._2 == 32), "every row gets the same dim")
+    assert(got(0L)._1 && got(1L)._1 && got(2L)._1 && !got(3L)._1)
+    assert(got(0L)._3.sameElements(got(1L)._3),
+      "same waveform, different containers -> identical real features")
+    assert(got(0L)._3.zip(got(2L)._3).forall { case (a, b) => math.abs(a - b) < 1e-4 },
+      "peak-normalized RMS contour: amplitude scaling cancels")
+    // ANN-composable: the cross-container twin is an exact cosine match
+    val df = Multimodal.audioFeaturesDecoded(audioRows(Seq((0L, wav), (1L, au))))
+      .select(col("id").as("vec_id"), col("features").as("embedding"))
+    val top = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", k = 1)
+      .collect()
+    assert(top.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-6))
+  }
+
+  test("decodedAudioNearDuplicates: cross-container + rescaled twins pair; junk excluded") {
+    val rows = (0 until 6).map(i =>
+      (i.toLong, Multimodal.wavBytes(waveform(i + 10)))) ++
+      Seq((100L, Multimodal.auBytes(waveform(10))),            // same waveform as 0, other container
+          (101L, Multimodal.wavBytes(waveform(13).map(_ * 2))), // amplitude-scaled twin of 3
+          (102L, gradientPayload(3, 512)))                      // not audio
+    val pairs = Multimodal.decodedAudioNearDuplicates(audioRows(rows), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)), "cross-container identical waveform must pair")
+    assert(pairs.contains((3L, 101L)), "amplitude-rescaled waveform must pair at hamming 0")
+    assert(pairs.forall { case (a, b) => a != 102L && b != 102L },
+      "unparseable rows have no signature and never pair")
+  }
+
   test("payloadNearDuplicates: planted near-dup payloads pair, random payloads don't") {
     // 8 bases: offsets stay under 256 (seed*17 <= 119), so no two bases
     // are cyclic-rotation near-collisions of each other

@@ -470,6 +470,52 @@ object Multimodal {
     Dedup.simhashPairsFromSigs(sigs, maxHamming)
   }
 
+  // ---- Video lane ---------------------------------------------------
+
+  /** Scene-change keyframe selection over a fixed-frame-size payload: the
+    * payload is sliced into `frameBytes` frames (a raw/uncompressed
+    * container; a real demuxer would replace the slicing, everything
+    * downstream is codec-free), each frame perceptually hashed
+    * ([[phash]]), and a frame is a KEYFRAME when its hash moves more than
+    * `changeBits` Hamming bits from the previous frame — the classic
+    * cheap shot-boundary detector, reduced to its integer core.
+    *
+    * Pure Column ops end-to-end: a `transform(sequence(...))` slice +
+    * posexplode (one narrow stage, payload read once), the codegen'd
+    * [[graft.functions.PhashBytes]] per frame, and a per-video `lag`
+    * window (frames-per-video is bounded by payload size, so the window
+    * partition never skews; videos distribute across executors on id).
+    * All-integer ⇒ a DuckDB oracle replays it exactly.
+    *
+    * Output: (id, frame_index, fhash, hamming_prev [−1 for frame 0],
+    * keyframe 1/0).
+    */
+  def keyframes(df: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int = 64, changeBits: Int = 10): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    import org.apache.spark.sql.expressions.Window
+    val fb = frameBytes
+    val framed = df
+      .select(col(idCol).as("id"), col(payloadCol).as("payload"))
+      .select(col("id"), posexplode(expr(
+        // greatest(..., 0) keeps sequence() ascending for empty payloads;
+        // the length(frame) > 0 filter then drops the one empty slice
+        s"""transform(sequence(0, greatest((length(payload) + $fb - 1) div $fb - 1, 0)),
+            f -> substring(payload, f * $fb + 1, $fb))""")))
+      .withColumnsRenamed(Map("pos" -> "frame_index", "col" -> "frame"))
+      .where(length(col("frame")) > 0)
+    val w = Window.partitionBy("id").orderBy("frame_index")
+    framed
+      .select(col("id"), col("frame_index"), phash(col("frame")).as("fhash"))
+      .withColumn("__prev", lag(col("fhash"), 1).over(w))
+      .select(col("id"), col("frame_index"), col("fhash"),
+        when(col("__prev").isNull, lit(-1))
+          .otherwise(expr("bit_count(fhash ^ __prev)")).cast("int").as("hamming_prev"),
+        when(col("__prev").isNull ||
+          expr("bit_count(fhash ^ __prev)") > changeBits, lit(1))
+          .otherwise(lit(0)).cast("int").as("keyframe"))
+  }
+
   /** Frame-sample stub for video: emit every `stride`-th synthetic frame
     * reference (real impl would demux; the Spark shape — one row per
     * sampled frame, bounded memory — is the point).

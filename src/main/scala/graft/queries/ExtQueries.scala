@@ -1396,6 +1396,29 @@ object ExtQueries {
       maxHamming = OracleFixtures.ShMaxHamming, bits = OracleFixtures.AfBits)
   }
 
+  /** Video keyframe selection: fixed-64-byte frame slices, per-frame
+    * perceptual hash ([[graft.queries.OracleFixtures.phashSigCtesKeyed]]
+    * replays the production PhashBytes per (doc, frame)), keyframe =
+    * first frame or >10 Hamming bits of perceptual motion — the
+    * shot-boundary detector over the engine-portable payload fixture.
+    */
+  private val keyframesQ = q("q_keyframes",
+    s"""WITH vf AS (SELECT doc_id, CAST(f AS INTEGER) AS frame_index,
+              substr(text, CAST(f AS INTEGER) * 64 + 1, 64) AS text
+            FROM documents, UNNEST(range(0, (len(text) + 63) // 64)) AS u(f)),
+       ${OracleFixtures.phashSigCtesKeyed("vf", "doc_id, frame_index")},
+       lagged AS (SELECT doc_id, frame_index, sig,
+           lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_index) AS prev FROM sig)
+       SELECT doc_id, frame_index, sig AS fhash,
+         CAST(CASE WHEN prev IS NULL THEN -1 ELSE bit_count(xor(sig, prev)) END AS INTEGER) AS hamming_prev,
+         CAST(CASE WHEN prev IS NULL OR bit_count(xor(sig, prev)) > 10 THEN 1 ELSE 0 END AS INTEGER) AS keyframe
+       FROM lagged""") { (s, d) =>
+    Multimodal.keyframes(
+      Multimodal.fromKeyedText(Tables.df(s, d, "documents"), "doc_id", "text"),
+      "id", "payload", frameBytes = 64, changeBits = 10)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   private val normalizeQ = q("q_normalize",
     // explicit Cc ranges (minus \n \t): Java's [..&&[^..]] class
     // intersection is not RE2 syntax, so spell the class out — both
@@ -2155,7 +2178,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
-    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
+    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,

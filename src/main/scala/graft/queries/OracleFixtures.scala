@@ -178,12 +178,19 @@ object OracleFixtures {
     * (ASCII corpus: characters == bytes, the q_io_binary_files
     * assumption). Cross-multiplied integer comparisons, no division.
     */
-  def phashSigCtes(src: String): String =
-    s"""pb AS (SELECT doc_id, len(text) AS n,
+  def phashSigCtes(src: String): String = phashSigCtesKeyed(src, "doc_id")
+
+  /** The same average-hash replay keyed by an arbitrary key list — the
+    * video-keyframe oracle applies it per (doc_id, frame_index) over
+    * frame slices instead of per doc_id over whole payloads; ONE formula
+    * for both so the two lanes cannot drift.
+    */
+  def phashSigCtesKeyed(src: String, keys: String): String =
+    s"""pb AS (SELECT $keys, len(text) AS n,
                 list_transform(range(1, len(text) + 1),
                   i -> CAST(unicode(text[i:i]) AS BIGINT)) AS bv FROM $src),
-       pagg AS (SELECT doc_id, n, bv, list_sum(bv) AS tot FROM pb),
-       sig AS (SELECT doc_id,
+       pagg AS (SELECT $keys, n, bv, list_sum(bv) AS tot FROM pb),
+       sig AS (SELECT $keys,
                 CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
                 list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(range(0, $PhBits), c ->

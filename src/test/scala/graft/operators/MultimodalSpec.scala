@@ -318,6 +318,31 @@ class MultimodalSpec extends AnyFunSuite {
       "unparseable rows have no signature and never pair")
   }
 
+  test("keyframes: scene cuts detected, steady shots suppressed, partial tail frame kept") {
+    // raw-container "video": 64-byte frames; three shots of identical
+    // frames (A×4, B×3, C×2) plus a 20-byte partial tail of C's pattern
+    def frame(seed: Int) = gradientPayload(seed, 64)
+    val payload = (Seq.fill(4)(frame(1)) ++ Seq.fill(3)(frame(9)) ++
+      Seq.fill(2)(frame(5))).flatten.toArray ++ frame(5).take(20)
+    val df = Seq((7L, payload), (8L, Array.empty[Byte])).toDF("id", "payload")
+    val got = Multimodal.keyframes(df, "id", "payload", frameBytes = 64, changeBits = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(3), r.getInt(4))).toMap
+    assert(got.keys.map(_._1).forall(_ == 7L), "empty payload emits no frames")
+    assert(got.keys.size == 10, "9 full frames + 1 partial tail")
+    val keyframeIdx = got.collect { case ((_, f), (_, 1)) => f }.toSet
+    // shot boundaries at 0, 4, 7; the partial tail re-slices C's gradient
+    // so its hash moves too — it is a (spurious but deterministic) cut
+    assert(keyframeIdx.contains(0) && keyframeIdx.contains(4) && keyframeIdx.contains(7),
+      s"shot boundaries must be keyframes, got $keyframeIdx")
+    assert(!keyframeIdx.contains(1) && !keyframeIdx.contains(2) &&
+      !keyframeIdx.contains(5) && !keyframeIdx.contains(8),
+      s"identical consecutive frames are not keyframes, got $keyframeIdx")
+    assert(got((7L, 1))._1 == 0 && got((7L, 5))._1 == 0,
+      "identical frames sit at Hamming 0")
+    assert(got((7L, 0))._1 == -1, "frame 0 has no predecessor")
+  }
+
   test("payloadNearDuplicates: planted near-dup payloads pair, random payloads don't") {
     // 8 bases: offsets stay under 256 (seed*17 <= 119), so no two bases
     // are cyclic-rotation near-collisions of each other

@@ -56,6 +56,163 @@ object Eval {
           .otherwise(lit(null)).as("auc"))
   }
 
+  /** LCM(1..k) — the integer scale that turns reciprocal-rank sums into
+    * exact integer arithmetic (1/r · LCM is whole for every r ≤ k). Grows
+    * fast: k ≤ 20 keeps per-query numerators ≤ 232,792,560, so corpus
+    * sums stay inside a long up to ~4·10^10 queries.
+    */
+  private[graft] def lcmTo(k: Int): Long = {
+    require(k >= 1 && k <= 20, s"k must be in [1, 20], got $k")
+    @annotation.tailrec def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1 to k).foldLeft(1L)((acc, i) => acc / gcd(acc, i.toLong) * i)
+  }
+
+  /** Per-query ranking-quality metrics for top-`k` retrieval — the
+    * standard IR evaluation pass (hit/precision/recall inputs, MRR and
+    * average precision) over a (query, score, relevance) relation, every
+    * metric an INTEGER so the whole table hash-oracles:
+    *
+    *  - `r_at_k` / `r_total`: relevant items inside the top k / anywhere
+    *    (recall@k = r_at_k / r_total, precision@k = r_at_k / k);
+    *  - `first_rank`: rank of the first relevant item within the top k
+    *    (null when none) — MRR's per-query term, kept exact as
+    *    `mrr_num = LCM(1..k) / first_rank` (0 when no hit);
+    *  - `ap_num = Σ_{i ≤ k, rel_i} hits(i) · LCM(1..k)/i` — average
+    *    precision's numerator at the same scale; AP@k =
+    *    ap_num / (LCM · min(r_total, k)).
+    *
+    * Reciprocal ranks are sums of 1/i terms — float-summing them would
+    * make the result depend on aggregation order, so both engines sum
+    * LCM-scaled integers instead (the q_lm_score whole-bits discipline
+    * applied to ranking metrics).
+    *
+    * Ranking is `scoreCol` DESC with `tieCol` ASC as the deterministic
+    * tie-break. Scale shape: one window partitioned by the QUERY key
+    * (run length = candidates per query, never corpus-length), then the
+    * cumulative-hits window only over the k retained rows per query.
+    */
+  def rankingQuality(df: DataFrame, queryCol: String, scoreCol: String,
+      tieCol: String, relCol: String, k: Int): DataFrame = {
+    val scale = lcmTo(k)
+    // IntegralDivide (`div`), not Column./ — the double quotient would be
+    // exact here (LCM guarantees divisibility), but the long form mirrors
+    // the oracle's `//` literally
+    def intDiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftBridge.expression(a.cast("long")),
+          org.apache.spark.sql.GraftBridge.expression(b.cast("long"))))
+    val wRank = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val ranked = df
+      .select(col(queryCol), col(scoreCol), col(tieCol),
+        col(relCol).cast("long").as("__y"))
+      .withColumn("__r", row_number().over(wRank))
+    val totals = ranked.groupBy(col(queryCol))
+      .agg(sum(col("__y")).cast("long").as("r_total"))
+    val wCum = Window.partitionBy(col(queryCol)).orderBy(col("__r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val top = ranked.where(col("__r") <= k)
+      .withColumn("__hits", sum(col("__y")).over(wCum))
+    val perQuery = top.groupBy(col(queryCol))
+      .agg(
+        sum(col("__y")).cast("long").as("r_at_k"),
+        min(when(col("__y") === 1, col("__r"))).cast("long").as("first_rank"),
+        coalesce(intDiv(lit(scale), min(when(col("__y") === 1, col("__r")))), lit(0L))
+          .cast("long").as("mrr_num"),
+        coalesce(sum(when(col("__y") === 1, col("__hits") * intDiv(lit(scale), col("__r")))),
+          lit(0L)).cast("long").as("ap_num"))
+    perQuery.join(totals, Seq(queryCol))
+      .select(col(queryCol), col("r_at_k"), col("r_total"),
+        col("first_rank"), col("mrr_num"), col("ap_num"))
+  }
+
+  /** One-row corpus aggregate over [[rankingQuality]]'s per-query table:
+    * exact integer sums plus the division-safe rounded metrics (each a
+    * SINGLE division of two exact integers, so no float-order hazard):
+    * hit_rate@k, macro precision@k (fixed denominator k·n), micro recall
+    * (Σ r_at_k / Σ r_total), MRR.
+    */
+  def rankingSummary(perQuery: DataFrame, k: Int): DataFrame = {
+    val scale = lcmTo(k)
+    perQuery.agg(
+      count(lit(1)).cast("long").as("n_queries"),
+      sum(when(col("first_rank").isNotNull, 1L).otherwise(0L)).cast("long").as("n_hit"),
+      sum(col("r_at_k")).cast("long").as("sum_r_at_k"),
+      sum(col("r_total")).cast("long").as("sum_r_total"),
+      sum(col("mrr_num")).cast("long").as("sum_mrr_num"))
+      .select(col("n_queries"), col("n_hit"), col("sum_r_at_k"), col("sum_r_total"),
+        round(col("n_hit").cast("double") / col("n_queries"), 6).as("hit_rate"),
+        round(col("sum_r_at_k").cast("double") / (col("n_queries") * k), 6)
+          .as("precision_at_k"),
+        when(col("sum_r_total") > 0,
+          round(col("sum_r_at_k").cast("double") / col("sum_r_total"), 6))
+          .otherwise(lit(null)).as("micro_recall"),
+        round(col("sum_mrr_num").cast("double") / (col("n_queries").cast("double") * scale), 6)
+          .as("mrr"))
+  }
+
+  /** Per-bin calibration table for an integer milli-unit confidence
+    * (`confMilliCol` ∈ [0, 1000)) against a binary label — the expected-
+    * calibration-error decomposition (Naeini et al. 2015; Guo et al.
+    * 2017), kept integer: bin b's ECE contribution is
+    * (n_b/N)·|acc_b − conf̄_b| = |1000·n_pos_b − conf_sum_b| / (1000·N),
+    * so `ece_num` sums to the exact global numerator and
+    * ECE = Σ ece_num / (1000·N). One hash aggregate on the bin key.
+    */
+  def calibrationBins(df: DataFrame, confMilliCol: String, labelCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 0 && 1000 % nBins == 0,
+      s"nBins must divide 1000, got $nBins")
+    val width = 1000L / nBins
+    val conf = col(confMilliCol).cast("long")
+    val y = col(labelCol).cast("long")
+    val bin = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(conf),
+        org.apache.spark.sql.catalyst.expressions.Literal(width)))
+    df.where(conf.isNotNull && y.isNotNull)
+      .groupBy(bin.cast("long").as("bin"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(conf).cast("long").as("conf_sum"),
+        sum(y).cast("long").as("n_pos"))
+      .withColumn("ece_num", abs(col("n_pos") * 1000L - col("conf_sum")))
+  }
+
+  /** One-row Cohen's kappa of a binary prediction against a binary label
+    * (inter-rater agreement corrected for chance). With confusion counts
+    * a=tp, b=fp, c=fn, d=tn the classic form
+    * κ = (p_o − p_e)/(1 − p_e) reduces to the exact integer ratio
+    *
+    *   κ = 2·(a·d − b·c) / ((a+b)(b+d) + (a+c)(c+d))
+    *
+    * — both emitted as `kappa_num`/`kappa_den` BIGINTs alongside the
+    * rounded quotient (one division of two exact integers). Counts must
+    * stay under ~3·10^9 rows for the products to fit a long; corpus-scale
+    * eval sets are orders of magnitude below that.
+    */
+  def kappa(df: DataFrame, predCol: String, labelCol: String): DataFrame = {
+    val p = col(predCol).cast("long")
+    val y = col(labelCol).cast("long")
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L)).cast("long")
+    df.where(p.isNotNull && y.isNotNull)
+      .agg(
+        cnt(p === 1 && y === 1).as("tp"),
+        cnt(p === 1 && y === 0).as("fp"),
+        cnt(p === 0 && y === 1).as("fn"),
+        cnt(p === 0 && y === 0).as("tn"))
+      .withColumn("kappa_num",
+        (col("tp") * col("tn") - col("fp") * col("fn")) * 2L)
+      .withColumn("kappa_den",
+        (col("tp") + col("fp")) * (col("fp") + col("tn")) +
+          (col("tp") + col("fn")) * (col("fn") + col("tn")))
+      .withColumn("kappa",
+        when(col("kappa_den") > 0,
+          round(col("kappa_num").cast("double") / col("kappa_den"), 6))
+          .otherwise(lit(null)))
+  }
+
   /** One-row confusion counts + rational metrics for the gate
     * `scoreCol >= threshold ⇒ predicted positive`: (tp, fp, fn, tn,
     * precision, recall, f1). Ratios are exact integer divisions rounded

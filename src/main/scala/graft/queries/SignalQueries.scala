@@ -491,6 +491,142 @@ object SignalQueries {
     graft.operators.Eval.confusionAt(entropyScored(s, d), "s", "y", lit(4.0))
   }
 
+  // ---- Ranking-quality evaluation (IR metrics over a deterministic
+  // retrieval shape): queries = customers, candidates = their orders
+  // ranked by o_totalprice DESC (o_orderkey breaks ties), relevant =
+  // priority 1/2. Every per-query metric is an integer (LCM-scaled
+  // reciprocal ranks — Eval.rankingQuality scaladoc), so the full
+  // per-query table hash-oracles.
+
+  private val RankK = 10
+  private val RankScale = graft.operators.Eval.lcmTo(RankK) // 2520
+
+  /** Shared ranking CTEs: per-query ranked relevance → per-query integer
+    * metrics — the SQL twin of [[graft.operators.Eval.rankingQuality]].
+    */
+  private val RankingCtes =
+    s"""r AS (SELECT o_custkey AS q, o_orderkey AS id,
+                CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                     THEN 1 ELSE 0 END AS y,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders),
+       tot AS (SELECT q, SUM(y) AS r_total FROM r GROUP BY 1),
+       topk AS (SELECT q, y, rk,
+                  SUM(y) OVER (PARTITION BY q ORDER BY rk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits
+                FROM r WHERE rk <= $RankK),
+       pq AS (SELECT q, SUM(y) AS r_at_k,
+                MIN(CASE WHEN y = 1 THEN rk END) AS first_rank,
+                COALESCE($RankScale // MIN(CASE WHEN y = 1 THEN rk END), 0) AS mrr_num,
+                COALESCE(SUM(CASE WHEN y = 1 THEN hits * ($RankScale // rk) END), 0) AS ap_num
+              FROM topk GROUP BY 1)"""
+
+  private def rankedOrders(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "orders").select(
+      col("o_custkey"), col("o_totalprice"), col("o_orderkey"),
+      when(substring(col("o_orderpriority"), 1, 1).isin("1", "2"), 1)
+        .otherwise(0).as("y"))
+
+  /** Per-query ranking metrics table — hit/precision/recall inputs, MRR
+    * and AP numerators at the LCM(1..10)=2520 scale, all BIGINT.
+    */
+  private val evalRankQ = q("q_eval_rank",
+    s"""WITH $RankingCtes
+       SELECT pq.q AS o_custkey,
+              CAST(r_at_k AS BIGINT) AS r_at_k,
+              CAST(r_total AS BIGINT) AS r_total,
+              CAST(first_rank AS BIGINT) AS first_rank,
+              CAST(mrr_num AS BIGINT) AS mrr_num,
+              CAST(ap_num AS BIGINT) AS ap_num
+       FROM pq JOIN tot ON pq.q = tot.q""") { (s, d) =>
+    graft.operators.Eval.rankingQuality(rankedOrders(s, d),
+      "o_custkey", "o_totalprice", "o_orderkey", "y", RankK)
+  }
+
+  /** One-row corpus rollup of the per-query table: exact integer sums +
+    * single-division rounded metrics (hit rate, macro precision@k, micro
+    * recall, MRR).
+    */
+  private val evalRankAggQ = q("q_eval_rank_agg",
+    s"""WITH $RankingCtes,
+       j AS (SELECT pq.*, tot.r_total FROM pq JOIN tot ON pq.q = tot.q)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+              CAST(SUM(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+              CAST(SUM(r_at_k) AS BIGINT) AS sum_r_at_k,
+              CAST(SUM(r_total) AS BIGINT) AS sum_r_total,
+              round(CAST(SUM(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / COUNT(*), 6) AS hit_rate,
+              round(CAST(SUM(r_at_k) AS DOUBLE) / (COUNT(*) * $RankK), 6) AS precision_at_k,
+              CASE WHEN SUM(r_total) > 0
+                   THEN round(CAST(SUM(r_at_k) AS DOUBLE) / SUM(r_total), 6) END AS micro_recall,
+              round(CAST(SUM(mrr_num) AS DOUBLE)
+                    / (CAST(COUNT(*) AS DOUBLE) * $RankScale), 6) AS mrr
+       FROM j""") { (s, d) =>
+    graft.operators.Eval.rankingSummary(
+      graft.operators.Eval.rankingQuality(rankedOrders(s, d),
+        "o_custkey", "o_totalprice", "o_orderkey", "y", RankK), RankK)
+  }
+
+  /** Expected-calibration-error bins: confidence = byte-entropy mapped to
+    * integer milli-units ((num·125)//n, clamped to [0,999] — 8 bits/char
+    * spans the unit interval), label = lang='en', 10 equal bins. Per-bin
+    * integer counts + the exact |1000·n_pos − conf_sum| ECE numerator
+    * (Eval.calibrationBins scaladoc); ECE = Σ ece_num / (1000·N).
+    */
+  private val evalEceQ = q("q_eval_ece",
+    s"""WITH $EntropyScoreCtes,
+       conf AS (SELECT least((num * 125) // n, 999) AS c,
+                       CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM ent2 JOIN documents d USING (doc_id))
+       SELECT CAST(c // 100 AS BIGINT) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(c) AS BIGINT) AS conf_sum,
+              CAST(SUM(y) AS BIGINT) AS n_pos,
+              CAST(abs(SUM(y) * 1000 - SUM(c)) AS BIGINT) AS ece_num
+       FROM conf GROUP BY 1""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    // (num·125) // n — IntegralDivide so the clamp input is the oracle's
+    // `//` value, not a truncated double quotient
+    val confMilli = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(
+          graft.functions.HashExpressions.byteEntropyBits(
+            encode(col("text"), "UTF-8")).cast("long") * 125L),
+        org.apache.spark.sql.GraftBridge.expression(
+          length(col("text")).cast("long"))))
+    val scored = docs.where(length(col("text")) > 0)
+      .select(
+        least(confMilli, lit(999L)).cast("long").as("c"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+    graft.operators.Eval.calibrationBins(scored, "c", "y", nBins = 10)
+  }
+
+  /** Cohen's kappa of the s ≥ 4.0 entropy gate against the lang='en'
+    * label — chance-corrected agreement as the exact integer ratio
+    * 2(tp·tn − fp·fn) / ((tp+fp)(fp+tn) + (tp+fn)(fn+tn)).
+    */
+  private val evalKappaQ = q("q_eval_kappa",
+    s"""WITH $EntropyScoreCtes,
+       c AS (SELECT CASE WHEN s >= 4.0 THEN 1 ELSE 0 END AS pred, y FROM scl),
+       m AS (SELECT CAST(SUM(pred * y) AS BIGINT) AS tp,
+                    CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+                    CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+                    CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
+             FROM c)
+       SELECT tp, fp, fn, tn,
+              CAST((tp * tn - fp * fn) * 2 AS BIGINT) AS kappa_num,
+              CAST((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) AS BIGINT) AS kappa_den,
+              CASE WHEN (tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) > 0
+                   THEN round(CAST((tp * tn - fp * fn) * 2 AS DOUBLE)
+                        / ((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)), 6) END AS kappa
+       FROM m""") { (s, d) =>
+    graft.operators.Eval.kappa(
+      entropyScored(s, d).select(
+        when(col("s") >= 4.0, 1).otherwise(0).as("pred"), col("y")),
+      "pred", "y")
+  }
+
   /** (s = rounded bits_per_char, y = lang-is-en) scored relation shared
     * by the evaluation queries — the Spark twin of [[EntropyScoreCtes]].
     */
@@ -685,7 +821,8 @@ object SignalQueries {
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
     lmScoreIndexedQ, dsirQ, dsirSelectQ, paragraphDedupQ, paragraphDedupCatalogQ, entropyQ, pipelineSignalsQ,
-    aucQ, confusionQ, resampleQ, resampleRollingQ,
+    aucQ, confusionQ, evalRankQ, evalRankAggQ, evalEceQ, evalKappaQ,
+    resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)
 }

@@ -351,6 +351,77 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5 && r.getDouble(6) == 0.5)
   }
 
+  test("lcmTo: exact scales, bounds enforced") {
+    assert(Eval.lcmTo(1) == 1L && Eval.lcmTo(3) == 6L && Eval.lcmTo(10) == 2520L)
+    assert(Eval.lcmTo(20) == 232792560L)
+    intercept[IllegalArgumentException](Eval.lcmTo(0))
+    intercept[IllegalArgumentException](Eval.lcmTo(21))
+  }
+
+  test("rankingQuality: hand-computed integer metrics per query (k=3, scale 6)") {
+    val df = Seq(
+      // query A: rel at ranks 1 and 3 (and one below k at rank 5)
+      ("a", 50.0, 1L, 1), ("a", 40.0, 2L, 0), ("a", 30.0, 3L, 1),
+      ("a", 20.0, 4L, 0), ("a", 10.0, 5L, 1),
+      // query B: nothing relevant
+      ("b", 9.0, 1L, 0), ("b", 8.0, 2L, 0),
+      // query C: score tie broken by id asc; rel at ranks 2 and 3
+      ("c", 9.0, 1L, 0), ("c", 9.0, 2L, 1), ("c", 8.0, 3L, 1)
+    ).toDF("q", "s", "id", "y")
+    val r = Eval.rankingQuality(df, "q", "s", "id", "y", k = 3)
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(1), row.getLong(2),
+          if (row.isNullAt(3)) -1L else row.getLong(3),
+          row.getLong(4), row.getLong(5))).toMap
+    // A: r_at_k=2, r_total=3, first=1, mrr=6/1, ap=1*(6/1) + 2*(6/3) = 10
+    assert(r("a") == ((2L, 3L, 1L, 6L, 10L)))
+    // B: all zero, first_rank null
+    assert(r("b") == ((0L, 0L, -1L, 0L, 0L)))
+    // C: r_at_k=2, first=2, mrr=6/2=3, ap=1*(6/2) + 2*(6/3) = 7
+    assert(r("c") == ((2L, 2L, 2L, 3L, 7L)))
+  }
+
+  test("rankingSummary: exact sums and single-division metrics") {
+    val df = Seq(
+      ("a", 50.0, 1L, 1), ("a", 40.0, 2L, 0), ("a", 30.0, 3L, 1),
+      ("a", 20.0, 4L, 0), ("a", 10.0, 5L, 1),
+      ("b", 9.0, 1L, 0), ("b", 8.0, 2L, 0),
+      ("c", 9.0, 1L, 0), ("c", 9.0, 2L, 1), ("c", 8.0, 3L, 1)
+    ).toDF("q", "s", "id", "y")
+    val s = Eval.rankingSummary(
+      Eval.rankingQuality(df, "q", "s", "id", "y", k = 3), k = 3).head()
+    assert(s.getLong(0) == 3 && s.getLong(1) == 2)      // n_queries, n_hit
+    assert(s.getLong(2) == 4 && s.getLong(3) == 5)      // Σ r_at_k, Σ r_total
+    assert(s.getDouble(4) == 0.666667)                  // hit_rate
+    assert(s.getDouble(5) == 0.444444)                  // precision@3 = 4/9
+    assert(s.getDouble(6) == 0.8)                       // micro recall = 4/5
+    assert(s.getDouble(7) == 0.5)                       // mrr = (6+0+3)/(3·6)
+  }
+
+  test("calibrationBins: integer ECE numerators per bin") {
+    val df = Seq((50L, 1), (50L, 0), (950L, 1)).toDF("c", "y")
+    val r = Eval.calibrationBins(df, "c", "y", nBins = 10)
+      .collect().map(row => row.getLong(0) ->
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))).toMap
+    // bin 0: n=2, conf_sum=100, n_pos=1 -> |1000·1 - 100| = 900
+    assert(r(0L) == ((2L, 100L, 1L, 900L)))
+    // bin 9: n=1, conf_sum=950, n_pos=1 -> |1000 - 950| = 50
+    assert(r(9L) == ((1L, 950L, 1L, 50L)))
+    intercept[IllegalArgumentException](Eval.calibrationBins(df, "c", "y", 7))
+  }
+
+  test("kappa: textbook confusion matrix gives exact 0.4") {
+    // tp=20 fp=5 fn=10 tn=15: po=0.7, pe=0.5 -> kappa = 0.4
+    val rows = Seq.fill(20)((1, 1)) ++ Seq.fill(5)((1, 0)) ++
+      Seq.fill(10)((0, 1)) ++ Seq.fill(15)((0, 0))
+    val r = Eval.kappa(rows.toDF("pred", "y"), "pred", "y").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((20L, 5L, 10L, 15L)))
+    assert(r.getLong(4) == 500L && r.getLong(5) == 1250L && r.getDouble(6) == 0.4)
+    // perfect agreement -> 1.0; agreement no better than chance -> 0.0
+    val perfect = Seq((1, 1), (0, 0), (1, 1), (0, 0)).toDF("pred", "y")
+    assert(Eval.kappa(perfect, "pred", "y").head().getDouble(6) == 1.0)
+  }
+
   // ---------------- n-gram LM quality scoring ----------------
 
   test("lm scoring ranks planted gibberish above planted clean text") {

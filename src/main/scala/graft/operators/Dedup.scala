@@ -251,6 +251,59 @@ object Dedup {
       bandHashesFixture(bands, numHashes / bands))
   }
 
+  /** Dedup-quality evaluation: precision/recall of the minhash-LSH
+    * pipeline against EXACT Jaccard ground truth on the SAME fixture
+    * shingle space — "how good is my dedup config" as a first-class
+    * one-row aggregate. The LSH side is [[minhashNearDuplicatesFixture]]
+    * verbatim; the truth side computes exact Jaccard over each doc's
+    * DISTINCT window-hash set (what the minhash signature estimates),
+    * thresholded by the integer cross-multiplication
+    * `tn·c ≥ td·(na+nb−c)` (threshold = tn/td) so no float can flip a
+    * pair. Output: (n_exact, n_lsh, n_common, precision, recall) —
+    * integer counts plus two single divisions.
+    *
+    * Scale shape: the truth side is the Σ df(gram)² inverted-index
+    * self-join (the [[ngramJaccardPairs]] cost) — an EVALUATION harness
+    * to run on a bounded sample/slice to pick (numHashes, bands,
+    * threshold), not a per-ingest corpus pass; the LSH side under
+    * measurement is the scale path.
+    */
+  def minhashEvalFixture(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      thresholdNum: Long = 7, thresholdDen: Long = 10): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen >= thresholdNum,
+      s"threshold must be a fraction in (0, 1], got $thresholdNum/$thresholdDen")
+    val lsh = minhashNearDuplicatesFixture(df, idCol, textCol, shingle,
+      numHashes, bands, threshold = thresholdNum.toDouble / thresholdDen)
+      .select(col("idA"), col("idB"), lit(1).as("__l"))
+    val g = materializeOnce(spread(df).select(col(idCol).as("__id"),
+      explode(array_distinct(fixtureWindowHashes(col(textCol), shingle))).as("__g")))
+    val sizes = g.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val common = g.as("a").join(g.as("b"), col("a.__g") === col("b.__g"))
+      .where(col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))
+      .agg(count(lit(1)).as("__c"))
+    val exact = common
+      .join(sizes.withColumnsRenamed(Map("__id" -> "idA", "__n" -> "__na")), "idA")
+      .join(sizes.withColumnsRenamed(Map("__id" -> "idB", "__n" -> "__nb")), "idB")
+      .where(col("__c") * thresholdDen >=
+        (col("__na") + col("__nb") - col("__c")) * thresholdNum)
+      .select(col("idA"), col("idB"), lit(1).as("__e"))
+    exact.join(lsh, Seq("idA", "idB"), "full_outer")
+      .agg(
+        sum(coalesce(col("__e"), lit(0))).cast("long").as("n_exact"),
+        sum(coalesce(col("__l"), lit(0))).cast("long").as("n_lsh"),
+        sum(when(col("__e").isNotNull && col("__l").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_common"))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        when(col("n_lsh") > 0,
+          round(col("n_common").cast("double") / col("n_lsh"), 6))
+          .otherwise(lit(null)).as("precision"),
+        when(col("n_exact") > 0,
+          round(col("n_common").cast("double") / col("n_exact"), 6))
+          .otherwise(lit(null)).as("recall"))
+  }
+
   /** Benchmark decontamination: per corpus doc, the containment of its
     * distinct n-gram set in the pooled benchmark n-gram set —
     * `|grams(doc) ∩ pool| / |grams(doc)|`. The standard test-set-leakage

@@ -71,4 +71,98 @@ object Mixture {
   def sqrtMixtureSample(df: DataFrame, sourceCol: String, idCol: String,
       targetFraction: Double): DataFrame =
     applyRates(df, sourceCol, idCol, sqrtMixtureRates(df, sourceCol, targetFraction))
+
+  /** UniMax budget-capped per-source quotas (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining", arXiv:2304.09151): spend a
+    * token/row budget `B = total·budgetNum/budgetDen` as UNIFORMLY as
+    * possible across sources, except no source repeats more than
+    * `maxEpochs` times — small sources get up-sampled to the epoch cap,
+    * the rest split the remainder evenly.
+    *
+    * The paper's greedy loop (ascending size; each source takes
+    * min(n·E, remaining/left)) is replaced by its closed form so both
+    * engines compute quotas with WINDOW functions over the tiny
+    * per-source table, all-integer:
+    *
+    *  - sort sources ascending by (n, source); j = position, m = count;
+    *  - source j is epoch-CAPPED iff n_j·E·(m−j+1) + E·prefix_{j−1} ≤ B
+    *    (its full n_j·E fits the fair share at its turn). Because n_j is
+    *    ascending this predicate is monotone — capped sources form a
+    *    PREFIX, so the greedy loop and the pointwise predicate agree;
+    *  - uncapped sources split the leftover evenly with floor division:
+    *    quota = (B − E·Σ_capped n) // (m − K). The ≤ m−K−1 remainder
+    *    rows are deliberately left unspent (deterministic; documented)
+    *    rather than distributed by an arbitrary tie rule.
+    *
+    * Returns one row per source: (sourceCol, `n`, `quota`) — quota may
+    * EXCEED n (up-sampling: repeat the source ⌊quota/n⌋ times plus a
+    * deterministic partial epoch; see [[unimaxApply]]).
+    *
+    * Scale shape: one hash aggregate over the corpus, then windows over
+    * the SOURCES-sized table (a handful of rows at any corpus scale).
+    */
+  def unimaxQuotas(profile: DataFrame, sourceCol: String,
+      budgetNum: Long, budgetDen: Long, maxEpochs: Int): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0,
+      s"budget fraction must be positive, got $budgetNum/$budgetDen")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val counts = profile.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").asc, col(sourceCol).asc)
+    val wPrefix = wAsc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    def intDiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftBridge.expression(a.cast("long")),
+          org.apache.spark.sql.GraftBridge.expression(b.cast("long"))))
+    // the sources table is tiny — the single-partition windows are the
+    // point (quota math must see every source), not a scale hazard
+    val ranked = counts
+      .withColumn("__j", row_number().over(wAsc).cast("long"))
+      .withColumn("__prefix", coalesce(sum(col("n")).over(wPrefix), lit(0L)))
+    val tot = ranked.agg(sum(col("n")).as("__total"),
+      count(lit(1)).as("__m"))
+    val e = lit(maxEpochs.toLong)
+    val flagged = ranked.crossJoin(broadcast(tot))
+      .withColumn("__b", intDiv(col("__total") * budgetNum, lit(budgetDen)))
+      .withColumn("__capped",
+        col("n") * e * (col("__m") - col("__j") + 1) + e * col("__prefix") <= col("__b"))
+    val cappedTot = flagged.agg(
+      coalesce(sum(when(col("__capped"), col("n"))), lit(0L)).as("__pk"),
+      coalesce(sum(when(col("__capped"), 1L)), lit(0L)).as("__k"))
+    flagged.crossJoin(broadcast(cappedTot))
+      .withColumn("quota",
+        when(col("__capped"), col("n") * e)
+          .otherwise(intDiv(col("__b") - e * col("__pk"), col("__m") - col("__k")))
+          .cast("long"))
+      .select(col(sourceCol), col("n").cast("long").as("n"), col("quota"))
+  }
+
+  /** Materialize a [[unimaxQuotas]] plan: each row of `df` appears once
+    * per FULL epoch (⌊quota/n⌋ copies, `epoch` 0-based) plus once more in
+    * the final partial epoch iff its LCG hash clears the residual-rate
+    * threshold ((quota mod n)/n — the same deterministic thresholding the
+    * mixture/sample family uses, so the partial epoch is a uniform
+    * hash-slice of the source, not its head). Broadcast quota join +
+    * map-side explode; zero shuffles on the corpus.
+    */
+  def unimaxApply(df: DataFrame, sourceCol: String, idCol: String,
+      quotas: DataFrame): DataFrame = {
+    def intDiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftBridge.expression(a.cast("long")),
+          org.apache.spark.sql.GraftBridge.expression(b.cast("long"))))
+    val joined = df.join(broadcast(quotas), sourceCol)
+      .withColumn("__full", intDiv(col("quota"), col("n")))
+      .withColumn("__thr", intDiv((col("quota") % col("n")) * 2147483648L, col("n")))
+      .withColumn("__reps",
+        col("__full") + when(lcg31Col(col(idCol)) < col("__thr"), 1L).otherwise(0L))
+      .where(col("__reps") > 0)
+    joined
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0L), col("__reps") - 1)).as("epoch"): _*)
+  }
 }

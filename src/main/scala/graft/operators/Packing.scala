@@ -38,4 +38,33 @@ object Packing {
     df.withColumn("example_id", intDiv(before, budget))
       .withColumn("offset", (before % budget).cast("long"))
   }
+
+  /** SFT packing with loss-mask boundaries: rows are (prompt, response)
+    * token pairs packed at `budget` like [[packByBudget]] (tokens =
+    * prompt + response), and each doc additionally reports WHERE its
+    * loss-masked span (the response) starts in the packed layout —
+    * `mask_example_id`/`mask_offset` locate the first response token,
+    * `mask_len` its length. A response may straddle example boundaries
+    * (concatenate-then-split semantics, same as the doc itself); the
+    * trainer clips spans per example. All layout arithmetic is integer.
+    */
+  def packWithLossMask(df: DataFrame, streamCol: String, orderCol: String,
+      promptCol: String, responseCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    def intDiv(a: Column, b: Long): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.catalyst.expressions.Literal(b)))
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tokens = col(promptCol).cast("long") + col(responseCol).cast("long")
+    val before = coalesce(sum(tokens).over(w), lit(0L))
+    val maskPos = before + col(promptCol).cast("long")
+    df.withColumn("example_id", intDiv(before, budget))
+      .withColumn("offset", (before % budget).cast("long"))
+      .withColumn("mask_example_id", intDiv(maskPos, budget))
+      .withColumn("mask_offset", (maskPos % budget).cast("long"))
+      .withColumn("mask_len", col(responseCol).cast("long"))
+  }
 }

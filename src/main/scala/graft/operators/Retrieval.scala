@@ -87,4 +87,45 @@ object Retrieval {
       .where(col("rank") <= topK)
       .select(col("term"), col("rank"), col("__id").as(idCol), col("score"))
   }
+
+  /** Fixed-size token-window chunking with overlap — the RAG/embedding
+    * prep stage (split every document into ≤ `chunkTokens`-token pieces,
+    * consecutive pieces sharing `chunkTokens − stride` tokens so no
+    * boundary sentence is ever lost to both neighbors).
+    *
+    * Chunk i covers tokens [i·stride, i·stride + chunkTokens); the number
+    * of chunks is 1 + ⌈max(n − chunkTokens, 0) / stride⌉, so a document
+    * of ≤ `chunkTokens` tokens yields exactly one chunk and the last
+    * chunk always ends at the document's end (it may be shorter than
+    * `chunkTokens`, but keeps > chunkTokens − stride tokens — the
+    * overlap region alone never forms a trailing chunk).
+    *
+    * Output: idCol, `chunk_id` (0-based), `n_tokens` (of the chunk),
+    * `chunk_text` (tokens re-joined with single spaces — the
+    * whitespace-canonical form the dedup/fingerprint family already
+    * uses, so chunk fingerprints compose with the catalog machinery).
+    *
+    * Scale shape: pure per-row projection + explode — no shuffle, no
+    * window, no state; the chunk fan-out is bounded by n/stride per doc.
+    * Tokenization is the house whitespace split ([[tokens]]), and all
+    * boundary arithmetic is integer, so a DuckDB oracle replays the
+    * layout exactly.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride (chunkTokens=$chunkTokens)")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // ⌈max(n − C, 0) / S⌉ + 1 chunks, all-integer (floor((x + S − 1)/S))
+    val nChunks = (greatest(n - chunkTokens, lit(0)) + (stride - 1)) / stride
+    df.select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0), floor(nChunks).cast("int"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(chunkTokens), size(col("__toks")) - col("chunk_id") * stride)
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
 }

@@ -71,6 +71,24 @@ object ExtQueries {
     Dedup.exact(docsWithDups(s, d), "doc_id", "text")
   }
 
+  /** RAG chunking: 40-token windows, stride 30 (10-token overlap) — the
+    * boundary arithmetic is all-integer and the chunk text re-joins the
+    * house whitespace tokens, so the full (doc, chunk) layout
+    * hash-oracles. DuckDB replays it with list slicing (1-based inclusive
+    * `w[a:b]`, end-clamped — exactly Spark's `slice(arr, a, len)`).
+    */
+  private val chunkOverlapQ = q("q_chunk_overlap",
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       nc AS (SELECT doc_id, w, (greatest(len(w) - 40, 0) + 29) // 30 AS last_chunk FROM toks),
+       c AS (SELECT doc_id, w, unnest(range(0, last_chunk + 1)) AS chunk_id FROM nc)
+       SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+              CAST(least(40, len(w) - chunk_id * 30) AS BIGINT) AS n_tokens,
+              array_to_string(w[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ') AS chunk_text
+       FROM c""") { (s, d) =>
+    graft.operators.Retrieval.chunkByTokens(
+      Tables.df(s, d, "documents"), "doc_id", "text", chunkTokens = 40, stride = 30)
+  }
+
   private val tokenCountQ = q("q_token_count",
     """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
        FROM documents""") { (s, d) =>
@@ -301,6 +319,43 @@ object ExtQueries {
       "doc_id", "text",
       shingle = OracleFixtures.MhShingle, numHashes = OracleFixtures.MhNumHashes,
       bands = OracleFixtures.MhBands, threshold = OracleFixtures.MhThreshold)
+  }
+
+  /** Dedup-quality eval: precision/recall of the fixture minhash-LSH
+    * pair set against exact Jaccard over the SAME distinct window-hash
+    * sets (integer cross-multiplied threshold 7/10 = MhThreshold). The
+    * oracle composes the verbatim q_dedup_minhash_fixed pair CTEs with
+    * an exact inverted-index side, so the measured pipeline and the
+    * measured truth are both replayed end to end.
+    */
+  private val evalDedupQ = q("q_eval_dedup",
+    s"""WITH ${OracleFixtures.minhashSigCtes},
+       ${OracleFixtures.minhashPairsCtes("l.doc_id < r.doc_id")},
+       exg AS (SELECT doc_id, unnest(list_distinct(wh)) AS g FROM wh),
+       exsz AS (SELECT doc_id, COUNT(*) AS n FROM exg GROUP BY 1),
+       excom AS (SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS c
+                 FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       expairs AS (SELECT idA, idB FROM excom
+                   JOIN exsz sa ON sa.doc_id = idA
+                   JOIN exsz sb ON sb.doc_id = idB
+                   WHERE c * 10 >= (sa.n + sb.n - c) * 7),
+       u AS (SELECT (e.idA IS NOT NULL) AS ex, (l.idA IS NOT NULL) AS ls
+             FROM expairs e FULL OUTER JOIN mpairs l
+               ON e.idA = l.idA AND e.idB = l.idB),
+       m AS (SELECT CAST(SUM(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+                    CAST(SUM(CASE WHEN ls THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+                    CAST(SUM(CASE WHEN ex AND ls THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+             FROM u)
+       SELECT n_exact, n_lsh, n_common,
+              CASE WHEN n_lsh > 0
+                   THEN round(CAST(n_common AS DOUBLE) / n_lsh, 6) END AS precision,
+              CASE WHEN n_exact > 0
+                   THEN round(CAST(n_common AS DOUBLE) / n_exact, 6) END AS recall
+       FROM m""") { (s, d) =>
+    Dedup.minhashEvalFixture(docsWithDups(s, d), "doc_id", "text",
+      shingle = OracleFixtures.MhShingle, numHashes = OracleFixtures.MhNumHashes,
+      bands = OracleFixtures.MhBands, thresholdNum = 7, thresholdDen = 10)
   }
 
   private val minhashCrossQ = q("q_dedup_cross", twin = "q_dedup_cross_fixed") { (s, d) => // LSH: rows-only + ScalaTest
@@ -1506,6 +1561,36 @@ object ExtQueries {
       .select(col("doc_id"), col("source"), col("example_id"), col("offset"))
   }
 
+  /** SFT packing with loss masks: documents split into a deterministic
+    * (prompt = ⌊n/3⌋, response = n − ⌊n/3⌋) token pair, packed at 512
+    * per stream; each doc reports where its response span starts in the
+    * packed layout. Pure BIGINT window arithmetic on both engines.
+    */
+  private val packMaskedQ = q("q_pack_masked",
+    """WITH t AS (SELECT doc_id, source,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+          FROM documents),
+       pr AS (SELECT doc_id, source, n // 3 AS p, n - n // 3 AS r FROM t),
+       c AS (SELECT doc_id, source, p, r,
+            COALESCE(SUM(p + r) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          FROM pr)
+       SELECT doc_id, source,
+              CAST(bef // 512 AS BIGINT) AS example_id,
+              CAST(bef % 512 AS BIGINT) AS offset,
+              CAST((bef + p) // 512 AS BIGINT) AS mask_example_id,
+              CAST((bef + p) % 512 AS BIGINT) AS mask_offset,
+              CAST(r AS BIGINT) AS mask_len
+       FROM c""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("p", expr("n DIV 3"))
+      .withColumn("r", col("n") - col("p"))
+    graft.operators.Packing.packWithLossMask(docs, "source", "doc_id", "p", "r", budget = 512L)
+      .select(col("doc_id"), col("source"), col("example_id"), col("offset"),
+        col("mask_example_id"), col("mask_offset"), col("mask_len"))
+  }
+
   private val mixtureQ = q("q_mixture",
     // temperature mixing (alpha=0.5): per-source keep-rate ∝ sqrt(share),
     // replayed exactly — sqrt is IEEE-exactly-rounded, weights are
@@ -1527,6 +1612,78 @@ object ExtQueries {
     graft.operators.Mixture.sqrtMixtureSample(
       Tables.df(s, d, "documents"), "source", "doc_id", targetFraction = 0.5)
       .select(col("doc_id"), col("source"))
+  }
+
+  // ---- UniMax budget-capped mixture (Chung et al. 2023): quotas spend
+  // the budget uniformly across sources except nothing repeats more than
+  // E epochs. Sources are a synthetic power-law tiering of documents
+  // (tier k holds ~2^k of every 255 ids) so the cap actually binds;
+  // budget = 150% of the corpus, E = 4.
+
+  private val UnimaxE = 4L
+
+  /** Shared quota CTEs — the SQL twin of [[graft.operators.Mixture.unimaxQuotas]]'
+    * closed-form window math (ascending sizes; capped iff the full n·E
+    * fits the fair share at its turn; uncapped sources split the
+    * remainder with floor division).
+    */
+  private val UnimaxQuotaCtes =
+    s"""src AS (SELECT doc_id, 't' || len(bin(1 + (doc_id % 255))) AS source FROM documents),
+       cnt AS (SELECT source, COUNT(*) AS n FROM src GROUP BY 1),
+       rk AS (SELECT source, n,
+                row_number() OVER (ORDER BY n ASC, source ASC) AS j,
+                COALESCE(SUM(n) OVER (ORDER BY n ASC, source ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+                SUM(n) OVER () AS total,
+                COUNT(*) OVER () AS m
+              FROM cnt),
+       fl AS (SELECT *, (total * 3) // 2 AS b,
+                (n * $UnimaxE * (m - j + 1) + $UnimaxE * prefix <= (total * 3) // 2) AS capped
+              FROM rk),
+       ct AS (SELECT COALESCE(SUM(CASE WHEN capped THEN n END), 0) AS pk,
+                     COALESCE(SUM(CASE WHEN capped THEN 1 END), 0) AS k
+              FROM fl),
+       qt AS (SELECT source, n,
+                CASE WHEN capped THEN n * $UnimaxE
+                     ELSE (b - $UnimaxE * pk) // (m - k) END AS quota
+              FROM fl, ct)"""
+
+  private def unimaxDocs(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "documents").select(col("doc_id"),
+      concat(lit("t"),
+        length(bin(pmod(col("doc_id"), lit(255)) + 1)).cast("string")).as("source"))
+
+  /** Per-source UniMax quota table (source, n, quota) — all BIGINT. */
+  private val mixtureUnimaxQ = q("q_mixture_unimax",
+    s"""WITH $UnimaxQuotaCtes
+       SELECT source, CAST(n AS BIGINT) AS n, CAST(quota AS BIGINT) AS quota
+       FROM qt""") { (s, d) =>
+    graft.operators.Mixture.unimaxQuotas(unimaxDocs(s, d), "source",
+      budgetNum = 3, budgetDen = 2, maxEpochs = UnimaxE.toInt)
+  }
+
+  /** Materialized UniMax plan: (doc_id, source, epoch) — ⌊quota/n⌋ full
+    * epochs per row plus the LCG-thresholded partial epoch (up-sampling
+    * small sources, down-sampling the big ones; deterministic, so the
+    * whole repeated corpus hash-oracles).
+    */
+  private val mixtureUnimaxApplyQ = q("q_mixture_unimax_apply",
+    s"""WITH $UnimaxQuotaCtes,
+       j AS (SELECT s.doc_id, s.source,
+                    qt.quota // qt.n AS fe,
+                    ((qt.quota % qt.n) * 2147483648) // qt.n AS thr
+             FROM src s JOIN qt USING (source)),
+       k AS (SELECT doc_id, source,
+                    fe + CASE WHEN ${OracleSql.lcg31("doc_id")} < thr
+                         THEN 1 ELSE 0 END AS reps
+             FROM j)
+       SELECT doc_id, source,
+              CAST(unnest(range(0, CAST(reps AS BIGINT))) AS BIGINT) AS epoch
+       FROM k WHERE reps > 0""") { (s, d) =>
+    val docs = unimaxDocs(s, d)
+    graft.operators.Mixture.unimaxApply(docs, "source", "doc_id",
+      graft.operators.Mixture.unimaxQuotas(docs, "source",
+        budgetNum = 3, budgetDen = 2, maxEpochs = UnimaxE.toInt))
   }
 
   /** Same relation as q_asof_join (same DuckDB native-ASOF oracle) through
@@ -2175,11 +2332,11 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     profileQ, profileNumericQ, profileNumericApproxQ, profileTopQ, keySkewQ,
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
-    dedupExactQ, tokenCountQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
+    dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
+    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, packQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ)

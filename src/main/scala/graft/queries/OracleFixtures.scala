@@ -243,8 +243,12 @@ object OracleFixtures {
     * persistent-index twin (delta-vs-corpus membership filter), exactly
     * as Dedup.minhashPairsFromSigs is shared on the Spark side.
     */
-  def minhashPairsSql(pairWhere: String,
-      aliasA: String = "idA", aliasB: String = "idB"): String = {
+  /** The banding→candidate→first-agree→verify pipeline as CTEs ending in
+    * `mpairs(idA, idB, est_jaccard)` — the composable form, so oracles
+    * that post-process the LSH pair set (q_eval_dedup) share the exact
+    * text the plain pair queries render.
+    */
+  def minhashPairsCtes(pairWhere: String): String = {
     val est = s"CAST(len(list_filter(range(0, $MhNumHashes), k -> sigA[k+1] = sigB[k+1])) AS DOUBLE) / $MhNumHashes"
     s"""banded AS (SELECT doc_id, sig, bh, unnest(range(0, $MhBands)) AS band FROM bh),
        pairs AS (
@@ -252,9 +256,15 @@ object OracleFixtures {
                 list_position(list_transform(range(0, $MhBands),
                   k -> l.bh[k+1] = r.bh[k+1]), true) - 1 AS first_agree
          FROM banded l JOIN banded r ON l.band = r.band AND l.bh[l.band+1] = r.bh[r.band+1]
-         WHERE $pairWhere)
-       SELECT idA AS $aliasA, idB AS $aliasB, $est AS est_jaccard
-       FROM pairs
-       WHERE band = first_agree AND $est >= $MhThreshold"""
+         WHERE $pairWhere),
+       mpairs AS (
+         SELECT idA, idB, $est AS est_jaccard
+         FROM pairs
+         WHERE band = first_agree AND $est >= $MhThreshold)"""
   }
+
+  def minhashPairsSql(pairWhere: String,
+      aliasA: String = "idA", aliasB: String = "idB"): String =
+    s"""${minhashPairsCtes(pairWhere)}
+       SELECT idA AS $aliasA, idB AS $aliasB, est_jaccard FROM mpairs"""
 }

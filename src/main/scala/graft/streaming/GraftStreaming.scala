@@ -210,6 +210,31 @@ object GraftStreaming {
     graft.operators.Mixture.applyRates(stream, sourceCol, idCol,
       graft.operators.Mixture.sqrtMixtureRates(profile, sourceCol, targetFraction))
 
+  /** Streaming UniMax gate — materialize a budget-capped mixture plan
+    * ([[graft.operators.Mixture.unimaxQuotas]], distilled ONCE from a
+    * static profile) on an unbounded ingest stream: each arriving row is
+    * repeated for its source's full epochs plus the LCG-thresholded
+    * partial epoch, exactly the batch [[graft.operators.Mixture.unimaxApply]]
+    * arithmetic. Broadcast quota join + pure per-row explode — no state,
+    * no watermark, append-safe; `epoch` rides along. Quota refresh on a
+    * drifting profile is the caller's restart policy, same contract as
+    * [[mixtureStream]].
+    */
+  def unimaxStream(stream: DataFrame, sourceCol: String, idCol: String,
+      quotas: DataFrame): DataFrame =
+    graft.operators.Mixture.unimaxApply(stream, sourceCol, idCol, quotas)
+
+  /** Streaming RAG chunking — [[graft.operators.Retrieval.chunkByTokens]]
+    * applied at ingest: every arriving document explodes into its
+    * fixed-token overlapping windows (chunk_id, n_tokens, chunk_text).
+    * Pure projection + explode (no shuffle/state/watermark), so the
+    * stream layout is byte-identical to the batch operator's on the same
+    * rows — the natural upstream of a streaming embedding/indexing sink.
+    */
+  def chunkStream(stream: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame =
+    graft.operators.Retrieval.chunkByTokens(stream, idCol, textCol, chunkTokens, stride)
+
   /** Stateless n-gram LM quality gate — CCNet's perplexity filter as a
     * streaming stage: score each arriving document's per-token surprisal
     * under a DISTILLED count LM

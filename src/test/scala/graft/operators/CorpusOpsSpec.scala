@@ -29,6 +29,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packWithLossMask: mask span sits right after the prompt, straddles boundaries") {
+    // budget 10. stream layout (order by id):
+    //   id 1: p=3 r=4  -> doc at 0,  mask at 3      (example 0)
+    //   id 2: p=2 r=5  -> doc at 7,  mask at 9: example 0 offset 9,
+    //                     response tokens 9..13 STRADDLE into example 1
+    //   id 3: p=1 r=1  -> doc at 14 (example 1, offset 4), mask at 15
+    val df = Seq(("s", 1L, 3L, 4L), ("s", 2L, 2L, 5L), ("s", 3L, 1L, 1L))
+      .toDF("src", "id", "p", "r")
+    val out = Packing.packWithLossMask(df, "src", "id", "p", "r", budget = 10L)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    //                 (example_id, offset, mask_example_id, mask_offset, mask_len)
+    assert(out(1L) == ((0L, 0L, 0L, 3L, 4L)))
+    assert(out(2L) == ((0L, 7L, 0L, 9L, 5L)))
+    assert(out(3L) == ((1L, 4L, 1L, 5L, 1L)))
+  }
+
   test("mixture sample is deterministic, caps at whole sources, and flattens shares") {
     // source a dominates 10:1; sqrt flattening must keep a smaller share
     // of a than of b
@@ -47,5 +64,75 @@ class CorpusOpsSpec extends AnyFunSuite {
     // total lands near the target fraction (LCG is uniform-ish)
     val total = s1.size.toDouble / rows.size
     assert(total > 0.35 && total < 0.65, s"total kept fraction $total far from 0.5")
+  }
+
+  /** Reference greedy UniMax loop (ascending size; source j capped iff its
+    * full n·E fits the fair share n·E·left ≤ remaining; uncapped sources
+    * split the final remainder with floor division) — the semantics
+    * unimaxQuotas' closed-form window math must reproduce.
+    */
+  private def greedyUnimax(sizes: Seq[(String, Long)], budgetNum: Long,
+      budgetDen: Long, e: Long): Map[String, Long] = {
+    val total = sizes.map(_._2).sum
+    val b = total * budgetNum / budgetDen
+    val asc = sizes.sortBy(x => (x._2, x._1))
+    var remaining = b
+    var left = asc.size
+    val out = scala.collection.mutable.Map[String, Long]()
+    var uncapped = List.empty[String]
+    for ((s, n) <- asc) {
+      if (n * e * left <= remaining) { out(s) = n * e; remaining -= n * e; left -= 1 }
+      else uncapped ::= s
+    }
+    val share = if (uncapped.isEmpty) 0L else remaining / uncapped.size
+    uncapped.foreach(out(_) = share)
+    out.toMap
+  }
+
+  test("unimaxQuotas == greedy reference across budget/epoch regimes") {
+    val sizes = Seq("a" -> 2L, "b" -> 4L, "c" -> 8L, "d" -> 30L, "e" -> 100L, "f" -> 400L)
+    val rows = sizes.flatMap { case (s, n) => (0L until n).map(i => (s, i)) }
+    val df = rows.toDF("src", "id")
+    for ((num, den, e) <- Seq((3L, 2L, 4), (1L, 2L, 4), (1L, 1L, 2), (4L, 1L, 2), (10L, 1L, 3))) {
+      val got = Mixture.unimaxQuotas(df, "src", num, den, e)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = greedyUnimax(sizes, num, den, e.toLong)
+      assert(got.view.mapValues(_._2).toMap == want,
+        s"budget $num/$den E=$e: ${got.view.mapValues(_._2).toMap} != $want")
+      assert(got.forall { case (s, (n, _)) => n == sizes.toMap.apply(s) })
+      // invariants: quota never exceeds n·E; budget never overspent
+      assert(got.values.forall { case (n, q) => q <= n * e })
+      val total = sizes.map(_._2).sum
+      assert(got.values.map(_._2).sum <= total * num / den)
+    }
+    // budget >= E·total: every source capped at exactly E epochs
+    val all = Mixture.unimaxQuotas(df, "src", 10, 1, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(all == sizes.map { case (s, n) => s -> n * 2 }.toMap)
+  }
+
+  test("unimaxApply: full epochs exact, partial epoch deterministic and within the source") {
+    val sizes = Seq("a" -> 4L, "b" -> 100L)
+    val rows = sizes.flatMap { case (s, n) => (0L until n).map(i => (s, s.hashCode.toLong * 1000 + i)) }
+    val df = rows.toDF("src", "id")
+    // budget = 52, E=4: a capped at 16 (4·4·2 + 0 = 32 <= 52); b gets 36
+    val quotas = Mixture.unimaxQuotas(df, "src", 1, 2, 4)
+    val q = quotas.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q == Map("a" -> 16L, "b" -> 36L))
+    val applied = Mixture.unimaxApply(df, "src", "id", quotas)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: quota 16 = 4 FULL epochs of 4 rows — exact, no partial
+    assert(applied.count(_._1 == "a") == 16)
+    assert(applied.filter(_._1 == "a").map(_._3).toSet == Set(0L, 1L, 2L, 3L))
+    // b: quota 36 = 0 full epochs + partial ~36/100: every kept row has
+    // epoch 0 and appears once; count is LCG-approximate, not exact
+    val bRows = applied.filter(_._1 == "b")
+    assert(bRows.forall(_._3 == 0L))
+    assert(bRows.map(_._2).distinct.length == bRows.length)
+    assert(bRows.length > 15 && bRows.length < 60, s"partial epoch kept ${bRows.length} of ~36")
+    // deterministic end to end
+    val again = Mixture.unimaxApply(df, "src", "id", quotas)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(applied.sorted.sameElements(again.sorted))
   }
 }

@@ -180,4 +180,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(head.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
       Seq((1L, 2L, 0L))) // identical 12-char heads
   }
+
+  test("chunkByTokens: exact window layout, overlap, short-doc and boundary cases") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10)),  // n < C: one chunk, all 10 tokens
+      (2L, words(12)),  // n = C + S exactly... see below
+      (3L, words(5)),
+      (4L, "")          // empty text -> one chunk of the single empty token
+    ).toDF("doc_id", "text")
+    // C=5, S=3: doc1 (10 toks) -> ceil((10-5)/3)=2 -> chunks 0,1,2 at
+    // starts 0,3,6 with lengths 5,5,4; doc2 (12) -> ceil(7/3)=3 -> starts
+    // 0,3,6,9 lengths 5,5,5,3; doc3 (5) -> 1 chunk; doc4 -> 1 chunk
+    val got = Retrieval.chunkByTokens(docs, "doc_id", "text", chunkTokens = 5, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got.size == 3 + 4 + 1 + 1)
+    assert(got((1L, 0L)) == ((5L, "w1 w2 w3 w4 w5")))
+    assert(got((1L, 1L)) == ((5L, "w4 w5 w6 w7 w8")))
+    assert(got((1L, 2L)) == ((4L, "w7 w8 w9 w10")))
+    assert(got((2L, 3L)) == ((3L, "w10 w11 w12")))
+    assert(got((3L, 0L)) == ((5L, "w1 w2 w3 w4 w5")))
+    assert(got((4L, 0L)) == ((1L, ""))) // whitespace split of "" is [""]
+    // stride == chunkTokens: disjoint cover, no overlap
+    val disjoint = Retrieval.chunkByTokens(docs.where(col("doc_id") === 1), "doc_id", "text", 5, 5)
+      .collect().map(r => r.getString(3))
+    assert(disjoint.toSet == Set("w1 w2 w3 w4 w5", "w6 w7 w8 w9 w10"))
+    intercept[IllegalArgumentException](
+      Retrieval.chunkByTokens(docs, "doc_id", "text", 5, 6))
+  }
 }

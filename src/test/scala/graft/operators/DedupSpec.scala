@@ -40,6 +40,44 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
   }
 
+  test("minhashEvalFixture: counts equal independently-computed pair sets; ratios exact") {
+    import org.apache.spark.sql.functions._
+    // a corpus with exact dups, partial overlaps, and noise so the two
+    // sides can disagree: the eval must equal the set arithmetic over
+    // independently-computed LSH and exact-Jaccard pair sets
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    val rows = (0L until 12L).map { i =>
+      val words = (0 until 20).map { j =>
+        // overlap structure: docs i and i+1 share ~75% of their tokens
+        s"tok${(i * 5 + j) % 97}"
+      }
+      (i, words.mkString(" "))
+    } ++ Seq((100L, dupText), (101L, dupText)) // planted exact dup pair
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.minhashEvalFixture(df, "doc_id", "text",
+      shingle = 3, numHashes = 64, bands = 16, thresholdNum = 7, thresholdDen = 10).head()
+    // reference LSH side: the oracle-gated fixture pipeline itself
+    val lsh = Dedup.minhashNearDuplicatesFixture(df, "doc_id", "text", 3, 64, 16, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference exact side: per-doc distinct fixture window-hash sets,
+    // brute-forced pairwise with the integer threshold
+    val whs = df.select(col("doc_id"),
+        array_distinct(graft.functions.HashExpressions.fixtureWindowHashes(col("text"), 3)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val exact = (for {
+      a <- whs.keys; b <- whs.keys if a < b
+      c = (whs(a) intersect whs(b)).size
+      if c * 10L >= (whs(a).size + whs(b).size - c) * 7L
+    } yield (a, b)).toSet
+    assert(got.getLong(0) == exact.size, s"n_exact ${got.getLong(0)} != ${exact.size}")
+    assert(got.getLong(1) == lsh.size, s"n_lsh ${got.getLong(1)} != ${lsh.size}")
+    assert(got.getLong(2) == (exact intersect lsh).size)
+    assert(exact.nonEmpty && lsh.nonEmpty, "fixture must exercise both sides")
+    val prec = BigDecimal(got.getLong(2).toDouble / got.getLong(1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(3) == prec)
+  }
+
   test("minhash est_jaccard is 1.0 for exact duplicates") {
     val est = Dedup.minhashNearDuplicates(docs(), "doc_id", "text")
       .where($"idA" === 0 && $"idB" === 3).collect()

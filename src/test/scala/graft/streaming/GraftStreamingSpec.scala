@@ -214,6 +214,58 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("unimaxStream: epochs agree exactly with the batch apply on the same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // profile: skewed static corpus; quotas distilled once
+    val profile = ((0L until 4L).map(i => ("small", i)) ++
+      (0L until 100L).map(i => ("big", 1000L + i))).toDF("src", "id")
+    val quotas = graft.operators.Mixture.unimaxQuotas(profile, "src", 1, 2, 4)
+    val rows = Seq(("small", 0L), ("small", 1L), ("big", 1000L), ("big", 1001L),
+      ("big", 1042L), ("small", 3L))
+    val input = MemoryStream[(String, Long)]
+    val out = GraftStreaming.unimaxStream(
+      input.toDF().toDF("src", "id"), "src", "id", quotas)
+    val query = GraftStreaming.storeStreamMemory(out, "unimax_stream_test")
+    try {
+      input.addData(rows.take(3): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("unimax_stream_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      val batch = graft.operators.Mixture.unimaxApply(
+          rows.toDF("src", "id"), "src", "id", quotas)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      assert(streamed.sameElements(batch), s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+      // the capped small source really is up-sampled: 4 full epochs each
+      assert(streamed.count(_._1 == "small") == 3 * 4)
+    } finally query.stop()
+  }
+
+  test("chunkStream: chunk layout agrees exactly with the batch operator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val rows = Seq((1L, words(10)), (2L, words(3)), (3L, words(7)))
+    val input = MemoryStream[(Long, String)]
+    val out = GraftStreaming.chunkStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", chunkTokens = 5, stride = 3)
+    val query = GraftStreaming.storeStreamMemory(out, "chunk_stream_test")
+    try {
+      input.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("chunk_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sorted
+      val batch = graft.operators.Retrieval.chunkByTokens(
+          rows.toDF("doc_id", "text"), "doc_id", "text", 5, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sorted
+      assert(streamed.sameElements(batch), s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+    } finally query.stop()
+  }
+
   test("paragraphDedupStream: stateless gate agrees exactly with the batch join form") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -216,7 +216,7 @@ object ProbeMinhashVariant {
     def variant(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val sigs = df.select(col("doc_id").as("__id"),
         graft.operators.Dedup.minhashSignature(col("text"), 3, 64).as("__sig"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val banded = sigs.select(col("__id"),
           posexplode(graft.functions.HashExpressions.bandHashes(col("__sig"), 16)))
         .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))

@@ -170,4 +170,50 @@ object Graph {
     }
     l
   }
+
+  /** Per-node triangle counts — the clustering-coefficient numerator and
+    * the standard cohesion signal for link-graph profiling (spam rings
+    * and mirror farms are triangle-dense; crawl frontiers are not).
+    *
+    * Algorithm: degree-ordered wedge counting (Suri & Vassilvitskii,
+    * "Counting triangles and the curse of the last reducer", WWW 2011).
+    * Edges are canonicalized undirected-distinct, then ORIENTED from the
+    * (degree, id)-smaller endpoint to the larger; every triangle has
+    * exactly one node with two outgoing oriented edges (its
+    * lowest-(degree, id) corner), so joining oriented edges on the
+    * source and semi-joining the closing pair against the canonical edge
+    * set counts each triangle once. The orientation is the scale story:
+    * out-degree is bounded by O(√m) on ANY graph (a node of degree d has
+    * ≥ d neighbors of degree ≥ d only if d ≤ √(2m)), so wedge volume is
+    * Σ d_out² = O(m^1.5) worst case — a plain id-ordered join on a star
+    * graph would be Θ(d²) on the hub.
+    *
+    * Output: (v, n_tri) for every node of ≥ 1 triangle — integer counts,
+    * fully SQL-replayable (q_triangles). Global count = sum(n_tri)/3.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = Materialize.once(
+      edges.select(least(col(aCol), col(bCol)).as("a"),
+          greatest(col(aCol), col(bCol)).as("b"))
+        .where(col("a") =!= col("b")).distinct())
+    val deg = canon.select(col("a").as("v")).unionByName(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient each edge toward the (degree, id)-larger endpoint
+    val oriented = Materialize.once(canon
+      .join(deg.withColumnsRenamed(Map("v" -> "a", "d" -> "da")), "a")
+      .join(deg.withColumnsRenamed(Map("v" -> "b", "d" -> "db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst")))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    val tri = wedges.join(canon,
+      least(col("y"), col("z")) === col("a") && greatest(col("y"), col("z")) === col("b"),
+      "left_semi")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).cast("long").as("n_tri"))
+  }
 }

@@ -163,6 +163,78 @@ object Profile {
         round(col("num").cast("double") / (col("n") * col("tot")), 6).as("gini"))
   }
 
+  /** Hash width of the fixture hash family ([[Dedup.FixtureP]] =
+    * 10^9+7 < 2^30) — the HLL value bits are what remains above the
+    * bucket index.
+    */
+  private val HllHashBits = 30
+
+  /** Portable HyperLogLog register table (Flajolet et al. 2007) over a
+    * 30-bit fixture-family hash column: bucket = low `p` bits, rho =
+    * leading-zero count of the remaining `30−p` value bits + 1, register
+    * = max rho per bucket. One hash aggregate with map-side combining on
+    * ≤ 2^p keys — the mergeable-sketch shape (register tables from any
+    * number of slices/engines merge by per-bucket MAX), emitted as plain
+    * (bucket, rho) rows so the sketch itself is an oracle-checkable,
+    * engine-portable artifact (build in Spark, merge or estimate
+    * anywhere that can MAX and shift). Only non-empty buckets appear.
+    *
+    * This deliberately does NOT replace `approx_count_distinct` (Spark's
+    * HLL++ is the production profiling path, [[approx]]); it exists for
+    * the INTEROP/evaluation lane: replayable integer arithmetic end to
+    * end, so the driver's DuckDB oracle hash-gates registers AND
+    * estimate. The fixture hash is ~uniform on [0, 10^9+7), slightly
+    * short of 2^30 — a ≤7% density deficit in the top value range,
+    * amortized into the estimator's already ±1.04/√m error band.
+    */
+  def hllRegisters(df: DataFrame, hashCol: String, p: Int): DataFrame = {
+    require(p >= 7 && p <= 16, s"p must be in [7, 16], got $p")
+    val w = HllHashBits - p
+    val h = col(hashCol).cast("long")
+    val v = shiftright(h, p)
+    val rho = when(v === 0, lit(w + 1))
+      .otherwise(lit(w + 1) - length(bin(v)))
+    df.groupBy((h.bitwiseAND((1L << p) - 1)).cast("long").as("bucket"))
+      .agg(max(rho).cast("long").as("rho"))
+  }
+
+  /** `alpha_m · m² · 2^(w+2)` — the whole numerator of the raw HLL
+    * estimate as ONE double constant, computed here and interpolated
+    * into oracle SQL, so the two engines perform the identical single
+    * division `C / s_scaled`.
+    */
+  def hllConstant(p: Int): Double = {
+    require(p >= 7 && p <= 16, s"p must be in [7, 16], got $p")
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * java.lang.Math.scalb(1.0, 2 * p + (HllHashBits - p) + 2)
+  }
+
+  /** One-row raw HLL estimate from a register table: the harmonic sum is
+    * kept INTEGER by scaling each 2^−rho term to 2^(w+2−rho) (max rho is
+    * w+1, so every term ≥ 2; empty buckets contribute 2^(w+2) each), and
+    * the estimate is a single division of [[hllConstant]] by that exact
+    * integer — bit-identical across engines. Raw estimator only (no
+    * linear-counting small-range branch: its m·ln(m/V) is not
+    * cross-engine exact; below ~3m distinct values use exact counting or
+    * Spark's HLL++).
+    */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    val sc = (HllHashBits - p) + 2
+    registers.agg(
+      count(lit(1)).cast("long").as("v_nonzero"),
+      sum(org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+          org.apache.spark.sql.catalyst.expressions.Literal(1L),
+          org.apache.spark.sql.GraftBridge.expression(
+            (lit(sc) - col("rho")).cast("int"))))).cast("long").as("__sp"))
+      .select(lit(m).as("m"), col("v_nonzero"),
+        (col("__sp") + (lit(m) - col("v_nonzero")) * (1L << sc)).as("s_scaled"))
+      .withColumn("estimate",
+        round(lit(hllConstant(p)) / col("s_scaled").cast("double"), 6))
+  }
+
   private def build(df: DataFrame, cols: Seq[String],
       distinctAgg: String => Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -215,6 +215,34 @@ object CurationQueries {
        edges AS (SELECT DISTINCT src, dst FROM cand
                  WHERE src <> dst AND dst IN (SELECT v FROM nodes))"""
 
+  /** Per-node triangle counts over a same-nation near-key customer graph
+    * (edges: customers of one nation with key distance 1..3 — local
+    * cliques, so triangles exist). The engine runs degree-ordered wedge
+    * counting (Graph.triangleCounts, the O(m^1.5) shape); the oracle is
+    * the ALGORITHM-INDEPENDENT ground truth — a plain ordered 3-join —
+    * so the optimized plan is checked against first-principles truth,
+    * not a mirror of itself.
+    */
+  private val trianglesQ = q("q_triangles",
+    """WITH e AS (SELECT a.c_custkey AS a, b.c_custkey AS b
+                  FROM customer a JOIN customer b
+                    ON a.c_nationkey = b.c_nationkey
+                   AND b.c_custkey - a.c_custkey BETWEEN 1 AND 3),
+       tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e e1 JOIN e e2 ON e1.b = e2.a
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       m AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+       SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM m GROUP BY 1""") { (s, d) =>
+    val c = Tables.df(s, d, "customer")
+      .select(col("c_custkey").as("k"), col("c_nationkey").as("n"))
+    val e = c.as("x").join(c.as("y"),
+        col("x.n") === col("y.n") &&
+          col("y.k") - col("x.k") >= 1 && col("y.k") - col("x.k") <= 3)
+      .select(col("x.k").as("a"), col("y.k").as("b"))
+    graft.operators.Graph.triangleCounts(e, "a", "b")
+  }
+
   private val pageRankQ = q("q_pagerank", pageRankOracleSql(3)) { (s, d) =>
     val (nodes, edges) = linkGraph(s, d)
     graft.operators.Graph.pageRank(nodes, edges, iters = 3)
@@ -323,5 +351,6 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     splitQ, splitStratifiedQ, splitGroupQ, splitNearDupQ, snapshotDiffQ, incrementalQ,
-    dedupFuzzyQ, frequentTokensQ, bm25Q, pageRankQ, labelPropQ, pageRankSeededQ)
+    dedupFuzzyQ, frequentTokensQ, bm25Q, pageRankQ, labelPropQ, pageRankSeededQ,
+    trianglesQ)
 }

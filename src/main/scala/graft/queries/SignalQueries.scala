@@ -491,6 +491,61 @@ object SignalQueries {
     graft.operators.Eval.confusionAt(entropyScored(s, d), "s", "y", lit(4.0))
   }
 
+  // ---- Portable HLL cardinality sketch over the fixture gram-hash
+  // stream (vocabulary-size estimation): register table + raw estimate,
+  // all integer except the single final division, so BOTH are
+  // hash-oracled (Profile.hllRegisters scaladoc).
+
+  private val HllP = 8
+
+  private val HllRegisterCtes =
+    s"""g2 AS (SELECT g FROM g),
+       hreg AS (SELECT g & ${(1 << HllP) - 1} AS bucket,
+                MAX(CASE WHEN (g >> $HllP) = 0 THEN ${30 - HllP + 1}
+                    ELSE ${30 - HllP + 1} - len(bin(g >> $HllP)) END) AS rho
+              FROM g2 GROUP BY 1)"""
+
+  private def hllGramStream(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "documents").select(
+      explode(graft.functions.HashExpressions.fixtureWindowHashes(
+        col("text"), 3)).as("g"))
+
+  /** The sketch itself: (bucket, max-rho) — the engine-portable,
+    * mergeable artifact, hash-gated row for row.
+    */
+  private val hllRegistersQ = q("q_hll_registers",
+    s"""WITH $FixtureGramCtes,
+       $HllRegisterCtes
+       SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rho AS BIGINT) AS rho
+       FROM hreg""") { (s, d) =>
+    graft.operators.Profile.hllRegisters(hllGramStream(s, d), "g", HllP)
+  }
+
+  /** Raw HLL estimate next to the exact distinct count — the sketch's
+    * integer-scaled harmonic sum and its single-division estimate,
+    * oracle-gated against the same constant both engines interpolate
+    * from ONE Scala definition (Profile.hllConstant).
+    */
+  private val hllEstimateQ = q("q_hll_estimate",
+    s"""WITH $FixtureGramCtes,
+       $HllRegisterCtes,
+       agg AS (SELECT COUNT(*) AS v,
+                      SUM(CAST(1 << (${30 - HllP + 2} - rho) AS BIGINT)) AS sp
+               FROM hreg),
+       sc AS (SELECT ${1L << HllP} AS m, CAST(v AS BIGINT) AS v_nonzero,
+                     CAST(sp + (${1L << HllP} - v) * ${1L << (30 - HllP + 2)} AS BIGINT) AS s_scaled
+              FROM agg)
+       SELECT m, v_nonzero, s_scaled,
+              round(${graft.operators.Profile.hllConstant(HllP)} / s_scaled, 6) AS estimate,
+              (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) FROM g2) AS n_exact
+       FROM sc""") { (s, d) =>
+    val grams = hllGramStream(s, d)
+    val est = graft.operators.Profile.hllEstimate(
+      graft.operators.Profile.hllRegisters(grams, "g", HllP), HllP)
+    est.crossJoin(
+      grams.agg(countDistinct(col("g")).cast("long").as("n_exact")))
+  }
+
   // ---- Ranking-quality evaluation (IR metrics over a deterministic
   // retrieval shape): queries = customers, candidates = their orders
   // ranked by o_totalprice DESC (o_orderkey breaks ties), relevant =
@@ -822,6 +877,7 @@ object SignalQueries {
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
     lmScoreIndexedQ, dsirQ, dsirSelectQ, paragraphDedupQ, paragraphDedupCatalogQ, entropyQ, pipelineSignalsQ,
     aucQ, confusionQ, evalRankQ, evalRankAggQ, evalEceQ, evalKappaQ,
+    hllRegistersQ, hllEstimateQ,
     resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)

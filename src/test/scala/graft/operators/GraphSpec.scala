@@ -109,6 +109,30 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCounts == brute force on planted structures incl. a star hub") {
+    // K4 on {1,2,3,4} (every node in 3 triangles), a disjoint triangle
+    // {10,11,12}, a path {20,21,22} (no triangles), and a star hub 30
+    // with leaves 31..40 (no triangles despite degree 10) — the star is
+    // exactly the shape a non-degree-ordered join would blow up on
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = k4 ++ Seq((10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (21L, 22L)) ++ (31L to 40L).map(l => (30L, l)) ++
+      Seq((2L, 1L), (11L, 10L)) // reversed duplicates must canonicalize away
+    val got = Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = {
+      val es = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val vs = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val tris = for {
+        a <- vs; b <- vs if a < b && es((a, b))
+        c <- vs if b < c && es((b, c)) && es((a, c))
+      } yield Seq(a, b, c)
+      tris.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    assert(got == brute, s"$got != $brute")
+    assert(got(1L) == 3 && got(10L) == 1 && !got.contains(20L) && !got.contains(30L))
+  }
+
   test("labelPropagate is monotone in rounds and layout-independent") {
     val rnd = new scala.util.Random(11)
     val nodes = (0L until 60L)

@@ -103,6 +103,48 @@ class ProfileSpec extends AnyFunSuite {
       s"got top1=${h.getDouble(2)} gini=${h.getDouble(3)}")
   }
 
+  test("hllRegisters: hand-computed buckets and rho; duplicate-insensitive; mergeable by MAX") {
+    // p=8, value width w=22: rho = 23 - bitlen(h >> 8), or 23 when the
+    // value bits are all zero
+    val hs = Seq(0L, 0L, 256L, 257L, 5L + (1L << 29))
+    val r = Profile.hllRegisters(hs.toDF("h"), "h", 8)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // h=0: bucket 0, v=0 -> rho 23; h=256: bucket 0, v=1 -> rho 22 (max keeps 23)
+    // h=257: bucket 1, v=1 -> rho 22; h=2^29+5: bucket 5, v=2^21 (bitlen 22) -> rho 1
+    assert(r == Map(0L -> 23L, 1L -> 22L, 5L -> 1L))
+    // merge = per-bucket MAX of part registers == registers of the union
+    val (p1, p2) = (hs.take(2), hs.drop(2))
+    val merged = Profile.hllRegisters(p1.toDF("h"), "h", 8)
+      .unionByName(Profile.hllRegisters(p2.toDF("h"), "h", 8))
+      .groupBy("bucket").agg(org.apache.spark.sql.functions.max("rho").as("rho"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(merged == r)
+  }
+
+  test("hllEstimate: within the ±3·1.04/√m error band on a 20k-distinct stream") {
+    // deterministic avalanche-mixed hashes (splitmix64 finalizer mod the
+    // fixture prime): HLL needs hash bits that LOOK independent — a raw
+    // Weyl sequence i·c mod p has structured high bits and biases the
+    // per-bucket max-rho registers ~2x high (measured)
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val n = 20000
+    val hs = (0 until n).map(i => java.lang.Math.floorMod(mix(i.toLong), 1000000007L))
+    val truth = hs.distinct.size
+    val est = Profile.hllEstimate(
+      Profile.hllRegisters(hs.toDF("h"), "h", 8), 8).head()
+    val (m, e) = (est.getLong(0), est.getDouble(3))
+    assert(m == 256)
+    val band = 3 * 1.04 / math.sqrt(256.0) // ~19.5%
+    assert(math.abs(e - truth) / truth < band, s"estimate $e vs true $truth outside $band")
+    // s_scaled is the exact integer the estimate divides into
+    assert(est.getLong(2) > 0 && est.getLong(1) <= 256)
+  }
+
   test("vector: zero-vector count, norm bounds, exact mean norm") {
     import spark.implicits._
     val vecs = Seq(

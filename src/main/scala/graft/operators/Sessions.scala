@@ -104,4 +104,65 @@ object Sessions {
       .agg(min(col("start_ts")).as("start_ts"), max(col("end_ts")).as("end_ts"),
         sum(col("n_events")).as("n_events"))
   }
+
+  /** Ordered funnel analysis: per key, the earliest time each stage
+    * 0..nStages−1 completes IN SEQUENCE — stage i counts only at or
+    * after the key's stage-(i−1) completion time (the classic
+    * signup → activate → purchase question). Output: (key,
+    * t_stage_0 .. t_stage_{n−1}), nulls from the first uncompleted
+    * stage on (strictly monotone null suffix — a key that never reaches
+    * stage i has nulls for every j ≥ i).
+    *
+    * Scale shape: one MIN aggregate per stage, every one keyed by the
+    * funnel key, chained by co-partitioned joins on that same key —
+    * under one exchange reuse the whole ladder is a single shuffle of
+    * the events plus broadcast-free streamed aggregations; no windows,
+    * no per-key ordering.
+    */
+  def funnelStages(df: DataFrame, keyCol: String, tsCol: String,
+      stageCol: String, nStages: Int): DataFrame = {
+    require(nStages >= 1 && nStages <= 16, s"nStages must be in [1, 16], got $nStages")
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__ts"),
+      col(stageCol).cast("int").as("__st"))
+    var acc = base.where(col("__st") === 0)
+      .groupBy(col("__k")).agg(min(col("__ts")).as("t_stage_0"))
+    for (i <- 1 until nStages) {
+      val prev = s"t_stage_${i - 1}"
+      val next = base.where(col("__st") === i)
+        .join(acc.select(col("__k"), col(prev).as("__tp")), Seq("__k"))
+        .where(col("__ts") >= col("__tp"))
+        .groupBy(col("__k")).agg(min(col("__ts")).as(s"t_stage_$i"))
+      acc = acc.join(next, Seq("__k"), "left")
+    }
+    acc.withColumnRenamed("__k", keyCol)
+  }
+
+  /** Cohort retention matrix: users bucketed by FIRST-activity period
+    * (cohort), counted as retained in every later period they are active
+    * in. Output: (cohort, period_offset, n_active) — offset 0 is the
+    * cohort size by construction. `bucket` is the period width in the
+    * units of `tsCol` (e.g. 7 days of nanos for weekly cohorts); all
+    * arithmetic is integer floor-division so the matrix hash-oracles.
+    *
+    * Scale shape: first-activity is one MIN aggregate per user; the
+    * distinct (user, period) activity set is one aggregate on the same
+    * key; the join is co-partitioned on the user key and the matrix
+    * rollup is a tiny (cohorts × offsets) aggregate.
+    */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String,
+      bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    def intDiv(a: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftBridge.expression(a.cast("long")),
+          org.apache.spark.sql.catalyst.expressions.Literal(bucket)))
+    val periods = df.select(col(keyCol).as("__k"),
+      intDiv(col(tsCol)).as("__p")).distinct()
+    val first = periods.groupBy(col("__k")).agg(min(col("__p")).as("__cohort"))
+    periods.join(first, Seq("__k"))
+      .groupBy(col("__cohort").as("cohort"),
+        (col("__p") - col("__cohort")).as("period_offset"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+  }
 }

@@ -1686,6 +1686,50 @@ object ExtQueries {
         budgetNum = 3, budgetDen = 2, maxEpochs = UnimaxE.toInt))
   }
 
+  /** Ordered funnel over the events stream: signup → view → click →
+    * purchase, each stage's earliest completion AT OR AFTER the previous
+    * stage's (Sessions.funnelStages — one MIN aggregate per stage, all
+    * keyed by user, no windows). Nanos timestamps, integer end to end.
+    */
+  private val funnelQ = q("q_funnel",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn,
+            CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+                 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS st
+          FROM events WHERE event_type <> 'error'),
+       s0 AS (SELECT user_id, MIN(tsn) AS t_stage_0 FROM e WHERE st = 0 GROUP BY 1),
+       s1 AS (SELECT e.user_id, MIN(tsn) AS t_stage_1 FROM e JOIN s0 USING (user_id)
+              WHERE st = 1 AND tsn >= t_stage_0 GROUP BY 1),
+       s2 AS (SELECT e.user_id, MIN(tsn) AS t_stage_2 FROM e JOIN s1 USING (user_id)
+              WHERE st = 2 AND tsn >= t_stage_1 GROUP BY 1),
+       s3 AS (SELECT e.user_id, MIN(tsn) AS t_stage_3 FROM e JOIN s2 USING (user_id)
+              WHERE st = 3 AND tsn >= t_stage_2 GROUP BY 1)
+       SELECT s0.user_id, t_stage_0, t_stage_1, t_stage_2, t_stage_3
+       FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)""") { (s, d) =>
+    val ev = Tables.eventsNs(s, d)
+      .where(col("event_type") =!= "error")
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "signup", 0)
+          .when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase", 3).as("st"))
+    graft.operators.Sessions.funnelStages(ev, "user_id", "ts", "st", nStages = 4)
+  }
+
+  /** Weekly cohort retention matrix over events: users bucketed by
+    * first-activity week, counted in every later week they appear
+    * (Sessions.cohortRetention — integer floor-division periods).
+    */
+  private val retentionQ = q("q_retention",
+    """WITH p AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS p FROM events),
+       f AS (SELECT user_id, MIN(p) AS cohort FROM p GROUP BY 1)
+       SELECT cohort, p.p - cohort AS period_offset,
+              CAST(COUNT(*) AS BIGINT) AS n_active
+       FROM p JOIN f USING (user_id) GROUP BY 1, 2""") { (s, d) =>
+    graft.operators.Sessions.cohortRetention(
+      Tables.eventsNs(s, d), "user_id", "ts", bucket = 604800000000000L)
+  }
+
   /** Same relation as q_asof_join (same DuckDB native-ASOF oracle) through
     * the skew-safe two-phase operator: per-(user, 6-hour-bucket) running
     * match + bucket-boundary carry — identical answers without the
@@ -2336,7 +2380,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, funnelQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ)

@@ -61,4 +61,33 @@ class SessionsSpec extends AnyFunSuite {
       gap = 50L, bucket = 60L))
     assert(safe == Seq((1L, 0L, 0L, 180L, 10L)))
   }
+
+  test("funnelStages: sequential-order constraint, monotone null suffix") {
+    // user 1 completes 0→1→2 in order; user 2 has stage 1 BEFORE stage 0
+    // (must not count) and again after (counts); user 3 stalls at stage 0;
+    // user 4 never does stage 0 (absent from output)
+    val ev = Seq(
+      (1L, 10L, 0), (1L, 20L, 1), (1L, 15L, 1), (1L, 30L, 2), // min valid t1=15
+      (2L, 50L, 1), (2L, 100L, 0), (2L, 120L, 1),
+      (3L, 5L, 0), (3L, 1L, 2), // stage 2 before stage 1 exists: no t1, no t2
+      (4L, 99L, 1)
+    ).toDF("user", "ts", "st")
+    val r = Sessions.funnelStages(ev, "user", "ts", "st", nStages = 3)
+      .collect().map(x => x.getLong(0) ->
+        (0 to 2).map(i => if (x.isNullAt(i + 1)) None else Some(x.getLong(i + 1)))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == Seq(Some(10L), Some(15L), Some(30L)))
+    assert(r(2L) == Seq(Some(100L), Some(120L), None))
+    assert(r(3L) == Seq(Some(5L), None, None))
+  }
+
+  test("cohortRetention: offsets from each user's first period; offset 0 is cohort size") {
+    // bucket 10: user 1 first in period 0, active 0 and 2; user 2 first in
+    // period 0, active 0 only; user 3 first in period 2, active 2 and 3
+    val ev = Seq((1L, 3L), (1L, 25L), (1L, 29L), (2L, 8L),
+      (3L, 21L), (3L, 34L)).toDF("user", "ts")
+    val r = Sessions.cohortRetention(ev, "user", "ts", bucket = 10L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (2L, 0L) -> 1L, (2L, 1L) -> 1L))
+  }
 }

@@ -974,6 +974,50 @@ object GraftStreaming {
   def storeStreamMemory(df: DataFrame, name: String,
       outputMode: String = "append"): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
+
+  /** Stateful streaming funnel — the unbounded dual of
+    * [[graft.operators.Sessions.funnelStages]]: per key, the earliest
+    * IN-SEQUENCE completion time of each stage 0..nStages−1, maintained
+    * as custom state ([[org.apache.spark.sql.KeyValueGroupedDataset
+    * .mapGroupsWithState]], Update mode). State per key is one bounded
+    * array of completed stage times (≤ nStages longs — no event
+    * retention), and completions are MONOTONE: a stage time, once set,
+    * is never revised, so every emitted row extends the previous one and
+    * the row with the longest completed prefix IS the key's current
+    * funnel.
+    *
+    * Ordering contract: events are folded in (ts, stage) order WITHIN a
+    * trigger; across triggers the fold is greedy — a late event with an
+    * earlier timestamp than an already-committed stage cannot rewrite
+    * history (stream processors don't un-emit). When events arrive
+    * ts-ordered per key (the usual log-ingest case) the final state
+    * equals the batch operator exactly (spec-gated); out-of-order
+    * arrivals can only DELAY stage credit, never corrupt the sequence
+    * invariant t_0 ≤ t_1 ≤ … .
+    *
+    * Output per update: (key, times) with `times(i)` = stage-i
+    * completion epoch, −1 while incomplete.
+    */
+  def funnelStream[T, K](ds: Dataset[T], nStages: Int)(
+      key: T => K, eventTs: T => Long, stage: T => Int)(
+      implicit kEnc: Encoder[K],
+      oEnc: Encoder[(K, Seq[Long])]): Dataset[(K, Seq[Long])] = {
+    require(nStages >= 1 && nStages <= 16, s"nStages must be in [1, 16], got $nStages")
+    implicit val tEnc: Encoder[T] = ds.encoder
+    implicit val stEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+    ds.groupByKey(key)
+      .mapGroupsWithState[FunnelState, (K, Seq[Long])](GroupStateTimeout.NoTimeout) {
+        (k: K, events: Iterator[T], state: GroupState[FunnelState]) =>
+          var done = state.getOption.map(_.times).getOrElse(Seq.empty)
+          val batch = events.map(e => (eventTs(e), stage(e))).toArray.sorted
+          batch.foreach { case (t, st) =>
+            if (done.size < nStages && st == done.size &&
+                (done.isEmpty || t >= done.last)) done = done :+ t
+          }
+          state.update(FunnelState(done))
+          (k, done ++ Seq.fill(nStages - done.size)(-1L))
+      }
+  }
 }
 
 // Top-level (not object-nested): Spark's codegen instantiates state/output
@@ -983,6 +1027,11 @@ object GraftStreaming {
 final case class Session[K](key: K, startMs: Long, endMs: Long, events: Long)
 
 private[streaming] final case class SessionState(startMs: Long, endMs: Long, events: Long)
+
+/** Funnel progress: completion times of the stages completed so far (a
+  * strict prefix — bounded by nStages, never event-sized).
+  */
+private[streaming] final case class FunnelState(times: Seq[Long])
 
 /** Incoming doc for the streaming MinHash dedup: id, event time, primary
   * LSH bucket, full signature.

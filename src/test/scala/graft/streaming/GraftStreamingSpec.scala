@@ -214,6 +214,42 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("funnelStream: ts-ordered ingest ends in exactly the batch funnel; state is monotone") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // (user, ts, stage): user 1 completes 0→1→2 across TRIGGERS; user 2's
+    // stage-1 event precedes its stage-0 (ineligible both engines); user 3
+    // only reaches stage 0
+    val batch1 = Seq((1L, 10L, 0), (2L, 5L, 1), (3L, 7L, 0))
+    val batch2 = Seq((1L, 20L, 1), (2L, 30L, 0), (1L, 25L, 2), (2L, 40L, 1))
+    val input = MemoryStream[(Long, Long, Int)]
+    val out = GraftStreaming.funnelStream(input.toDS(), nStages = 3)(
+      _._1, _._2, _._3)
+    val query = out.toDF().toDF("user", "times").writeStream
+      .outputMode("update").format("memory").queryName("funnel_stream_test").start()
+    try {
+      input.addData(batch1: _*); query.processAllAvailable()
+      input.addData(batch2: _*); query.processAllAvailable()
+      // monotone completions: the row with the longest completed prefix is
+      // the key's final funnel (earlier update rows are strict prefixes)
+      val rows = spark.table("funnel_stream_test")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      for ((u, ts) <- rows; (u2, ts2) <- rows if u == u2) {
+        val (a, b) = (ts.filter(_ >= 0), ts2.filter(_ >= 0))
+        assert(a.startsWith(b) || b.startsWith(a), s"non-monotone updates for $u: $ts vs $ts2")
+      }
+      val fin = rows.groupBy(_._1).map { case (u, g) =>
+        u -> g.map(_._2).maxBy(_.count(_ >= 0))
+      }
+      val batchRes = graft.operators.Sessions.funnelStages(
+          (batch1 ++ batch2).toDF("user", "ts", "st"), "user", "ts", "st", nStages = 3)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)).toSeq).toMap
+      assert(fin == batchRes, s"stream $fin != batch $batchRes")
+      assert(fin(1L) == Seq(10L, 20L, 25L) && fin(2L) == Seq(30L, 40L, -1L))
+    } finally query.stop()
+  }
+
   test("unimaxStream: epochs agree exactly with the batch apply on the same rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

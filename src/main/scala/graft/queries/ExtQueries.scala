@@ -1716,6 +1716,45 @@ object ExtQueries {
     graft.operators.Sessions.funnelStages(ev, "user_id", "ts", "st", nStages = 4)
   }
 
+  /** One-row funnel conversion rollup: users reaching each stage plus
+    * stepwise and end-to-end conversion (single divisions of exact
+    * counts).
+    */
+  private val funnelAggQ = q("q_funnel_agg",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn,
+            CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+                 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS st
+          FROM events WHERE event_type <> 'error'),
+       s0 AS (SELECT user_id, MIN(tsn) AS t0 FROM e WHERE st = 0 GROUP BY 1),
+       s1 AS (SELECT e.user_id, MIN(tsn) AS t1 FROM e JOIN s0 USING (user_id)
+              WHERE st = 1 AND tsn >= t0 GROUP BY 1),
+       s2 AS (SELECT e.user_id, MIN(tsn) AS t2 FROM e JOIN s1 USING (user_id)
+              WHERE st = 2 AND tsn >= t1 GROUP BY 1),
+       s3 AS (SELECT e.user_id, MIN(tsn) AS t3 FROM e JOIN s2 USING (user_id)
+              WHERE st = 3 AND tsn >= t2 GROUP BY 1)
+       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_stage_0,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_stage_1,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_stage_2,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_stage_3,
+              round(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+                    / (SELECT COUNT(*) FROM s0), 6) AS conversion""") { (s, d) =>
+    val ev = Tables.eventsNs(s, d)
+      .where(col("event_type") =!= "error")
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "signup", 0)
+          .when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase", 3).as("st"))
+    val f = graft.operators.Sessions.funnelStages(ev, "user_id", "ts", "st", nStages = 4)
+    f.agg(
+      count(col("t_stage_0")).cast("long").as("n_stage_0"),
+      count(col("t_stage_1")).cast("long").as("n_stage_1"),
+      count(col("t_stage_2")).cast("long").as("n_stage_2"),
+      count(col("t_stage_3")).cast("long").as("n_stage_3"))
+      .withColumn("conversion",
+        round(col("n_stage_3").cast("double") / col("n_stage_0"), 6))
+  }
+
   /** Weekly cohort retention matrix over events: users bucketed by
     * first-activity week, counted in every later week they appear
     * (Sessions.cohortRetention — integer floor-division periods).
@@ -2380,7 +2419,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, funnelQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ)

@@ -210,6 +210,49 @@ object Profile {
     alpha * java.lang.Math.scalb(1.0, 2 * p + (HllHashBits - p) + 2)
   }
 
+  /** [[hllRegisters]] with a group key: one register table per group —
+    * per-source vocabulary cardinality in a single aggregate whose key
+    * space is |groups| × 2^p. The merge law is unchanged (per-(group,
+    * bucket) MAX), and because the register transform is a plain
+    * groupBy/max it runs UNCHANGED as a streaming update-mode
+    * aggregation with bounded state (≤ |groups|·2^p rows) — cardinality-
+    * so-far on an unbounded ingest stream
+    * ([[graft.streaming.GraftStreaming]] spec-gates stream == batch).
+    */
+  def hllRegistersBy(df: DataFrame, groupCol: String, hashCol: String,
+      p: Int): DataFrame = {
+    require(p >= 7 && p <= 16, s"p must be in [7, 16], got $p")
+    val w = HllHashBits - p
+    val h = col(hashCol).cast("long")
+    val v = shiftright(h, p)
+    val rho = when(v === 0, lit(w + 1))
+      .otherwise(lit(w + 1) - length(bin(v)))
+    df.groupBy(col(groupCol),
+        (h.bitwiseAND((1L << p) - 1)).cast("long").as("bucket"))
+      .agg(max(rho).cast("long").as("rho"))
+  }
+
+  /** Per-group raw estimates from a grouped register table: one row per
+    * group (group, v_nonzero, s_scaled, estimate) — the [[hllEstimate]]
+    * arithmetic applied group-wise.
+    */
+  def hllEstimateBy(registers: DataFrame, groupCol: String, p: Int): DataFrame = {
+    val m = 1L << p
+    val sc = (HllHashBits - p) + 2
+    registers.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("long").as("v_nonzero"),
+        sum(org.apache.spark.sql.GraftBridge.column(
+          org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+            org.apache.spark.sql.catalyst.expressions.Literal(1L),
+            org.apache.spark.sql.GraftBridge.expression(
+              (lit(sc) - col("rho")).cast("int"))))).cast("long").as("__sp"))
+      .select(col(groupCol), col("v_nonzero"),
+        (col("__sp") + (lit(m) - col("v_nonzero")) * (1L << sc)).as("s_scaled"))
+      .withColumn("estimate",
+        round(lit(hllConstant(p)) / col("s_scaled").cast("double"), 6))
+  }
+
   /** One-row raw HLL estimate from a register table: the harmonic sum is
     * kept INTEGER by scaling each 2^−rho term to 2^(w+2−rho) (max rho is
     * w+1, so every term ≥ 2; empty buckets contribute 2^(w+2) each), and

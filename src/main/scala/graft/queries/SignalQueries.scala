@@ -546,6 +546,40 @@ object SignalQueries {
       grams.agg(countDistinct(col("g")).cast("long").as("n_exact")))
   }
 
+  /** Per-source grouped HLL: one register set per `source`, estimates
+    * next to exact distinct counts — the sharded/streaming shape of the
+    * sketch (groups are shards; merge is per-(group, bucket) MAX).
+    */
+  private val hllBySourceQ = q("q_hll_by_source",
+    s"""WITH ${OracleFixtures.windowHashCtes("documents", 3, distinct = true)},
+       gj AS (SELECT d.source, u.g
+              FROM (SELECT doc_id, unnest(wh) AS g FROM wh) u
+              JOIN documents d USING (doc_id)),
+       hreg AS (SELECT source, g & ${(1 << HllP) - 1} AS bucket,
+                MAX(CASE WHEN (g >> $HllP) = 0 THEN ${30 - HllP + 1}
+                    ELSE ${30 - HllP + 1} - len(bin(g >> $HllP)) END) AS rho
+              FROM gj GROUP BY 1, 2),
+       agg AS (SELECT source, COUNT(*) AS v,
+                      SUM(CAST(1 << (${30 - HllP + 2} - rho) AS BIGINT)) AS sp
+               FROM hreg GROUP BY 1),
+       ex AS (SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_exact
+              FROM gj GROUP BY 1)
+       SELECT agg.source, CAST(v AS BIGINT) AS v_nonzero,
+              CAST(sp + (${1L << HllP} - v) * ${1L << (30 - HllP + 2)} AS BIGINT) AS s_scaled,
+              round(${graft.operators.Profile.hllConstant(HllP)} /
+                (sp + (${1L << HllP} - v) * ${1L << (30 - HllP + 2)}), 6) AS estimate,
+              n_exact
+       FROM agg JOIN ex USING (source)""") { (s, d) =>
+    val grams = Tables.df(s, d, "documents").select(col("source"),
+      explode(graft.functions.HashExpressions.fixtureWindowHashes(
+        col("text"), 3)).as("g"))
+    val est = graft.operators.Profile.hllEstimateBy(
+      graft.operators.Profile.hllRegistersBy(grams, "source", "g", HllP),
+      "source", HllP)
+    est.join(grams.groupBy("source")
+      .agg(countDistinct(col("g")).cast("long").as("n_exact")), "source")
+  }
+
   // ---- Ranking-quality evaluation (IR metrics over a deterministic
   // retrieval shape): queries = customers, candidates = their orders
   // ranked by o_totalprice DESC (o_orderkey breaks ties), relevant =
@@ -877,7 +911,7 @@ object SignalQueries {
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
     lmScoreIndexedQ, dsirQ, dsirSelectQ, paragraphDedupQ, paragraphDedupCatalogQ, entropyQ, pipelineSignalsQ,
     aucQ, confusionQ, evalRankQ, evalRankAggQ, evalEceQ, evalKappaQ,
-    hllRegistersQ, hllEstimateQ,
+    hllRegistersQ, hllEstimateQ, hllBySourceQ,
     resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)

@@ -975,6 +975,20 @@ object GraftStreaming {
       outputMode: String = "append"): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
 
+  /** Streaming cardinality sketch — [[graft.operators.Profile.hllRegistersBy]]
+    * run UNCHANGED as an update-mode streaming aggregation: per (group,
+    * bucket) max-rho registers over an unbounded ingest stream, state
+    * bounded at |groups|·2^p rows regardless of stream length (the
+    * bounded-state answer to "how many distinct documents/grams has this
+    * source sent so far" — a naive distinct-count's state grows with the
+    * stream). Registers are monotone (MAX only rises), so any emitted
+    * snapshot is a valid sketch and the final one equals the batch
+    * registers exactly (spec-gated).
+    */
+  def hllRegistersStream(stream: DataFrame, groupCol: String, hashCol: String,
+      p: Int): DataFrame =
+    graft.operators.Profile.hllRegistersBy(stream, groupCol, hashCol, p)
+
   /** Stateful streaming funnel — the unbounded dual of
     * [[graft.operators.Sessions.funnelStages]]: per key, the earliest
     * IN-SEQUENCE completion time of each stage 0..nStages−1, maintained

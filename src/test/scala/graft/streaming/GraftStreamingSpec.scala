@@ -214,6 +214,37 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("hllRegistersStream: final streamed registers equal the batch sketch exactly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val rows = (0 until 3000).map(i =>
+      (if (i % 3 == 0) "a" else "b", java.lang.Math.floorMod(mix(i.toLong), 1000000007L)))
+    val input = MemoryStream[(String, Long)]
+    val out = GraftStreaming.hllRegistersStream(
+      input.toDF().toDF("src", "h"), "src", "h", p = 7)
+    val query = GraftStreaming.storeStreamMemory(out, "hll_stream_test", "update")
+    try {
+      input.addData(rows.take(1000): _*); query.processAllAvailable()
+      input.addData(rows.drop(1000): _*); query.processAllAvailable()
+      // update-mode emissions are monotone per key; the max rho per
+      // (src, bucket) is the final register
+      val streamed = spark.table("hll_stream_test")
+        .groupBy("src", "bucket")
+        .agg(org.apache.spark.sql.functions.max("rho").as("rho"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Profile.hllRegistersBy(
+          rows.toDF("src", "h"), "src", "h", p = 7)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("funnelStream: ts-ordered ingest ends in exactly the batch funnel; state is monotone") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

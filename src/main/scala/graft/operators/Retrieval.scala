@@ -88,6 +88,43 @@ object Retrieval {
       .select(col("term"), col("rank"), col("__id").as(idCol), col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner (lexical BM25 list + vector
+    * ANN list → one ranking) that needs no score calibration: each
+    * ranking contributes 1/(k + rank) per item.
+    *
+    * Determinism: the reciprocal is computed as the INTEGER fixed point
+    * `10^12 // (k + rank)` (integral division — both engines agree
+    * exactly), so fused scores are exact BIGINT sums: no float summation
+    * order, no last-ulp rank flips. With r rankings of ≤ n items each,
+    * scores stay < r·10^12/(k+1) — overflow-free for any real fan-in.
+    *
+    * Input: rows (queryCol, itemCol, rankCol, [sourceCol]) — the UNION
+    * of the per-source rankings (ranks 1-based within (query, source));
+    * items missing from a source simply contribute nothing (the RRF
+    * convention). Output: (query, item, rrf_score, fused_rank) — ranked
+    * per query, score-desc with item-asc tiebreak, top `topK`.
+    *
+    * Scale shape: one hash aggregate on (query, item) + one rank window
+    * per QUERY partition (candidates per query, never corpus-length).
+    */
+  def reciprocalRankFusion(df: DataFrame, queryCol: String, itemCol: String,
+      rankCol: String, topK: Int = 10, k: Long = 60L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val contrib = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.catalyst.expressions.Literal(1000000000000L),
+        org.apache.spark.sql.GraftBridge.expression(
+          lit(k) + col(rankCol).cast("long"))))
+    val fused = df.groupBy(col(queryCol), col(itemCol))
+      .agg(sum(contrib).cast("long").as("rrf_score"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_score").desc, col(itemCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .where(col("fused_rank") <= topK)
+  }
+
   /** Fixed-size token-window chunking with overlap — the RAG/embedding
     * prep stage (split every document into ≤ `chunkTokens`-token pieces,
     * consecutive pieces sharing `chunkTokens − stride` tokens so no

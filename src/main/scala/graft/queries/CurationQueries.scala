@@ -215,6 +215,44 @@ object CurationQueries {
        edges AS (SELECT DISTINCT src, dst FROM cand
                  WHERE src <> dst AND dst IN (SELECT v FROM nodes))"""
 
+  /** Hybrid-retrieval fusion: two deterministic per-customer order
+    * rankings (by price, by recency) fused with integer fixed-point RRF
+    * (Retrieval.reciprocalRankFusion — 10^12 // (60 + rank) per list,
+    * exact BIGINT sums, no float rank flips), top-5 per customer.
+    */
+  private val rrfQ = q("q_rrf",
+    """WITH r1 AS (SELECT o_custkey AS q, o_orderkey AS item,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders),
+       r2 AS (SELECT o_custkey AS q, o_orderkey AS item,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey ASC) AS rk
+           FROM orders),
+       u AS (SELECT q, item, rk FROM r1 WHERE rk <= 10
+             UNION ALL SELECT q, item, rk FROM r2 WHERE rk <= 10),
+       f AS (SELECT q, item, SUM(1000000000000 // (60 + rk)) AS rrf_score
+             FROM u GROUP BY 1, 2),
+       rr AS (SELECT q AS o_custkey, item AS o_orderkey,
+                CAST(rrf_score AS BIGINT) AS rrf_score,
+                row_number() OVER (PARTITION BY q
+                  ORDER BY rrf_score DESC, item ASC) AS fused_rank
+              FROM f)
+       SELECT o_custkey, o_orderkey, rrf_score,
+              CAST(fused_rank AS BIGINT) AS fused_rank
+       FROM rr WHERE fused_rank <= 5""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.df(s, d, "orders")
+    def ranked(order: Seq[org.apache.spark.sql.Column]) = o.withColumn("rk",
+        row_number().over(Window.partitionBy(col("o_custkey")).orderBy(order: _*)))
+      .where(col("rk") <= 10)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+    val u = ranked(Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      .unionByName(ranked(Seq(col("o_orderdate").desc, col("o_orderkey").asc)))
+    graft.operators.Retrieval.reciprocalRankFusion(
+      u, "o_custkey", "o_orderkey", "rk", topK = 5, k = 60L)
+  }
+
   /** Per-node triangle counts over a same-nation near-key customer graph
     * (edges: customers of one nation with key distance 1..3 — local
     * cliques, so triangles exist). The engine runs degree-ordered wedge
@@ -351,6 +389,6 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     splitQ, splitStratifiedQ, splitGroupQ, splitNearDupQ, snapshotDiffQ, incrementalQ,
-    dedupFuzzyQ, frequentTokensQ, bm25Q, pageRankQ, labelPropQ, pageRankSeededQ,
+    dedupFuzzyQ, frequentTokensQ, bm25Q, rrfQ, pageRankQ, labelPropQ, pageRankSeededQ,
     trianglesQ)
 }

@@ -181,6 +181,24 @@ class CurationOpsSpec extends AnyFunSuite {
       Seq((1L, 2L, 0L))) // identical 12-char heads
   }
 
+  test("reciprocalRankFusion: consensus beats single-list wins; integer scores exact") {
+    // query q: list A ranks (x=1, y=2, z=3); list B ranks (y=1, w=2).
+    // y appears in both (ranks 2+1) and must fuse above x (rank 1 once):
+    //   y: 1e12//62 + 1e12//61 = 16129032258 + 16393442622 = 32522474880
+    //   x: 1e12//61                                        = 16393442622
+    //   w: 1e12//62                                        = 16129032258
+    //   z: 1e12//63                                        = 15873015873
+    val rows = Seq(("q", "x", 1L), ("q", "y", 2L), ("q", "z", 3L),
+      ("q", "y", 1L), ("q", "w", 2L))
+    val got = Retrieval.reciprocalRankFusion(rows.toDF("q", "item", "rk"),
+        "q", "item", "rk", topK = 3, k = 60L)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(_._3).toSeq == Seq(
+      ("y", 32522474880L, 1L), ("x", 16393442622L, 2L), ("w", 16129032258L, 3L)))
+    // topK enforced: z (4th) is cut
+    assert(!got.exists(_._1 == "z"))
+  }
+
   test("chunkByTokens: exact window layout, overlap, short-doc and boundary cases") {
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val docs = Seq(

@@ -118,10 +118,22 @@ object TextFunctions {
         UrlPattern, "<URL>"),
       PhonePattern, "<PHONE>")
 
+  /** All URL matches in a text (the SAME pattern the redactor replaces —
+    * one definition, so audit and scrub cannot disagree about what a URL
+    * is), and the host/domain of one URL — the inputs to per-domain
+    * corpus audits and blocklist gating.
+    */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url, DomainPattern, 1))
+
   // shared with the q_redact oracle SQL (the subset of regex syntax used
   // here means one pattern string works in both Java regex and RE2)
   private[graft] val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private[graft] val UrlPattern = """(https?|ftp)://[^\s]+"""
+  private[graft] val DomainPattern = """://([^/\s:?#]+)"""
   private[graft] val PhonePattern =
     """(\+[0-9][0-9()\[\] .-]{6,}[0-9])|(\([0-9]{2,4}\)[ .-]?[0-9]{2,4}([ .-][0-9]{2,4}){1,2})"""
 

@@ -1165,6 +1165,42 @@ object ExtQueries {
         count(lit(1)).as("n_docs"))
   }
 
+  /** Per-domain URL audit with a blocklist flag — the link-profile pass
+    * of web-corpus curation (what domains does this corpus cite, and how
+    * much of it would a blocklist gate drop). URLs are planted
+    * deterministically (doc_id mod 7 picks the host; every third doc
+    * cites the blocklisted host twice); extraction reuses the SAME
+    * UrlPattern the redactor scrubs and the domain comes from one shared
+    * DomainPattern, so audit, gate, and scrub can never disagree.
+    */
+  private val domainStatsQ = q("q_domain_stats",
+    raw"""WITH t AS (SELECT doc_id, source,
+              text || ' see https://site' || (doc_id % 7) || '.example.org/p/' || doc_id
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' and http://spam.bad.net/x http://spam.bad.net/y'
+                           ELSE '' END AS text
+            FROM documents),
+       u AS (SELECT doc_id, source, unnest(regexp_extract_all(text, '${UrlPattern}')) AS url FROM t),
+       d AS (SELECT doc_id, source, lower(regexp_extract(url, '${graft.functions.TextFunctions.DomainPattern}', 1)) AS domain FROM u)
+       SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              domain = 'spam.bad.net' AS blocklisted
+       FROM d GROUP BY 1""") { (s, d) =>
+    import graft.functions.TextFunctions.{extractUrls, urlDomain}
+    val t = Tables.df(s, d, "documents").select(col("doc_id"), col("source"),
+      concat(col("text"), lit(" see https://site"), pmod(col("doc_id"), lit(7)),
+        lit(".example.org/p/"), col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" and http://spam.bad.net/x http://spam.bad.net/y"))
+          .otherwise(lit(""))).as("__t"))
+    t.select(col("doc_id"), explode(extractUrls(col("__t"))).as("url"))
+      .select(col("doc_id"), urlDomain(col("url")).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).cast("long").as("n_urls"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"))
+      .withColumn("blocklisted", col("domain") === "spam.bad.net")
+  }
+
   /** Exact Pearson correlation per group — the profiling aggregate for
     * "are these columns related" (feature audits, leakage checks). All
     * five sums run in integer units through DECIMAL(28,0) (quantity
@@ -2419,7 +2455,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ)

@@ -1722,6 +1722,64 @@ object ExtQueries {
         budgetNum = 3, budgetDen = 2, maxEpochs = UnimaxE.toInt))
   }
 
+  /** Shared scored-candidate CTE for the preference queries: customers'
+    * orders with integer-cents scores (decimal-exact in both engines).
+    */
+  private val PrefCandCtes =
+    """c AS (SELECT o_custkey AS q, o_orderkey AS cand,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS s
+            FROM orders)"""
+
+  private def prefCands(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "orders").select(
+      col("o_custkey").as("q"), col("o_orderkey").as("cand"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("s"))
+
+  /** DPO preference pairs: per customer the max-margin (chosen, rejected)
+    * order pair at a $1000 minimum score gap
+    * ([[graft.operators.Preference.preferencePairs]]).
+    */
+  private val dpoPairsQ = q("q_dpo_pairs",
+    s"""WITH $PrefCandCtes,
+       r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY s DESC, cand ASC) AS rt,
+                    row_number() OVER (PARTITION BY q ORDER BY s ASC, cand ASC) AS rb
+             FROM c),
+       t AS (SELECT q, cand AS chosen, s AS score_chosen FROM r WHERE rt = 1),
+       b AS (SELECT q, cand AS rejected, s AS score_rejected FROM r WHERE rb = 1)
+       SELECT t.q, chosen, score_chosen, rejected, score_rejected,
+              score_chosen - score_rejected AS margin
+       FROM t JOIN b ON t.q = b.q
+       WHERE chosen <> rejected AND score_chosen - score_rejected >= 100000""") { (s, d) =>
+    graft.operators.Preference.preferencePairs(prefCands(s, d),
+      "q", "cand", "s", "cand", minMargin = 100000L)
+  }
+
+  /** Deterministic contrastive negatives: 4 LCG-drawn pool items per
+    * (customer, top-order) positive, accidental-positive draws dropped
+    * ([[graft.operators.Preference.negativeSample]]).
+    */
+  private val negativesQ = q("q_negatives",
+    s"""WITH $PrefCandCtes,
+       r AS (SELECT q, cand, row_number() OVER (PARTITION BY q ORDER BY s DESC, cand ASC) AS rt FROM c),
+       p AS (SELECT q, cand AS pos FROM r WHERE rt = 1),
+       pool AS (SELECT item, row_number() OVER (ORDER BY item) - 1 AS idx
+                FROM (SELECT DISTINCT o_orderkey AS item FROM orders)),
+       nn AS (SELECT COUNT(*) AS n FROM pool),
+       d AS (SELECT q, pos, unnest(range(0, 4)) AS j FROM p),
+       dd AS (SELECT q, pos, j,
+                ${OracleSql.lcg31("(q * 16 + j)")} % (SELECT n FROM nn) AS idx
+              FROM d)
+       SELECT q, pos, CAST(j AS BIGINT) AS j, item AS negative
+       FROM dd JOIN pool USING (idx) WHERE item <> pos""") { (s, d) =>
+    val cands = prefCands(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("s").desc, col("cand").asc)
+    val positives = cands.withColumn("__rt", row_number().over(w))
+      .where(col("__rt") === 1).select(col("q"), col("cand").as("pos"))
+    graft.operators.Preference.negativeSample(positives, "q", "pos",
+      Tables.df(s, d, "orders").select(col("o_orderkey")), "o_orderkey", k = 4)
+  }
+
   /** Ordered funnel over the events stream: signup → view → click →
     * purchase, each stage's earliest completion AT OR AFTER the previous
     * stage's (Sessions.funnelStages — one MIN aggregate per stage, all
@@ -2455,7 +2513,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, dpoPairsQ, negativesQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ)

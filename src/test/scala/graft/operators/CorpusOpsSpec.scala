@@ -46,6 +46,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 4L, 1L, 5L, 1L)))
   }
 
+  test("preferencePairs: max-margin pair per prompt, ties to smaller id, margin gate") {
+    val rows = Seq(
+      ("p1", 1L, 100L), ("p1", 2L, 900L), ("p1", 3L, 900L), ("p1", 4L, 50L),
+      ("p2", 5L, 10L), ("p2", 6L, 15L),   // margin 5 < 100: filtered
+      ("p3", 7L, 42L))                     // single candidate: chosen == rejected, dropped
+    val got = Preference.preferencePairs(rows.toDF("p", "cand", "s"),
+        "p", "cand", "s", "cand", minMargin = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // p1: chosen = id 2 (900, tie beats 3), rejected = id 4 (50), margin 850
+    assert(got.toSeq == Seq("p1" -> ((2L, 900L, 4L, 50L, 850L))))
+  }
+
+  test("negativeSample: deterministic LCG draws from the ranked pool, positives excluded") {
+    val positives = Seq((10L, 100L), (11L, 101L)).toDF("q", "pos")
+    val pool = (100L to 119L).toDF("item")
+    val got = Preference.negativeSample(positives, "q", "pos", pool, "item", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // replay: idx = lcg31(q*16 + j) % 20 over the sorted pool
+    val items = (100L to 119L).toArray
+    val want = (for {
+      (q, pos) <- Seq((10L, 100L), (11L, 101L)); j <- 0L until 4L
+      neg = items((graft.core.Flow.lcg31(q * 16 + j) % 20).toInt) if neg != pos
+    } yield (q, pos, j, neg)).toSet
+    assert(got.toSet == want)
+    assert(got.forall { case (_, pos, _, neg) => neg != pos && neg >= 100 && neg <= 119 })
+    assert(got.groupBy(_._1).forall(_._2.length <= 4))
+  }
+
   test("mixture sample is deterministic, caps at whole sources, and flattens shares") {
     // source a dominates 10:1; sqrt flattening must keep a smaller share
     // of a than of b

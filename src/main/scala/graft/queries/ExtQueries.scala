@@ -1722,6 +1722,44 @@ object ExtQueries {
         budgetNum = 3, budgetDen = 2, maxEpochs = UnimaxE.toInt))
   }
 
+  /** Curriculum selection by multi-signal rank fusion — the composition
+    * query tying the eval and curation lanes together: per source, fuse
+    * the quality ranking (shared QualityDocsSql arithmetic) with a
+    * target-length ranking (|n_chars − 300| ascending) via integer
+    * fixed-point RRF and keep the top-5 fused docs. No score calibration
+    * across heterogeneous signals — exactly RRF's job.
+    */
+  private val curriculumFusedQ = q("q_curriculum_fused",
+    raw"""WITH qd AS ($QualityDocsSql),
+       d2 AS (SELECT d.doc_id, d.source, qd.quality, abs(d.n_chars - 300) AS dist
+              FROM documents d JOIN qd ON d.doc_id = qd.doc_id),
+       r1 AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+                ORDER BY quality DESC, doc_id ASC) AS rk FROM d2),
+       r2 AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+                ORDER BY dist ASC, doc_id ASC) AS rk FROM d2),
+       u AS (SELECT * FROM r1 WHERE rk <= 10
+             UNION ALL SELECT * FROM r2 WHERE rk <= 10),
+       f AS (SELECT source, doc_id, SUM(1000000000000 // (60 + rk)) AS rrf_score
+             FROM u GROUP BY 1, 2),
+       rr AS (SELECT source, doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+              FROM f)
+       SELECT source, doc_id, rrf_score, CAST(fused_rank AS BIGINT) AS fused_rank
+       FROM rr WHERE fused_rank <= 5""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.df(s, d, "documents")
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("dist", abs(col("n_chars") - 300))
+    def ranked(order: Seq[org.apache.spark.sql.Column]) = docs.withColumn("rk",
+        row_number().over(Window.partitionBy(col("source")).orderBy(order: _*)))
+      .where(col("rk") <= 10).select(col("source"), col("doc_id"), col("rk"))
+    val u = ranked(Seq(col("quality").desc, col("doc_id").asc))
+      .unionByName(ranked(Seq(col("dist").asc, col("doc_id").asc)))
+    graft.operators.Retrieval.reciprocalRankFusion(
+      u, "source", "doc_id", "rk", topK = 5, k = 60L)
+  }
+
   /** Shared scored-candidate CTE for the preference queries: customers'
     * orders with integer-cents scores (decimal-exact in both engines).
     */
@@ -2513,7 +2551,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, dpoPairsQ, negativesQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ)

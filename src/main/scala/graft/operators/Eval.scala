@@ -56,6 +56,35 @@ object Eval {
           .otherwise(lit(null)).as("auc"))
   }
 
+  /** [[auc]] disaggregated by a group column — per-slice evaluation (the
+    * fairness/regression-hunting discipline: an aggregate AUC can hide a
+    * slice where the signal inverts). Identical integer 2U arithmetic;
+    * the cumulative window partitions by GROUP, so the ordered pass is
+    * per-slice over that slice's distinct scores only.
+    */
+  def aucBy(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val rows = df.select(col(groupCol), col(scoreCol).as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val g = rows.groupBy(col(groupCol), col("__s"))
+      .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__y") === 1, 0L).otherwise(1L)).as("__q"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__cumq", coalesce(sum(col("__q")).over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__p")).cast("long").as("n_pos"),
+        sum(col("__q")).cast("long").as("n_neg"),
+        sum(col("__p") * (col("__cumq") * 2 + col("__q"))).cast("long").as("__u2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__u2").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg") * 2.0), 6))
+          .otherwise(lit(null)).as("auc"))
+  }
+
   /** LCM(1..k) — the integer scale that turns reciprocal-rank sums into
     * exact integer arithmetic (1/r · LCM is whole for every r ≤ k). Grows
     * fast: k ≤ 20 keeps per-query numerators ≤ 232,792,560, so corpus

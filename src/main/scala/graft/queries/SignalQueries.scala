@@ -473,6 +473,34 @@ object SignalQueries {
     graft.operators.Eval.auc(entropyScored(s, d), "s", "y")
   }
 
+  /** Per-source disaggregated AUC of the same entropy-vs-lang signal —
+    * the slice-level evaluation (Eval.aucBy); the aggregate q_auc can
+    * hide a slice where the signal inverts.
+    */
+  private val aucBySourceQ = q("q_auc_by_source",
+    s"""WITH $EntropyScoreCtes,
+       scl2 AS (SELECT d.source, round(CAST(num AS DOUBLE) / n, 6) AS s,
+                       CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM ent2 JOIN documents d USING (doc_id)),
+       g AS (SELECT source, s, SUM(y) AS p, SUM(1 - y) AS q FROM scl2 GROUP BY 1, 2),
+       cq AS (SELECT source, s, p, q,
+                COALESCE(SUM(q) OVER (PARTITION BY source ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumq
+              FROM g)
+       SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(q) AS BIGINT) AS n_neg,
+              CASE WHEN SUM(p) > 0 AND SUM(q) > 0
+                   THEN round(CAST(SUM(p * (2 * cumq + q)) AS DOUBLE)
+                        / (SUM(p) * SUM(q) * 2), 6) END AS auc
+       FROM cq GROUP BY 1""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val scored = docs.where(length(col("text")) > 0)
+      .select(col("source"),
+        round(graft.functions.HashExpressions.byteEntropyBits(
+          encode(col("text"), "UTF-8")).cast("double") / length(col("text")), 6).as("s"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+    graft.operators.Eval.aucBy(scored, "source", "s", "y")
+  }
+
   /** Confusion counts + precision/recall/f1 for the gate s >= 4.0 on the
     * same scored relation — exact integer counts, rational metrics.
     */
@@ -910,7 +938,7 @@ object SignalQueries {
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
     lmScoreIndexedQ, dsirQ, dsirSelectQ, paragraphDedupQ, paragraphDedupCatalogQ, entropyQ, pipelineSignalsQ,
-    aucQ, confusionQ, evalRankQ, evalRankAggQ, evalEceQ, evalKappaQ,
+    aucQ, aucBySourceQ, confusionQ, evalRankQ, evalRankAggQ, evalEceQ, evalKappaQ,
     hllRegistersQ, hllEstimateQ, hllBySourceQ,
     resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,

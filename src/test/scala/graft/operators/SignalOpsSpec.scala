@@ -351,6 +351,25 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5 && r.getDouble(6) == 0.5)
   }
 
+  test("aucBy: per-slice AUC exposes an inverted slice the aggregate hides") {
+    // slice A: perfect separation (auc 1.0); slice B: perfect INVERSION
+    // (auc 0.0); slice C: one class only (auc null)
+    val df = Seq(
+      ("A", 1.0, 0), ("A", 2.0, 0), ("A", 3.0, 1), ("A", 4.0, 1),
+      ("B", 1.0, 1), ("B", 2.0, 1), ("B", 3.0, 0), ("B", 4.0, 0),
+      ("C", 1.0, 1), ("C", 2.0, 1)
+    ).toDF("g", "s", "y")
+    val r = Eval.aucBy(df, "g", "s", "y")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), if (x.isNullAt(3)) -1.0 else x.getDouble(3))).toMap
+    assert(r("A") == ((2L, 2L, 1.0)))
+    assert(r("B") == ((2L, 2L, 0.0)))
+    assert(r("C") == ((2L, 0L, -1.0)))
+    // the pooled signal looks uninformative while both slices are perfect
+    val pooled = Eval.auc(df.where(col("g") =!= "C"), "s", "y").head().getDouble(2)
+    assert(pooled == 0.5)
+  }
+
   test("lcmTo: exact scales, bounds enforced") {
     assert(Eval.lcmTo(1) == 1L && Eval.lcmTo(3) == 6L && Eval.lcmTo(10) == 2520L)
     assert(Eval.lcmTo(20) == 232792560L)

@@ -1627,6 +1627,40 @@ object ExtQueries {
         col("mask_example_id"), col("mask_offset"), col("mask_len"))
   }
 
+  /** Length-bucketed packing — the padding-minimizing inference/training
+    * batch prep: quantile-bin documents by token count (so a batch never
+    * mixes 10-token and 5000-token docs), then pack each (source, bin)
+    * stream independently at the 512-token budget. Pure composition of
+    * the shared quantile-cut and cumulative-sum generators.
+    */
+  private val packBucketedQ = q("q_pack_bucketed",
+    s"""WITH t AS (SELECT doc_id, source,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+       r AS (SELECT doc_id, source, n_tokens,
+               row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+             FROM t),
+       b AS (SELECT doc_id, source, n_tokens,
+               ${graft.operators.Split.quantileBinSql("rn", "n", 4)} AS bin
+             FROM r),
+       c AS (SELECT doc_id, source, bin, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY source, bin ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+             FROM b)
+       SELECT doc_id, source, CAST(bin AS BIGINT) AS bin,
+              CAST(bef // 512 AS BIGINT) AS example_id,
+              CAST(bef % 512 AS BIGINT) AS offset
+       FROM c""") { (s, d) =>
+    val t = Tables.df(s, d, "documents")
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).cast("long").as("n_tokens"))
+    val binned = graft.operators.Split.byQuantile(t, "n_tokens", "doc_id", nBins = 4)
+      .withColumn("__sb", concat_ws("|", col("source"), col("bin")))
+    graft.operators.Packing.packByBudget(binned, "__sb", "doc_id", "n_tokens", budget = 512L)
+      .select(col("doc_id"), col("source"), col("bin").cast("long").as("bin"),
+        col("example_id"), col("offset"))
+  }
+
   private val mixtureQ = q("q_mixture",
     // temperature mixing (alpha=0.5): per-source keep-rate ∝ sqrt(share),
     // replayed exactly — sqrt is IEEE-exactly-rounded, weights are
@@ -2551,7 +2585,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ)

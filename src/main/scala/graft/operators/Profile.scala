@@ -163,6 +163,46 @@ object Profile {
         round(col("num").cast("double") / (col("n") * col("tot")), 6).as("gini"))
   }
 
+  /** Exact Spearman rank correlation between two numeric columns —
+    * the monotone-association profile (Pearson, [[graft.queries]]
+    * q_profile_corr's operator, sees only LINEAR association; a feature
+    * audit wants both). Ranks are deterministic row_number ranks ordered
+    * by (value, id) — the id tiebreak makes every rank an exact integer
+    * in both engines (classical tie-averaging would introduce .5 ranks
+    * AND an engine-ordering hazard), so Σd² is an exact BIGINT and
+    *
+    *   ρ = 1 − 6·Σd² / (n·(n²−1))
+    *
+    * is one division of exact integers. Overflow: Σd² < n³ — exact in a
+    * signed long for n < 2^21, and the double quotient is exact-rounded
+    * at any n (document: corpus-scale profiling should rank on a SAMPLE
+    * or use the decimal form; the oracle gate runs at test scale).
+    *
+    * Scale shape: two distributed prefix-scan ranks ([[graft.core.Flow.rankBy]]
+    * — range-partitioned, never a global single-task window) joined on
+    * the row id, then one aggregate.
+    */
+  def spearman(df: DataFrame, idCol: String, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def ranks(c: String) = graft.core.Flow(
+        df.select(col(c).cast("double"), col(idCol).cast("long")).as[(Double, Long)])
+      .rankBy(identity)
+      .toDF.toDF("__r", "__vk")
+      .select(col("__vk._2").as("__id"), col("__r"))
+    val rx = ranks(xCol).withColumnRenamed("__r", "__rx")
+    val ry = ranks(yCol).withColumnRenamed("__r", "__ry")
+    rx.join(ry, Seq("__id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum((col("__rx") - col("__ry")) * (col("__rx") - col("__ry")))
+          .cast("long").as("sum_d2"))
+      .withColumn("spearman",
+        when(col("n") > 1,
+          round(lit(1.0) - (col("sum_d2") * 6.0) /
+            (col("n").cast("double") * (col("n") * col("n") - 1)), 6))
+          .otherwise(lit(null)))
+  }
+
   /** Hash width of the fixture hash family ([[Dedup.FixtureP]] =
     * 10^9+7 < 2^30) — the HLL value bits are what remains above the
     * bucket index.

@@ -1201,6 +1201,31 @@ object ExtQueries {
       .withColumn("blocklisted", col("domain") === "spam.bad.net")
   }
 
+  /** Exact Spearman rank correlation (price vs order date over orders) —
+    * the monotone-association profile next to q_profile_corr's Pearson.
+    * Deterministic row_number ranks (value, id), Σd² exact BIGINT, one
+    * final division ([[graft.operators.Profile.spearman]]; ranks on the
+    * Spark side come from the distributed prefix-scan, not a global
+    * window).
+    */
+  private val profileSpearmanQ = q("q_profile_spearman",
+    """WITH v AS (SELECT o_orderkey AS id, o_totalprice AS x,
+                         epoch_ns(o_orderdate) AS y FROM orders),
+       rx AS (SELECT id, row_number() OVER (ORDER BY x, id) AS r FROM v),
+       ry AS (SELECT id, row_number() OVER (ORDER BY y, id) AS r FROM v),
+       j AS (SELECT rx.r AS a, ry.r AS b FROM rx JOIN ry USING (id))
+       SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM((a - b) * (a - b)) AS BIGINT) AS sum_d2,
+              round(1.0 - (SUM((a - b) * (a - b)) * 6.0)
+                    / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) * COUNT(*) - 1)), 6) AS spearman
+       FROM j""") { (s, d) =>
+    graft.operators.Profile.spearman(
+      Tables.df(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice").as("x"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("y")),
+      "o_orderkey", "x", "y")
+  }
+
   /** Exact Pearson correlation per group — the profiling aggregate for
     * "are these columns related" (feature audits, leakage checks). All
     * five sums run in integer units through DECIMAL(28,0) (quantity
@@ -2585,7 +2610,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ)

@@ -103,6 +103,22 @@ class ProfileSpec extends AnyFunSuite {
       s"got top1=${h.getDouble(2)} gini=${h.getDouble(3)}")
   }
 
+  test("spearman: exact on monotone, anti-monotone, and hand-computed permuted data") {
+    // perfectly monotone: rho = 1 regardless of nonlinearity
+    val mono = (1L to 50L).map(i => (i, i.toDouble, (i * i).toDouble))
+    val r1 = Profile.spearman(mono.toDF("id", "x", "y"), "id", "x", "y").head()
+    assert(r1.getLong(0) == 50 && r1.getLong(1) == 0 && r1.getDouble(2) == 1.0)
+    // anti-monotone: rho = -1
+    val anti = (1L to 50L).map(i => (i, i.toDouble, -i.toDouble))
+    assert(Profile.spearman(anti.toDF("id", "x", "y"), "id", "x", "y")
+      .head().getDouble(2) == -1.0)
+    // hand-computed permutation: x ranks 1..4, y order (2,1,4,3) -> d = ±1
+    // each, sum_d2 = 4, rho = 1 - 24/(4*15) = 0.6
+    val perm = Seq((1L, 1.0, 20.0), (2L, 2.0, 10.0), (3L, 3.0, 40.0), (4L, 4.0, 30.0))
+    val r3 = Profile.spearman(perm.toDF("id", "x", "y"), "id", "x", "y").head()
+    assert(r3.getLong(1) == 4 && r3.getDouble(2) == 0.6)
+  }
+
   test("hllRegisters: hand-computed buckets and rho; duplicate-insensitive; mergeable by MAX") {
     // p=8, value width w=22: rho = 23 - bitlen(h >> 8), or 23 when the
     // value bits are all zero

@@ -200,7 +200,10 @@ object Eval {
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         org.apache.spark.sql.GraftBridge.expression(conf),
         org.apache.spark.sql.catalyst.expressions.Literal(width)))
-    df.where(conf.isNotNull && y.isNotNull)
+    // contract: conf must already be in milli-units — out-of-range rows
+    // (negative, or >= 1000) are excluded like nulls rather than silently
+    // landing in a phantom bin that corrupts the ECE sum
+    df.where(conf.isNotNull && y.isNotNull && conf >= 0 && conf < 1000)
       .groupBy(bin.cast("long").as("bin"))
       .agg(
         count(lit(1)).cast("long").as("n"),

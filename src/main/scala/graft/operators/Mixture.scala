@@ -147,6 +147,14 @@ object Mixture {
     * mixture/sample family uses, so the partial epoch is a uniform
     * hash-slice of the source, not its head). Broadcast quota join +
     * map-side explode; zero shuffles on the corpus.
+    *
+    * Bound: each SOURCE must hold fewer than 2^32 rows — the partial-epoch
+    * threshold is the exact integer ⌊(quota mod n)·2^31 / n⌋ and the
+    * intermediate product needs (quota mod n) < 2^32 to fit a signed long.
+    * A 100 TB corpus stays inside the bound by sharding any larger source
+    * on a salt column before mixing (which leaves its quota proportional).
+    * Violations raise at runtime instead of silently dropping the partial
+    * epoch to a negative threshold.
     */
   def unimaxApply(df: DataFrame, sourceCol: String, idCol: String,
       quotas: DataFrame): DataFrame = {
@@ -157,7 +165,10 @@ object Mixture {
           org.apache.spark.sql.GraftBridge.expression(b.cast("long"))))
     val joined = df.join(broadcast(quotas), sourceCol)
       .withColumn("__full", intDiv(col("quota"), col("n")))
-      .withColumn("__thr", intDiv((col("quota") % col("n")) * 2147483648L, col("n")))
+      .withColumn("__thr",
+        when(col("n") >= 4294967296L, raise_error(
+          lit("unimaxApply: per-source n must be < 2^32 (threshold overflow); shard the source first")))
+          .otherwise(intDiv((col("quota") % col("n")) * 2147483648L, col("n"))))
       .withColumn("__reps",
         col("__full") + when(lcg31Col(col(idCol)) < col("__thr"), 1L).otherwise(0L))
       .where(col("__reps") > 0)

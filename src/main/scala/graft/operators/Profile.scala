@@ -185,8 +185,12 @@ object Profile {
   def spearman(df: DataFrame, idCol: String, xCol: String, yCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // pairwise deletion: a null in EITHER column excludes the row from both
+    // rankings (same null discipline as auc/aucBy) instead of failing at
+    // Dataset encoding time
+    val clean = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
     def ranks(c: String) = graft.core.Flow(
-        df.select(col(c).cast("double"), col(idCol).cast("long")).as[(Double, Long)])
+        clean.select(col(c).cast("double"), col(idCol).cast("long")).as[(Double, Long)])
       .rankBy(identity)
       .toDF.toDF("__r", "__vk")
       .select(col("__vk._2").as("__id"), col("__r"))

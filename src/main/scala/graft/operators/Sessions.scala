@@ -157,13 +157,19 @@ object Sessions {
   def cohortRetention(df: DataFrame, keyCol: String, tsCol: String,
       bucket: Long): DataFrame = {
     require(bucket > 0, s"bucket must be positive, got $bucket")
-    def intDiv(a: Column): Column =
+    // TRUE floor division (pmod-adjusted): Spark's IntegralDivide truncates
+    // toward zero, which would bucket pre-epoch (negative) timestamps off by
+    // one vs DuckDB's floor-semantics `//`. (ts − pmod(ts, bucket)) is exactly
+    // divisible by bucket, so the quotient is floor(ts / bucket) for any sign.
+    def floorDiv(a: Column): Column = {
+      val al = a.cast("long")
       org.apache.spark.sql.GraftBridge.column(
         org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.GraftBridge.expression(a.cast("long")),
+          org.apache.spark.sql.GraftBridge.expression(al - pmod(al, lit(bucket))),
           org.apache.spark.sql.catalyst.expressions.Literal(bucket)))
+    }
     val periods = df.select(col(keyCol).as("__k"),
-      intDiv(col(tsCol)).as("__p")).distinct()
+      floorDiv(col(tsCol)).as("__p")).distinct()
     val first = periods.groupBy(col("__k")).agg(min(col("__p")).as("__cohort"))
     periods.join(first, Seq("__k"))
       .groupBy(col("__cohort").as("cohort"),

@@ -164,4 +164,16 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(applied.sorted.sameElements(again.sorted))
   }
+
+  test("unimaxApply: a source claiming n >= 2^32 raises instead of overflowing the threshold") {
+    val df = Seq(("a", 1L), ("a", 2L)).toDF("src", "id")
+    // hand-built quotas row violating the documented per-source bound; the
+    // partial-epoch product (quota mod n)·2^31 would overflow a signed long
+    val quotas = Seq(("a", 4294967296L, 4294967297L)).toDF("src", "n", "quota")
+    val ex = intercept[Exception](
+      Mixture.unimaxApply(df, "src", "id", quotas).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("2^32")), s"got $ex")
+  }
 }

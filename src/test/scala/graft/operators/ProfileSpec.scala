@@ -119,6 +119,17 @@ class ProfileSpec extends AnyFunSuite {
     assert(r3.getLong(1) == 4 && r3.getDouble(2) == 0.6)
   }
 
+  test("spearman: null x or y rows are pairwise-deleted, not an encoding error") {
+    // two null-bearing rows drop; the surviving 4 rows are the hand-computed
+    // permutation above (rho = 0.6)
+    val rows = Seq(
+      (1L, Some(1.0), Some(20.0)), (2L, Some(2.0), Some(10.0)),
+      (3L, Some(3.0), Some(40.0)), (4L, Some(4.0), Some(30.0)),
+      (5L, None, Some(99.0)), (6L, Some(99.0), None))
+    val r = Profile.spearman(rows.toDF("id", "x", "y"), "id", "x", "y").head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4 && r.getDouble(2) == 0.6)
+  }
+
   test("hllRegisters: hand-computed buckets and rho; duplicate-insensitive; mergeable by MAX") {
     // p=8, value width w=22: rho = 23 - bitlen(h >> 8), or 23 when the
     // value bits are all zero

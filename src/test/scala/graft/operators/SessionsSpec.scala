@@ -90,4 +90,15 @@ class SessionsSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
     assert(r == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (2L, 0L) -> 1L, (2L, 1L) -> 1L))
   }
+
+  test("cohortRetention: pre-epoch (negative) timestamps bucket by FLOOR division") {
+    // ts = -3 with bucket 10 is period -1 under floor semantics (DuckDB `//`);
+    // truncate-toward-zero would put it in period 0 and shift the cohort
+    val ev = Seq((1L, -3L), (1L, 7L), (2L, -20L), (2L, -11L)).toDF("user", "ts")
+    val r = Sessions.cohortRetention(ev, "user", "ts", bucket = 10L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // user 1: periods {-1, 0} -> cohort -1, offsets 0 and 1
+    // user 2: periods {-2}    -> cohort -2, offset 0 (both events same period)
+    assert(r == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L, (-2L, 0L) -> 1L))
+  }
 }

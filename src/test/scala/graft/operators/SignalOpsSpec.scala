@@ -429,6 +429,15 @@ class SignalOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Eval.calibrationBins(df, "c", "y", 7))
   }
 
+  test("calibrationBins: out-of-range confidences are excluded, not phantom-binned") {
+    // 1000 and -5 are outside [0, 1000) — both must drop (1000 would land in
+    // a phantom bin 10 and -5 in bin 0 with a corrupting negative conf_sum)
+    val df = Seq((50L, 1), (1000L, 1), (-5L, 0)).toDF("c", "y")
+    val r = Eval.calibrationBins(df, "c", "y", nBins = 10)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r == Map(0L -> 1L))
+  }
+
   test("kappa: textbook confusion matrix gives exact 0.4") {
     // tp=20 fp=5 fn=10 tn=15: po=0.7, pe=0.5 -> kappa = 0.4
     val rows = Seq.fill(20)((1, 1)) ++ Seq.fill(5)((1, 0)) ++

@@ -88,5 +88,38 @@ def main(sf_dir, out_dir):
     print(f"\n{len(results) - bad}/{len(results)} pass")
     return 1 if bad else 0
 
+def bench_check(path):
+    """Assert a committed bench artifact parses and every lane is valid —
+    the r9 failure mode (null parse / invalid lane) as a machine gate.
+    Accepts either the raw one-line Bench JSON (bench_out.json) or a
+    driver BENCH_r*.json wrapper with a `parsed` field."""
+    try:
+        doc = json.load(open(path))
+    except Exception as e:
+        print(f"XX {path}: does not parse as JSON ({e})")
+        return 1
+    parsed = doc.get("parsed", doc) if isinstance(doc, dict) else None
+    if not isinstance(parsed, dict) or parsed.get("metric") != "total":
+        print(f"XX {path}: no parsed bench payload (parsed={str(parsed)[:80]})")
+        return 1
+    bad = 0
+    for lane, key in [("sf0.1", "valid"), ("x16", "valid_x16"), ("len", "valid_len")]:
+        v = parsed.get(key)
+        if v is not True:
+            print(f"XX {path}: lane {lane} is not valid ({key}={v})"); bad += 1
+        else:
+            drift = parsed.get("drift_pct" + key[len("valid"):], "?")
+            print(f"   lane {lane}: valid (drift {drift}%)")
+    return 1 if bad else 0
+
+USAGE = """usage:
+  selfcheck.py <sf_dir> <verify_out_dir>   correctness gate (DuckDB oracle compare)
+  selfcheck.py --bench <bench_json>        bench-artifact gate (parses + all lanes valid)"""
+
 if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--bench":
+        sys.exit(bench_check(sys.argv[2]))
+    if len(sys.argv) != 3:
+        print(USAGE)
+        sys.exit(2)
     sys.exit(main(sys.argv[1], sys.argv[2]))

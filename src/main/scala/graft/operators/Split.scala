@@ -149,7 +149,9 @@ object Split {
     * index from zipWithIndex (per-partition counts to the driver — one long
     * per partition), and the bin from exact integer arithmetic, so DuckDB
     * replays every assignment from `row_number()` alone. Costs one count
-    * job + one sort shuffle.
+    * job + one sort shuffle. At corpus scale use [[byQuantileApprox]] —
+    * sketch edges, no sort at all; the exact form is for the oracle gate
+    * and rank-exact (tie-splitting) bucket layouts.
     */
   /** Range-sort `df` by (scoreCol, idCol) and append a 0-based global
     * index `posName`; returns the indexed frame plus the total count. One
@@ -196,6 +198,54 @@ object Split {
     */
   def quantileBinSql(rnSql: String, nSql: String, nBins: Int): String =
     s"CAST((($rnSql - 1) * $nBins) // ($nSql) AS INT)"
+
+  /** The 100 TB quantile binning: bin edges from the Greenwald-Khanna
+    * sketch (`approx_percentile`, ONE streaming aggregate — partial
+    * sketches merge map-side), assignment a pure map-side comparison
+    * chain against the nBins−1 collected cut values (driver state =
+    * nBins−1 scalars). No global sort anywhere — the scale path
+    * [[byQuantile]]'s scaladoc promises.
+    *
+    * Semantics differ from [[byQuantile]] in exactly one way: bins are
+    * VALUE-based (`bin = #{cuts strictly below score}`), so tied scores
+    * always share a bin instead of being rank-split by id — the better
+    * behavior for curriculum/bucketing, and the only one a sketch can
+    * give. Bin populations are therefore approximately (not exactly)
+    * n/nBins, with rank error ≤ n/accuracy per cut.
+    *
+    * Oracle discipline (the q_profile_numeric_approx pattern): with
+    * `accuracy ≥ n` the GK sketch keeps every sample and `query(p)`
+    * returns exactly the element at 1-based ascending rank ⌈p·n⌉ over
+    * the non-null scores — deterministic, so the whole operator
+    * hash-replays in SQL via [[approxCutRanksSql]]. Null scores take the
+    * top bin, mirroring byQuantile's NULLS LAST.
+    */
+  def byQuantileApprox(df: DataFrame, scoreCol: String, nBins: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    if (nBins == 1) return df.withColumn("bin", lit(0))
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val row = df
+      .agg(approx_percentile(col(scoreCol), typedlit(ps), lit(accuracy)).as("__cs"))
+      .head()
+    if (row.isNullAt(0)) return df.withColumn("bin", lit(0)) // all-null or empty
+    val cuts = row.getSeq[Any](0)
+    val binned = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(scoreCol) > lit(c), 1).otherwise(0)
+    }
+    df.withColumn("bin",
+      when(col(scoreCol).isNotNull, binned).otherwise(lit(nBins - 1)).cast("int"))
+  }
+
+  /** DuckDB list literal of [[byQuantileApprox]]'s exact-mode cut RANKS:
+    * 1-based ⌈p_b·n⌉ for p_b = b/nBins. The percentile doubles are
+    * printed from the SAME Scala values the Spark side passes (Double
+    * round-trip), so both engines run the identical IEEE multiply+ceil.
+    */
+  def approxCutRanksSql(nSql: String, nBins: Int): String =
+    (1 until nBins).map { b =>
+      s"CAST(ceil(${b.toDouble / nBins} * ($nSql)) AS BIGINT)"
+    }.mkString("[", ", ", "]")
 
   /** Per-bin 31-bit LCG acceptance thresholds for exact rational rates
     * `num/den` — threshold_b = num_b * 2^31 / den_b in Long arithmetic

@@ -1655,20 +1655,24 @@ object ExtQueries {
   /** Length-bucketed packing — the padding-minimizing inference/training
     * batch prep: quantile-bin documents by token count (so a batch never
     * mixes 10-token and 5000-token docs), then pack each (source, bin)
-    * stream independently at the 512-token budget. Pure composition of
-    * the shared quantile-cut and cumulative-sum generators.
+    * stream independently at the 512-token budget. Buckets come from the
+    * sketch-based [[graft.operators.Split.byQuantileApprox]] — the 100 TB
+    * path (one streaming cut aggregate + map-side assignment, no global
+    * token-count sort); accuracy ≥ n makes it exact-discrete so the whole
+    * composition stays behind the hash gate. Token-count ties share a
+    * bucket by construction — exactly what length-bucketing wants.
     */
   private val packBucketedQ = q("q_pack_bucketed",
     s"""WITH t AS (SELECT doc_id, source,
             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
           FROM documents),
-       r AS (SELECT doc_id, source, n_tokens,
-               row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
-               COUNT(*) OVER () AS n
-             FROM t),
+       nn AS (SELECT COUNT(*) AS n FROM t),
+       r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rn FROM t),
+       cuts AS (SELECT list(n_tokens ORDER BY rn) AS cs FROM r
+                WHERE rn IN (SELECT unnest(${graft.operators.Split.approxCutRanksSql("nn.n", 4)}) FROM nn)),
        b AS (SELECT doc_id, source, n_tokens,
-               ${graft.operators.Split.quantileBinSql("rn", "n", 4)} AS bin
-             FROM r),
+               CAST(len(list_filter(cuts.cs, c -> n_tokens > c)) AS INT) AS bin
+             FROM t CROSS JOIN cuts),
        c AS (SELECT doc_id, source, bin, n_tokens,
                COALESCE(SUM(n_tokens) OVER (PARTITION BY source, bin ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
@@ -1679,7 +1683,8 @@ object ExtQueries {
        FROM c""") { (s, d) =>
     val t = Tables.df(s, d, "documents")
       .select(col("doc_id"), col("source"), tokenCount(col("text")).cast("long").as("n_tokens"))
-    val binned = graft.operators.Split.byQuantile(t, "n_tokens", "doc_id", nBins = 4)
+    val binned = graft.operators.Split.byQuantileApprox(t, "n_tokens", nBins = 4,
+        accuracy = 1000000)
       .withColumn("__sb", concat_ws("|", col("source"), col("bin")))
     graft.operators.Packing.packByBudget(binned, "__sb", "doc_id", "n_tokens", budget = 512L)
       .select(col("doc_id"), col("source"), col("bin").cast("long").as("bin"),
@@ -1806,15 +1811,25 @@ object ExtQueries {
               FROM f)
        SELECT source, doc_id, rrf_score, CAST(fused_rank AS BIGINT) AS fused_rank
        FROM rr WHERE fused_rank <= 5""") { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.df(s, d, "documents")
       .withColumn("quality", qualityScore(col("text")))
       .withColumn("dist", abs(col("n_chars") - 300))
-    def ranked(order: Seq[org.apache.spark.sql.Column]) = docs.withColumn("rk",
-        row_number().over(Window.partitionBy(col("source")).orderBy(order: _*)))
-      .where(col("rk") <= 10).select(col("source"), col("doc_id"), col("rk"))
-    val u = ranked(Seq(col("quality").desc, col("doc_id").asc))
-      .unionByName(ranked(Seq(col("dist").asc, col("doc_id").asc)))
+    // ONE corpus pass: both per-source top-10 heaps ride a single bounded
+    // aggregate (k rows per source to the shuffle) — the rank-window form
+    // scanned the corpus twice (regex quality recomputed per branch) and
+    // sorted whole source partitions in single tasks. Both heaps unpack in
+    // one indexed-transform explode, so the aggregate has exactly one
+    // consumer (no re-execution, no checkpoint needed).
+    val heaps = docs.groupBy(col("source")).agg(
+      graft.functions.AggExpressions.bottomK(
+        struct((-col("quality")).as("nq"), col("doc_id")), 10).as("__hq"),
+      graft.functions.AggExpressions.bottomK(
+        struct(col("dist").as("dd"), col("doc_id")), 10).as("__hd"))
+    def ranksOf(h: String) = transform(col(h), (x, i) =>
+      struct((i + 1).cast("int").as("rk"), x.getField("doc_id").as("doc_id")))
+    val u = heaps
+      .select(col("source"), explode(concat(ranksOf("__hq"), ranksOf("__hd"))).as("e"))
+      .select(col("source"), col("e.doc_id").as("doc_id"), col("e.rk").as("rk"))
     graft.operators.Retrieval.reciprocalRankFusion(
       u, "source", "doc_id", "rk", topK = 5, k = 60L)
   }

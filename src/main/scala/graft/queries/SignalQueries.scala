@@ -831,6 +831,27 @@ object SignalQueries {
     Split.byQuantile(scored, "quality", "doc_id", nBins = 10)
   }
 
+  /** The sketch twin of q_quality_bins (the q_profile_numeric_approx
+    * discipline): accuracy ≥ n makes the GK sketch exact-discrete — cut_b
+    * is the element at 1-based rank ⌈(b/10)·n⌉ — so the 100 TB code path
+    * itself (one streaming aggregate + map-side comparisons, NO global
+    * sort) sits behind the hash gate. Bins are value-based: tied scores
+    * share a bin (vs q_quality_bins' rank-split by doc_id).
+    */
+  private val qualityBinsApproxQ = q("q_quality_bins_approx",
+    s"""WITH qd AS (${ExtQueries.QualityDocsSql}),
+       nn AS (SELECT COUNT(*) AS n FROM qd),
+       r AS (SELECT quality, row_number() OVER (ORDER BY quality) AS rn FROM qd),
+       cuts AS (SELECT list(quality ORDER BY rn) AS cs FROM r
+                WHERE rn IN (SELECT unnest(${Split.approxCutRanksSql("nn.n", 10)}) FROM nn))
+       SELECT doc_id, quality,
+              CAST(len(list_filter(cuts.cs, c -> quality > c)) AS INT) AS bin
+       FROM qd CROSS JOIN cuts""") { (s, d) =>
+    val scored = Tables.df(s, d, "documents")
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    Split.byQuantileApprox(scored, "quality", nBins = 10, accuracy = 1000000)
+  }
+
   // ---- Quality-curriculum sampling: keep rate rises with the decile
   // ((b+1)/10 — drop 90% of the worst bin, keep all of the best), every
   // decision replayed from (id, bin) alone.
@@ -941,6 +962,6 @@ object SignalQueries {
     aucQ, aucBySourceQ, confusionQ, evalRankQ, evalRankAggQ, evalEceQ, evalKappaQ,
     hllRegistersQ, hllEstimateQ, hllBySourceQ,
     resampleQ, resampleRollingQ,
-    embedPoolQ, qualityBinsQ, curriculumQ, profileVecQ, pipelineCuratedQ,
+    embedPoolQ, qualityBinsQ, qualityBinsApproxQ, curriculumQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)
 }

@@ -180,6 +180,47 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(again == rows.map(x => x._1 -> x._3).toMap)
   }
 
+  test("byQuantileApprox: exact-mode cuts are the ceil(p*n)-rank elements; value-based bins; ties share a bin") {
+    // n = 103 chosen so p*n is never integral — the rank rule ceil(p*n)
+    // must hold away from the easy divisible case
+    val n = 103
+    val df = (0 until n).map(i => (i.toLong, (i * 37 % n).toDouble)).toDF("id", "score")
+    val binned = Split.byQuantileApprox(df, "score", nBins = 10, accuracy = 1000000)
+    val rows = binned.collect().map(x => (x.getLong(0), x.getDouble(1), x.getInt(2)))
+    // local reference: cuts = sorted(score)[ceil(p*n) - 1], bin = #cuts < score
+    val sorted = rows.map(_._2).sorted
+    val cuts = (1 until 10).map(b => sorted(math.ceil(b.toDouble / 10 * n).toInt - 1))
+    val expect = rows.map { case (id, s, _) => id -> cuts.count(_ < s) }.toMap
+    assert(rows.map(x => x._1 -> x._3).toMap == expect)
+    // layout independence (sketch merge across a different partitioning)
+    val again = Split.byQuantileApprox(df.repartition(7), "score", 10, 1000000)
+      .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(again == expect)
+    // ties share a bin: constant column -> everything in bin 0
+    val const = (0 until 40).map(i => (i.toLong, 5.0)).toDF("id", "score")
+    assert(Split.byQuantileApprox(const, "score", 4, 1000000)
+      .collect().forall(_.getInt(2) == 0))
+  }
+
+  test("byQuantileApprox: nulls take the top bin; sketch regime stays monotone") {
+    val withNulls = ((0 until 50).map(i => (i.toLong, Some(i.toDouble))) :+
+      (99L, Option.empty[Double])).toDF("id", "score")
+    val b = Split.byQuantileApprox(withNulls, "score", 5, 1000000)
+      .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(b(99L) == 4, "null score lands in the top bin (NULLS LAST discipline)")
+    // sketch regime (accuracy << n): bins still respect score order and
+    // sizes stay near n/nBins within the GK rank-error envelope
+    val big = (0 until 10000).map(i => (i.toLong, (i * 7919 % 10000).toDouble)).toDF("id", "score")
+    val sk = Split.byQuantileApprox(big, "score", 10, accuracy = 100)
+      .collect().map(x => (x.getDouble(1), x.getInt(2)))
+    val byBin = sk.groupBy(_._2)
+    assert(byBin.keySet == (0 until 10).toSet)
+    (0 until 9).foreach { b =>
+      assert(byBin(b).map(_._1).max <= byBin(b + 1).map(_._1).min) }
+    // rank error <= n/accuracy = 100 per cut edge
+    byBin.values.foreach(v => assert(math.abs(v.size - 1000) <= 200, s"bin size ${v.size}"))
+  }
+
   test("curriculumSample: keep decision replays from (id, bin); rates honored per bin") {
     val df = (0 until 2000).map(i => (i.toLong, (i * 37 % 2000).toDouble)).toDF("id", "score")
     val rates = (1L to 10L).map(b => (b, 10L))

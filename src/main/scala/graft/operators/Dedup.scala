@@ -438,9 +438,29 @@ object Dedup {
     * shingle in f docs contributes f² join rows, so at corpus scale a
     * handful of ubiquitous shingles dominate the join; capping bounds the
     * quadratic term while sizes (the denominators) stay exact. Pairs whose
-    * every common shingle is hot are missed — acceptable for near-dup
-    * mining, not for an exact report. (See the in-body note for why
-    * PPJoin prefix filtering was measured and rejected here.)
+    * every common shingle is hot are missed — and on corpora where the
+    * SIGNAL rides hot shingles that miss rate is catastrophic, which is
+    * why the cap stays OPT-IN rather than a default (round-11
+    * measurement on the x16 synthetic corpus, ProbeJac2 + SCALE.md: the
+    * 2-gram df histogram is BIMODAL — 496 discriminative shingles at
+    * df ≤ 50 vs ~14.4k template shingles at df 200–338 carrying 99.99%
+    * of Σf² — and ANY binding cap keeps only 15 of 11,552 jaccard ≥ 0.1
+    * pairs, 13 of 256 at ≥ 0.5, because even true near-duplicates share
+    * mostly template shingles there). Use the cap when the df head is
+    * boilerplate, not vocabulary: the q_ngram_jaccard_capped oracle pins
+    * the capped path's exact semantics either way. Two more measured
+    * dead ends recorded for the next reader: posting-list deduplication
+    * (folding shingles with identical doc sets into one weighted
+    * super-shingle) is a no-op on this corpus — all 14,896 posting lists
+    * are distinct — and the grouped-array pair generator (collect_list +
+    * slice explode) measured 4× SLOWER than this self-join (150 s vs
+    * 31-36 s at x16) because slice() copies the tail array per element.
+    * The self-join + map-side-combined count agg below IS the optimal
+    * exact shape: it runs as one broadcast-hash-join stage with partial
+    * aggregation, and its cost is the irreducible Σf² row stream
+    * (1.17 G rows → 165 M distinct pairs at x16, ~31 s on 32 cores).
+    * (See the in-body note for why PPJoin prefix filtering was measured
+    * and rejected here too.)
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 3, threshold: Double = 0.5,

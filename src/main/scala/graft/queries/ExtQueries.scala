@@ -413,6 +413,35 @@ object ExtQueries {
       shingle = 2, threshold = 0.1)
   }
 
+  /** The df-capped candidate-generation path of ngramJaccardPairs under
+    * its own hash gate: shingles in > 25 documents are dropped from the
+    * JOIN only (sizes stay exact, so the reported jaccard is the exact
+    * cold-shingle underestimate both engines compute identically). The
+    * cap is the 100 TB Zipf-head defense; it binds at every test SF
+    * (632-669 hot shingles excluded) so the gate exercises the real
+    * pruned plan, not a no-op.
+    */
+  private val ngramJaccardCappedQ = q("q_ngram_jaccard_capped",
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                       i -> array_to_string(w[i:i+1], ' '))) AS s
+              FROM toks),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       hot AS (SELECT s FROM (SELECT s, COUNT(*) AS f FROM sh GROUP BY 1) t WHERE f > 25),
+       shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+       common AS (SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS c
+                  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+       SELECT idA, idB, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       FROM common
+       JOIN sizes sa ON sa.doc_id = idA
+       JOIN sizes sb ON sb.doc_id = idB
+       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1""") { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text",
+      shingle = 2, threshold = 0.1, maxDocFreq = Some(25L))
+  }
+
   private val dedupClustersQ = q("q_dedup_clusters",
     // connected components over the exact ngram-Jaccard pair graph
     // (same edge set as q_ngram_jaccard): every member doc labeled with
@@ -2623,7 +2652,7 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
+    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
     annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,

@@ -883,6 +883,60 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Two-level IMI coarse quantizer (Similarity.imiTopK): 8 id-seeded
+    * half-centroids per half = 64 composite cells at O(n·16)
+    * half-distance assignment work — the hierarchical quantizer that
+    * closes flat IVF's O(n·c) boundary beyond ~10⁸ vectors. The oracle
+    * replays BOTH per-half argmin assignments, the exact top-4
+    * combined-distance (dA+dB) probe combos, and the (cos DESC,
+    * neighbor) rank — the IvfOracleSql discipline on the product split.
+    */
+  private val annImiQ = q("q_ann_imi",
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cent AS (SELECT vec_id AS cell, v FROM c ORDER BY vec_id LIMIT 8),
+       cba AS (SELECT cell, v[1:32] AS cv FROM cent),
+       cbb AS (SELECT cell, v[33:64] AS cv FROM cent),
+       aa AS (SELECT vec_id, v, cell AS ca FROM (
+           SELECT c.vec_id, c.v, cba.cell,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY list_distance(c.v[1:32], cba.cv), cba.cell) AS r
+           FROM c, cba) WHERE r = 1),
+       ab AS (SELECT vec_id, cell AS cb FROM (
+           SELECT c.vec_id, cbb.cell,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY list_distance(c.v[33:64], cbb.cv), cbb.cell) AS r
+           FROM c, cbb) WHERE r = 1),
+       assigned AS (SELECT aa.vec_id, aa.v, aa.ca, ab.cb FROM aa JOIN ab USING (vec_id)),
+       qa AS (SELECT vec_id, v, ca, da FROM (
+           SELECT c.vec_id, c.v, cba.cell AS ca,
+                  list_distance(c.v[1:32], cba.cv) AS da,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY list_distance(c.v[1:32], cba.cv), cba.cell) AS r
+           FROM c, cba WHERE c.vec_id < 50) WHERE r <= 4),
+       qb AS (SELECT vec_id, cb, db FROM (
+           SELECT c.vec_id, cbb.cell AS cb,
+                  list_distance(c.v[33:64], cbb.cv) AS db,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY list_distance(c.v[33:64], cbb.cv), cbb.cell) AS r
+           FROM c, cbb WHERE c.vec_id < 50) WHERE r <= 4),
+       combos AS (SELECT vec_id, v, ca, cb FROM (
+           SELECT qa.vec_id, qa.v, qa.ca, qb.cb,
+                  row_number() OVER (PARTITION BY qa.vec_id
+                    ORDER BY qa.da + qb.db, qa.ca, qb.cb) AS r
+           FROM qa JOIN qb USING (vec_id)) WHERE r <= 4),
+       scored AS (SELECT combos.vec_id AS query_id, a.vec_id AS neighbor_id,
+                         list_cosine_similarity(combos.v, a.v) AS cos
+                  FROM combos JOIN assigned a ON combos.ca = a.ca AND combos.cb = a.cb
+                  WHERE combos.vec_id <> a.vec_id)
+       SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       FROM scored QUALIFY rank <= 10""") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    Similarity.imiTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
+      k = 10, nPerHalf = 8, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Same relation (and same oracle) as q_ann_ivf through the PERSISTENT
     * index: cell assignments written as cell-partitioned parquet once,
     * then probed with planning-time partition pruning — the probe scans
@@ -2653,7 +2707,7 @@ object ExtQueries {
     dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
-    annIvfQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
+    annIvfQ, annImiQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,

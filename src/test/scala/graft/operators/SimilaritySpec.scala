@@ -236,6 +236,49 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("imiTopK: full-coverage probing equals a cell-restricted local reference; contract holds") {
+    val df = corpus()
+    val queries = df.where($"vec_id" < 5)
+    // local reference of the ENTIRE operator: per-half argmin over the
+    // 4 lowest-id rows' halves, exact top-nProbe combos by dA+dB, cosine
+    // rank within probed composite cells
+    val all = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val books = (0L until 4L).map(i => (i, all(i)))
+    def dHalf(a: Array[Float], b: Array[Float], lo: Int, hi: Int): Double =
+      math.sqrt((lo until hi).map(j => (a(j) - b(j)).toDouble * (a(j) - b(j))).sum)
+    def assign(v: Array[Float], lo: Int, hi: Int): Long =
+      books.minBy { case (cell, cv) => (dHalf(v, cv, lo, hi), cell) }._1
+    val assigned = all.map { case (id, v) => id -> ((assign(v, 0, 4), assign(v, 4, 8))) }
+    def probes(v: Array[Float], p: Int): Seq[(Long, Long)] = {
+      val pa = books.map { case (c, cv) => (dHalf(v, cv, 0, 4), c) }.sorted.take(p)
+      val pb = books.map { case (c, cv) => (dHalf(v, cv, 4, 8), c) }.sorted.take(p)
+      (for { a <- pa; b <- pb } yield (a._1 + b._1, a._2, b._2))
+        .sorted.take(p).map(t => (t._2, t._3))
+    }
+    val got = Similarity.imiTopK(queries, df, "vec_id", "embedding", k = 5,
+      nPerHalf = 4, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { q =>
+      val cells = probes(all(q), 3).toSet
+      val expect = all.toSeq
+        .filter { case (id, _) => id != q && cells(assigned(id)) }
+        .map { case (id, v) => (-localCosine(all(q), v), id) }
+        .sorted.take(5).map(_._2)
+      val gotQ = expect.indices.map(rk => got((q, rk + 1)))
+      assert(gotQ == expect, s"query $q: got $gotQ expected $expect")
+    }
+    // full coverage sanity: nProbe = nPerHalf² probes every composite cell
+    // a query's halves can reach -> recall vs brute force within its cells
+    val wide = Similarity.imiTopK(queries, df, "vec_id", "embedding", k = 5,
+      nPerHalf = 4, nProbe = 16).collect()
+    assert(wide.nonEmpty)
+    wide.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+      assert(!rs.exists(_.getLong(1) == q))
+    }
+  }
+
   test("ivfTopK probes only nProbe cells but finds self-cell neighbors") {
     val df = corpus()
     val queries = df.where($"vec_id" < 5)

@@ -1173,7 +1173,12 @@ object ExtQueries {
               CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
        FROM ex QUALIFY rank <= 10"""
 
-  private val annIvfPqRefinedQ = q("q_ann_ivfpq_refined", IvfPqRefinedOracleSql) { (s, d) =>
+  // bench = true since round 11: q_ann_cosine (brute force) is the ANN
+  // family's ORACLE baseline row and grows quadratically by design; this
+  // is the path a 100 TB corpus actually runs (coarse cells + ADC
+  // shortlist + exact re-rank tail), so the artifact tracks both.
+  private val annIvfPqRefinedQ = q("q_ann_ivfpq_refined", IvfPqRefinedOracleSql,
+    bench = true) { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
     graft.functions.Pq.ivfTopKRefined(emb.where(col("vec_id") < 50), emb,
       "vec_id", "embedding", OracleFixtures.pqBooks, k = 10, nCells = 16,

@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions._
   * decode is REAL for the containers javax.sound.sampled parses
   * (WAV/AU/AIFF PCM, [[decodeAudioSamples]] → [[audioFingerprintDecoded]]
   * / [[decodedAudioNearDuplicates]], spec-gated on planted waveforms).
-  * Only VIDEO demux has no JDK codec and stays stubbed: `decodeStub`
-  * derives a deterministic fake feature vector from the payload bytes,
-  * and the Spark-side contract — schema, batching, partitioning, null
-  * passthrough — is real and tested; swap `decodeStub`'s body for a
-  * JNI/ffmpeg call in production.
+  * Only VIDEO demux has no JDK codec and stays stubbed — a FINAL
+  * declared boundary (round-11 probe: no ffmpeg/jcodec/javacv in the
+  * environment, zero egress): `decodeStub` derives a deterministic fake
+  * feature vector from the payload bytes, and the Spark-side contract —
+  * schema, batching, partitioning, null passthrough — is real and
+  * tested; swap `decodeStub`'s body for a JNI/ffmpeg call in production.
   */
 object Multimodal {
 
@@ -60,8 +61,10 @@ object Multimodal {
     }
   }
 
-  /** ??? in spirit — STUB decode: deterministic fake "embedding" from
-    * payload bytes (xxhash-seeded). Replace with a real codec in prod.
+  /** STUB decode (FINAL boundary, round-11 environment probe: no
+    * ffmpeg/jcodec/javacv available and zero egress): deterministic fake
+    * "embedding" from payload bytes. The swap point for a real codec is
+    * exactly this function body; everything around it is real and tested.
     */
   private[operators] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)

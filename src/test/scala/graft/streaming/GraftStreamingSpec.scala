@@ -281,6 +281,56 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("funnelStream: state survives a checkpoint kill-resume; completions exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt").toString
+    val batch1 = Seq((1L, 10L, 0), (2L, 5L, 0), (3L, 7L, 0))
+    val batch2 = Seq((1L, 20L, 1), (1L, 25L, 2), (2L, 30L, 1), (2L, 40L, 2))
+    val input = MemoryStream[(Long, Long, Int)]
+    val out = GraftStreaming.funnelStream(input.toDS(), nStages = 3)(
+      _._1, _._2, _._3)
+    // memory sinks cannot recover from a checkpoint; foreachBatch can
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def start() = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[(Long, Seq[Long])], _: Long) =>
+        df.collect().foreach(emitted.add)
+      }.start()
+    val q1 = start()
+    input.addData(batch1: _*); q1.processAllAvailable()
+    q1.stop() // the kill: state lives only in the checkpoint now
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSet ==
+      Set((1L, Seq(10L, -1L, -1L)), (2L, Seq(5L, -1L, -1L)), (3L, Seq(7L, -1L, -1L))))
+    input.addData(batch2: _*) // arrives while the query is down
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = emitted.asScala.toSeq
+      // stage 1/2 credit is only possible if the RESTORED state still holds
+      // stage 0 (the fold requires st == done.size): equality with the batch
+      // operator proves the checkpoint round-trip restored every key
+      val fin = rows.groupBy(_._1).map { case (u, g) =>
+        u -> g.map(_._2).maxBy(_.count(_ >= 0)) }
+      val batchRes = graft.operators.Sessions.funnelStages(
+          (batch1 ++ batch2).toDF("user", "ts", "st"), "user", "ts", "st", nStages = 3)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)).toSeq).toMap
+      assert(fin == batchRes, s"stream $fin != batch $batchRes")
+      assert(fin(1L) == Seq(10L, 20L, 25L) && fin(2L) == Seq(5L, 30L, 40L))
+      // exactly-once completions: across BOTH query incarnations every
+      // emitted row is a prefix-extension — no completion is ever re-issued
+      // with a different time (double-credit) or lost (state reset would
+      // restart user 1 at stage 0 with ts 20)
+      for ((u, ts1) <- rows; (u2, ts2) <- rows if u == u2) {
+        val (a, b) = (ts1.filter(_ >= 0), ts2.filter(_ >= 0))
+        assert(a.startsWith(b) || b.startsWith(a),
+          s"contradicting completions for $u across restart: $ts1 vs $ts2")
+      }
+    } finally q2.stop()
+  }
+
   test("unimaxStream: epochs agree exactly with the batch apply on the same rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -393,6 +393,63 @@ object Pq {
       "adist", k, keepScore = true)
   }
 
+  /** IMI-PQ: the two-level coarse quantizer composed with the ADC
+    * compressed sweep — hierarchical assignment
+    * ([[graft.operators.Similarity.imiTopK]]'s product split, O(2√c)
+    * half-distances per vector) over PQ codes, so BOTH corpus-linear
+    * costs of a 10⁹-vector index are sublinear/compressed: assignment
+    * beats flat IVF's O(n·c) and the candidate sweep reads m-byte codes
+    * instead of raw vectors. Codes are whole-vector (no residual mode:
+    * an IMI residual would need the concatenated composite centroid —
+    * compose with [[ivfTopK]]'s `residual` once a trained composite
+    * quantizer exists). Same deterministic id-seeded default books as
+    * the exact IMI probe, so the whole chain hash-replays (q_ann_imipq*).
+    */
+  def imiTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Float]]], k: Int,
+      nPerHalf: Int = 8, nProbe: Int = 4,
+      codebooks: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    import graft.operators.Similarity
+    val ksub = books(0).length
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val (bookA, bookB) = codebooks match {
+      case Some((a, b)) =>
+        (a.withColumnRenamed("__cells", "__cellsA"),
+          b.withColumnRenamed("__cells", "__cellsB"))
+      case None => Similarity.imiDefaultBooks(c, nPerHalf)
+    }
+    val withBooks = (df: DataFrame) => df.join(broadcast(bookA)).join(broadcast(bookB))
+    val assigned = Similarity.imiAssigned(withBooks(c), col("__cv"))
+      .select(col("neighbor_id"), col("__ca"), col("__cb"),
+        encodeCol(col("__cv"), books).as("__codes"))
+    val qProbes = Similarity.imiProbed(withBooks(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+      col("__qv"), nProbe)
+      .select(col("query_id"), lutCol(col("__qv"), books).as("__lut"),
+        col("__ca"), col("__cb"))
+    rankTail(
+      assigned.join(broadcast(qProbes), Seq("__ca", "__cb"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist", adcCol(col("__lut"), col("__codes"), ksub))
+        .where(col("adist").isNotNull),
+      "adist", k, keepScore = true)
+  }
+
+  /** IMI-PQ with the exact re-rank tail — the full production probe of a
+    * corpus-scale index: hierarchical coarse cells → ADC shortlist of
+    * k·refine → exact L2 on shortlisted raw vectors only.
+    */
+  def imiTopKRefined(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Float]]], k: Int,
+      nPerHalf: Int = 8, nProbe: Int = 4, refine: Int = 3,
+      codebooks: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val shortlist = imiTopK(queries, corpus, idCol, vecCol, books, k * refine,
+      nPerHalf, nProbe, codebooks)
+      .select(col("query_id"), col("neighbor_id"))
+    refineExact(shortlist, queries, corpus, idCol, vecCol, k)
+  }
+
   /** IVF-PQ with an exact re-rank tail (the faiss IndexRefineFlat /
     * IVFPQR discipline): ADC ranks `k * refine` candidates per query in
     * the compressed domain, then ONLY those candidates' raw vectors are

@@ -208,11 +208,47 @@ object Similarity {
   /** First/second half of an embedding, the IMI product split (`slice` is
     * 1-based; odd dims give the extra element to the second half).
     */
-  private def halfA(v: Column): Column =
+  private[graft] def halfA(v: Column): Column =
     slice(v, lit(1), (size(v) / 2).cast("int"))
-  private def halfB(v: Column): Column =
+  private[graft] def halfB(v: Column): Column =
     slice(v, (size(v) / 2).cast("int") + 1,
       (size(v) - (size(v) / 2).cast("int")).cast("int"))
+
+  /** Default IMI half-codebooks: the `nPerHalf` lowest-id rows' halves
+    * (`c` must carry `neighbor_id`/`__cv` — the [[defaultCells]]
+    * convention), as the one-row `__cellsA`/`__cellsB` relations. Shared
+    * by [[imiTopK]] and [[graft.functions.Pq.imiTopK]] so the exact and
+    * compressed probes can never disagree about the quantizer.
+    */
+  private[graft] def imiDefaultBooks(c: DataFrame, nPerHalf: Int): (DataFrame, DataFrame) = {
+    def book(h: Column => Column, name: String) =
+      c.orderBy("neighbor_id").limit(nPerHalf)
+        .agg(collect_list(struct(col("neighbor_id").as("cell"),
+          h(col("__cv")).as("centroid"))).as(name))
+    (book(halfA, "__cellsA"), book(halfB, "__cellsB"))
+  }
+
+  /** The IMI composite-cell assignment columns (`__ca`, `__cb`) for a frame
+    * already joined with the one-row `__cellsA`/`__cellsB` codebooks.
+    */
+  private[graft] def imiAssigned(df: DataFrame, vec: Column): DataFrame = df
+    .withColumn("__ca",
+      element_at(nearestCells(halfA(vec), col("__cellsA"), 1), 1)("cell"))
+    .withColumn("__cb",
+      element_at(nearestCells(halfB(vec), col("__cellsB"), 1), 1)("cell"))
+
+  /** The exploded top-`nProbe` (dA+dB) composite probe cells for a frame
+    * already joined with the codebooks: adds `__ca`/`__cb` per probe row.
+    */
+  private[graft] def imiProbed(df: DataFrame, vec: Column, nProbe: Int): DataFrame = df
+    .withColumn("__combo", explode(slice(array_sort(flatten(
+      transform(nearestCells(halfA(vec), col("__cellsA"), nProbe), a =>
+        transform(nearestCells(halfB(vec), col("__cellsB"), nProbe), b =>
+          struct((a("d") + b("d")).as("d"),
+            a("cell").as("ca"), b("cell").as("cb")))))), 1, nProbe)))
+    .withColumn("__ca", col("__combo")("ca"))
+    .withColumn("__cb", col("__combo")("cb"))
+    .drop("__combo")
 
   /** Inverted multi-index (IMI) coarse quantizer — the two-level
     * assignment that closes flat IVF's O(n·c) boundary (Babenko &
@@ -246,35 +282,21 @@ object Similarity {
       codebooks: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2Norm(col(vecCol)).as("__cn"))
-    def book(h: Column => Column, name: String) =
-      c.orderBy("neighbor_id").limit(nPerHalf)
-        .agg(collect_list(struct(col("neighbor_id").as("cell"),
-          h(col("__cv")).as("centroid"))).as(name))
     val (bookA, bookB) = codebooks match {
       case Some((a, b)) =>
         (a.withColumnRenamed("__cells", "__cellsA"),
           b.withColumnRenamed("__cells", "__cellsB"))
-      case None => (book(halfA, "__cellsA"), book(halfB, "__cellsB"))
+      case None => imiDefaultBooks(c, nPerHalf)
     }
     val withBooks = (df: DataFrame) => df.join(broadcast(bookA)).join(broadcast(bookB))
-    val assigned = withBooks(c)
-      .withColumn("__ca",
-        element_at(nearestCells(halfA(col("__cv")), col("__cellsA"), 1), 1)("cell"))
-      .withColumn("__cb",
-        element_at(nearestCells(halfB(col("__cv")), col("__cellsB"), 1), 1)("cell"))
+    val assigned = imiAssigned(withBooks(c), col("__cv"))
       .select(col("neighbor_id"), col("__cv"), col("__cn"), col("__ca"), col("__cb"))
     // nProbe² sum-combos built in-row from the two per-half probe lists,
     // sorted by (dA+dB, cellA, cellB) struct order, top nProbe kept
-    val qAssigned = withBooks(
+    val qAssigned = imiProbed(withBooks(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        l2Norm(col(vecCol)).as("__qn")))
-      .withColumn("__combo", explode(slice(array_sort(flatten(
-        transform(nearestCells(halfA(col("__qv")), col("__cellsA"), nProbe), a =>
-          transform(nearestCells(halfB(col("__qv")), col("__cellsB"), nProbe), b =>
-            struct((a("d") + b("d")).as("d"),
-              a("cell").as("ca"), b("cell").as("cb")))))), 1, nProbe)))
-      .select(col("query_id"), col("__qv"), col("__qn"),
-        col("__combo")("ca").as("__ca"), col("__combo")("cb").as("__cb"))
+        l2Norm(col(vecCol)).as("__qn"))), col("__qv"), nProbe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__ca"), col("__cb"))
     // a neighbor lives in exactly one composite cell and the probed combos
     // are distinct (ca, cb) pairs, so a (query, neighbor) pair meets once
     val scored = assigned.join(broadcast(qAssigned), Seq("__ca", "__cb"))

@@ -883,6 +883,23 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** The PRODUCTION configuration of the IMI probe: Lloyd-trained
+    * half-codebooks (kmeansCells on each product half) instead of the
+    * oracle-pinned id-seeded halves — the q_ann_ivf_trained discipline.
+    * Rows-only (iterative float k-means is not oracle-replayable) with
+    * the pinned q_ann_imi as the oracle-green twin of the same operator.
+    */
+  private val annImiTrainedQ = q("q_ann_imi_trained", twin = "q_ann_imi") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    def trained(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Similarity.kmeansCells(emb.select(col("vec_id"), h(col("embedding")).as("__h")),
+        "vec_id", "__h", nCells = 8, iters = 2)
+    Similarity.imiTopK(emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
+      k = 10, nProbe = 4,
+      codebooks = Some((trained(Similarity.halfA), trained(Similarity.halfB))))
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Two-level IMI coarse quantizer (Similarity.imiTopK): 8 id-seeded
     * half-centroids per half = 64 composite cells at O(n·16)
     * half-distance assignment work — the hierarchical quantizer that
@@ -1193,6 +1210,71 @@ object ExtQueries {
     val emb = Tables.df(s, d, "embeddings")
     AnnIndex.probeIvfPqRefined(s, ivfPqFixtureIndex(s, d), emb.where(col("vec_id") < 50),
       emb, "vec_id", "embedding", k = 10, nProbe = 4, refine = 3)
+  }
+
+  /** IMI-PQ with the exact re-rank tail (Pq.imiTopKRefined) — the
+    * hierarchical coarse quantizer COMPOSED with the ADC sweep, so both
+    * corpus-linear costs of a 10⁹-vector probe are addressed at once:
+    * O(2√c) assignment + m-byte code scan + exact tail on the shortlist
+    * only. The oracle replays the full chain: both per-half argmins, the
+    * exact top-4 dA+dB probe combos, the per-subvector ADC sum, the
+    * k·refine shortlist, and the exact-L2 re-rank.
+    */
+  private val annImiPqRefinedQ = q("q_ann_imipq_refined",
+    s"""WITH ${OracleFixtures.pqCodeCtes},
+       cent AS (SELECT vec_id AS cell, v FROM e ORDER BY vec_id LIMIT 8),
+       cba AS (SELECT cell, v[1:32] AS cv FROM cent),
+       cbb AS (SELECT cell, v[33:64] AS cv FROM cent),
+       aa AS (SELECT vec_id, cell AS ca FROM (
+           SELECT e.vec_id, cba.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.v[1:32], cba.cv), cba.cell) AS r
+           FROM e, cba) WHERE r = 1),
+       ab AS (SELECT vec_id, cell AS cb FROM (
+           SELECT e.vec_id, cbb.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.v[33:64], cbb.cv), cbb.cell) AS r
+           FROM e, cbb) WHERE r = 1),
+       assigned AS (SELECT aa.vec_id, aa.ca, ab.cb FROM aa JOIN ab USING (vec_id)),
+       iqa AS (SELECT vec_id, ca, da FROM (
+           SELECT e.vec_id, cba.cell AS ca,
+                  list_distance(e.v[1:32], cba.cv) AS da,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.v[1:32], cba.cv), cba.cell) AS r
+           FROM e, cba WHERE e.vec_id < 50) WHERE r <= 4),
+       iqb AS (SELECT vec_id, cb, db FROM (
+           SELECT e.vec_id, cbb.cell AS cb,
+                  list_distance(e.v[33:64], cbb.cv) AS db,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.v[33:64], cbb.cv), cbb.cell) AS r
+           FROM e, cbb WHERE e.vec_id < 50) WHERE r <= 4),
+       combos AS (SELECT vec_id, ca, cb FROM (
+           SELECT iqa.vec_id, iqa.ca, iqb.cb,
+                  row_number() OVER (PARTITION BY iqa.vec_id
+                    ORDER BY iqa.da + iqb.db, iqa.ca, iqb.cb) AS r
+           FROM iqa JOIN iqb USING (vec_id)) WHERE r <= 4),
+       pairs AS (SELECT combos.vec_id AS query_id, a.vec_id AS neighbor_id,
+                        ${OracleFixtures.pqAdcExpr("q", "n")} AS adist
+                 FROM combos
+                 JOIN assigned a ON combos.ca = a.ca AND combos.cb = a.cb
+                 JOIN cc q ON q.vec_id = combos.vec_id
+                 JOIN cc n ON n.vec_id = a.vec_id
+                 WHERE combos.vec_id <> a.vec_id),
+       short AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS r
+           FROM pairs) WHERE r <= 30),
+       ex AS (SELECT s.query_id, s.neighbor_id, list_distance(q.v, n.v) AS dist
+              FROM short s
+              JOIN e q ON q.vec_id = s.query_id
+              JOIN e n ON n.vec_id = s.neighbor_id)
+       SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+       FROM ex QUALIFY rank <= 10""") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    graft.functions.Pq.imiTopKRefined(emb.where(col("vec_id") < 50), emb,
+      "vec_id", "embedding", OracleFixtures.pqBooks, k = 10, nPerHalf = 8,
+      nProbe = 4, refine = 3)
   }
 
   private val multimodalQ = q("q_multimodal", twin = "q_multimodal_meta") { (s, d) => // synthetic payloads; rows-only
@@ -2711,8 +2793,8 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ,
-    annIvfQ, annImiQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
+    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ,
+    annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,

@@ -207,6 +207,24 @@ object Profile {
           .otherwise(lit(null)))
   }
 
+  /** The corpus-scale spearman: exact rank correlation over a
+    * DETERMINISTIC hash sample — rank statistics on 10^11 rows are a
+    * sampling problem, not a sorting problem ([[spearman]]'s scaladoc
+    * boundary, closed here). The keep decision is the sampling family's
+    * LCG threshold (lcg31(id) < num·2^31/den), so the sample — and
+    * therefore the whole statistic — replays bit-for-bit in any engine
+    * and sits behind the driver's hash gate; downstream is [[spearman]]
+    * itself, exact on the sampled rows. Standard error of rank
+    * correlation is ~1/√m for a sample of m, so den/num only needs to
+    * bring m to ~10^6 for 3-decimal confidence at any corpus size.
+    */
+  def spearmanSampled(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      num: Long, den: Long): DataFrame = {
+    require(den > 0 && num > 0 && num <= den, s"rate must be in (0,1]: $num/$den")
+    spearman(df.where(Split.lcg31(col(idCol)) < lit(num * 2147483648L / den)),
+      idCol, xCol, yCol)
+  }
+
   /** Hash width of the fixture hash family ([[Dedup.FixtureP]] =
     * 10^9+7 < 2^30) — the HLL value bits are what remains above the
     * bucket index.

@@ -1396,6 +1396,31 @@ object ExtQueries {
       "o_orderkey", "x", "y")
   }
 
+  /** The corpus-scale spearman (Profile.spearmanSampled): exact rank
+    * correlation over a deterministic 1/4 LCG hash sample — the
+    * bounded-sample path q_profile_spearman's scaladoc promised, itself
+    * hash-gated because the keep decision replays from the id alone and
+    * everything downstream is the exact integer machinery.
+    */
+  private val profileSpearmanSampledQ = q("q_profile_spearman_sampled",
+    s"""WITH v AS (SELECT o_orderkey AS id, o_totalprice AS x,
+                         epoch_ns(o_orderdate) AS y FROM orders
+                  WHERE ${OracleSql.lcg31("o_orderkey")} < ${1L * 2147483648L / 4L}),
+       rx AS (SELECT id, row_number() OVER (ORDER BY x, id) AS r FROM v),
+       ry AS (SELECT id, row_number() OVER (ORDER BY y, id) AS r FROM v),
+       j AS (SELECT rx.r AS a, ry.r AS b FROM rx JOIN ry USING (id))
+       SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM((a - b) * (a - b)) AS BIGINT) AS sum_d2,
+              round(1.0 - (SUM((a - b) * (a - b)) * 6.0)
+                    / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) * COUNT(*) - 1)), 6) AS spearman
+       FROM j""") { (s, d) =>
+    graft.operators.Profile.spearmanSampled(
+      Tables.df(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice").as("x"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("y")),
+      "o_orderkey", "x", "y", num = 1L, den = 4L)
+  }
+
   /** Exact Pearson correlation per group — the profiling aggregate for
     * "are these columns related" (feature audits, leakage checks). All
     * five sums run in integer units through DECIMAL(28,0) (quantity
@@ -2795,7 +2820,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ)

@@ -275,6 +275,20 @@ object Split {
   def rateThresholdSql(binSql: String, rates: Seq[(Long, Long)]): String =
     s"(${rateThresholds(rates).mkString("[", ", ", "]")})[($binSql) + 1]"
 
+  /** The corpus-scale curriculum: [[byQuantileApprox]] bins (sketch
+    * edges, no global sort) + the same per-bin LCG keep thresholds as
+    * [[curriculumSample]]. With accuracy ≥ n the bins are exact-discrete
+    * and the whole selection hash-replays; at scale the only cost above
+    * a plain filter is one streaming percentile aggregate.
+    */
+  def curriculumSampleApprox(df: DataFrame, scoreCol: String, idCol: String,
+      rates: Seq[(Long, Long)], accuracy: Int = 10000): DataFrame = {
+    val thr = rateThresholds(rates)
+    val binned = byQuantileApprox(df, scoreCol, rates.length, accuracy)
+    binned.where(lcg31(col(idCol)) <
+      element_at(typedlit(thr), col("bin") + 1))
+  }
+
   /** Deterministic corpus shuffle: a total pretraining order from the id
     * alone — `pos` = rank under (lcg31(id), id). Replayable by any engine
     * and stable across runs/layouts, which is what makes a training run

@@ -873,6 +873,28 @@ object SignalQueries {
     Split.curriculumSample(scored, "quality", "doc_id", CurriculumRates)
   }
 
+  /** The 100 TB curriculum (Split.curriculumSampleApprox): sketch-edge
+    * value bins + the same per-bin LCG keep ladder — no global sort
+    * anywhere, and still fully hash-replayed (the byQuantileApprox
+    * exact-discrete discipline composed with the threshold SQL).
+    */
+  private val curriculumApproxQ = q("q_curriculum_approx",
+    s"""WITH qd AS (${ExtQueries.QualityDocsSql}),
+       nn AS (SELECT COUNT(*) AS n FROM qd),
+       r AS (SELECT quality, row_number() OVER (ORDER BY quality) AS rn FROM qd),
+       cuts AS (SELECT list(quality ORDER BY rn) AS cs FROM r
+                WHERE rn IN (SELECT unnest(${Split.approxCutRanksSql("nn.n", 10)}) FROM nn)),
+       b AS (SELECT doc_id, quality,
+               CAST(len(list_filter(cuts.cs, c -> quality > c)) AS INT) AS bin
+             FROM qd CROSS JOIN cuts)
+       SELECT doc_id, quality, bin FROM b
+       WHERE ${OracleSql.lcg31("doc_id")} < ${Split.rateThresholdSql("bin", CurriculumRates)}""") { (s, d) =>
+    val scored = Tables.df(s, d, "documents")
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    Split.curriculumSampleApprox(scored, "quality", "doc_id", CurriculumRates,
+      accuracy = 1000000)
+  }
+
   private val CuratedParts = Seq(("train", 90L), ("val", 5L), ("test", 5L))
 
   /** The round-8 composed pipeline: quality-decile curriculum sampling →
@@ -962,6 +984,6 @@ object SignalQueries {
     aucQ, aucBySourceQ, confusionQ, evalRankQ, evalRankAggQ, evalEceQ, evalKappaQ,
     hllRegistersQ, hllEstimateQ, hllBySourceQ,
     resampleQ, resampleRollingQ,
-    embedPoolQ, qualityBinsQ, qualityBinsApproxQ, curriculumQ, profileVecQ, pipelineCuratedQ,
+    embedPoolQ, qualityBinsQ, qualityBinsApproxQ, curriculumQ, curriculumApproxQ, profileVecQ, pipelineCuratedQ,
     shuffleQ)
 }

@@ -221,6 +221,23 @@ class SignalOpsSpec extends AnyFunSuite {
     byBin.values.foreach(v => assert(math.abs(v.size - 1000) <= 200, s"bin size ${v.size}"))
   }
 
+  test("curriculumSampleApprox: same keep ladder over value-based sketch bins") {
+    val df = (0 until 2000).map(i => (i.toLong, (i * 37 % 2000).toDouble)).toDF("id", "score")
+    val rates = (1L to 10L).map(b => (b, 10L))
+    val kept = Split.curriculumSampleApprox(df, "score", "id", rates, accuracy = 1000000)
+      .collect().map(x => (x.getLong(0), x.getInt(2)))
+    // local reference: value-based bins from ceil(p*n)-rank cuts, then the
+    // LCG threshold ladder — exactly the operator's two halves
+    val scores = df.collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val sorted = scores.map(_._2).sorted
+    val cuts = (1 until 10).map(b => sorted(math.ceil(b / 10.0 * 2000).toInt - 1))
+    val thr = rates.map { case (n, d) => n * 2147483648L / d }
+    def lcg(id: Long): Long = (((id ^ (id >>> 31)) & 2147483647L) * 1103515245L + 12345L) & 2147483647L
+    val expect = scores.collect { case (id, s)
+      if lcg(id) < thr(cuts.count(_ < s)) => id }.toSet
+    assert(kept.map(_._1).toSet == expect)
+  }
+
   test("curriculumSample: keep decision replays from (id, bin); rates honored per bin") {
     val df = (0 until 2000).map(i => (i.toLong, (i * 37 % 2000).toDouble)).toDF("id", "score")
     val rates = (1L to 10L).map(b => (b, 10L))

@@ -180,6 +180,83 @@ object AnnIndex {
       queries, corpus, idCol, vecCol, k)
   }
 
+  /** [[buildIvfPq]]'s hierarchical sibling: PQ codes laid out under the
+    * IMI composite cell as TWO-LEVEL directory partitioning
+    * (`__ca=<a>/__cb=<b>/`), so a probe prunes on both halves at
+    * planning time. At 10⁹ vectors this is the index whose BUILD is also
+    * sublinear in the cell count: assignment scores 2√c half-centroids
+    * per vector ([[Similarity.imiTopK]]'s boundary argument), and the
+    * on-disk asset stays m bytes per vector.
+    */
+  def buildImiPq(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      books: Array[Array[Array[Float]]], nPerHalf: Int = 8,
+      codebooks: Option[(DataFrame, DataFrame)] = None): Unit = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val (bookA, bookB) = codebooks match {
+      case Some((a, b)) =>
+        (a.withColumnRenamed("__cells", "__cellsA"),
+          b.withColumnRenamed("__cells", "__cellsB"))
+      case None => Similarity.imiDefaultBooks(c, nPerHalf)
+    }
+    Similarity.imiAssigned(c.join(broadcast(bookA)).join(broadcast(bookB)), col("__cv"))
+      .select(col("neighbor_id"), col("__ca"), col("__cb"),
+        graft.functions.Pq.encodeCol(col("__cv"), books).as("__codes"))
+      .write.mode("overwrite").partitionBy("__ca", "__cb").parquet(path)
+    bookA.write.mode("overwrite").parquet(path + "/_cellsA")
+    bookB.write.mode("overwrite").parquet(path + "/_cellsB")
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (sub, j) =>
+      sub.zipWithIndex.map { case (cent, ci) => (j, ci, cent.toSeq) }
+    }.toSeq.toDF("sub", "centroid", "values")
+      .write.mode("overwrite").parquet(path + "/_codebooks")
+  }
+
+  /** ADC + exact-tail probe of a [[buildImiPq]] index. Pruning is the
+    * RECTANGLE of probed half-cells (`__ca IN (…) AND __cb IN (…)` —
+    * partition filters on both directory levels, ≤ nProbe² cells read
+    * where the probed combos are ≤ nProbe); the exact combo selection
+    * happens in the (ca, cb) equi-join, so results are identical to
+    * [[graft.functions.Pq.imiTopKRefined]] with the same quantizer and
+    * codebooks. `corpus` supplies raw vectors for the exact tail — the
+    * index stores codes only.
+    */
+  def probeImiPqRefined(spark: SparkSession, path: String, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4, refine: Int = 3): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val books: Array[Array[Array[Float]]] = spark.read.parquet(path + "/_codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    val ksub = books(0).length
+    val bookA = broadcast(spark.read.parquet(path + "/_cellsA"))
+    val bookB = broadcast(spark.read.parquet(path + "/_cellsB"))
+    val q = Similarity.imiProbed(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .join(bookA).join(bookB), col("__qv"), nProbe)
+      .select(col("query_id"),
+        graft.functions.Pq.lutCol(col("__qv"), books).as("__lut"),
+        col("__ca"), col("__cb"))
+    val probed = Materialize.once(q)
+    val idx = spark.read.parquet(path)
+    def pruneOn(c: String) = {
+      val t = idx.schema(c).dataType
+      val vs = probed.select(col(c)).distinct().collect().map(r => lit(r.get(0)).cast(t))
+      col(c).isin(vs.toIndexedSeq: _*)
+    }
+    val pruned = idx.where(pruneOn("__ca") && pruneOn("__cb"))
+    val shortlist = graft.functions.Pq.rankTail(
+      pruned.join(broadcast(probed), Seq("__ca", "__cb"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist", graft.functions.Pq.adcCol(col("__lut"), col("__codes"), ksub))
+        .where(col("adist").isNotNull),
+      "adist", k * refine, keepScore = false)
+    graft.functions.Pq.refineExact(
+      shortlist.select(col("query_id"), col("neighbor_id")),
+      queries, corpus, idCol, vecCol, k)
+  }
+
   /** Compact a streamed IVF-PQ index
     * ([[graft.streaming.GraftStreaming.indexStreamIvfPq]] appends one
     * `batch=<id>` directory per microbatch — at streaming cadence that is

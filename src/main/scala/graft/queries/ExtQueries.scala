@@ -1220,7 +1220,10 @@ object ExtQueries {
     * exact top-4 dA+dB probe combos, the per-subvector ADC sum, the
     * k·refine shortlist, and the exact-L2 re-rank.
     */
-  private val annImiPqRefinedQ = q("q_ann_imipq_refined",
+  // shared by q_ann_imipq_refined (in-flight) and
+  // q_ann_imipq_refined_indexed (persistent two-level layout): same
+  // quantizer + same codebooks -> same answer
+  private val ImiPqRefinedOracleSql =
     s"""WITH ${OracleFixtures.pqCodeCtes},
        cent AS (SELECT vec_id AS cell, v FROM e ORDER BY vec_id LIMIT 8),
        cba AS (SELECT cell, v[1:32] AS cv FROM cent),
@@ -1270,11 +1273,29 @@ object ExtQueries {
               JOIN e n ON n.vec_id = s.neighbor_id)
        SELECT query_id, neighbor_id,
               CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
-       FROM ex QUALIFY rank <= 10""") { (s, d) =>
+       FROM ex QUALIFY rank <= 10"""
+
+  private val annImiPqRefinedQ = q("q_ann_imipq_refined", ImiPqRefinedOracleSql) { (s, d) =>
     val emb = Tables.df(s, d, "embeddings")
     graft.functions.Pq.imiTopKRefined(emb.where(col("vec_id") < 50), emb,
       "vec_id", "embedding", OracleFixtures.pqBooks, k = 10, nPerHalf = 8,
       nProbe = 4, refine = 3)
+  }
+
+  /** q_ann_imipq_refined through the PERSISTENT two-level index
+    * (AnnIndex.buildImiPq: PQ codes under `__ca=<a>/__cb=<b>` directory
+    * partitioning, probe prunes both levels) — SAME oracle as the
+    * in-flight twin, the q_ann_ivfpq_refined_indexed discipline.
+    */
+  private val annImiPqRefinedIndexedQ = q("q_ann_imipq_refined_indexed",
+    ImiPqRefinedOracleSql) { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_imipq_idx_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    AnnIndex.buildImiPq(emb, "vec_id", "embedding", path,
+      OracleFixtures.pqBooks, nPerHalf = 8)
+    AnnIndex.probeImiPqRefined(s, path, emb.where(col("vec_id") < 50), emb,
+      "vec_id", "embedding", k = 10, nProbe = 4, refine = 3)
   }
 
   private val multimodalQ = q("q_multimodal", twin = "q_multimodal_meta") { (s, d) => // synthetic payloads; rows-only
@@ -2818,7 +2839,7 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ,
+    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,

@@ -266,6 +266,41 @@ class AnnIndexSpec extends AnyFunSuite {
       s"partition filter wraps the partition column in a cast: $pf")
   }
 
+  test("probeImiPqRefined == Pq.imiTopKRefined; plan prunes BOTH directory levels") {
+    val df = corpus()
+    val queries = df.where($"vec_id" < 20)
+    val books = graft.functions.Pq.train(df, "vec_id", "embedding",
+      m = 4, ksub = 8, sampleSize = 300)
+    val path = "target/io_tmp/imipq_idx_spec"
+    AnnIndex.buildImiPq(df, "vec_id", "embedding", path, books, nPerHalf = 4)
+    val got = AnnIndex.probeImiPqRefined(spark, path, queries, df,
+        "vec_id", "embedding", k = 5, nProbe = 3, refine = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    val want = graft.functions.Pq.imiTopKRefined(queries, df, "vec_id", "embedding",
+        books, k = 5, nPerHalf = 4, nProbe = 3, refine = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // both composite-cell directory levels must prune at planning time
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      val probe = AnnIndex.probeImiPqRefined(spark, path, queries, df,
+        "vec_id", "embedding", k = 5, nProbe = 3, refine = 2)
+      probe.count()
+      probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(scans.nonEmpty, "expected a partition-filtered index scan")
+    val refs = scans.flatMap(_.partitionFilters).flatMap(_.references.map(_.name)).toSet
+    assert(refs == Set("__ca", "__cb"),
+      s"partition filters must target both __ca and __cb: $refs")
+    assert(!scans.flatMap(_.partitionFilters).exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Cast])),
+      s"partition filter wraps a partition column in a cast")
+  }
+
   test("probeSpans == duplicateSpans when probing the build corpus; index side reads bucketed") {
     val shared = "one two three four five six seven eight nine ten"
     val d = Seq(

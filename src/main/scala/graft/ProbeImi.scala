@@ -11,6 +11,15 @@ import graft.queries.Tables
   * centroids (4·√c/c of the flat multiply-adds). Recall is measured for
   * both against brute-force ground truth on 50 queries at equal probe
   * fan-out.
+  *
+  * Compressed-path row (x16, m=8/ksub=16, refine 3, matched dial
+  * c=1024): IVF-PQ refined 9.9 s vs IMI-PQ refined 3.4 s — the 3× is
+  * the assignment. Recall for BOTH sits low there (0.23 / 0.16)
+  * because the synthetic embeddings are RANDOM — PQ's documented worst
+  * case (Pq.topK scaladoc: recall@10 0.20-0.71 on random vectors by
+  * dial; clustered real corpora sit far higher) — and c=1024 cells
+  * over 32k vectors at nProbe=64 reads only ~6% of the corpus. The
+  * exact-path rows isolate the quantizer itself from ADC noise.
   */
 object ProbeImi {
   def main(args: Array[String]): Unit = {
@@ -29,6 +38,17 @@ object ProbeImi {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def recall(rows: Array[org.apache.spark.sql.Row]): Double =
       (rows.map(r => (r.getLong(0), r.getLong(1))).toSet & truth).size.toDouble / truth.size
+    // compressed-path comparison at one matched dial: IVF-PQ vs IMI-PQ
+    // (both with exact re-rank tails), plus the persistent IMI index probe
+    val books = graft.functions.Pq.train(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, sampleSize = 2048)
+    val ivfpq = time("ivfpq refined c=1024 nProbe=64")(
+      graft.functions.Pq.ivfTopKRefined(queries, emb, "vec_id", "embedding",
+        books, k = 10, nCells = 1024, nProbe = 64, refine = 3).collect())
+    val imipq = time("imipq refined 2x32 nProbe=64")(
+      graft.functions.Pq.imiTopKRefined(queries, emb, "vec_id", "embedding",
+        books, k = 10, nPerHalf = 32, nProbe = 64, refine = 3).collect())
+    println(f"[imi] compressed recall: ivfpq ${recall(ivfpq)}%.3f  imipq ${recall(imipq)}%.3f")
     for (cPerHalf <- Seq(16, 32, 64)) {
       val c = cPerHalf * cPerHalf
       // warm page cache per round so assignment timing is pure compute

@@ -237,6 +237,36 @@ object Split {
       when(col(scoreCol).isNotNull, binned).otherwise(lit(nBins - 1)).cast("int"))
   }
 
+  /** Per-GROUP sketch quantile binning: [[byQuantileApprox]] with
+    * independent cut edges per `groupCol` value — per-source length
+    * buckets, per-language quality deciles, the batch-prep shape where a
+    * global quantile would let one verbose source claim every top bin.
+    * ONE streaming grouped sketch aggregate (partials merge map-side),
+    * then a broadcast join of the ≤|groups|·(nBins−1) cut arrays and a
+    * map-side comparison; no sort, no window, nothing corpus-sized
+    * leaves the executors. Group cardinality must be broadcast-sized
+    * (sources/languages — the [[graft.operators.Mixture]] contract).
+    * Same exact-discrete-at-accuracy ≥ n oracle discipline; score nulls
+    * take the group's top bin, rows of an all-null group bin 0.
+    */
+  def byQuantileApproxBy(df: DataFrame, groupCol: String, scoreCol: String,
+      nBins: Int, accuracy: Int = 10000): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    if (nBins == 1) return df.withColumn("bin", lit(0))
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(approx_percentile(col(scoreCol), typedlit(ps), lit(accuracy)).as("__cs"))
+    val binExpr = aggregate(col("__cs"), lit(0),
+      (acc, c) => acc + when(col(scoreCol) > c, 1).otherwise(0))
+    df.join(broadcast(cuts), Seq(groupCol), "left")
+      .withColumn("bin",
+        when(col(scoreCol).isNotNull && col("__cs").isNotNull, binExpr)
+          .when(col("__cs").isNotNull, lit(nBins - 1))
+          .otherwise(lit(0)).cast("int"))
+      .select(df.columns.map(col) :+ col("bin"): _*)
+  }
+
   /** DuckDB list literal of [[byQuantileApprox]]'s exact-mode cut RANKS:
     * 1-based ⌈p_b·n⌉ for p_b = b/nBins. The percentile doubles are
     * printed from the SAME Scala values the Spark side passes (Double

@@ -221,6 +221,31 @@ class SignalOpsSpec extends AnyFunSuite {
     byBin.values.foreach(v => assert(math.abs(v.size - 1000) <= 200, s"bin size ${v.size}"))
   }
 
+  test("byQuantileApproxBy: independent cut edges per group; null score takes the group top bin") {
+    // group a: scores 0..99 (quartile cuts 25/50/75-ish); group b: scores
+    // 1000..1019 — a global quantile would put ALL of b in the top bin
+    val rows = (0 until 100).map(i => ("a", i.toLong, Some(i.toDouble))) ++
+      (0 until 20).map(i => ("b", 100L + i, Some(1000.0 + i))) :+
+      (("a", 999L, Option.empty[Double]))
+    val df = rows.toDF("src", "id", "score")
+    val got = Split.byQuantileApproxBy(df, "src", "score", nBins = 4, accuracy = 1000000)
+      .collect().map(x => x.getLong(1) -> x.getInt(3)).toMap
+    // local reference per group: cuts at rank ceil(p*n), bin = #cuts < score
+    def bins(scores: Seq[Double]): Map[Double, Int] = {
+      val sorted = scores.sorted
+      val cuts = (1 until 4).map(b => sorted(math.ceil(b / 4.0 * scores.size).toInt - 1))
+      scores.map(s => s -> cuts.count(_ < s)).toMap
+    }
+    val ba = bins((0 until 100).map(_.toDouble))
+    val bb = bins((0 until 20).map(1000.0 + _))
+    (0 until 100).foreach(i => assert(got(i.toLong) == ba(i.toDouble)))
+    (0 until 20).foreach(i => assert(got(100L + i) == bb(1000.0 + i),
+      s"group b must use its OWN quartiles, got ${got(100L + i)} for ${1000 + i}"))
+    assert(got(999L) == 3, "null score lands in the group's top bin")
+    // every group spans all four bins — the per-group independence claim
+    assert((0 until 20).map(i => got(100L + i)).toSet == Set(0, 1, 2, 3))
+  }
+
   test("curriculumSampleApprox: same keep ladder over value-based sketch bins") {
     val df = (0 until 2000).map(i => (i.toLong, (i * 37 % 2000).toDouble)).toDF("id", "score")
     val rates = (1L to 10L).map(b => (b, 10L))

@@ -199,6 +199,38 @@ object Split {
   def quantileBinSql(rnSql: String, nSql: String, nBins: Int): String =
     s"CAST((($rnSql - 1) * $nBins) // ($nSql) AS INT)"
 
+  /** The distilled half of [[byQuantileApprox]]: the nBins−1 cut values
+    * from ONE streaming sketch aggregate over `df`, collected (bounded
+    * driver state — nBins−1 scalars). Empty/all-null input distills to
+    * an empty cut list (every row then bins 0). Exposed so the streaming
+    * lane can distill cuts once from a static profile and assign
+    * statelessly at ingest ([[graft.streaming.GraftStreaming]]).
+    */
+  def quantileCuts(df: DataFrame, scoreCol: String, nBins: Int,
+      accuracy: Int = 10000): Seq[Any] = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    if (nBins == 1) return Seq.empty
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val row = df
+      .agg(approx_percentile(col(scoreCol), typedlit(ps), lit(accuracy)).as("__cs"))
+      .head()
+    if (row.isNullAt(0)) Seq.empty else row.getSeq[Any](0)
+  }
+
+  /** The assignment half of [[byQuantileApprox]]: pure map-side
+    * comparison chain against already-distilled `cuts` — stateless,
+    * append-safe, usable on a stream. Null scores take the top bin.
+    */
+  def assignBins(df: DataFrame, scoreCol: String, cuts: Seq[Any],
+      nBins: Int): DataFrame = {
+    if (cuts.isEmpty) return df.withColumn("bin", lit(0))
+    val binned = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(scoreCol) > lit(c), 1).otherwise(0)
+    }
+    df.withColumn("bin",
+      when(col(scoreCol).isNotNull, binned).otherwise(lit(nBins - 1)).cast("int"))
+  }
+
   /** The 100 TB quantile binning: bin edges from the Greenwald-Khanna
     * sketch (`approx_percentile`, ONE streaming aggregate — partial
     * sketches merge map-side), assignment a pure map-side comparison
@@ -219,23 +251,13 @@ object Split {
     * the non-null scores — deterministic, so the whole operator
     * hash-replays in SQL via [[approxCutRanksSql]]. Null scores take the
     * top bin, mirroring byQuantile's NULLS LAST.
+    *
+    * Split into [[quantileCuts]] (distill) + [[assignBins]] (stateless
+    * apply) so the streaming lane can run the same assignment at ingest.
     */
   def byQuantileApprox(df: DataFrame, scoreCol: String, nBins: Int,
-      accuracy: Int = 10000): DataFrame = {
-    require(nBins > 0, s"nBins must be positive, got $nBins")
-    if (nBins == 1) return df.withColumn("bin", lit(0))
-    val ps = (1 until nBins).map(_.toDouble / nBins)
-    val row = df
-      .agg(approx_percentile(col(scoreCol), typedlit(ps), lit(accuracy)).as("__cs"))
-      .head()
-    if (row.isNullAt(0)) return df.withColumn("bin", lit(0)) // all-null or empty
-    val cuts = row.getSeq[Any](0)
-    val binned = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(col(scoreCol) > lit(c), 1).otherwise(0)
-    }
-    df.withColumn("bin",
-      when(col(scoreCol).isNotNull, binned).otherwise(lit(nBins - 1)).cast("int"))
-  }
+      accuracy: Int = 10000): DataFrame =
+    assignBins(df, scoreCol, quantileCuts(df, scoreCol, nBins, accuracy), nBins)
 
   /** Per-GROUP sketch quantile binning: [[byQuantileApprox]] with
     * independent cut edges per `groupCol` value — per-source length

@@ -224,6 +224,44 @@ object GraftStreaming {
       quotas: DataFrame): DataFrame =
     graft.operators.Mixture.unimaxApply(stream, sourceCol, idCol, quotas)
 
+  /** Streaming quantile-bin gate — assign arriving rows to population
+    * quantile bins whose cut edges were distilled ONCE from a static
+    * corpus profile ([[graft.operators.Split.quantileCuts]], the sketch
+    * aggregate). Assignment is the pure map-side comparison chain
+    * ([[graft.operators.Split.assignBins]]): no state, no watermark,
+    * append-safe, and bit-identical to the batch
+    * [[graft.operators.Split.byQuantileApprox]] when the profile IS the
+    * data (spec-gated). Re-profiling a drifting score distribution is
+    * the caller's restart policy — the [[mixtureStream]] contract.
+    */
+  def quantileBinStream(stream: DataFrame, scoreCol: String,
+      profile: DataFrame, nBins: Int, accuracy: Int = 10000): DataFrame =
+    graft.operators.Split.assignBins(stream, scoreCol,
+      graft.operators.Split.quantileCuts(profile, scoreCol, nBins, accuracy), nBins)
+
+  /** Streaming curriculum gate — [[quantileBinStream]] composed with the
+    * per-bin LCG keep ladder ([[graft.operators.Split.rateThresholds]]):
+    * keep an arriving row iff lcg31(id) clears its distilled bin's rate.
+    * Pure per-row arithmetic on distilled literals — no state, no
+    * watermark, append-safe — and exactly the rows the batch
+    * [[graft.operators.Split.curriculumSampleApprox]] keeps on the same
+    * data when the profile is the corpus itself (spec-gated).
+    */
+  def curriculumStream(stream: DataFrame, scoreCol: String, idCol: String,
+      profile: DataFrame, rates: Seq[(Long, Long)],
+      accuracy: Int = 10000): DataFrame = {
+    val binned = quantileBinStream(stream, scoreCol, profile, rates.length, accuracy)
+    val thr = graft.operators.Split.rateThresholds(rates)
+    // literal lookup, not a join: `bin` here is already a cheap chain over
+    // the stream's own score column, and stream-side broadcast joins add a
+    // per-microbatch plan cost for no pruning win on 10 literals. (The
+    // BATCH operator routes this through a broadcast join because ITS bin
+    // rides a heavy projected kernel — ProbeQap; a stream caller passing a
+    // heavy score column should project it to a real column first.)
+    binned.where(graft.operators.Split.lcg31(col(idCol)) <
+      element_at(typedlit(thr), col("bin") + 1))
+  }
+
   /** Streaming RAG chunking — [[graft.operators.Retrieval.chunkByTokens]]
     * applied at ingest: every arriving document explodes into its
     * fixed-token overlapping windows (chunk_id, n_tokens, chunk_text).

@@ -1020,6 +1020,41 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("quantileBinStream / curriculumStream == batch approx twins on the same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = (0 until 500).map(i => (i.toLong, (i * 37 % 500).toDouble))
+    val staticDf = rows.toDF("id", "score")
+    val batchBins = graft.operators.Split
+      .byQuantileApprox(staticDf, "score", nBins = 10, accuracy = 1000000)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rates = (1L to 10L).map(b => (b, 10L))
+    val batchKept = graft.operators.Split
+      .curriculumSampleApprox(staticDf, "score", "id", rates, accuracy = 1000000)
+      .select("id").as[Long].collect().toSet
+    assert(batchKept.nonEmpty && batchKept.size < rows.size)
+
+    val input = MemoryStream[(Long, Double)]
+    val df = input.toDF().toDF("id", "score")
+    val binned = GraftStreaming.quantileBinStream(df, "score",
+      profile = staticDf, nBins = 10, accuracy = 1000000)
+    val kept = GraftStreaming.curriculumStream(df, "score", "id",
+      profile = staticDf, rates, accuracy = 1000000)
+    val q1 = GraftStreaming.storeStreamMemory(binned, "qbin_stream_test")
+    val q2 = GraftStreaming.storeStreamMemory(kept, "curr_stream_test")
+    try {
+      val (a, b) = rows.splitAt(200)
+      input.addData(a); q1.processAllAvailable(); q2.processAllAvailable()
+      input.addData(b); q1.processAllAvailable(); q2.processAllAvailable()
+      val sBins = spark.table("qbin_stream_test")
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(sBins == batchBins, "stateless bin gate must assign EXACTLY the batch bins")
+      val sKept = spark.table("curr_stream_test")
+        .select("id").as[Long].collect().toSet
+      assert(sKept == batchKept, "stateless curriculum gate must keep EXACTLY the batch rows")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("lmScoreStream: stateless surprisal gate keeps exactly the batch-scored rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

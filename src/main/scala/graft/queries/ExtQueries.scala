@@ -1907,6 +1907,47 @@ object ExtQueries {
         col("example_id"), col("offset"))
   }
 
+  /** Per-source bucketed packing — the q_pack_bucketed composition with
+    * PER-GROUP bucket edges (Split.byQuantileApproxBy): each source's
+    * documents bucket against that source's own token-count quartiles
+    * before packing per (source, bin) at the 512 budget, so one verbose
+    * source cannot push every other source's docs into the bottom bins.
+    */
+  private val packBucketedByQ = q("q_pack_bucketed_by", {
+    val psList = (1 until 4).map(_.toDouble / 4).mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, source,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+       r AS (SELECT doc_id, source, n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+             FROM t),
+       ps AS (SELECT unnest($psList) AS p),
+       cj AS (SELECT r.source, r.n_tokens, ps.p
+              FROM r JOIN ps ON r.rn = CAST(ceil(ps.p * r.n) AS BIGINT)),
+       cuts AS (SELECT source, list(n_tokens ORDER BY p) AS cs FROM cj GROUP BY source),
+       b AS (SELECT t.doc_id, t.source, t.n_tokens,
+               CAST(len(list_filter(cuts.cs, c -> t.n_tokens > c)) AS INT) AS bin
+             FROM t JOIN cuts USING (source)),
+       c AS (SELECT doc_id, source, bin, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY source, bin ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+             FROM b)
+       SELECT doc_id, source, CAST(bin AS BIGINT) AS bin,
+              CAST(bef // 512 AS BIGINT) AS example_id,
+              CAST(bef % 512 AS BIGINT) AS offset
+       FROM c"""}) { (s, d) =>
+    val t = Tables.df(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val binned = graft.operators.Split.byQuantileApproxBy(t, "source", "n_tokens",
+        nBins = 4, accuracy = 1000000)
+      .withColumn("__sb", concat_ws("|", col("source"), col("bin")))
+    graft.operators.Packing.packByBudget(binned, "__sb", "doc_id", "n_tokens", budget = 512L)
+      .select(col("doc_id"), col("source"), col("bin").cast("long").as("bin"),
+        col("example_id"), col("offset"))
+  }
+
   /** Per-SOURCE sketch length-bucketing (Split.byQuantileApproxBy):
     * independent quartile edges per source — the batch-prep shape where
     * a global quantile would let one verbose source claim every top
@@ -2871,7 +2912,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, packBucketedByQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ)

@@ -275,10 +275,32 @@ object Split {
       nBins: Int, accuracy: Int = 10000): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")
     if (nBins == 1) return df.withColumn("bin", lit(0))
+    assignBinsBy(df, groupCol, scoreCol,
+      quantileCutsBy(df, groupCol, scoreCol, nBins, accuracy), nBins)
+  }
+
+  /** The distilled half of [[byQuantileApproxBy]]: the per-group cut-array
+    * relation (groupCol, __cs) from ONE grouped streaming sketch
+    * aggregate. A plain DataFrame (not collected) so the streaming lane
+    * can broadcast it as static-side state.
+    */
+  def quantileCutsBy(df: DataFrame, groupCol: String, scoreCol: String,
+      nBins: Int, accuracy: Int = 10000): DataFrame = {
+    require(nBins > 1, s"nBins must be > 1 for grouped cuts, got $nBins")
     val ps = (1 until nBins).map(_.toDouble / nBins)
-    val cuts = df.where(col(scoreCol).isNotNull)
+    df.where(col(scoreCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(approx_percentile(col(scoreCol), typedlit(ps), lit(accuracy)).as("__cs"))
+  }
+
+  /** The assignment half of [[byQuantileApproxBy]]: broadcast join of the
+    * (groupCol, __cs) cut relation + the in-row comparison fold —
+    * stateless, append-safe, usable on a stream (stream-static join).
+    * Groups absent from `cuts` (or all-null) bin 0; null scores take the
+    * group's top bin.
+    */
+  def assignBinsBy(df: DataFrame, groupCol: String, scoreCol: String,
+      cuts: DataFrame, nBins: Int): DataFrame = {
     val binExpr = aggregate(col("__cs"), lit(0),
       (acc, c) => acc + when(col(scoreCol) > c, 1).otherwise(0))
     df.join(broadcast(cuts), Seq(groupCol), "left")

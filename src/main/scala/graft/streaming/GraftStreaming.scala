@@ -239,6 +239,22 @@ object GraftStreaming {
     graft.operators.Split.assignBins(stream, scoreCol,
       graft.operators.Split.quantileCuts(profile, scoreCol, nBins, accuracy), nBins)
 
+  /** Per-GROUP streaming quantile-bin gate — arriving rows bin against
+    * THEIR GROUP's cut edges, distilled once from a static profile
+    * ([[graft.operators.Split.quantileCutsBy]] — one grouped sketch
+    * aggregate) and applied as a stream-static broadcast join + in-row
+    * fold ([[graft.operators.Split.assignBinsBy]]). No state, no
+    * watermark, append-safe; bit-identical to the batch
+    * [[graft.operators.Split.byQuantileApproxBy]] when the profile is
+    * the data (spec-gated). Groups unseen at profile time bin 0 — the
+    * restart-to-reprofile contract.
+    */
+  def quantileBinStreamBy(stream: DataFrame, groupCol: String, scoreCol: String,
+      profile: DataFrame, nBins: Int, accuracy: Int = 10000): DataFrame =
+    graft.operators.Split.assignBinsBy(stream, groupCol, scoreCol,
+      graft.operators.Split.quantileCutsBy(profile, groupCol, scoreCol, nBins, accuracy),
+      nBins)
+
   /** Streaming curriculum gate — [[quantileBinStream]] composed with the
     * per-bin LCG keep ladder ([[graft.operators.Split.rateThresholds]]):
     * keep an arriving row iff lcg31(id) clears its distilled bin's rate.

@@ -1055,6 +1055,33 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("quantileBinStreamBy == batch byQuantileApproxBy; unseen group bins 0") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = (0 until 100).map(i => ("a", i.toLong, i.toDouble)) ++
+      (0 until 20).map(i => ("b", 100L + i, 1000.0 + i))
+    val staticDf = rows.toDF("src", "id", "score")
+    val batch = graft.operators.Split
+      .byQuantileApproxBy(staticDf, "src", "score", nBins = 4, accuracy = 1000000)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val input = MemoryStream[(String, Long, Double)]
+    val binned = GraftStreaming.quantileBinStreamBy(
+      input.toDF().toDF("src", "id", "score"), "src", "score",
+      profile = staticDf, nBins = 4, accuracy = 1000000)
+    val query = GraftStreaming.storeStreamMemory(binned, "qbinby_stream_test")
+    try {
+      val (x, y) = rows.splitAt(60)
+      input.addData(x); query.processAllAvailable()
+      // a group the profile never saw arrives mid-stream -> bin 0
+      input.addData(y :+ (("zzz_new", 999L, 5.0))); query.processAllAvailable()
+      val streamed = spark.table("qbinby_stream_test")
+        .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+      assert(streamed(999L) == 0, "unseen group must bin 0 (restart-to-reprofile contract)")
+      assert((streamed - 999L) == batch,
+        "stateless per-group gate must assign EXACTLY the batch bins")
+    } finally query.stop()
+  }
+
   test("lmScoreStream: stateless surprisal gate keeps exactly the batch-scored rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

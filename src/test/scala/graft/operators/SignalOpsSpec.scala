@@ -246,6 +246,21 @@ class SignalOpsSpec extends AnyFunSuite {
     assert((0 until 20).map(i => got(100L + i)).toSet == Set(0, 1, 2, 3))
   }
 
+  test("byQuantileApproxBy plan: assignment is a broadcast join — the only shuffle is the cut sketch") {
+    val df = (0 until 500).map(i => (s"s${i % 4}", i.toLong, (i * 37 % 500).toDouble))
+      .toDF("src", "id", "score")
+    val binned = Split.byQuantileApproxBy(df, "src", "score", nBins = 4, accuracy = 1000000)
+    binned.collect()
+    val p = binned.queryExecution.executedPlan.toString
+      .split("\\+- == Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"cut assignment must ride a broadcast join:\n$p")
+    // the data side must never shuffle for ASSIGNMENT: the one allowed
+    // hashpartitioning exchange is the grouped sketch aggregate on src
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"expected at most the sketch-agg shuffle, got $shuffles:\n$p")
+  }
+
   test("curriculumSampleApprox: same keep ladder over value-based sketch bins") {
     val df = (0 until 2000).map(i => (i.toLong, (i * 37 % 2000).toDouble)).toDF("id", "score")
     val rates = (1L to 10L).map(b => (b, 10L))

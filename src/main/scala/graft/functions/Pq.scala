@@ -313,6 +313,52 @@ object Pq {
     }
   }
 
+  /** [[trainResidual]]'s IMI sibling: codebooks trained on the PER-HALF
+    * residual (vA − nearestA(vA)) ++ (vB − nearestB(vB)) for
+    * residual-mode [[imiTopK]]. `bookA`/`bookB` are the one-row
+    * `__cells`-schema half-codebook relations ([[graft.operators.Similarity.imiDefaultBooks]]
+    * / kmeansCells on each half); assignment is driver-side over the
+    * bounded sample, same as the flat trainer.
+    */
+  def trainResidualImi(df: DataFrame, idCol: String, vecCol: String,
+      bookA: DataFrame, bookB: DataFrame, m: Int = 8, ksub: Int = 16,
+      sampleSize: Int = 2048, iters: Int = 8): Array[Array[Array[Float]]] = {
+    def cents(book: DataFrame): Array[Array[Float]] = book
+      .select(explode(col(book.columns.head)).as("__c"))
+      .select(col("__c")("centroid").cast(ArrayType(FloatType)))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val (ca, cb) = (cents(bookA), cents(bookB))
+    require(ca.nonEmpty && cb.nonEmpty, "pq trainResidualImi: empty codebook relation")
+    val sample: Array[Array[Float]] = df
+      .select(col(vecCol).cast(ArrayType(FloatType)).as("__v"),
+        col(idCol).cast("string").as("__id"))
+      .where(col("__v").isNotNull)
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pq trainResidualImi: empty input")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pq trainResidualImi: dim $dim must divide into m=$m subspaces")
+    val dA = dim / 2
+    def d2(a: Array[Float], b: Array[Float], off: Int, n: Int): Double = {
+      var d = 0.0; var i = 0
+      while (i < n) { val x = a(off + i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    val residuals = sample.map { v =>
+      val bA = ca.minBy(d2(v, _, 0, dA))
+      val bB = cb.minBy(d2(v, _, dA, dim - dA))
+      Array.tabulate(dim)(i => if (i < dA) v(i) - bA(i) else v(i) - bB(i - dA))
+    }
+    val subDim = dim / m
+    Array.tabulate(m) { j =>
+      val base = j * subDim
+      val subs = residuals.map(v => java.util.Arrays.copyOfRange(v, base, base + subDim))
+      trainSubspace(subs, ksub, iters, subDim)
+    }
+  }
+
   /** Every consumer of a codebook (lut's row stride, topK/ivfTopK's ADC
     * stride) assumes a uniform ksub across subspaces; a ragged hand-built
     * codebook would silently read another subspace's LUT region.
@@ -408,7 +454,8 @@ object Pq {
   def imiTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       books: Array[Array[Array[Float]]], k: Int,
       nPerHalf: Int = 8, nProbe: Int = 4,
-      codebooks: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+      codebooks: Option[(DataFrame, DataFrame)] = None,
+      residual: Boolean = false): DataFrame = {
     import graft.operators.Similarity
     val ksub = books(0).length
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
@@ -419,13 +466,28 @@ object Pq {
       case None => Similarity.imiDefaultBooks(c, nPerHalf)
     }
     val withBooks = (df: DataFrame) => df.join(broadcast(bookA)).join(broadcast(bookB))
+    // residual = true encodes the PER-HALF residual (vA − centroidA(ca)) ++
+    // (vB − centroidB(cb)) — the paper's IMI-ADC form: PQ spends its bits
+    // on the within-composite-cell remainder instead of re-describing the
+    // cell position. The query LUT is built from the SAME per-probe
+    // residual, so adist estimates the true residual distance per cell.
+    def halfResid(vec: Column, cells: String, cell: Column, h: Column => Column): Column =
+      zip_with(h(vec),
+        element_at(filter(col(cells), cc => cc("cell") === cell), 1)("centroid"),
+        (a, b) => a - b)
+    def maybeResid(vec: Column, ca: Column, cb: Column): Column =
+      if (residual)
+        concat(halfResid(vec, "__cellsA", ca, Similarity.halfA),
+          halfResid(vec, "__cellsB", cb, Similarity.halfB))
+      else vec
     val assigned = Similarity.imiAssigned(withBooks(c), col("__cv"))
       .select(col("neighbor_id"), col("__ca"), col("__cb"),
-        encodeCol(col("__cv"), books).as("__codes"))
+        encodeCol(maybeResid(col("__cv"), col("__ca"), col("__cb")), books).as("__codes"))
     val qProbes = Similarity.imiProbed(withBooks(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
       col("__qv"), nProbe)
-      .select(col("query_id"), lutCol(col("__qv"), books).as("__lut"),
+      .select(col("query_id"),
+        lutCol(maybeResid(col("__qv"), col("__ca"), col("__cb")), books).as("__lut"),
         col("__ca"), col("__cb"))
     rankTail(
       assigned.join(broadcast(qProbes), Seq("__ca", "__cb"))
@@ -442,10 +504,11 @@ object Pq {
   def imiTopKRefined(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       books: Array[Array[Array[Float]]], k: Int,
       nPerHalf: Int = 8, nProbe: Int = 4, refine: Int = 3,
-      codebooks: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+      codebooks: Option[(DataFrame, DataFrame)] = None,
+      residual: Boolean = false): DataFrame = {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     val shortlist = imiTopK(queries, corpus, idCol, vecCol, books, k * refine,
-      nPerHalf, nProbe, codebooks)
+      nPerHalf, nProbe, codebooks, residual)
       .select(col("query_id"), col("neighbor_id"))
     refineExact(shortlist, queries, corpus, idCol, vecCol, k)
   }

@@ -162,6 +162,60 @@ class PqSpec extends AnyFunSuite {
     assert(resid >= 0.8, f"residual exact-L2 recall $resid%.2f below 0.8")
   }
 
+  test("residual imi-pq recovers within-cluster ordering that plain codes collapse") {
+    // PRODUCT-structured clusters — IMI's design assumption: 16 centers on
+    // a 4×4 grid of (halfA center, halfB center) pairs, so the trained
+    // half-codebooks recover the grid axes and composite cells align 1:1
+    // with clusters (residual = pure within-cluster jitter). On
+    // non-product data the composite centroid misses the cluster center
+    // and residual codes lose their edge — that regime is the flat
+    // residual test's territory.
+    val rnd = new scala.util.Random(13L)
+    val gridA = Array.fill(4)(Array.fill(4)(rnd.nextFloat() * 10 - 5))
+    val gridB = Array.fill(4)(Array.fill(4)(rnd.nextFloat() * 10 - 5))
+    val df = (0 until 320).map { i =>
+      val (a, b) = (i % 4, (i / 4) % 4)
+      val c = gridA(a) ++ gridB(b)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 16)
+    // trained HALF codebooks (4 per half = 16 composite cells)
+    def halfBook(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Similarity.kmeansCells(df.select(col("vec_id"), h(col("embedding")).as("__h")),
+        "vec_id", "__h", nCells = 4, iters = 4)
+    val (bookA, bookB) = (halfBook(Similarity.halfA), halfBook(Similarity.halfB))
+    def exactRecall(got: Map[Long, Set[Long]]): Double = {
+      val all = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def l2(a: Array[Float], b: Array[Float]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val want = all.filter(_._1 < 16).map { case (qid, qv) =>
+        qid -> all.filter(_._1 != qid)
+          .map { case (nid, nv) => (l2(qv, nv), nid) }
+          .sortBy(identity).take(10).map(_._2).toSet
+      }.toMap
+      want.map { case (q, ws) =>
+        got.get(q).map(gs => (gs intersect ws).size.toDouble / ws.size).getOrElse(0.0)
+      }.sum / want.size
+    }
+    def run(residual: Boolean): Double = {
+      val books =
+        if (residual) Pq.trainResidualImi(df, "vec_id", "embedding", bookA, bookB,
+          m = 4, ksub = 8, sampleSize = 320)
+        else Pq.train(df, "vec_id", "embedding", m = 4, ksub = 8, sampleSize = 320)
+      // probe ALL 16 composite cells: coarse recall is 1, so the measured
+      // gap is pure code quality
+      exactRecall(Pq.imiTopK(queries, df, "vec_id", "embedding", books, k = 10,
+          nProbe = 16, codebooks = Some((bookA, bookB)), residual = residual)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap)
+    }
+    val plain = run(residual = false)
+    val resid = run(residual = true)
+    assert(resid > plain + 0.15,
+      f"imi residual recall $resid%.2f must clearly beat plain $plain%.2f")
+    assert(resid >= 0.8, f"imi residual exact-ADC recall $resid%.2f below 0.8")
+  }
+
   test("exact re-rank tail (ivfTopKRefined) beats or matches plain ivf-pq recall") {
     val df = planted()
     val queries = df.where(col("vec_id") < 16)

@@ -900,6 +900,26 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** The PRODUCTION IMI-PQ configuration: Lloyd-trained half-codebooks +
+    * per-half RESIDUAL codes (Pq.trainResidualImi — PQ bits spent on the
+    * within-composite-cell remainder) + exact re-rank tail. Rows-only
+    * (trained quantizer + residual floats are not oracle-replayable)
+    * with the pinned q_ann_imipq_refined as the oracle-green twin of the
+    * same operator chain; PqSpec's grid fixture pins the residual win.
+    */
+  private val annImiPqResidQ = q("q_ann_imipq_resid", twin = "q_ann_imipq_refined") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    def halfBook(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Similarity.kmeansCells(emb.select(col("vec_id"), h(col("embedding")).as("__h")),
+        "vec_id", "__h", nCells = 8, iters = 2)
+    val (ba, bb) = (halfBook(Similarity.halfA), halfBook(Similarity.halfB))
+    val books = graft.functions.Pq.trainResidualImi(emb, "vec_id", "embedding",
+      ba, bb, m = 8, ksub = 16, sampleSize = 2048)
+    graft.functions.Pq.imiTopKRefined(emb.where(col("vec_id") < 50), emb,
+      "vec_id", "embedding", books, k = 10, nProbe = 4, refine = 3,
+      codebooks = Some((ba, bb)), residual = true)
+  }
+
   /** Two-level IMI coarse quantizer (Similarity.imiTopK): 8 id-seeded
     * half-centroids per half = 64 composite cells at O(n·16)
     * half-distance assignment work — the hierarchical quantizer that
@@ -2910,7 +2930,7 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ,
+    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, packBucketedByQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,

@@ -196,14 +196,17 @@ object Eval {
     val width = 1000L / nBins
     val conf = col(confMilliCol).cast("long")
     val y = col(labelCol).cast("long")
+    // conf == 1000 is probability 1.0 — a legitimate maximally-confident
+    // row; clamp it into the top bin for binning while summing its true
+    // value, so ECE still uses conf̄_b = 1.0 exactly
     val bin = org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        org.apache.spark.sql.GraftBridge.expression(conf),
+        org.apache.spark.sql.GraftBridge.expression(least(conf, lit(999L))),
         org.apache.spark.sql.catalyst.expressions.Literal(width)))
     // contract: conf must already be in milli-units — out-of-range rows
-    // (negative, or >= 1000) are excluded like nulls rather than silently
+    // (negative, or > 1000) are excluded like nulls rather than silently
     // landing in a phantom bin that corrupts the ECE sum
-    df.where(conf.isNotNull && y.isNotNull && conf >= 0 && conf < 1000)
+    df.where(conf.isNotNull && y.isNotNull && conf >= 0 && conf <= 1000)
       .groupBy(bin.cast("long").as("bin"))
       .agg(
         count(lit(1)).cast("long").as("n"),

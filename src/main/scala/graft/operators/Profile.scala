@@ -221,7 +221,11 @@ object Profile {
   def spearmanSampled(df: DataFrame, idCol: String, xCol: String, yCol: String,
       num: Long, den: Long): DataFrame = {
     require(den > 0 && num > 0 && num <= den, s"rate must be in (0,1]: $num/$den")
-    spearman(df.where(Split.lcg31(col(idCol)) < lit(num * 2147483648L / den)),
+    // multiplyExact: num ≥ 2^32 would overflow the scaled threshold into a
+    // negative long and silently sample nothing — raise instead
+    spearman(
+      df.where(Split.lcg31(col(idCol)) <
+        lit(Math.multiplyExact(num, 2147483648L) / den)),
       idCol, xCol, yCol)
   }
 

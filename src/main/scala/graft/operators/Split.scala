@@ -202,7 +202,9 @@ object Split {
   /** The distilled half of [[byQuantileApprox]]: the nBins−1 cut values
     * from ONE streaming sketch aggregate over `df`, collected (bounded
     * driver state — nBins−1 scalars). Empty/all-null input distills to
-    * an empty cut list (every row then bins 0). Exposed so the streaming
+    * an empty cut list (every non-null score then bins 0; null scores
+    * still take the top bin, as in the non-empty path). Exposed so the
+    * streaming
     * lane can distill cuts once from a static profile and assign
     * statelessly at ingest ([[graft.streaming.GraftStreaming]]).
     */
@@ -223,7 +225,9 @@ object Split {
     */
   def assignBins(df: DataFrame, scoreCol: String, cuts: Seq[Any],
       nBins: Int): DataFrame = {
-    if (cuts.isEmpty) return df.withColumn("bin", lit(0))
+    if (cuts.isEmpty) return df.withColumn("bin",
+      when(col(scoreCol).isNotNull, lit(0)).otherwise(lit(nBins - 1))
+        .cast("int"))
     val binned = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(col(scoreCol) > lit(c), 1).otherwise(0)
     }

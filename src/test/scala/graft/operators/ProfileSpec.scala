@@ -130,6 +130,18 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getLong(0) == 4 && r.getLong(1) == 4 && r.getDouble(2) == 0.6)
   }
 
+  test("spearmanSampled: num >= 2^32 raises instead of silently sampling nothing") {
+    // num * 2^31 overflows a signed long for num >= 2^32 — the threshold
+    // would go negative and the sample empty; the guard must raise
+    val df = (1L to 10L).map(i => (i, i.toDouble, i.toDouble)).toDF("id", "x", "y")
+    intercept[ArithmeticException] {
+      Profile.spearmanSampled(df, "id", "x", "y", 1L << 32, 1L << 33).head()
+    }
+    // a full-rate sample (num == den, in range) is the exact statistic
+    assert(Profile.spearmanSampled(df, "id", "x", "y", 7L, 7L)
+      .head().getDouble(2) == 1.0)
+  }
+
   test("hllRegisters: hand-computed buckets and rho; duplicate-insensitive; mergeable by MAX") {
     // p=8, value width w=22: rho = 23 - bitlen(h >> 8), or 23 when the
     // value bits are all zero

@@ -221,6 +221,19 @@ class SignalOpsSpec extends AnyFunSuite {
     byBin.values.foreach(v => assert(math.abs(v.size - 1000) <= 200, s"bin size ${v.size}"))
   }
 
+  test("assignBins: empty cut list bins non-null scores 0, nulls still take the top bin") {
+    // the empty-profile edge (all-null or empty static profile): the
+    // scaladoc's 'nulls take the top bin' contract must hold here too,
+    // matching the non-empty path's NULLS LAST discipline
+    val df = Seq((1L, Some(3.0)), (2L, Option.empty[Double])).toDF("id", "score")
+    val b = Split.assignBins(df, "score", Seq.empty, nBins = 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(b == Map(1L -> 0, 2L -> 4))
+    // degenerate nBins = 1: everything (nulls included) is bin 0
+    assert(Split.assignBins(df, "score", Seq.empty, 1)
+      .collect().forall(_.getInt(2) == 0))
+  }
+
   test("byQuantileApproxBy: independent cut edges per group; null score takes the group top bin") {
     // group a: scores 0..99 (quartile cuts 25/50/75-ish); group b: scores
     // 1000..1019 — a global quantile would put ALL of b in the top bin
@@ -527,13 +540,15 @@ class SignalOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Eval.calibrationBins(df, "c", "y", 7))
   }
 
-  test("calibrationBins: out-of-range confidences are excluded, not phantom-binned") {
-    // 1000 and -5 are outside [0, 1000) — both must drop (1000 would land in
-    // a phantom bin 10 and -5 in bin 0 with a corrupting negative conf_sum)
-    val df = Seq((50L, 1), (1000L, 1), (-5L, 0)).toDF("c", "y")
+  test("calibrationBins: conf=1000 clamps to the top bin, out-of-range drops") {
+    // 1000 is probability 1.0 — a legitimate maximally-confident row that
+    // bins into nBins-1 with its TRUE conf summed; -5 and 1001 are outside
+    // [0, 1000] and must drop (-5 would corrupt conf_sum, 1001 is invalid)
+    val df = Seq((50L, 1), (1000L, 1), (-5L, 0), (1001L, 1)).toDF("c", "y")
     val r = Eval.calibrationBins(df, "c", "y", nBins = 10)
-      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
-    assert(r == Map(0L -> 1L))
+      .collect().map(row => row.getLong(0) ->
+        (row.getLong(1), row.getLong(2), row.getLong(4))).toMap
+    assert(r == Map(0L -> ((1L, 50L, 950L)), 9L -> ((1L, 1000L, 0L))))
   }
 
   test("kappa: textbook confusion matrix gives exact 0.4") {

@@ -724,8 +724,21 @@ object Queries {
        WHERE r_name IN ('ASIA', 'EUROPE')
        GROUP BY n_name""",
     bench = true) { (s, d) =>
-    val rev = col("l_extendedprice").cast("decimal(18,2)") *
-      (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+    // integer-cents lane (round 12): the r10-r11 A/B (ProbeRevenueJoin)
+    // attributed roughly half the residual floor to per-row JVM decimal —
+    // decimal(18,2)×decimal(8,4) widens to decimal(27,6), which leaves
+    // Spark's compact long-backed Decimal (p ≤ 18) and allocates a
+    // BigDecimal PER LINEITEM ROW. The source doubles carry exactly 2
+    // (price) and ≤4 (discount) decimal digits, so the same product is
+    // exact in long micro-dollars: cents × (10000 − bp), pure codegen
+    // long arithmetic in the scan projection. Under ANSI mode a sum
+    // overflow raises instead of corrupting (per-order sums top out
+    // ~7·10^11; per-nation sums reach long range only near sf100 — at
+    // that scale flip the order-level sum's cast to decimal(38,0), which
+    // pays decimal only per ORDER, never per lineitem row).
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val bp = round(col("l_discount") * 10000).cast("long")
+    val micro = cents * (lit(10000L) - bp)
     // dimension-first join order: the region predicate prunes customers,
     // then orders, BEFORE the two big shuffles — at scale the lineitem
     // join's probe side carries only surviving orders (inner joins
@@ -750,12 +763,18 @@ object Queries {
     // full fact-shuffle sorts): build side is the region-filtered
     // (o_orderkey, n_name) projection — UNIQUE join key so no build-side
     // skew, and AQE skew-split/broadcast demotion still apply.
+    // Final rendering touches ~25 nation rows: exact micro-dollar long →
+    // decimal → ROUND half-up to cents → double, bit-identical to the
+    // oracle's CAST(ROUND(SUM(decimal), 2) AS DOUBLE) because the decimal
+    // sum equals sum_micro/10^6 exactly and both engines round the SAME
+    // scale-2 decimal into the SAME double.
     Tables.df(s, d, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(sum(rev).as("__rev"))
+      .agg(sum(micro).as("__rev_micro"))
       .join(ordF.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("__rev")), 2).cast("double").as("revenue"))
+      .agg(round(sum(col("__rev_micro")).cast("decimal(38,0)") /
+        lit(1000000L).cast("decimal(7,0)"), 2).cast("double").as("revenue"))
   }
 
   /** TPC-H Q3 shape (shipping-priority revenue; no o_shippriority column in

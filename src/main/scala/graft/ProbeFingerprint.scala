@@ -39,6 +39,18 @@ object ProbeFingerprint {
       .agg(sum(col("l"))).head().getLong(0))
     t("dedup exact e2e")(
       graft.operators.Dedup.exact(both, "doc_id", "text").count())
+    // floor attribution (r12): the same groupBy-min-count shuffle on a
+    // CHEAP 8-byte hash — e2e minus this is the md5+normalize kernel;
+    // this minus the scan is the shuffle+agg cost
+    t("groupBy on cheap hash")(both
+      .select(xxhash64(col("text")).as("__h"), col("doc_id"))
+      .groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("c")).count())
+    // bare multi-stage scheduling constant at local[32]: a 32-task
+    // shuffle job over 64 rows — no scan, no kernel, no real data
+    t("32-task shuffle constant")(spark.range(64).repartition(32)
+      .groupBy(org.apache.spark.sql.functions.pmod(col("id"), lit(4)))
+      .count().count())
     spark.stop()
   }
 }

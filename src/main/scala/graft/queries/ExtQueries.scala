@@ -58,8 +58,15 @@ object ExtQueries {
     * so dedup ops have non-trivial work and deterministic output.
     */
   private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    // one scan, not two: the union-of-shifted-ids corpus as an explode
+    // over a 2-element shift array — UNION ALL of the same table reads
+    // the parquet (and decompresses every text page) twice, and the scan
+    // was 51% of q_dedup_exact's x16 e2e (ProbeFingerprint r12); the
+    // row multiset is identical to base ∪ (base with doc_id+10000)
     val base = Tables.df(s, d, "documents")
-    base.unionByName(base.withColumn("doc_id", col("doc_id") + 10000))
+    base.select(explode(array(lit(0L), lit(10000L))).as("__shift"), col("*"))
+      .withColumn("doc_id", col("doc_id") + col("__shift"))
+      .drop("__shift")
   }
 
   private val dedupExactQ = q("q_dedup_exact",

@@ -423,10 +423,17 @@ object SignalQueries {
     val docs = Tables.df(s, d, "documents")
     val lm = graft.operators.LanguageModel.scoreAgainstSlice(docs, "doc_id", "text",
       docs.where(col("doc_id") % 3 === 0), minCount = LmMinCount)
+    // aggregate barrier (PlanAssert/ProbeQap discipline): the band
+    // predicate references `num` twice, and pushdown would split the
+    // conjunction and inline the entropy kernel into the ent-side
+    // Filter — doc_id is unique, so max-per-doc is the identity, the
+    // predicate stays above the agg, and the kernel runs exactly once
     val ent = docs.where(length(col("text")) > 0)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
         graft.functions.HashExpressions.byteEntropyBits(
           encode(col("text"), "UTF-8")).as("num"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_chars")).as("n_chars"), max(col("num")).as("num"))
     val gated = lm.join(ent, "doc_id")
       .where(col("num") * 10 >= col("n_chars") * 36 &&
         col("num") * 10 <= col("n_chars") * 44 &&
@@ -948,7 +955,16 @@ object SignalQueries {
       kept, docs.where(col("doc_id") % 50 === 0),
       "doc_id", "text", shingle = 3, mBits = BloomM, k = BloomK)
       .withColumnRenamed("contamination_bloom", "contamination")
-    val gated = kept.join(contam, Seq("doc_id"))
+    // aggregate barrier (PlanAssert/ProbeQap discipline): filtering the
+    // projected contamination directly pushes the predicate below the
+    // join and INLINES the gram+bloom kernel into the Filter (evaluated
+    // there AND again in the output projection). doc_id is unique, so a
+    // max-per-doc aggregate is the identity — but the predicate lands
+    // ABOVE it, the kernel runs exactly once, and the agg's hash
+    // partitioning on doc_id is reused by the join (no new exchange).
+    val contamB = contam.groupBy(col("doc_id"))
+      .agg(max(col("contamination")).as("contamination"))
+    val gated = kept.join(contamB, Seq("doc_id"))
       .where(col("contamination") <= 0.2)
     val withFp = gated.withColumn("fp", fingerprint(col("text")))
     val reps = withFp.groupBy("fp").agg(min(col("doc_id")).as("rep"))

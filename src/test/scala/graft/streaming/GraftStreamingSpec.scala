@@ -57,6 +57,89 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("windowedTopK: heap state survives a checkpoint kill-resume; each window emits exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_topk_ckpt").toString
+    val input = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val topk = GraftStreaming.windowedTopK(df, "ts", "0 seconds", "10 seconds",
+      col("k"), col("v"), k = 2)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, List[Int])]()
+    def start() = topk.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("key"), col("topk")).collect()
+          .foreach(r => emitted.add((r.getString(0), r.getSeq[Int](1).toList)))
+      }.start()
+    val q1 = start()
+    // window [0,10) stays OPEN: its heap buffers are checkpoint state only
+    input.addData((ts(1), "a", 3), (ts(2), "a", 9), (ts(5), "a", 7), (ts(8), "b", 4))
+    q1.processAllAvailable()
+    q1.stop() // the kill
+    import scala.jdk.CollectionConverters._
+    assert(emitted.isEmpty, "no window closed before the kill")
+    // arrives while the query is down: one more value for a's open window,
+    // then a watermark-advancing row that closes [0,10)
+    input.addData((ts(8), "a", 8), (ts(25), "a", 1))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = emitted.asScala.toList
+      // 9 and 7 exist ONLY in the restored heap; 8 only post-restart — the
+      // emitted top-2 proves the checkpointed buffer merged across the kill
+      assert(rows.count(_._1 == "a") == 1 && rows.count(_._1 == "b") == 1,
+        s"each key+window must emit exactly once across the restart: $rows")
+      assert(rows.toSet == Set(("a", List(9, 8)), ("b", List(4))),
+        s"restored-heap merge wrong: $rows")
+      // key b had NO post-restart rows at all — its emission is pure
+      // restored state
+    } finally q2.stop()
+  }
+
+  test("dedupMinHashStream: bucket state survives a checkpoint kill-resume; accepts exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mh_ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches " +
+      "from the warm windowsill and the birds sing in the old oak tree outside"
+    val other = "completely different content about distributed query engines " +
+      "planning shuffles partitions and columnar storage formats at scale"
+    val third = "a third unrelated document describing checkpoint recovery " +
+      "semantics for stateful stream operators under kill restart testing"
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val dd = GraftStreaming.dedupMinHashStream(df, "ts", "10 seconds",
+      "doc_id", "text", threshold = 0.5)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def start() = dd.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("id").collect().foreach(r => emitted.add(r.getString(0)))
+      }.start()
+    val q1 = start()
+    input.addData((ts(1), 1L, base), (ts(2), 2L, other))
+    q1.processAllAvailable()
+    q1.stop() // the kill: held signatures live only in the checkpoint now
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSet == Set("1", "2"))
+    // arrives while the query is down: an EXACT duplicate of doc 1 (same
+    // signature, same bucket — droppable only if the restored bucket still
+    // holds doc 1's signature) and a novel doc
+    input.addData((ts(3), 3L, base), (ts(4), 4L, third))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val ids = emitted.asScala.toList
+      assert(!ids.contains("3"),
+        s"doc 3 is an exact dup of pre-kill doc 1 — accepting it means the " +
+          s"restored state lost doc 1's signature: $ids")
+      assert(ids.count(_ == "4") == 1, s"novel doc accepted exactly once: $ids")
+      assert(ids.sorted == List("1", "2", "4"),
+        s"exactly-once accepted set across the restart: $ids")
+    } finally q2.stop()
+  }
+
   test("heavyHittersStream: Misra-Gries guarantee holds over everything processed so far") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -203,6 +203,18 @@ object AnnIndex {
       .select(col("neighbor_id"), col("__ca"), col("__cb"),
         graft.functions.Pq.encodeCol(col("__cv"), books).as("__codes"))
       .write.mode("overwrite").partitionBy("__ca", "__cb").parquet(path)
+    writeImiPqMeta(spark, path, bookA, bookB, books)
+  }
+
+  /** Half-codebook + PQ-codebook sidecars for an IMI-PQ layout — the
+    * [[writeIvfPqMeta]] sibling, shared by [[buildImiPq]] and the
+    * streaming ingest ([[graft.streaming.GraftStreaming.indexStreamImiPq]]
+    * appends code rows but never changes the quantizer). `bookA`/`bookB`
+    * must already carry `__cellsA`/`__cellsB` columns
+    * ([[Similarity.imiDefaultBooks]]'s shape).
+    */
+  def writeImiPqMeta(spark: SparkSession, path: String, bookA: DataFrame,
+      bookB: DataFrame, books: Array[Array[Array[Float]]]): Unit = {
     bookA.write.mode("overwrite").parquet(path + "/_cellsA")
     bookB.write.mode("overwrite").parquet(path + "/_cellsB")
     import spark.implicits._
@@ -225,6 +237,10 @@ object AnnIndex {
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4, refine: Int = 3): DataFrame = {
     require(refine >= 1, s"refine must be >= 1, got $refine")
+    // a crashed compaction install leaves a complete staged era: heal it
+    // before the scan (the probeIvfPq discipline on the two-level layout)
+    val rootPath = new org.apache.hadoop.fs.Path(path)
+    recoverCompaction(rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration), rootPath)
     val books: Array[Array[Array[Float]]] = spark.read.parquet(path + "/_codebooks")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -295,7 +311,27 @@ object AnnIndex {
     * readers during the install see missing data only if they race the
     * stop-the-world maintenance op itself.
     */
-  def compactIvfPq(spark: SparkSession, path: String): Unit = {
+  def compactIvfPq(spark: SparkSession, path: String): Unit =
+    compactEras(spark, path, Seq("neighbor_id", "__codes"), Seq("__cell"))
+
+  /** [[compactIvfPq]] on the two-level IMI layout
+    * ([[graft.streaming.GraftStreaming.indexStreamImiPq]] appends one
+    * `batch=<id>` directory per microbatch above the `__ca/__cb`
+    * directory pair): identical era/manifest/staged-swap discipline, one
+    * file per (ca, cb) composite cell after the rewrite, `_cellsA`/
+    * `_cellsB`/`_codebooks` sidecars untouched — [[probeImiPqRefined]]
+    * results are identical pre/post (spec-gated).
+    */
+  def compactImiPq(spark: SparkSession, path: String): Unit =
+    compactEras(spark, path, Seq("neighbor_id", "__codes"), Seq("__ca", "__cb"))
+
+  /** The shared era-compaction body: rewrite every code row under the
+    * given partition columns into a single fresh NEGATIVE era with one
+    * file per partition directory, with the manifest/staged-swap crash
+    * discipline documented on [[compactIvfPq]].
+    */
+  private def compactEras(spark: SparkSession, path: String,
+      dataCols: Seq[String], partCols: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -304,7 +340,7 @@ object AnnIndex {
     // still references — log-unaware compaction corrupts such an index
     require(!fs.exists(new Path(root, "_spark_metadata")),
       s"$path carries a streaming file-sink log (_spark_metadata); " +
-        "compactIvfPq only supports the foreachBatch (writeIndexBatch) layout")
+        "era compaction only supports the foreachBatch (writeIndexBatch) layout")
     recoverCompaction(fs, root) // heal a crashed prior install first
     // everything partition discovery sees is data; sidecars are _-prefixed
     val dataDirs = fs.listStatus(root).filter(s => s.isDirectory &&
@@ -314,13 +350,15 @@ object AnnIndex {
     // fresh era per compaction: one below the lowest compacted era so the
     // install target can never appear in ANY manifest's source list
     val nextEra = sources.flatMap(eraId).filter(_ < 0L).minOption.getOrElse(0L) - 1L
-    val rows = spark.read.parquet(path).select("neighbor_id", "__cell", "__codes")
+    val rows = spark.read.parquet(path)
+      .select((dataCols ++ partCols).map(col): _*)
     val tmp = new Path(path + ".__compact_tmp")
     fs.delete(tmp, true)
-    // one shuffle keyed by cell → one file per cell partition; the
-    // parquet commit protocol leaves _SUCCESS in tmp on completion
-    rows.repartition(col("__cell"))
-      .write.mode("overwrite").partitionBy("__cell").parquet(tmp.toString)
+    // one shuffle keyed by the partition columns → one file per partition
+    // directory; the parquet commit protocol leaves _SUCCESS in tmp on
+    // completion
+    rows.repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
     writeManifest(fs, tmp, s"batch=$nextEra", sources)
     fs.delete(stagedPath(root), true)
     require(fs.rename(tmp, stagedPath(root)), s"staging rename failed: $tmp")

@@ -844,12 +844,52 @@ object GraftStreaming {
     * wholesale, so replaying a batch id yields byte-equivalent state.
     * Deterministic input for a given id is guaranteed by the streaming
     * engine (offsets are committed to the checkpoint BEFORE the sink
-    * runs, so a replay reprocesses the same offset range).
+    * runs, so a replay reprocesses the same offset range). Heals a
+    * crashed compaction install first, so a resumed stream converges it
+    * instead of appending beside it forever.
     */
-  private[graft] def writeIndexBatch(batch: DataFrame, path: String, batchId: Long): Unit =
+  private[graft] def writeIndexBatch(batch: DataFrame, path: String, batchId: Long,
+      partCols: Seq[String] = Seq("__cell")): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.operators.AnnIndex.recoverCompaction(
+      root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration), root)
     batch.write.mode("overwrite")
-      .partitionBy("__cell")
+      .partitionBy(partCols: _*)
       .parquet(s"$path/batch=$batchId")
+  }
+
+  /** Stream embeddings INTO a persistent IMI-PQ index — the two-level
+    * sibling of [[indexStreamIvfPq]]: each arriving vector assigns to its
+    * (ca, cb) composite cell map-side (two one-row broadcast half-codebook
+    * joins + in-row argmin — [[graft.operators.Similarity.imiTopK]]'s
+    * assignment, no state, no shuffle), encodes to PQ codes, and each
+    * microbatch lands wholesale-overwritten under its own `batch=<id>`
+    * directory above the `__ca/__cb` directory pair — exactly the layout
+    * [[graft.operators.AnnIndex.probeImiPqRefined]] reads (all three are
+    * discovered partition columns; both-level pruning is unchanged).
+    * Exactly-once under replay, sidecar contract, and compaction
+    * ([[graft.operators.AnnIndex.compactImiPq]]) all mirror
+    * [[indexStreamIvfPq]]; `bookA`/`bookB` carry `__cellsA`/`__cellsB`
+    * and are persisted by [[graft.operators.AnnIndex.writeImiPqMeta]]
+    * before the stream starts (train batch-side, append forever).
+    */
+  def indexStreamImiPq(stream: DataFrame, idCol: String, vecCol: String,
+      path: String, checkpoint: String, bookA: DataFrame, bookB: DataFrame,
+      books: Array[Array[Array[Float]]]): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    val assigned = Similarity.imiAssigned(
+        stream.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+          .join(broadcast(bookA)).join(broadcast(bookB)),
+        col("__cv"))
+      .select(col("neighbor_id"), col("__ca"), col("__cb"),
+        graft.functions.Pq.encodeCol(col("__cv"), books).as("__codes"))
+    assigned.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeIndexBatch(batch, path, batchId, partCols = Seq("__ca", "__cb"))
+      }
+      .start()
+  }
 
   /** Stream documents INTO the persistent exact-dedup fingerprint catalog
     * ([[graft.operators.AnnIndex.buildFingerprint]] layout): each

@@ -1069,6 +1069,96 @@ class GraftStreamingSpec extends AnyFunSuite {
     assert(erasHealed.size == 1 && spark.read.parquet(path).count() == before)
   }
 
+  test("indexStreamImiPq: streamed two-level rows probe identically; compaction + torn-window heal") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(47L)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = graft.functions.Pq.train(df, "vec_id", "embedding",
+      m = 4, ksub = 8, sampleSize = 200)
+    // half-codebooks distilled batch-side once (train/build batch, append
+    // forever) — the same defaults the batch twin derives from the corpus
+    val (bookA, bookB) = graft.operators.Similarity.imiDefaultBooks(
+      df.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv")),
+      nPerHalf = 4)
+    val path = "target/io_tmp/imipq_stream_idx"
+    val checkpoint = "target/io_tmp/imipq_stream_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    graft.operators.AnnIndex.writeImiPqMeta(spark, path, bookA, bookB, books)
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = GraftStreaming.indexStreamImiPq(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path, checkpoint, bookA, bookB, books)
+    try {
+      val (b1, b2) = vecs.splitAt(100)
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+    } finally query.stop() // ingest STOPPED: the compaction contract below
+    val queries = df.where(col("vec_id") < 10)
+    def probe() = graft.operators.AnnIndex.probeImiPqRefined(spark, path, queries,
+        df, "vec_id", "embedding", k = 5, nProbe = 3, refine = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    val got = probe()
+    val want = graft.functions.Pq.imiTopKRefined(queries, df, "vec_id", "embedding",
+        books, k = 5, nPerHalf = 4, nProbe = 3, refine = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+
+    // replay idempotence (foreachBatch at-least-once): re-writing an
+    // already-written batch id replaces batch=<id> wholesale
+    val before = spark.read.parquet(path).count()
+    val replay = graft.operators.Similarity.imiAssigned(
+        df.where(col("vec_id") >= 100)
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+          .join(broadcast(bookA)).join(broadcast(bookB)),
+        col("__cv"))
+      .select(col("neighbor_id"), col("__ca"), col("__cb"),
+        graft.functions.Pq.encodeCol(col("__cv"), books).as("__codes"))
+    GraftStreaming.writeIndexBatch(replay, path, batchId = 1L,
+      partCols = Seq("__ca", "__cb"))
+    assert(spark.read.parquet(path).count() == before, "replayed batch must not duplicate rows")
+    assert(probe() == want, "probe must be stable under batch replay")
+
+    // compaction with ingest stopped: identical probe, fewer files, all
+    // data in one fresh NEGATIVE era; re-compaction rolls the era
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(f => f.getName.endsWith(".parquet") &&
+        !f.getAbsolutePath.contains("/_cells") &&
+        !f.getAbsolutePath.contains("/_codebooks"))
+    }
+    val filesBefore = dataFiles().size
+    graft.operators.AnnIndex.compactImiPq(spark, path)
+    assert(probe() == want, "probe must be identical after compaction")
+    assert(spark.read.parquet(path).count() == before)
+    assert(dataFiles().size < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> ${dataFiles().size})")
+    def eras() = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(eras() == Set("batch=-1"), s"all data must land in the compacted era, got ${eras()}")
+    graft.operators.AnnIndex.compactImiPq(spark, path)
+    assert(probe() == want && spark.read.parquet(path).count() == before)
+    assert(eras() == Set("batch=-2"), s"re-compaction must install a fresh era, got ${eras()}")
+
+    // torn window: a compaction killed between the staged rename and the
+    // final flip leaves only `.compact_staged` (complete, _SUCCESS inside)
+    // and NO visible era — the next probe must heal the install and read
+    // the full two-level index, never a partial layout
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fsP = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsP.rename(new org.apache.hadoop.fs.Path(rootP, eras().head),
+      new org.apache.hadoop.fs.Path(rootP, ".compact_staged")))
+    assert(probe() == want, "probe must heal a crashed compaction install")
+    val erasHealed = eras()
+    assert(erasHealed.size == 1 &&
+      erasHealed.head.stripPrefix("batch=").toLong < 0,
+      s"healed layout must be a single compacted era, got $erasHealed")
+    assert(spark.read.parquet(path).count() == before)
+  }
+
   test("mixtureStream == batch sqrtMixtureSample on the same rows (q_mixture config)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -470,24 +470,19 @@ object Pq {
     // (vB − centroidB(cb)) — the paper's IMI-ADC form: PQ spends its bits
     // on the within-composite-cell remainder instead of re-describing the
     // cell position. The query LUT is built from the SAME per-probe
-    // residual, so adist estimates the true residual distance per cell.
-    def halfResid(vec: Column, cells: String, cell: Column, h: Column => Column): Column =
-      zip_with(h(vec),
-        element_at(filter(col(cells), cc => cc("cell") === cell), 1)("centroid"),
-        (a, b) => a - b)
-    def maybeResid(vec: Column, ca: Column, cb: Column): Column =
-      if (residual)
-        concat(halfResid(vec, "__cellsA", ca, Similarity.halfA),
-          halfResid(vec, "__cellsB", cb, Similarity.halfB))
-      else vec
+    // residual ([[graft.operators.Similarity.imiResidual]], shared with
+    // the persistent index), so adist estimates the true residual
+    // distance per cell.
+    def maybeResid(vec: Column): Column =
+      if (residual) Similarity.imiResidual(vec) else vec
     val assigned = Similarity.imiAssigned(withBooks(c), col("__cv"))
       .select(col("neighbor_id"), col("__ca"), col("__cb"),
-        encodeCol(maybeResid(col("__cv"), col("__ca"), col("__cb")), books).as("__codes"))
+        encodeCol(maybeResid(col("__cv")), books).as("__codes"))
     val qProbes = Similarity.imiProbed(withBooks(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
       col("__qv"), nProbe)
       .select(col("query_id"),
-        lutCol(maybeResid(col("__qv"), col("__ca"), col("__cb")), books).as("__lut"),
+        lutCol(maybeResid(col("__qv")), books).as("__lut"),
         col("__ca"), col("__cb"))
     rankTail(
       assigned.join(broadcast(qProbes), Seq("__ca", "__cb"))

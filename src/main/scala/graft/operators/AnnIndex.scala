@@ -190,7 +190,8 @@ object AnnIndex {
     */
   def buildImiPq(corpus: DataFrame, idCol: String, vecCol: String, path: String,
       books: Array[Array[Array[Float]]], nPerHalf: Int = 8,
-      codebooks: Option[(DataFrame, DataFrame)] = None): Unit = {
+      codebooks: Option[(DataFrame, DataFrame)] = None,
+      residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val (bookA, bookB) = codebooks match {
@@ -199,11 +200,17 @@ object AnnIndex {
           b.withColumnRenamed("__cells", "__cellsB"))
       case None => Similarity.imiDefaultBooks(c, nPerHalf)
     }
+    // residual = true stores per-half-residual codes (the production
+    // accuracy dial at fixed m — train `books` with Pq.trainResidualImi);
+    // the flag is persisted in _meta so the probe builds its LUTs from
+    // the same per-probe residual
     Similarity.imiAssigned(c.join(broadcast(bookA)).join(broadcast(bookB)), col("__cv"))
       .select(col("neighbor_id"), col("__ca"), col("__cb"),
-        graft.functions.Pq.encodeCol(col("__cv"), books).as("__codes"))
+        graft.functions.Pq.encodeCol(
+          if (residual) Similarity.imiResidual(col("__cv")) else col("__cv"),
+          books).as("__codes"))
       .write.mode("overwrite").partitionBy("__ca", "__cb").parquet(path)
-    writeImiPqMeta(spark, path, bookA, bookB, books)
+    writeImiPqMeta(spark, path, bookA, bookB, books, residual)
   }
 
   /** Half-codebook + PQ-codebook sidecars for an IMI-PQ layout — the
@@ -214,7 +221,8 @@ object AnnIndex {
     * ([[Similarity.imiDefaultBooks]]'s shape).
     */
   def writeImiPqMeta(spark: SparkSession, path: String, bookA: DataFrame,
-      bookB: DataFrame, books: Array[Array[Array[Float]]]): Unit = {
+      bookB: DataFrame, books: Array[Array[Array[Float]]],
+      residual: Boolean = false): Unit = {
     bookA.write.mode("overwrite").parquet(path + "/_cellsA")
     bookB.write.mode("overwrite").parquet(path + "/_cellsB")
     import spark.implicits._
@@ -222,7 +230,20 @@ object AnnIndex {
       sub.zipWithIndex.map { case (cent, ci) => (j, ci, cent.toSeq) }
     }.toSeq.toDF("sub", "centroid", "values")
       .write.mode("overwrite").parquet(path + "/_codebooks")
+    // one-row layout descriptor; absent (pre-r12 indexes) reads as
+    // whole-vector codes
+    Seq(residual).toDF("residual")
+      .write.mode("overwrite").parquet(path + "/_meta")
   }
+
+  /** Whether an IMI-PQ layout stores per-half-residual codes ([[buildImiPq]]
+    * `residual = true`); indexes without a `_meta` sidecar predate the
+    * flag and store whole-vector codes.
+    */
+  private def imiPqResidual(spark: SparkSession, path: String): Boolean =
+    scala.util.Try(
+      spark.read.parquet(path + "/_meta").head().getAs[Boolean]("residual")
+    ).getOrElse(false)
 
   /** ADC + exact-tail probe of a [[buildImiPq]] index. Pruning is the
     * RECTANGLE of probed half-cells (`__ca IN (…) AND __cb IN (…)` —
@@ -248,11 +269,17 @@ object AnnIndex {
     val ksub = books(0).length
     val bookA = broadcast(spark.read.parquet(path + "/_cellsA"))
     val bookB = broadcast(spark.read.parquet(path + "/_cellsB"))
+    // residual layouts build the LUT from the query's PER-PROBE residual
+    // (one LUT per probed composite cell — the same imiResidual the build
+    // encoded with), so adist estimates the true residual distance
+    val residual = imiPqResidual(spark, path)
+    val qVec =
+      if (residual) Similarity.imiResidual(col("__qv")) else col("__qv")
     val q = Similarity.imiProbed(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
         .join(bookA).join(bookB), col("__qv"), nProbe)
       .select(col("query_id"),
-        graft.functions.Pq.lutCol(col("__qv"), books).as("__lut"),
+        graft.functions.Pq.lutCol(qVec, books).as("__lut"),
         col("__ca"), col("__cb"))
     val probed = Materialize.once(q)
     val idx = spark.read.parquet(path)

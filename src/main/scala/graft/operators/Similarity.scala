@@ -237,6 +237,24 @@ object Similarity {
     .withColumn("__cb",
       element_at(nearestCells(halfB(vec), col("__cellsB"), 1), 1)("cell"))
 
+  /** Per-half residual (vA − centroidA(ca)) ++ (vB − centroidB(cb)) for a
+    * row already joined with the `__cellsA`/`__cellsB` codebooks and
+    * carrying `__ca`/`__cb` — the IMI-ADC residual form (PQ bits spent on
+    * the within-composite-cell remainder). Shared by the in-flight
+    * residual probe ([[graft.functions.Pq.imiTopK]]), the persistent
+    * residual index ([[AnnIndex.buildImiPq]]/[[AnnIndex.probeImiPqRefined]]),
+    * and the streaming ingest, so no two lanes can disagree about the
+    * residual definition.
+    */
+  private[graft] def imiResidual(vec: Column): Column = {
+    def half(cells: String, cell: Column, h: Column => Column): Column =
+      zip_with(h(vec),
+        element_at(filter(col(cells), cc => cc("cell") === cell), 1)("centroid"),
+        (a, b) => a - b)
+    concat(half("__cellsA", col("__ca"), halfA),
+      half("__cellsB", col("__cb"), halfB))
+  }
+
   /** The exploded top-`nProbe` (dA+dB) composite probe cells for a frame
     * already joined with the codebooks: adds `__ca`/`__cb` per probe row.
     */

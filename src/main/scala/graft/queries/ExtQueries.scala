@@ -1325,6 +1325,34 @@ object ExtQueries {
       "vec_id", "embedding", k = 10, nProbe = 4, refine = 3)
   }
 
+  /** The PRODUCTION IMI-PQ configuration through the PERSISTENT index:
+    * the q_ann_imipq_resid chain (Lloyd-trained half-codebooks +
+    * Pq.trainResidualImi residual codes + exact tail) with codes built
+    * once into the two-level `__ca/__cb` layout (`residual = true`
+    * recorded in `_meta`) and probed with both-level partition pruning —
+    * per-probe residual LUTs, identical results to the in-flight
+    * residual probe (AnnIndexSpec equality). Rows-only (trained
+    * quantizer + residual floats are not oracle-replayable) with the
+    * pinned q_ann_imipq_refined_indexed as the oracle-green twin of the
+    * same index chain.
+    */
+  private val annImiPqResidIndexedQ = q("q_ann_imipq_resid_indexed",
+      twin = "q_ann_imipq_refined_indexed") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    def halfBook(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Similarity.kmeansCells(emb.select(col("vec_id"), h(col("embedding")).as("__h")),
+        "vec_id", "__h", nCells = 8, iters = 2)
+    val (ba, bb) = (halfBook(Similarity.halfA), halfBook(Similarity.halfB))
+    val books = graft.functions.Pq.trainResidualImi(emb, "vec_id", "embedding",
+      ba, bb, m = 8, ksub = 16, sampleSize = 2048)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_imipq_resid_idx_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    AnnIndex.buildImiPq(emb, "vec_id", "embedding", path, books,
+      codebooks = Some((ba, bb)), residual = true)
+    AnnIndex.probeImiPqRefined(s, path, emb.where(col("vec_id") < 50), emb,
+      "vec_id", "embedding", k = 10, nProbe = 4, refine = 3)
+  }
+
   private val multimodalQ = q("q_multimodal", twin = "q_multimodal_meta") { (s, d) => // synthetic payloads; rows-only
     import s.implicits._
     val media = Multimodal.synthetic(s, 300)
@@ -2937,7 +2965,7 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ,
+    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, packBucketedByQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,

@@ -875,14 +875,19 @@ object GraftStreaming {
     */
   def indexStreamImiPq(stream: DataFrame, idCol: String, vecCol: String,
       path: String, checkpoint: String, bookA: DataFrame, bookB: DataFrame,
-      books: Array[Array[Array[Float]]]): org.apache.spark.sql.streaming.StreamingQuery = {
+      books: Array[Array[Array[Float]]],
+      residual: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
+    // residual must match the _meta flag writeImiPqMeta persisted (same
+    // per-half residual transform as the batch build — Similarity.imiResidual)
     val assigned = Similarity.imiAssigned(
         stream.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
           .join(broadcast(bookA)).join(broadcast(bookB)),
         col("__cv"))
       .select(col("neighbor_id"), col("__ca"), col("__cb"),
-        graft.functions.Pq.encodeCol(col("__cv"), books).as("__codes"))
+        graft.functions.Pq.encodeCol(
+          if (residual) Similarity.imiResidual(col("__cv")) else col("__cv"),
+          books).as("__codes"))
     assigned.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

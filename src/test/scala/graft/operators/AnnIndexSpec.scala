@@ -266,6 +266,41 @@ class AnnIndexSpec extends AnyFunSuite {
       s"partition filter wraps the partition column in a cast: $pf")
   }
 
+  test("residual IMI-PQ index: probe == in-flight residual probe; _meta round-trips the flag") {
+    val df = corpus()
+    val queries = df.where($"vec_id" < 20)
+    import org.apache.spark.sql.functions.col
+    def halfBook(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Similarity.kmeansCells(
+        df.select(col("vec_id"), h(col("embedding")).as("__h")),
+        "vec_id", "__h", nCells = 4, iters = 2)
+    val (ba, bb) = (halfBook(Similarity.halfA), halfBook(Similarity.halfB))
+    val books = graft.functions.Pq.trainResidualImi(df, "vec_id", "embedding",
+      ba, bb, m = 4, ksub = 8, sampleSize = 300)
+    val path = "target/io_tmp/imipq_resid_idx_spec"
+    AnnIndex.buildImiPq(df, "vec_id", "embedding", path, books,
+      codebooks = Some((ba, bb)), residual = true)
+    // the _meta flag is what routes the probe to per-probe residual LUTs
+    assert(spark.read.parquet(path + "/_meta").head().getBoolean(0))
+    val got = AnnIndex.probeImiPqRefined(spark, path, queries, df,
+        "vec_id", "embedding", k = 5, nProbe = 3, refine = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    val want = graft.functions.Pq.imiTopKRefined(queries, df, "vec_id", "embedding",
+        books, k = 5, nProbe = 3, refine = 2,
+        codebooks = Some((ba, bb)), residual = true)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // a non-residual layout on the same corpus must NOT read the same —
+    // residual codes are a different compressed domain (guards against a
+    // probe that ignores _meta yet passes by coincidence)
+    val pathPlain = "target/io_tmp/imipq_plain_idx_spec"
+    val plainBooks = graft.functions.Pq.train(df, "vec_id", "embedding",
+      m = 4, ksub = 8, sampleSize = 300)
+    AnnIndex.buildImiPq(df, "vec_id", "embedding", pathPlain, plainBooks,
+      codebooks = Some((ba, bb)))
+    assert(!spark.read.parquet(pathPlain + "/_meta").head().getBoolean(0))
+  }
+
   test("probeImiPqRefined == Pq.imiTopKRefined; plan prunes BOTH directory levels") {
     val df = corpus()
     val queries = df.where($"vec_id" < 20)

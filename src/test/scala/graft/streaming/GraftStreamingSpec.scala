@@ -1159,6 +1159,42 @@ class GraftStreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == before)
   }
 
+  test("indexStreamImiPq residual: streamed residual codes probe == in-flight residual probe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(53L)
+    val vecs = (0L until 150L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val (bookA, bookB) = graft.operators.Similarity.imiDefaultBooks(
+      df.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv")),
+      nPerHalf = 4)
+    // residual books trained against the SAME default half-codebooks the
+    // stream assigns with (the _meta contract: flag and transform agree)
+    val books = graft.functions.Pq.trainResidualImi(df, "vec_id", "embedding",
+      bookA.withColumnRenamed("__cellsA", "__cells"),
+      bookB.withColumnRenamed("__cellsB", "__cells"),
+      m = 4, ksub = 8, sampleSize = 150)
+    val path = "target/io_tmp/imipq_resid_stream_idx"
+    val checkpoint = "target/io_tmp/imipq_resid_stream_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    graft.operators.AnnIndex.writeImiPqMeta(spark, path, bookA, bookB, books,
+      residual = true)
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = GraftStreaming.indexStreamImiPq(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path, checkpoint, bookA, bookB, books, residual = true)
+    try { input.addData(vecs); query.processAllAvailable() } finally query.stop()
+    val queries = df.where(col("vec_id") < 10)
+    val got = graft.operators.AnnIndex.probeImiPqRefined(spark, path, queries,
+        df, "vec_id", "embedding", k = 5, nProbe = 3, refine = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    val want = graft.functions.Pq.imiTopKRefined(queries, df, "vec_id", "embedding",
+        books, k = 5, nPerHalf = 4, nProbe = 3, refine = 2, residual = true)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("mixtureStream == batch sqrtMixtureSample on the same rows (q_mixture config)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -8,6 +8,14 @@ private[graft] object DevSpark {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // InferFiltersFromGenerate duplicates every kernel-array generator
+      // into a Filter below the Generate (size(kernel(..)) > 0 AND ..
+      // IS NOT NULL) that pushdown re-inlines -- the gram/band kernels
+      // then run TWICE per row, and the Generate already skips null/empty
+      // arrays on its own (outer = false). Always a pessimization for
+      // this engine's plans (ProbePlanGate r12), so excluded.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -18,6 +18,14 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // InferFiltersFromGenerate duplicates every kernel-array generator
+      // into a Filter below the Generate (size(kernel(..)) > 0 AND ..
+      // IS NOT NULL) that pushdown re-inlines -- the gram/band kernels
+      // then run TWICE per row, and the Generate already skips null/empty
+      // arrays on its own (outer = false). Always a pessimization for
+      // this engine's plans (ProbePlanGate r12), so excluded.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts physical type has varied by round (int64 ns, then
       // timestamp[us]); nanosAsLong covers the ns variant and

@@ -47,14 +47,19 @@ object Similarity {
     * Compound ordering via bottomK on (-cosine, neighbor_id): negate the
     * SCORE (always numeric), never the id, so string/arbitrary id columns
     * keep working. NULL cosines (zero-norm vectors, see [[pairCosine]])
-    * are dropped before the heap.
+    * are dropped INSIDE the heap aggregate (`when` wraps the struct; the
+    * TopK update skips null inputs), NOT by a `.where` — a filter on the
+    * projected cosine would be pushdown-inlined below the projection and
+    * re-evaluate the dot-product kernel once per pair (the PlanAssert
+    * discipline; found by ProbePlanGate r12 on every ANN query), while
+    * the aggregate's pre-projection computes the cosine exactly once.
     */
   private[operators] def topKByCosine(scored: DataFrame, k: Int): DataFrame =
     scored
-      .where(col("cosine").isNotNull)
       .groupBy(col("query_id"))
       .agg(graft.functions.AggExpressions.bottomK(
-        struct((-col("cosine")).as("negcos"), col("neighbor_id")), k).as("__top"))
+        when(col("cosine").isNotNull,
+          struct((-col("cosine")).as("negcos"), col("neighbor_id"))), k).as("__top"))
       .select(col("query_id"), posexplode(col("__top")))
       .select(col("query_id"),
         col("col.neighbor_id").as("neighbor_id"),

@@ -500,11 +500,13 @@ object SignalQueries {
                         / (SUM(p) * SUM(q) * 2), 6) END AS auc
        FROM cq GROUP BY 1""") { (s, d) =>
     val docs = Tables.df(s, d, "documents")
-    val scored = docs.where(length(col("text")) > 0)
-      .select(col("source"),
-        round(graft.functions.HashExpressions.byteEntropyBits(
-          encode(col("text"), "UTF-8")).cast("double") / length(col("text")), 6).as("s"),
-        when(col("lang") === "en", 1).otherwise(0).as("y"))
+    // materialized: aucBy null-filters `s` (the entropyScored rationale)
+    val scored = graft.operators.Materialize.once(
+      docs.where(length(col("text")) > 0)
+        .select(col("source"),
+          round(graft.functions.HashExpressions.byteEntropyBits(
+            encode(col("text"), "UTF-8")).cast("double") / length(col("text")), 6).as("s"),
+          when(col("lang") === "en", 1).otherwise(0).as("y")))
     graft.operators.Eval.aucBy(scored, "source", "s", "y")
   }
 
@@ -719,10 +721,14 @@ object SignalQueries {
             encode(col("text"), "UTF-8")).cast("long") * 125L),
         org.apache.spark.sql.GraftBridge.expression(
           length(col("text")).cast("long"))))
-    val scored = docs.where(length(col("text")) > 0)
-      .select(
-        least(confMilli, lit(999L)).cast("long").as("c"),
-        when(col("lang") === "en", 1).otherwise(0).as("y"))
+    // materialized for the same reason as entropyScored: calibrationBins
+    // range-filters `c`, which would otherwise inline the entropy kernel
+    // into the filter and re-run it per row
+    val scored = graft.operators.Materialize.once(
+      docs.where(length(col("text")) > 0)
+        .select(
+          least(confMilli, lit(999L)).cast("long").as("c"),
+          when(col("lang") === "en", 1).otherwise(0).as("y")))
     graft.operators.Eval.calibrationBins(scored, "c", "y", nBins = 10)
   }
 
@@ -756,11 +762,18 @@ object SignalQueries {
     */
   private def entropyScored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.df(s, d, "documents")
-    docs.where(length(col("text")) > 0)
-      .select(
-        round(graft.functions.HashExpressions.byteEntropyBits(
-          encode(col("text"), "UTF-8")).cast("double") / length(col("text")), 6).as("s"),
-        when(col("lang") === "en", 1).otherwise(0).as("y"))
+    // materialized (PlanAssert discipline, ProbePlanGate r12): every eval
+    // consumer null-filters the score, and a filter on the projected `s`
+    // would be pushdown-inlined and re-run the entropy kernel per row;
+    // the checkpoint is an eval-sized (score, label) relation read by up
+    // to three downstream aggregates, so one materialization also
+    // deduplicates the kernel across them
+    graft.operators.Materialize.once(
+      docs.where(length(col("text")) > 0)
+        .select(
+          round(graft.functions.HashExpressions.byteEntropyBits(
+            encode(col("text"), "UTF-8")).cast("double") / length(col("text")), 6).as("s"),
+          when(col("lang") === "en", 1).otherwise(0).as("y")))
   }
 
   // ---- 6-hour resample of the events stream, per user.

@@ -58,15 +58,16 @@ object ExtQueries {
     * so dedup ops have non-trivial work and deterministic output.
     */
   private def docsWithDups(s: SparkSession, d: String): DataFrame = {
-    // one scan, not two: the union-of-shifted-ids corpus as an explode
-    // over a 2-element shift array — UNION ALL of the same table reads
-    // the parquet (and decompresses every text page) twice, and the scan
-    // was 51% of q_dedup_exact's x16 e2e (ProbeFingerprint r12); the
-    // row multiset is identical to base ∪ (base with doc_id+10000)
+    // UNION ALL of the same table (two scans) — deliberately NOT the
+    // single-scan explode-over-shift-array form: the r12 A/B on the
+    // document-LENGTH twin measured explode ~40% SLOWER on 4.8 KB docs
+    // (min-of-3 1.50 vs 1.07 s) and only a wash on the short-doc x16 twin
+    // (0.61 vs 0.56 s) — duplicating long strings through a Generate
+    // copies every payload byte, while the second scan re-reads
+    // page-cached compressed parquet. Scan count is not the cost; bytes
+    // moved per row are.
     val base = Tables.df(s, d, "documents")
-    base.select(explode(array(lit(0L), lit(10000L))).as("__shift"), col("*"))
-      .withColumn("doc_id", col("doc_id") + col("__shift"))
-      .drop("__shift")
+    base.unionByName(base.withColumn("doc_id", col("doc_id") + 10000))
   }
 
   private val dedupExactQ = q("q_dedup_exact",

@@ -140,6 +140,101 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("asofJoinStream: carry + pending state survive a checkpoint kill-resume; matches exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toString
+    val lIn = MemoryStream[(String, java.sql.Timestamp, String)]
+    val rIn = MemoryStream[(String, java.sql.Timestamp, String)]
+    val out = GraftStreaming.asofJoinStream(
+      lIn.toDF().toDF("key", "ts", "payload"),
+      rIn.toDF().toDF("key", "ts", "payload"), "0 seconds")
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String, String)]()
+    def start() = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => emitted.add((r.getString(0),
+          r.getTimestamp(1).getTime / 1000,
+          r.getString(2), Option(r.getString(4)).orNull)))
+      }.start()
+    val q1 = start()
+    // pre-kill: the right row that must become the restored CARRY, and a
+    // left row that stays PENDING (watermark has not passed it yet)
+    rIn.addData(("k", ts(10), "r10")); lIn.addData(("k", ts(20), "l20"))
+    q1.processAllAvailable()
+    q1.stop() // the kill: carry + pending left live only in the checkpoint
+    import scala.jdk.CollectionConverters._
+    assert(emitted.isEmpty, "nothing finalizes before the watermark moves")
+    lIn.addData(("k", ts(50), "l50")) // arrives while the query is down
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // advance BOTH input watermarks past the lefts (the global
+      // watermark is their minimum), then one more trigger so the
+      // advanced watermark is visible to the state operator
+      lIn.addData(("k", ts(200), "l200")); rIn.addData(("k", ts(200), "r200"))
+      q2.processAllAvailable()
+      lIn.addData(("k2", ts(201), "x")); rIn.addData(("k2", ts(201), "y"))
+      q2.processAllAvailable()
+      val rows = emitted.asScala.toList
+      // both matches are only possible from RESTORED state: right(10)
+      // and left(20) existed solely before the kill
+      assert(rows.count(_ == (("k", 20L, "l20", "r10"))) == 1,
+        s"pre-kill left must match the pre-kill right exactly once: $rows")
+      assert(rows.count(_ == (("k", 50L, "l50", "r10"))) == 1,
+        s"post-restart left must match the restored carry exactly once: $rows")
+      // no pre-kill left may ever re-emit differently (e.g. unmatched
+      // after a state reset) — every k-keyed emission is one of the two
+      // expected matches or the watermark-advancing l200
+      assert(rows.filter(_._1 == "k").forall(r =>
+        r == (("k", 20L, "l20", "r10")) || r == (("k", 50L, "l50", "r10")) ||
+          r._3 == "l200"), s"contradictory emission: $rows")
+    } finally q2.stop()
+  }
+
+  test("rangeJoinStream: open intervals + pending points survive a checkpoint kill-resume") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_range_ckpt").toString
+    val pIn = MemoryStream[(String, java.sql.Timestamp, String)]
+    val iIn = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, String)]
+    val out = GraftStreaming.rangeJoinStream(
+      pIn.toDF().toDF("key", "ts", "payload"),
+      iIn.toDF().toDF("key", "lo", "hi", "payload"), "0 seconds")
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String, String)]()
+    def start() = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => emitted.add((r.getString(0),
+          r.getTimestamp(1).getTime / 1000, r.getString(2), r.getString(5)))) }
+      .start()
+    val q1 = start()
+    // pre-kill: one OPEN interval and one pending point inside it
+    iIn.addData(("k", ts(10), ts(100), "I")); pIn.addData(("k", ts(50), "p50"))
+    q1.processAllAvailable()
+    q1.stop() // the kill
+    import scala.jdk.CollectionConverters._
+    assert(emitted.isEmpty, "nothing finalizes before the watermark moves")
+    pIn.addData(("k", ts(60), "p60")) // arrives while the query is down
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // advance BOTH streams' watermarks past the points (the global
+      // watermark is their minimum)
+      pIn.addData(("k", ts(300), "p300")); iIn.addData(("k", ts(300), ts(310), "I3"))
+      q2.processAllAvailable()
+      // one more trigger so the advanced watermark is visible to state
+      pIn.addData(("k2", ts(301), "x")); iIn.addData(("k2", ts(301), ts(302), "y"))
+      q2.processAllAvailable()
+      val rows = emitted.asScala.toList
+      // both pairs need the RESTORED interval; p50 is itself pre-kill
+      assert(rows.count(_ == (("k", 50L, "p50", "I"))) == 1,
+        s"pre-kill point must match the pre-kill interval exactly once: $rows")
+      assert(rows.count(_ == (("k", 60L, "p60", "I"))) == 1,
+        s"post-restart point must match the restored interval exactly once: $rows")
+    } finally q2.stop()
+  }
+
   test("heavyHittersStream: Misra-Gries guarantee holds over everything processed so far") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -41,4 +41,24 @@ class PlanAssertSpec extends AnyFunSuite {
       PlanAssert.assertNoHeavyFilter(df, name)
     }
   }
+
+  test("registry-wide: no query beyond the one triaged acceptance filters on a kernel") {
+    // the ProbePlanGate sweep as a standing gate (plan-only, nothing
+    // executes beyond eager index builds/materializations inside fn).
+    // The single accepted hit is q_semdedup's constraint-inferred
+    // per-VECTOR norm null-checks: O(n·d) beside the O(|cell|²·d) pair
+    // work, and any barrier would add a corpus exchange (see
+    // ProbePlanGate's triage scaladoc). Anything NEW failing here is a
+    // regression: fix it with the heap-`when` / aggregate-barrier /
+    // materialize patterns, don't extend this allowlist without a
+    // measured rationale.
+    val accepted = Set("q_semdedup")
+    val violations = graft.queries.Queries.all.flatMap { qd =>
+      val ks = scala.util.Try(
+        PlanAssert.heavyFilterKernels(qd.fn(spark, sfDir))).getOrElse(Nil)
+      if (ks.nonEmpty && !accepted(qd.name)) Some(qd.name -> ks) else None
+    }
+    assert(violations.isEmpty,
+      s"kernel-in-filter regressions: ${violations.mkString("; ")}")
+  }
 }

@@ -39,10 +39,24 @@ object Mixture {
     * ([[graft.streaming.GraftStreaming.mixtureStream]]) identically.
     */
   def sqrtMixtureRates(profile: DataFrame, sourceCol: String,
-      targetFraction: Double): DataFrame = {
+      targetFraction: Double): DataFrame =
+    sqrtMixtureRatesBy(profile, sourceCol, lit(1L), targetFraction)
+
+  /** [[sqrtMixtureRates]] under an arbitrary additive size measure — the
+    * production budget is almost always TOKENS, not documents (a source
+    * of few huge documents outweighs one of many tiny ones): source mass
+    * `n_s = Σ weight`, rates ∝ sqrt(mass share), expected KEPT MASS per
+    * source = targetFraction·total·sqrt-share (the keep decision stays
+    * the per-row LCG threshold, so kept mass concentrates by the law of
+    * large numbers over each source's rows). `weight(1)` degenerates to
+    * the row-count form exactly.
+    */
+  def sqrtMixtureRatesBy(profile: DataFrame, sourceCol: String,
+      weight: Column, targetFraction: Double): DataFrame = {
     require(targetFraction > 0 && targetFraction <= 1.0,
       s"targetFraction must be in (0, 1], got $targetFraction")
-    val counts = profile.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val counts = profile.groupBy(sourceCol)
+      .agg(sum(weight.cast("long")).as("__n"))
     // integer-scaled weights so the normalizing sum is exact (a double
     // sum's value would depend on aggregation order)
     val weights = counts.withColumn("__w",
@@ -103,11 +117,23 @@ object Mixture {
     * the SOURCES-sized table (a handful of rows at any corpus scale).
     */
   def unimaxQuotas(profile: DataFrame, sourceCol: String,
+      budgetNum: Long, budgetDen: Long, maxEpochs: Int): DataFrame =
+    unimaxQuotasBy(profile, sourceCol, lit(1L), budgetNum, budgetDen, maxEpochs)
+
+  /** [[unimaxQuotas]] under an arbitrary additive size measure — the
+    * paper's budget is TOKENS (UniMax §3 defines n_l as language token
+    * counts); `n` and `quota` are then token masses and
+    * [[unimaxApply]]'s row-level epochs spend the quota in expectation
+    * (full epochs repeat every row; the partial epoch is a uniform
+    * hash-slice whose expected mass is the residual). `weight(1)`
+    * degenerates to the row-count form exactly.
+    */
+  def unimaxQuotasBy(profile: DataFrame, sourceCol: String, weight: Column,
       budgetNum: Long, budgetDen: Long, maxEpochs: Int): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0,
       s"budget fraction must be positive, got $budgetNum/$budgetDen")
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
-    val counts = profile.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+    val counts = profile.groupBy(sourceCol).agg(sum(weight.cast("long")).as("n"))
     val wAsc = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").asc, col(sourceCol).asc)
     val wPrefix = wAsc.rowsBetween(

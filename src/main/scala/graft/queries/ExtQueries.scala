@@ -2057,6 +2057,38 @@ object ExtQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Token-budget temperature mixing — [[mixtureQ]]'s production twin:
+    * source mass is the TOKEN sum (a source of few huge documents
+    * outweighs one of many tiny ones), rates ∝ sqrt(token share), the
+    * keep decision the same per-row LCG threshold. Expected kept TOKEN
+    * mass per source = 0.5·total·sqrt-share. Fully hash-replayed: token
+    * counts are the integer whitespace tokenization both engines share
+    * (q_token_count), sqrt is IEEE-exactly-rounded, weights
+    * integer-scale before the normalizing sum.
+    */
+  private val mixtureTokensQ = q("q_mixture_tokens",
+    s"""WITH c AS (SELECT source,
+                SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS n
+              FROM documents GROUP BY 1),
+       w AS (SELECT source, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+             FROM c),
+       t AS (SELECT SUM(w) AS sumw, SUM(n) AS total FROM w),
+       r AS (SELECT source,
+               CAST(floor(least(1.0,
+                 (CAST(w AS DOUBLE) / CAST(sumw AS DOUBLE))
+                   * (CAST(total AS DOUBLE) * 0.5) / CAST(n AS DOUBLE))
+                 * 2147483648.0) AS BIGINT) AS thr
+             FROM w CROSS JOIN t)
+       SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+       WHERE ${OracleSql.lcg31("d.doc_id")} < r.thr""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    graft.operators.Mixture.applyRates(docs, "source", "doc_id",
+      graft.operators.Mixture.sqrtMixtureRatesBy(
+        docs, "source", tokenCount(col("text")).cast("long"), targetFraction = 0.5))
+      .select(col("doc_id"), col("source"))
+  }
+
   // ---- UniMax budget-capped mixture (Chung et al. 2023): quotas spend
   // the budget uniformly across sources except nothing repeats more than
   // E epochs. Sources are a synthetic power-law tiering of documents
@@ -2070,9 +2102,9 @@ object ExtQueries {
     * fits the fair share at its turn; uncapped sources split the
     * remainder with floor division).
     */
-  private val UnimaxQuotaCtes =
-    s"""src AS (SELECT doc_id, 't' || len(bin(1 + (doc_id % 255))) AS source FROM documents),
-       cnt AS (SELECT source, COUNT(*) AS n FROM src GROUP BY 1),
+  private def unimaxQuotaCtesWith(nExpr: String): String =
+    s"""src AS (SELECT doc_id, text, 't' || len(bin(1 + (doc_id % 255))) AS source FROM documents),
+       cnt AS (SELECT source, $nExpr AS n FROM src GROUP BY 1),
        rk AS (SELECT source, n,
                 row_number() OVER (ORDER BY n ASC, source ASC) AS j,
                 COALESCE(SUM(n) OVER (ORDER BY n ASC, source ASC
@@ -2091,6 +2123,8 @@ object ExtQueries {
                      ELSE (b - $UnimaxE * pk) // (m - k) END AS quota
               FROM fl, ct)"""
 
+  private val UnimaxQuotaCtes = unimaxQuotaCtesWith("COUNT(*)")
+
   private def unimaxDocs(s: SparkSession, d: String): DataFrame =
     Tables.df(s, d, "documents").select(col("doc_id"),
       concat(lit("t"),
@@ -2102,6 +2136,26 @@ object ExtQueries {
        SELECT source, CAST(n AS BIGINT) AS n, CAST(quota AS BIGINT) AS quota
        FROM qt""") { (s, d) =>
     graft.operators.Mixture.unimaxQuotas(unimaxDocs(s, d), "source",
+      budgetNum = 3, budgetDen = 2, maxEpochs = UnimaxE.toInt)
+  }
+
+  /** UniMax quotas over TOKEN mass — the paper's actual budget unit
+    * (Chung et al. 2023 define n_l as per-language token counts): the
+    * same closed-form window math with `n` = Σ whitespace tokens per
+    * source. Fully hash-replayed (integer token counts, integer quota
+    * arithmetic). `unimaxApply` spends a token quota unchanged: full
+    * epochs repeat rows, the partial epoch's hash-slice carries the
+    * residual mass in expectation.
+    */
+  private val mixtureUnimaxTokensQ = q("q_mixture_unimax_tokens",
+    s"""WITH ${unimaxQuotaCtesWith("SUM(len(regexp_split_to_array(trim(text), '\\s+')))")}
+       SELECT source, CAST(n AS BIGINT) AS n, CAST(quota AS BIGINT) AS quota
+       FROM qt""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents").select(col("doc_id"), col("text"),
+      concat(lit("t"),
+        length(bin(pmod(col("doc_id"), lit(255)) + 1)).cast("string")).as("source"))
+    graft.operators.Mixture.unimaxQuotasBy(docs, "source",
+      tokenCount(col("text")).cast("long"),
       budgetNum = 3, budgetDen = 2, maxEpochs = UnimaxE.toInt)
   }
 
@@ -2968,7 +3022,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureUnimaxQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, packBucketedByQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureTokensQ, mixtureUnimaxQ, mixtureUnimaxTokensQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, packBucketedByQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ)

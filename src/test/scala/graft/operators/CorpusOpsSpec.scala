@@ -95,6 +95,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(total > 0.35 && total < 0.65, s"total kept fraction $total far from 0.5")
   }
 
+  test("token-weighted mixture: mass decides the rates, weight(1) degenerates to row counts") {
+    // source 'big' = 10 docs x 100 tokens (1000 tokens); 'many' = 100 docs
+    // x 1 token (100 tokens). By DOC count 'many' dominates 10:1; by TOKEN
+    // mass 'big' dominates 10:1 — the two weightings must flip which
+    // source gets the capped/high rate
+    val rows = (0 until 10).map(i => (i.toLong, "big", 100L)) ++
+      (100 until 200).map(i => (i.toLong, "many", 1L))
+    val df = rows.toDF("id", "src", "n_tok")
+    def thr(rates: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      rates.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byDoc = thr(Mixture.sqrtMixtureRates(df, "src", 0.5))
+    val byTok = thr(Mixture.sqrtMixtureRatesBy(df, "src", col("n_tok"), 0.5))
+    assert(byDoc("big") > byDoc("many"),
+      s"doc-count weighting must up-rate the FEW-docs source: $byDoc")
+    assert(byTok("many") > byTok("big"),
+      s"token weighting must up-rate the LOW-mass source: $byTok")
+    // weight(1) is exactly the row-count form
+    assert(thr(Mixture.sqrtMixtureRatesBy(df, "src", lit(1L), 0.5)) == byDoc)
+    // expected kept token mass ~ 0.5 * total (law of large numbers over
+    // the per-row LCG; wide band — 110 rows)
+    val kept = Mixture.applyRates(df, "src", "id",
+        Mixture.sqrtMixtureRatesBy(df, "src", col("n_tok"), 0.5))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tok"))).head().getLong(0)
+    assert(kept > 300 && kept < 800, s"kept token mass $kept far from 550")
+  }
+
   /** Reference greedy UniMax loop (ascending size; source j capped iff its
     * full n·E fits the fair share n·E·left ≤ remaining; uncapped sources
     * split the final remainder with floor division) — the semantics
@@ -138,6 +164,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     val all = Mixture.unimaxQuotas(df, "src", 10, 1, 2)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(all == sizes.map { case (s, n) => s -> n * 2 }.toMap)
+  }
+
+  test("unimaxQuotasBy: token-mass quotas match the greedy reference on masses") {
+    // rows carry a token weight; quotas must be computed on the MASS
+    // (a few huge docs = a big source), matching greedyUnimax run on the
+    // per-source mass totals
+    val rows = Seq(("big", 1L, 500L), ("big", 2L, 500L),   // mass 1000
+      ("mid", 3L, 50L), ("mid", 4L, 50L), ("mid", 5L, 100L), // mass 200
+      ("tiny", 6L, 10L))                                     // mass 10
+    val df = rows.toDF("src", "id", "w")
+    val masses = Seq("big" -> 1000L, "mid" -> 200L, "tiny" -> 10L)
+    for ((num, den, e) <- Seq((3L, 2L, 4), (1L, 2L, 2), (10L, 1L, 3))) {
+      val got = Mixture.unimaxQuotasBy(df, "src", col("w"), num, den, e)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.view.mapValues(_._2).toMap == greedyUnimax(masses, num, den, e.toLong),
+        s"budget $num/$den E=$e")
+      assert(got.view.mapValues(_._1).toMap == masses.toMap, "n must be the mass")
+    }
+    // weight(1) degenerates to the row-count form exactly
+    val byOne = Mixture.unimaxQuotasBy(df, "src", lit(1L), 3, 2, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val byCount = Mixture.unimaxQuotas(df, "src", 3, 2, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byOne == byCount)
   }
 
   test("unimaxApply: full epochs exact, partial epoch deterministic and within the source") {

@@ -174,27 +174,29 @@ object Mixture {
     * hash-slice of the source, not its head). Broadcast quota join +
     * map-side explode; zero shuffles on the corpus.
     *
-    * Bound: each SOURCE must hold fewer than 2^32 rows — the partial-epoch
-    * threshold is the exact integer ⌊(quota mod n)·2^31 / n⌋ and the
-    * intermediate product needs (quota mod n) < 2^32 to fit a signed long.
-    * A 100 TB corpus stays inside the bound by sharding any larger source
-    * on a salt column before mixing (which leaves its quota proportional).
-    * Violations raise at runtime instead of silently dropping the partial
-    * epoch to a negative threshold.
+    * No per-source size bound (round 12): the partial-epoch threshold
+    * ⌊(quota mod n)·2^31 / n⌋ is computed on the per-SOURCE quota
+    * relation in DECIMAL(38,0) integer division — exact for any long
+    * `n`, so TOKEN-mass quotas ([[unimaxQuotasBy]], where a source's
+    * mass passes 2^32 long before its row count does) apply without the
+    * sharding workaround the old long-product threshold required. The
+    * decimal arithmetic touches only the sources-sized relation; the
+    * per-row work is the broadcast join + one LCG compare, unchanged.
     */
   def unimaxApply(df: DataFrame, sourceCol: String, idCol: String,
       quotas: DataFrame): DataFrame = {
     def intDiv(a: Column, b: Column): Column =
       org.apache.spark.sql.GraftBridge.column(
         org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.GraftBridge.expression(a.cast("long")),
-          org.apache.spark.sql.GraftBridge.expression(b.cast("long"))))
-    val joined = df.join(broadcast(quotas), sourceCol)
-      .withColumn("__full", intDiv(col("quota"), col("n")))
-      .withColumn("__thr",
-        when(col("n") >= 4294967296L, raise_error(
-          lit("unimaxApply: per-source n must be < 2^32 (threshold overflow); shard the source first")))
-          .otherwise(intDiv((col("quota") % col("n")) * 2147483648L, col("n"))))
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.GraftBridge.expression(b)))
+    val perSource = quotas
+      .withColumn("__full", intDiv(col("quota").cast("long"), col("n").cast("long")))
+      .withColumn("__thr", intDiv(
+        (col("quota") % col("n")).cast("decimal(38,0)") *
+          lit(2147483648L).cast("decimal(19,0)"),
+        col("n").cast("decimal(38,0)")).cast("long"))
+    val joined = df.join(broadcast(perSource), sourceCol)
       .withColumn("__reps",
         col("__full") + when(lcg31Col(col(idCol)) < col("__thr"), 1L).otherwise(0L))
       .where(col("__reps") > 0)

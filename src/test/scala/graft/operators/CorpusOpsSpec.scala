@@ -215,15 +215,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(applied.sorted.sameElements(again.sorted))
   }
 
-  test("unimaxApply: a source claiming n >= 2^32 raises instead of overflowing the threshold") {
-    val df = Seq(("a", 1L), ("a", 2L)).toDF("src", "id")
-    // hand-built quotas row violating the documented per-source bound; the
-    // partial-epoch product (quota mod n)·2^31 would overflow a signed long
-    val quotas = Seq(("a", 4294967296L, 4294967297L)).toDF("src", "n", "quota")
-    val ex = intercept[Exception](
-      Mixture.unimaxApply(df, "src", "id", quotas).collect())
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
-    assert(messages(ex).exists(_.contains("2^32")), s"got $ex")
+  test("unimaxApply: token-mass quotas with n >= 2^32 compute the exact threshold (no overflow)") {
+    // the old long-product threshold overflowed for n >= 2^32 and raised;
+    // the decimal(38,0) per-source division is exact at any long mass —
+    // n = 2^32, quota = 1.5n: full = 1, residual rate 1/2, so the partial
+    // epoch keeps exactly the rows with lcg31(id) < 2^30
+    val ids = (0L until 64L).toSeq
+    val df = ids.map(("a", _)).toDF("src", "id")
+    val quotas = Seq(("a", 4294967296L, 6442450944L)).toDF("src", "n", "quota")
+    val got = Mixture.unimaxApply(df, "src", "id", quotas)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val expectedPartial = ids.filter(graft.core.Flow.lcg31(_) < 1073741824L).toSet
+    assert(got.count(_._2 == 0L) == 64, "every row gets the one full epoch")
+    assert(got.filter(_._2 == 1L).map(_._1).toSet == expectedPartial,
+      "partial epoch is the exact lcg31 < 2^30 slice")
+    // negative-threshold silent drop would have emptied the partial epoch
+    assert(expectedPartial.nonEmpty)
   }
 }

@@ -210,6 +210,20 @@ object GraftStreaming {
     graft.operators.Mixture.applyRates(stream, sourceCol, idCol,
       graft.operators.Mixture.sqrtMixtureRates(profile, sourceCol, targetFraction))
 
+  /** [[mixtureStream]] under a TOKEN-mass profile — the production
+    * budget unit ([[graft.operators.Mixture.sqrtMixtureRatesBy]]):
+    * thresholds distill once from the static profile's per-source token
+    * sums; the per-row gate is the same stateless broadcast-join LCG
+    * filter, so stream and batch keep exactly the same rows (spec-gated
+    * against the q_mixture_tokens config).
+    */
+  def mixtureStreamBy(stream: DataFrame, sourceCol: String, idCol: String,
+      profile: DataFrame, weight: org.apache.spark.sql.Column,
+      targetFraction: Double): DataFrame =
+    graft.operators.Mixture.applyRates(stream, sourceCol, idCol,
+      graft.operators.Mixture.sqrtMixtureRatesBy(
+        profile, sourceCol, weight, targetFraction))
+
   /** Streaming UniMax gate — materialize a budget-capped mixture plan
     * ([[graft.operators.Mixture.unimaxQuotas]], distilled ONCE from a
     * static profile) on an unbounded ingest stream: each arriving row is

@@ -1324,6 +1324,33 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("mixtureStreamBy == batch token-weighted mixture on the same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // few huge docs vs many tiny ones: token weighting must gate by MASS
+    val rows = (0 until 10).map(i => (i.toLong, "big", 100L)) ++
+      (100 until 400).map(i => (i.toLong, "many", 1L))
+    val staticDf = rows.toDF("doc_id", "source", "n_tok")
+    val batch = graft.operators.Mixture.applyRates(staticDf, "source", "doc_id",
+        graft.operators.Mixture.sqrtMixtureRatesBy(
+          staticDf, "source", col("n_tok"), targetFraction = 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch.nonEmpty && batch.size < rows.size)
+    val input = MemoryStream[(Long, String, Long)]
+    val gated = GraftStreaming.mixtureStreamBy(
+      input.toDF().toDF("doc_id", "source", "n_tok"), "source", "doc_id",
+      profile = staticDf, weight = col("n_tok"), targetFraction = 0.5)
+    val query = GraftStreaming.storeStreamMemory(gated, "mixture_tok_test")
+    try {
+      val (a, b) = rows.splitAt(150)
+      input.addData(a); query.processAllAvailable()
+      input.addData(b); query.processAllAvailable()
+      val streamed = spark.table("mixture_tok_test")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, "stateless gate must keep EXACTLY the batch rows")
+    } finally query.stop()
+  }
+
   test("quantileBinStream / curriculumStream == batch approx twins on the same rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -29,11 +29,14 @@ import org.apache.spark.sql.SparkSession
   *  Both secondary twins are materialized once per machine
   *  (marker-gated) and reused across runs.
   *
-  * Lane validity (round 12, per-query): with a guard reference (previous
-  * valid artifact + DuckDB anchors) a lane is valid iff NO headliner's
-  * merged-minimum spark/duckdb ratio exceeds 2× its previous valid
-  * ratio; an invalid lane names the contended queries in `ratio_guard`
-  * instead of discarding every good row. The suite-level calibration
+  * Lane validity (round 12, per-query; round 13, ratchet-proof): with a
+  * guard reference (DuckDB anchors + at least one prior valid artifact)
+  * a lane is valid iff NO headliner's merged-minimum spark/duckdb ratio
+  * exceeds 2× its BEST-KNOWN-GOOD ratio — the element-wise min across
+  * every prior valid artifact (bench_out.json + all BENCH_r*.json), not
+  * just last round's, so sustained contention can never ratchet the
+  * accepted baseline upward; an invalid lane names the contended queries
+  * in `ratio_guard` instead of discarding every good row. The suite-level calibration
   * drift sentinel (same query timed before/after the suite, median-of-3
   * per read) is still measured and reported as `drift_pct` but is
   * ADVISORY in this mode — the r11 driver record invalidated a whole
@@ -90,6 +93,12 @@ object Bench {
       // per-attempt raw times (only > 1 entry when a sentinel re-ran the
       // lane) — full-artifact-only, for post-hoc contention attribution
       history: Seq[Seq[(String, Either[String, Double])]] = Nil,
+      // every successful pass time per query, across ALL attempts — the
+      // steady-state median lands in the full artifact beside the min so
+      // a single contended attempt can't be the only number of record
+      // (the r12 revenue record read 46% over its same-round controlled
+      // A/B with nothing in-band to say so)
+      raw: Map[String, Seq[Double]] = Map.empty,
       // queries whose spark/duckdb ratio exceeded 2x the previous VALID
       // artifact's ratio on the cross-attempt MERGED times (round 12:
       // the guard — and the lane's validity — reads the merged minima,
@@ -147,18 +156,20 @@ object Bench {
     // JIT warm-in as 25-30% "drift" on an idle box
     calibration.foreach(qd => (1 to 3).foreach(_ => timed(spark, qd, dir)))
     val calFirst = calibration.map(calRead)
-    val results = benchSet.map { qd =>
-      val runs = Seq.fill(passes)(timed(spark, qd, dir))
+    val passTimes = benchSet.map { qd =>
+      qd.name -> Seq.fill(passes)(timed(spark, qd, dir))
+    }
+    val results = passTimes.map { case (name, runs) =>
       // min over the good passes; any failed pass poisons the query
       val r = runs.collectFirst { case l @ Left(_) => l }
         .getOrElse(Right(runs.collect { case Right(t) => t }.min))
-      qd.name -> r
+      name -> r
     }
     val calLast = calibration.map(calRead)
     Lane(results, (calibration, calFirst, calLast) match {
       case (Some(qd), Some(f), Some(l)) => Some((qd.name, f, l))
       case _ => None
-    })
+    }, raw = passTimes.map { case (n, rs) => n -> rs.collect { case Right(t) => t } }.toMap)
   }
 
   /** Per-query ratio guard (round 11): queries whose spark/duckdb ratio
@@ -205,6 +216,7 @@ object Bench {
       prevRatios: Map[String, Double] = Map.empty): Lane = {
     var lane = runLane(spark, benchSet, dir, passes)
     val attemptsSeen = scala.collection.mutable.ArrayBuffer(lane.results)
+    val rawSeen = scala.collection.mutable.ArrayBuffer(lane.raw)
     // element-wise min across all attempts so far: a query's steadiest
     // estimate uses every clean pass taken, not only the last attempt's
     def merged: Seq[(String, Either[String, Double])] =
@@ -223,9 +235,13 @@ object Bench {
       attempt += 1
       lane = runLane(spark, benchSet, dir, passes)
       attemptsSeen += lane.results
+      rawSeen += lane.raw
     }
+    val mergedRaw = rawSeen.flatMap(_.toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toSeq }
     val out = lane.copy(results = merged, attempts = attempt,
-      history = if (attemptsSeen.length > 1) attemptsSeen.toSeq else Nil)
+      history = if (attemptsSeen.length > 1) attemptsSeen.toSeq else Nil,
+      raw = mergedRaw)
     val jumps = ratioJumps(out, duck, prevRatios)
     out.copy(ratioJumps = jumps,
       validity = if (guardActive) Some(jumps.isEmpty) else lane.drift.map(_._2))
@@ -249,24 +265,42 @@ object Bench {
     }.getOrElse(Map.empty)
   }
 
-  /** spark/duckdb ratios of the previous artifact's lane `sfx`, taken from
-    * the committed bench_out.json — the ratio guard's reference. Only a
-    * lane that self-labeled valid counts; anything unreadable ⇒ empty map
-    * ⇒ the guard is inert (never blocks the primary output).
+  /** Best-known-good spark/duckdb ratios for lane `sfx`: the element-wise
+    * MIN over EVERY prior artifact whose lane self-labeled valid — the
+    * committed bench_out.json, every committed BENCH_r*.json driver
+    * record, and SPARK_GRAFT_PREV_BENCH if set. Anchoring to last round
+    * alone lets sustained contention RATCHET: q_revenue_by_nation drifted
+    * 4.38× → 7.23× (+65%) inside one 2×-leash round, and two such moves
+    * compound past any leash. The min over all valid history can only go
+    * DOWN, so the accepted baseline never inflates; a deliberate plan
+    * change that's slower at this scale must either stay within 2× of the
+    * best-ever ratio or carry an explicit re-anchor (new artifact name).
+    * Unreadable files are skipped; no valid lane anywhere ⇒ empty map ⇒
+    * the guard is inert (never blocks the primary output).
     */
   private def prevValidRatios(sfx: String): Map[String, Double] = {
-    val candidates = Seq(sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", ""),
-      "bench_out.json", "/root/repo/bench_out.json")
-    candidates.filter(_.nonEmpty).map(new java.io.File(_)).find(_.isFile).flatMap { f =>
+    val repoArtifacts = Seq(".", "/root/repo").flatMap { d =>
+      val dir = new java.io.File(d)
+      Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json") || f.getName == "bench_out.json")
+    }
+    val candidates = (Seq(sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", ""))
+      .filter(_.nonEmpty).map(new java.io.File(_)) ++ repoArtifacts)
+      .filter(_.isFile).distinct
+    val perArtifact = candidates.flatMap { f =>
       scala.util.Try {
         import scala.jdk.CollectionConverters._
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        var root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        // driver records wrap the stdout line under "parsed"
+        if (root.has("parsed") && root.get("parsed").isObject) root = root.get("parsed")
         if (Option(root.get(s"valid$sfx")).exists(_.asBoolean(false)))
           Option(root.get(s"spark_over_duckdb$sfx")).map(_.fields().asScala
             .map(e => e.getKey -> e.getValue.asDouble).toMap)
         else None
       }.toOption.flatten
-    }.getOrElse(Map.empty)
+    }
+    perArtifact.flatMap(_.toSeq).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).min }
   }
 
   /** Render one lane's JSON fields; `sfx` is "" (primary), "_x16", or
@@ -284,6 +318,18 @@ object Bench {
       jstr(k) + ":" + v.fold(_ => "-1", fmt)
     }.mkString("{", ",", "}")
     val qField = if (compact && sfx.nonEmpty) "" else s""","queries$sfx":$qs"""
+    // steady-state medians over every pass of every attempt (full artifact
+    // only — the stdout window stays reserved for the mins the contract
+    // reports): the cross-check that exposes a contended min-of-N
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val medField =
+      if (compact || lane.raw.isEmpty) ""
+      else lane.results.collect { case (k, Right(_)) if lane.raw.getOrElse(k, Nil).nonEmpty =>
+        jstr(k) + ":" + fmt(median(lane.raw(k)))
+      }.mkString(s""","queries_median$sfx":{""", ",", "}")
     val errs = lane.results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
     val errField = if (errs.isEmpty) "" else errs.mkString(s""","errors$sfx":{""", ",", "}")
     val anchorFields = if (duck.isEmpty || (compact && !ratiosToo)) "" else {
@@ -326,7 +372,7 @@ object Bench {
     // make the total LOOK faster (0-contribution would)
     val total =
       if (errs.nonEmpty) -1.0 else lane.results.map(_._2.getOrElse(0.0)).sum
-    (s""","total$sfx":${fmt(total)}$qField$errField$anchorFields$driftFields$guardField$historyField""",
+    (s""","total$sfx":${fmt(total)}$qField$medField$errField$anchorFields$driftFields$guardField$historyField""",
       total)
   }
 

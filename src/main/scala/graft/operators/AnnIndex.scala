@@ -238,12 +238,18 @@ object AnnIndex {
 
   /** Whether an IMI-PQ layout stores per-half-residual codes ([[buildImiPq]]
     * `residual = true`); indexes without a `_meta` sidecar predate the
-    * flag and store whole-vector codes.
+    * flag and store whole-vector codes. Only a genuinely ABSENT sidecar
+    * defaults to false — a present-but-unreadable `_meta` propagates its
+    * error rather than silently probing a residual index with
+    * whole-vector LUTs (which would return wrong neighbors with no
+    * signal).
     */
-  private def imiPqResidual(spark: SparkSession, path: String): Boolean =
-    scala.util.Try(
-      spark.read.parquet(path + "/_meta").head().getAs[Boolean]("residual")
-    ).getOrElse(false)
+  private[graft] def imiPqResidual(spark: SparkSession, path: String): Boolean = {
+    val meta = new org.apache.hadoop.fs.Path(path + "/_meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta)) false
+    else spark.read.parquet(meta.toString).head().getAs[Boolean]("residual")
+  }
 
   /** ADC + exact-tail probe of a [[buildImiPq]] index. Pruning is the
     * RECTANGLE of probed half-cells (`__ca IN (…) AND __cb IN (…)` —

@@ -731,11 +731,12 @@ object Queries {
     // BigDecimal PER LINEITEM ROW. The source doubles carry exactly 2
     // (price) and ≤4 (discount) decimal digits, so the same product is
     // exact in long micro-dollars: cents × (10000 − bp), pure codegen
-    // long arithmetic in the scan projection. Under ANSI mode a sum
-    // overflow raises instead of corrupting (per-order sums top out
-    // ~7·10^11; per-nation sums reach long range only near sf100 — at
-    // that scale flip the order-level sum's cast to decimal(38,0), which
-    // pays decimal only per ORDER, never per lineitem row).
+    // long arithmetic in the scan projection. Per-order sums top out
+    // ~7·10^11 (bounded fan-out) so the fact-side sum stays long; the
+    // NATION-level sum scales with the corpus and runs in decimal(38,0)
+    // (cast below) — overflow is impossible at any SF regardless of the
+    // session's spark.sql.ansi.enabled, and decimal is paid only per
+    // ORDER row after the join, never per lineitem row.
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val bp = round(col("l_discount") * 10000).cast("long")
     val micro = cents * (lit(10000L) - bp)
@@ -773,7 +774,13 @@ object Queries {
       .agg(sum(micro).as("__rev_micro"))
       .join(ordF.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("__rev_micro")).cast("decimal(38,0)") /
+      // nation-level sum in decimal(38,0): the per-order micro sums are
+      // long-safe (bounded per-order fan-out), but their NATION total
+      // scales with the corpus — decimal input makes overflow impossible
+      // regardless of the session's spark.sql.ansi.enabled, instead of
+      // wrapping silently under an ANSI-off session. The decimal agg runs
+      // on post-join per-order rows, not the fact scan.
+      .agg(round(sum(col("__rev_micro").cast("decimal(38,0)")) /
         lit(1000000L).cast("decimal(7,0)"), 2).cast("double").as("revenue"))
   }
 

@@ -892,8 +892,16 @@ object GraftStreaming {
       books: Array[Array[Array[Float]]],
       residual: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
-    // residual must match the _meta flag writeImiPqMeta persisted (same
-    // per-half residual transform as the batch build — Similarity.imiResidual)
+    // residual must match the _meta flag writeImiPqMeta persisted — a
+    // mismatch would append codes in the wrong domain (whole-vector vs
+    // per-half residual) while probeImiPqRefined builds LUTs from _meta,
+    // silently returning wrong neighbors. Checked here, before any
+    // microbatch runs.
+    val persisted = graft.operators.AnnIndex.imiPqResidual(stream.sparkSession, path)
+    require(persisted == residual,
+      s"indexStreamImiPq residual=$residual contradicts the index _meta at " +
+        s"$path (residual=$persisted); streamed codes must share the batch " +
+        "build's domain or the probe's ADC LUTs are wrong")
     val assigned = Similarity.imiAssigned(
         stream.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
           .join(broadcast(bookA)).join(broadcast(bookB)),

@@ -53,11 +53,19 @@ class PlanAssertSpec extends AnyFunSuite {
     // materialize patterns, don't extend this allowlist without a
     // measured rationale.
     val accepted = Set("q_semdedup")
-    val violations = graft.queries.Queries.all.flatMap { qd =>
-      val ks = scala.util.Try(
-        PlanAssert.heavyFilterKernels(qd.fn(spark, sfDir))).getOrElse(Nil)
-      if (ks.nonEmpty && !accepted(qd.name)) Some(qd.name -> ks) else None
+    // a query whose plan CRASHES must fail the gate too — swallowing it
+    // would silently disable the regression check for that query
+    val (errors, violations) = graft.queries.Queries.all.foldLeft(
+        (List.empty[(String, String)], List.empty[(String, Seq[String])])) {
+      case ((errs, viols), qd) =>
+        scala.util.Try(PlanAssert.heavyFilterKernels(qd.fn(spark, sfDir))) match {
+          case scala.util.Failure(e) => ((qd.name -> e.toString) :: errs, viols)
+          case scala.util.Success(ks) if ks.nonEmpty && !accepted(qd.name) =>
+            (errs, (qd.name -> ks) :: viols)
+          case _ => (errs, viols)
+        }
     }
+    assert(errors.isEmpty, s"plans failed to build: ${errors.mkString("; ")}")
     assert(violations.isEmpty,
       s"kernel-in-filter regressions: ${violations.mkString("; ")}")
   }

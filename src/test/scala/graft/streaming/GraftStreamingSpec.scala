@@ -1288,6 +1288,15 @@ class GraftStreamingSpec extends AnyFunSuite {
         books, k = 5, nPerHalf = 4, nProbe = 3, refine = 2, residual = true)
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
     assert(got == want && got.nonEmpty)
+    // the flag/_meta mismatch guard: a caller claiming the OPPOSITE code
+    // domain from what the sidecar persisted must fail before any
+    // microbatch can append codes the probe's LUTs would mis-score
+    val e = intercept[IllegalArgumentException] {
+      GraftStreaming.indexStreamImiPq(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        path, checkpoint + "_bad", bookA, bookB, books, residual = false)
+    }
+    assert(e.getMessage.contains("residual"))
   }
 
   test("mixtureStream == batch sqrtMixtureSample on the same rows (q_mixture config)") {

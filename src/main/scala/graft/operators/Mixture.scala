@@ -72,12 +72,29 @@ object Mixture {
 
   /** Gate rows by pre-computed [[sqrtMixtureRates]] thresholds: broadcast
     * join + map-side LCG filter, zero shuffle on the data side.
+    *
+    * Unseen-source contract: a row whose source has NO rate row — a
+    * source that appeared after the profile was distilled — is DROPPED
+    * by default (the inner join; restart-to-reprofile, the
+    * [[graft.streaming.GraftStreaming.quantileBinStreamBy]] discipline).
+    * Pass `defaultRate = Some(r)` to instead gate unseen sources at rate
+    * `r` (Some(1.0) = pass through whole) via a left join + coalesced
+    * threshold — same zero-shuffle shape either way.
     */
   def applyRates(df: DataFrame, sourceCol: String, idCol: String,
-      rates: DataFrame): DataFrame =
-    df.join(broadcast(rates), sourceCol)
-      .where(lcg31Col(col(idCol)) < col("__thr"))
-      .drop("__thr")
+      rates: DataFrame, defaultRate: Option[Double] = None): DataFrame =
+    defaultRate match {
+      case None =>
+        df.join(broadcast(rates), sourceCol)
+          .where(lcg31Col(col(idCol)) < col("__thr"))
+          .drop("__thr")
+      case Some(r) =>
+        require(r >= 0.0 && r <= 1.0, s"defaultRate must be in [0,1], got $r")
+        val defThr = math.floor(r * 2147483648.0).toLong // the __thr scheme
+        df.join(broadcast(rates), Seq(sourceCol), "left")
+          .where(lcg31Col(col(idCol)) < coalesce(col("__thr"), lit(defThr)))
+          .drop("__thr")
+    }
 
   /** Sample `targetFraction` of the corpus with per-source rates
     * ∝ sqrt(source share), capped at keeping a source whole.

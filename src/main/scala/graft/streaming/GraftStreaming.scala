@@ -204,25 +204,36 @@ object GraftStreaming {
     * q_mixture oracle config). Re-profiling a drifting source
     * distribution is the caller's restart policy, same contract as
     * [[decontaminateStream]]'s benchmark filter.
+    *
+    * Unseen-source contract (spec-pinned): a source that first appears
+    * MID-STREAM — one the static profile never saw — is DROPPED by the
+    * default inner rate join until a restart re-profiles it; pass
+    * `defaultRate = Some(r)` to gate unseen sources at `r` instead
+    * (Some(1.0) = pass through whole) when losing a brand-new source
+    * until the next restart is the wrong trade.
     */
   def mixtureStream(stream: DataFrame, sourceCol: String, idCol: String,
-      profile: DataFrame, targetFraction: Double): DataFrame =
+      profile: DataFrame, targetFraction: Double,
+      defaultRate: Option[Double] = None): DataFrame =
     graft.operators.Mixture.applyRates(stream, sourceCol, idCol,
-      graft.operators.Mixture.sqrtMixtureRates(profile, sourceCol, targetFraction))
+      graft.operators.Mixture.sqrtMixtureRates(profile, sourceCol, targetFraction),
+      defaultRate)
 
   /** [[mixtureStream]] under a TOKEN-mass profile — the production
     * budget unit ([[graft.operators.Mixture.sqrtMixtureRatesBy]]):
     * thresholds distill once from the static profile's per-source token
     * sums; the per-row gate is the same stateless broadcast-join LCG
     * filter, so stream and batch keep exactly the same rows (spec-gated
-    * against the q_mixture_tokens config).
+    * against the q_mixture_tokens config). Unseen sources follow the
+    * [[mixtureStream]] contract: dropped by default, `defaultRate`
+    * opts into a pass-through rate.
     */
   def mixtureStreamBy(stream: DataFrame, sourceCol: String, idCol: String,
       profile: DataFrame, weight: org.apache.spark.sql.Column,
-      targetFraction: Double): DataFrame =
+      targetFraction: Double, defaultRate: Option[Double] = None): DataFrame =
     graft.operators.Mixture.applyRates(stream, sourceCol, idCol,
       graft.operators.Mixture.sqrtMixtureRatesBy(
-        profile, sourceCol, weight, targetFraction))
+        profile, sourceCol, weight, targetFraction), defaultRate)
 
   /** Streaming UniMax gate — materialize a budget-capped mixture plan
     * ([[graft.operators.Mixture.unimaxQuotas]], distilled ONCE from a
@@ -233,6 +244,14 @@ object GraftStreaming {
     * no watermark, append-safe; `epoch` rides along. Quota refresh on a
     * drifting profile is the caller's restart policy, same contract as
     * [[mixtureStream]].
+    *
+    * Unseen-source contract (spec-pinned): a source with NO quota row —
+    * one that appeared after the quotas were distilled — is DROPPED by
+    * the inner quota join until a restart re-plans. There is
+    * deliberately no pass-through default here: a UniMax quota is a
+    * BUDGET allocation, and admitting an unplanned source at any default
+    * epoch count would silently overspend the budget the quotas exist to
+    * enforce (the rate gates' `defaultRate` has no such invariant).
     */
   def unimaxStream(stream: DataFrame, sourceCol: String, idCol: String,
       quotas: DataFrame): DataFrame =

@@ -1360,6 +1360,63 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("mixture gates unseen-source contract: default drops, defaultRate passes through, unimax always drops") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the profile saw web+wiki only; "fresh" appears mid-stream
+    val profiled = (0 until 200).map(i => (i.toLong, "web")) ++
+      (200 until 260).map(i => (i.toLong, "wiki"))
+    val staticDf = profiled.toDF("doc_id", "source")
+    val freshRows = (1000 until 1020).map(i => (i.toLong, "fresh"))
+
+    // default: the inner rate join DROPS every unseen-source row
+    val in1 = MemoryStream[(Long, String)]
+    val dropGate = GraftStreaming.mixtureStream(
+      in1.toDF().toDF("doc_id", "source"), "source", "doc_id",
+      profile = staticDf, targetFraction = 0.5)
+    val q1 = GraftStreaming.storeStreamMemory(dropGate, "mix_unseen_drop")
+    try {
+      in1.addData(profiled.take(50) ++ freshRows); q1.processAllAvailable()
+      val got = spark.table("mix_unseen_drop").select("source").as[String].collect()
+      assert(!got.contains("fresh"), "unseen source must be dropped by default")
+      assert(got.nonEmpty, "profiled sources still flow")
+    } finally q1.stop()
+
+    // defaultRate = Some(1.0): every unseen-source row passes through
+    // whole; profiled sources gate exactly as before
+    val in2 = MemoryStream[(Long, String)]
+    val passGate = GraftStreaming.mixtureStream(
+      in2.toDF().toDF("doc_id", "source"), "source", "doc_id",
+      profile = staticDf, targetFraction = 0.5, defaultRate = Some(1.0))
+    val q2 = GraftStreaming.storeStreamMemory(passGate, "mix_unseen_pass")
+    try {
+      in2.addData(profiled.take(50) ++ freshRows); q2.processAllAvailable()
+      val tbl = spark.table("mix_unseen_pass")
+      assert(tbl.where(col("source") === "fresh").count() == freshRows.size,
+        "defaultRate=1.0 must keep every unseen-source row")
+      // profiled rows keep the SAME set the no-default gate kept
+      val baseline = spark.table("mix_unseen_drop").select("doc_id").as[Long].collect().toSet
+      val withDefault = tbl.where(col("source") =!= "fresh")
+        .select("doc_id").as[Long].collect().toSet
+      assert(withDefault == baseline, "defaultRate must not change profiled-source gating")
+    } finally q2.stop()
+
+    // unimax: a source with no quota row is ALWAYS dropped (budget
+    // invariant — no pass-through exists by design)
+    val quotas = graft.operators.Mixture.unimaxQuotas(
+      staticDf, "source", budgetNum = 1L, budgetDen = 2L, maxEpochs = 2)
+    val in3 = MemoryStream[(Long, String)]
+    val uni = GraftStreaming.unimaxStream(
+      in3.toDF().toDF("doc_id", "source"), "source", "doc_id", quotas)
+    val q3 = GraftStreaming.storeStreamMemory(uni, "unimax_unseen")
+    try {
+      in3.addData(profiled.take(50) ++ freshRows); q3.processAllAvailable()
+      val got = spark.table("unimax_unseen").select("source").as[String].collect()
+      assert(!got.contains("fresh"), "unimax must drop unplanned sources")
+      assert(got.nonEmpty)
+    } finally q3.stop()
+  }
+
   test("quantileBinStream / curriculumStream == batch approx twins on the same rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -558,33 +558,60 @@ object Dedup {
         .withColumn("__len", length(col("__t")))))
     // shared segment arithmetic over a partition of `nb` into k parts:
     // q = nb div k, r = nb mod k; segment i has length q (+1 iff
-    // i ≥ k − r) and starts at i·q + max(0, i − (k − r))
-    def segCols(d: DataFrame): DataFrame = d
-      .withColumn("__q", expr(s"__nb div $k"))
-      .withColumn("__r", expr(s"__nb % $k"))
-      .withColumn("__sl",
-        (col("__q") + when(col("__seg") >= lit(k) - col("__r"), 1).otherwise(0)).cast("int"))
-      .withColumn("__p",
-        (col("__seg") * col("__q") +
-          greatest(lit(0), col("__seg") - (lit(k) - col("__r")))).cast("int"))
-    val idx = segCols(base.select(col("__id"), col("__t"),
-        col("__len").cast("long").as("__nb"),
-        explode(sequence(lit(0), lit(k - 1))).as("__seg")))
-      .select(col("__id"), col("__nb"), col("__seg"),
-        xxhash64(col("__t").substr(col("__p") + 1, col("__sl"))).as("__h"))
-    val lo = greatest(lit(0), col("__p") - lit(maxDist))
-    val hi = least(col("__len") - col("__sl"), col("__p") + lit(maxDist))
-    val probes = segCols(base.select(col("__id"), col("__t"), col("__len"),
-        explode(sequence(col("__len").cast("long") - maxDist,
-          col("__len").cast("long") + maxDist)).as("__nb"))
-        .where(col("__nb") >= 0)
-        .withColumn("__seg", explode(sequence(lit(0), lit(k - 1)))))
-      .where(hi >= lo)
-      .select(col("__id"), col("__nb"), col("__seg"), col("__t"),
-        explode(sequence(lo.cast("long"), hi.cast("long"))).as("__s"),
-        col("__sl"))
-      .select(col("__id"), col("__nb"), col("__seg"),
-        xxhash64(col("__t").substr(col("__s").cast("int") + 1, col("__sl"))).as("__h"))
+    // i ≥ k − r) and starts at i·q + max(0, i − (k − r)).
+    //
+    // Both key streams hash INSIDE array lambdas and explode only the
+    // 8-byte (nb, seg, h) structs — an earlier shape exploded constant
+    // seg/shift sequences with `__t` in requiredChildOutput, and Generate
+    // materializes every carried column per output row, copying the whole
+    // text k× (resp. (2·maxDist+1)·k×) before the hash consumed it (the
+    // d65debf bytes-moved lesson; gated by PlanAssert.payloadExplodes).
+    // Same-session A/B at x16, q_dedup_fuzzy min-of-3: 6.91 s (carried
+    // text) → 2.97 s (lambda hashing) — 2.3× from bytes not moved.
+    def intDiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.GraftBridge.expression(b)))
+    val K = lit(k.toLong)
+    def segLen(nb: Column, seg: Column): Column =
+      intDiv(nb, K) + when(seg >= K - nb % K, 1L).otherwise(0L)
+    def segPos(nb: Column, seg: Column): Column =
+      seg * intDiv(nb, K) + greatest(lit(0L), seg - (K - nb % K))
+    val segRange = sequence(lit(0L), lit((k - 1).toLong))
+    val idx = base
+      .select(col("__id"), explode(transform(segRange, seg =>
+        struct(col("__len").cast("long").as("nb"), seg.as("seg"),
+          xxhash64(col("__t").substr(
+            (segPos(col("__len").cast("long"), seg) + 1L).cast("int"),
+            segLen(col("__len").cast("long"), seg).cast("int"))).as("h")))).as("__x"))
+      .select(col("__id"), col("__x.nb").as("__nb"),
+        col("__x.seg").as("__seg"), col("__x.h").as("__h"))
+    // probe keys: every (candidate length nb within ±maxDist, segment,
+    // window start s within the PassJoin shift bound) — one nested
+    // array-of-structs per doc, empty slices for windows that fall off
+    // the text, flattened then exploded
+    val probeArr = flatten(flatten(transform(
+      sequence(greatest(lit(0L), col("__len").cast("long") - maxDist),
+        col("__len").cast("long") + maxDist),
+      nb => transform(segRange, seg => {
+        val slv = segLen(nb, seg)
+        val pv = segPos(nb, seg)
+        val lo = greatest(lit(0L), pv - maxDist)
+        val hi = least(col("__len").cast("long") - slv, pv + maxDist)
+        // slice-to-empty instead of when/otherwise: sequence(a, b) with
+        // a > b descends rather than erroring, and array()'s null element
+        // type fights coercion against array<struct>
+        slice(
+          transform(sequence(lo, greatest(hi, lo)), s =>
+            struct(nb.as("nb"), seg.as("seg"),
+              xxhash64(col("__t").substr((s + 1L).cast("int"), slv.cast("int"))).as("h"))),
+          lit(1), greatest(hi - lo + 1L, lit(0L)).cast("int"))
+      }))))
+    val probes = base
+      .select(col("__id"), explode(probeArr).as("__x"))
+      .select(col("__id"), col("__x.nb").as("__nb"),
+        col("__x.seg").as("__seg"), col("__x.h").as("__h"))
     val cands = probes.as("a")
       .join(idx.as("b"), Seq("__nb", "__seg", "__h"))
       .where(col("a.__id") =!= col("b.__id"))

@@ -150,6 +150,87 @@ object ExtQueries {
         b.bpePieceCount(col("text"), BpeFixtureMerges).cast("long").as("n_pieces"))
   }
 
+  /** Fixture vocabulary for q_unigram_apply: a real unigram-LM
+    * (SentencePiece-style) vocab trained once on the sf0.01 documents
+    * corpus by [[graft.functions.Unigram.train]] (ProbeUnigram prints
+    * it; Viterbi-EM is deterministic — ordered cuts, integer surprisal
+    * costs in 1/256-bit units). Constants here so the DuckDB oracle can
+    * interpolate the SAME pieces/costs.
+    */
+  private val UnigramFixture: Seq[(String, Long)] = Seq(
+    (" ", 1011L), (" a ", 1809L), (" a s", 2515L), (" agg", 1791L),
+    (" b", 2515L), (" bat", 1658L), (" big", 1812L), (" col", 1520L),
+    (" fil", 1752L), (" gro", 1611L), (" key", 1804L), (" lin", 1939L),
+    (" mer", 1882L), (" ord", 1577L), (" que", 1688L), (" row", 1750L),
+    (" s", 1317L), (" sma", 2039L), (" spa", 2052L), (" str", 1519L),
+    (" tab", 1888L), (" the", 1829L), (" val", 1922L), (" vec", 1553L),
+    (" win", 1713L), ("a", 2109L), ("a ", 1941L), ("a s", 2530L),
+    ("agg ", 1607L), ("am s", 2530L), ("atch", 2515L), ("b", 3944L),
+    ("batc", 1808L), ("big ", 1611L), ("c", 3944L), ("can ", 1806L),
+    ("ch ", 1721L), ("ch s", 2340L), ("colu", 2020L), ("cust", 1418L),
+    ("d", 2741L), ("data", 1429L), ("dow ", 1713L), ("e", 1766L),
+    ("e ", 1354L), ("e a ", 2278L), ("e ba", 2345L), ("e co", 2573L),
+    ("e gr", 2350L), ("e qu", 2345L), ("e s", 1783L), ("eam ", 1519L),
+    ("er", 1898L), ("er ", 1508L), ("er s", 2037L), ("ery ", 2345L),
+    ("f", 3944L), ("fast", 1451L), ("filt", 1611L), ("g", 1907L),
+    ("ge ", 1882L), ("h", 2274L), ("h ", 1931L), ("hash", 1413L),
+    ("i", 3944L), ("j", 3944L), ("join", 1407L), ("k", 3944L),
+    ("key ", 1603L), ("l", 3944L), ("le ", 1888L), ("line", 1534L),
+    ("ll ", 2039L), ("low ", 1815L), ("lumn", 2573L), ("m", 3944L),
+    ("mall", 1497L), ("merg", 1551L), ("mn ", 2020L), ("n", 3944L),
+    ("o", 3133L), ("omer", 1418L), ("or", 2003L), ("or s", 2365L),
+    ("orde", 1833L), ("ort ", 1813L), ("oup ", 2350L), ("ow ", 1743L),
+    ("ow s", 2386L), ("p", 2755L), ("park", 1519L), ("part", 1441L),
+    ("q", 3944L), ("quer", 1786L), ("r", 2492L), ("r ", 1944L),
+    ("r s", 2714L), ("ream", 2147L), ("rk ", 2052L), ("roup", 1907L),
+    ("row ", 1605L), ("ry ", 1748L), ("ry s", 2386L), ("s", 2063L),
+    ("scan", 1576L), ("slow", 1582L), ("sort", 1613L), ("st", 2147L),
+    ("stre", 2530L), ("t", 3944L), ("tabl", 1554L), ("tch ", 2345L),
+    ("ter ", 1752L), ("the ", 1625L), ("tor ", 1553L), ("u", 2755L),
+    ("ue ", 1922L), ("umn", 2024L), ("umn ", 1628L), ("up ", 1657L),
+    ("up s", 2403L), ("v", 3944L), ("valu", 1548L), ("vect", 1885L),
+    ("w", 3133L), ("wind", 1676L), ("y", 2266L), ("y ", 1904L))
+
+  private val UnigramMaxLen = 4
+  private val UnigramUnkCost = 10000L
+
+  /** Viterbi in DuckDB: list_reduce over positions, accumulator = the dp
+    * list itself (seeded [[0]]; elements are wrapped positions so the
+    * 2-arg reduce's acc type matches). dp values are the SAME packed
+    * `cost·2^16 + nPieces` integers the Spark kernel minimizes — min
+    * cost, tie-break fewest pieces, bit-exact across engines. The vocab
+    * map is hoisted into a one-row CTE (inlining it re-built the map per
+    * lambda call: 132 s → 1.0 s at sf0.01).
+    */
+  private def unigramOracleSql: String = {
+    val ps = UnigramFixture.map { case (p, _) => s"'${p.replace("'", "''")}'" }
+    val cs = UnigramFixture.map { case (_, c) => s"CAST(${c * 65536L + 1L} AS BIGINT)" }
+    val unk = UnigramUnkCost * 65536L + 1L
+    raw"""WITH vm AS (SELECT map([${ps.mkString(",")}],[${cs.mkString(",")}]) AS m),
+       dp AS (
+         SELECT doc_id,
+           list_reduce(
+             list_concat([[CAST(0 AS BIGINT)]],
+               list_transform(range(1, length(text)+1), j -> [CAST(j AS BIGINT)])),
+             (acc, x) -> list_append(acc,
+               list_min(list_transform(range(1, least($UnigramMaxLen, x[1])+1), i ->
+                 acc[CAST(x[1]-i+1 AS INT)] +
+                 CASE WHEN i = 1
+                      THEN coalesce(m[substr(text, CAST(x[1] AS INT), 1)][1], CAST($unk AS BIGINT))
+                      ELSE m[substr(text, CAST(x[1]-i+1 AS INT), CAST(i AS INT))][1] END)))
+           ) AS d
+         FROM documents, vm)
+       SELECT doc_id, d[-1] // 65536 AS cost_bits, d[-1] % 65536 AS n_pieces FROM dp"""
+  }
+
+  private val unigramApplyQ = q("q_unigram_apply", unigramOracleSql) { (s, d) =>
+    val packed = graft.functions.Unigram.packed(col("text"), UnigramFixture,
+      UnigramMaxLen, UnigramUnkCost)
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"), shiftright(packed, 16).as("cost_bits"),
+        (packed % 65536L).as("n_pieces"))
+  }
+
   private val fingerprintQ = q("q_fingerprint",
     """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
        FROM documents""") { (s, d) =>
@@ -3018,7 +3099,7 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     profileQ, profileNumericQ, profileNumericApproxQ, profileTopQ, keySkewQ,
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
-    dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
+    dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, unigramApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,

@@ -66,7 +66,9 @@ class CodegenNoFallbackSpec extends AnyFunSuite {
       HashExpressions.fixtureMinhashSig(col("text"), 3, 8).as("fmh"),
       HashExpressions.fixtureSimhashSig(col("text"), 2, 60).as("fsh"),
       HashExpressions.fixtureBandHashes(
-        HashExpressions.fixtureMinhashSig(col("text"), 3, 8), 4, 2).as("fbh")).collect()
+        HashExpressions.fixtureMinhashSig(col("text"), 3, 8), 4, 2).as("fbh"),
+      Unigram.packed(col("text"), Seq(("t", 5L), ("th", 7L)), 2, 100L).as("upk"),
+      Unigram.pieces(col("text"), Seq(("t", 5L), ("th", 7L)), 2, 100L).as("upc")).collect()
     assert(out.length == 2)
     // all-ones bitmap hits every gram; all-zeros hits none
     assert(out(0).getInt(13) == out(0).getSeq[Long](4).size &&

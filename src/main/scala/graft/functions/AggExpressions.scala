@@ -19,13 +19,27 @@ import org.apache.spark.sql.types._
   * (SURVEY.md §2.5 "top/top-by: bounded-heap Aggregator at scale" — this is
   * the DataFrame-lane version; [[graft.core.Fold.topBy]] is the typed one.)
   */
+
+/** The TopK aggregation state: the candidate buffer plus a REJECTION
+  * BOUND — once a trim has proven k elements ≤ `bound` exist, any
+  * incoming value not strictly better than `bound` is dropped WITHOUT
+  * the per-row deep copy + append (and the 2k-sort those appends feed).
+  * On the knn x16 ladder (ProbeKnn) the heap stage saw 128.6M pair
+  * structs for 32k final top-5 lists — the bound rejects ~all of the
+  * stream after warm-up, which is what makes the aggregate's cost track
+  * OUTPUT size, not candidate count.
+  */
+final class TopKBuffer(
+    val buf: scala.collection.mutable.ArrayBuffer[Any],
+    var bound: Any)
+
 case class TopK(
     child: Expression,
     k: Int,
     largest: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Any]] {
+  extends TypedImperativeAggregate[TopKBuffer] {
   require(k > 0, "k must be positive")
 
   override def prettyName: String = if (largest) "graft_top_k" else "graft_bottom_k"
@@ -38,43 +52,58 @@ case class TopK(
     if (largest) natural.reverse else natural
   }
 
-  private type Buf = scala.collection.mutable.ArrayBuffer[Any]
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(new scala.collection.mutable.ArrayBuffer[Any](k + 16), null)
 
-  override def createAggregationBuffer(): Buf = new Buf(k + 16)
-
-  /** Keep the buffer ≤ 2k between trims (amortized O(log k) per row). */
-  private def trim(buf: Buf): Unit =
-    if (buf.length > 2 * k) {
-      val kept = buf.sorted(ordering).take(k)
-      buf.clear()
-      buf ++= kept
-    }
-
-  override def update(buf: Buf, input: InternalRow): Buf = {
-    val v = child.eval(input)
-    if (v != null) {
-      // deep copy: unsafe rows/arrays AND generic rows with interior
-      // UTF8String/array fields alias scanner-reused buffers
-      buf += InternalRow.copyValue(v)
-      trim(buf)
-    }
-    buf
+  /** Sort, keep the best k, and set the rejection bound to the worst
+    * kept element (only meaningful once k elements exist).
+    */
+  private def trim(b: TopKBuffer): Unit = {
+    val kept = b.buf.sorted(ordering).take(k)
+    b.buf.clear()
+    b.buf ++= kept
+    if (kept.length >= k) b.bound = kept.last
   }
 
-  override def merge(a: Buf, b: Buf): Buf = { a ++= b; trim(a); a }
+  override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      // bound rejection: compare BEFORE copying — equal-to-bound values
+      // are rejected too (compare == 0 on the full struct means an
+      // identical value; sorted take(k) would exclude it anyway)
+      if (b.bound == null || ordering.compare(v, b.bound) < 0) {
+        // deep copy: unsafe rows/arrays AND generic rows with interior
+        // UTF8String/array fields alias scanner-reused buffers
+        b.buf += InternalRow.copyValue(v)
+        if (b.buf.length > 2 * k) trim(b)
+      }
+    }
+    b
+  }
 
-  override def eval(buf: Buf): Any =
-    new GenericArrayData(buf.sorted(ordering).take(k).toArray)
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    a.buf ++= b.buf
+    // the tighter bound stays valid: each bound certifies k elements at
+    // or below it in ITS stream, and a merge only adds elements
+    if (a.bound == null ||
+        (b.bound != null && ordering.compare(b.bound, a.bound) < 0))
+      a.bound = b.bound
+    if (a.buf.length > 2 * k) trim(a)
+    a
+  }
+
+  override def eval(b: TopKBuffer): Any =
+    new GenericArrayData(b.buf.sorted(ordering).take(k).toArray)
 
   // serialize the buffer as length-prefixed single-column unsafe rows
+  // (the bound is derivable: deserialize re-trims, which restores it)
   @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
-  @transient private lazy val rowType = new StructType().add("v", child.dataType)
 
-  override def serialize(buf: Buf): Array[Byte] = {
+  override def serialize(b: TopKBuffer): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.length)
-    buf.foreach { v =>
+    out.writeInt(b.buf.length)
+    b.buf.foreach { v =>
       val r = proj(InternalRow(v))
       out.writeInt(r.getSizeInBytes)
       out.write(r.getBytes)
@@ -83,10 +112,10 @@ case class TopK(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): Buf = {
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = createAggregationBuffer()
+    val b = createAggregationBuffer()
     var i = 0
     while (i < n) {
       val sz = in.readInt()
@@ -94,10 +123,11 @@ case class TopK(
       in.readFully(arr)
       val row = new UnsafeRow(1)
       row.pointTo(arr, sz)
-      buf += InternalRow.copyValue(row.get(0, child.dataType))
+      b.buf += InternalRow.copyValue(row.get(0, child.dataType))
       i += 1
     }
-    buf
+    if (b.buf.length >= k) trim(b)
+    b
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopK =

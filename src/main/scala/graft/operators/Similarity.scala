@@ -38,7 +38,7 @@ object Similarity {
     * embedding columns are fixed-dimension non-null by contract
     * (TESTDATA.md).
     */
-  private[operators] def pairCosine: Column =
+  private[graft] def pairCosine: Column =
     try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn"))
 
   /** Shared tail: scored (query_id, neighbor_id, cosine) candidates →
@@ -54,7 +54,7 @@ object Similarity {
     * discipline; found by ProbePlanGate r12 on every ANN query), while
     * the aggregate's pre-projection computes the cosine exactly once.
     */
-  private[operators] def topKByCosine(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def topKByCosine(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("query_id"))
       .agg(graft.functions.AggExpressions.bottomK(

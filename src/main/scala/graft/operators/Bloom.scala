@@ -67,7 +67,7 @@ object Bloom {
     * checks multiplication — no wrap-around tricks); the fold costs a
     * vanishing extra collision rate next to the filter's own fp rate.
     */
-  private def positionExprsWide(g: Column, mBits: Int, k: Int): Seq[Column] = {
+  private[graft] def positionExprsWide(g: Column, mBits: Int, k: Int): Seq[Column] = {
     val folded = g.bitwiseXOR(shiftrightunsigned(g, 33)).bitwiseAND(lit(0x7FFFFFFFL))
     (0 until k).map(j => ((lit(2L * j + 3) * folded + lit(5L * j + 7)) % P) % mBits)
   }
@@ -87,11 +87,21 @@ object Bloom {
     */
   private def buildBits(benchmark: DataFrame, textCol: String,
       gramArr: Column => Column, posOf: Column => Seq[Column],
-      mBits: Int): Array[Long] = {
+      mBits: Int): Array[Long] =
+    buildBitsFromHashes(benchmark, gramArr(col(textCol)), posOf, mBits)
+
+  /** [[buildBits]] from a caller-supplied integer hash-array column —
+    * the winnow lanes build the filter from winnowed FINGERPRINTS (an
+    * expected 2/(w+1) of the grams), not raw gram hashes; same driver
+    * bound (mBits/64 longs regardless of pool size), same position
+    * arithmetic.
+    */
+  private[graft] def buildBitsFromHashes(benchmark: DataFrame, hashArr: Column,
+      posOf: Column => Seq[Column], mBits: Int): Array[Long] = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
     val words = new Array[Long](mBits / 64)
     benchmark
-      .select(explode(gramArr(col(textCol))).as("__g"))
+      .select(explode(hashArr).as("__g"))
       .select(explode(array(posOf(col("__g")): _*)).as("__pos"))
       .distinct()
       .collect()

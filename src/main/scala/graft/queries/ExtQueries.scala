@@ -3096,15 +3096,219 @@ object ExtQueries {
       Seq("lang", "source"), k = 3)
   }
 
+  // ---- Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+  // 2003 — the MOSS algorithm): the 2/(w+1)-density substring index with
+  // the ≥ w+k−1-token detection guarantee. The selection rule is a total
+  // order (md5 hex asc, then position asc — leftmost minimum per
+  // window), so the whole family replays in SQL: list_min picks the
+  // minimal hash, first list_position its leftmost offset. One CTE
+  // definition, prefix-parametrized, shared by all three queries.
+  private def winnowCtes(p: String, rel: String): String =
+    s"""${p}toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM $rel),
+       ${p}gr AS (SELECT doc_id,
+                CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                     ELSE list_transform(range(1, len(tk) - 2 + 1),
+                            i -> array_to_string(tk[i:i+2], ' '))
+                END AS gs
+              FROM ${p}toks),
+       ${p}hl AS (SELECT doc_id, list_transform(gs, x -> md5(x)) AS hs FROM ${p}gr),
+       ${p}win AS (SELECT doc_id, hs,
+                unnest(range(1, greatest(len(hs) - 4 + 1, 1) + 1)) AS j
+              FROM ${p}hl),
+       ${p}sel AS (SELECT DISTINCT doc_id,
+                CAST(j - 1 + list_position(hs[j:j+3], list_min(hs[j:j+3])) AS INTEGER) AS pos,
+                list_min(hs[j:j+3]) AS fp
+              FROM ${p}win)"""
+
+  /** Winnowed fingerprint SELECTION, every (doc, position, fingerprint)
+    * triple hash-gated — the O(g) monotonic-deque kernel against the
+    * oracle's per-window rescan, proving the deque IS the window
+    * minimum with the leftmost tie-break.
+    */
+  private val winnowFpQ = q("q_winnow_fp",
+    s"""WITH ${winnowCtes("w", "documents")}
+       SELECT doc_id, pos, fp FROM wsel""") { (s, d) =>
+    graft.operators.Winnow.fingerprints(
+      Tables.df(s, d, "documents"), "doc_id", "text", k = 3, w = 4)
+  }
+
+  /** Candidate near-duplicate pairs through the winnowed index
+    * (≥ 2 shared distinct fingerprints, df ≤ 50 cap on candidate
+    * generation — the production guard against head fingerprints).
+    */
+  private val winnowPairsQ = q("q_winnow_pairs",
+    s"""WITH ${winnowCtes("w", "documents")},
+       wfp AS (SELECT DISTINCT doc_id, fp FROM wsel),
+       wdf AS (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) <= 50),
+       wk AS (SELECT doc_id, fp FROM wfp JOIN wdf USING (fp)),
+       pr AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+       SELECT idA, idB, shared FROM pr WHERE shared >= 2""") { (s, d) =>
+    graft.operators.Winnow.pairs(Tables.df(s, d, "documents"), "doc_id", "text",
+      k = 3, w = 4, minShared = 2, maxDocFreq = Some(50L))
+  }
+
+  /** Benchmark contamination through the winnowed index — the
+    * q_contamination contract at 2/(w+1) of the index bytes.
+    */
+  private val winnowContaminationQ = q("q_winnow_contamination",
+    s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+       bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       ${winnowCtes("c", "corp")},
+       ${winnowCtes("b", "bench")},
+       cfp AS (SELECT DISTINCT doc_id, fp FROM csel),
+       pool AS (SELECT DISTINCT fp FROM bsel),
+       tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM cfp GROUP BY 1),
+       hit AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS h
+               FROM cfp c JOIN pool USING (fp) GROUP BY 1)
+       SELECT tot.doc_id,
+              round(CAST(coalesce(h, 0) AS DOUBLE) / n, 6) AS winnow_contamination
+       FROM tot LEFT JOIN hit USING (doc_id)""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    graft.operators.Winnow.contamination(
+      docs.where(col("doc_id") % 50 =!= 0),
+      docs.where(col("doc_id") % 50 === 0),
+      "doc_id", "text", "text", k = 3, w = 4)
+  }
+
+  /** Bloom-gated contamination through the WINNOWED index: the filter's
+    * bits are set by the benchmark pool's winnowed fingerprints (an
+    * expected 2/(w+1) of its grams — the (w+1)/2 × filter-size win at a
+    * fixed fp rate), and the corpus side probes its own winnowed fps in
+    * one zero-shuffle projection. Fixture window hashes + literal
+    * position mixes, so DuckDB replays selection, filter build, AND the
+    * false positives bit-identically (the q_contamination_bloom
+    * discipline; integer winnow = list_min per window, tie-break
+    * irrelevant for the fp SET).
+    */
+  private val winnowContaminationBloomQ = q("q_winnow_contamination_bloom", {
+    val pos = graft.operators.Bloom.positionSqls("g", 1 << 16, 3).mkString("[", ", ", "]")
+    s"""WITH ${OracleFixtures.windowHashCtes("documents", 3, distinct = false)},
+       wwin AS (SELECT doc_id, wh,
+                  unnest(range(1, greatest(len(wh) - 4 + 1, 1) + 1)) AS j
+                FROM wh),
+       wsel AS (SELECT DISTINCT doc_id, list_min(wh[j:j+3]) AS g FROM wwin),
+       poolpos AS (SELECT DISTINCT pos FROM
+                     (SELECT unnest($pos) AS pos FROM
+                       (SELECT DISTINCT g FROM wsel WHERE doc_id % 50 = 0) pg)),
+       cpos AS (SELECT doc_id, g, unnest($pos) AS pos FROM wsel WHERE doc_id % 50 <> 0),
+       mk AS (SELECT cpos.doc_id, cpos.g,
+                CASE WHEN pp.pos IS NULL THEN 0 ELSE 1 END AS hit
+              FROM cpos LEFT JOIN poolpos pp ON cpos.pos = pp.pos),
+       gv AS (SELECT doc_id, g, MIN(hit) AS allhit FROM mk GROUP BY 1, 2)
+       SELECT doc_id,
+              round(CAST(SUM(allhit) AS DOUBLE) / COUNT(*), 6) AS winnow_contamination_bloom
+       FROM gv GROUP BY doc_id"""
+  }) { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    graft.operators.Winnow.contaminationBloomFixture(
+      docs.where(col("doc_id") % 50 =!= 0),
+      docs.where(col("doc_id") % 50 === 0),
+      "doc_id", "text", shingle = 3, w = 4, mBits = 1 << 16, k = 3)
+  }
+
+  // ---- SQ8 scalar quantization (faiss IndexScalarQuantizer QT_8bit):
+  // the codebook-free compressed-domain point next to PQ. Unlike PQ's
+  // trained-codebook path, EVERY step — per-dimension min/max bounds,
+  // affine 8-bit encode, midpoint reconstruction, ADC — is closed-form
+  // double arithmetic, so the full family is oracle-gated (no fixture
+  // twin needed). Shared CTEs, one definition so encode / sweep /
+  // refined cannot drift in quantizer arithmetic.
+  private val SqCtes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       b AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+             FROM e, range(1, 65) t(i) GROUP BY i),
+       cd AS (SELECT vec_id, i,
+                CASE WHEN mx = mn THEN 0
+                     ELSE CAST(least(greatest(floor(((v[i] - mn) * 255.0) / (mx - mn)), 0.0), 255.0) AS INTEGER)
+                END AS code, mn, mx
+              FROM e, b),
+       r AS (SELECT vec_id,
+               list(mn + ((CAST(code AS DOUBLE) + 0.5) * (mx - mn)) / 255.0 ORDER BY i) AS rv
+             FROM cd GROUP BY vec_id)"""
+
+  /** Shared ADC-pair CTE: every corpus vector scored against every
+    * query (vec_id < 50) in compressed domain — midpoint recon, squared
+    * L2 folded left-to-right (list_sum over the ordered 64-list ↔ the
+    * SqAdc kernel's loop).
+    */
+  private val SqPairsCte =
+    """pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65),
+           i -> (q.v[i] - n.rv[i]) * (q.v[i] - n.rv[i]))) AS adist
+       FROM e q, r n WHERE q.vec_id < 50 AND n.vec_id <> q.vec_id)"""
+
+  /** SQ8 ENCODE, every (vector, dimension, code) triple hash-gated —
+    * the quantizer arithmetic itself under the oracle, including the
+    * corpus-trained bounds (one 64-key aggregate, driver-bounded by the
+    * embedding dimensionality, never the corpus).
+    */
+  private val sqEncodeQ = q("q_sq_encode",
+    s"""WITH $SqCtes
+       SELECT vec_id, CAST(i AS INTEGER) AS dim, code FROM cd""") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    val (mins, maxs) = graft.functions.Sq.trainBounds(emb, "embedding")
+    emb.select(col("vec_id"),
+        posexplode(graft.functions.Sq.encodeCol(col("embedding"), mins, maxs))
+          .as(Seq("__p", "code")))
+      .select(col("vec_id"), (col("__p") + 1).cast("int").as("dim"), col("code"))
+  }
+
+  /** SQ8-compressed ANN sweep: ADC scoring over uint8 codes (4× fewer
+    * corpus bytes, dim multiply-adds per pair inside codegen, no
+    * per-query LUT memory at all — the structural difference from PQ).
+    * Rank-only output tie-broken by neighbor id, the family discipline.
+    */
+  private val annSqQ = q("q_ann_sq",
+    s"""WITH $SqCtes,
+       $SqPairsCte
+       SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+       FROM pairs QUALIFY rank <= 10""") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    graft.functions.Sq.topK(emb.where(col("vec_id") < 50), emb,
+      "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** SQ8 shortlist (k·3) + exact re-rank from raw vectors — the faiss
+    * IndexRefineFlat tail over an SQ base, sharing [[graft.functions.Pq.refineExact]]
+    * with the PQ/IVF-PQ variants so exact-L2 + tie-break semantics have
+    * ONE definition. The exact leg replays as `list_distance` (the
+    * q_ann_pq bit-parity argument).
+    */
+  private val annSqRefinedQ = q("q_ann_sq_refined",
+    s"""WITH $SqCtes,
+       $SqPairsCte,
+       short AS (SELECT query_id, neighbor_id FROM (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rr
+         FROM pairs) WHERE rr <= 30),
+       ex AS (SELECT s.query_id, s.neighbor_id, list_distance(q.v, n.v) AS dist
+              FROM short s
+              JOIN e q ON q.vec_id = s.query_id
+              JOIN e n ON n.vec_id = s.neighbor_id)
+       SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+       FROM ex QUALIFY rank <= 10""") { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    graft.functions.Sq.topKRefined(emb.where(col("vec_id") < 50), emb,
+      "vec_id", "embedding", k = 10, refine = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     profileQ, profileNumericQ, profileNumericApproxQ, profileTopQ, keySkewQ,
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, unigramApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
+    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, sqEncodeQ, annSqQ, annSqRefinedQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureTokensQ, mixtureUnimaxQ, mixtureUnimaxTokensQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, packBucketedByQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
-    contaminationSpansQ, decontaminateSpansQ)
+    contaminationSpansQ, decontaminateSpansQ,
+    winnowFpQ, winnowPairsQ, winnowContaminationQ, winnowContaminationBloomQ)
 }

@@ -192,6 +192,23 @@ object GraftStreaming {
       .where(col("contamination_bloom") <= maxContamination)
   }
 
+  /** [[decontaminateStream]] through the WINNOWED index
+    * ([[graft.operators.Winnow]]): the filter is built from the
+    * benchmark's winnowed fingerprints — an expected 2/(w+1) of its
+    * grams, so the in-plan bitmap is ~(w+1)/2 × smaller at the same
+    * false-positive rate while keeping winnowing's ≥ w+k−1-token
+    * detection guarantee. Same stateless append-safe shape; the scored
+    * column rides along as `winnow_contamination_bloom`.
+    */
+  def winnowDecontaminateStream(stream: DataFrame, textCol: String,
+      benchmark: DataFrame, maxContamination: Double, shingle: Int = 3,
+      w: Int = 4, mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    val bits = graft.operators.Winnow.buildFilter(benchmark, textCol, shingle, w, mBits, k)
+    stream.withColumn("winnow_contamination_bloom",
+        graft.operators.Winnow.contaminationBloomColumn(col(textCol), bits, shingle, w, mBits, k))
+      .where(col("winnow_contamination_bloom") <= maxContamination)
+  }
+
   /** Stateless temperature-mixture gate — the streaming source
     * re-weighter the batch lane gets from
     * [[graft.operators.Mixture.sqrtMixtureSample]]. The per-source keep

@@ -662,6 +662,36 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("winnowDecontaminateStream: stateless winnow-bloom gate agrees exactly with the batch operator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // identical → dropped
+      (2L, "totally different words here now nothing shared"),
+      (3L, "alpha beta gamma delta unrelated tail words okay"))
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val out = GraftStreaming.winnowDecontaminateStream(df, "text", bench,
+      maxContamination = 0.5, shingle = 3, w = 4, mBits = 1 << 12)
+    val query = GraftStreaming.storeStreamMemory(out, "winnow_decontam_test")
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("winnow_decontam_test")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Winnow.contaminationBloom(
+        docs.toDF("doc_id", "text"), bench, "doc_id", "text",
+        shingle = 3, w = 4, mBits = 1 << 12)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expect = batch.filter(_._2 <= 0.5)
+      assert(streamed == expect, s"stream $streamed must equal batch-gated $expect")
+      assert(!streamed.contains(1L), "the contaminated doc must be dropped")
+    } finally query.stop()
+  }
+
   test("sessionize: watermark closes sessions; in-batch gap splits sessions") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

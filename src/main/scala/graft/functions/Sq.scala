@@ -211,4 +211,40 @@ object Sq {
       .select(col("query_id"), col("neighbor_id"))
     Pq.refineExact(shortlist, queries, corpus, idCol, vecCol, k)
   }
+
+  /** IVF-SQ: coarse-cell pruning composed with the SQ8 compressed sweep
+    * — [[Pq.ivfTopK]]'s shape with the codebook-free quantizer. Both
+    * corpus passes stay map-side (broadcast centroid assignment, encode
+    * in the same projection); candidates are the nProbe nearest cells
+    * per query, ADC-scored in compressed domain, ranked through the
+    * shared bounded-heap tail. The faiss `IVF<n>,SQ8` index string —
+    * the most common production middle ground between IVF-Flat (4× the
+    * bytes) and IVF-PQ (trained codebooks, recall loss).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      centroids: Option[DataFrame] = None,
+      bounds: Option[(Array[Double], Array[Double])] = None): DataFrame = {
+    import graft.operators.Similarity
+    val (mins, maxs) = bounds.getOrElse(trainBounds(corpus, vecCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      VectorFunctions.l2Norm(col(vecCol)).as("__cn"))
+    val centroidRow = broadcast(centroids.getOrElse(Similarity.defaultCells(c, nCells)))
+    val assigned = c.join(centroidRow) // broadcast 1-row join: map-side
+      .withColumn("__cell",
+        element_at(Similarity.nearestCells(col("__cv"), col("__cells"), 1), 1)("cell"))
+      .select(col("neighbor_id"), col("__cell"),
+        encodeCol(col("__cv"), mins, maxs).as("__codes"))
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(centroidRow)
+      .select(col("query_id"), col("__qv"),
+        explode(Similarity.nearestCells(col("__qv"), col("__cells"), nProbe)).as("__probe"))
+      .select(col("query_id"), col("__qv"), col("__probe")("cell").as("__cell"))
+    Pq.rankTail(
+      assigned.join(broadcast(qProbes), "__cell")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist", adcCol(col("__qv"), col("__codes"), mins, maxs))
+        .where(col("adist").isNotNull),
+      "adist", k, keepScore = true)
+  }
 }

@@ -40,15 +40,16 @@ object TextFunctions {
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Word n-gram shingles: `["a b c", "b c d", ...]`. Building block for
-    * minhash / jaccard dedup.
+    * minhash / jaccard dedup. One codegen kernel pass
+    * ([[WordShingleStrings]]) — the previous
+    * `transform(sequence, i -> array_join(slice(tokens(text), i, n)))`
+    * composition re-evaluated the `split` INSIDE the interpreted
+    * per-gram lambda (HOFs have no subexpression cache), an
+    * O(tokens × bytes) regex term per document that pinned the
+    * length-lane sweep on 4.8 KB docs.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    WinnowFunctions.wordShingleStrings(tokens(text), n)
 
   /** Repetition signal (Gopher-style quality rule): the fraction of word
     * occurrences that are repeats — `1 - |distinct words| / |words|`.

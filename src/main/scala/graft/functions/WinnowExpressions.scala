@@ -95,6 +95,88 @@ object WinnowRuntime {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** One-pass word-shingle builder shared by [[shingleStrings]] and
+    * [[shingleMd5s]]. Window semantics mirror the original
+    * `TextFunctions.wordShingles` column composition exactly:
+    * max(1, t−n+1) windows, short/empty token lists degrade to one
+    * whole-text gram, null tokens omitted the way `array_join` omits
+    * them. The composition it replaces re-evaluated `split(text)` inside
+    * the per-gram lambda (interpreted HOFs have no subexpression cache),
+    * an O(tokens × bytes) regex term per DOCUMENT that pinned the
+    * length-lane sweep — the FixtureHashes lesson again; this kernel is
+    * one linear pass inside codegen.
+    */
+  private def buildShingles(tokens: ArrayData, n: Int)(f: String => Any): GenericArrayData = {
+    val t = tokens.numElements()
+    val windows = math.max(t - n + 1, 1)
+    val out = new Array[Any](windows)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < windows) {
+      sb.setLength(0)
+      var first = true
+      var i = j
+      val end = math.min(j + n, t)
+      while (i < end) {
+        if (!tokens.isNullAt(i)) {
+          if (!first) sb.append(' ')
+          sb.append(tokens.getUTF8String(i).toString)
+          first = false
+        }
+        i += 1
+      }
+      out(j) = f(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def shingleStrings(tokens: ArrayData, n: Int): GenericArrayData =
+    buildShingles(tokens, n)(org.apache.spark.unsafe.types.UTF8String.fromString)
+
+  def shingleMd5s(tokens: ArrayData, n: Int): GenericArrayData =
+    buildShingles(tokens, n) { g =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          g.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
+}
+
+/** word_shingles(tokens, n): array<string> of space-joined word n-grams
+  * in ONE codegen pass — the kernel behind
+  * [[TextFunctions.wordShingles]].
+  */
+case class WordShingleStrings(child: Expression, n: Int) extends ShingleHashExpression {
+  require(n > 0)
+  override def prettyName: String = "graft_word_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    WinnowRuntime.shingleStrings(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.WinnowRuntime.shingleStrings($v, $n);")
+  override protected def withNewChildInternal(c: Expression): WordShingleStrings =
+    copy(child = c)
+}
+
+/** word_shingle_md5s(tokens, n): the md5-hex fingerprints of each word
+  * n-gram, one codegen pass — gram text and digest never materialize as
+  * separate plan nodes. Hex digests are Spark `md5()`-identical
+  * (lowercase hex over the gram's UTF-8 bytes), so the DuckDB `md5()`
+  * oracle replay is unchanged.
+  */
+case class WordShingleMd5s(child: Expression, n: Int) extends ShingleHashExpression {
+  require(n > 0)
+  override def prettyName: String = "graft_word_shingle_md5s"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    WinnowRuntime.shingleMd5s(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.WinnowRuntime.shingleMd5s($v, $n);")
+  override protected def withNewChildInternal(c: Expression): WordShingleMd5s =
+    copy(child = c)
 }
 
 /** winnow_select(hashes, w): array<struct<pos:int, fp:string>> of the
@@ -160,6 +242,14 @@ case class WinnowSelectLong(child: Expression, w: Int) extends UnaryExpression {
 }
 
 object WinnowFunctions {
+  /** Space-joined word n-grams of a token-array column, one codegen pass. */
+  def wordShingleStrings(tokens: Column, n: Int): Column =
+    GraftBridge.column(WordShingleStrings(GraftBridge.expression(tokens), n))
+
+  /** md5-hex word-n-gram fingerprints of a token-array column, one pass. */
+  def wordShingleMd5s(tokens: Column, n: Int): Column =
+    GraftBridge.column(WordShingleMd5s(GraftBridge.expression(tokens), n))
+
   /** Winnowed selections over a gram-hash array column. */
   def winnowSelect(hashes: Column, w: Int): Column =
     GraftBridge.column(WinnowSelect(GraftBridge.expression(hashes), w))

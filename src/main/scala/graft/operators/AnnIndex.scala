@@ -180,6 +180,69 @@ object AnnIndex {
       queries, corpus, idCol, vecCol, k)
   }
 
+  // ---- IVF-SQ: partitioned cell layout over SQ8 codes ----
+
+  /** [[buildIvfPq]]'s scalar-quantized sibling (faiss `IVF<n>,SQ8`):
+    * assignments carry per-dimension uint8 codes — 4× smaller than raw
+    * float32 with NO trained codebooks (the quantizer is the corpus's
+    * per-dimension min/max, one aggregate over `dim` keys). Layout:
+    * parquet partitioned by `__cell`, centroids under `_centroids/`,
+    * the (dim, mn, mx) bounds under `_sqbounds/`, so the probe needs
+    * only `path`.
+    */
+  def buildIvfSq(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int = 16, centroids: Option[DataFrame] = None,
+      bounds: Option[(Array[Double], Array[Double])] = None): Unit = {
+    val spark = corpus.sparkSession
+    val (mins, maxs) = bounds.getOrElse(graft.functions.Sq.trainBounds(corpus, vecCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val centroidRow = broadcast(centroids.getOrElse(Similarity.defaultCells(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        l2Norm(col(vecCol)).as("__cn")), nCells)))
+    c.join(centroidRow)
+      .withColumn("__cell",
+        element_at(Similarity.nearestCells(col("__cv"), col("__cells"), 1), 1)("cell"))
+      .select(col("neighbor_id"), col("__cell"),
+        graft.functions.Sq.encodeCol(col("__cv"), mins, maxs).as("__codes"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+    centroidRow.write.mode("overwrite").parquet(path + "/_centroids")
+    import spark.implicits._
+    mins.indices.map(i => (i, mins(i), maxs(i))).toDF("dim", "mn", "mx")
+      .write.mode("overwrite").parquet(path + "/_sqbounds")
+  }
+
+  /** ADC top-k against a [[buildIvfSq]] index: probed cell ids plan as
+    * literal partition filters (the probeIvf pruning discipline),
+    * scoring reads uint8 codes against the raw query vector — dim
+    * multiply-adds per pair, no per-query LUT memory (the structural
+    * difference from PQ). Identical results to
+    * [[graft.functions.Sq.ivfTopK]] with the same quantizer and bounds.
+    */
+  def probeIvfSq(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val boundRows = spark.read.parquet(path + "/_sqbounds")
+      .orderBy("dim").collect()
+    require(boundRows.nonEmpty && boundRows.length == boundRows.last.getInt(0) + 1,
+      s"ivf-sq index at $path: corrupt _sqbounds sidecar")
+    val mins = boundRows.map(_.getDouble(1))
+    val maxs = boundRows.map(_.getDouble(2))
+    val centroidRow = broadcast(spark.read.parquet(path + "/_centroids"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(centroidRow)
+      .select(col("query_id"), col("__qv"),
+        explode(Similarity.nearestCells(col("__qv"), col("__cells"), nProbe)).as("__probe"))
+      .select(col("query_id"), col("__qv"), col("__probe")("cell").as("__cell"))
+    val probed = Materialize.once(q)
+    val idx = pruneCells(spark.read.parquet(path), probed)
+    graft.functions.Pq.rankTail(
+      idx.join(broadcast(probed), "__cell")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist",
+          graft.functions.Sq.adcCol(col("__qv"), col("__codes"), mins, maxs))
+        .where(col("adist").isNotNull),
+      "adist", k, keepScore = true)
+  }
+
   /** [[buildIvfPq]]'s hierarchical sibling: PQ codes laid out under the
     * IMI composite cell as TWO-LEVEL directory partitioning
     * (`__ca=<a>/__cb=<b>/`), so a probe prunes on both halves at

@@ -26,7 +26,8 @@ object Winnow {
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
-    val hashes = transform(wordShingles(col(textCol), k), g => md5(g))
+    val hashes = graft.functions.WinnowFunctions.wordShingleMd5s(
+      graft.functions.TextFunctions.tokens(col(textCol)), k)
     df.select(col(idCol), explode(winnowSelect(hashes, w)).as("__s"))
       .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }

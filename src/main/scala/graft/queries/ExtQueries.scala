@@ -3299,12 +3299,86 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Shared CTE prefix for the IVF-SQ oracle pair (SQ quantizer CTEs +
+    * cell assignment + probed pairs with SQ ADC distances) — one
+    * definition so the in-flight and persistent-index twins cannot
+    * drift. Assignment CTEs are the q_ann_ivfpq shape (list_distance
+    * argmin, cell-id tie-break, 16 lowest-id centroids, nProbe 4).
+    */
+  private val IvfSqPairsCtes =
+    s"""$SqCtes,
+       cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+       assigned AS (
+         SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cent.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.v, cent.cv), cent.cell) AS rr
+           FROM e, cent) WHERE rr = 1),
+       qa AS (
+         SELECT vec_id AS query_id, cell FROM (
+           SELECT e.vec_id, cent.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.v, cent.cv), cent.cell) AS rr
+           FROM e, cent WHERE e.vec_id < 50) WHERE rr <= 4),
+       pairs AS (SELECT qa.query_id, a.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, 65),
+             i -> (q.v[i] - n.rv[i]) * (q.v[i] - n.rv[i]))) AS adist
+         FROM qa
+         JOIN assigned a ON qa.cell = a.cell
+         JOIN e q ON q.vec_id = qa.query_id
+         JOIN r n ON n.vec_id = a.vec_id
+         WHERE qa.query_id <> a.vec_id)"""
+
+  private val IvfSqOracleSql =
+    s"""WITH $IvfSqPairsCtes
+       SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+       FROM pairs QUALIFY rank <= 10"""
+
+  /** IVF-SQ: coarse-cell pruning + SQ8 ADC — faiss's `IVF16,SQ8`, the
+    * production middle ground between IVF-Flat (4× the bytes) and
+    * IVF-PQ (trained codebooks, recall loss). Oracle-gated end to end:
+    * the quantizer is closed-form, so unlike IVF-PQ no fixture codebook
+    * is needed — the oracle replays the CORPUS-TRAINED bounds.
+    */
+  private val annIvfSqQ = q("q_ann_ivfsq", IvfSqOracleSql) { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    graft.functions.Sq.ivfTopK(emb.where(col("vec_id") < 50), emb,
+      "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Build-once IVF-SQ index shared across a JVM (the ivfPqFixtureIndex
+    * discipline): cell-partitioned uint8 codes + `_centroids` +
+    * `_sqbounds` sidecars.
+    */
+  private val ivfSqIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfSqIndex(s: SparkSession, d: String): String =
+    ivfSqIndexes.computeIfAbsent(d, _ => {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfsq_idx_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      graft.operators.AnnIndex.buildIvfSq(Tables.df(s, d, "embeddings"),
+        "vec_id", "embedding", path, nCells = 16)
+      path
+    })
+
+  /** q_ann_ivfsq through the PERSISTENT index (cell-partitioned codes on
+    * disk, partition-pruned probe) — SAME oracle as the in-flight twin:
+    * same quantizer + same bounds → same answer, hash-gated.
+    */
+  private val annIvfSqIndexedQ = q("q_ann_ivfsq_indexed", IvfSqOracleSql) { (s, d) =>
+    val emb = Tables.df(s, d, "embeddings")
+    graft.operators.AnnIndex.probeIvfSq(s, ivfSqIndex(s, d),
+      emb.where(col("vec_id") < 50), "vec_id", "embedding", k = 10, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     profileQ, profileNumericQ, profileNumericApproxQ, profileTopQ, keySkewQ,
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, unigramApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, sqEncodeQ, annSqQ, annSqRefinedQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
+    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, sqEncodeQ, annSqQ, annSqRefinedQ, annIvfSqQ, annIvfSqIndexedQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureTokensQ, mixtureUnimaxQ, mixtureUnimaxTokensQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, packBucketedByQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,

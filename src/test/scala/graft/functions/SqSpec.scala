@@ -70,6 +70,34 @@ class SqSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Sq.trainBounds(df, "embedding") }
   }
 
+  test("ivf-sq: persistent-index probe == in-flight ivfTopK; index scan is partition-pruned") {
+    val df = planted()
+    val queries = df.where(col("vec_id") < 16)
+    val path = "target/io_tmp/ivfsq_idx_spec"
+    graft.operators.AnnIndex.buildIvfSq(df, "vec_id", "embedding", path, nCells = 8)
+    val want = Sq.ivfTopK(queries, df, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    // AQE hides scans inside query stages — plan asserts need it off
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = graft.operators.AnnIndex.probeIvfSq(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+      val got = probe.collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      assert(got == want && got.nonEmpty)
+      val pf = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+      }.flatMap(_.partitionFilters)
+      assert(pf.exists(_.references.map(_.name).toSet == Set("__cell")),
+        s"partition filters must target __cell: $pf")
+      assert(!pf.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Cast])),
+        s"partition filter wraps the partition column in a cast: $pf")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("topKRefined recovers exact top-k on planted clusters; bare topK recall is near-exact") {
     val df = planted()
     val queries = df.where(col("vec_id") < 16)

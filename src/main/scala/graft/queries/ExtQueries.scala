@@ -231,6 +231,74 @@ object ExtQueries {
         (packed % 65536L).as("n_pieces"))
   }
 
+  /** Fixture vocab for q_wordpiece_apply: a real WordPiece vocabulary
+    * (likelihood-score merges, Wu et al. 2016) trained once on the
+    * sf0.01 documents corpus by [[graft.functions.WordPiece.train]]
+    * (ProbeWordPiece prints it; training is deterministic — integer
+    * cross-multiplied score argmax, lexicographic ties, ordered
+    * dictionary cut). Constants here so the DuckDB oracle can
+    * interpolate the SAME pieces.
+    */
+  private val WordPieceFixture: Seq[String] = Seq(
+    "j", "##o", "##i", "##n", "h", "##a", "##s", "##h",
+    "r", "##w", "b", "##t", "##c", "s", "c", "##l",
+    "##u", "##m", "##e", "##r", "f", "m", "##g", "o",
+    "##d", "v", "l", "d", "t", "##b", "a", "k",
+    "##y", "w", "##p", "##k", "g", "p", "q", "qu",
+    "li", "wi", "lin", "win", "wind", "fi", "bi", "##in",
+    "big", "ag", "agg", "th", "##sh", "##ch", "##bl", "fil",
+    "##us", "cus", "##up", "##lu", "sp", "##lum", "##lumn")
+
+  private val WpMaxLen = 4
+
+  /** Greedy longest-match WordPiece segmentation of one word `x` in
+    * SQL: list_reduce over character positions, accumulator a VARCHAR
+    * `"<nextpos>;<pieces>"` (seeded `'1;'`, the unigram-oracle
+    * prepend-the-seed trick so acc and element types match), `'U'` the
+    * whole-word-[UNK] absorbing state. Each step at its own position
+    * tries lengths maxLen..1 — first piece plain, continuations
+    * `##`-prefixed — and advances past the longest vocab hit; a word
+    * with any unmatchable position collapses to `[UNK]`, exactly
+    * [[graft.functions.WordPieceRuntime.applyWord]]. Valid because the
+    * synthetic corpus words contain no `;` (the q_bpe_apply `|`
+    * argument).
+    */
+  private def wpSegSql(x: String): String = {
+    val tries = (WpMaxLen to 1 by -1).map { l =>
+      val key = s"(CASE WHEN CAST(iv AS INTEGER) = 1 THEN substr($x, CAST(iv AS INTEGER), $l) " +
+        s"ELSE '##' || substr($x, CAST(iv AS INTEGER), $l) END)"
+      s"""CASE WHEN CAST(iv AS INTEGER) + ${l - 1} <= len($x) AND list_contains(vv, $key)
+         THEN CAST(CAST(iv AS INTEGER) + $l AS VARCHAR) || ';' ||
+              (CASE WHEN string_split(acc, ';')[2] = '' THEN '' ELSE string_split(acc, ';')[2] || ' ' END) ||
+              (CASE WHEN CAST(iv AS INTEGER) = 1 THEN '' ELSE '##' END) || substr($x, CAST(iv AS INTEGER), $l) END"""
+    }.mkString(",\n               ")
+    s"""(CASE WHEN r0 = 'U' THEN '[UNK]' ELSE string_split(r0, ';')[2] END)""".replace("r0",
+      s"""list_reduce(
+             list_prepend('1;', list_transform(range(1, len($x) + 1), j -> CAST(j AS VARCHAR))),
+             (acc, iv) -> CASE
+               WHEN acc = 'U' THEN 'U'
+               WHEN CAST(iv AS INTEGER) <> CAST(string_split(acc, ';')[1] AS INTEGER) THEN acc
+               ELSE coalesce(
+               $tries,
+               'U') END)""")
+  }
+
+  private val wordpieceApplyQ = q("q_wordpiece_apply",
+    raw"""WITH vv0 AS (SELECT [${WordPieceFixture.map(p => s"'$p'").mkString(", ")}] AS vv),
+       toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       seg AS (SELECT doc_id,
+                 array_to_string(list_transform(w, x -> ${wpSegSql("x")}), ' ') AS wp_text
+               FROM toks, vv0)
+       SELECT doc_id, wp_text,
+              CAST(len(string_split(wp_text, ' ')) AS BIGINT) AS n_pieces
+       FROM seg""") { (s, d) =>
+    val wp = graft.functions.WordPiece
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"),
+        wp.wordpieceText(col("text"), WordPieceFixture).as("wp_text"),
+        wp.wordpiecePieceCount(col("text"), WordPieceFixture).cast("long").as("n_pieces"))
+  }
+
   private val fingerprintQ = q("q_fingerprint",
     """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
        FROM documents""") { (s, d) =>
@@ -3376,7 +3444,7 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     profileQ, profileNumericQ, profileNumericApproxQ, profileTopQ, keySkewQ,
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
-    dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, unigramApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
+    dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, unigramApplyQ, wordpieceApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, sqEncodeQ, annSqQ, annSqRefinedQ, annIvfSqQ, annIvfSqIndexedQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,

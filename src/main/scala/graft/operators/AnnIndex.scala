@@ -205,7 +205,21 @@ object AnnIndex {
       .select(col("neighbor_id"), col("__cell"),
         graft.functions.Sq.encodeCol(col("__cv"), mins, maxs).as("__codes"))
       .write.mode("overwrite").partitionBy("__cell").parquet(path)
-    centroidRow.write.mode("overwrite").parquet(path + "/_centroids")
+    writeIvfSqMeta(spark, path, centroidRow, mins, maxs)
+  }
+
+  /** Centroid + quantizer-bounds sidecars for an IVF-SQ layout (the
+    * [[writeIvfPqMeta]] contract). Shared by [[buildIvfSq]] and
+    * stream-first setups — persist the quantizer, then
+    * [[graft.streaming.GraftStreaming.indexStreamIvfSq]] appends forever
+    * (it reads BOTH sidecars from `path`, so streamed codes cannot
+    * disagree with the persisted quantizer).
+    */
+  def writeIvfSqMeta(spark: SparkSession, path: String, centroids: DataFrame,
+      mins: Array[Double], maxs: Array[Double]): Unit = {
+    require(mins.length == maxs.length && mins.nonEmpty,
+      s"ivf-sq bounds: mins/maxs must be same-length non-empty, got ${mins.length}/${maxs.length}")
+    centroids.write.mode("overwrite").parquet(path + "/_centroids")
     import spark.implicits._
     mins.indices.map(i => (i, mins(i), maxs(i))).toDF("dim", "mn", "mx")
       .write.mode("overwrite").parquet(path + "/_sqbounds")
@@ -218,14 +232,26 @@ object AnnIndex {
     * difference from PQ). Identical results to
     * [[graft.functions.Sq.ivfTopK]] with the same quantizer and bounds.
     */
-  def probeIvfSq(spark: SparkSession, path: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+  /** The (mins, maxs) quantizer bounds persisted beside an IVF-SQ index —
+    * the quantizer lives WITH the index, so probes and streaming ingest
+    * read it from `path` and can never disagree with the build about the
+    * affine domain (the indexStreamImiPq `_meta` lesson, made structural).
+    */
+  private[graft] def readSqBounds(spark: SparkSession, path: String): (Array[Double], Array[Double]) = {
     val boundRows = spark.read.parquet(path + "/_sqbounds")
       .orderBy("dim").collect()
     require(boundRows.nonEmpty && boundRows.length == boundRows.last.getInt(0) + 1,
       s"ivf-sq index at $path: corrupt _sqbounds sidecar")
-    val mins = boundRows.map(_.getDouble(1))
-    val maxs = boundRows.map(_.getDouble(2))
+    (boundRows.map(_.getDouble(1)), boundRows.map(_.getDouble(2)))
+  }
+
+  def probeIvfSq(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    // heal a crashed compaction install before the scan (probeIvfPq's
+    // discipline — the SQ layout compacts through the same era machinery)
+    val rootPath = new org.apache.hadoop.fs.Path(path)
+    recoverCompaction(rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration), rootPath)
+    val (mins, maxs) = readSqBounds(spark, path)
     val centroidRow = broadcast(spark.read.parquet(path + "/_centroids"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .join(centroidRow)
@@ -409,6 +435,13 @@ object AnnIndex {
     */
   def compactIvfPq(spark: SparkSession, path: String): Unit =
     compactEras(spark, path, Seq("neighbor_id", "__codes"), Seq("__cell"))
+
+  /** The IVF-SQ layout is column- and partition-identical to IVF-PQ
+    * (`(neighbor_id, __codes)` under `__cell`; only the sidecars differ),
+    * so era compaction is the SAME rewrite — aliased for API symmetry.
+    */
+  def compactIvfSq(spark: SparkSession, path: String): Unit =
+    compactIvfPq(spark, path)
 
   /** [[compactIvfPq]] on the two-level IMI layout
     * ([[graft.streaming.GraftStreaming.indexStreamImiPq]] appends one

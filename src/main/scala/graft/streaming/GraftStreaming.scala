@@ -908,6 +908,42 @@ object GraftStreaming {
       .parquet(s"$path/batch=$batchId")
   }
 
+  /** Stream embeddings INTO a persistent IVF-SQ index
+    * ([[graft.operators.AnnIndex.buildIvfSq]] layout) — the
+    * scalar-quantized sibling of [[indexStreamIvfPq]] with one
+    * structural improvement: the quantizer (centroids AND the
+    * per-dimension SQ bounds) is READ FROM THE INDEX SIDECARS at stream
+    * definition rather than passed by the caller, so streamed codes can
+    * never land in a different affine domain than the batch build — the
+    * indexStreamImiPq `residual`-mismatch class is unrepresentable here.
+    * Assignment + encode are map-side per microbatch; each batch lands
+    * wholesale-overwritten under `batch=<id>` (exactly-once by
+    * idempotent rewrite, [[writeIndexBatch]]); compaction =
+    * [[graft.operators.AnnIndex.compactIvfSq]].
+    *
+    * `stream` columns: (`idCol`, `vecCol`). Returns the running query.
+    */
+  def indexStreamIvfSq(stream: DataFrame, idCol: String, vecCol: String,
+      path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    val spark = stream.sparkSession
+    val (mins, maxs) = graft.operators.AnnIndex.readSqBounds(spark, path)
+    val centroidRow = broadcast(spark.read.parquet(path + "/_centroids"))
+    val assigned = stream
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(centroidRow) // stream-static 1-row broadcast join: map-side
+      .withColumn("__cell",
+        element_at(Similarity.nearestCells(col("__cv"), col("__cells"), 1), 1)("cell"))
+      .select(col("neighbor_id"), col("__cell"),
+        graft.functions.Sq.encodeCol(col("__cv"), mins, maxs).as("__codes"))
+    assigned.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeIndexBatch(batch, path, batchId)
+      }
+      .start()
+  }
+
   /** Stream embeddings INTO a persistent IMI-PQ index — the two-level
     * sibling of [[indexStreamIvfPq]]: each arriving vector assigns to its
     * (ca, cb) composite cell map-side (two one-row broadcast half-codebook

@@ -1104,6 +1104,61 @@ class GraftStreamingSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`").collect())
   }
 
+  test("indexStreamIvfSq: sidecar-read quantizer; streamed codes probe == in-flight; replay + compaction stable") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(37L)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val (mins, maxs) = graft.functions.Sq.trainBounds(df, "embedding")
+    val cells = graft.operators.Similarity.kmeansCells(df, "vec_id", "embedding",
+      nCells = 8, iters = 2)
+    val path = "target/io_tmp/ivfsq_stream_idx"
+    val checkpoint = "target/io_tmp/ivfsq_stream_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    // persist the quantizer FIRST; the stream reads it from the sidecars
+    graft.operators.AnnIndex.writeIvfSqMeta(spark, path, cells, mins, maxs)
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = GraftStreaming.indexStreamIvfSq(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path, checkpoint)
+    try {
+      val (b1, b2) = vecs.splitAt(100)
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    val queries = df.where(col("vec_id") < 10)
+    def probe() = graft.operators.AnnIndex.probeIvfSq(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val got = probe()
+    val want = graft.functions.Sq.ivfTopK(queries, df, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 3, centroids = Some(cells),
+        bounds = Some((mins, maxs)))
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // replay idempotence: re-writing an already-written batch id leaves
+    // counts and probes unchanged (batch=<id> replaced wholesale)
+    val before = spark.read.parquet(path).count()
+    val replay = df.where(col("vec_id") >= 100)
+      .join(broadcast(cells))
+      .withColumn("__cell", element_at(
+        graft.operators.Similarity.nearestCells(col("embedding"), col("__cells"), 1), 1)("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("__cell"),
+        graft.functions.Sq.encodeCol(col("embedding"), mins, maxs).as("__codes"))
+    GraftStreaming.writeIndexBatch(replay, path, batchId = 1L)
+    assert(spark.read.parquet(path).count() == before, "replayed batch must not duplicate rows")
+    assert(probe() == want, "probe must be stable under batch replay")
+    // compaction (the shared era machinery on the identical layout):
+    // probe-identical, counts exact, all data in the fresh negative era
+    graft.operators.AnnIndex.compactIvfSq(spark, path)
+    assert(probe() == want && spark.read.parquet(path).count() == before)
+    val eras = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(eras == Set("batch=-1"), s"all data must land in the compacted era, got $eras")
+  }
+
   test("indexStreamIvfPq: streamed code rows probe identically to the batch-built index") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

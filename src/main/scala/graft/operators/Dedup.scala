@@ -997,6 +997,38 @@ object Dedup {
       .select(col("__id").as(idCol), col("dedup_text"))
   }
 
+  /** INTRA-document paragraph dedup — the Dolma/RefinedWeb "remove
+    * repeated paragraphs within a page" stage (crawled pages repeat nav
+    * text, footers, and pagination blocks inside ONE document): each
+    * paragraph keeps its first occurrence in document order, later
+    * copies (by the [[paragraphDedup]] canonical fingerprint — lower,
+    * whitespace-normalized) are dropped, blanks removed, and the doc is
+    * reassembled in place.
+    *
+    * Scale shape: unlike the cross-document stage this needs NO corpus
+    * state at all — it is one zero-shuffle projection (array HOFs over
+    * the per-doc paragraph list; paragraph counts are bounded by
+    * document length, so the per-element first-occurrence scan is a
+    * small constant), which also makes it trivially streamable. Run it
+    * BEFORE cross-doc dedup: it shrinks every document at map speed and
+    * removes intra-doc noise from the global fingerprint distribution.
+    *
+    * Output: (idCol, dedup_text); documents that were ALL blanks/repeats
+    * of blanks come back as the empty string (kept, unlike
+    * [[paragraphDedup]]'s cross-doc drop — within one doc there is no
+    * "survives elsewhere" to defer to).
+    */
+  def paragraphDedupWithin(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\\n{2,}"): DataFrame = {
+    val paras = split(col(textCol), sepRegex)
+    val fps = transform(paras, p => fingerprint(p))
+    df.select(col(idCol),
+      array_join(
+        filter(paras, (p, i) =>
+          trim(p) =!= "" && array_position(fps, fingerprint(p)) === i + 1),
+        "\n\n").as("dedup_text"))
+  }
+
   /** Distinct canonical paragraph fingerprints of a reference corpus —
     * the static catalog the against-catalog paragraph dedup forms gate
     * on ("drop boilerplate the lake already holds", the paragraph-level

@@ -323,6 +323,38 @@ object SignalQueries {
     graft.operators.Dedup.paragraphDedup(corpus, "doc_id", "text")
   }
 
+  /** INTRA-document paragraph dedup (Dedup.paragraphDedupWithin — the
+    * Dolma/RefinedWeb repeated-paragraph-within-a-page stage, a pure
+    * zero-shuffle projection). The synthesized corpus PLANTS an
+    * intra-doc repeat both engines derive identically: doc i = text_i ++
+    * text_{i+1} ++ text_i — the third paragraph is a within-doc copy of
+    * the first, so exactly it must drop while cross-doc copies (every
+    * text appears in three synthesized docs) are deliberately KEPT —
+    * pinning the within-doc scope against the cross-doc operator.
+    */
+  private val paragraphDedupWithinQ = q("q_dedup_paragraph_within",
+    oracle = raw"""WITH corpus AS (
+         SELECT a.doc_id,
+                a.text || chr(10) || chr(10) || b.text || chr(10) || chr(10) || a.text AS text
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+       pl AS (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS ps FROM corpus),
+       f AS (SELECT doc_id, ps,
+               list_transform(ps, x -> md5(regexp_replace(lower(trim(x)), '\s+', ' ', 'g'))) AS fps
+             FROM pl)
+       SELECT doc_id,
+              array_to_string(
+                list_filter(ps, (x, i) -> trim(x) <> '' AND
+                  list_position(fps, md5(regexp_replace(lower(trim(x)), '\s+', ' ', 'g'))) = i),
+                chr(10) || chr(10)) AS dedup_text
+       FROM f""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("__t2"))
+    val corpus = docs.join(nxt, "doc_id")
+      .select(col("doc_id"),
+        concat(col("text"), lit("\n\n"), col("__t2"), lit("\n\n"), col("text")).as("text"))
+    graft.operators.Dedup.paragraphDedupWithin(corpus, "doc_id", "text")
+  }
+
   /** Against-catalog paragraph dedup (Dedup.paragraphDedupAgainst — the
     * batch join form the streaming gate is spec-gated equal to): drop
     * every corpus paragraph whose canonical fingerprint appears in a
@@ -1009,7 +1041,7 @@ object SignalQueries {
 
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
-    lmScoreIndexedQ, dsirQ, dsirSelectQ, paragraphDedupQ, paragraphDedupCatalogQ, entropyQ, pipelineSignalsQ,
+    lmScoreIndexedQ, dsirQ, dsirSelectQ, paragraphDedupQ, paragraphDedupWithinQ, paragraphDedupCatalogQ, entropyQ, pipelineSignalsQ,
     aucQ, aucBySourceQ, confusionQ, evalRankQ, evalRankAggQ, evalEceQ, evalKappaQ,
     hllRegistersQ, hllEstimateQ, hllBySourceQ,
     resampleQ, resampleRollingQ,

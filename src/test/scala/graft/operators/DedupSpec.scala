@@ -499,4 +499,24 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.paragraphDedup(rep, "doc_id", "text").head.getString(1)
       == "same para\n\nmiddle")
   }
+
+  test("paragraphDedupWithin: intra-doc repeats drop, cross-doc copies KEPT; zero shuffles") {
+    val boiler = "accept all cookies"
+    val docs = Seq(
+      (1L, s"intro\n\n$boiler\n\nbody\n\n$boiler\n\nIntro"),    // repeat + canonical repeat
+      (2L, s"$boiler\n\nunique two"),           // cross-doc copy of boiler: KEPT (scope is within-doc)
+      (3L, s"$boiler\n\n\n\n$boiler"),          // all repeats/blanks -> one survivor
+      (4L, "")).toDF("doc_id", "text")          // empty doc -> empty string, still present
+    val out = Dedup.paragraphDedupWithin(docs, "doc_id", "text")
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == s"intro\n\n$boiler\n\nbody",
+      "later exact AND canonical (case) copies within the doc must drop")
+    assert(m(2L) == s"$boiler\n\nunique two",
+      "a paragraph seen in ANOTHER doc is out of scope and must be kept")
+    assert(m(3L) == boiler)
+    assert(m(4L) == "", "empty docs stay (no cross-doc winner to defer to)")
+    // the operator is a pure projection: no Exchange anywhere
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "paragraphDedupWithin must be zero-shuffle")
+  }
 }

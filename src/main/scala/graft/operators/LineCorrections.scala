@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line-wise corrections (Penedo et al. 2023, "The RefinedWeb Dataset
+  * for Falcon LLM" §3.3 — the MacroData-refinement line rules): crawled
+  * pages carry interaction boilerplate at LINE granularity (all-caps
+  * headers, bare counters, "sign in"/"read more" stubs, numeric-only
+  * rows) that survives document- and paragraph-level dedup because it
+  * differs page to page. Each line is judged independently; if the
+  * removed lines exceed `maxRemovedNum/maxRemovedDen` of the document's
+  * line bytes the WHOLE document drops (mostly-boilerplate pages are
+  * not worth keeping — the paper's 5% default).
+  *
+  * Rules (ASCII-letter arithmetic, every ratio an integer
+  * cross-multiplication — the whole operator replays exactly in SQL):
+  *  1. mostly-uppercase: upper / letters > 0.6 (and has letters)
+  *  2. no letters at all (bare numbers / punctuation; blank lines KEPT —
+  *     they are document structure, not content)
+  *  3. social counter: `^\s*\d+ (likes?|comments?|shares?|views?)\s*$`
+  *  4. short interaction stub: ≤ 3 words containing sign in / log in /
+  *     click here / read more / accept cookies
+  *
+  * Scale shape: ONE zero-shuffle projection + filter (array HOFs over
+  * the per-doc line list; bounded by document length) — like
+  * [[Dedup.paragraphDedupWithin]] it needs no corpus state, so it runs
+  * at map speed and is trivially streamable. Output: (idCol,
+  * clean_text) for surviving documents.
+  */
+object LineCorrections {
+
+  private val CounterRe = "(?i)^\\s*[0-9]+ (likes?|comments?|shares?|views?)\\s*$"
+  private val StubRe = "(?i)(sign in|log in|click here|read more|accept cookies)"
+
+  /** True when the line should be REMOVED. */
+  private def dropLine(l: Column): Column = {
+    val letters = length(regexp_replace(l, "[^A-Za-z]", ""))
+    val upper = length(regexp_replace(l, "[^A-Z]", ""))
+    val mostlyUpper = letters > 0 && upper * lit(10) > letters * lit(6)
+    val noLetters = trim(l) =!= "" && letters === 0
+    val counter = l.rlike(CounterRe)
+    val stub = size(split(trim(l), "\\s+")) <= 3 && l.rlike(StubRe)
+    mostlyUpper || noLetters || counter || stub
+  }
+
+  def clean(df: DataFrame, idCol: String, textCol: String,
+      maxRemovedNum: Int = 1, maxRemovedDen: Int = 20): DataFrame = {
+    require(maxRemovedNum >= 0 && maxRemovedDen > 0,
+      s"maxRemoved fraction must be a valid ratio, got $maxRemovedNum/$maxRemovedDen")
+    val lines = split(col(textCol), "\n")
+    val removed = aggregate(
+      transform(lines, l => when(dropLine(l), length(l)).otherwise(lit(0))),
+      lit(0), (a, x) => a + x)
+    val total = aggregate(transform(lines, l => length(l)), lit(0), (a, x) => a + x)
+    df.select(col(idCol),
+        array_join(filter(lines, l => !dropLine(l)), "\n").as("clean_text"),
+        removed.as("__rm"), total.as("__tot"))
+      .where(col("__rm") * maxRemovedDen <= col("__tot") * maxRemovedNum)
+      .select(col(idCol), col("clean_text"))
+  }
+}

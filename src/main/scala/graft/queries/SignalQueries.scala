@@ -355,6 +355,48 @@ object SignalQueries {
     graft.operators.Dedup.paragraphDedupWithin(corpus, "doc_id", "text")
   }
 
+  /** RefinedWeb line-wise corrections (LineCorrections.clean): the four
+    * line rules + whole-doc drop past the removed-bytes budget, every
+    * ratio an integer cross-multiplication so the WHOLE operator
+    * oracle-replays. The synthesized corpus plants one firing line per
+    * rule between two real texts: an all-caps header, a bare number, a
+    * social counter, and a sign-in stub — the clean text must be exactly
+    * the two real lines, and docs whose planted noise exceeds half their
+    * line bytes drop wholesale.
+    */
+  private val lineCorrectionsQ = {
+    val dropSql = (l: String) =>
+      raw"""((length(regexp_replace($l, '[^A-Za-z]', '', 'g')) > 0
+              AND length(regexp_replace($l, '[^A-Z]', '', 'g')) * 10 > length(regexp_replace($l, '[^A-Za-z]', '', 'g')) * 6)
+             OR (trim($l) <> '' AND length(regexp_replace($l, '[^A-Za-z]', '', 'g')) = 0)
+             OR regexp_matches($l, '^\s*[0-9]+ (likes?|comments?|shares?|views?)\s*$$', 'i')
+             OR (len(regexp_split_to_array(trim($l), '\s+')) <= 3
+                 AND regexp_matches($l, '(sign in|log in|click here|read more|accept cookies)', 'i')))"""
+    q("q_line_corrections",
+      oracle = raw"""WITH corpus AS (
+           SELECT a.doc_id,
+                  a.text || chr(10) || upper(substr(b.text, 1, 40)) || chr(10) ||
+                  '12345' || chr(10) || '3 likes' || chr(10) || 'please sign in' ||
+                  chr(10) || b.text AS text
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         lsx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus)
+         SELECT doc_id,
+                array_to_string(list_filter(ls, l -> NOT ${dropSql("l")}), chr(10)) AS clean_text
+         FROM lsx
+         WHERE list_sum(list_transform(ls, l -> CASE WHEN ${dropSql("l")} THEN length(l) ELSE 0 END)) * 2
+               <= list_sum(list_transform(ls, l -> length(l)))""") { (s, d) =>
+      val docs = Tables.df(s, d, "documents")
+      val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("__t2"))
+      val corpus = docs.join(nxt, "doc_id")
+        .select(col("doc_id"), concat(
+          col("text"), lit("\n"), upper(substring(col("__t2"), 1, 40)), lit("\n"),
+          lit("12345"), lit("\n"), lit("3 likes"), lit("\n"),
+          lit("please sign in"), lit("\n"), col("__t2")).as("text"))
+      graft.operators.LineCorrections.clean(corpus, "doc_id", "text",
+        maxRemovedNum = 1, maxRemovedDen = 2)
+    }
+  }
+
   /** Against-catalog paragraph dedup (Dedup.paragraphDedupAgainst — the
     * batch join form the streaming gate is spec-gated equal to): drop
     * every corpus paragraph whose canonical fingerprint appears in a
@@ -1041,7 +1083,7 @@ object SignalQueries {
 
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
-    lmScoreIndexedQ, dsirQ, dsirSelectQ, paragraphDedupQ, paragraphDedupWithinQ, paragraphDedupCatalogQ, entropyQ, pipelineSignalsQ,
+    lmScoreIndexedQ, dsirQ, dsirSelectQ, paragraphDedupQ, paragraphDedupWithinQ, lineCorrectionsQ, paragraphDedupCatalogQ, entropyQ, pipelineSignalsQ,
     aucQ, aucBySourceQ, confusionQ, evalRankQ, evalRankAggQ, evalEceQ, evalKappaQ,
     hllRegistersQ, hllEstimateQ, hllBySourceQ,
     resampleQ, resampleRollingQ,

@@ -192,6 +192,20 @@ object GraftStreaming {
       .where(col("contamination_bloom") <= maxContamination)
   }
 
+  /** Stateless line-wise corrections on a stream
+    * ([[graft.operators.LineCorrections.clean]] — RefinedWeb §3.3): the
+    * per-line rules and the whole-doc removed-bytes drop are pure
+    * column arithmetic with no corpus state, so the gate is append-safe
+    * with no watermark; output replaces `textCol` with the cleaned
+    * text under the same name (the downstream pipeline sees corrected
+    * documents transparently).
+    */
+  def lineCorrectionsStream(stream: DataFrame, idCol: String, textCol: String,
+      maxRemovedNum: Int = 1, maxRemovedDen: Int = 20): DataFrame =
+    graft.operators.LineCorrections.clean(stream, idCol, textCol,
+        maxRemovedNum, maxRemovedDen)
+      .withColumnRenamed("clean_text", textCol)
+
   /** [[decontaminateStream]] through the WINNOWED index
     * ([[graft.operators.Winnow]]): the filter is built from the
     * benchmark's winnowed fingerprints — an expected 2/(w+1) of its

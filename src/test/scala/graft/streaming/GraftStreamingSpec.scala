@@ -662,6 +662,32 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("lineCorrectionsStream: stateless line rules == batch operator, doc drop included") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      (1L, "real content line here\nTHIS IS AN ALL CAPS HEADER\nmore real content"),
+      (2L, "ok\nA GIANT SHOUTING ALL CAPS HEADER BLOCK FILLING THE WHOLE DOCUMENT"),
+      (3L, "fine document with no offending lines at all"))
+    val input = MemoryStream[(Long, String)]
+    val out = GraftStreaming.lineCorrectionsStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      maxRemovedNum = 1, maxRemovedDen = 2)
+    val query = GraftStreaming.storeStreamMemory(out, "line_corr_stream_test")
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("line_corr_stream_test")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = graft.operators.LineCorrections.clean(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          maxRemovedNum = 1, maxRemovedDen = 2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch, s"stream $streamed must equal batch $batch")
+      assert(!streamed.contains(2L), "mostly-boilerplate doc must drop in-stream")
+    } finally query.stop()
+  }
+
   test("winnowDecontaminateStream: stateless winnow-bloom gate agrees exactly with the batch operator") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

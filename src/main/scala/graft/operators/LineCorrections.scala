@@ -48,14 +48,21 @@ object LineCorrections {
       maxRemovedNum: Int = 1, maxRemovedDen: Int = 20): DataFrame = {
     require(maxRemovedNum >= 0 && maxRemovedDen > 0,
       s"maxRemoved fraction must be a valid ratio, got $maxRemovedNum/$maxRemovedDen")
+    // judge each line ONCE under a named column (the Bloom.score
+    // two-projection split — CollapseProject keeps non-cheap multiply-
+    // referenced arrays materialized): the rule chain is ~6 regex passes
+    // per line, and the naive form re-ran it in the filter AND both byte
+    // sums — measured 46 s → linear-regex floor on the 4.8 KB length twin
     val lines = split(col(textCol), "\n")
-    val removed = aggregate(
-      transform(lines, l => when(dropLine(l), length(l)).otherwise(lit(0))),
-      lit(0), (a, x) => a + x)
-    val total = aggregate(transform(lines, l => length(l)), lit(0), (a, x) => a + x)
-    df.select(col(idCol),
-        array_join(filter(lines, l => !dropLine(l)), "\n").as("clean_text"),
-        removed.as("__rm"), total.as("__tot"))
+    val judged = transform(lines, l => struct(l.as("l"), dropLine(l).as("d")))
+    df.select(col(idCol), judged.as("__j"))
+      .select(col(idCol),
+        array_join(transform(filter(col("__j"), s => !s("d")), s => s("l")), "\n")
+          .as("clean_text"),
+        aggregate(transform(col("__j"), s => when(s("d"), length(s("l"))).otherwise(lit(0))),
+          lit(0), (a, x) => a + x).as("__rm"),
+        aggregate(transform(col("__j"), s => length(s("l"))),
+          lit(0), (a, x) => a + x).as("__tot"))
       .where(col("__rm") * maxRemovedDen <= col("__tot") * maxRemovedNum)
       .select(col(idCol), col("clean_text"))
   }

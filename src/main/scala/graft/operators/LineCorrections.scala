@@ -33,16 +33,16 @@ object LineCorrections {
   private val CounterRe = "(?i)^\\s*[0-9]+ (likes?|comments?|shares?|views?)\\s*$"
   private val StubRe = "(?i)(sign in|log in|click here|read more|accept cookies)"
 
-  /** True when the line should be REMOVED. */
-  private def dropLine(l: Column): Column = {
-    val letters = length(regexp_replace(l, "[^A-Za-z]", ""))
-    val upper = length(regexp_replace(l, "[^A-Z]", ""))
-    val mostlyUpper = letters > 0 && upper * lit(10) > letters * lit(6)
-    val noLetters = trim(l) =!= "" && letters === 0
-    val counter = l.rlike(CounterRe)
-    val stub = size(split(trim(l), "\\s+")) <= 3 && l.rlike(StubRe)
-    mostlyUpper || noLetters || counter || stub
-  }
+  /** True when the line should be REMOVED — one codegen'd char scan
+    * ([[graft.functions.LineDrop]]). The Column-arithmetic formulation
+    * this replaces (three regexp_replace + two rlike + a split per
+    * line) measured 39.8 s warm on the 4.8 KB length twin with the
+    * regex passes themselves as the floor; the kernel computes
+    * letter/upper/word counts in a single pass and only runs the
+    * counter/stub regexes behind their cheap gates (first-non-space
+    * digit; ≤ 3 words).
+    */
+  private def dropLine(l: Column): Column = graft.functions.LineDrop.dropCol(l)
 
   def clean(df: DataFrame, idCol: String, textCol: String,
       maxRemovedNum: Int = 1, maxRemovedDen: Int = 20): DataFrame = {

@@ -68,7 +68,13 @@ class CodegenNoFallbackSpec extends AnyFunSuite {
       HashExpressions.fixtureBandHashes(
         HashExpressions.fixtureMinhashSig(col("text"), 3, 8), 4, 2).as("fbh"),
       Unigram.packed(col("text"), Seq(("t", 5L), ("th", 7L)), 2, 100L).as("upk"),
-      Unigram.pieces(col("text"), Seq(("t", 5L), ("th", 7L)), 2, 100L).as("upc")).collect()
+      Unigram.pieces(col("text"), Seq(("t", 5L), ("th", 7L)), 2, 100L).as("upc"),
+      LineDrop.dropCol(col("text")).as("ldrop"),
+      WordPiece.wordpieceWord(col("text"), Seq("a", "##b", "t")).as("wpw"),
+      WinnowFunctions.winnowSelect(
+        graft.functions.WinnowFunctions.wordShingleMd5s(TextFunctions.tokens(col("text")), 3), 4).as("wsel"),
+      WinnowFunctions.winnowSelectLong(
+        HashExpressions.ngramHashesAll(TextFunctions.tokens(col("text")), 3), 4).as("wsell")).collect()
     assert(out.length == 2)
     // all-ones bitmap hits every gram; all-zeros hits none
     assert(out(0).getInt(13) == out(0).getSeq[Long](4).size &&

@@ -14,20 +14,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * trimmed length, and the first non-space char — then the two regex
   * rules run only behind their cheap gates (the counter pattern cannot
   * match unless the first non-blank char is a digit; the stub rule is
-  * defined only on ≤ 3-word lines). Bit-compatible with the original
-  * Column arithmetic (`[A-Za-z]`/`[A-Z]` classes, Java `\s`,
-  * `split("\\s+")`'s one-field-for-empty convention), so the DuckDB
-  * oracle replay is unchanged.
+  * defined only on ≤ 3-word lines). Bit-compatible with the RE2 oracle:
+  * `[A-Za-z]`/`[A-Z]` classes; RE2 `\s` = `[ \t\n\f\r]` (explicit — Java
+  * `\s` adds \x0B); `regexp_split_to_array`'s keep-both-edge-empty-
+  * fields convention (which Spark's `split(limit = -1)` shares), so a
+  * trailing tab/\r run on a space-trimmed line still counts a field.
   */
 object LineDropRuntime {
 
+  // RE2 \s is [ \t\n\f\r]; spell it out so Java's wider \s (adds \x0B)
+  // cannot diverge from the oracle on vertical-tab lines
   private val Counter = java.util.regex.Pattern.compile(
-    "(?i)^\\s*[0-9]+ (likes?|comments?|shares?|views?)\\s*$")
+    "(?i)^[ \\t\\n\\f\\r]*[0-9]+ (likes?|comments?|shares?|views?)[ \\t\\n\\f\\r]*$")
   private val Stub = java.util.regex.Pattern.compile(
     "(?i)(sign in|log in|click here|read more|accept cookies)")
 
   private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   def drop(line: UTF8String): Boolean = {
     val s = line.toString
@@ -55,11 +58,10 @@ object LineDropRuntime {
       prevWs = ws
       i += 1
     }
-    // Java split("\\s+") keeps a LEADING empty field (counted above by
-    // the first ws-run) but drops TRAILING empties — a ws-run ending the
-    // trimmed region (possible: trim strips ' ' only, a trailing tab
-    // survives) must not count as a field boundary
-    if (prevWs) words -= 1
+    // regexp_split_to_array (and Spark's split with limit = -1) keeps
+    // BOTH edge empty fields: a ws-run ending the trimmed region
+    // (possible: trim strips ' ' only, a trailing tab/\r survives) is a
+    // field boundary just like a leading one — no trailing decrement.
     // count FULL-string letters too: the ratio rules ran on the raw line,
     // not the trimmed one — outside [lo, hi) only ' ' chars exist (never
     // letters), so the trimmed-scan counts are already the raw counts.

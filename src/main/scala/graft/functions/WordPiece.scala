@@ -72,7 +72,9 @@ case class WordPieceApplyWord(child: Expression, vocab: Seq[String])
     vocab.foreach(s.add)
     s
   }
-  private def maxRawLen: Int =
+  // lazy val, not def: the interpreted nullSafeEval path would otherwise
+  // rescan the whole vocab (map+max) on every row
+  @transient private lazy val maxRawLen: Int =
     vocab.map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
 
   override def nullSafeEval(input: Any): Any =

@@ -59,10 +59,13 @@ object LineCorrections {
       .select(col(idCol),
         array_join(transform(filter(col("__j"), s => !s("d")), s => s("l")), "\n")
           .as("clean_text"),
-        aggregate(transform(col("__j"), s => when(s("d"), length(s("l"))).otherwise(lit(0))),
-          lit(0), (a, x) => a + x).as("__rm"),
-        aggregate(transform(col("__j"), s => length(s("l"))),
-          lit(0), (a, x) => a + x).as("__tot"))
+        // 64-bit byte sums: Int seeds would wrap past ~2^31/den chars
+        // and silently flip the whole-doc verdict on extreme-length docs
+        aggregate(transform(col("__j"),
+            s => when(s("d"), length(s("l")).cast("long")).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x).as("__rm"),
+        aggregate(transform(col("__j"), s => length(s("l")).cast("long")),
+          lit(0L), (a, x) => a + x).as("__tot"))
       .where(col("__rm") * maxRemovedDen <= col("__tot") * maxRemovedNum)
       .select(col(idCol), col("clean_text"))
   }

@@ -137,9 +137,16 @@ object Winnow {
     */
   def contaminationBloomColumn(text: Column, bits: Array[Long],
       shingle: Int = 3, w: Int = 4, mBits: Int = 1 << 20, k: Int = 3): Column =
-    round(graft.functions.HashExpressions
-        .bloomHits(winnowFpsWide(text, shingle, w), bits, mBits, k, foldWide = true)
-        .cast("double") / size(winnowFpsWide(text, shingle, w)), 6)
+    // bind the fingerprint array ONCE via a singleton-array transform —
+    // the lambda variable is evaluated a single time, so the
+    // tokenize/hash/winnow chain never re-runs for the denominator
+    // (the re-evaluation pitfall LineCorrections.clean documents)
+    element_at(
+      transform(array(winnowFpsWide(text, shingle, w)), fps =>
+        round(graft.functions.HashExpressions
+            .bloomHits(fps, bits, mBits, k, foldWide = true)
+            .cast("double") / size(fps), 6)),
+      1)
 
   /** Production lane: (idCol, winnow_contamination_bloom) — one
     * zero-shuffle projection over the corpus against the winnowed

@@ -377,6 +377,9 @@ object SignalQueries {
            SELECT a.doc_id,
                   a.text || chr(10) || upper(substr(b.text, 1, 40)) || chr(10) ||
                   '12345' || chr(10) || '3 likes' || chr(10) || 'please sign in' ||
+                  chr(10) || 'log in now' || chr(9) ||
+                  chr(10) || 'please log in' || chr(13) ||
+                  chr(10) || '42 likes' || chr(11) ||
                   chr(10) || b.text AS text
            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
          lsx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus)
@@ -391,7 +394,13 @@ object SignalQueries {
         .select(col("doc_id"), concat(
           col("text"), lit("\n"), upper(substring(col("__t2"), 1, 40)), lit("\n"),
           lit("12345"), lit("\n"), lit("3 likes"), lit("\n"),
-          lit("please sign in"), lit("\n"), col("__t2")).as("text"))
+          lit("please sign in"), lit("\n"),
+          // boundary pins: a trailing tab / CR is a kept edge-empty split
+          // field (4 words -> stub rule off), and \x0B is NOT RE2 \s so
+          // the counter's \s*$ must not consume it — all three KEPT
+          lit("log in now\t"), lit("\n"),
+          lit("please log in\r"), lit("\n"),
+          lit("42 likes" + "\u000B"), lit("\n"), col("__t2")).as("text"))
       graft.operators.LineCorrections.clean(corpus, "doc_id", "text",
         maxRemovedNum = 1, maxRemovedDen = 2)
     }

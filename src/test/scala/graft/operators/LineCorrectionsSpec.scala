@@ -46,6 +46,30 @@ class LineCorrectionsSpec extends AnyFunSuite {
     assert(out(3L) == "A b c d e f g h")
   }
 
+  test("RE2 split/ws parity: trailing tab/CR is a kept edge field; \\x0B is not whitespace") {
+    val docs = Seq(
+      // 'log in now\t' splits to 4 fields (trailing empty KEPT, matching
+      // regexp_split_to_array / Spark split(limit=-1)) -> stub rule off
+      (1L, "solid opening content line\nlog in now\t\nsolid closing content line"),
+      // CRLF document: every line ends in \r after splitting on \n; the
+      // \r survives the space-only trim and still counts a field boundary
+      (2L, "solid opening content line\r\nplease log in\r\nsolid closing content line\r"),
+      // \x0B is NOT RE2 whitespace: the counter's \s*$ must not consume
+      // it, so '42 likes\x0B' is not a counter line and is kept
+      (3L, "solid opening content line\n42 likes" + "\u000B" + "\nsolid closing content line"),
+      // control: the same stub with a trailing SPACE is trimmed -> 3
+      // fields -> dropped
+      (4L, "solid opening content line\nplease log in \nsolid closing content line")
+    ).toDF("doc_id", "text")
+    val out = LineCorrections.clean(docs, "doc_id", "text",
+        maxRemovedNum = 1, maxRemovedDen = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "solid opening content line\nlog in now\t\nsolid closing content line")
+    assert(out(2L) == "solid opening content line\r\nplease log in\r\nsolid closing content line\r")
+    assert(out(3L) == "solid opening content line\n42 likes" + "\u000B" + "\nsolid closing content line")
+    assert(out(4L) == "solid opening content line\nsolid closing content line")
+  }
+
   test("zero-shuffle: the operator is a pure projection + filter") {
     val docs = Seq((1L, "a line\nB LINE")).toDF("doc_id", "text")
     val out = LineCorrections.clean(docs, "doc_id", "text")

@@ -432,22 +432,27 @@ object Dedup {
     * shingles, join on shingle, count common per pair, then
     * `|A∩B| / (|A|+|B|-|A∩B|)`.
     *
-    * `maxDocFreq` (off by default, which keeps exact semantics) drops
-    * shingles appearing in more than that many documents from candidate
-    * GENERATION only — a document-frequency cut like a stop-word list. A
-    * shingle in f docs contributes f² join rows, so at corpus scale a
-    * handful of ubiquitous shingles dominate the join; capping bounds the
-    * quadratic term while sizes (the denominators) stay exact. Pairs whose
-    * every common shingle is hot are missed — and on corpora where the
-    * SIGNAL rides hot shingles that miss rate is catastrophic, which is
-    * why the cap stays OPT-IN rather than a default (round-11
+    * `budget` ([[PairBudget]]) dials candidate GENERATION only — a
+    * document-frequency cut like a stop-word list. A shingle in f docs
+    * contributes f(f−1)/2 join rows, so at corpus scale a handful of
+    * ubiquitous shingles dominate the join; capping bounds the quadratic
+    * term while sizes (the denominators) stay exact. The DEFAULT is
+    * [[PairBudget.Auto]]: mine exactly when Σ pair rows fits a
+    * linear-in-corpus budget, derive the binding df cap from the df
+    * histogram otherwise — safe on a duplicated 100 TB corpus without
+    * giving up exactness where it is affordable. Uncapped mining is
+    * opt-in ([[PairBudget.Exact]]) because pairs whose every common
+    * shingle is hot are missed under any cap — and on corpora where the
+    * SIGNAL rides hot shingles that miss rate is catastrophic (round-11
     * measurement on the x16 synthetic corpus, ProbeJac2 + SCALE.md: the
     * 2-gram df histogram is BIMODAL — 496 discriminative shingles at
     * df ≤ 50 vs ~14.4k template shingles at df 200–338 carrying 99.99%
     * of Σf² — and ANY binding cap keeps only 15 of 11,552 jaccard ≥ 0.1
     * pairs, 13 of 256 at ≥ 0.5, because even true near-duplicates share
-    * mostly template shingles there). Use the cap when the df head is
-    * boilerplate, not vocabulary: the q_ngram_jaccard_capped oracle pins
+    * mostly template shingles there; that evidence is why Auto budgets
+    * ROWS rather than capping a df quantile). Use a manual
+    * [[PairBudget.Cap]] when the df head is boilerplate, not vocabulary:
+    * the q_ngram_jaccard_capped oracle pins
     * the capped path's exact semantics either way. Two more measured
     * dead ends recorded for the next reader: posting-list deduplication
     * (folding shingles with identical doc sets into one weighted
@@ -464,14 +469,14 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      budget: PairBudget = PairBudget.Auto()): DataFrame = {
     // hashed shingle identities (string-free; see ngramContamination),
     // materialized once: the index feeds the df-rank pass, the prefix
     // join, AND the per-pair intersection verify
     val shAll = materializeOnce(df.select(col(idCol).as("__id"),
       explode(graft.functions.HashExpressions.ngramHashes(
         graft.functions.TextFunctions.tokens(col(textCol)), shingle)).as("__sh")))
-    val sh = maxDocFreq.fold(shAll) { cap =>
+    val sh = PairBudget.resolve(shAll, "__id", "__sh", budget).fold(shAll) { cap =>
       val hot = shAll.groupBy("__sh").agg(count(lit(1)).as("__df"))
         .where(col("__df") > cap).select(col("__sh"))
       shAll.join(broadcast(hot), Seq("__sh"), "left_anti")
@@ -716,9 +721,9 @@ object Dedup {
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      budget: PairBudget = PairBudget.Auto()): DataFrame = {
     val clusters = connectedComponents(
-      ngramJaccardPairs(df, idCol, textCol, shingle, threshold, maxDocFreq),
+      ngramJaccardPairs(df, idCol, textCol, shingle, threshold, budget),
       "idA", "idB")
     val losers = clusters.where(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
@@ -737,9 +742,9 @@ object Dedup {
     */
   def dropNearDuplicatesBy(df: DataFrame, idCol: String, textCol: String,
       prefCol: String, shingle: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      budget: PairBudget = PairBudget.Auto()): DataFrame = {
     val clusters = connectedComponents(
-      ngramJaccardPairs(df, idCol, textCol, shingle, threshold, maxDocFreq),
+      ngramJaccardPairs(df, idCol, textCol, shingle, threshold, budget),
       "idA", "idB")
     val member = clusters.join(
       df.select(col(idCol).as("id"), col(prefCol).as("__pref")), Seq("id"))

@@ -36,27 +36,52 @@ object Winnow {
     * distinct winnowed fingerprints, with the shared count. One
     * self-join on the fingerprint + one per-pair aggregation — the
     * [[Dedup.ngramJaccardPairs]] shape over an index 2/(w+1) the size.
-    * `maxDocFreq` drops fingerprints hotter than the cap from candidate
-    * generation (a fingerprint capped at df ≤ c contributes ≤ c² join
-    * rows — the quadratic term is bounded per fingerprint, never
-    * corpus-wide), the head-shingle protection a Zipf corpus needs.
+    *
+    * Both dials auto-derive from the corpus' winnowed-df profile by
+    * default (the knn-family `autoCells` discipline):
+    *  - `budget` ([[PairBudget.Auto]]) bounds candidate generation to a
+    *    linear-in-corpus row budget, deriving the df cap that drops hot
+    *    boilerplate fingerprints only when the exact join would not fit
+    *    (a fingerprint capped at df ≤ c contributes ≤ c(c−1)/2 join rows
+    *    — the quadratic term is bounded per fingerprint, never
+    *    corpus-wide). Manual [[PairBudget.Cap]]/[[PairBudget.Exact]]
+    *    override.
+    *  - `minShared = None` derives the report threshold from the
+    *    per-document fingerprint profile: max(2, p50/20) distinct shared
+    *    fingerprints, where p50 is the (approximate, bounded-memory)
+    *    median per-doc distinct-fp count. Winnowing emits ~2/(w+1)
+    *    fingerprints per token, so a fixed absolute threshold that is
+    *    right for 200-token pages is output-explosion on 5 KB documents
+    *    — the length-twin measurement behind this dial (4.39 M pairs at
+    *    minShared=2, SCALE.md r13): scaling with document length keeps
+    *    full near-duplicates (which share ~p50 fingerprints, 20× the
+    *    bar) while cutting weak-overlap pairs. Pass `Some(n)` to pin.
     */
   def pairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4, minShared: Int = 2,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      k: Int = 3, w: Int = 4, minShared: Option[Int] = None,
+      budget: PairBudget = PairBudget.Auto()): DataFrame = {
     val fpAll = Materialize.once(
       fingerprints(df, idCol, textCol, k, w)
         .select(col(idCol).as("__id"), col("fp")).distinct())
-    val fp = maxDocFreq.fold(fpAll) { cap =>
+    val fp = PairBudget.resolve(fpAll, "__id", "fp", budget).fold(fpAll) { cap =>
       val hot = fpAll.groupBy("fp").agg(count(lit(1)).as("__df"))
         .where(col("__df") > cap).select(col("fp"))
       fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
+    }
+    val bar = minShared.getOrElse {
+      // one bounded aggregate: approx median of per-doc distinct-fp
+      // counts (approx_percentile — fixed-memory sketch, never a
+      // per-doc collect)
+      val p50 = fpAll.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+        .agg(expr("approx_percentile(__n, 0.5)").as("__p50"))
+        .first().getLong(0)
+      math.max(2L, p50 / 20L).toInt
     }
     fp.as("a").join(fp.as("b"), col("a.fp") === col("b.fp"))
       .where(col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))
       .agg(count(lit(1)).cast("long").as("shared"))
-      .where(col("shared") >= minShared)
+      .where(col("shared") >= bar)
   }
 
   /** Benchmark contamination through the winnowed index: per corpus

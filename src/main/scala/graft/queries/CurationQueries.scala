@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Frequent, Retrieval, Snapshot, Split}
+import graft.operators.{Dedup, Frequent, PairBudget, Retrieval, Snapshot, Split}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -80,7 +80,8 @@ object CurationQueries {
        FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""") { (s, d) =>
     val docs = Tables.df(s, d, "documents")
     val cc = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingle = 2, threshold = 0.1),
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingle = 2, threshold = 0.1,
+        budget = PairBudget.Exact),
       "idA", "idB")
     val withRep = docs.select("doc_id")
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.{Flow, Fold}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnIndex, AsofJoin, Dedup, Multimodal, Profile, RangeJoin, Sessions, Similarity}
+import graft.operators.{AnnIndex, AsofJoin, Dedup, Multimodal, PairBudget, Profile, RangeJoin, Sessions, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -567,7 +567,7 @@ object ExtQueries {
        JOIN sizes sb ON sb.doc_id = idB
        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1""") { (s, d) =>
     Dedup.ngramJaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text",
-      shingle = 2, threshold = 0.1)
+      shingle = 2, threshold = 0.1, budget = PairBudget.Exact)
   }
 
   /** The df-capped candidate-generation path of ngramJaccardPairs under
@@ -596,7 +596,43 @@ object ExtQueries {
        JOIN sizes sb ON sb.doc_id = idB
        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1""") { (s, d) =>
     Dedup.ngramJaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text",
-      shingle = 2, threshold = 0.1, maxDocFreq = Some(25L))
+      shingle = 2, threshold = 0.1, budget = PairBudget.Cap(25L))
+  }
+
+  /** The AUTO-budget default lane end-to-end: the df cap is DERIVED from
+    * the corpus' own df histogram (largest cap whose Σ f(f−1)/2 fits
+    * rowsPerDoc × nDocs — exact integer arithmetic), then applied as in
+    * q_ngram_jaccard_capped. rowsPerDoc = 16 forces the budget to bind
+    * at every test SF (500-doc corpora vs ~380 k exact candidate rows;
+    * derived caps 20/19) while threshold 0.02 keeps the output non-empty
+    * (115/85 rows), so the oracle replays the derivation AND the pruned
+    * mining: the whole safe-default path hash-gates, never a 0-row gate.
+    */
+  private val ngramJaccardAutoQ = q("q_ngram_jaccard_auto",
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                       i -> array_to_string(w[i:i+1], ' '))) AS s
+              FROM toks),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       dfh AS (SELECT s, COUNT(*) AS f FROM sh GROUP BY 1),
+       hist AS (SELECT f, COUNT(*) AS k FROM dfh GROUP BY 1),
+       cum AS (SELECT f, SUM(k * f * (f - 1) // 2) OVER (ORDER BY f) AS cr FROM hist),
+       bdg AS (SELECT 16 * COUNT(DISTINCT doc_id) AS b FROM sh),
+       cap AS (SELECT GREATEST(2, COALESCE(
+                 (SELECT MAX(CASE WHEN cr <= (SELECT b FROM bdg) THEN f END) FROM cum), 2)) AS c),
+       shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfh USING (s)
+               WHERE dfh.f <= (SELECT c FROM cap)),
+       common AS (SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS c2
+                  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+       SELECT idA, idB, CAST(c2 AS DOUBLE) / (sa.n + sb.n - c2) AS jaccard
+       FROM common
+       JOIN sizes sa ON sa.doc_id = idA
+       JOIN sizes sb ON sb.doc_id = idB
+       WHERE CAST(c2 AS DOUBLE) / (sa.n + sb.n - c2) >= 0.02""") { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text",
+      shingle = 2, threshold = 0.02, budget = PairBudget.Auto(rowsPerDoc = 16L))
   }
 
   private val dedupClustersQ = q("q_dedup_clusters",
@@ -610,7 +646,7 @@ object ExtQueries {
        FROM reach GROUP BY node""") { (s, d) =>
     Dedup.connectedComponents(
       Dedup.ngramJaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text",
-        shingle = 2, threshold = 0.1),
+        shingle = 2, threshold = 0.1, budget = PairBudget.Exact),
       "idA", "idB")
   }
 
@@ -625,7 +661,7 @@ object ExtQueries {
          ON d.doc_id = dropped.node
        WHERE dropped.node IS NULL""") { (s, d) =>
     Dedup.dropNearDuplicates(Tables.df(s, d, "documents"), "doc_id", "text",
-        shingle = 2, threshold = 0.1)
+        shingle = 2, threshold = 0.1, budget = PairBudget.Exact)
       .select(col("doc_id"), col("n_chars"))
   }
 
@@ -650,7 +686,7 @@ object ExtQueries {
     val docs = Tables.df(s, d, "documents")
       .withColumn("quality", qualityScore(col("text")))
     Dedup.dropNearDuplicatesBy(docs, "doc_id", "text", "quality",
-        shingle = 2, threshold = 0.1)
+        shingle = 2, threshold = 0.1, budget = PairBudget.Exact)
       .select(col("doc_id"), col("n_chars"))
   }
 
@@ -3215,7 +3251,7 @@ object ExtQueries {
               GROUP BY 1, 2)
        SELECT idA, idB, shared FROM pr WHERE shared >= 2""") { (s, d) =>
     graft.operators.Winnow.pairs(Tables.df(s, d, "documents"), "doc_id", "text",
-      k = 3, w = 4, minShared = 2, maxDocFreq = Some(50L))
+      k = 3, w = 4, minShared = Some(2), budget = PairBudget.Cap(50L))
   }
 
   /** Benchmark contamination through the winnowed index — the
@@ -3446,7 +3482,7 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, unigramApplyQ, wordpieceApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, sqEncodeQ, annSqQ, annSqRefinedQ, annIvfSqQ, annIvfSqIndexedQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
+    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, ngramJaccardAutoQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, sqEncodeQ, annSqQ, annSqRefinedQ, annIvfSqQ, annIvfSqIndexedQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureTokensQ, mixtureUnimaxQ, mixtureUnimaxTokensQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, packBucketedByQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,

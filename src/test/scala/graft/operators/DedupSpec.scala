@@ -177,20 +177,20 @@ class DedupSpec extends AnyFunSuite {
       (2L, "common ground gamma delta"),
       (3L, "common ground epsilon zeta")).toDF("doc_id", "text")
     val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingle = 2, threshold = 0.0, maxDocFreq = Some(3))
+      shingle = 2, threshold = 0.0, budget = PairBudget.Cap(3))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.contains((0L, 1L)), "rare-shingle pair survives the cap")
     assert(!capped.contains((2L, 3L)), "hot-only pair is dropped from candidates")
     // uncapped default finds both
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingle = 2, threshold = 0.0)
+      shingle = 2, threshold = 0.0, budget = PairBudget.Exact)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.contains((2L, 3L)))
     // jaccard of the exact-dup pair is still 1.0 with the cap active?
     // no: its hot shingle is excluded from common but NOT from sizes, so
     // the estimate is a documented lower bound — assert it's below 1
     val est = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingle = 2, threshold = 0.0, maxDocFreq = Some(3))
+      shingle = 2, threshold = 0.0, budget = PairBudget.Cap(3))
       .where($"idA" === 0 && $"idB" === 1).collect().head.getDouble(2)
     assert(est > 0 && est < 1.0)
   }

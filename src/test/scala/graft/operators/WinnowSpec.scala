@@ -53,7 +53,7 @@ class WinnowSpec extends AnyFunSuite {
       (1L, s"xx1 xx2 xx3 $shared yy1 yy2"),
       (2L, s"zz1 $shared qq1 qq2 qq3 qq4"),
       (3L, "unrelated words only here nothing shared at all")).toDF("doc_id", "text")
-    val pairs = Winnow.pairs(docs, "doc_id", "text", k = 3, w = 4, minShared = 1)
+    val pairs = Winnow.pairs(docs, "doc_id", "text", k = 3, w = 4, minShared = Some(1))
       .select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
@@ -134,9 +134,10 @@ class WinnowSpec extends AnyFunSuite {
     val docs = (1L to 20L).map(i =>
       (i, s"unique$i lead$i boilerplate legal footer text here tail$i end$i"))
       .toDF("doc_id", "text")
-    val uncapped = Winnow.pairs(docs, "doc_id", "text", minShared = 1).count()
-    val capped = Winnow.pairs(docs, "doc_id", "text", minShared = 1,
-      maxDocFreq = Some(5L)).count()
+    val uncapped = Winnow.pairs(docs, "doc_id", "text", minShared = Some(1),
+      budget = PairBudget.Exact).count()
+    val capped = Winnow.pairs(docs, "doc_id", "text", minShared = Some(1),
+      budget = PairBudget.Cap(5L)).count()
     assert(uncapped > 0L)
     assert(capped == 0L)
   }

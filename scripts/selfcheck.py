@@ -112,6 +112,31 @@ def main(sf_dir, out_dir):
                     bad += 1
                     print(f"XX {fname} registry prose is STALE: says {got}, manifest has {want}")
 
+    # suite/test-count prose gate (round 14): any "`sbt test` **N/N (M
+    # suites)**"-shaped claim in SURVEY.md/README.md must match the
+    # committed TEST_SUMMARY.json, which is recorded from the ACTUAL
+    # ScalaTest run at round close (r13 prose said 50 suites, ScalaTest
+    # reported 49 completed — static class counts don't match runtime,
+    # so the recorded run is the only honest reference). Gate is inert
+    # until TEST_SUMMARY.json exists; the LAST claim in each file is the
+    # live one (earlier rounds' sections are history, left as written).
+    tspath = os.path.join(os.path.dirname(__file__), "..", "TEST_SUMMARY.json")
+    if os.path.exists(tspath):
+        import re
+        ts = json.load(open(tspath))
+        want_t, want_s = int(ts.get("tests", -1)), int(ts.get("suites", -1))
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        for fname in ("SURVEY.md", "README.md"):
+            p = os.path.join(repo, fname)
+            if not os.path.exists(p):
+                continue
+            hits = re.findall(r"(\d+)/\1 tests? \((\d+) suites\)", open(p).read())
+            if hits and (int(hits[-1][0]) != want_t or int(hits[-1][1]) != want_s):
+                bad += 1
+                print(f"XX {fname} suite/test prose is STALE: says "
+                      f"{hits[-1][0]} tests/{hits[-1][1]} suites, "
+                      f"TEST_SUMMARY.json has {want_t}/{want_s}")
+
     print(f"\n{len(results) - bad}/{len(results)} pass")
     return 1 if bad else 0
 

@@ -5,10 +5,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries (QueryDef.bench) and emits
   * the bench artifact. One warm-up pass primes the JVM/codegen caches,
-  * then each query is timed SPARK_GRAFT_BENCH_N times (default 3) and the
-  * MIN is reported — shuffle-bound sub-second queries vary ±20-50%
-  * run-to-run from GC/JIT/host noise (measured: ProbeMinhash, SCALE.md),
-  * and the minimum is the steadiest estimator of the achievable time. A
+  * then each query is timed SPARK_GRAFT_BENCH_N times (default 3) and
+  * the STEADY-STATE MEDIAN over every clean pass of every attempt is the
+  * number of record (round 14 — totals, ratios and the validity guard
+  * all read it); the cross-attempt MIN is retained as `queries_min*` in
+  * the full artifact. Rationale: min-of-attempts on a box whose idleness
+  * varies round to round produced wholesale +19% "regressions" with no
+  * plan diffs (r12→r13 sf0.1 lane) — the median is the number two
+  * different rounds can actually compare, while the min remains the
+  * best-achievable floor for A/B work. A
   * query that throws is reported as value -1 with its message in an
   * "errors" field, and the headline total becomes -1 as well — a failure
   * can never read as a fast success at either level.
@@ -31,7 +36,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Lane validity (round 12, per-query; round 13, ratchet-proof): with a
   * guard reference (DuckDB anchors + at least one prior valid artifact)
-  * a lane is valid iff NO headliner's merged-minimum spark/duckdb ratio
+  * a lane is valid iff NO headliner's merged-median spark/duckdb ratio
   * exceeds 2× its BEST-KNOWN-GOOD ratio — the element-wise min across
   * every prior valid artifact (bench_out.json + all BENCH_r*.json), not
   * just last round's, so sustained contention can never ratchet the
@@ -43,7 +48,8 @@ import org.apache.spark.sql.SparkSession
   * 16-row x16 lane on 61% calibration drift while every per-query ratio
   * was green. Without a guard reference, drift (> 25%) gates validity as
   * it did in r10-r11. Contaminated lanes RE-RUN bounded
-  * (SPARK_GRAFT_BENCH_ATTEMPTS, default 3) on merged-minima evidence;
+  * (SPARK_GRAFT_BENCH_ATTEMPTS, default 3) on merged-median evidence
+  * (extra attempts add clean passes, pulling the median to steady state);
   * if contamination persists the artifact self-labels `"valid": false`
   * in-band with the culprit queries named.
   *
@@ -57,6 +63,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val DriftValidPct = 25.0
+
+  /** Median of a non-empty sample — the per-query number of record. */
+  private def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted; val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
 
   /** Documents-only headliners: the queries the LENGTH lane runs (every
     * other bench query reads tables the length recipe does not change).
@@ -93,16 +105,14 @@ object Bench {
       // per-attempt raw times (only > 1 entry when a sentinel re-ran the
       // lane) — full-artifact-only, for post-hoc contention attribution
       history: Seq[Seq[(String, Either[String, Double])]] = Nil,
-      // every successful pass time per query, across ALL attempts — the
-      // steady-state median lands in the full artifact beside the min so
-      // a single contended attempt can't be the only number of record
-      // (the r12 revenue record read 46% over its same-round controlled
-      // A/B with nothing in-band to say so)
+      // every successful pass time per query, across ALL attempts —
+      // feeds the steady-state median (the number of record) and the
+      // `queries_min*` floor in the full artifact
       raw: Map[String, Seq[Double]] = Map.empty,
       // queries whose spark/duckdb ratio exceeded 2x the previous VALID
       // artifact's ratio on the cross-attempt MERGED times (round 12:
-      // the guard — and the lane's validity — reads the merged minima,
-      // the same numbers the artifact reports)
+      // the guard — and the lane's validity — reads the cross-attempt
+      // steady-state medians, the same numbers the artifact reports)
       ratioJumps: Map[String, Double] = Map.empty,
       // the lane's validity verdict: per-query when the ratio guard has
       // a reference (round 12), calibration-drift fallback otherwise;
@@ -117,8 +127,11 @@ object Bench {
     }
   }
 
-  /** Warm-up + min-of-N over the bench set on one data dir, with the
-    * first/last calibration reads for the drift sentinel. */
+  /** Warm-up + N timed passes over the bench set on one data dir, with
+    * the first/last calibration reads for the drift sentinel. (The
+    * per-attempt `results` keep min-of-passes semantics for the retry
+    * loop's error bookkeeping; the cross-attempt number of record is the
+    * median, computed in [[runValidLane]].) */
   private def runLane(spark: SparkSession, benchSet: Seq[QueryDef], dir: String,
       passes: Int): Lane = {
     benchSet.foreach { qd =>
@@ -191,14 +204,14 @@ object Bench {
     * Validity is PER-QUERY when the ratio guard has a reference (a
     * previous valid artifact + DuckDB anchors): the lane is valid iff no
     * headliner's spark/duckdb ratio — on the cross-attempt element-wise
-    * MIN merge, the same numbers the artifact reports — exceeds 2× its
+    * MEDIAN merge, the same numbers the artifact reports — exceeds 2× its
     * previous valid ratio, and an invalid lane NAMES the contended
     * queries in-band (`ratio_guard`) instead of discarding every good
     * row. The suite-level calibration drift stays in the artifact but is
     * ADVISORY in this mode: the r11 driver record invalidated its whole
     * x16 lane on 61% calibration drift while every per-query ratio in
     * that same run was green — a contended 15-minute window is not
-    * evidence that any individual min-of-N reading is wrong, and the
+    * evidence that any individual per-query reading is wrong, and the
     * per-query guard sees exactly the readings that are.
     *
     * Retry policy (the merged-minima loop, round 12): the loop gates on
@@ -217,13 +230,20 @@ object Bench {
     var lane = runLane(spark, benchSet, dir, passes)
     val attemptsSeen = scala.collection.mutable.ArrayBuffer(lane.results)
     val rawSeen = scala.collection.mutable.ArrayBuffer(lane.raw)
-    // element-wise min across all attempts so far: a query's steadiest
-    // estimate uses every clean pass taken, not only the last attempt's
-    def merged: Seq[(String, Either[String, Double])] =
+    // steady-state MEDIAN over every clean pass of every attempt so far —
+    // the number of record since round 14 (totals, ratios, the guard);
+    // error semantics unchanged: a query is an error iff no attempt
+    // produced a clean min (any failed pass poisons its attempt)
+    def mergedRawSoFar: Map[String, Seq[Double]] = rawSeen.flatMap(_.toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toSeq }
+    def merged: Seq[(String, Either[String, Double])] = {
+      val raws = mergedRawSoFar
       lane.results.map { case (k, last) =>
-        val best = attemptsSeen.flatMap(_.collectFirst { case (`k`, Right(t)) => t })
-        k -> (if (best.isEmpty) last else Right(best.min): Either[String, Double])
+        val ok = attemptsSeen.exists(_.exists { case (n, r) => n == k && r.isRight })
+        val ts = raws.getOrElse(k, Nil)
+        k -> (if (ok && ts.nonEmpty) Right(median(ts)) else last): (String, Either[String, Double])
       }
+    }
     val guardActive = duck.nonEmpty && prevRatios.nonEmpty
     def mergedJumps = ratioJumps(lane.copy(results = merged), duck, prevRatios)
     def contaminated(attempt: Int): Boolean =
@@ -237,11 +257,9 @@ object Bench {
       attemptsSeen += lane.results
       rawSeen += lane.raw
     }
-    val mergedRaw = rawSeen.flatMap(_.toSeq)
-      .groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toSeq }
     val out = lane.copy(results = merged, attempts = attempt,
       history = if (attemptsSeen.length > 1) attemptsSeen.toSeq else Nil,
-      raw = mergedRaw)
+      raw = mergedRawSoFar)
     val jumps = ratioJumps(out, duck, prevRatios)
     out.copy(ratioJumps = jumps,
       validity = if (guardActive) Some(jumps.isEmpty) else lane.drift.map(_._2))
@@ -314,22 +332,19 @@ object Bench {
     */
   private def laneFields(lane: Lane, duck: Map[String, Double], sfx: String,
       compact: Boolean, ratiosToo: Boolean = true): (String, Double) = {
+    // `queries$sfx` carries the steady-state MEDIANS (the number of
+    // record since round 14); the cross-attempt MIN — the best-achievable
+    // floor, the r13-and-earlier number of record — rides in the full
+    // artifact as `queries_min$sfx`
     val qs = lane.results.map { case (k, v) =>
       jstr(k) + ":" + v.fold(_ => "-1", fmt)
     }.mkString("{", ",", "}")
     val qField = if (compact && sfx.nonEmpty) "" else s""","queries$sfx":$qs"""
-    // steady-state medians over every pass of every attempt (full artifact
-    // only — the stdout window stays reserved for the mins the contract
-    // reports): the cross-check that exposes a contended min-of-N
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted; val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
-    }
-    val medField =
+    val minField =
       if (compact || lane.raw.isEmpty) ""
       else lane.results.collect { case (k, Right(_)) if lane.raw.getOrElse(k, Nil).nonEmpty =>
-        jstr(k) + ":" + fmt(median(lane.raw(k)))
-      }.mkString(s""","queries_median$sfx":{""", ",", "}")
+        jstr(k) + ":" + fmt(lane.raw(k).min)
+      }.mkString(s""","queries_min$sfx":{""", ",", "}")
     val errs = lane.results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
     val errField = if (errs.isEmpty) "" else errs.mkString(s""","errors$sfx":{""", ",", "}")
     val anchorFields = if (duck.isEmpty || (compact && !ratiosToo)) "" else {
@@ -372,7 +387,7 @@ object Bench {
     // make the total LOOK faster (0-contribution would)
     val total =
       if (errs.nonEmpty) -1.0 else lane.results.map(_._2.getOrElse(0.0)).sum
-    (s""","total$sfx":${fmt(total)}$qField$medField$errField$anchorFields$driftFields$guardField$historyField""",
+    (s""","total$sfx":${fmt(total)}$qField$minField$errField$anchorFields$driftFields$guardField$historyField""",
       total)
   }
 

@@ -5,8 +5,11 @@ import graft.queries.Tables
 
 /** Dev probe: exact ngram-jaccard pair-counting formulations at x16 —
   * the round-11 evidence that the self-join shape is optimal and that a
-  * df cap cannot be the default on this corpus (see the ngramJaccardPairs
-  * scaladoc for the full story, and SCALE.md round-11 for the numbers).
+  * df-QUANTILE cap cannot be a semantic default on this corpus (see the
+  * ngramJaccardPairs scaladoc for the full story, and SCALE.md round-11
+  * for the numbers). Round 14 made the default safe WITHOUT a quantile
+  * cap: [[graft.operators.PairBudget.Auto]] budgets candidate ROWS and
+  * stays exact whenever the corpus fits the budget.
   *
   * Measured (x16, local[32]): index = 4.1 M (doc, shingle-hash) rows;
   * A self-join + 2-col count agg = 31-36 s producing 164,747,984 distinct

@@ -15,26 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeRuntime {
 
-  /** Apply ordered merge rules to one word: start from single characters,
-    * then for each rule `(lefts(i), rights(i))` replace every adjacent
-    * symbol pair — left-to-right, non-overlapping — with the concatenation.
-    * This is textbook BPE application (Sennrich et al. 2016 §3): each rule
-    * is applied everywhere before the next rule is considered.
-    * Returns the symbols joined by single spaces.
+  /** Ordered in-place rule application over a symbol list: for each rule
+    * `(lefts(m), rights(m))` replace every adjacent symbol pair —
+    * left-to-right, non-overlapping — with the concatenation (textbook
+    * BPE application, Sennrich et al. 2016 §3; shared by the
+    * code-point and byte-level kernels).
     */
-  def applyWord(word: UTF8String, lefts: Array[String], rights: Array[String]): UTF8String = {
-    val w = word.toString
-    if (w.isEmpty) return UTF8String.EMPTY_UTF8
-    // initial symbols are CODE POINTS, not UTF-16 units: a surrogate pair
-    // is one symbol (what byte/char-level BPE and the SQL oracle's
-    // per-character split both mean by "character")
-    val syms = new java.util.ArrayList[String](w.length)
-    var i = 0
-    while (i < w.length) {
-      val cp = w.codePointAt(i)
-      syms.add(new String(Character.toChars(cp)))
-      i += Character.charCount(cp)
-    }
+  private def runMerges(syms: java.util.ArrayList[String],
+      lefts: Array[String], rights: Array[String]): Unit = {
     var m = 0
     while (m < lefts.length) {
       val a = lefts(m); val b = rights(m)
@@ -50,6 +38,47 @@ object BpeRuntime {
       }
       m += 1
     }
+  }
+
+  def applyWord(word: UTF8String, lefts: Array[String], rights: Array[String]): UTF8String = {
+    val w = word.toString
+    if (w.isEmpty) return UTF8String.EMPTY_UTF8
+    // initial symbols are CODE POINTS, not UTF-16 units: a surrogate pair
+    // is one symbol (what char-level BPE and the SQL oracle's
+    // per-character split both mean by "character")
+    val syms = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    runMerges(syms, lefts, rights)
+    UTF8String.fromString(String.join(" ", syms))
+  }
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** Byte-level BPE application for one word (the GPT-2/tiktoken-style
+    * variant over the 256-byte base alphabet): initial symbols are the
+    * word's UTF-8 BYTES, so every string tokenizes with no `[UNK]` and
+    * no whitespace-convention caveats — an unmerged non-ASCII character
+    * falls back to its individual bytes. Symbols ride as UPPERCASE hex
+    * (two digits per byte), the byte-faithful printable encoding that
+    * DuckDB's `hex()` emits, so the oracle replays the merge chain with
+    * plain string replaces. Pieces are space-joined hex strings.
+    */
+  def applyWordBytes(word: UTF8String, lefts: Array[String], rights: Array[String]): UTF8String = {
+    val bytes = word.getBytes
+    if (bytes.length == 0) return UTF8String.EMPTY_UTF8
+    val syms = new java.util.ArrayList[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      syms.add(new String(Array(HexDigits(b >>> 4), HexDigits(b & 0xf))))
+      i += 1
+    }
+    runMerges(syms, lefts, rights)
     UTF8String.fromString(String.join(" ", syms))
   }
 
@@ -267,4 +296,140 @@ object Bpe {
   /** Piece count of [[bpeText]] (pieces never contain spaces). */
   def bpePieceCount(text: Column, merges: Seq[(String, String)]): Column =
     size(split(bpeText(text, merges), " "))
+}
+
+/** byte_bpe_apply_word(word, merges): space-joined hex pieces of ONE
+  * word under byte-level merges ([[BpeRuntime.applyWordBytes]]). Same
+  * plan shape as [[BpeApplyWord]]: merge table rides into generated code
+  * as two referenced String[] halves, one virtual call per word inside
+  * WholeStageCodegen.
+  */
+case class ByteBpeApplyWord(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_byte_bpe_apply_word"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val lefts: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val rights: Array[String] = merges.map(_._2).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    BpeRuntime.applyWordBytes(input.asInstanceOf[UTF8String], lefts, rights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("byteBpeLefts", lefts, "java.lang.String[]")
+    val r = ctx.addReferenceObj("byteBpeRights", rights, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.BpeRuntime.applyWordBytes($w, $l, $r);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeApplyWord =
+    copy(child = newChild)
+}
+
+/** Byte-level BPE train/apply — the GPT-2/tiktoken-style variant
+  * (Radford et al. 2019 §2.2: BPE over the 256-byte base alphabet) the
+  * word-segmenting families ([[Bpe]], unigram-LM, WordPiece) don't
+  * cover: every string tokenizes exactly (no `[UNK]`), non-ASCII falls
+  * back to raw bytes, and the learned merges re-assemble multi-byte
+  * characters only when the corpus makes them frequent.
+  *
+  * Same 100 TB shape as [[Bpe]]: train compresses the corpus to its
+  * word-frequency dictionary with ONE count shuffle, bounds it with
+  * `maxVocabWords`, and runs the pair-count argmax on the driver over
+  * that bounded dictionary (deterministic: ordered dictionary cut,
+  * lexicographic pair tie-break); apply is one codegen'd scalar call
+  * per word. Word boundaries never merge across (whitespace
+  * pre-tokenization — the convention this engine's whole tokenizer
+  * family shares; GPT-2's regex pre-tokenizer is the q_bpe_token_count
+  * pattern and slots in front unchanged if wanted). Symbols are
+  * uppercase-hex byte strings end to end — the printable, byte-faithful
+  * alphabet DuckDB's `hex()` shares, so oracles replay bit-exactly.
+  */
+object ByteBpe {
+
+  /** Learn `numMerges` byte-pair rules from the corpus' word-frequency
+    * dictionary. Stops early when no adjacent pair occurs at least twice
+    * (weighted). Merge symbols are uppercase hex byte strings.
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Int = 50000): Seq[(String, String)] = {
+    val dict: Array[(Array[String], Long)] = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocabWords)
+      .collect()
+      .map(r => (splitHexBytes(r.getString(0)), r.getLong(1)))
+
+    val merges = Vector.newBuilder[(String, String)]
+    var words = dict
+    var done = false
+    var it = 0
+    while (it < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; j <- 0 until syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        if (c < 2) done = true
+        else {
+          merges += ((a, b))
+          words = words.map { case (syms, n) => (mergeOnce(syms, a, b), n) }
+          it += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** One hex symbol per UTF-8 byte (mirrors
+    * [[BpeRuntime.applyWordBytes]]'s initial symbolization).
+    */
+  private def splitHexBytes(w: String): Array[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = f"${bytes(i) & 0xff}%02X"
+      i += 1
+    }
+    out
+  }
+
+  private def mergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** One word → its space-joined hex byte-BPE pieces under `merges`. */
+  def byteBpeWord(word: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(ByteBpeApplyWord(GraftBridge.expression(word), merges))
+
+  /** Whole text → all hex pieces of all whitespace words, space-joined
+    * (the [[Bpe.bpeText]] HOF composition — measured-faster there, same
+    * per-word kernel dominance here).
+    */
+  def byteBpeText(text: Column, merges: Seq[(String, String)]): Column =
+    concat_ws(" ", transform(TextFunctions.tokens(text), w => byteBpeWord(w, merges)))
+
+  /** Piece count of [[byteBpeText]] (hex pieces never contain spaces). */
+  def byteBpePieceCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(split(byteBpeText(text, merges), " "))
 }

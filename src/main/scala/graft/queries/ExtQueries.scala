@@ -150,6 +150,49 @@ object ExtQueries {
         b.bpePieceCount(col("text"), BpeFixtureMerges).cast("long").as("n_pieces"))
   }
 
+  /** Fixture merge table for q_bpe_bytes: byte-level (GPT-2-style) BPE
+    * rules trained once on the sf0.01 documents corpus by
+    * [[graft.functions.ByteBpe.train]] (ProbeByteBpe prints them;
+    * training is deterministic — count-desc/lexicographic dictionary
+    * cut, lexicographic pair tie-break). Symbols are UPPERCASE-hex
+    * UTF-8 bytes — on this ASCII corpus the learned rules mirror the
+    * char-level [[BpeFixtureMerges]] byte for byte (er/in/ow/or/st/...),
+    * which is itself a fixture-level consistency check between the two
+    * lanes; they diverge exactly where corpora go non-ASCII.
+    */
+  private val ByteBpeFixtureMerges: Seq[(String, String)] = Seq(
+    ("65", "72"), ("69", "6E"), ("6F", "77"), ("6F", "72"), ("73", "74"),
+    ("6D", "6572"), ("61", "74"), ("6C", "75"), ("61", "72"), ("70", "6172"),
+    ("6A", "6F"), ("6A6F", "696E"), ("61", "73"), ("6173", "68"),
+    ("68", "617368"), ("72", "6F77"))
+
+  /** The q_bpe_apply replace-chain replay over HEX-BYTE symbols: each
+    * word's `hex()` splits into two-digit '|'-terminated symbols, then
+    * each rule is one whole-symbol string replace — byte-level BPE is
+    * the same sequential-replace algebra in a different base alphabet,
+    * and hex is injective on bytes so no corpus character can collide
+    * with a separator.
+    */
+  private def byteBpeChainSql(inner: String): String =
+    ByteBpeFixtureMerges.foldLeft(inner) { case (acc, (a, b)) =>
+      s"replace($acc, '$a|$b|', '$a$b|')" }
+
+  private val bpeBytesQ = q("q_bpe_bytes",
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                     FROM documents)
+       SELECT doc_id,
+              array_to_string(list_transform(w, x ->
+                rtrim(replace(${byteBpeChainSql(raw"regexp_replace(hex(x), '(..)', '\1|', 'g')")}, '|', ' '))), ' ') AS bpe_bytes,
+              CAST(len(string_split(array_to_string(list_transform(w, x ->
+                rtrim(replace(${byteBpeChainSql(raw"regexp_replace(hex(x), '(..)', '\1|', 'g')")}, '|', ' '))), ' '), ' ')) AS BIGINT) AS n_pieces
+       FROM toks""") { (s, d) =>
+    val b = graft.functions.ByteBpe
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"),
+        b.byteBpeText(col("text"), ByteBpeFixtureMerges).as("bpe_bytes"),
+        b.byteBpePieceCount(col("text"), ByteBpeFixtureMerges).cast("long").as("n_pieces"))
+  }
+
   /** Fixture vocabulary for q_unigram_apply: a real unigram-LM
     * (SentencePiece-style) vocab trained once on the sf0.01 documents
     * corpus by [[graft.functions.Unigram.train]] (ProbeUnigram prints
@@ -3480,7 +3523,7 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     profileQ, profileNumericQ, profileNumericApproxQ, profileTopQ, keySkewQ,
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
-    dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, unigramApplyQ, wordpieceApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
+    dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, bpeBytesQ, unigramApplyQ, wordpieceApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, ngramJaccardAutoQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, sqEncodeQ, annSqQ, annSqRefinedQ, annIvfSqQ, annIvfSqIndexedQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,

@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level BPE (GPT-2/tiktoken-style, 256-byte base alphabet):
+  * byte-fallback on non-ASCII, lossless round-trip (no [UNK] ever),
+  * merge reassembly of frequent multi-byte characters, train
+  * determinism, and kernel == naive reference on random words.
+  */
+class ByteBpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def applyW(w: String, merges: Seq[(String, String)]): String =
+    BpeRuntime.applyWordBytes(UTF8String.fromString(w),
+      merges.map(_._1).toArray, merges.map(_._2).toArray).toString
+
+  /** Naive reference: hex-byte symbols, each rule applied everywhere
+    * left-to-right non-overlapping before the next.
+    */
+  private def reference(w: String, merges: Seq[(String, String)]): String = {
+    var syms = w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toVector
+    for ((a, b) <- merges) {
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+          out += (a + b); j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      syms = out.result()
+    }
+    syms.mkString(" ")
+  }
+
+  test("byte fallback: unmerged non-ASCII splits into its UTF-8 bytes, no [UNK]") {
+    assert(applyW("café", Nil) == "63 61 66 C3 A9")
+    assert(applyW("日", Nil) == "E6 97 A5")
+    // with the (C3, A9) merge learned, é reassembles into one piece
+    assert(applyW("café", Seq(("C3", "A9"))) == "63 61 66 C3A9")
+  }
+
+  test("lossless: pieces always re-concatenate to the word's exact bytes") {
+    val rnd = new scala.util.Random(7)
+    val merges = Seq(("C3", "A9"), ("61", "62"), ("6162", "63"))
+    (1 to 200).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(12))).map(_ =>
+        "aé日bc€x".charAt(rnd.nextInt(7))).mkString
+      val hex = applyW(w, merges).replace(" ", "")
+      assert(hex == w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString,
+        s"round-trip failed for '$w'")
+    }
+  }
+
+  test("kernel == naive reference on random words over a trained table") {
+    val corpus = Seq("résumé naïve café crème café café naïve",
+      "über schön größer straße öl öl öl",
+      "data caffé data data résumé").toDF("text")
+    val merges = ByteBpe.train(corpus, "text", numMerges = 24)
+    assert(merges.nonEmpty)
+    val rnd = new scala.util.Random(13)
+    val alphabet = "aeéöüßr és"
+    (1 to 300).foreach { _ =>
+      val w = (0 to rnd.nextInt(10)).map(_ =>
+        alphabet.charAt(rnd.nextInt(alphabet.length))).mkString.trim
+      assert(applyW(w, merges) == reference(w, merges))
+    }
+  }
+
+  test("train is deterministic and learns the multi-byte reassembly first on a planted corpus") {
+    val corpus = Seq.fill(5)("é é é é").toDF("text")
+    val m1 = ByteBpe.train(corpus, "text", numMerges = 4)
+    val m2 = ByteBpe.train(corpus, "text", numMerges = 4)
+    assert(m1 == m2)
+    assert(m1.head == ("C3", "A9"), s"expected the é bytes to merge first, got $m1")
+    // the corpus is a single repeated 2-byte word: after (C3,A9) there is
+    // no adjacent pair left with weighted count >= 2 inside any word
+    assert(m1 == Seq(("C3", "A9")))
+  }
+
+  test("column surface: byteBpeText/pieceCount agree with per-word kernel composition") {
+    val merges = Seq(("C3", "A9"), ("68", "69"))
+    val df = Seq((1L, "hi café"), (2L, ""), (3L, "xyz")).toDF("id", "text")
+    val got = df.select(col("id"),
+        ByteBpe.byteBpeText(col("text"), merges).as("t"),
+        ByteBpe.byteBpePieceCount(col("text"), merges).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got.contains((1L, "6869 63 61 66 C3A9", 5)))
+    assert(got.contains((3L, "78 79 7A", 3)))
+  }
+}

@@ -1726,6 +1726,60 @@ class GraftStreamingSpec extends AnyFunSuite {
       assert(streamed == batchKept, "stream must keep EXACTLY the batch rows")
     } finally query.stop()
   }
+
+  test("indexStreamIvfSq: kill-resume matrix — between-batch kill and mid-batch torn write both heal to identical probes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(53L)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val (mins, maxs) = graft.functions.Sq.trainBounds(df, "embedding")
+    val cells = graft.operators.Similarity.kmeansCells(df, "vec_id", "embedding",
+      nCells = 8, iters = 2)
+    val path = "target/io_tmp/ivfsq_kill_idx"
+    val checkpoint = "target/io_tmp/ivfsq_kill_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    graft.operators.AnnIndex.writeIvfSqMeta(spark, path, cells, mins, maxs)
+    val input = MemoryStream[(Long, Array[Float])]
+    def start() = GraftStreaming.indexStreamIvfSq(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path, checkpoint)
+    // ---- kill BETWEEN batches: batch 0 lands, query dies, data arrives
+    // while the stream is down
+    val q1 = start()
+    val (b1, b2) = vecs.splitAt(100)
+    try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    input.addData(b2) // arrives while down; becomes batch 1 on resume
+    // ---- kill MID-batch: simulate the sink dying partway through the
+    // upcoming batch-1 write — a TORN batch=1 directory exists (a few
+    // rows, no checkpoint commit). The resumed stream must replay batch 1
+    // and writeIndexBatch must replace the torn directory WHOLESALE.
+    val torn = df.where(col("vec_id") >= 100 && col("vec_id") < 105)
+      .join(broadcast(cells))
+      .withColumn("__cell", element_at(
+        graft.operators.Similarity.nearestCells(col("embedding"), col("__cells"), 1), 1)("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("__cell"),
+        graft.functions.Sq.encodeCol(col("embedding"), mins, maxs).as("__codes"))
+    torn.write.mode("overwrite").partitionBy("__cell").parquet(s"$path/batch=1")
+    assert(spark.read.parquet(path).count() < 200, "precondition: the torn batch is partial")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // exactly-once across both kills: every vector exactly once, the torn
+    // rows healed (not duplicated, not lost)
+    assert(spark.read.parquet(path).count() == 200,
+      "kill-resume must heal the torn batch to exactly-once row counts")
+    val queries = df.where(col("vec_id") < 10)
+    val got = graft.operators.AnnIndex.probeIvfSq(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val want = graft.functions.Sq.ivfTopK(queries, df, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 3, centroids = Some(cells),
+        bounds = Some((mins, maxs)))
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty,
+      "post-resume probe must equal the batch-built reference")
+  }
 }
 
 case class StreamEvent(ts: java.sql.Timestamp, k: String)

@@ -68,7 +68,7 @@ object PairBudget {
     * billion-doc corpora.
     */
   def resolve(index: DataFrame, idCol: String, keyCol: String,
-      budget: PairBudget): Option[Long] = budget match {
+      budget: PairBudget, knownDocs: Option[Long] = None): Option[Long] = budget match {
     case Exact => None
     case Cap(c) => Some(c)
     case Auto(rowsPerDoc) =>
@@ -77,7 +77,9 @@ object PairBudget {
         .select(col("__df"),
           (col("__k").cast("decimal(38,0)") * col("__df") * (col("__df") - 1) / 2)
             .cast("decimal(38,0)").as("__rows"))
-      val nDocs = index.select(col(idCol)).distinct().count()
+      // callers that already aggregate per-doc stats pass the doc count
+      // in (knownDocs) — saves one full distinct shuffle over the index
+      val nDocs = knownDocs.getOrElse(index.select(col(idCol)).distinct().count())
       val budgetRows = new java.math.BigDecimal(rowsPerDoc)
         .multiply(new java.math.BigDecimal(nDocs))
       val w = Window.orderBy(col("__df").asc)

@@ -63,16 +63,22 @@ object Winnow {
     val fpAll = Materialize.once(
       fingerprints(df, idCol, textCol, k, w)
         .select(col(idCol).as("__id"), col("fp")).distinct())
-    val fp = PairBudget.resolve(fpAll, "__id", "fp", budget).fold(fpAll) { cap =>
+    // ONE per-doc aggregate serves both auto dials: its row count is
+    // nDocs (handed to the budget resolver, saving a second full
+    // distinct shuffle over the index) and its approx-median is the
+    // minShared profile (fixed-memory sketch, never a per-doc collect)
+    val needsProfile = minShared.isEmpty || budget.isInstanceOf[PairBudget.Auto]
+    val perDoc = if (needsProfile)
+      Some(Materialize.once(fpAll.groupBy(col("__id")).agg(count(lit(1)).as("__n"))))
+    else None
+    val fp = PairBudget.resolve(fpAll, "__id", "fp", budget,
+        knownDocs = perDoc.map(_.count())).fold(fpAll) { cap =>
       val hot = fpAll.groupBy("fp").agg(count(lit(1)).as("__df"))
         .where(col("__df") > cap).select(col("fp"))
       fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
     }
     val bar = minShared.getOrElse {
-      // one bounded aggregate: approx median of per-doc distinct-fp
-      // counts (approx_percentile — fixed-memory sketch, never a
-      // per-doc collect)
-      val p50 = fpAll.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+      val p50 = perDoc.get
         .agg(expr("approx_percentile(__n, 0.5)").as("__p50"))
         .first().getLong(0)
       math.max(2L, p50 / 20L).toInt

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.functions.CdcChunks
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking as corpus operators (FastCDC-style gear
+  * hash — [[graft.functions.CdcRuntime]] for the kernel and the
+  * determinism contract). Positioning vs the existing chunk/dedup
+  * machinery: [[Dedup.paragraphDedup]] needs structural separators
+  * (\n\n) and [[Dedup.duplicateSpans]] tokenizes; CDC needs NEITHER —
+  * boundaries come from the bytes themselves, so a one-byte edit near
+  * the head of a re-crawled page perturbs only the chunks it touches
+  * and every later boundary re-synchronizes. That makes the chunk
+  * fingerprint index SHIFT-ROBUST: the standard backup-dedup property,
+  * applied to crawl snapshots where fixed windows lose every downstream
+  * match.
+  *
+  * 100 TB shape: chunking is a map-side kernel (zero shuffles);
+  * the index is one explode; pair mining rides the same
+  * [[PairBudget]]-guarded inverted-index self-join as
+  * [[Winnow.pairs]]. The md5 fingerprint is the oracle-replayable
+  * lane; swapping xxhash64 halves index bytes at scale (one function).
+  */
+object Cdc {
+
+  /** (id, pos, len, fp): the content-defined chunks of each document.
+    * `pos` is the 1-based byte offset, `fp` the md5 hex of the chunk
+    * bytes.
+    */
+  def chunkIndex(df: DataFrame, idCol: String, textCol: String,
+      minSize: Int = 32, avgBits: Int = 6, maxSize: Int = 256): DataFrame =
+    df.select(col(idCol),
+        explode(CdcChunks.chunksCol(col(textCol), minSize, avgBits, maxSize)).as("__c"))
+      .select(col(idCol), col("__c.pos").as("pos"), col("__c.len").as("len"),
+        col("__c.fp").as("fp"))
+
+  /** Shift-robust near-duplicate pairs: documents sharing ≥ `minShared`
+    * distinct chunk fingerprints, with the shared count — the
+    * [[Winnow.pairs]] contract over content-defined chunks instead of
+    * winnowed k-grams (catches re-crawls whose edits BREAK token
+    * n-grams across the whole tail). Candidate generation is
+    * [[PairBudget]]-guarded like every exact miner.
+    */
+  def pairs(df: DataFrame, idCol: String, textCol: String,
+      minSize: Int = 32, avgBits: Int = 6, maxSize: Int = 256,
+      minShared: Int = 2, budget: PairBudget = PairBudget.Auto()): DataFrame = {
+    val fpAll = Materialize.once(
+      chunkIndex(df, idCol, textCol, minSize, avgBits, maxSize)
+        .select(col(idCol).as("__id"), col("fp")).distinct())
+    val fp = PairBudget.resolve(fpAll, "__id", "fp", budget).fold(fpAll) { cap =>
+      val hot = fpAll.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .where(col("__df") > cap).select(col("fp"))
+      fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
+    }
+    fp.as("a").join(fp.as("b"), col("a.fp") === col("b.fp"))
+      .where(col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .where(col("shared") >= minShared)
+  }
+}

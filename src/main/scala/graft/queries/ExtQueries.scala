@@ -3272,6 +3272,87 @@ object ExtQueries {
     * oracle's per-window rescan, proving the deque IS the window
     * minimum with the leftmost tie-break.
     */
+  /** Shared CDC oracle CTEs over `src(doc_id, text)`: the gear-hash
+    * boundary scan replayed as a list_reduce position fold (the
+    * unigram-oracle seed-prepend trick: accumulator = BIGINT list
+    * [h, start, s0, l0, s1, l1, ...], elements = wrapped positions).
+    * GEAR is interpolated from [[graft.functions.CdcRuntime.Gear]] and
+    * hoisted into a one-row CTE (the vocab-hoist lesson — inlining
+    * 256 literals per lambda call re-parses them per byte). Arithmetic
+    * is the kernel's bit for bit: h' = (h*2 + g[b]) mod 2^32, boundary
+    * when len >= min AND (h' & mask) = 0, force-close at max, final
+    * partial chunk emits; md5(substr(..)) = the kernel's md5-of-bytes
+    * because this corpus is pure ASCII (char offsets == byte offsets —
+    * checked max codepoint 121; the production kernel is byte-defined).
+    */
+  private def cdcChunkCtes(src: String, minSize: Int = 32, avgBits: Int = 6,
+      maxSize: Int = 256): String = {
+    val gear = graft.functions.CdcRuntime.Gear.map(g => s"CAST($g AS BIGINT)").mkString(", ")
+    val mask = (1L << avgBits) - 1
+    raw"""gm AS (SELECT [$gear] AS g),
+       cst AS (
+         SELECT doc_id, text,
+           list_reduce(
+             list_concat([[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]],
+               list_transform(range(1, length(text) + 1), j -> [CAST(j AS BIGINT)])),
+             (acc, x) -> CASE
+               WHEN ((x[1] - acc[2] >= $minSize AND
+                      (((acc[1] * 2 + g[CAST(ascii(substr(text, CAST(x[1] AS INT), 1)) AS INT) + 1]) % 4294967296) & $mask) = 0)
+                     OR x[1] - acc[2] >= $maxSize)
+               THEN list_concat([CAST(0 AS BIGINT), x[1]],
+                                list_concat(acc[3:], [acc[2] + 1, x[1] - acc[2]]))
+               ELSE list_concat([(acc[1] * 2 + g[CAST(ascii(substr(text, CAST(x[1] AS INT), 1)) AS INT) + 1]) % 4294967296, acc[2]],
+                                acc[3:])
+             END) AS st
+         FROM $src, gm),
+       cfin AS (SELECT doc_id, text,
+                  CASE WHEN st[2] < length(text)
+                       THEN list_concat(st[3:], [st[2] + 1, length(text) - st[2]])
+                       ELSE st[3:] END AS ch
+                FROM cst),
+       cpos AS (SELECT doc_id, text, ch, unnest(range(1, len(ch) // 2 + 1)) AS k FROM cfin),
+       cidx AS (SELECT doc_id, CAST(ch[2*k-1] AS INT) AS pos, CAST(ch[2*k] AS INT) AS len,
+                       md5(substr(text, CAST(ch[2*k-1] AS INT), CAST(ch[2*k] AS INT))) AS fp
+                FROM cpos)"""
+  }
+
+  /** Content-defined chunk index (Cdc.chunkIndex): gear-hash boundaries
+    * + md5 chunk fingerprints, fully replayed in SQL.
+    */
+  private val cdcChunksQ = q("q_cdc_chunks",
+    s"""WITH ${cdcChunkCtes("documents")}
+       SELECT doc_id, pos, len, fp FROM cidx""") { (s, d) =>
+    graft.operators.Cdc.chunkIndex(Tables.df(s, d, "documents"), "doc_id", "text")
+  }
+
+  /** Shift-robust near-duplicate pairs (Cdc.pairs): every 19th document
+    * re-added under id+10^7 with a 3-byte PREFIX — the edit that makes
+    * every fixed-window fingerprint downstream miss — must still pair
+    * with its original through re-synchronized content-defined chunks.
+    */
+  private val cdcDedupQ = q("q_cdc_dedup",
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 10000000 AS doc_id, 'zq ' || text AS text
+                    FROM documents WHERE doc_id % 19 = 0),
+       ${cdcChunkCtes("corpus")},
+       wfp AS (SELECT DISTINCT doc_id, fp FROM cidx),
+       wdf AS (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) <= 50),
+       wk AS (SELECT doc_id, fp FROM wfp JOIN wdf USING (fp)),
+       pr AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+       SELECT idA, idB, shared FROM pr WHERE shared >= 2""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val corpus = docs.select(col("doc_id"), col("text")).union(
+      docs.where(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("zq "), col("text")).as("text")))
+    graft.operators.Cdc.pairs(corpus, "doc_id", "text",
+      minShared = 2, budget = PairBudget.Cap(50L))
+  }
+
   private val winnowFpQ = q("q_winnow_fp",
     s"""WITH ${winnowCtes("w", "documents")}
        SELECT doc_id, pos, fp FROM wsel""") { (s, d) =>
@@ -3531,5 +3612,5 @@ object ExtQueries {
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ,
-    winnowFpQ, winnowPairsQ, winnowContaminationQ, winnowContaminationBloomQ)
+    winnowFpQ, winnowPairsQ, winnowContaminationQ, winnowContaminationBloomQ, cdcChunksQ, cdcDedupQ)
 }

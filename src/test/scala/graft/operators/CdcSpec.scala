@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.functions.CdcRuntime
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Content-defined chunking: kernel vs naive reference, the
+  * shift-robustness property the operator exists for (a prefix edit
+  * re-synchronizes downstream boundaries; fixed windows lose every
+  * downstream match), dial contracts, and pair mining on planted
+  * shifted copies.
+  */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ref(text: String, mn: Int, bits: Int, mx: Int): Seq[(Int, Int)] = {
+    val b = text.getBytes("UTF-8")
+    val mask = (1L << bits) - 1
+    var h = 0L; var start = 0
+    val out = Seq.newBuilder[(Int, Int)]
+    for (i <- b.indices) {
+      h = ((h << 1) + CdcRuntime.Gear(b(i) & 0xff)) & 0xFFFFFFFFL
+      val len = i - start + 1
+      if ((len >= mn && (h & mask) == 0L) || len >= mx) {
+        out += ((start + 1, len)); start = i + 1; h = 0L
+      }
+    }
+    if (start < b.length) out += ((start + 1, b.length - start))
+    out.result()
+  }
+
+  test("kernel boundaries == per-byte reference on random text; md5 fps are the chunk bytes'") {
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val t = (1 to (rnd.nextInt(600) + 1)).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString.grouped(8).mkString(" ")
+      val got = CdcRuntime.boundaries(t.getBytes("UTF-8"), 32, 6, 256)
+        .grouped(2).map(a => (a(0) + 1, a(1))).toSeq
+      assert(got == ref(t, 32, 6, 256), s"boundary mismatch on len=${t.length}")
+    }
+  }
+
+  test("chunks cover the text exactly: contiguous, non-overlapping, total = byte length") {
+    val t = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val b = CdcRuntime.boundaries(t.getBytes("UTF-8"), 32, 6, 256).grouped(2).toSeq
+    assert(b.head(0) == 0)
+    b.sliding(2).foreach { case Seq(a, c) => assert(a(0) + a(1) == c(0)); case _ => () }
+    assert(b.map(_(1)).sum == t.getBytes("UTF-8").length)
+    assert(b.forall(a => a(1) <= 256))
+    assert(b.dropRight(1).forall(a => a(1) >= 32), "every non-final chunk >= minSize")
+  }
+
+  test("shift-robust: a 3-byte prefix edit re-synchronizes, most chunks survive") {
+    // long NON-repetitive text: eligibility of a cut point is
+    // content-determined (the gear hash's low mask bits see only the
+    // last ~avgBits bytes), so two greedy boundary walks from offset 0
+    // and offset 3 converge once they pick one common eligible point —
+    // after which every chunk is byte-identical. Repetitive text can
+    // alias the min-size suppression window against the period and stay
+    // out of phase, which is WHY this fixture is random.
+    val rnd = new scala.util.Random(31)
+    val base = (1 to 400).map(_ => s"w${rnd.nextInt(100000)}").mkString(" ")
+    val shifted = "zq " + base
+    def fps(t: String) = CdcRuntime.boundaries(t.getBytes("UTF-8"), 32, 6, 256)
+      .grouped(2).map { a =>
+        new String(t.getBytes("UTF-8"), a(0), a(1), "UTF-8")
+      }.toSeq
+    val a = fps(base); val b = fps(shifted)
+    val shared = a.toSet.intersect(b.toSet)
+    assert(a.size >= 10, s"fixture must produce many chunks, got ${a.size}")
+    assert(shared.size >= a.size / 2 && shared.size >= 5,
+      s"expected most chunks shared after re-sync, got ${shared.size} of ${a.size}")
+    // the contrast: FIXED 64-byte windows share nothing after a 3-byte shift
+    def fixed(t: String) = t.getBytes("UTF-8").grouped(64).map(new String(_, "UTF-8")).toSet
+    assert(fixed(base).intersect(fixed(shifted)).size <= 1,
+      "fixed windows must lose (nearly) every match under the shift — else this operator is pointless")
+  }
+
+  test("Cdc.pairs finds planted shifted copies; unrelated docs do not pair") {
+    val rnd = new scala.util.Random(23)
+    // ~800-byte docs -> ~6-10 chunks each, so a shifted copy shares well
+    // past minShared even after losing its head chunk
+    def doc(i: Int) = (1 to 120).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
+    val base = (1L to 20L).map(i => (i, doc(i.toInt)))
+    val corpus = (base ++ base.take(5).map { case (i, t) => (i + 100L, "zq " + t) })
+      .toDF("doc_id", "text")
+    val got = Cdc.pairs(corpus, "doc_id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 5L).foreach(i => assert(got.contains((i, i + 100L)),
+      s"planted shifted copy of doc $i must pair"))
+    assert(got.forall { case (a, b) => b == a + 100L },
+      s"unrelated docs paired: ${got.filterNot { case (a, b) => b == a + 100L }}")
+  }
+}

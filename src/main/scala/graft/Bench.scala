@@ -7,9 +7,14 @@ import org.apache.spark.sql.SparkSession
   * the bench artifact. One warm-up pass primes the JVM/codegen caches,
   * then each query is timed SPARK_GRAFT_BENCH_N times (default 3) and
   * the STEADY-STATE MEDIAN over every clean pass of every attempt is the
-  * number of record (round 14 — totals, ratios and the validity guard
-  * all read it); the cross-attempt MIN is retained as `queries_min*` in
-  * the full artifact. Rationale: min-of-attempts on a box whose idleness
+  * number of record (round 14 — totals, per-query times and the
+  * reported `spark_over_duckdb*` ratios all read it); the cross-attempt
+  * MIN is retained as `queries_min*`/`spark_over_duckdb_min*` in the
+  * full artifact, and the VALIDITY GUARD evaluates on the mins — the
+  * best-known-good history is min-based, so min-vs-min is the only
+  * like-for-like comparison (guarding medians against that history
+  * flagged a clean idle-box run wholesale: 6 phantom 2-3× "jumps", all
+  * the median/min statistic gap — measured r14). Rationale: min-of-attempts on a box whose idleness
   * varies round to round produced wholesale +19% "regressions" with no
   * plan diffs (r12→r13 sf0.1 lane) — the median is the number two
   * different rounds can actually compare, while the min remains the
@@ -36,7 +41,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Lane validity (round 12, per-query; round 13, ratchet-proof): with a
   * guard reference (DuckDB anchors + at least one prior valid artifact)
-  * a lane is valid iff NO headliner's merged-median spark/duckdb ratio
+  * a lane is valid iff NO headliner's merged-MIN spark/duckdb ratio
   * exceeds 2× its BEST-KNOWN-GOOD ratio — the element-wise min across
   * every prior valid artifact (bench_out.json + all BENCH_r*.json), not
   * just last round's, so sustained contention can never ratchet the
@@ -109,10 +114,10 @@ object Bench {
       // feeds the steady-state median (the number of record) and the
       // `queries_min*` floor in the full artifact
       raw: Map[String, Seq[Double]] = Map.empty,
-      // queries whose spark/duckdb ratio exceeded 2x the previous VALID
-      // artifact's ratio on the cross-attempt MERGED times (round 12:
-      // the guard — and the lane's validity — reads the cross-attempt
-      // steady-state medians, the same numbers the artifact reports)
+      // queries whose MIN-based spark/duckdb ratio exceeded 2x the
+      // previous VALID artifacts' best-known-good (round 14: the guard
+      // reads cross-attempt MINS — like-for-like with the min-based
+      // history — while `results` reports the medians)
       ratioJumps: Map[String, Double] = Map.empty,
       // the lane's validity verdict: per-query when the ratio guard has
       // a reference (round 12), calibration-drift fallback otherwise;
@@ -204,7 +209,7 @@ object Bench {
     * Validity is PER-QUERY when the ratio guard has a reference (a
     * previous valid artifact + DuckDB anchors): the lane is valid iff no
     * headliner's spark/duckdb ratio — on the cross-attempt element-wise
-    * MEDIAN merge, the same numbers the artifact reports — exceeds 2× its
+    * MIN merge, the statistic the historical reference uses — exceeds 2× its
     * previous valid ratio, and an invalid lane NAMES the contended
     * queries in-band (`ratio_guard`) instead of discarding every good
     * row. The suite-level calibration drift stays in the artifact but is
@@ -231,21 +236,32 @@ object Bench {
     val attemptsSeen = scala.collection.mutable.ArrayBuffer(lane.results)
     val rawSeen = scala.collection.mutable.ArrayBuffer(lane.raw)
     // steady-state MEDIAN over every clean pass of every attempt so far —
-    // the number of record since round 14 (totals, ratios, the guard);
-    // error semantics unchanged: a query is an error iff no attempt
-    // produced a clean min (any failed pass poisons its attempt)
+    // the number of record since round 14 (totals, per-query times, the
+    // reported ratios); error semantics unchanged: a query is an error
+    // iff no attempt produced a clean pass (any failed pass poisons its
+    // attempt)
     def mergedRawSoFar: Map[String, Seq[Double]] = rawSeen.flatMap(_.toSeq)
       .groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toSeq }
-    def merged: Seq[(String, Either[String, Double])] = {
+    def pick(stat: Seq[Double] => Double): Seq[(String, Either[String, Double])] = {
       val raws = mergedRawSoFar
       lane.results.map { case (k, last) =>
         val ok = attemptsSeen.exists(_.exists { case (n, r) => n == k && r.isRight })
         val ts = raws.getOrElse(k, Nil)
-        k -> (if (ok && ts.nonEmpty) Right(median(ts)) else last): (String, Either[String, Double])
+        k -> (if (ok && ts.nonEmpty) Right(stat(ts)) else last): (String, Either[String, Double])
       }
     }
+    def merged = pick(median)
+    // the GUARD evaluates on cross-attempt MINS against a min-based
+    // best-known-good history — like for like. Guarding medians against
+    // that history flags clean lanes wholesale (measured, this round's
+    // first flip attempt: drift sentinels 5.4/9.5/2.6% on an idle box,
+    // yet 6 "jumps" of 2.0-3.0×, every one the median/min statistic gap,
+    // none contention). The min is also the sharper contamination
+    // signal: it is the best reading the lane ever saw, so a min that
+    // doubles means every single pass was slow.
+    def minMerged = pick(_.min)
     val guardActive = duck.nonEmpty && prevRatios.nonEmpty
-    def mergedJumps = ratioJumps(lane.copy(results = merged), duck, prevRatios)
+    def mergedJumps = ratioJumps(lane.copy(results = minMerged), duck, prevRatios)
     def contaminated(attempt: Int): Boolean =
       if (guardActive)
         mergedJumps.nonEmpty || (attempt < 2 && lane.drift.exists(!_._2))
@@ -260,7 +276,8 @@ object Bench {
     val out = lane.copy(results = merged, attempts = attempt,
       history = if (attemptsSeen.length > 1) attemptsSeen.toSeq else Nil,
       raw = mergedRawSoFar)
-    val jumps = ratioJumps(out, duck, prevRatios)
+    val jumps = ratioJumps(lane.copy(results = minMerged, raw = mergedRawSoFar),
+      duck, prevRatios)
     out.copy(ratioJumps = jumps,
       validity = if (guardActive) Some(jumps.isEmpty) else lane.drift.map(_._2))
   }
@@ -312,8 +329,15 @@ object Bench {
         // driver records wrap the stdout line under "parsed"
         if (root.has("parsed") && root.get("parsed").isObject) root = root.get("parsed")
         if (Option(root.get(s"valid$sfx")).exists(_.asBoolean(false)))
-          Option(root.get(s"spark_over_duckdb$sfx")).map(_.fields().asScala
-            .map(e => e.getKey -> e.getValue.asDouble).toMap)
+          // prefer the explicit min-based field (r14+ full artifacts);
+          // legacy artifacts' spark_over_duckdb IS min-based, and any
+          // median-based rows that slip in only raise entries the
+          // element-wise min below discards — the reference can only
+          // tighten, never ratchet
+          Option(root.get(s"spark_over_duckdb_min$sfx"))
+            .orElse(Option(root.get(s"spark_over_duckdb$sfx")))
+            .map(_.fields().asScala
+              .map(e => e.getKey -> e.getValue.asDouble).toMap)
         else None
       }.toOption.flatten
     }
@@ -354,8 +378,19 @@ object Bench {
         case (k, Right(t)) if duck.contains(k) && duck(k) > 0 =>
           jstr(k) + ":" + (math.rint(t / duck(k) * 1000) / 1000).toString
       }
+      // min-based ratios (full artifact only): what the validity guard
+      // compares — like-for-like against the min-based best-known-good
+      // history — while the median-based `spark_over_duckdb$sfx` above
+      // is the reported number of record
+      val minRatios = lane.results.collect {
+        case (k, Right(_)) if duck.get(k).exists(_ > 0) &&
+            lane.raw.getOrElse(k, Nil).nonEmpty =>
+          jstr(k) + ":" + (math.rint(lane.raw(k).min / duck(k) * 1000) / 1000).toString
+      }
       (if (compact) "" else refs.mkString(s""","duckdb_ref$sfx":{""", ",", "}")) +
-        ratios.mkString(s""","spark_over_duckdb$sfx":{""", ",", "}")
+        ratios.mkString(s""","spark_over_duckdb$sfx":{""", ",", "}") +
+        (if (compact || minRatios.isEmpty) ""
+         else minRatios.mkString(s""","spark_over_duckdb_min$sfx":{""", ",", "}"))
     }
     // drift_pct describes the FINAL attempt's calibration pair (advisory
     // when the per-query guard carries validity); valid/attempts describe
@@ -458,9 +493,13 @@ object Bench {
       benchSet, "SPARK_GRAFT_DUCKDB_BASELINE_X16", "duckdb_baseline_x16.json",
       "SPARK_GRAFT_X16_N", defPasses = "3")
     val lenSet = benchSet.filter(qd => LenLaneQueries(qd.name))
+    // min-of-3 on the len lane too (was 2): with two passes the median
+    // is a mean-of-2 and ONE pathological pass poisons it — measured
+    // r14: a single 161 s q_lm_score pass (min 4.3 s) read as an 82.7 s
+    // "median"; three passes make the median outlier-robust
     val (lenFull, lenCompact, lenMin) = twinLane("len", "SPARK_GRAFT_LEN", 4, 16,
       lenSet, "SPARK_GRAFT_DUCKDB_BASELINE_LEN", "duckdb_baseline_len.json",
-      "SPARK_GRAFT_LEN_N")
+      "SPARK_GRAFT_LEN_N", defPasses = "3")
 
     // full artifact → file; ONE compact line → stdout (driver contract:
     // "metric"/"value" lead fields = the PRIMARY total)

@@ -49,7 +49,13 @@ object CdcRuntime {
   private val Mask32 = 0xFFFFFFFFL
 
   /** Chunk boundaries of `text`'s UTF-8 bytes: (start, len) pairs in
-    * BYTE offsets, concatenated flat [s0, l0, s1, l1, ...].
+    * BYTE offsets, concatenated flat [s0, l0, s1, l1, ...]. A cut point
+    * that would split a multi-byte codepoint snaps FORWARD past its
+    * continuation bytes, so every chunk is valid UTF-8 on its own and
+    * chunk-granular removal can never corrupt surviving text (a chunk
+    * may exceed maxSize by up to 3 bytes at the snap; on ASCII the snap
+    * never fires, so the SQL oracle's per-character replay is
+    * unaffected).
     */
   def boundaries(bytes: Array[Byte], minSize: Int, avgBits: Int, maxSize: Int): Array[Int] = {
     val mask = (1L << avgBits) - 1
@@ -62,8 +68,12 @@ object CdcRuntime {
       h = ((h << 1) + Gear(bytes(i) & 0xff)) & Mask32
       val len = i - start + 1
       if ((len >= minSize && (h & mask) == 0L) || len >= maxSize) {
+        // snap: absorb continuation bytes so the cut lands on a
+        // codepoint boundary (h resets at the new chunk start anyway,
+        // so the absorbed bytes' hash contributions are irrelevant)
+        while (i + 1 < n && (bytes(i + 1) & 0xC0) == 0x80) i += 1
         out += start
-        out += len
+        out += (i - start + 1)
         start = i + 1
         h = 0L
       }
@@ -73,11 +83,12 @@ object CdcRuntime {
     out.toArray
   }
 
-  /** (pos, len, fp) rows for one document — fp is the md5 hex of the
-    * chunk BYTES (the oracle-replayable fixture fingerprint; md5 of a
-    * UTF-8 substring is exactly DuckDB's md5(substr(...)) on ASCII and
-    * of to_base64-free byte slices generally). pos is the 1-based BYTE
-    * offset.
+  /** (pos, len, fp, piece) rows for one document — fp is the md5 hex of
+    * the chunk BYTES (the oracle-replayable fixture fingerprint; md5 of
+    * a UTF-8 substring is exactly DuckDB's md5(substr(...)) on ASCII),
+    * `piece` the chunk's own text (valid UTF-8 by the snap rule — the
+    * byte-accurate slice DataFrame-level char substring can't provide).
+    * pos is the 1-based BYTE offset.
     */
   def chunks(text: UTF8String, minSize: Int, avgBits: Int, maxSize: Int): ArrayData = {
     val bytes = text.getBytes
@@ -90,16 +101,17 @@ object CdcRuntime {
       md.reset()
       md.update(bytes, start, len)
       val hex = md.digest().map(x => f"$x%02x").mkString
-      rows(k / 2) = InternalRow(start + 1, len, UTF8String.fromString(hex))
+      rows(k / 2) = InternalRow(start + 1, len, UTF8String.fromString(hex),
+        UTF8String.fromBytes(bytes, start, len))
       k += 2
     }
     new GenericArrayData(rows)
   }
 }
 
-/** cdc_chunks(text): array<struct<pos int, len int, fp string>> — the
-  * content-defined chunks of one document. min/avg/max ride as
-  * plan-time constants into generated code.
+/** cdc_chunks(text): array<struct<pos int, len int, fp string,
+  * piece string>> — the content-defined chunks of one document.
+  * min/avg/max ride as plan-time constants into generated code.
   */
 case class CdcChunks(child: Expression, minSize: Int, avgBits: Int, maxSize: Int)
     extends UnaryExpression {
@@ -109,7 +121,8 @@ case class CdcChunks(child: Expression, minSize: Int, avgBits: Int, maxSize: Int
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("pos", IntegerType, nullable = false),
     StructField("len", IntegerType, nullable = false),
-    StructField("fp", StringType, nullable = false))), containsNull = false)
+    StructField("fp", StringType, nullable = false),
+    StructField("piece", StringType, nullable = false))), containsNull = false)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -35,6 +35,42 @@ object Cdc {
       .select(col(idCol), col("__c.pos").as("pos"), col("__c.len").as("len"),
         col("__c.fp").as("fp"))
 
+  /** Chunk fingerprint catalog of a reference corpus: the distinct
+    * content-defined chunk fps (the against-catalog side of
+    * [[dedupAgainst]] — build once from previous crawls / benchmark
+    * pools, reuse across ingests).
+    */
+  def chunkCatalog(df: DataFrame, textCol: String,
+      minSize: Int = 32, avgBits: Int = 6, maxSize: Int = 256): DataFrame =
+    df.select(explode(CdcChunks.chunksCol(col(textCol), minSize, avgBits, maxSize))
+        .as("__c"))
+      .select(col("__c.fp").as("fp")).distinct()
+
+  /** Chunk-level decontamination against a catalog: drop every chunk
+    * whose fingerprint appears in `catalog`, reassemble the survivors in
+    * byte order — the Lee et al. 2022 substring-removal contract at
+    * content-defined granularity, SHIFT-ROBUST where the token-gram span
+    * machinery needs exact token alignment. Documents whose every chunk
+    * is cataloged drop wholesale (all-boilerplate pages).
+    *
+    * Scale shape: chunking is map-side; the anti-join is one shuffle on
+    * the fp (or a broadcast when the catalog is small); reassembly
+    * aggregates per document, bounded by document size — the
+    * [[Dedup.paragraphDedupAgainst]] plan with CDC boundaries.
+    */
+  def dedupAgainst(df: DataFrame, idCol: String, textCol: String,
+      catalog: DataFrame,
+      minSize: Int = 32, avgBits: Int = 6, maxSize: Int = 256): DataFrame = {
+    val pieces = df.select(col(idCol),
+        explode(CdcChunks.chunksCol(col(textCol), minSize, avgBits, maxSize)).as("__c"))
+      .select(col(idCol), col("__c.pos").as("__pos"), col("__c.fp").as("fp"),
+        col("__c.piece").as("__piece"))
+    pieces.join(catalog.select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__piece")))),
+        s => s("__piece")), "").as("clean_text"))
+  }
+
   /** Shift-robust near-duplicate pairs: documents sharing ≥ `minShared`
     * distinct chunk fingerprints, with the shared count — the
     * [[Winnow.pairs]] contract over content-defined chunks instead of

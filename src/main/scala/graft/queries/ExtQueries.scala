@@ -3285,12 +3285,15 @@ object ExtQueries {
     * because this corpus is pure ASCII (char offsets == byte offsets —
     * checked max codepoint 121; the production kernel is byte-defined).
     */
-  private def cdcChunkCtes(src: String, minSize: Int = 32, avgBits: Int = 6,
-      maxSize: Int = 256): String = {
+  private def cdcGearCte: String = {
     val gear = graft.functions.CdcRuntime.Gear.map(g => s"CAST($g AS BIGINT)").mkString(", ")
+    s"""gm AS (SELECT [$gear] AS g)"""
+  }
+
+  private def cdcChunkCtes(p: String, src: String, minSize: Int = 32, avgBits: Int = 6,
+      maxSize: Int = 256): String = {
     val mask = (1L << avgBits) - 1
-    raw"""gm AS (SELECT [$gear] AS g),
-       cst AS (
+    raw"""${p}cst AS (
          SELECT doc_id, text,
            list_reduce(
              list_concat([[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]],
@@ -3305,24 +3308,56 @@ object ExtQueries {
                                 acc[3:])
              END) AS st
          FROM $src, gm),
-       cfin AS (SELECT doc_id, text,
+       ${p}cfin AS (SELECT doc_id, text,
                   CASE WHEN st[2] < length(text)
                        THEN list_concat(st[3:], [st[2] + 1, length(text) - st[2]])
                        ELSE st[3:] END AS ch
-                FROM cst),
-       cpos AS (SELECT doc_id, text, ch, unnest(range(1, len(ch) // 2 + 1)) AS k FROM cfin),
-       cidx AS (SELECT doc_id, CAST(ch[2*k-1] AS INT) AS pos, CAST(ch[2*k] AS INT) AS len,
+                FROM ${p}cst),
+       ${p}cpos AS (SELECT doc_id, text, ch, unnest(range(1, len(ch) // 2 + 1)) AS k FROM ${p}cfin),
+       ${p}cidx AS (SELECT doc_id, CAST(ch[2*k-1] AS INT) AS pos, CAST(ch[2*k] AS INT) AS len,
                        md5(substr(text, CAST(ch[2*k-1] AS INT), CAST(ch[2*k] AS INT))) AS fp
-                FROM cpos)"""
+                FROM ${p}cpos)"""
   }
 
   /** Content-defined chunk index (Cdc.chunkIndex): gear-hash boundaries
     * + md5 chunk fingerprints, fully replayed in SQL.
     */
   private val cdcChunksQ = q("q_cdc_chunks",
-    s"""WITH ${cdcChunkCtes("documents")}
+    s"""WITH $cdcGearCte,
+       ${cdcChunkCtes("", "documents")}
        SELECT doc_id, pos, len, fp FROM cidx""") { (s, d) =>
     graft.operators.Cdc.chunkIndex(Tables.df(s, d, "documents"), "doc_id", "text")
+  }
+
+  /** Chunk-level decontamination against a catalog (Cdc.dedupAgainst —
+    * the Lee et al. substring-removal contract at content-defined
+    * granularity): corpus docs pair text(k) with text(k+23); the
+    * catalog is every 5th document's chunk set, so corpus chunks that
+    * re-synchronize onto a cataloged document's content drop and the
+    * survivors reassemble in byte order. The oracle replays BOTH chunk
+    * scans (corpus + catalog, prefixed CTEs over the shared gear table)
+    * and the ordered reassembly.
+    */
+  private val cdcDedupAgainstQ = q("q_cdc_dedup_against",
+    s"""WITH corpus AS (SELECT a.doc_id, a.text || ' ' || b.text AS text
+                    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 23),
+       cat AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       $cdcGearCte,
+       ${cdcChunkCtes("", "corpus")},
+       ${cdcChunkCtes("k_", "cat")},
+       catf AS (SELECT DISTINCT fp FROM k_cidx),
+       keep AS (SELECT c.doc_id, c.pos, substr(t.text, c.pos, c.len) AS piece
+                FROM cidx c JOIN corpus t USING (doc_id)
+                WHERE c.fp NOT IN (SELECT fp FROM catf))
+       SELECT doc_id, string_agg(piece, '' ORDER BY pos) AS clean_text
+       FROM keep GROUP BY doc_id""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val nxt = docs.select((col("doc_id") - 23).as("doc_id"), col("text").as("__t2"))
+    val corpus = docs.join(nxt, "doc_id")
+      .select(col("doc_id"), concat(col("text"), lit(" "), col("__t2")).as("text"))
+    val cat = graft.operators.Cdc.chunkCatalog(
+      docs.where(col("doc_id") % 5 === 0), "text")
+    graft.operators.Cdc.dedupAgainst(corpus, "doc_id", "text", cat)
   }
 
   /** Shift-robust near-duplicate pairs (Cdc.pairs): every 19th document
@@ -3335,7 +3370,8 @@ object ExtQueries {
                     UNION ALL
                     SELECT doc_id + 10000000 AS doc_id, 'zq ' || text AS text
                     FROM documents WHERE doc_id % 19 = 0),
-       ${cdcChunkCtes("corpus")},
+       $cdcGearCte,
+       ${cdcChunkCtes("", "corpus")},
        wfp AS (SELECT DISTINCT doc_id, fp FROM cidx),
        wdf AS (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) <= 50),
        wk AS (SELECT doc_id, fp FROM wfp JOIN wdf USING (fp)),
@@ -3612,5 +3648,5 @@ object ExtQueries {
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ,
-    winnowFpQ, winnowPairsQ, winnowContaminationQ, winnowContaminationBloomQ, cdcChunksQ, cdcDedupQ)
+    winnowFpQ, winnowPairsQ, winnowContaminationQ, winnowContaminationBloomQ, cdcChunksQ, cdcDedupQ, cdcDedupAgainstQ)
 }

@@ -78,6 +78,43 @@ class CdcSpec extends AnyFunSuite {
       "fixed windows must lose (nearly) every match under the shift — else this operator is pointless")
   }
 
+  test("boundary snap: a cut that would split a multi-byte codepoint lands after it") {
+    // 255 ASCII bytes then 'é' (2 bytes at offsets 255-256): the
+    // maxSize=256 force-close would cut mid-codepoint; the snap must
+    // absorb the continuation byte so every piece is valid UTF-8 and
+    // pieces re-concatenate losslessly
+    val t = ("a" * 255) + "é" + ("b" * 100)
+    val bytes = t.getBytes("UTF-8")
+    val b = CdcRuntime.boundaries(bytes, 256, 20, 256).grouped(2).toSeq
+    assert(b.head(1) == 257, s"first chunk must absorb the continuation byte, got len ${b.head(1)}")
+    val pieces = b.map(a => new String(bytes, a(0), a(1), "UTF-8"))
+    assert(pieces.mkString == t, "pieces must re-concatenate to the original text")
+    assert(pieces.forall(p => new String(p.getBytes("UTF-8"), "UTF-8") == p),
+      "every piece must be self-contained valid UTF-8")
+  }
+
+  test("dedupAgainst drops cataloged chunks, reassembles survivors, drops all-cataloged docs") {
+    val rnd = new scala.util.Random(41)
+    def words(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(9999)}").mkString(" ")
+    val keepPart = words(60)
+    val contaminated = words(60)
+    val docs = Seq(
+      (1L, keepPart + " " + contaminated), // loses its resynced tail chunks
+      (2L, contaminated),                  // all chunks cataloged -> drops wholesale
+      (3L, words(60))                      // untouched
+    ).toDF("doc_id", "text")
+    val catalog = Cdc.chunkCatalog(Seq(Tuple1(contaminated)).toDF("text"), "text")
+    val out = Cdc.dedupAgainst(docs, "doc_id", "text", catalog)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out.contains(2L), "fully-cataloged doc must drop wholesale")
+    assert(out(3L) == docs.collect().find(_.getLong(0) == 3L).get.getString(1),
+      "doc sharing nothing with the catalog must pass through byte-identical")
+    assert(out(1L).length < (keepPart + " " + contaminated).length,
+      "contaminated doc must lose its cataloged chunks")
+    assert(out(1L).startsWith(keepPart.take(32)),
+      "surviving head content must reassemble in order")
+  }
+
   test("Cdc.pairs finds planted shifted copies; unrelated docs do not pair") {
     val rnd = new scala.util.Random(23)
     // ~800-byte docs -> ~6-10 chunks each, so a shifted copy shares well

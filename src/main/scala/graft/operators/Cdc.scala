@@ -71,6 +71,58 @@ object Cdc {
         s => s("__piece")), "").as("clean_text"))
   }
 
+  // ---- Bloom-gated chunk contamination: the [[Winnow]] bloom-lane
+  // discipline over content-defined chunks — the catalog distills to an
+  // mBits-bounded in-plan bitmap, scoring is a pure zero-shuffle
+  // projection, so the gate is stateless and append-safe in streams
+  // ([[graft.streaming.GraftStreaming]] cdcDecontaminateStream).
+
+  /** Distinct 64-bit chunk fingerprints per document (xxhash64 over the
+    * md5 hex — one map-side kernel chain, the filter's key domain).
+    */
+  private[graft] def chunkFpsWide(text: org.apache.spark.sql.Column,
+      minSize: Int, avgBits: Int, maxSize: Int): org.apache.spark.sql.Column =
+    array_distinct(transform(
+      CdcChunks.chunksCol(text, minSize, avgBits, maxSize),
+      c => xxhash64(c.getField("fp"))))
+
+  /** Build the catalog filter — driver state bounded by mBits/64 longs
+    * regardless of catalog size.
+    */
+  def buildFilter(catalog: DataFrame, textCol: String,
+      minSize: Int = 32, avgBits: Int = 6, maxSize: Int = 256,
+      mBits: Int = 1 << 20, k: Int = 3): Array[Long] =
+    Bloom.buildBitsFromHashes(catalog,
+      chunkFpsWide(col(textCol), minSize, avgBits, maxSize),
+      Bloom.positionExprsWide(_, mBits, k), mBits)
+
+  /** Stateless scoring column against a pre-built filter: the fraction
+    * of the document's distinct chunk fingerprints present in the
+    * catalog bitmap (fp array bound ONCE via the singleton-array
+    * transform — the [[Winnow.contaminationBloomColumn]] discipline).
+    */
+  def contaminationBloomColumn(text: org.apache.spark.sql.Column, bits: Array[Long],
+      minSize: Int = 32, avgBits: Int = 6, maxSize: Int = 256,
+      mBits: Int = 1 << 20, k: Int = 3): org.apache.spark.sql.Column =
+    element_at(
+      transform(array(chunkFpsWide(text, minSize, avgBits, maxSize)), fps =>
+        round(graft.functions.HashExpressions
+            .bloomHits(fps, bits, mBits, k, foldWide = true)
+            .cast("double") / size(fps), 6)),
+      1)
+
+  /** (idCol, cdc_contamination_bloom) — one zero-shuffle projection over
+    * the corpus against the cataloged-chunk filter.
+    */
+  def contaminationBloom(corpus: DataFrame, catalog: DataFrame,
+      idCol: String, textCol: String,
+      minSize: Int = 32, avgBits: Int = 6, maxSize: Int = 256,
+      mBits: Int = 1 << 20, k: Int = 3): DataFrame =
+    corpus.select(col(idCol),
+      contaminationBloomColumn(col(textCol),
+        buildFilter(catalog, textCol, minSize, avgBits, maxSize, mBits, k),
+        minSize, avgBits, maxSize, mBits, k).as("cdc_contamination_bloom"))
+
   /** Shift-robust near-duplicate pairs: documents sharing ≥ `minShared`
     * distinct chunk fingerprints, with the shared count — the
     * [[Winnow.pairs]] contract over content-defined chunks instead of

@@ -223,6 +223,28 @@ object GraftStreaming {
       .where(col("winnow_contamination_bloom") <= maxContamination)
   }
 
+  /** [[winnowDecontaminateStream]] with CONTENT-DEFINED chunk
+    * fingerprints ([[graft.operators.Cdc]]): the catalog (previous
+    * crawls / benchmark pools) distills once to an mBits-bounded bloom
+    * over its chunk fps, and each arriving document scores as the
+    * fraction of its own chunks present — shift-robust where the
+    * winnowed-gram gate needs token alignment (a re-crawl with one
+    * inserted byte still matches its unchanged tail chunks). Same
+    * stateless append-safe shape; the score rides along as
+    * `cdc_contamination_bloom`.
+    */
+  def cdcDecontaminateStream(stream: DataFrame, textCol: String,
+      catalog: DataFrame, maxContamination: Double,
+      minSize: Int = 32, avgBits: Int = 6, maxSize: Int = 256,
+      mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    val bits = graft.operators.Cdc.buildFilter(catalog, textCol,
+      minSize, avgBits, maxSize, mBits, k)
+    stream.withColumn("cdc_contamination_bloom",
+        graft.operators.Cdc.contaminationBloomColumn(col(textCol), bits,
+          minSize, avgBits, maxSize, mBits, k))
+      .where(col("cdc_contamination_bloom") <= maxContamination)
+  }
+
   /** Stateless temperature-mixture gate — the streaming source
     * re-weighter the batch lane gets from
     * [[graft.operators.Mixture.sqrtMixtureSample]]. The per-source keep

@@ -1727,6 +1727,41 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("cdcDecontaminateStream: stateless chunk-bloom gate agrees exactly with the batch operator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(59)
+    def words(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(9999)}").mkString(" ")
+    val cataloged = words(80)
+    val catalog = Seq((100L, cataloged)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, cataloged),                       // identical -> dropped
+      (2L, words(80)),                       // unrelated -> kept
+      (3L, "zq " + cataloged))               // SHIFTED copy -> resynced chunks still hit -> dropped
+    val input = MemoryStream[(Long, String)]
+    val out = GraftStreaming.cdcDecontaminateStream(
+      input.toDF().toDF("doc_id", "text"), "text", catalog,
+      maxContamination = 0.5, mBits = 1 << 12)
+    val query = GraftStreaming.storeStreamMemory(out, "cdc_decontam_test")
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("cdc_decontam_test")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Cdc.contaminationBloom(
+        docs.toDF("doc_id", "text"), catalog, "doc_id", "text", mBits = 1 << 12)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expect = batch.filter(_._2 <= 0.5)
+      assert(streamed == expect, s"stream $streamed must equal batch-gated $expect")
+      assert(!streamed.contains(1L), "the identical doc must be dropped")
+      assert(!streamed.contains(3L),
+        "the 3-byte-shifted copy must be dropped through re-synced chunks")
+      assert(streamed.contains(2L), "the unrelated doc must pass")
+    } finally query.stop()
+  }
+
   test("indexStreamIvfSq: kill-resume matrix — between-batch kill and mid-batch torn write both heal to identical probes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

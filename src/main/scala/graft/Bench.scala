@@ -103,10 +103,38 @@ object Bench {
     }
   }
 
+  /** One box-load sample: 1-minute /proc/loadavg + running-process count
+    * (numeric /proc entries). -1 on an unreadable procfs — the sentinel
+    * must never take down the bench.
+    */
+  private def boxSample(): (Double, Int) = {
+    val load = scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble)
+      .getOrElse(-1.0)
+    val procs = scala.util.Try(
+      new java.io.File("/proc").listFiles()
+        .count(f => f.getName.nonEmpty && f.getName.forall(_.isDigit)))
+      .getOrElse(-1)
+    (load, procs)
+  }
+
+  /** Pre-rendered per-attempt contention record (round 15 — the r14
+    * driver x16 lane shipped `valid: false` on a 39-minute wall with
+    * nothing in the artifact attributing it to box load vs code; these
+    * samples make an invalid lane self-describing).
+    */
+  private def boxJson(start: (Double, Int), end: (Double, Int), wallSec: Double): String =
+    s"""{"load0":${fmt(start._1)},"procs0":${start._2},"load1":${fmt(end._1)},"procs1":${end._2},"wall":${fmt(wallSec)}}"""
+
   private final case class Lane(
       results: Seq[(String, Either[String, Double])],
       calibration: Option[(String, Either[String, Double], Either[String, Double])],
       attempts: Int = 1,
+      // one pre-rendered contention record per attempt: loadavg +
+      // process count at attempt start/end plus the attempt's wall time
+      // — full-artifact always, compact line when the lane is invalid
+      box: Seq[String] = Nil,
       // per-attempt raw times (only > 1 entry when a sentinel re-ran the
       // lane) — full-artifact-only, for post-hoc contention attribution
       history: Seq[Seq[(String, Either[String, Double])]] = Nil,

@@ -57,6 +57,11 @@ object Cdc {
     * the fp (or a broadcast when the catalog is small); reassembly
     * aggregates per document, bounded by document size — the
     * [[Dedup.paragraphDedupAgainst]] plan with CDC boundaries.
+    *
+    * Empty (or null) documents chunk to nothing, which is NOT the same
+    * as being fully cataloged — they survive with `clean_text = ''`
+    * (one extra map-side filter union, zero shuffles), while
+    * all-cataloged documents still drop wholesale.
     */
   def dedupAgainst(df: DataFrame, idCol: String, textCol: String,
       catalog: DataFrame,
@@ -65,10 +70,13 @@ object Cdc {
         explode(CdcChunks.chunksCol(col(textCol), minSize, avgBits, maxSize)).as("__c"))
       .select(col(idCol), col("__c.pos").as("__pos"), col("__c.fp").as("fp"),
         col("__c.piece").as("__piece"))
-    pieces.join(catalog.select(col("fp")), Seq("fp"), "left_anti")
+    val reassembled = pieces.join(catalog.select(col("fp")), Seq("fp"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__piece")))),
         s => s("__piece")), "").as("clean_text"))
+    val empties = df.where(coalesce(length(col(textCol)), lit(0)) === 0)
+      .select(col(idCol), lit("").as("clean_text"))
+    reassembled.unionByName(empties)
   }
 
   // ---- Bloom-gated chunk contamination: the [[Winnow]] bloom-lane
@@ -100,15 +108,20 @@ object Cdc {
     * of the document's distinct chunk fingerprints present in the
     * catalog bitmap (fp array bound ONCE via the singleton-array
     * transform — the [[Winnow.contaminationBloomColumn]] discipline).
+    * Empty/null documents chunk to nothing (0/0 would raise under ANSI)
+    * — the lazily-evaluated `when` guard scores them 0.0: an empty
+    * document is trivially uncontaminated, so the streaming gate keeps
+    * it at any threshold.
     */
   def contaminationBloomColumn(text: org.apache.spark.sql.Column, bits: Array[Long],
       minSize: Int = 32, avgBits: Int = 6, maxSize: Int = 256,
       mBits: Int = 1 << 20, k: Int = 3): org.apache.spark.sql.Column =
     element_at(
       transform(array(chunkFpsWide(text, minSize, avgBits, maxSize)), fps =>
-        round(graft.functions.HashExpressions
+        when(coalesce(size(fps), lit(0)) === 0, lit(0.0))
+          .otherwise(round(graft.functions.HashExpressions
             .bloomHits(fps, bits, mBits, k, foldWide = true)
-            .cast("double") / size(fps), 6)),
+            .cast("double") / size(fps), 6))),
       1)
 
   /** (idCol, cdc_contamination_bloom) — one zero-shuffle projection over
@@ -129,22 +142,48 @@ object Cdc {
     * winnowed k-grams (catches re-crawls whose edits BREAK token
     * n-grams across the whole tail). Candidate generation is
     * [[PairBudget]]-guarded like every exact miner.
+    *
+    * Both dials auto-derive from the corpus' own chunk-fp profile by
+    * default, exactly the [[Winnow.pairs]] discipline:
+    *  - `budget` ([[PairBudget.Auto]]) bounds candidate generation to a
+    *    linear-in-corpus row budget (manual Cap/Exact override);
+    *  - `minShared = None` sets the report threshold to max(2, p50/20)
+    *    where p50 is the approximate median per-doc distinct-chunk-fp
+    *    count. A document of L bytes carries ~L/avgChunk chunks, so a
+    *    fixed absolute bar that is right for short pages is
+    *    output-explosion on 5 KB documents; near-duplicates share ~p50
+    *    chunks (20× the bar) and survive. Pass `Some(n)` to pin.
+    *    The single per-doc aggregate behind the profile also hands the
+    *    budget resolver its nDocs, saving a second distinct shuffle.
     */
   def pairs(df: DataFrame, idCol: String, textCol: String,
       minSize: Int = 32, avgBits: Int = 6, maxSize: Int = 256,
-      minShared: Int = 2, budget: PairBudget = PairBudget.Auto()): DataFrame = {
+      minShared: Option[Int] = None, budget: PairBudget = PairBudget.Auto()): DataFrame = {
     val fpAll = Materialize.once(
       chunkIndex(df, idCol, textCol, minSize, avgBits, maxSize)
         .select(col(idCol).as("__id"), col("fp")).distinct())
-    val fp = PairBudget.resolve(fpAll, "__id", "fp", budget).fold(fpAll) { cap =>
+    val needsProfile = minShared.isEmpty || budget.isInstanceOf[PairBudget.Auto]
+    val perDoc = if (needsProfile)
+      Some(Materialize.once(fpAll.groupBy(col("__id")).agg(count(lit(1)).as("__n"))))
+    else None
+    val fp = PairBudget.resolve(fpAll, "__id", "fp", budget,
+        knownDocs = perDoc.map(_.count())).fold(fpAll) { cap =>
       val hot = fpAll.groupBy("fp").agg(count(lit(1)).as("__df"))
         .where(col("__df") > cap).select(col("fp"))
       fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
+    }
+    val bar = minShared.getOrElse {
+      // null percentile = empty index (empty corpus / all-empty texts)
+      val row = perDoc.get
+        .agg(expr("approx_percentile(__n, 0.5)").as("__p50"))
+        .first()
+      val p50 = if (row.isNullAt(0)) 0L else row.getLong(0)
+      math.max(2L, p50 / 20L).toInt
     }
     fp.as("a").join(fp.as("b"), col("a.fp") === col("b.fp"))
       .where(col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))
       .agg(count(lit(1)).cast("long").as("shared"))
-      .where(col("shared") >= minShared)
+      .where(col("shared") >= bar)
   }
 }

@@ -78,9 +78,12 @@ object Winnow {
       fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
     }
     val bar = minShared.getOrElse {
-      val p50 = perDoc.get
+      // empty index (empty corpus, or every doc shorter than k tokens)
+      // makes approx_percentile return null — fall back to the floor
+      val row = perDoc.get
         .agg(expr("approx_percentile(__n, 0.5)").as("__p50"))
-        .first().getLong(0)
+        .first()
+      val p50 = if (row.isNullAt(0)) 0L else row.getLong(0)
       math.max(2L, p50 / 20L).toInt
     }
     fp.as("a").join(fp.as("b"), col("a.fp") === col("b.fp"))

@@ -118,30 +118,34 @@ object ExtQueries {
     * dictionary cut, lexicographic tie-break on the pair argmax).
     * Constants here so the DuckDB oracle can interpolate the SAME rules.
     */
-  private val BpeFixtureMerges: Seq[(String, String)] = Seq(
+  private[graft] val BpeFixtureMerges: Seq[(String, String)] = Seq(
     ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"),
     ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
     ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"))
 
-  /** Sequential-replace BPE application in SQL: symbols ride '|'-terminated
-    * ("a|b|c|"), each rule is one `replace('x|y|' -> 'xy|')` — the
-    * terminator makes a pattern match exactly two whole adjacent symbols
-    * (never a symbol prefix), and left-to-right non-overlapping replace IS
-    * textbook BPE rule application. Valid because corpus text contains no
-    * '|' (asserted nowhere cheaper than here: synthetic lowercase words).
+  /** Sequential-replace BPE application in SQL: symbols ride
+    * DOUBLE-delimited ("|a||b||c|" — every symbol '|'-anchored on BOTH
+    * edges), each rule is one `replace('|x||y|' -> '|xy|')`. Both anchors
+    * matter: a trailing-only anchor lets a rule whose left symbol is a
+    * proper SUFFIX of an earlier merge mis-fire (rule (r,ow) rewriting the
+    * tail of merged 'er'), and single shared delimiters ('|a|b|') make two
+    * ADJACENT matches overlap by one '|' so left-to-right replace misses
+    * the second. With doubled boundaries each match is self-contained, so
+    * non-overlapping replace IS textbook BPE rule application. Valid
+    * because corpus text contains no '|' (synthetic lowercase words).
     */
   private def bpeChainSql(inner: String): String =
     BpeFixtureMerges.foldLeft(inner) { case (acc, (a, b)) =>
-      s"replace($acc, '$a|$b|', '$a$b|')" }
+      s"replace($acc, '|$a||$b|', '|$a$b|')" }
 
   private val bpeApplyQ = q("q_bpe_apply",
     raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                      FROM documents)
        SELECT doc_id,
               array_to_string(list_transform(w, x ->
-                rtrim(replace(${bpeChainSql("array_to_string(string_split(x, ''), '|') || '|'")}, '|', ' '))), ' ') AS bpe_text,
+                trim(replace(${bpeChainSql("'|' || array_to_string(string_split(x, ''), '||') || '|'")}, '||', ' '), '|')), ' ') AS bpe_text,
               CAST(len(string_split(array_to_string(list_transform(w, x ->
-                rtrim(replace(${bpeChainSql("array_to_string(string_split(x, ''), '|') || '|'")}, '|', ' '))), ' '), ' ')) AS BIGINT) AS n_pieces
+                trim(replace(${bpeChainSql("'|' || array_to_string(string_split(x, ''), '||') || '|'")}, '||', ' '), '|')), ' '), ' ')) AS BIGINT) AS n_pieces
        FROM toks""") { (s, d) =>
     val b = graft.functions.Bpe
     Tables.df(s, d, "documents")
@@ -160,31 +164,33 @@ object ExtQueries {
     * which is itself a fixture-level consistency check between the two
     * lanes; they diverge exactly where corpora go non-ASCII.
     */
-  private val ByteBpeFixtureMerges: Seq[(String, String)] = Seq(
+  private[graft] val ByteBpeFixtureMerges: Seq[(String, String)] = Seq(
     ("65", "72"), ("69", "6E"), ("6F", "77"), ("6F", "72"), ("73", "74"),
     ("6D", "6572"), ("61", "74"), ("6C", "75"), ("61", "72"), ("70", "6172"),
     ("6A", "6F"), ("6A6F", "696E"), ("61", "73"), ("6173", "68"),
     ("68", "617368"), ("72", "6F77"))
 
   /** The q_bpe_apply replace-chain replay over HEX-BYTE symbols: each
-    * word's `hex()` splits into two-digit '|'-terminated symbols, then
-    * each rule is one whole-symbol string replace — byte-level BPE is
-    * the same sequential-replace algebra in a different base alphabet,
-    * and hex is injective on bytes so no corpus character can collide
-    * with a separator.
+    * word's `hex()` splits into two-digit symbols, DOUBLE-delimited and
+    * '|'-anchored on both edges exactly like [[bpeChainSql]] (same
+    * suffix-misfire and adjacent-match-overlap hazards), then each rule
+    * is one whole-symbol string replace — byte-level BPE is the same
+    * sequential-replace algebra in a different base alphabet, and hex is
+    * injective on bytes so no corpus character can collide with a
+    * separator.
     */
   private def byteBpeChainSql(inner: String): String =
     ByteBpeFixtureMerges.foldLeft(inner) { case (acc, (a, b)) =>
-      s"replace($acc, '$a|$b|', '$a$b|')" }
+      s"replace($acc, '|$a||$b|', '|$a$b|')" }
 
   private val bpeBytesQ = q("q_bpe_bytes",
     raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                      FROM documents)
        SELECT doc_id,
               array_to_string(list_transform(w, x ->
-                rtrim(replace(${byteBpeChainSql(raw"regexp_replace(hex(x), '(..)', '\1|', 'g')")}, '|', ' '))), ' ') AS bpe_bytes,
+                trim(replace(${byteBpeChainSql(raw"'|' || array_to_string(regexp_extract_all(hex(x), '..'), '||') || '|'")}, '||', ' '), '|')), ' ') AS bpe_bytes,
               CAST(len(string_split(array_to_string(list_transform(w, x ->
-                rtrim(replace(${byteBpeChainSql(raw"regexp_replace(hex(x), '(..)', '\1|', 'g')")}, '|', ' '))), ' '), ' ')) AS BIGINT) AS n_pieces
+                trim(replace(${byteBpeChainSql(raw"'|' || array_to_string(regexp_extract_all(hex(x), '..'), '||') || '|'")}, '||', ' '), '|')), ' '), ' ')) AS BIGINT) AS n_pieces
        FROM toks""") { (s, d) =>
     val b = graft.functions.ByteBpe
     Tables.df(s, d, "documents")
@@ -3350,7 +3356,10 @@ object ExtQueries {
                 FROM cidx c JOIN corpus t USING (doc_id)
                 WHERE c.fp NOT IN (SELECT fp FROM catf))
        SELECT doc_id, string_agg(piece, '' ORDER BY pos) AS clean_text
-       FROM keep GROUP BY doc_id""") { (s, d) =>
+       FROM keep GROUP BY doc_id
+       UNION ALL
+       SELECT doc_id, '' AS clean_text FROM corpus
+       WHERE coalesce(length(text), 0) = 0""") { (s, d) =>
     val docs = Tables.df(s, d, "documents")
     val nxt = docs.select((col("doc_id") - 23).as("doc_id"), col("text").as("__t2"))
     val corpus = docs.join(nxt, "doc_id")
@@ -3386,7 +3395,7 @@ object ExtQueries {
         .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(lit("zq "), col("text")).as("text")))
     graft.operators.Cdc.pairs(corpus, "doc_id", "text",
-      minShared = 2, budget = PairBudget.Cap(50L))
+      minShared = Some(2), budget = PairBudget.Cap(50L))
   }
 
   private val winnowFpQ = q("q_winnow_fp",

@@ -49,6 +49,42 @@ class BpeSpec extends AnyFunSuite {
     assert(aa == "aa a")
   }
 
+  /** The DuckDB oracle replays BPE as a chain of literal string replaces
+    * over DOUBLE-delimited symbols ('|a||b||c|', rule = '|a||b|'→'|ab|').
+    * Java's String.replace has the same semantics as DuckDB replace
+    * (literal, left-to-right, non-overlapping), so the chain algebra is
+    * testable here against the kernel — on exactly the words the corpus
+    * lacks: a merged symbol whose SUFFIX is a later rule's left side
+    * ('erow': rule (r,ow) must not rewrite the tail of merged 'er'), and
+    * ADJACENT matches of one rule (single shared delimiters would make
+    * the second of two back-to-back matches miss).
+    */
+  test("oracle replace-chain algebra == kernel on suffix-misfire and adjacent-match words") {
+    val merges = graft.queries.ExtQueries.BpeFixtureMerges
+    def chain(word: String): String = {
+      val init = "|" + word.map(_.toString).mkString("||") + "|"
+      val done = merges.foldLeft(init) { case (acc, (a, b)) =>
+        acc.replace(s"|$a||$b|", s"|$a$b|") }
+      done.replace("||", " ").stripPrefix("|").stripSuffix("|")
+    }
+    def kernel(word: String): String = BpeRuntime.applyWord(
+      UTF8String.fromString(word),
+      merges.map(_._1).toArray, merges.map(_._2).toArray).toString
+    // 'erow' is the advisor's misfire: old trailing-only anchoring let
+    // (r,ow) rewrite 'er|ow|' into one bogus 'erow' symbol
+    val adversarial = Seq("erow", "merower", "rowerow", "stst", "ststst",
+      "erer", "parparpar", "joinjoin", "hashash", "washerow", "owow")
+    adversarial.foreach { w =>
+      assert(chain(w) == kernel(w), s"chain != kernel on '$w'")
+    }
+    val rnd = new scala.util.Random(7)
+    val syms = Seq("e", "r", "o", "w", "s", "t", "a", "m", "p", "j", "i", "n", "l", "u", "h")
+    (1 to 500).foreach { _ =>
+      val w = (1 to (rnd.nextInt(12) + 1)).map(_ => syms(rnd.nextInt(syms.size))).mkString
+      assert(chain(w) == kernel(w), s"chain != kernel on random '$w'")
+    }
+  }
+
   test("initial symbols are code points: surrogate pairs are one symbol") {
     val grin = new String(Character.toChars(0x1F600)) // astral-plane emoji
     val noMerges = BpeRuntime.applyWord(UTF8String.fromString(grin + "a" + grin),

@@ -91,4 +91,32 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(got.contains((1L, "6869 63 61 66 C3A9", 5)))
     assert(got.contains((3L, "78 79 7A", 3)))
   }
+
+  /** The q_bpe_bytes oracle's double-delimited replace chain (see
+    * BpeSpec's char-level twin for the suffix-misfire / adjacent-match
+    * hazards it exists to rule out), validated against the byte kernel
+    * on the fixture rules — here the misfire word is 'erow' again: rule
+    * (72,6F77) must not rewrite the tail of merged 6572.
+    */
+  test("oracle replace-chain algebra == byte kernel on suffix-misfire and adjacent-match words") {
+    val merges = graft.queries.ExtQueries.ByteBpeFixtureMerges
+    def chain(word: String): String = {
+      val hexSyms = word.getBytes("UTF-8").map(b => f"${b & 0xff}%02X")
+      val init = "|" + hexSyms.mkString("||") + "|"
+      val done = merges.foldLeft(init) { case (acc, (a, b)) =>
+        acc.replace(s"|$a||$b|", s"|$a$b|") }
+      done.replace("||", " ").stripPrefix("|").stripSuffix("|")
+    }
+    val adversarial = Seq("erow", "merower", "rowerow", "stst", "ststst",
+      "erer", "parparpar", "joinjoin", "hashash", "washerow", "owow", "café")
+    adversarial.foreach { w =>
+      assert(chain(w) == applyW(w, merges), s"chain != kernel on '$w'")
+    }
+    val rnd = new scala.util.Random(13)
+    val syms = Seq("e", "r", "o", "w", "s", "t", "a", "m", "p", "j", "i", "n", "l", "u", "h")
+    (1 to 500).foreach { _ =>
+      val w = (1 to (rnd.nextInt(12) + 1)).map(_ => syms(rnd.nextInt(syms.size))).mkString
+      assert(chain(w) == applyW(w, merges), s"chain != kernel on random '$w'")
+    }
+  }
 }

@@ -123,11 +123,69 @@ class CdcSpec extends AnyFunSuite {
     val base = (1L to 20L).map(i => (i, doc(i.toInt)))
     val corpus = (base ++ base.take(5).map { case (i, t) => (i + 100L, "zq " + t) })
       .toDF("doc_id", "text")
-    val got = Cdc.pairs(corpus, "doc_id", "text", minShared = 2)
+    val got = Cdc.pairs(corpus, "doc_id", "text", minShared = Some(2))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (1L to 5L).foreach(i => assert(got.contains((i, i + 100L)),
       s"planted shifted copy of doc $i must pair"))
     assert(got.forall { case (a, b) => b == a + 100L },
       s"unrelated docs paired: ${got.filterNot { case (a, b) => b == a + 100L }}")
+  }
+
+  test("Cdc.pairs auto minShared: derived bar keeps planted copies, cuts weak-overlap pairs") {
+    val rnd = new scala.util.Random(53)
+    val shared = (1 to 100).map(_ => s"s${rnd.nextInt(5000)}").mkString(" ")
+    // every doc carries the same ~660-byte boilerplate head (weak
+    // overlap: ~6 shared chunks each) plus a ~20 KB unique body (~200
+    // chunks -> derived bar ~10); planted copies share nearly ALL their
+    // chunks — the derived bar must separate the two where the floor
+    // bar of 2 cannot
+    def doc() = shared + " " + (1 to 3000).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
+    val base = (1L to 12L).map(i => (i, doc()))
+    val corpus = (base ++ base.take(4).map { case (i, t) => (i + 100L, "zq " + t) })
+      .toDF("doc_id", "text")
+    val auto = Cdc.pairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 4L).foreach(i => assert(auto.contains((i, i + 100L)),
+      s"planted shifted copy of doc $i must survive the auto bar"))
+    assert(auto.forall { case (a, b) => b == a + 100L },
+      s"boilerplate-only overlap must fall under the auto bar: ${auto.filterNot { case (a, b) => b == a + 100L }}")
+    // manual floor bar reports the boilerplate pairs the auto bar cuts
+    val manual = Cdc.pairs(corpus, "doc_id", "text", minShared = Some(2)).count()
+    assert(manual > auto.size, "the derived bar must be stricter than the floor on long docs")
+  }
+
+  test("Cdc.pairs on an empty corpus returns empty (auto dials must not throw)") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Cdc.pairs(empty, "doc_id", "text").count() == 0L)
+  }
+
+  test("dedupAgainst keeps empty/null docs with clean_text '' (they are not cataloged)") {
+    val rnd = new scala.util.Random(61)
+    def words(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(9999)}").mkString(" ")
+    val contaminated = words(60)
+    val docs = Seq((1L, words(60)), (2L, ""), (3L, null: String), (4L, contaminated))
+      .toDF("doc_id", "text")
+    val catalog = Cdc.chunkCatalog(Seq(Tuple1(contaminated)).toDF("text"), "text")
+    val out = Cdc.dedupAgainst(docs, "doc_id", "text", catalog)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.get(2L).contains(""), "empty doc must survive with clean_text ''")
+    assert(out.get(3L).contains(""), "null doc must survive with clean_text ''")
+    assert(!out.contains(4L), "fully-cataloged doc still drops wholesale")
+    assert(out.contains(1L))
+  }
+
+  test("contaminationBloom scores empty/null docs 0.0 (not null), non-empty in [0,1]") {
+    val rnd = new scala.util.Random(67)
+    def words(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(9999)}").mkString(" ")
+    val contaminated = words(60)
+    val docs = Seq((1L, contaminated), (2L, ""), (3L, null: String), (4L, words(60)))
+      .toDF("doc_id", "text")
+    val cat = Seq(Tuple1(contaminated)).toDF("text")
+    val got = Cdc.contaminationBloom(docs, cat, "doc_id", "text", mBits = 1 << 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 1.0, "fully-cataloged doc must score 1.0")
+    assert(got(2L) == 0.0, "empty doc must score 0.0, not null")
+    assert(got(3L) == 0.0, "null doc must score 0.0, not null")
+    assert(got(4L) >= 0.0 && got(4L) <= 1.0)
   }
 }

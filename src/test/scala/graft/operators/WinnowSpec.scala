@@ -141,4 +141,9 @@ class WinnowSpec extends AnyFunSuite {
     assert(uncapped > 0L)
     assert(capped == 0L)
   }
+
+  test("pairs on an empty corpus returns empty (auto minShared must not NPE on a null percentile)") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Winnow.pairs(empty, "doc_id", "text").count() == 0L)
+  }
 }

@@ -65,6 +65,14 @@ import org.apache.spark.sql.SparkSession
   * stays inside the driver's 2000-char tail-capture window. The r9
   * stdout line outgrew that window and the machine-readable artifact
   * became `"parsed": null`.
+  *
+  * Contention sentinel (r15): every attempt of every lane records
+  * 1-minute loadavg + running-process count at start and end plus the
+  * attempt's wall time (`box`/`box_x16`/`box_len` arrays — full
+  * artifact always, compact line when the lane is invalid), so an
+  * invalid lane is attributable to box load vs code from the artifact
+  * alone (the r14 driver x16 lane shipped `valid: false` on a 39-minute
+  * wall with no way to tell).
   */
 object Bench {
   private val DriftValidPct = 25.0
@@ -81,7 +89,7 @@ object Bench {
   private val LenLaneQueries = Set(
     "q_dedup_exact", "q_dedup_paragraph", "q_substring_spans",
     "q_contamination_bloom", "q_oov_rate", "q_lm_score", "q_entropy",
-    "q_pipeline", "q_phash")
+    "q_pipeline", "q_phash", "q_bpe_bytes")
 
   private def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -167,6 +175,8 @@ object Bench {
     * median, computed in [[runValidLane]].) */
   private def runLane(spark: SparkSession, benchSet: Seq[QueryDef], dir: String,
       passes: Int): Lane = {
+    val boxStart = boxSample()
+    val wall0 = System.nanoTime()
     benchSet.foreach { qd =>
       try qd.fn(spark, dir).count()
       catch { case _: Throwable => () }
@@ -215,7 +225,8 @@ object Bench {
     Lane(results, (calibration, calFirst, calLast) match {
       case (Some(qd), Some(f), Some(l)) => Some((qd.name, f, l))
       case _ => None
-    }, raw = passTimes.map { case (n, rs) => n -> rs.collect { case Right(t) => t } }.toMap)
+    }, box = Seq(boxJson(boxStart, boxSample(), (System.nanoTime() - wall0) / 1e9)),
+      raw = passTimes.map { case (n, rs) => n -> rs.collect { case Right(t) => t } }.toMap)
   }
 
   /** Per-query ratio guard (round 11): queries whose spark/duckdb ratio
@@ -263,6 +274,7 @@ object Bench {
     var lane = runLane(spark, benchSet, dir, passes)
     val attemptsSeen = scala.collection.mutable.ArrayBuffer(lane.results)
     val rawSeen = scala.collection.mutable.ArrayBuffer(lane.raw)
+    val boxSeen = scala.collection.mutable.ArrayBuffer(lane.box: _*)
     // steady-state MEDIAN over every clean pass of every attempt so far —
     // the number of record since round 14 (totals, per-query times, the
     // reported ratios); error semantics unchanged: a query is an error
@@ -300,10 +312,11 @@ object Bench {
       lane = runLane(spark, benchSet, dir, passes)
       attemptsSeen += lane.results
       rawSeen += lane.raw
+      boxSeen ++= lane.box
     }
     val out = lane.copy(results = merged, attempts = attempt,
       history = if (attemptsSeen.length > 1) attemptsSeen.toSeq else Nil,
-      raw = mergedRawSoFar)
+      box = boxSeen.toSeq, raw = mergedRawSoFar)
     val jumps = ratioJumps(lane.copy(results = minMerged, raw = mergedRawSoFar),
       duck, prevRatios)
     out.copy(ratioJumps = jumps,
@@ -441,6 +454,13 @@ object Bench {
       else lane.ratioJumps.toSeq.sortBy(_._1)
         .map { case (k, j) => jstr(k) + ":" + j }
         .mkString(s""","ratio_guard$sfx":{""", ",", "}")
+    // contention sentinel: per-attempt loadavg/process-count/wall. Full
+    // artifact always; the compact line carries it exactly when the lane
+    // is INVALID — the reading that lets the round's record attribute an
+    // invalid lane to box load vs code without the builder's file
+    val boxField =
+      if (lane.box.isEmpty || (compact && !lane.validity.contains(false))) ""
+      else lane.box.mkString(s""","box$sfx":[""", ",", "]")
     val historyField =
       if (compact || lane.history.length < 2) ""
       else lane.history.map(_.map { case (k, v) =>
@@ -450,7 +470,7 @@ object Bench {
     // make the total LOOK faster (0-contribution would)
     val total =
       if (errs.nonEmpty) -1.0 else lane.results.map(_._2.getOrElse(0.0)).sum
-    (s""","total$sfx":${fmt(total)}$qField$minField$errField$anchorFields$driftFields$guardField$historyField""",
+    (s""","total$sfx":${fmt(total)}$qField$minField$errField$anchorFields$driftFields$guardField$boxField$historyField""",
       total)
   }
 

@@ -454,13 +454,27 @@ object AnnIndex {
   def compactImiPq(spark: SparkSession, path: String): Unit =
     compactEras(spark, path, Seq("neighbor_id", "__codes"), Seq("__ca", "__cb"))
 
+  /** [[compactIvfPq]] on the CDC chunk-fp catalog layout
+    * ([[graft.streaming.GraftStreaming.indexStreamCdc]] appends one
+    * `batch=<id>` directory of fp rows above the `__b` bucket
+    * directories): identical era/manifest/staged-swap discipline, PLUS a
+    * distinct — the catalog is a fingerprint SET, and re-crawled
+    * boilerplate would otherwise accumulate one copy per ingest batch
+    * forever. Distinct is exact here because (fp, __b) is the entire
+    * row and __b derives from fp.
+    */
+  def compactCdcCatalog(spark: SparkSession, path: String): Unit =
+    compactEras(spark, path, Seq("fp"), Seq("__b"), dedup = true)
+
   /** The shared era-compaction body: rewrite every code row under the
     * given partition columns into a single fresh NEGATIVE era with one
     * file per partition directory, with the manifest/staged-swap crash
-    * discipline documented on [[compactIvfPq]].
+    * discipline documented on [[compactIvfPq]]. `dedup` collapses exact
+    * duplicate rows across eras — only valid when the row IS the set
+    * element (the CDC fp catalog), never for id-carrying code rows.
     */
   private def compactEras(spark: SparkSession, path: String,
-      dataCols: Seq[String], partCols: Seq[String]): Unit = {
+      dataCols: Seq[String], partCols: Seq[String], dedup: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -479,8 +493,9 @@ object AnnIndex {
     // fresh era per compaction: one below the lowest compacted era so the
     // install target can never appear in ANY manifest's source list
     val nextEra = sources.flatMap(eraId).filter(_ < 0L).minOption.getOrElse(0L) - 1L
-    val rows = spark.read.parquet(path)
+    val all = spark.read.parquet(path)
       .select((dataCols ++ partCols).map(col): _*)
+    val rows = if (dedup) all.distinct() else all
     val tmp = new Path(path + ".__compact_tmp")
     fs.delete(tmp, true)
     // one shuffle keyed by the partition columns → one file per partition

@@ -183,7 +183,7 @@ object ExtQueries {
     ByteBpeFixtureMerges.foldLeft(inner) { case (acc, (a, b)) =>
       s"replace($acc, '|$a||$b|', '|$a$b|')" }
 
-  private val bpeBytesQ = q("q_bpe_bytes",
+  private val bpeBytesQ = q("q_bpe_bytes", bench = true, oracle =
     raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                      FROM documents)
        SELECT doc_id,

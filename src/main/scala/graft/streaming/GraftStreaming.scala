@@ -980,6 +980,36 @@ object GraftStreaming {
       .start()
   }
 
+  /** Stream documents INTO a persistent CDC chunk-fp catalog
+    * ([[graft.operators.Cdc.buildCatalogIndex]] layout): each microbatch
+    * chunks map-side via the gear-hash kernel, distincts its own fps (one
+    * bounded shuffle per microbatch — deterministic for the batch's
+    * offset range), and lands wholesale-overwritten under `batch=<id>`
+    * above the `__b` bucket directories — exactly-once by idempotent
+    * rewrite ([[writeIndexBatch]]; the IVF-PQ/IVF-SQ/IMI-PQ discipline).
+    * Cross-batch duplicate fps (re-crawled boilerplate) are tolerated by
+    * every reader ([[graft.operators.Cdc.readCatalog]] feeds set-semantic
+    * consumers) and collapsed by
+    * [[graft.operators.AnnIndex.compactCdcCatalog]]'s exact distinct.
+    * This is what lets a rolling crawl GROW the decontamination catalog
+    * without batch rebuilds; the stateless scoring gate over the result
+    * is [[cdcDecontaminateStream]].
+    *
+    * `stream` columns: (`textCol`). Returns the running query.
+    */
+  def indexStreamCdc(stream: DataFrame, textCol: String, path: String,
+      checkpoint: String, buckets: Int = 32, minSize: Int = 32,
+      avgBits: Int = 6, maxSize: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeIndexBatch(
+          graft.operators.Cdc.catalogRows(batch, textCol, buckets,
+            minSize, avgBits, maxSize),
+          path, batchId, partCols = Seq("__b"))
+      }
+      .start()
+
   /** Stream embeddings INTO a persistent IMI-PQ index — the two-level
     * sibling of [[indexStreamIvfPq]]: each arriving vector assigns to its
     * (ca, cb) composite cell map-side (two one-row broadcast half-codebook

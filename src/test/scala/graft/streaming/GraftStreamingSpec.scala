@@ -1762,6 +1762,110 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  // shared fixture for the CDC catalog streams: deterministic docs with a
+  // common boilerplate band (shared fps WITHIN and ACROSS batches — the
+  // cross-era duplicate case compaction must collapse) plus a unique tail
+  private def cdcDoc(i: Long): String =
+    s"document $i begins " + ("shared boilerplate band across the corpus " * 6) +
+      s"unique tail $i " + ("x" * (i % 7).toInt)
+
+  test("indexStreamCdc: batch build + streamed eras == batch catalog; replay idempotent; compaction collapses cross-era duplicates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = (0L until 90L).map(i => (i, cdcDoc(i)))
+    val df = docs.toDF("doc_id", "text")
+    val path = "target/io_tmp/cdc_stream_cat"
+    val checkpoint = "target/io_tmp/cdc_stream_cat_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    val (mn, ab, mx) = (8, 4, 64)
+    // build era from the first crawl, stream the next two crawls in
+    graft.operators.Cdc.buildCatalogIndex(df.where(col("doc_id") < 30),
+      "text", path, buckets = 8, minSize = mn, avgBits = ab, maxSize = mx)
+    val input = MemoryStream[(Long, String)]
+    val query = GraftStreaming.indexStreamCdc(
+      input.toDF().toDF("doc_id", "text"), "text", path, checkpoint,
+      buckets = 8, minSize = mn, avgBits = ab, maxSize = mx)
+    try {
+      input.addData(docs.slice(30, 60)); query.processAllAvailable()
+      input.addData(docs.slice(60, 90)); query.processAllAvailable()
+    } finally query.stop()
+    def catFps() = graft.operators.Cdc.readCatalog(spark, path)
+      .collect().map(_.getString(0)).toSet
+    val want = graft.operators.Cdc.chunkCatalog(df, "text", mn, ab, mx)
+      .collect().map(_.getString(0)).toSet
+    assert(catFps() == want && want.nonEmpty,
+      "batch-built era + streamed eras must cover exactly the batch catalog's fp set")
+    // the consumer contract: dedupAgainst against the STREAMED catalog ==
+    // against the batch catalog (set semantics absorb cross-era dups)
+    val corpus = (200L until 210L)
+      .map(i => (i, cdcDoc(i % 3) + s" novel suffix $i")).toDF("doc_id", "text")
+    def cleaned(cat: org.apache.spark.sql.DataFrame) =
+      graft.operators.Cdc.dedupAgainst(corpus, "doc_id", "text", cat, mn, ab, mx)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val wantClean = cleaned(graft.operators.Cdc.chunkCatalog(df, "text", mn, ab, mx))
+    assert(cleaned(graft.operators.Cdc.readCatalog(spark, path)) == wantClean)
+    // replay idempotence: re-writing an already-written batch id leaves
+    // row counts unchanged (batch=<id> replaced wholesale)
+    val before = spark.read.parquet(path).count()
+    GraftStreaming.writeIndexBatch(
+      graft.operators.Cdc.catalogRows(docs.slice(60, 90).toDF("doc_id", "text"),
+        "text", 8, mn, ab, mx),
+      path, batchId = 1L, partCols = Seq("__b"))
+    assert(spark.read.parquet(path).count() == before,
+      "replayed batch must not duplicate catalog rows")
+    // cross-era duplicates exist (the boilerplate band repeats per crawl)…
+    assert(before > want.size, "precondition: cross-era duplicate fps present")
+    // …and compaction collapses them exactly: one fresh negative era below
+    // the build era, fp multiset == fp set == the batch catalog
+    graft.operators.AnnIndex.compactCdcCatalog(spark, path)
+    assert(spark.read.parquet(path).count() == want.size,
+      "compaction must distinct the catalog down to the exact fp set")
+    assert(catFps() == want && cleaned(graft.operators.Cdc.readCatalog(spark, path)) == wantClean)
+    val eras = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(eras == Set("batch=-2"), s"all rows must land in the fresh era below the build's, got $eras")
+  }
+
+  test("indexStreamCdc: kill-resume matrix — between-batch kill and mid-batch torn write both heal to the exact catalog") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = (0L until 60L).map(i => (i, cdcDoc(i)))
+    val df = docs.toDF("doc_id", "text")
+    val path = "target/io_tmp/cdc_kill_cat"
+    val checkpoint = "target/io_tmp/cdc_kill_cat_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    val (mn, ab, mx) = (8, 4, 64)
+    val input = MemoryStream[(Long, String)]
+    def start() = GraftStreaming.indexStreamCdc(
+      input.toDF().toDF("doc_id", "text"), "text", path, checkpoint,
+      buckets = 8, minSize = mn, avgBits = ab, maxSize = mx)
+    // kill BETWEEN batches: batch 0 lands, query dies, data arrives down
+    val q1 = start()
+    try { input.addData(docs.take(30)); q1.processAllAvailable() } finally q1.stop()
+    input.addData(docs.drop(30)) // becomes batch 1 on resume
+    // kill MID-batch: a TORN batch=1 directory (a few rows, no checkpoint
+    // commit). The resumed stream must replace it WHOLESALE.
+    graft.operators.Cdc.catalogRows(
+        docs.slice(30, 33).toDF("doc_id", "text"), "text", 8, mn, ab, mx)
+      .write.mode("overwrite").partitionBy("__b").parquet(s"$path/batch=1")
+    val tornCount = spark.read.parquet(path).count()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // exactly-once: per-era counts are each era's own distinct-fp count
+    val perBatchWant = Seq(docs.take(30), docs.drop(30)).map(b =>
+      graft.operators.Cdc.chunkCatalog(b.toDF("doc_id", "text"), "text", mn, ab, mx).count()).sum
+    assert(spark.read.parquet(path).count() == perBatchWant,
+      s"kill-resume must heal the torn batch to exactly-once catalog rows (torn state had $tornCount)")
+    val got = graft.operators.Cdc.readCatalog(spark, path)
+      .collect().map(_.getString(0)).toSet
+    val want = graft.operators.Cdc.chunkCatalog(df, "text", mn, ab, mx)
+      .collect().map(_.getString(0)).toSet
+    assert(got == want && want.nonEmpty,
+      "post-resume catalog must equal the batch-built reference")
+  }
+
   test("indexStreamIvfSq: kill-resume matrix — between-batch kill and mid-batch torn write both heal to identical probes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

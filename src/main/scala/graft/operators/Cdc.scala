@@ -135,6 +135,24 @@ object Cdc {
     spark.read.parquet(path).select(col("fp"))
   }
 
+  /** Distill a chunk-fp catalog to a bounded, sorted driver array for the
+    * plan-literal stateless streaming gate
+    * ([[graft.streaming.GraftStreaming.cdcDedupAgainstStream]]) — the
+    * [[Dedup.distillParagraphCatalog]] driver-state discipline: the
+    * collect is guarded by `maxEntries` (refuse loudly, never a silent
+    * OOM); a catalog too large to distill belongs in the join form
+    * ([[dedupAgainst]]) run as compaction, or the bloom gate
+    * ([[contaminationBloomColumn]] — bounded at any catalog size).
+    */
+  def distillCatalog(catalog: DataFrame, maxEntries: Int = 500000): Array[String] = {
+    val distinctFps = catalog.select(col("fp")).distinct()
+    val n = distinctFps.count()
+    require(n <= maxEntries,
+      s"chunk-fp catalog too large to distill: $n > $maxEntries entries — " +
+        "use the join-based dedupAgainst (as compaction) or the bloom gate")
+    distinctFps.collect().map(_.getString(0)).sorted
+  }
+
   // ---- Bloom-gated chunk contamination: the [[Winnow]] bloom-lane
   // discipline over content-defined chunks — the catalog distills to an
   // mBits-bounded in-plan bitmap, scoring is a pure zero-shuffle

@@ -3291,12 +3291,12 @@ object ExtQueries {
     * because this corpus is pure ASCII (char offsets == byte offsets —
     * checked max codepoint 121; the production kernel is byte-defined).
     */
-  private def cdcGearCte: String = {
+  private[queries] def cdcGearCte: String = {
     val gear = graft.functions.CdcRuntime.Gear.map(g => s"CAST($g AS BIGINT)").mkString(", ")
     s"""gm AS (SELECT [$gear] AS g)"""
   }
 
-  private def cdcChunkCtes(p: String, src: String, minSize: Int = 32, avgBits: Int = 6,
+  private[queries] def cdcChunkCtes(p: String, src: String, minSize: Int = 32, avgBits: Int = 6,
       maxSize: Int = 256): String = {
     val mask = (1L << avgBits) - 1
     raw"""${p}cst AS (

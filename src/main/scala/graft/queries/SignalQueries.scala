@@ -109,14 +109,18 @@ object SignalQueries {
 
   private val LmMinCount = 2L
 
-  /** The q_lm_score CTE chain (documents → per-doc (doc_id, n_tokens,
-    * lm_bits)) as a shareable fragment, so the composed pipeline oracle
-    * reuses the EXACT same arithmetic instead of a re-derivation.
+  /** The q_lm_score CTE chain (`rel(doc_id, text)` → per-doc (doc_id,
+    * n_tokens, lm_bits)) as a shareable fragment parameterized by the
+    * scored relation, so composed pipeline oracles (q_pipeline_signals
+    * over documents, q_pipeline_v5 over its cleaned/decontaminated
+    * relation) reuse the EXACT same arithmetic instead of a
+    * re-derivation. The reference slice stays the relation's own
+    * doc_id % 3 = 0 cut — train on the corpus being scored.
     */
-  private val LmScoreCtes =
+  private[queries] def lmScoreCtesOver(rel: String): String =
     raw"""tok0 AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '') AS t
-           FROM documents),
+           FROM $rel),
        td AS (SELECT doc_id, t, len(t) AS n FROM tok0 WHERE len(t) >= 1),
        refu AS (SELECT unnest(t) AS w FROM td WHERE doc_id % 3 = 0),
        uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM refu GROUP BY 1
@@ -145,6 +149,8 @@ object SignalQueries {
        lmdoc AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
                    CAST(SUM(bits) AS BIGINT) AS lm_bits
                  FROM sc GROUP BY doc_id)"""
+
+  private val LmScoreCtes = lmScoreCtesOver("documents")
 
   private val lmScoreQ = q("q_lm_score", bench = true,
     oracle = s"""WITH $LmScoreCtes
@@ -364,14 +370,31 @@ object SignalQueries {
     * the two real lines, and docs whose planted noise exceeds half their
     * line bytes drop wholesale.
     */
+  /** One line's drop verdict (the LineDrop kernel's four rules), shared
+    * by q_line_corrections and the composed q_pipeline_v5 oracle. */
+  private[queries] val lineDropSql = (l: String) =>
+    raw"""((length(regexp_replace($l, '[^A-Za-z]', '', 'g')) > 0
+            AND length(regexp_replace($l, '[^A-Z]', '', 'g')) * 10 > length(regexp_replace($l, '[^A-Za-z]', '', 'g')) * 6)
+           OR (trim($l) <> '' AND length(regexp_replace($l, '[^A-Za-z]', '', 'g')) = 0)
+           OR regexp_matches($l, '^\s*[0-9]+ (likes?|comments?|shares?|views?)\s*$$', 'i')
+           OR (len(regexp_split_to_array(trim($l), '\s+')) <= 3
+               AND regexp_matches($l, '(sign in|log in|click here|read more|accept cookies)', 'i')))"""
+
+  /** The line-corrections CTE pair over `src(doc_id, …, text)` at the
+    * maxRemoved = num/den budget: `${p}lc` is the cleaned relation
+    * (text replaced, surviving docs only) — q_line_corrections' oracle
+    * body as a shareable fragment.
+    */
+  private[queries] def lineCleanCtes(p: String, src: String, num: Int, den: Int): String =
+    raw"""${p}lsx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $src),
+       ${p}lc AS (SELECT doc_id,
+              array_to_string(list_filter(ls, l -> NOT ${lineDropSql("l")}), chr(10)) AS text
+            FROM ${p}lsx
+            WHERE list_sum(list_transform(ls, l -> CASE WHEN ${lineDropSql("l")} THEN length(l) ELSE 0 END)) * $den
+                  <= list_sum(list_transform(ls, l -> length(l))) * $num)"""
+
   private val lineCorrectionsQ = {
-    val dropSql = (l: String) =>
-      raw"""((length(regexp_replace($l, '[^A-Za-z]', '', 'g')) > 0
-              AND length(regexp_replace($l, '[^A-Z]', '', 'g')) * 10 > length(regexp_replace($l, '[^A-Za-z]', '', 'g')) * 6)
-             OR (trim($l) <> '' AND length(regexp_replace($l, '[^A-Za-z]', '', 'g')) = 0)
-             OR regexp_matches($l, '^\s*[0-9]+ (likes?|comments?|shares?|views?)\s*$$', 'i')
-             OR (len(regexp_split_to_array(trim($l), '\s+')) <= 3
-                 AND regexp_matches($l, '(sign in|log in|click here|read more|accept cookies)', 'i')))"""
+    val dropSql = lineDropSql
     q("q_line_corrections",
       oracle = raw"""WITH corpus AS (
            SELECT a.doc_id,
@@ -527,6 +550,81 @@ object SignalQueries {
     val win = gfp.groupBy("__fp").agg(min(col("doc_id")).as("doc_id"))
     gfp.join(win, Seq("__fp", "doc_id"), "left_semi")
       .select("doc_id", "n_tokens")
+  }
+
+  /** Composed corpus-preparation v5 — the round-13/14 families end to end
+    * in ONE declarative plan: RefinedWeb line corrections (two planted
+    * noise lines per doc: a bare number and a social counter; docs whose
+    * noise exceeds half their line bytes drop wholesale) → EXACT CDC
+    * chunk decontamination against a catalog (every 5th raw document's
+    * content-defined chunks; cleaned docs whose chunks re-synchronize
+    * onto cataloged content lose exactly those chunks, all-cataloged
+    * docs drop) → n-gram LM surprisal gate trained on the DECONTAMINATED
+    * corpus' own %3 slice (integer cross-multiplied threshold at 5.17
+    * bits/token — keep-the-head: chunk removal splices words at byte
+    * boundaries, so this corpus scores ~[5.04, 5.48], a fifth of a bit
+    * hotter than the raw corpus under q_pipeline_signals' 4.97 bar) →
+    * per-source 512-token sequence packing.
+    * Every stage reuses its family's shared oracle fragment verbatim
+    * (lineCleanCtes / ExtQueries.cdcChunkCtes / lmScoreCtesOver / the
+    * q_pack window), so the end-to-end hash gate replays the REAL
+    * operators, no fixture twins. Streaming dual (stateless stages):
+    * [[graft.streaming.GraftStreaming.curateStreamV5]].
+    */
+  private val pipelineV5Q = q("q_pipeline_v5",
+    s"""WITH corpus AS (
+         SELECT a.doc_id, a.source,
+                a.text || chr(10) || '12345' || chr(10) || '3 likes' || chr(10) || b.text AS text
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 11),
+       ${lineCleanCtes("", "corpus", 1, 2)},
+       cat AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       ${ExtQueries.cdcGearCte},
+       ${ExtQueries.cdcChunkCtes("", "lc")},
+       ${ExtQueries.cdcChunkCtes("k_", "cat")},
+       catf AS (SELECT DISTINCT fp FROM k_cidx),
+       keep AS (SELECT c.doc_id, c.pos, substr(t.text, c.pos, c.len) AS piece
+                FROM cidx c JOIN lc t USING (doc_id)
+                WHERE c.fp NOT IN (SELECT fp FROM catf)),
+       dc AS (SELECT doc_id, string_agg(piece, '' ORDER BY pos) AS text
+              FROM keep GROUP BY doc_id),
+       ${lmScoreCtesOver("dc")},
+       gated AS (SELECT doc_id, n_tokens FROM lmdoc
+                 WHERE 1000 * lm_bits <= 5170 * n_tokens),
+       gs AS (SELECT g.doc_id, c.source, g.n_tokens
+              FROM gated g JOIN corpus c USING (doc_id)),
+       pk AS (SELECT doc_id, source, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+              FROM gs)
+       SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(bef // 512 AS BIGINT) AS example_id,
+              CAST(bef % 512 AS BIGINT) AS offset
+       FROM pk""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val nxt = docs.select((col("doc_id") - 11).as("doc_id"), col("text").as("__t2"))
+    val corpus = docs.join(nxt, "doc_id")
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit("\n12345\n3 likes\n"), col("__t2")).as("text"))
+    val cleaned = graft.operators.LineCorrections.clean(corpus, "doc_id", "text",
+        maxRemovedNum = 1, maxRemovedDen = 2)
+      .withColumnRenamed("clean_text", "text")
+    val catalog = graft.operators.Cdc.chunkCatalog(
+      docs.where(col("doc_id") % 5 === 0), "text")
+    // materialized once: the decontaminated relation feeds BOTH the LM
+    // reference slice (training) and the scored corpus pass — without
+    // this the chunk kernel + anti-join lineage runs twice
+    val clean2 = graft.operators.Materialize.once(
+      graft.operators.Cdc.dedupAgainst(cleaned, "doc_id", "text", catalog)
+        .withColumnRenamed("clean_text", "text"))
+    val lm = graft.operators.LanguageModel.scoreAgainstSlice(clean2, "doc_id", "text",
+      clean2.where(col("doc_id") % 3 === 0), minCount = LmMinCount)
+    val gated = lm.where(col("lm_bits") * 1000 <= col("n_tokens") * 5170)
+      .select(col("doc_id"), col("n_tokens"))
+    val withSource = gated.join(corpus.select(col("doc_id"), col("source")), "doc_id")
+    graft.operators.Packing.packByBudget(withSource, "source", "doc_id",
+        "n_tokens", budget = 512L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("example_id"), col("offset"))
   }
 
   /** Shared entropy-score CTEs: documents → (doc_id, bits_per_char s,
@@ -1097,5 +1195,5 @@ object SignalQueries {
     hllRegistersQ, hllEstimateQ, hllBySourceQ,
     resampleQ, resampleRollingQ,
     embedPoolQ, qualityBinsQ, qualityBinsApproxQ, curriculumQ, curriculumApproxQ, profileVecQ, pipelineCuratedQ,
-    shuffleQ)
+    pipelineV5Q, shuffleQ)
 }

@@ -245,6 +245,73 @@ object GraftStreaming {
       .where(col("cdc_contamination_bloom") <= maxContamination)
   }
 
+  /** Stateless streaming CDC chunk REMOVAL — the exact ingest form of
+    * [[graft.operators.Cdc.dedupAgainst]] (the bloom gate
+    * [[cdcDecontaminateStream]] DROPS contaminated documents; this one
+    * EXCISES the cataloged chunks and keeps the rest): chunk each
+    * arriving document in-row via the gear-hash kernel, filter out
+    * chunks whose fp is in the DISTILLED catalog
+    * ([[graft.operators.Cdc.distillCatalog]] — bounded, plan-literal,
+    * the [[paragraphDedupStream]] driver-state discipline), and rejoin
+    * the surviving pieces in order (in-row arrays preserve chunk order —
+    * no explode, no join, no shuffle, no state; append-safe). Documents
+    * whose every chunk is cataloged drop wholesale; EMPTY documents
+    * chunk to nothing and survive as '' — both exactly the batch
+    * operator's contract, so stream==batch is spec-gated EXACT.
+    *
+    * `textCol` is replaced by the cleaned text in the output. Catalog
+    * refresh is the caller's restart policy; a catalog too large to
+    * distill belongs in the batch join form run as compaction.
+    */
+  def cdcDedupAgainstStream(stream: DataFrame, textCol: String,
+      catalogFps: Array[String], minSize: Int = 32, avgBits: Int = 6,
+      maxSize: Int = 256): DataFrame = {
+    val chunks = graft.functions.CdcChunks.chunksCol(col(textCol),
+      minSize, avgBits, maxSize)
+    val kept =
+      if (catalogFps.isEmpty) chunks
+      else {
+        val catM = typedLit[Map[String, Int]](catalogFps.map(_ -> 1).toMap)
+        filter(chunks, c => element_at(catM, c.getField("fp")).isNull)
+      }
+    // judge emptiness on the ORIGINAL text (an input-empty doc survives
+    // as ''; an all-cataloged doc's clean text is also '' and must DROP),
+    // so the clean text stages through a temp column before replacing
+    stream
+      .withColumn("__cdc_clean",
+        array_join(transform(kept, c => c.getField("piece")), ""))
+      .where(coalesce(length(col(textCol)), lit(0)) === 0 || col("__cdc_clean") =!= "")
+      .withColumn(textCol, col("__cdc_clean"))
+      .drop("__cdc_clean")
+  }
+
+  /** The round-15 composed streaming curation — the streaming dual of the
+    * batch q_pipeline_v5 stack: stateless RefinedWeb line corrections →
+    * stateless EXACT CDC chunk removal against a distilled catalog
+    * ([[cdcDedupAgainstStream]]) → stateless distilled-LM surprisal gate.
+    * Every stage is a pure per-row projection/filter over plan literals —
+    * no joins, no shuffle, no state, no watermark — so the composition is
+    * append-safe end to end and EXACTLY equals the batch composition of
+    * the same stages on the same rows (spec-gated). The batch pipeline's
+    * packing tail is deliberately absent: example packing is a
+    * cumulative-order fold (inherently batch/compaction work); the
+    * streaming tail hands gated, cleaned documents to
+    * [[mixtureStream]]/[[unimaxStream]] or a packing compaction job.
+    * Output: (`idCol`, `textCol` cleaned twice, `bits_per_token`) — the
+    * line-corrections stage projects to (id, text) like its batch
+    * operator.
+    */
+  def curateStreamV5(stream: DataFrame, textCol: String, idCol: String,
+      catalogFps: Array[String],
+      lm: graft.operators.LanguageModel.DistilledLm, maxBitsPerToken: Double,
+      maxRemovedNum: Int = 1, maxRemovedDen: Int = 20,
+      minSize: Int = 32, avgBits: Int = 6, maxSize: Int = 256): DataFrame =
+    lmScoreStream(
+      cdcDedupAgainstStream(
+        lineCorrectionsStream(stream, idCol, textCol, maxRemovedNum, maxRemovedDen),
+        textCol, catalogFps, minSize, avgBits, maxSize),
+      textCol, lm, maxBitsPerToken)
+
   /** Stateless temperature-mixture gate — the streaming source
     * re-weighter the batch lane gets from
     * [[graft.operators.Mixture.sqrtMixtureSample]]. The per-source keep

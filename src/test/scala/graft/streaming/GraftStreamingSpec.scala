@@ -1762,6 +1762,95 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("cdcDedupAgainstStream: stateless exact chunk removal == batch dedupAgainst (empty kept as '', all-cataloged dropped)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(61)
+    def words(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(9999)}").mkString(" ")
+    val cataloged = words(80)
+    val catalog = graft.operators.Cdc.chunkCatalog(
+      Seq((100L, cataloged)).toDF("doc_id", "text"), "text")
+    val fps = graft.operators.Cdc.distillCatalog(catalog)
+    val docs = Seq(
+      (1L, cataloged),                               // every chunk cataloged -> dropped wholesale
+      (2L, words(60)),                               // unrelated -> kept intact
+      (3L, "zq " + cataloged + " " + words(5)),      // shifted copy + novel tail -> partial removal
+      (4L, ""))                                      // empty -> kept as ''
+    val input = MemoryStream[(Long, String)]
+    val out = GraftStreaming.cdcDedupAgainstStream(
+      input.toDF().toDF("doc_id", "text"), "text", fps)
+    val query = GraftStreaming.storeStreamMemory(out, "cdc_da_stream_test")
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("cdc_da_stream_test")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = graft.operators.Cdc.dedupAgainst(docs.toDF("doc_id", "text"),
+          "doc_id", "text", catalog)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch, "stream must equal the batch join form EXACTLY")
+      assert(!streamed.contains(1L), "all-cataloged doc must drop wholesale")
+      assert(streamed(2L) == docs(1)._2, "unrelated doc must pass untouched")
+      assert(streamed(3L).nonEmpty && streamed(3L).length < docs(2)._2.length,
+        "shifted copy must lose its re-synchronized cataloged chunks, keep the rest")
+      assert(streamed(4L) == "", "empty doc must survive as '' (not confused with all-cataloged)")
+    } finally query.stop()
+  }
+
+  test("curateStreamV5: composed stateless stack == the batch operators (line rules -> exact CDC removal -> distilled-LM gate)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(67)
+    def words(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(99)}").mkString(" ")
+    val cataloged = words(80)
+    val catalog = graft.operators.Cdc.chunkCatalog(
+      Seq((100L, cataloged)).toDF("doc_id", "text"), "text")
+    val fps = graft.operators.Cdc.distillCatalog(catalog)
+    // every doc carries two firing noise lines; every 3rd embeds the
+    // cataloged band so the CDC stage has real work on a subset
+    val docs = (0L until 24L).map { i =>
+      (i, words(40) + "\n12345\n3 likes\n" +
+        (if (i % 3 == 0) cataloged else words(30)))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val lm = graft.operators.LanguageModel.distill(
+      graft.operators.LanguageModel.train(df, "doc_id", "text", minCount = 2))
+    // batch dual from the REAL batch operators (not the stream fns on a
+    // batch frame): clean -> exact dedupAgainst -> distilled scoring gate
+    val cleaned = graft.operators.LineCorrections.clean(df, "doc_id", "text")
+      .withColumnRenamed("clean_text", "text")
+    val dc = graft.operators.Cdc.dedupAgainst(cleaned, "doc_id", "text", catalog)
+      .withColumnRenamed("clean_text", "text")
+    val scored = graft.operators.LanguageModel.scoreDocsDistilled(dc, "doc_id", "text", lm)
+      .join(dc, "doc_id")
+    // median-of-scores threshold so the gate provably splits the corpus
+    val thr = scored.select(col("bits_per_token")).collect().map(_.getDouble(0)).sorted
+      .apply(docs.length / 2)
+    val batchKept = scored.where(col("bits_per_token") <= thr)
+      .select(col("doc_id"), col("text"), col("bits_per_token"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(batchKept.nonEmpty && batchKept.size < docs.length,
+      "precondition: the LM gate must actually split the corpus")
+    val input = MemoryStream[(Long, String)]
+    val curated = GraftStreaming.curateStreamV5(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", fps, lm,
+      maxBitsPerToken = thr)
+    val query = GraftStreaming.storeStreamMemory(curated, "curate_v5_test")
+    try {
+      input.addData(docs.take(10): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(10): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("curate_v5_test")
+        .select(col("doc_id"), col("text"), col("bits_per_token"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(streamed == batchKept,
+        "stream must keep EXACTLY the batch composition's rows, texts and scores")
+    } finally query.stop()
+  }
+
   // shared fixture for the CDC catalog streams: deterministic docs with a
   // common boilerplate band (shared fps WITHIN and ACROSS batches — the
   // cross-era duplicate case compaction must collapse) plus a unique tail

@@ -1,22 +1,27 @@
 package graft
 
-/** Scale ladder for the three >2× x16 headliners (round-14 directive
-  * #1): q_revenue_by_nation / q_dedup_exact / q_ann_cosine at x1, x16
-  * and x64 of sf0.1, all in ONE JVM session (2 warm-ups + 5 timed
-  * passes per (query, dir); min AND median printed) so cross-scale
-  * ratios are same-session comparable. Pair with
+/** Scale ladder for bench headliners (round-14 directive #1, extended to
+  * the FULL headliner set by round-15 directive #6): every bench-flagged
+  * query at x1, x16 and x64 of sf0.1, all in ONE JVM session (2 warm-ups
+  * + 5 timed passes per (query, dir); min AND median printed) so
+  * cross-scale ratios are same-session comparable. Pair with
   * `scripts/duckdb_bench.py` anchors taken the same session — the
   * "constants amortize" attribution predicts monotone-FALLING
-  * spark/duckdb ratios as data grows.
+  * spark/duckdb ratios as data grows, so any future >2× row is
+  * adjudicated from the three-point curve instead of re-argued.
+  *
+  * `SPARK_GRAFT_LADDER_QUERIES` (comma list) restricts the query set;
+  * args restrict the dirs.
   */
 object ProbeLadder {
-  private val Queries = Seq("q_revenue_by_nation", "q_dedup_exact", "q_ann_cosine")
-
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_x16/sf0.1", "/tmp/graft_x64/sf0.1")
+    val wanted = sys.env.get("SPARK_GRAFT_LADDER_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = DevSpark.session()
-    val qs = graft.queries.Queries.all.filter(q => Queries.contains(q.name))
+    val qs = graft.queries.Queries.all
+      .filter(q => wanted.fold(q.bench)(_.contains(q.name)))
     for (dir <- dirs; qd <- qs) {
       def pass(): Double = {
         val t0 = System.nanoTime()

@@ -3369,6 +3369,38 @@ object ExtQueries {
     graft.operators.Cdc.dedupAgainst(corpus, "doc_id", "text", cat)
   }
 
+  /** Same relation (and same oracle) as q_cdc_dedup_against through the
+    * PERSISTENT chunk-fp catalog's FULL lifecycle on the oracled path —
+    * the q_lm_score_indexed discipline applied to the CDC family: era
+    * `batch=-1` batch-built from half the catalog slice
+    * (Cdc.buildCatalogIndex), the other half appended as era `batch=0`
+    * (exactly the indexStreamCdc microbatch write), compacted with the
+    * exact cross-era distinct (AnnIndex.compactCdcCatalog), then read
+    * back through the healing reader and consumed by the same anti-join
+    * — must equal building the catalog in one shot.
+    */
+  private val cdcDedupAgainstIndexedQ = q("q_cdc_dedup_against_indexed",
+    cdcDedupAgainstQ.oracle.get) { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    val nxt = docs.select((col("doc_id") - 23).as("doc_id"), col("text").as("__t2"))
+    val corpus = docs.join(nxt, "doc_id")
+      .select(col("doc_id"), concat(col("text"), lit(" "), col("__t2")).as("text"))
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_cdc_cat_idx_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    // fresh lifecycle per run: stale compacted eras from a previous run
+    // hold the same fps (deterministic content) but would keep counting
+    // the era id down — start clean so the layout is reproducible
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+    graft.operators.Cdc.buildCatalogIndex(docs.where(col("doc_id") % 10 === 0), "text", path)
+    graft.operators.Cdc.catalogRows(docs.where(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0),
+        "text", buckets = 32, minSize = 32, avgBits = 6, maxSize = 256)
+      .write.mode("overwrite").partitionBy("__b").parquet(path + "/batch=0")
+    AnnIndex.compactCdcCatalog(s, path)
+    graft.operators.Cdc.dedupAgainst(corpus, "doc_id", "text",
+      graft.operators.Cdc.readCatalog(s, path))
+  }
+
   /** Shift-robust near-duplicate pairs (Cdc.pairs): every 19th document
     * re-added under id+10^7 with a 3-byte PREFIX — the edit that makes
     * every fixed-window fingerprint downstream miss — must still pair
@@ -3657,5 +3689,6 @@ object ExtQueries {
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ,
-    winnowFpQ, winnowPairsQ, winnowContaminationQ, winnowContaminationBloomQ, cdcChunksQ, cdcDedupQ, cdcDedupAgainstQ)
+    winnowFpQ, winnowPairsQ, winnowContaminationQ, winnowContaminationBloomQ, cdcChunksQ, cdcDedupQ, cdcDedupAgainstQ,
+    cdcDedupAgainstIndexedQ)
 }

@@ -1682,6 +1682,59 @@ object ExtQueries {
       .withColumn("blocklisted", col("domain") === "spam.bad.net")
   }
 
+  // ---- Multi-pattern blocklist (C4/RefinedWeb badwords stage) over the
+  // Aho–Corasick kernel: one codegen'd scan per document for the whole
+  // pattern set. The oracle replays each pattern's OVERLAPPING occurrence
+  // count as an exact position scan (substr at every ending offset) —
+  // one scan per pattern in SQL vs ONE TOTAL in the kernel, which is the
+  // point of the automaton. Pattern set chosen to exercise the automaton
+  // where naive contains() breaks: "slow" ⊂ "merge slow" (a hit of the
+  // long pattern also ends the short one there — fail-closure output),
+  // "batch batch" self-overlaps ("batch batch batch" counts 2), and
+  // "a batch"/"batch batch" share the " batch" suffix (fail links).
+  private val BlockPatterns = Seq("slow", "batch batch", "a batch", "dup", "merge slow")
+
+  private def acHitSql(p: String): String = {
+    val L = p.length
+    s"""len(list_filter(range(1, greatest(len(text) - $L + 2, CAST(1 AS BIGINT))),
+          i -> substr(text, CAST(i AS INT), $L) = '$p'))"""
+  }
+
+  private val blocklistQ = q("q_blocklist", {
+    val hits = BlockPatterns.map(acHitSql).mkString(" + ")
+    val distinct = BlockPatterns.map(p => s"CASE WHEN ${acHitSql(p)} > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($hits AS BIGINT) AS hits,
+              CAST($distinct AS BIGINT) AS patterns_hit
+       FROM documents"""
+  }) { (s, d) =>
+    graft.operators.Blocklist.matchCounts(
+      Tables.df(s, d, "documents"), "doc_id", "text", BlockPatterns)
+  }
+
+  /** The gating form (C4 drops on any badword; this config tolerates one
+    * occurrence): documents with > 1 total occurrences of the rarer
+    * pattern subset drop; survivors carry the count.
+    */
+  private val blocklistGateQ = q("q_blocklist_gate", {
+    val pats = Seq("batch batch", "dup", "vector window")
+    val hits = pats.map(acHitSql).mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, CAST($hits AS BIGINT) AS blocklist_hits FROM documents)
+       SELECT doc_id, blocklist_hits FROM h WHERE blocklist_hits <= 1"""
+  }) { (s, d) =>
+    val pats = Seq("batch batch", "dup", "vector window")
+    // materialize the narrow (id, hits) projection before the filter —
+    // the q_quality_gate barrier: pushdown would otherwise inline the AC
+    // kernel into the Filter and run it twice per row (Blocklist.gate
+    // itself stays the stateless one-projection form the streaming gate
+    // needs; a localCheckpoint is illegal on a stream)
+    val counts = graft.operators.Materialize.once(
+      Tables.df(s, d, "documents").select(col("doc_id"),
+        aggregate(graft.operators.Blocklist.countsCol(col("text"), pats),
+          lit(0L), (a, x) => a + x).as("blocklist_hits")))
+    counts.where(col("blocklist_hits") <= 1)
+  }
+
   /** Exact Spearman rank correlation (price vs order date over orders) —
     * the monotone-association profile next to q_profile_corr's Pearson.
     * Deterministic row_number ranks (value, id), Σd² exact BIGINT, one
@@ -3685,7 +3738,7 @@ object ExtQueries {
     samplePerSourceQ, langIdQ,
     minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, ngramJaccardAutoQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, sqEncodeQ, annSqQ, annSqRefinedQ, annIvfSqQ, annIvfSqIndexedQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
-    redactQ, piiStatsQ, domainStatsQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureTokensQ, mixtureUnimaxQ, mixtureUnimaxTokensQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, packBucketedByQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
+    redactQ, piiStatsQ, domainStatsQ, blocklistQ, blocklistGateQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureTokensQ, mixtureUnimaxQ, mixtureUnimaxTokensQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, packBucketedByQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,
     substringSpansQ, substringSpansIndexedQ, substringDedupQ, pipelineFullQ,
     contaminationSpansQ, decontaminateSpansQ,

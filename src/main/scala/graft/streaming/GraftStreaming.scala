@@ -245,6 +245,18 @@ object GraftStreaming {
       .where(col("cdc_contamination_bloom") <= maxContamination)
   }
 
+  /** Stateless blocklist gate — the C4 badwords stage at ingest
+    * ([[graft.operators.Blocklist.gate]]): one Aho–Corasick scan per
+    * arriving document for the whole pattern set (a plan-constant
+    * automaton — no join, no shuffle, no state, append-safe), drop past
+    * `maxHits` total occurrences. `blocklist_hits` rides along;
+    * stream==batch agreement is definitional (same column expression)
+    * and spec-gated.
+    */
+  def blocklistStream(stream: DataFrame, textCol: String,
+      patterns: Seq[String], maxHits: Long = 0L): DataFrame =
+    graft.operators.Blocklist.gate(stream, textCol, patterns, maxHits)
+
   /** Stateless streaming CDC chunk REMOVAL — the exact ingest form of
     * [[graft.operators.Cdc.dedupAgainst]] (the bloom gate
     * [[cdcDecontaminateStream]] DROPS contaminated documents; this one

@@ -1762,6 +1762,36 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("blocklistStream: stateless Aho-Corasick gate keeps exactly the batch rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val pats = Seq("bad phrase", "bad", "spam spam")
+    val docs = Seq(
+      (1L, "clean text with nothing flagged"),
+      (2L, "one bad word only"),                       // 1 hit -> kept at maxHits=1
+      (3L, "a bad phrase fires two patterns at once"), // "bad" + "bad phrase" -> dropped
+      (4L, "spam spam spam overlaps"),                 // self-overlap: 2 hits -> dropped
+      (5L, ""))
+    val batch = graft.operators.Blocklist.gate(docs.toDF("doc_id", "text"),
+        "text", pats, maxHits = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(batch == Set((1L, 0L), (2L, 1L), (5L, 0L)),
+      "fail-closure and overlap semantics must gate docs 3 and 4 out")
+    val input = MemoryStream[(Long, String)]
+    val out = GraftStreaming.blocklistStream(
+      input.toDF().toDF("doc_id", "text"), "text", pats, maxHits = 1L)
+    val query = GraftStreaming.storeStreamMemory(out, "blocklist_stream_test")
+    try {
+      input.addData(docs.take(3): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("blocklist_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(streamed == batch, "stream must keep EXACTLY the batch gate's rows")
+    } finally query.stop()
+  }
+
   test("cdcDedupAgainstStream: stateless exact chunk removal == batch dedupAgainst (empty kept as '', all-cataloged dropped)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

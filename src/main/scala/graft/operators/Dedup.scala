@@ -513,6 +513,92 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** SoftDeDup reweighting (He, Xue et al., "SoftDedup: an Efficient Data
+    * Reweighting Method for Speeding Up Language Model Pre-training",
+    * ACL 2024): instead of REMOVING near-duplicates, assign every document
+    * a sampling weight that falls with its "data commonness" — how often
+    * its content recurs across the corpus — so duplicated material is
+    * down-sampled smoothly rather than cut at a threshold. No pairs are
+    * ever mined: this is the pair-free member of the dedup family, and the
+    * natural companion to [[graft.operators.Mixture]]-style rate sampling.
+    *
+    * Commonness here is INTEGER-EXACT (the house whole-bits discipline,
+    * cf. LanguageModel): for each document take its DISTINCT word
+    * `shingle`-grams G_d, let df(g) = number of documents containing g;
+    * then
+    *
+    *   sum_df(d)     = Σ_{g∈G_d} df(g)                 (BIGINT)
+    *   commonness(d) = sum_df / |G_d|   (mean doc-frequency, ≥ 1)
+    *   weight(d)     = |G_d| / sum_df   (∈ (0, 1]; 1 ⟺ all grams unique)
+    *
+    * A document duplicated k times verbatim has every gram at df ≥ k, so
+    * weight ≤ 1/k — matching the exact-cluster 1/k of [[softWeightsExact]]
+    * — while partial overlap degrades the weight proportionally, which is
+    * the paper's point. Both ratios are single IEEE divisions of exact
+    * integers, so they replay bit-identically in the DuckDB oracle.
+    *
+    * Scale shape: one distinct-gram index (hashed 8-byte identities via
+    * [[graft.functions.HashExpressions.ngramHashes]] — no shingle strings
+    * shuffle), one count per gram, one index-sized join back, one per-doc
+    * aggregate — all linear in the index, NO quadratic candidate term
+    * anywhere, so no [[PairBudget]] is needed. Documents shorter than the
+    * shingle emit ONE partial-window gram (the kernel's max(1, t−n+1)
+    * rule, replayed in the oracle as greatest(len−1, 1) windows), so every
+    * document is weighed — a 1-token doc duplicated k times still reads
+    * weight 1/k.
+    *
+    * Output: (idCol, n_grams, sum_df, commonness, weight).
+    */
+  def softWeights(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 2): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      explode(graft.functions.HashExpressions.ngramHashes(
+        graft.functions.TextFunctions.tokens(col(textCol)), shingle)).as("__sh"))
+    val dfreq = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    val agg = sh.join(dfreq, "__sh")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__df")).as("sum_df"))
+    df.select(col(idCol)).join(agg.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("sum_df"), lit(0L)).as("sum_df"),
+        round(when(col("n_grams").isNull, 1.0)
+          .otherwise(col("sum_df").cast("double") / col("n_grams")), 6).as("commonness"),
+        round(when(col("n_grams").isNull, 1.0)
+          .otherwise(col("n_grams").cast("double") / col("sum_df")), 6).as("weight"))
+  }
+
+  /** The exact-cluster limit of [[softWeights]]: weight = 1/k for a
+    * document whose canonical text appears k times. One shuffle on the
+    * [[graft.functions.TextFunctions.fingerprint]] (the [[exact]] key),
+    * joined back so every INPUT row keeps its weight — [[exact]] keeps
+    * one winner per cluster, this keeps them all but tells the sampler to
+    * treat the k copies as one document's worth of mass in expectation.
+    * Output: (idCol, dup_count, weight).
+    */
+  def softWeightsExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.select(col(idCol), fingerprint(col(textCol)).as("__fp"))
+    val counts = fp.groupBy("__fp").agg(count(lit(1)).as("dup_count"))
+    fp.join(counts, "__fp")
+      .select(col(idCol), col("dup_count"),
+        round(lit(1.0) / col("dup_count"), 6).as("weight"))
+  }
+
+  /** Apply [[softWeights]] as a deterministic sampler: keep each document
+    * iff lcg31(id) < ⌊weight · 2³¹⌋ — the sampling-family LCG threshold
+    * scheme ([[graft.operators.Split.curriculumSample]]), so each document
+    * survives with probability ≈ its SoftDeDup weight and the decision is
+    * engine-replayable. Duplicated mass thins toward one copy's worth in
+    * expectation; unique documents (weight 1.0) always survive.
+    * Output: (idCol, weight) of the kept documents.
+    */
+  def softSample(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 2): DataFrame =
+    softWeights(df, idCol, textCol, shingle)
+      .where(graft.operators.Split.lcg31(col(idCol)) <
+        floor(col("weight") * lit(2147483648.0)).cast("long"))
+      .select(col(idCol), col("weight"))
+
   /** Blocked edit-distance fuzzy duplicate pairs: (idA, idB, dist) with
     * Levenshtein distance ≤ `maxDist` between (optionally head-truncated)
     * texts. EXACT for the compared text — candidate generation is

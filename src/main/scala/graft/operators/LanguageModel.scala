@@ -176,6 +176,47 @@ object LanguageModel {
       ref: DataFrame, minCount: Long = 1L): DataFrame =
     scoreDocs(df, idCol, textCol, train(ref, idCol, textCol, minCount))
 
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al.,
+    * arXiv:1911.00359 §4.4): language-partitioned quality tiers — each
+    * document is language-identified, LM-scored, and assigned to a
+    * per-LANGUAGE bits-per-token tercile (nBins = 3: bin 0 = head =
+    * most reference-like; CCNet's standard corpus cut keeps head+middle).
+    * Bucketing is per language because absolute perplexity is not
+    * comparable across languages — a global cut would keep whichever
+    * language the reference models best and discard the rest wholesale.
+    *
+    * Scale shape: CCNet's own design point — per-language THRESHOLDS,
+    * not a per-language sort. A `Window.partitionBy(lang)` would funnel
+    * the dominant language (most of a web corpus) through ONE task; here
+    * the cut values come from one grouped streaming percentile sketch
+    * ([[Split.quantileCutsBy]], ≤ |languages|·(nBins−1) scalars) and
+    * assignment is a broadcast join + map-side comparison fold
+    * ([[Split.assignBinsBy]]) — nothing corpus-sized leaves the
+    * executors, and the same distilled cuts drive the streaming gate
+    * ([[graft.streaming.GraftStreaming.ccnetGateStream]]). With
+    * `accuracy ≥ n` the sketch is exact-discrete, so the whole operator
+    * hash-replays in SQL (the byQuantileApproxBy oracle discipline).
+    *
+    * Documents with zero tokens have no LM score and are dropped (the
+    * scoreDocs contract). Output: (idCol, n_tokens, lm_bits,
+    * bits_per_token, lang, bin) — bin ∈ [0, nBins).
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, minCount: Long = 1L, nBins: Int = 3,
+      accuracy: Int = 10000): DataFrame = {
+    val scored = scoreAgainstSlice(df, idCol, textCol, ref, minCount)
+    val lang = df.select(col(idCol),
+      graft.functions.TextFunctions.langId(col(textCol)).as("lang"))
+    // materialized once: the scored⋈lang relation feeds TWO consumers —
+    // the grouped cut sketch and the assignment join — and without the
+    // barrier the whole LM-scoring DAG executes twice while constraint
+    // inference pushes isnotnull(langid-kernel) into the cuts branch as
+    // a kernel-in-filter (the q_quality_gate discipline; PlanAssertSpec
+    // gates this registry-wide)
+    val t = Materialize.once(scored.join(lang, Seq(idCol)))
+    Split.byQuantileApproxBy(t, "lang", "bits_per_token", nBins, accuracy)
+  }
+
   /** DSIR importance weights (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", arXiv:2302.03169) under the
     * whole-bits discipline: weight w(x) = p_target(x) / p_raw(x) under

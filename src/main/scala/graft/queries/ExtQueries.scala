@@ -445,15 +445,21 @@ object ExtQueries {
       .select(col("doc_id"), col("source"))
   }
 
-  private val langIdQ = q("q_langid",
-    // full SQL mirror of TextFunctions.langId: script-ratio gates (ja/ko/
-    // zh/ru), then argmax of six stopword ratios with first-wins ties in
-    // en,de,fr,es,it,pt order — all ratios are int/int double divisions,
-    // bit-identical across engines
-    raw"""WITH t0 AS (SELECT lower(trim(text)) AS t FROM documents),
-       f AS (SELECT t, greatest(length(t) * 1.0, 1.0) AS nc,
-                    regexp_split_to_array(t, '\s+') AS toks FROM t0),
-       g AS (SELECT
+  /** Per-doc language-ID CTE chain (`rel(doc_id, text)` → `langd(doc_id,
+    * lang)`): the full SQL mirror of TextFunctions.langId — script-ratio
+    * gates (ja/ko/zh/ru), then argmax of six stopword ratios with
+    * first-wins ties in en,de,fr,es,it,pt order; all ratios are int/int
+    * double divisions, bit-identical across engines. Shared (the
+    * lmScoreCtesOver discipline) so per-language compositions
+    * (q_ccnet_buckets) replay the EXACT kernel arithmetic instead of a
+    * re-derivation; CTE names are l*-prefixed to coexist with the LM
+    * chain in one WITH block.
+    */
+  private[queries] def langIdCtesOver(rel: String): String =
+    raw"""lt0 AS (SELECT doc_id, lower(trim(text)) AS t FROM $rel),
+       lfl AS (SELECT doc_id, t, greatest(length(t) * 1.0, 1.0) AS nc,
+                    regexp_split_to_array(t, '\s+') AS toks FROM lt0),
+       lgc AS (SELECT doc_id,
                length(regexp_replace(t, '[^\x{4e00}-\x{9fff}]', '', 'g')) / nc AS han,
                length(regexp_replace(t, '[^\x{3040}-\x{30ff}]', '', 'g')) / nc AS kana,
                length(regexp_replace(t, '[^\x{ac00}-\x{d7af}]', '', 'g')) / nc AS hangul,
@@ -465,23 +471,28 @@ object ExtQueries {
                len(list_filter(toks, w -> w IN (${inList(EsStop)}))) AS c_es,
                len(list_filter(toks, w -> w IN (${inList(ItStop)}))) AS c_it,
                len(list_filter(toks, w -> w IN (${inList(PtStop)}))) AS c_pt
-             FROM f),
-       s AS (SELECT han, kana, hangul, cyr,
+             FROM lfl),
+       lsc AS (SELECT doc_id, han, kana, hangul, cyr,
                c_en / nw AS s_en, c_de / nw AS s_de, c_fr / nw AS s_fr,
                c_es / nw AS s_es, c_it / nw AS s_it, c_pt / nw AS s_pt,
                greatest(c_en / nw, c_de / nw, c_fr / nw,
                         c_es / nw, c_it / nw, c_pt / nw) AS m
-             FROM g),
-       l AS (SELECT CASE WHEN kana > 0.05 THEN 'ja' WHEN hangul > 0.05 THEN 'ko'
-                         WHEN han > 0.05 THEN 'zh' WHEN cyr > 0.3 THEN 'ru'
-                         WHEN m > 0 THEN (CASE WHEN s_en = m THEN 'en'
-                                               WHEN s_de = m THEN 'de'
-                                               WHEN s_fr = m THEN 'fr'
-                                               WHEN s_es = m THEN 'es'
-                                               WHEN s_it = m THEN 'it' ELSE 'pt' END)
-                         ELSE 'und' END AS lang_pred
-             FROM s)
-       SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1""") { (s, d) =>
+             FROM lgc),
+       langd AS (SELECT doc_id,
+               CASE WHEN kana > 0.05 THEN 'ja' WHEN hangul > 0.05 THEN 'ko'
+                    WHEN han > 0.05 THEN 'zh' WHEN cyr > 0.3 THEN 'ru'
+                    WHEN m > 0 THEN (CASE WHEN s_en = m THEN 'en'
+                                          WHEN s_de = m THEN 'de'
+                                          WHEN s_fr = m THEN 'fr'
+                                          WHEN s_es = m THEN 'es'
+                                          WHEN s_it = m THEN 'it' ELSE 'pt' END)
+                    ELSE 'und' END AS lang
+             FROM lsc)"""
+
+  private val langIdQ = q("q_langid",
+    s"""WITH ${langIdCtesOver("documents")}
+       SELECT lang AS lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+       FROM langd GROUP BY 1""") { (s, d) =>
     Tables.df(s, d, "documents")
       .groupBy(langId(col("text")).as("lang_pred"))
       .agg(count(lit(1)).as("n"))
@@ -682,6 +693,73 @@ object ExtQueries {
        WHERE CAST(c2 AS DOUBLE) / (sa.n + sb.n - c2) >= 0.02""") { (s, d) =>
     Dedup.ngramJaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text",
       shingle = 2, threshold = 0.02, budget = PairBudget.Auto(rowsPerDoc = 16L))
+  }
+
+  /** SoftDeDup commonness weights (He, Xue et al., ACL 2024 — reweight
+    * duplicates instead of removing them): per doc, mean document
+    * frequency of its distinct word 2-grams and the inverse weight, both
+    * single divisions of exact BIGINTs (Dedup.softWeights scaladoc). The
+    * gram/df CTEs are the q_ngram_jaccard fragments verbatim — same index,
+    * pair-free consumption.
+    */
+  private val softDedupQ = q("q_softdedup",
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                       i -> array_to_string(w[i:i+1], ' '))) AS s
+              FROM toks),
+       dfq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS f FROM sh GROUP BY 1),
+       a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                    CAST(SUM(f) AS BIGINT) AS sum_df
+             FROM sh JOIN dfq USING (s) GROUP BY doc_id)
+       SELECT d.doc_id,
+              COALESCE(a.n_grams, 0) AS n_grams,
+              COALESCE(a.sum_df, 0) AS sum_df,
+              round(CASE WHEN a.n_grams IS NULL THEN 1.0
+                         ELSE CAST(a.sum_df AS DOUBLE) / a.n_grams END, 6) AS commonness,
+              round(CASE WHEN a.n_grams IS NULL THEN 1.0
+                         ELSE CAST(a.n_grams AS DOUBLE) / a.sum_df END, 6) AS weight
+       FROM (SELECT doc_id FROM documents) d LEFT JOIN a USING (doc_id)""") { (s, d) =>
+    Dedup.softWeights(Tables.df(s, d, "documents"), "doc_id", "text", shingle = 2)
+  }
+
+  /** The exact-cluster limit of SoftDeDup over the doubled corpus: every
+    * text appears ≥ 2×, so weight = 1/dup_count binds on every row (the
+    * q_dedup_exact md5-fingerprint key, kept per ROW instead of reduced
+    * to a winner).
+    */
+  private val softDedupExactQ = q("q_softdedup_exact",
+    raw"""WITH u AS (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 10000, text FROM documents),
+       f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM u),
+       c AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS dup_count FROM f GROUP BY 1)
+       SELECT f.doc_id, c.dup_count, round(1.0 / c.dup_count, 6) AS weight
+       FROM f JOIN c USING (fp)""") { (s, d) =>
+    Dedup.softWeightsExact(docsWithDups(s, d), "doc_id", "text")
+  }
+
+  /** SoftDeDup applied as a sampler: keep iff lcg31(doc_id) < ⌊weight·2³¹⌋
+    * — the sampling-family threshold scheme over the q_softdedup weights,
+    * so the soft-dedup'd corpus itself (not just the weights) hash-gates.
+    */
+  private val softDedupSampleQ = q("q_softdedup_sample",
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                       i -> array_to_string(w[i:i+1], ' '))) AS s
+              FROM toks),
+       dfq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS f FROM sh GROUP BY 1),
+       a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                    CAST(SUM(f) AS BIGINT) AS sum_df
+             FROM sh JOIN dfq USING (s) GROUP BY doc_id),
+       w AS (SELECT d.doc_id,
+               round(CASE WHEN a.n_grams IS NULL THEN 1.0
+                          ELSE CAST(a.n_grams AS DOUBLE) / a.sum_df END, 6) AS weight
+             FROM (SELECT doc_id FROM documents) d LEFT JOIN a USING (doc_id))
+       SELECT doc_id, weight FROM w
+       WHERE ${OracleSql.lcg31("doc_id")}
+             < CAST(floor(weight * 2147483648.0) AS BIGINT)""") { (s, d) =>
+    Dedup.softSample(Tables.df(s, d, "documents"), "doc_id", "text", shingle = 2)
   }
 
   private val dedupClustersQ = q("q_dedup_clusters",
@@ -3736,7 +3814,7 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, bpeBytesQ, unigramApplyQ, wordpieceApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, ngramJaccardAutoQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, sqEncodeQ, annSqQ, annSqRefinedQ, annIvfSqQ, annIvfSqIndexedQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
+    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, ngramJaccardAutoQ, softDedupQ, softDedupExactQ, softDedupSampleQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, sqEncodeQ, annSqQ, annSqRefinedQ, annIvfSqQ, annIvfSqIndexedQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, domainStatsQ, blocklistQ, blocklistGateQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureTokensQ, mixtureUnimaxQ, mixtureUnimaxTokensQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, packBucketedByQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,

@@ -194,6 +194,43 @@ object SignalQueries {
       AnnIndex.loadLm(s, "graft_lm_idx", minCount = LmMinCount))
   }
 
+  // ---- CCNet head/middle/tail buckets (Wenzek et al., arXiv:1911.00359
+  // §4.4): per-LANGUAGE perplexity terciles — langid kernel + the shared
+  // LM chain + the byQuantileApproxBy exact-discrete cut rule, all three
+  // replayed from their existing oracle fragments (langIdCtesOver /
+  // lmScoreCtesOver / the per-group ⌈p·n_g⌉ rank join), so the composed
+  // operator can never drift from its parts.
+
+  private val CcnetPs = (1 until 3).map(_.toDouble / 3)
+
+  private val ccnetBucketsQ = q("q_ccnet_buckets",
+    oracle = s"""WITH ${lmScoreCtesOver("documents")},
+       ${ExtQueries.langIdCtesOver("documents")},
+       cb AS (SELECT lmdoc.doc_id, lmdoc.n_tokens, lmdoc.lm_bits,
+                round(CAST(lm_bits AS DOUBLE) / n_tokens, 6) AS bits_per_token,
+                langd.lang
+              FROM lmdoc JOIN langd USING (doc_id)),
+       cr AS (SELECT doc_id, lang, bits_per_token,
+                row_number() OVER (PARTITION BY lang ORDER BY bits_per_token) AS rn,
+                COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM cb),
+       cps AS (SELECT unnest([${CcnetPs.mkString(", ")}]) AS p),
+       ccj AS (SELECT cr.lang, cr.bits_per_token AS cv, cps.p
+               FROM cr JOIN cps ON cr.rn = CAST(ceil(cps.p * cr.n) AS BIGINT)),
+       ccuts AS (SELECT lang, list(cv ORDER BY p) AS cs FROM ccj GROUP BY lang)
+       SELECT cb.doc_id, cb.n_tokens, cb.lm_bits, cb.bits_per_token, cb.lang,
+              CAST(len(list_filter(ccuts.cs, c -> cb.bits_per_token > c)) AS INT) AS bin,
+              (['head', 'middle', 'tail'])[
+                len(list_filter(ccuts.cs, c -> cb.bits_per_token > c)) + 1] AS bucket
+       FROM cb JOIN ccuts USING (lang)""") { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    graft.operators.LanguageModel.ccnetBuckets(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 3 === 0), minCount = LmMinCount,
+        nBins = 3, accuracy = 1000000)
+      .withColumn("bucket",
+        element_at(typedlit(Seq("head", "middle", "tail")), col("bin") + 1))
+  }
+
   // ---- DSIR importance resampling (Xie et al., arXiv:2302.03169):
   // importance weight log2(p_target/p_raw) in whole bits = bits_raw −
   // bits_target under two add-one-smoothed n-gram LMs (target slice =
@@ -1190,7 +1227,7 @@ object SignalQueries {
 
   val all: Seq[QueryDef] = Seq(
     contaminationBloomQ, oovRateQ, oovRefQ, lmScoreQ, lmScoreDistilledQ,
-    lmScoreIndexedQ, dsirQ, dsirSelectQ, paragraphDedupQ, paragraphDedupWithinQ, lineCorrectionsQ, paragraphDedupCatalogQ, entropyQ, pipelineSignalsQ,
+    lmScoreIndexedQ, ccnetBucketsQ, dsirQ, dsirSelectQ, paragraphDedupQ, paragraphDedupWithinQ, lineCorrectionsQ, paragraphDedupCatalogQ, entropyQ, pipelineSignalsQ,
     aucQ, aucBySourceQ, confusionQ, evalRankQ, evalRankAggQ, evalEceQ, evalKappaQ,
     hllRegistersQ, hllEstimateQ, hllBySourceQ,
     resampleQ, resampleRollingQ,

@@ -501,6 +501,38 @@ object GraftStreaming {
       .drop("__t", "__r")
       .where(col("dsir_bits") >= minDsirBits)
 
+  /** Stateless CCNet bucket gate — the streaming form of
+    * [[graft.operators.LanguageModel.ccnetBuckets]]: each arriving
+    * document is language-identified (one codegen kernel), LM-scored
+    * under a DISTILLED count model (plan-literal map-side fold), then
+    * assigned to ITS LANGUAGE's distilled bits-per-token bucket via the
+    * stream-static broadcast cut join
+    * ([[graft.operators.Split.assignBinsBy]]); rows binning past
+    * `maxBin` are dropped (CCNet's standard corpus keeps head+middle =
+    * maxBin 1 of 3). `cuts` is the (lang, __cs) relation distilled once
+    * from a static profile ([[graft.operators.Split.quantileCutsBy]]
+    * over a ccnetBuckets-scored corpus — the batch output carries both
+    * columns). No state, no watermark, append-safe; bin assignment is
+    * bit-identical to the batch operator's on the same cuts because
+    * scoreColumn is spec-gated equal to the join-based scorer
+    * (stream==batch gated in GraftStreamingSpec). Languages unseen at
+    * profile time bin 0 — the restart-to-reprofile contract.
+    */
+  def ccnetGateStream(stream: DataFrame, textCol: String,
+      lm: graft.operators.LanguageModel.DistilledLm, cuts: DataFrame,
+      nBins: Int, maxBin: Int): DataFrame = {
+    val scored = stream
+      .withColumn("__lm",
+        graft.operators.LanguageModel.scoreColumn(col(textCol), lm))
+      .where(col("__lm").isNotNull)
+      .withColumn("bits_per_token", col("__lm.bits_per_token"))
+      .drop("__lm")
+      .withColumn("lang", graft.functions.TextFunctions.langId(col(textCol)))
+    graft.operators.Split.assignBinsBy(scored, "lang", "bits_per_token",
+        cuts, nBins)
+      .where(col("bin") <= maxBin)
+  }
+
   /** The composed streaming curation pipeline — the streaming dual of the
     * batch q_pipeline (quality gate → exact dedup → decontamination):
     * stateless quality filter, watermark-bounded canonical-text dedup,

@@ -514,9 +514,86 @@ class DedupSpec extends AnyFunSuite {
     assert(m(2L) == s"$boiler\n\nunique two",
       "a paragraph seen in ANOTHER doc is out of scope and must be kept")
     assert(m(3L) == boiler)
-    assert(m(4L) == "", "empty docs stay (no cross-doc winner to defer to)")
+    assert(m(4L) == "", "empty docs stay (no cross-dup winner to defer to)")
     // the operator is a pure projection: no Exchange anywhere
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
       "paragraphDedupWithin must be zero-shuffle")
+  }
+
+  test("softWeights: unique corpus weighs 1.0; k-fold dup weighs 1/k; short docs weigh 1.0") {
+    // three documents with fully disjoint vocabularies -> every 2-gram has
+    // df=1 -> commonness 1.0, weight 1.0 for all
+    val uniq = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "one two three four"),
+      (2L, "red green blue cyan")).toDF("doc_id", "text")
+    val wU = Dedup.softWeights(uniq, "doc_id", "text", shingle = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(wU.values.forall(_ == 1.0), s"disjoint corpus must weigh 1.0: $wU")
+    // a text duplicated 3x: every gram has df=3 -> weight exactly 1/3;
+    // the unrelated doc stays at 1.0
+    val tri = Seq(
+      (0L, base), (1L, base), (2L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val wT = Dedup.softWeights(tri, "doc_id", "text", shingle = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    wT.filter(_._1 <= 2L).foreach { case (_, n, sumDf, w) =>
+      assert(sumDf == 3 * n && w == math.rint(1.0 / 3.0 * 1e6) / 1e6,
+        s"3x dup must weigh round(1/3): $wT")
+    }
+    assert(wT.find(_._1 == 3L).get._4 == 1.0)
+    // docs shorter than the shingle emit ONE partial-window gram (the
+    // kernel's max(1, t-n+1) rule): still weighed, and a duplicated short
+    // doc still thins — (3,4) share the single-token gram "word"
+    val shorty = Seq((0L, ""), (1L, "a b"), (3L, "word"), (4L, "word"))
+      .toDF("doc_id", "text")
+    val wS = Dedup.softWeights(shorty, "doc_id", "text", shingle = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(wS.length == 4, "every input id must appear in the output")
+    assert(wS.forall(_._2 == 1L), s"each doc emits exactly one gram: ${wS.toSeq}")
+    assert(wS.filter(_._1 <= 1L).forall(_._3 == 1.0))
+    assert(wS.filter(_._1 >= 3L).forall(_._3 == 0.5),
+      s"duplicated 1-token docs must weigh 1/2: ${wS.toSeq}")
+  }
+
+  test("softWeights: partial overlap lands strictly between unique and duplicate") {
+    // doc 1 shares roughly half its grams with doc 0 -> weight strictly
+    // inside (1/2, 1): the smooth degradation removal can't express
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "alpha beta gamma delta nine ten eleven twelve"
+    val df = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val w = Dedup.softWeights(df, "doc_id", "text", shingle = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(w(0L) > 0.5 && w(0L) < 1.0, s"partial overlap must sit in (1/2, 1): $w")
+    assert(w(1L) > 0.5 && w(1L) < 1.0)
+  }
+
+  test("softWeightsExact equals 1/dup_count per row; softSample keeps iff lcg clears weight") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, base), (1L, base), (2L, unrelated), (3L, "  " + base.toUpperCase))
+      .toDF("doc_id", "text")
+    // canonicalization folds 0,1,3 into one cluster of 3
+    val ex = Dedup.softWeightsExact(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ex.length == 4, "every row keeps its weight (no winner reduction)")
+    ex.foreach { case (id, k, w) =>
+      val expK = if (id == 2L) 1L else 3L
+      assert(k == expK && w == math.rint(1e6 / expK) / 1e6, s"row $id: ($k, $w)")
+    }
+    // softSample = softWeights filtered by the house LCG threshold — verify
+    // the decision row-for-row against an independent recomputation
+    val corpus = (0L until 40L).map(i =>
+        (i, if (i < 20) base else s"u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    val weights = Dedup.softWeights(corpus, "doc_id", "text", shingle = 2)
+      .select(col("doc_id"), col("weight"),
+        (graft.operators.Split.lcg31(col("doc_id")) <
+          floor(col("weight") * lit(2147483648.0)).cast("long")).as("keep"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val kept = Dedup.softSample(corpus, "doc_id", "text", shingle = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(weights.filter(_._3).map(_._1).toSet == kept,
+      "softSample must keep exactly the rows whose lcg31 clears their weight")
+    assert(weights.filter(_._1 >= 20L).forall(_._3), "weight-1.0 docs always survive")
+    assert(kept.count(_ < 20L) < 20, "duplicated mass must actually thin")
   }
 }

@@ -657,4 +657,48 @@ class SignalOpsSpec extends AnyFunSuite {
     // unseen: c(b,a)=0, c(b)=20 → bits = |bin(22)|-|bin(1)| = 5
     assert(s(100L) < s(101L), s"seen ${s(100L)} vs unseen ${s(101L)}")
   }
+
+  test("ccnetBuckets: per-language terciles, monotone in bits/token, gibberish tails") {
+    // two languages x 12 docs with a planted perplexity gradient: doc i
+    // appends i never-seen tokens to a fluent stopword-rich base, so
+    // bits/token rises with i WITHIN each language while the language
+    // label stays stable (base stopwords dominate the argmax)
+    val enBase = "the fox is in the den and it is warm near the fire"
+    val deBase = "der hund ist ein tier und die katze ist klein im haus"
+    val docs = ((0 until 12).map { i =>
+      (i.toLong, (enBase + " " + (0 until i).map(j => s"zq${i}x$j").mkString(" ")).trim)
+    } ++ (0 until 12).map { i =>
+      (100L + i, (deBase + " " + (0 until i).map(j => s"vw${i}k$j").mkString(" ")).trim)
+    } :+ ((999L, "   "))).toDF("doc_id", "text")
+    val out = LanguageModel.ccnetBuckets(docs, "doc_id", "text",
+      docs.where(col("doc_id") % 3 === 0), minCount = 1L,
+      nBins = 3, accuracy = 100000)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Double]("bits_per_token"), r.getAs[Int]("bin")))
+    assert(!out.exists(_._1 == 999L), "zero-token docs have no score and drop")
+    val byLang = out.groupBy(_._2)
+    assert(byLang.keySet == Set("en", "de"), s"langs: ${byLang.keySet}")
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == 12, s"$lang must keep all 12 docs")
+      assert(rows.map(_._4).toSet == Set(0, 1, 2),
+        s"$lang must populate all three buckets: ${rows.toSeq}")
+      // value-based bins are monotone in the score within the language
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      assert(sorted.map(_._4).sliding(2).forall(p => p.head <= p.last),
+        s"$lang bins must be monotone in bits/token: ${sorted.toSeq}")
+      // the fluent base doc heads its language; the most-gibberish doc tails
+      assert(sorted.head._4 == 0 && sorted.last._4 == 2)
+    }
+    // per-language independence: en and de cut values differ, so equal
+    // bins do NOT imply comparable absolute scores across languages —
+    // check the cuts really were computed per group
+    val cuts = Split.quantileCutsBy(
+      LanguageModel.scoreAgainstSlice(docs, "doc_id", "text",
+          docs.where(col("doc_id") % 3 === 0), minCount = 1L)
+        .join(docs.select(col("doc_id"),
+          graft.functions.TextFunctions.langId(col("text")).as("lang")), "doc_id"),
+      "lang", "bits_per_token", nBins = 3, accuracy = 100000)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(cuts("en") != cuts("de"), "cut edges must be per-language")
+  }
 }

@@ -1624,6 +1624,48 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("ccnetGateStream: per-language bucket gate keeps exactly the batch head+middle") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.LanguageModel
+    // the SignalOpsSpec ccnet fixture: two languages with a planted
+    // perplexity gradient (doc i appends i never-seen tokens)
+    val enBase = "the fox is in the den and it is warm near the fire"
+    val deBase = "der hund ist ein tier und die katze ist klein im haus"
+    val rows = (0 until 12).map { i =>
+      (i.toLong, (enBase + " " + (0 until i).map(j => s"zq${i}x$j").mkString(" ")).trim)
+    } ++ (0 until 12).map { i =>
+      (100L + i, (deBase + " " + (0 until i).map(j => s"vw${i}k$j").mkString(" ")).trim)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val ref = docs.where(col("doc_id") % 3 === 0)
+    val batchBuckets = LanguageModel.ccnetBuckets(docs, "doc_id", "text", ref,
+      minCount = 1L, nBins = 3, accuracy = 100000)
+    val batchKept = batchBuckets.where(col("bin") <= 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bin")).toMap
+    assert(batchKept.nonEmpty && batchKept.size < rows.size,
+      "fixture must exercise both keep and drop")
+    // distill once from the profile: the cut relation (lang, __cs) and the
+    // map-side LM — the stream side carries NO join-based scoring
+    val cuts = graft.operators.Split.quantileCutsBy(
+      batchBuckets, "lang", "bits_per_token", nBins = 3, accuracy = 100000)
+    val lm = LanguageModel.distill(LanguageModel.train(ref, "doc_id", "text", minCount = 1L))
+    val input = MemoryStream[(Long, String)]
+    val gated = GraftStreaming.ccnetGateStream(
+      input.toDF().toDF("doc_id", "text"), "text", lm, cuts, nBins = 3, maxBin = 1)
+    val query = GraftStreaming.storeStreamMemory(gated, "ccnet_gate_test")
+    try {
+      val (x, y) = rows.splitAt(15)
+      input.addData(x); query.processAllAvailable()
+      input.addData(y :+ ((999L, "   "))) // zero tokens: dropped, not binned
+      query.processAllAvailable()
+      val streamed = spark.table("ccnet_gate_test")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bin")).toMap
+      assert(streamed == batchKept,
+        "stateless per-language gate must keep EXACTLY the batch head+middle with identical bins")
+    } finally query.stop()
+  }
+
   test("dsirStream: stateless dual-LM importance gate keeps exactly the batch-weighed rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

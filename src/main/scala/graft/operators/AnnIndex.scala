@@ -1037,4 +1037,60 @@ object AnnIndex {
     val dupPos = grams.join(spark.table(tableName), Seq("__gh"), "left_semi")
     Dedup.spansFromDupPositions(dupPos, idCol, k, minSpan)
   }
+
+  // ---- cross-corpus SoftDeDup: persistent gram-df catalog ----
+
+  /** Persist [[Dedup.refGramCounts]] — (__sh, __df) reference gram
+    * document frequencies — as a bucketed+sorted catalog table: the
+    * reusable half of [[Dedup.softWeightsAgainst]]. Bucketed on __sh, so
+    * the index side of every probe join reads its buckets without an
+    * Exchange (the [[buildGramIndex]] discipline).
+    */
+  def buildGramDf(ref: DataFrame, idCol: String, textCol: String,
+      tableName: String, shingle: Int = 2, buckets: Int = 32): Unit =
+    replaceTableStaged(Dedup.refGramCounts(ref, idCol, textCol, shingle),
+      tableName, "__sh", buckets)
+
+  /** Fold a delta corpus into the gram-df catalog: document frequencies
+    * ADD across disjoint corpora (each doc contributes its distinct grams
+    * once), so the merge is an associative count sum — era append, never
+    * a rebuild. Heals a torn predecessor swap first; the staged
+    * replace-then-swap keeps every crash window recoverable
+    * ([[recoverFingerprint]]). `stageSidecar` is the streaming ingest's
+    * atomic batch-mark hook ([[stageFingerprintUpdate]] contract).
+    */
+  def updateGramDf(spark: SparkSession, tableName: String, delta: DataFrame,
+      idCol: String, textCol: String, shingle: Int = 2, buckets: Int = 32,
+      stageSidecar: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit = {
+    recoverFingerprint(spark, tableName)
+    stageGramDfUpdate(spark, tableName, delta, idCol, textCol, shingle,
+      buckets, stageSidecar)
+    swapStaging(spark, tableName)
+  }
+
+  /** First half of [[updateGramDf]]'s stage-then-swap — package-visible
+    * separately so the crash-window spec can stop between the two, and
+    * the streaming ingest can stamp its mark into the staged dir before
+    * the one atomic rename publishes (state, mark) together.
+    */
+  private[graft] def stageGramDfUpdate(spark: SparkSession, tableName: String,
+      delta: DataFrame, idCol: String, textCol: String, shingle: Int,
+      buckets: Int,
+      stageSidecar: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit = {
+    val merged = spark.table(tableName)
+      .unionByName(Dedup.refGramCounts(delta, idCol, textCol, shingle))
+      .groupBy("__sh").agg(sum(col("__df")).as("__df"))
+    val staging = stagingName(tableName)
+    replaceTable(merged, staging, "__sh", buckets)
+    stageSidecar(tableLocation(spark, staging))
+  }
+
+  /** The catalog as a counts relation for
+    * [[Dedup.softWeightsAgainstCounts]] / [[Dedup.distillGramDf]];
+    * heals a torn swap first.
+    */
+  def loadGramDf(spark: SparkSession, tableName: String): DataFrame = {
+    recoverFingerprint(spark, tableName)
+    spark.table(tableName)
+  }
 }

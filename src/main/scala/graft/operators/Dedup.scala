@@ -599,6 +599,90 @@ object Dedup {
         floor(col("weight") * lit(2147483648.0)).cast("long"))
       .select(col(idCol), col("weight"))
 
+  /** Reference-corpus gram document frequencies: (__sh, __df) — how many
+    * REFERENCE documents contain each distinct word `shingle`-gram. The
+    * distillable half of [[softWeightsAgainst]]; persisted as a bucketed
+    * catalog by [[AnnIndex.buildGramDf]] (counts add associatively, so
+    * the catalog grows by era append, never a rebuild).
+    */
+  def refGramCounts(ref: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 2): DataFrame =
+    ref.select(explode(graft.functions.HashExpressions.ngramHashes(
+        graft.functions.TextFunctions.tokens(col(textCol)), shingle)).as("__sh"))
+      .groupBy("__sh").agg(count(lit(1)).as("__df"))
+
+  /** Cross-corpus SoftDeDup: weigh PROBE documents by how much their
+    * content recurs in a REFERENCE corpus — the against-catalog member of
+    * the family ([[paragraphDedupAgainst]] / [[Cdc.dedupAgainst]]
+    * discipline, but reweighting instead of removal). Each probe gram g
+    * contributes dfRef(g) + 1 (the probe occurrence itself counts once,
+    * so a reference-disjoint document reads EXACTLY weight 1.0 and a
+    * document whose text appears k times in the reference reads
+    * 1/(k+1) — the [[softWeights]] arithmetic when probe ∪ reference is
+    * the corpus and the probe doc is unique in the probe):
+    *
+    *   sum_df(d) = Σ_{g∈G_d} (dfRef(g) + 1);  weight = |G_d| / sum_df
+    *
+    * `counts` is a (__sh, __df) relation — [[refGramCounts]] in-flight,
+    * or a loaded [[AnnIndex.loadGramDf]] catalog (bucketed: the index
+    * side of the probe join reads shuffle-free; AQE broadcasts it when
+    * it fits). One left join + one per-doc aggregate — linear, pair-free.
+    */
+  def softWeightsAgainstCounts(df: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame, shingle: Int = 2): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      explode(graft.functions.HashExpressions.ngramHashes(
+        graft.functions.TextFunctions.tokens(col(textCol)), shingle)).as("__sh"))
+    sh.join(counts, Seq("__sh"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__df"), lit(0L)) + lit(1L)).as("sum_df"))
+      .select(col("__id").as(idCol), col("n_grams"), col("sum_df"),
+        round(col("sum_df").cast("double") / col("n_grams"), 6).as("commonness"),
+        round(col("n_grams").cast("double") / col("sum_df"), 6).as("weight"))
+  }
+
+  /** [[softWeightsAgainstCounts]] with the reference counts computed
+    * in-flight from `ref`. */
+  def softWeightsAgainst(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, shingle: Int = 2): DataFrame =
+    softWeightsAgainstCounts(df, idCol, textCol,
+      refGramCounts(ref, idCol, textCol, shingle), shingle)
+
+  /** Collect a gram-df counts relation into a literal map for the
+    * map-side scorer ([[softWeightColumn]]) and the stateless streaming
+    * gate ([[graft.streaming.GraftStreaming.softDedupStream]]). EXACT
+    * (not a truncation): refuses catalogs above `maxEntries` — at that
+    * scale use the join form ([[softWeightsAgainstCounts]]), which is
+    * what the 100 TB path does anyway. The LanguageModel.distill
+    * contract.
+    */
+  def distillGramDf(counts: DataFrame, maxEntries: Int = 500000): Map[Long, Long] = {
+    val n = counts.count()
+    require(n <= maxEntries,
+      s"gram-df catalog has $n entries > maxEntries=$maxEntries — " +
+        "use softWeightsAgainstCounts (join form) at this scale")
+    counts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Map-side [[softWeightsAgainst]]: one kernel pass + one plan-literal
+    * map fold per row — no joins, no shuffle, no state; spec-gated
+    * exactly equal to the join form on the same counts. Returns a struct
+    * column (n_grams, sum_df, weight).
+    */
+  def softWeightColumn(text: Column, dfMap: Map[Long, Long],
+      shingle: Int = 2): Column = {
+    val grams = graft.functions.HashExpressions.ngramHashes(
+      graft.functions.TextFunctions.tokens(text), shingle)
+    val n = size(grams).cast("long")
+    val sumDf =
+      if (dfMap.isEmpty) n
+      else aggregate(grams, lit(0L),
+        (acc, g) => acc + coalesce(element_at(typedlit(dfMap), g), lit(0L)) + lit(1L))
+    struct(n.as("n_grams"), sumDf.as("sum_df"),
+      round(n.cast("double") / sumDf, 6).as("weight"))
+  }
+
   /** Blocked edit-distance fuzzy duplicate pairs: (idA, idB, dist) with
     * Levenshtein distance ≤ `maxDist` between (optionally head-truncated)
     * texts. EXACT for the compared text — candidate generation is

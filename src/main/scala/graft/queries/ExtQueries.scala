@@ -762,6 +762,56 @@ object ExtQueries {
     Dedup.softSample(Tables.df(s, d, "documents"), "doc_id", "text", shingle = 2)
   }
 
+  /** Cross-corpus SoftDeDup: weigh every document against the every-3rd-doc
+    * reference slice (the q_oov_ref cut) — each probe gram contributes
+    * reference-df + 1, so reference-disjoint docs read exactly 1.0. The
+    * probe/reference gram CTEs are the q_softdedup fragments instanced
+    * twice.
+    */
+  private val SoftDedupAgainstSql =
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                       i -> array_to_string(w[i:i+1], ' '))) AS s
+              FROM toks),
+       rsh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                       i -> array_to_string(w[i:i+1], ' '))) AS s
+              FROM toks WHERE doc_id % 3 = 0),
+       rdf AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS f FROM rsh GROUP BY 1),
+       a AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                    CAST(SUM(COALESCE(rdf.f, 0) + 1) AS BIGINT) AS sum_df
+             FROM sh LEFT JOIN rdf ON sh.s = rdf.s GROUP BY sh.doc_id)
+       SELECT doc_id, n_grams, sum_df,
+              round(CAST(sum_df AS DOUBLE) / n_grams, 6) AS commonness,
+              round(CAST(n_grams AS DOUBLE) / sum_df, 6) AS weight
+       FROM a"""
+
+  private val softDedupAgainstQ = q("q_softdedup_against", SoftDedupAgainstSql) { (s, d) =>
+    val docs = Tables.df(s, d, "documents")
+    Dedup.softWeightsAgainst(docs, "doc_id", "text",
+      docs.where(col("doc_id") % 3 === 0), shingle = 2)
+  }
+
+  /** The same relation through the PERSISTENT gram-df catalog, exercising
+    * the full lifecycle on the oracle gate (the q_lm_score_indexed
+    * discipline): build on half the reference slice, fold the other half
+    * in via the associative df sum, load, weigh — must equal the
+    * in-flight reference counts, so the oracle is reused VERBATIM.
+    */
+  private val softDedupAgainstIndexedQ = q("q_softdedup_against_indexed",
+    SoftDedupAgainstSql) { (s, d) =>
+    import graft.operators.AnnIndex
+    val docs = Tables.df(s, d, "documents")
+    val ref = docs.where(col("doc_id") % 3 === 0)
+    AnnIndex.buildGramDf(ref.where(col("doc_id") % 2 === 0), "doc_id", "text",
+      "graft_gramdf_idx", shingle = 2)
+    AnnIndex.updateGramDf(s, "graft_gramdf_idx",
+      ref.where(col("doc_id") % 2 =!= 0), "doc_id", "text", shingle = 2)
+    Dedup.softWeightsAgainstCounts(docs, "doc_id", "text",
+      AnnIndex.loadGramDf(s, "graft_gramdf_idx"), shingle = 2)
+  }
+
   private val dedupClustersQ = q("q_dedup_clusters",
     // connected components over the exact ngram-Jaccard pair graph
     // (same edge set as q_ngram_jaccard): every member doc labeled with
@@ -3814,7 +3864,7 @@ object ExtQueries {
     repetitionQ, repetitionNgramsQ, contaminationQ, pipelineQ,
     dedupExactQ, tokenCountQ, chunkOverlapQ, bpeTokenCountQ, bpeApplyQ, bpeBytesQ, unigramApplyQ, wordpieceApplyQ, fingerprintQ, qualityQ, qualityGateQ, qualityModelQ,
     samplePerSourceQ, langIdQ,
-    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, ngramJaccardAutoQ, softDedupQ, softDedupExactQ, softDedupSampleQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, sqEncodeQ, annSqQ, annSqRefinedQ, annIvfSqQ, annIvfSqIndexedQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
+    minhashQ, minhashFixedQ, evalDedupQ, minhashCrossQ, minhashCrossFixedQ, minhashIndexedQ, minhashIndexedFixedQ, dedupExactIndexedQ, simhashQ, simhashFixedQ, ngramJaccardQ, ngramJaccardCappedQ, ngramJaccardAutoQ, softDedupQ, softDedupExactQ, softDedupSampleQ, softDedupAgainstQ, softDedupAgainstIndexedQ, dedupClustersQ, dedupApplyQ, dedupApplyPrefQ, embDedupQ, semDedupQ, annQuantQ, annCosineQ, annLshQ, pqEncodeQ, annPqQ, sqEncodeQ, annSqQ, annSqRefinedQ, annIvfSqQ, annIvfSqIndexedQ, annIvfPqQ, annIvfPqIndexedQ, annIvfPqRefinedQ, annIvfPqRefinedIndexedQ, annImiPqRefinedQ, annImiPqRefinedIndexedQ, annImiPqResidQ, annImiPqResidIndexedQ,
     annIvfQ, annImiQ, annImiTrainedQ, annIvfIndexedQ, annIvfTrainedQ, knnJoinQ, knnJoinAutoQ, knnClusterQ, knnClusterAutoQ, diversityCapQ, diversityCapAutoQ, quantizeQ, zorderQ, zorderNQ, multimodalQ, multimodalMetaQ, phashQ, dedupMultimodalQ, audioEnergyQ, audioFingerprintQ, dedupAudioQ, keyframesQ, normalizeQ, chunkQ, sessionizeQ, sessionizeSkewQ, sessionizeFastQ, sessionAttributionQ,
     redactQ, piiStatsQ, domainStatsQ, blocklistQ, blocklistGateQ, profileCorrQ, profileSpearmanQ, profileSpearmanSampledQ, regressionQ, profileHistQ, tokenStatsQ, capPerSourceQ, vocabQ, mixtureQ, mixtureTokensQ, mixtureUnimaxQ, mixtureUnimaxTokensQ, mixtureUnimaxApplyQ, packQ, packMaskedQ, packBucketedQ, packBucketedByQ, lengthBinsBySourceQ, dpoPairsQ, negativesQ, curriculumFusedQ, funnelQ, funnelAggQ, retentionQ, asofQ, asofSkewQ, asofFastQ,
     asofForwardQ, asofToleranceQ, rangeJoinQ, intervalOverlapQ,

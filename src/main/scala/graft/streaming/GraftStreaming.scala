@@ -533,6 +533,29 @@ object GraftStreaming {
       .where(col("bin") <= maxBin)
   }
 
+  /** Stateless cross-corpus SoftDeDup gate — the streaming form of
+    * [[graft.operators.Dedup.softWeightsAgainst]]: each arriving document
+    * is weighed against a DISTILLED reference gram-df map
+    * ([[graft.operators.Dedup.distillGramDf]] over an
+    * [[graft.operators.AnnIndex.loadGramDf]] catalog — bounded, loudly
+    * require-guarded) via one kernel pass + one plan-literal map fold
+    * ([[graft.operators.Dedup.softWeightColumn]]); rows whose weight
+    * falls below `minWeight` (too much of their content recurs in the
+    * reference) are dropped, the weight rides along as `soft_weight`.
+    * No joins, no shuffle, no state, append-safe; spec-gated exactly
+    * equal to the batch join form on the same counts
+    * (GraftStreamingSpec). Catalog refresh is the caller's restart
+    * policy — the [[decontaminateStream]] contract.
+    */
+  def softDedupStream(stream: DataFrame, textCol: String,
+      dfMap: Map[Long, Long], minWeight: Double,
+      shingle: Int = 2): DataFrame =
+    stream
+      .withColumn("soft_weight",
+        graft.operators.Dedup.softWeightColumn(col(textCol), dfMap, shingle)
+          .getField("weight"))
+      .where(col("soft_weight") >= minWeight)
+
   /** The composed streaming curation pipeline — the streaming dual of the
     * batch q_pipeline (quality gate → exact dedup → decontamination):
     * stateless quality filter, watermark-bounded canonical-text dedup,
@@ -1237,6 +1260,61 @@ object GraftStreaming {
         // but unmarked and re-MERGES batch 0 onto itself.
         val staging = graft.operators.AnnIndex.stagingName(tableName)
         graft.operators.AnnIndex.buildFingerprint(batch, idCol, textCol, staging, buckets)
+        writeMarkInto(spark,
+          graft.operators.AnnIndex.tableLocation(spark, staging), checkpoint, batchId)
+        graft.operators.AnnIndex.swapStaging(spark, tableName)
+      }
+    }
+  }
+
+  /** Rolling-crawl ingest into the cross-corpus SoftDeDup gram-df catalog
+    * ([[graft.operators.AnnIndex.buildGramDf]] family): each microbatch's
+    * distinct-gram document frequencies fold into the bucketed catalog by
+    * the associative count sum — era append, never a batch rebuild — so
+    * [[graft.operators.Dedup.softWeightsAgainstCounts]] probes (and the
+    * distilled [[softDedupStream]] gate after a re-distill) always see
+    * everything ingested so far. Exactly-once through every crash window
+    * by the [[indexStreamFingerprint]] (state, mark)-atomic discipline:
+    * the batch mark is stamped INSIDE the staged table directory before
+    * the one catalog rename publishes both together; replayed batch ids
+    * at or below the mark are skipped, a torn swap heals on the next
+    * batch or load (spec-gated kill-resume matrix in
+    * GraftStreamingSpec).
+    */
+  def indexStreamGramDf(stream: DataFrame, idCol: String, textCol: String,
+      tableName: String, checkpoint: String, shingle: Int = 2,
+      buckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestGramDfBatch(batch, idCol, textCol, tableName, shingle, buckets,
+          batchId, checkpoint)
+      }
+      .start()
+
+  /** One microbatch of [[indexStreamGramDf]] — package-visible so the
+    * replay spec can drive it with explicit batch ids
+    * ([[ingestFingerprintBatch]] contract, including the
+    * (table, CHECKPOINT) mark scope).
+    */
+  private[graft] def ingestGramDfBatch(batch: DataFrame, idCol: String,
+      textCol: String, tableName: String, shingle: Int, buckets: Int,
+      batchId: Long, checkpoint: String): Unit = {
+    val spark = batch.sparkSession
+    val exists = graft.operators.AnnIndex.recoverFingerprint(spark, tableName)
+    val mark = if (exists) readBatchMark(spark, tableName, checkpoint) else -1L
+    if (batchId > mark) {
+      if (exists)
+        graft.operators.AnnIndex.updateGramDf(spark, tableName, batch,
+          idCol, textCol, shingle, buckets,
+          stageSidecar = stagingDir => {
+            copyMarks(spark, tableName, stagingDir)
+            writeMarkInto(spark, stagingDir, checkpoint, batchId)
+          })
+      else {
+        val staging = graft.operators.AnnIndex.stagingName(tableName)
+        graft.operators.AnnIndex.buildGramDf(batch, idCol, textCol, staging,
+          shingle, buckets)
         writeMarkInto(spark,
           graft.operators.AnnIndex.tableLocation(spark, staging), checkpoint, batchId)
         graft.operators.AnnIndex.swapStaging(spark, tableName)

@@ -545,4 +545,37 @@ class AnnIndexSpec extends AnyFunSuite {
       assert(crossed.vocabSize == 2 && crossed.totalTokens == 5)
     } finally drop()
   }
+
+  test("gram-df catalog: era append == one-shot build; staged-swap crash heals; probe join stays Exchange-free on the index side") {
+    val d = docs()
+    val table = "gramdf_idx_spec"
+    def drop(): Unit = Seq(table, AnnIndex.stagingName(table))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`").collect())
+    drop()
+    try {
+      AnnIndex.buildGramDf(d.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        table, shingle = 2, buckets = 4)
+      AnnIndex.updateGramDf(spark, table, d.where(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", shingle = 2, buckets = 4)
+      def weigh(counts: org.apache.spark.sql.DataFrame) =
+        Dedup.softWeightsAgainstCounts(d, "doc_id", "text", counts, shingle = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
+      val want = weigh(Dedup.refGramCounts(d, "doc_id", "text", shingle = 2))
+      assert(weigh(AnnIndex.loadGramDf(spark, table)) == want && want.nonEmpty,
+        "build+append catalog must weigh exactly like in-flight whole-corpus counts")
+      // catalog is bucketed+sorted on the join key, so a shuffle-join probe
+      // reads the index side without an Exchange (the buildGramIndex
+      // layout contract — asserted via the persisted table metadata)
+      val desc = spark.sql(s"DESCRIBE EXTENDED `$table`").collect().map(_.mkString(" "))
+      assert(desc.exists(l => l.contains("Bucket") && l.contains("__sh")),
+        s"catalog must be bucketed on __sh:\n${desc.mkString("\n")}")
+      // crash window: staging table complete, live table dropped — load
+      // heals (content equality; this CTAS simulation does not preserve
+      // the bucketed layout, the real staged build does)
+      spark.sql(s"CREATE TABLE `${AnnIndex.stagingName(table)}` AS SELECT * FROM `$table`")
+      spark.sql(s"DROP TABLE `$table`")
+      assert(weigh(AnnIndex.loadGramDf(spark, table)) == want, "torn swap must heal on load")
+      assert(!spark.catalog.tableExists(AnnIndex.stagingName(table)))
+    } finally drop()
+  }
 }

@@ -596,4 +596,37 @@ class DedupSpec extends AnyFunSuite {
     assert(weights.filter(_._1 >= 20L).forall(_._3), "weight-1.0 docs always survive")
     assert(kept.count(_ < 20L) < 20, "duplicated mass must actually thin")
   }
+
+  test("softWeightsAgainst: disjoint = 1.0, k-fold reference dup = 1/(k+1); distilled == join form") {
+    import org.apache.spark.sql.functions.col
+    val ref = Seq((0L, base), (1L, base), (2L, "shared words here plus tail"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, base),                           // twice in ref -> every gram df 2 -> 1/3
+      (11L, unrelated),                      // disjoint -> exactly 1.0
+      (12L, "shared words here plus tail"))  // once in ref -> 1/2
+      .toDF("doc_id", "text")
+    val w = Dedup.softWeightsAgainst(probe, "doc_id", "text", ref, shingle = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(w(10L) == math.rint(1e6 / 3) / 1e6, s"2x-in-ref must weigh 1/3: $w")
+    assert(w(11L) == 1.0, s"reference-disjoint must weigh exactly 1.0: $w")
+    assert(w(12L) == 0.5, s"1x-in-ref must weigh 1/2: $w")
+    // the distilled map-side scorer reproduces the join form bit-for-bit
+    val counts = Dedup.refGramCounts(ref, "doc_id", "text", shingle = 2)
+    val dfMap = Dedup.distillGramDf(counts)
+    val viaCol = probe.select(col("doc_id"),
+        Dedup.softWeightColumn(col("text"), dfMap, shingle = 2).as("s"))
+      .collect().map(r => (r.getLong(0), r.getStruct(1).getLong(0),
+        r.getStruct(1).getLong(1), r.getStruct(1).getDouble(2)))
+    val viaJoin = Dedup.softWeightsAgainstCounts(probe, "doc_id", "text", counts, shingle = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(viaCol.sortBy(_._1).toSeq == viaJoin.sortBy(_._1).toSeq,
+      "distilled fold must equal the join form exactly")
+    // the distill guard refuses oversized catalogs LOUDLY
+    intercept[IllegalArgumentException](Dedup.distillGramDf(counts, maxEntries = 3))
+    // empty-map degenerate: all weights 1.0
+    val w0 = probe.select(Dedup.softWeightColumn(col("text"), Map.empty, 2).getField("weight"))
+      .collect().map(_.getDouble(0))
+    assert(w0.forall(_ == 1.0))
+  }
 }

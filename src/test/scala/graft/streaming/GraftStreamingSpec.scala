@@ -1130,6 +1130,58 @@ class GraftStreamingSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`").collect())
   }
 
+  test("gram-df ingest: df counts exactly-once through every crash window (atomic state+mark swap)") {
+    import spark.implicits._
+    val table = "gramdf_eo_idx"
+    val ckpt = "target/io_tmp/gramdf_eo_ckpt"
+    // five recurring bodies so gram df counts GROW with every batch —
+    // a replayed batch inflates df unless the mark skips it
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"shared body text ${i % 5} tail")).toDF("doc_id", "text")
+    def truthOn(hi: Long, name: String) = {
+      graft.operators.AnnIndex.buildGramDf(batch(0, hi), "doc_id", "text", name,
+        shingle = 2, buckets = 4)
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def state() = spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ingest(df: org.apache.spark.sql.DataFrame, id: Long) =
+      GraftStreaming.ingestGramDfBatch(df, "doc_id", "text", table,
+        shingle = 2, buckets = 4, batchId = id, checkpoint = ckpt)
+    val staging = graft.operators.AnnIndex.stagingName(table)
+    Seq(table, staging, "gramdf_eo_t1", "gramdf_eo_t2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`").collect())
+    try {
+      ingest(batch(0, 20), 0L)
+      // crash window A: batch 1 staged (no mark yet), live still present —
+      // the replay must re-apply ONCE against the pre-swap state
+      graft.operators.AnnIndex.stageGramDfUpdate(spark, table,
+        batch(20, 40), "doc_id", "text", shingle = 2, buckets = 4)
+      ingest(batch(20, 40), 1L)
+      assert(state() == truthOn(40, "gramdf_eo_t1"),
+        "crash-before-swap replay must yield exactly-once df counts")
+      // crash window B: batch 2 fully staged AND marked, live dropped,
+      // rename pending — the replay must heal the install and SKIP
+      ingest(batch(40, 60), 2L)
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `$staging`")
+      ingest(batch(40, 60), 2L)
+      assert(state() == truthOn(60, "gramdf_eo_t2"),
+        "crash-between-drop-and-rename replay must heal then skip — df exact")
+      assert(!spark.catalog.tableExists(staging))
+      // the healed catalog weighs identically to a one-shot reference build
+      val probe = Seq((900L, "shared body text 1 tail"), (901L, "nothing in common whatsoever"))
+        .toDF("doc_id", "text")
+      val viaCatalog = graft.operators.Dedup.softWeightsAgainstCounts(
+        probe, "doc_id", "text", graft.operators.AnnIndex.loadGramDf(spark, table),
+        shingle = 2).collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      val viaFresh = graft.operators.Dedup.softWeightsAgainst(
+        probe, "doc_id", "text", batch(0, 60), shingle = 2)
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      assert(viaCatalog == viaFresh && viaCatalog(901L) == 1.0)
+    } finally Seq(table, staging, "gramdf_eo_t1", "gramdf_eo_t2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`").collect())
+  }
+
   test("indexStreamIvfSq: sidecar-read quantizer; streamed codes probe == in-flight; replay + compaction stable") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -1664,6 +1716,43 @@ class GraftStreamingSpec extends AnyFunSuite {
       assert(streamed == batchKept,
         "stateless per-language gate must keep EXACTLY the batch head+middle with identical bins")
     } finally query.stop()
+  }
+
+  test("softDedupStream: stateless cross-corpus weight gate keeps exactly the batch rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.{AnnIndex, Dedup}
+    val base = "the quick brown fox jumps over the lazy dog near the fire"
+    val ref = ((0 until 6).map(i => (i.toLong, base)) :+
+      ((6L, "boilerplate cookie banner accept all"))).toDF("doc_id", "text")
+    val table = "gramdf_stream_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    try {
+      AnnIndex.buildGramDf(ref, "doc_id", "text", table, shingle = 2, buckets = 2)
+      val counts = AnnIndex.loadGramDf(spark, table)
+      val cand = Seq(
+        (100L, base),                                    // 6x in ref: weight 1/7
+        (101L, "boilerplate cookie banner accept all"),  // 1x in ref: 1/2
+        (102L, "fresh unique prose about new topics"))   // disjoint: 1.0
+      val batch = Dedup.softWeightsAgainstCounts(cand.toDF("doc_id", "text"),
+        "doc_id", "text", counts, shingle = 2)
+        .where(col("weight") >= 0.4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      assert(batch.keySet == Set(101L, 102L), s"fixture must split: $batch")
+      val dfMap = Dedup.distillGramDf(counts)
+      val input = MemoryStream[(Long, String)]
+      val gated = GraftStreaming.softDedupStream(
+        input.toDF().toDF("doc_id", "text"), "text", dfMap, minWeight = 0.4)
+      val query = GraftStreaming.storeStreamMemory(gated, "softdedup_gate_test")
+      try {
+        input.addData(cand.take(1)); query.processAllAvailable()
+        input.addData(cand.drop(1)); query.processAllAvailable()
+        val streamed = spark.table("softdedup_gate_test")
+          .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("soft_weight")).toMap
+        assert(streamed == batch,
+          "stateless gate must keep EXACTLY the batch rows with identical weights")
+      } finally query.stop()
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$table`")
   }
 
   test("dsirStream: stateless dual-LM importance gate keeps exactly the batch-weighed rows") {

@@ -992,10 +992,21 @@ object Dedup {
   private def gramArrays(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     import graft.functions.TextFunctions.tokens
+    // Docs with < k tokens must emit NO windows (ngramHashesAll's
+    // short-text fallback would fabricate a partial window), but that
+    // guard lives INSIDE the projection as a `when`, not in a Filter: a
+    // `.where(size(__t) >= k)` gets pushdown-substituted through the
+    // Project and re-inlines the tokenizer into the scan Filter — every
+    // doc then pays the regex tokenize twice (r15 plan audit). The
+    // two-Project shape is kept by CollapseProject (non-cheap alias
+    // referenced twice), so tokens() evaluates exactly once; downstream
+    // explodes drop the empty arrays exactly where the filter dropped
+    // the rows.
     df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
-      .where(size(col("__t")) >= k)
       .select(col("__id"),
-        graft.functions.HashExpressions.ngramHashesAll(col("__t"), k).as("__g"))
+        when(size(col("__t")) >= k,
+          graft.functions.HashExpressions.ngramHashesAll(col("__t"), k))
+          .otherwise(typedLit(Array.empty[Long])).as("__g"))
   }
 
   private def explodeGramArrays(arrays: DataFrame): DataFrame =
@@ -1088,10 +1099,13 @@ object Dedup {
       k: Int = 3, minSpan: Int = 5): DataFrame = {
     require(k >= 1 && minSpan >= k, "need minSpan >= k >= 1")
     import graft.functions.TextFunctions.tokens
+    // short-doc guard inside the projection (see gramArrays: a size
+    // Filter would re-inline the tokenizer into the scan and tokenize
+    // every benchmark doc twice); explode drops the empty arrays
     val pool = benchmark.select(tokens(col(benchTextCol)).as("__t"))
-      .where(size(col("__t")) >= k)
-      .select(explode(
-        graft.functions.HashExpressions.ngramHashesAll(col("__t"), k)).as("__gh"))
+      .select(explode(when(size(col("__t")) >= k,
+        graft.functions.HashExpressions.ngramHashesAll(col("__t"), k))
+        .otherwise(typedLit(Array.empty[Long]))).as("__gh"))
       .distinct()
     val grams = gramPositions(df, idCol, textCol, k)
     spansFromDupPositions(
@@ -1121,10 +1135,11 @@ object Dedup {
   def distillBenchmarkGrams(benchmark: DataFrame, textCol: String,
       k: Int = 3, maxEntries: Int = 2000000): Array[Long] = {
     import graft.functions.TextFunctions.tokens
+    // short-doc guard in the projection, not a Filter (see gramArrays)
     val pool = benchmark.select(tokens(col(textCol)).as("__t"))
-      .where(size(col("__t")) >= k)
-      .select(explode(
-        graft.functions.HashExpressions.ngramHashesAll(col("__t"), k)).as("__gh"))
+      .select(explode(when(size(col("__t")) >= k,
+        graft.functions.HashExpressions.ngramHashesAll(col("__t"), k))
+        .otherwise(typedLit(Array.empty[Long]))).as("__gh"))
       .distinct()
     val n = pool.count()
     require(n <= maxEntries,
@@ -1161,10 +1176,22 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__para"))
       .where(trim(col("__para")) =!= "")
       .withColumn("__fp", fingerprint(col("__para")))
-    val winners = paras.groupBy("__fp")
-      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
-    paras.join(winners, Seq("__fp"))
-      .where(col("__id") === col("__w.__id") && col("__pos") === col("__w.__pos"))
+    // The winner row per fingerprint is min(__id, __pos) — and carrying
+    // __para INSIDE the min(struct) makes the aggregate return the whole
+    // winning row, so no join back onto the paragraph stream is needed.
+    // (__id, __pos) is unique per row, so the struct comparison never
+    // reaches the __para field: the winner set is identical to the old
+    // min(id,pos)+join formulation. This halves the corpus work — the
+    // explode+fingerprint lineage executed TWICE before (winners agg +
+    // join probe; r15 plan audit, plans/r15/q_dedup_paragraph_before.txt
+    // operators (1)-(13) vs (14)-(30)) — and drops the fingerprint-keyed
+    // SortMergeJoin with both of its sorts. Hot-fingerprint skew still
+    // collapses map-side: the partial aggregate keeps ONE (id,pos,para)
+    // per fingerprint per task.
+    paras.groupBy("__fp")
+      .agg(min(struct(col("__id"), col("__pos"), col("__para"))).as("__w"))
+      .select(col("__w.__id").as("__id"), col("__w.__pos").as("__pos"),
+        col("__w.__para").as("__para"))
       .groupBy(col("__id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),

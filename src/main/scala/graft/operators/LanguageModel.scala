@@ -54,13 +54,18 @@ object LanguageModel {
 
   /** Lowercased whitespace token array per doc, empties dropped so token
     * POSITIONS (bigram adjacency) survive multi-space runs identically in
-    * both engines: (`__id`, `__t`), rows with ≥1 token only.
+    * both engines: (`__id`, `__t`). May include zero-token rows: every
+    * consumer explodes `__t` (empty arrays generate nothing), so a
+    * `size >= 1` filter here would be semantically inert — and it is a
+    * measured pessimization: predicate pushdown substitutes the filter
+    * through the Project, inlining the whole split+filter tokenizer into
+    * the scan Filter, so every document pays the regex tokenize TWICE
+    * (r15 plan audit, plans/r15/q_dsir_before.txt Filter(2)+Project(3)).
     */
   private def tokenArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("__id"),
         filter(graft.functions.TextFunctions.tokens(lower(col(textCol))),
           w => w =!= "").as("__t"))
-      .where(size(col("__t")) >= 1)
 
   /** ilog2(x)+1 — the |bin(x)| surprisal building block. */
   private def binLen(c: Column): Column = length(bin(c))

@@ -98,17 +98,22 @@ object LanguageModel {
     val uni = toks.select(explode(col("__t")).as("__w"))
       .groupBy(col("__w").as("word"))
       .agg(count(lit(1)).as("c"))
-    // bigram adjacency from the per-doc arrays (no cross-doc bigrams)
-    val bi = toks.where(size(col("__t")) >= 2)
-      .select(explode(zip_with(
-        slice(col("__t"), lit(1), size(col("__t")) - 1),
-        slice(col("__t"), lit(2), size(col("__t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
-      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val bi = bigramPairs(toks)
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
     (uni, bi)
   }
+
+  /** (w1, w2) bigram adjacency stream from per-doc token arrays (no
+    * cross-doc bigrams) — plus any extra passthrough columns.
+    */
+  private def bigramPairs(toks: DataFrame, extra: Column*): DataFrame =
+    toks.where(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p") +: extra: _*)
+      .select(col("__p.w1").as("w1") +: col("__p.w2").as("w2") +: extra: _*)
 
   /** Assemble a scoring model from raw count tables: vocabulary =
     * words with count >= minCount; bigrams restricted to in-vocab ends
@@ -139,20 +144,27 @@ object LanguageModel {
     * tokens are absent from the output (no probability is defined for
     * them), matching the oovRate contract.
     */
-  def scoreDocs(df: DataFrame, idCol: String, textCol: String,
-      lm: NgramLm): DataFrame = {
-    require(lm.vocabSize >= 1, "reference vocabulary is empty")
-    val toks = tokenArrays(df, idCol, textCol)
-    // transition stream: pos 0 carries (null → t1) scored by the unigram
-    // model; pos i≥1 carries (t_i-1 → t_i) scored by the bigram model.
-    // One explode, two count-table left joins, one re-aggregation.
-    val events = toks.select(col("__id"), col("__t"), size(col("__t")).as("__n"),
+  /** Per-token transition stream (`__id`, `__n`, `__pos`, `__w`,
+    * `__prev`): pos 0 carries (null → t1) scored by the unigram model;
+    * pos i≥1 carries (t_i-1 → t_i) scored by the bigram model. One
+    * explode; `__prev` reads the previous token from the pre-explode
+    * array (pipelined inside the same codegen stage, never shuffled).
+    */
+  private def transitionEvents(toks: DataFrame): DataFrame =
+    toks.select(col("__id"), col("__t"), size(col("__t")).as("__n"),
         posexplode(col("__t")))
       .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__w"))
       .withColumn("__prev",
         when(col("__pos") === 0, lit(null).cast("string"))
           .otherwise(element_at(col("__t"), col("__pos"))))
       .select(col("__id"), col("__n"), col("__pos"), col("__w"), col("__prev"))
+
+  def scoreDocs(df: DataFrame, idCol: String, textCol: String,
+      lm: NgramLm): DataFrame = {
+    require(lm.vocabSize >= 1, "reference vocabulary is empty")
+    val toks = tokenArrays(df, idCol, textCol)
+    // One explode, two count-table left joins, one re-aggregation.
+    val events = transitionEvents(toks)
     val uni = lm.unigrams.select(col("word"), col("c").as("__cw"))
     val uniPrev = lm.unigrams.select(col("word").as("__prevw"), col("c").as("__cu"))
     val bi = lm.bigrams.select(col("w1"), col("w2"), col("c").as("__cb"))
@@ -244,13 +256,7 @@ object LanguageModel {
     require(lmTarget.vocabSize >= 1, "target vocabulary is empty")
     require(lmRaw.vocabSize >= 1, "raw vocabulary is empty")
     val toks = tokenArrays(df, idCol, textCol)
-    val events = toks.select(col("__id"), col("__t"), size(col("__t")).as("__n"),
-        posexplode(col("__t")))
-      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__w"))
-      .withColumn("__prev",
-        when(col("__pos") === 0, lit(null).cast("string"))
-          .otherwise(element_at(col("__t"), col("__pos"))))
-      .select(col("__id"), col("__n"), col("__pos"), col("__w"), col("__prev"))
+    val events = transitionEvents(toks)
     def joined(ev: DataFrame, lm: NgramLm, sfx: String): DataFrame = {
       val uni = lm.unigrams.select(col("word").as(s"__word$sfx"), col("c").as(s"__cw$sfx"))
       val uniPrev = lm.unigrams.select(col("word").as(s"__pword$sfx"), col("c").as(s"__cu$sfx"))
@@ -285,12 +291,109 @@ object LanguageModel {
   /** Train-both-slices + weigh-corpus composition (the q_dsir shape):
     * the target slice plays Wikipedia/The Pile's trusted subset, the raw
     * slice plays the web crawl being re-weighted.
+    *
+    * FUSED since r15 (spec-gated exactly equal to
+    * `dsirWeights(train(target), train(raw))`): the two models share one
+    * physical plan instead of two independent [[train]]s —
+    *
+    *  - ONE tagged tokenize pass over the union of both reference slices
+    *    (was: each slice scanned and tokenized separately);
+    *  - conditional count aggregates produce BOTH models' unigram and
+    *    bigram tables in one shuffle each, with the per-model
+    *    `minCount`/in-vocab-ends cuts applied as column nulling on the
+    *    combined tables (a count below its model's threshold scores as
+    *    unseen — exactly the rows the per-model tables dropped);
+    *  - both models' (T, V) scalars come from ONE driver action;
+    *  - the corpus transition stream probes THREE combined count tables
+    *    instead of six per-model ones — at broadcast size that halves
+    *    the per-token hash probes, and when vocabulary outgrows
+    *    broadcast it halves the number of corpus-sized shuffles.
+    *
+    * Arithmetic parity: a gram absent from one model's side of a
+    * combined table carries NULL there, and `coalesce(c, 0)` in the bits
+    * terms is exactly the old left-join miss.
     */
   def dsirAgainstSlices(df: DataFrame, idCol: String, textCol: String,
-      targetRef: DataFrame, rawRef: DataFrame, minCount: Long = 1L): DataFrame =
-    dsirWeights(df, idCol, textCol,
-      train(targetRef, idCol, textCol, minCount),
-      train(rawRef, idCol, textCol, minCount))
+      targetRef: DataFrame, rawRef: DataFrame, minCount: Long = 1L): DataFrame = {
+    val tagged = targetRef.select(col(idCol).as("__id"), col(textCol).as("__x"),
+        lit(true).as("__tgt"))
+      .unionAll(rawRef.select(col(idCol).as("__id"), col(textCol).as("__x"),
+        lit(false).as("__tgt")))
+    val toks = Materialize.once(tagged.select(
+      filter(graft.functions.TextFunctions.tokens(lower(col("__x"))),
+        w => w =!= "").as("__t"),
+      col("__tgt")))
+    def sideCount(isTarget: Boolean) =
+      sum(when(col("__tgt") === isTarget, 1L).otherwise(0L))
+    // combined unigram table: per-model counts, each nulled below its
+    // model's vocabulary threshold (== dropped from that model's table)
+    val uniBoth = Materialize.once(
+      toks.select(col("__tgt"), explode(col("__t")).as("word"))
+        .groupBy("word")
+        .agg(sideCount(true).as("__ct0"), sideCount(false).as("__cr0"))
+        .select(col("word"),
+          when(col("__ct0") >= minCount, col("__ct0")).as("cT"),
+          when(col("__cr0") >= minCount, col("__cr0")).as("cR"))
+        .where(col("cT").isNotNull || col("cR").isNotNull))
+    // combined bigram table: per-model counts nulled unless BOTH ends are
+    // in that model's vocabulary (the closed-vocabulary construction) and
+    // the pair was seen by that model at all
+    val endT = (c: String) => col(c).isNotNull
+    val v1 = uniBoth.select(col("word").as("w1"),
+      endT("cT").as("__vT1"), endT("cR").as("__vR1"))
+    val v2 = uniBoth.select(col("word").as("w2"),
+      endT("cT").as("__vT2"), endT("cR").as("__vR2"))
+    val biBoth = Materialize.once(
+      bigramPairs(toks, col("__tgt"))
+        .groupBy("w1", "w2")
+        .agg(sideCount(true).as("__bt0"), sideCount(false).as("__br0"))
+        .join(v1, Seq("w1"), "left").join(v2, Seq("w2"), "left")
+        .select(col("w1"), col("w2"),
+          when(coalesce(col("__vT1"), lit(false)) &&
+            coalesce(col("__vT2"), lit(false)) && col("__bt0") >= 1,
+            col("__bt0")).as("cbT"),
+          when(coalesce(col("__vR1"), lit(false)) &&
+            coalesce(col("__vR2"), lit(false)) && col("__br0") >= 1,
+            col("__br0")).as("cbR"))
+        .where(col("cbT").isNotNull || col("cbR").isNotNull))
+    // both models' (T, V) from ONE action
+    val tv = uniBoth.agg(
+      coalesce(sum(col("cT")), lit(0L)), count(col("cT")),
+      coalesce(sum(col("cR")), lit(0L)), count(col("cR"))).head()
+    val (tT, vT, tR, vR) = (tv.getLong(0), tv.getLong(1), tv.getLong(2), tv.getLong(3))
+    require(vT >= 1, "target vocabulary is empty")
+    require(vR >= 1, "raw vocabulary is empty")
+
+    val events = transitionEvents(tokenArrays(df, idCol, textCol))
+    val uniW = uniBoth.select(col("word").as("__wordW"),
+      col("cT").as("__cwT"), col("cR").as("__cwR"))
+    val uniP = uniBoth.select(col("word").as("__wordP"),
+      col("cT").as("__cuT"), col("cR").as("__cuR"))
+    val biC = biBoth.select(col("w1"), col("w2"),
+      col("cbT").as("__cbT"), col("cbR").as("__cbR"))
+    def bits(t: Long, v: Long, cw: String, cu: String, cb: String): Column =
+      when(col("__pos") === 0,
+        binLen(lit(t + v)) - binLen(coalesce(col(cw), lit(0L)) + lit(1L)))
+        .otherwise(
+          binLen(coalesce(col(cu), lit(0L)) + lit(v)) -
+            binLen(coalesce(col(cb), lit(0L)) + lit(1L)))
+    events
+      .join(uniW, col("__w") === col("__wordW"), "left").drop("__wordW")
+      .join(uniP, col("__prev") === col("__wordP"), "left").drop("__wordP")
+      .join(biC, col("__prev") === col("w1") && col("__w") === col("w2"), "left")
+      .drop("w1", "w2")
+      .withColumn("__bt", bits(tT, vT, "__cwT", "__cuT", "__cbT"))
+      .withColumn("__br", bits(tR, vR, "__cwR", "__cuR", "__cbR"))
+      .groupBy(col("__id"))
+      .agg(max(col("__n")).cast("long").as("n_tokens"),
+        sum(col("__bt")).cast("long").as("bits_target"),
+        sum(col("__br")).cast("long").as("bits_raw"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        col("bits_target"), col("bits_raw"),
+        (col("bits_raw") - col("bits_target")).as("dsir_bits"),
+        round((col("bits_raw") - col("bits_target")).cast("double") / col("n_tokens"), 6)
+          .as("dsir_bits_per_token"))
+  }
 
   /** A distilled LM: the count tables collected into driver maps, bounded
     * by `maxEntries` (the Bloom-mBits / BPE-maxVocab driver-state

@@ -627,6 +627,27 @@ class SignalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused dsirAgainstSlices == dsirWeights over two independently trained models") {
+    // the r15 fused path (one tagged reference pass, combined count
+    // tables, three corpus joins) must be value-identical to the
+    // two-train six-join composition it replaced — including minCount
+    // vocabulary cuts and the in-vocab-ends bigram restriction
+    val docs = corpusDf
+    for (mc <- Seq(1L, 2L, 5L)) {
+      val fused = LanguageModel.dsirAgainstSlices(docs, "doc_id", "text",
+          docs.where(col("doc_id") % 3 === 0), docs.where(col("doc_id") % 3 === 1),
+          minCount = mc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      val dual = LanguageModel.dsirWeights(docs, "doc_id", "text",
+          LanguageModel.train(docs.where(col("doc_id") % 3 === 0), "doc_id", "text", mc),
+          LanguageModel.train(docs.where(col("doc_id") % 3 === 1), "doc_id", "text", mc))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      assert(fused == dual, s"fused dsir diverges from the dual-train path at minCount=$mc")
+    }
+  }
+
   test("dsir: target-distribution docs get higher importance weights than raw-distribution docs") {
     // target distribution: phrase A; raw distribution: phrase B; two
     // candidates, one from each distribution — the A-like doc must carry

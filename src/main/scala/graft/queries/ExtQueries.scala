@@ -3112,11 +3112,23 @@ object ExtQueries {
        FROM q1 JOIN win USING (doc_id) LEFT JOIN cont USING (doc_id)
        WHERE coalesce(contamination, 0.0) <= 0.2""") { (s, d) =>
     val docs = Tables.df(s, d, "documents")
+    // The quality cut is applied AFTER the checkpoint barrier, not inside
+    // the scored projection's lineage: a `.where(quality > 0.5)` below the
+    // barrier gets pushdown-substituted under the Project, inlining the
+    // whole qualityScore tree into a FilterExec — which does not run
+    // subexpression elimination, so the five feature-field reads each
+    // re-evaluated the quality kernel per document (measured 8.9 s vs
+    // 2.2 s for this pass on the 9.6 KB-doc length twin, ProbePipelineParts
+    // r15). Checkpointing every non-benchmark doc's narrow row (id,
+    // source, quality, fp — no text) and filtering the materialized
+    // column costs a few percent more checkpoint bytes and removes the
+    // duplicated kernel evaluation entirely.
     val scored = graft.operators.Materialize.once(docs
+      .where(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("source"),
         qualityScore(col("text")).as("quality"),
-        fingerprint(col("text")).as("__fp"))
-      .where(col("quality") > 0.5 && col("doc_id") % 50 =!= 0))
+        fingerprint(col("text")).as("__fp")))
+      .where(col("quality") > 0.5)
     // Dedup.exact's min-id-per-fingerprint on the precomputed fp column
     val winners = scored.groupBy("__fp").agg(min("doc_id").as("doc_id")).select("doc_id")
     val cont = Dedup.ngramContamination(

@@ -790,13 +790,13 @@ object AnnIndex {
       .where(col("__bb") === xxhash64(firstAgree.cast("int") - 1,
         get(col("__bhA"), firstAgree.cast("int") - 1)))
       .select(col("idA"), col("idB"))
-    pairs
-      .join(s.select(col("__id").as("idA"), col("__sig").as("__sigA")), "idA")
-      .join(spark.table(tableName + "_sigs")
-        .select(col("__id").as("idB"), col("__sig").as("__sigB")), "idB")
-      .withColumn("est_jaccard",
-        graft.functions.HashExpressions.signatureAgreement(col("__sigA"), col("__sigB")))
-      .where(col("est_jaccard") >= threshold)
+    KeepRows.matching(pairs
+        .join(s.select(col("__id").as("idA"), col("__sig").as("__sigA")), "idA")
+        .join(spark.table(tableName + "_sigs")
+          .select(col("__id").as("idB"), col("__sig").as("__sigB")), "idB"),
+        "est_jaccard",
+        graft.functions.HashExpressions.signatureAgreement(col("__sigA"), col("__sigB")),
+        _ >= threshold)
       .select(col("idA"), col("idB"), col("est_jaccard"))
   }
 

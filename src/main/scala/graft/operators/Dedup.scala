@@ -105,12 +105,12 @@ object Dedup {
       .where(col("__band") === firstAgree - 1)
       .select(col("idA"), col("idB"))
     // full-signature verify only for surviving candidate pairs
-    pairs
-      .join(sigs.select(col("__id").as("idA"), col("__sig").as("__sigA")), "idA")
-      .join(sigs.select(col("__id").as("idB"), col("__sig").as("__sigB")), "idB")
-      .withColumn("est_jaccard",
-        graft.functions.HashExpressions.signatureAgreement(col("__sigA"), col("__sigB")))
-      .where(col("est_jaccard") >= threshold)
+    KeepRows.matching(pairs
+        .join(sigs.select(col("__id").as("idA"), col("__sig").as("__sigA")), "idA")
+        .join(sigs.select(col("__id").as("idB"), col("__sig").as("__sigB")), "idB"),
+        "est_jaccard",
+        graft.functions.HashExpressions.signatureAgreement(col("__sigA"), col("__sigB")),
+        _ >= threshold)
       .select(col("idA"), col("idB"), col("est_jaccard"))
   }
 
@@ -386,11 +386,12 @@ object Dedup {
     val firstAgree = array_position(
       array((0 until chunks).map(ci =>
         chunkKey(col("__sigA"), ci) === chunkKey(col("__sigB"), ci)): _*), true)
-    l.join(r, Seq("__chunk", "__key"))
-      .where(col("idA") < col("idB"))
-      .where(col("__chunk") === firstAgree - 1)
-      .withColumn("hamming", hammingDistance(col("__sigA"), col("__sigB")))
-      .where(col("hamming") <= maxHamming)
+    KeepRows.matching(
+        l.join(r, Seq("__chunk", "__key"))
+          .where(col("idA") < col("idB"))
+          .where(col("__chunk") === firstAgree - 1),
+        "hamming", hammingDistance(col("__sigA"), col("__sigB")),
+        _ <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))
   }
 
@@ -1297,10 +1298,10 @@ object Dedup {
       .withColumn("__sig", hyperplaneSignature(col("__v"), bits)))
     val l = sigs.select(col("__sig"), col("__id").as("idA"), col("__v").as("__va"))
     val r = sigs.select(col("__sig"), col("__id").as("idB"), col("__v").as("__vb"))
-    l.join(r, "__sig")
-      .where(col("idA") < col("idB"))
-      .withColumn("cosine", cosineSimilarity(col("__va"), col("__vb")))
-      .where(col("cosine") >= threshold)
+    KeepRows.matching(
+        l.join(r, "__sig").where(col("idA") < col("idB")),
+        "cosine", cosineSimilarity(col("__va"), col("__vb")),
+        _ >= threshold)
       .select(col("idA"), col("idB"), col("cosine"))
   }
 

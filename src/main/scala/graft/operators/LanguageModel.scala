@@ -465,8 +465,11 @@ object LanguageModel {
     */
   def scoreDocsDistilled(df: DataFrame, idCol: String, textCol: String,
       d: DistilledLm): DataFrame =
-    df.select(col(idCol), scoreColumn(col(textCol), d).as("__s"))
-      .where(col("__s").isNotNull)
+    // KeepRows: an isNotNull where on the aliased fold would re-inline
+    // the WHOLE scoring fold into the pushed-down Filter (no
+    // subexpression elimination there) — the fold evaluates once here
+    KeepRows.nonNull(df.select(col(idCol), col(textCol)), "__s",
+        scoreColumn(col(textCol), d))
       .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
         col("__s.lm_bits").as("lm_bits"),
         col("__s.bits_per_token").as("bits_per_token"))

@@ -187,9 +187,11 @@ object GraftStreaming {
       benchmark: DataFrame, maxContamination: Double, shingle: Int = 3,
       mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
     val bits = graft.operators.Bloom.buildFilter(benchmark, textCol, shingle, mBits, k)
-    stream.withColumn("contamination_bloom",
-        graft.operators.Bloom.contaminationColumn(col(textCol), bits, shingle, mBits, k))
-      .where(col("contamination_bloom") <= maxContamination)
+    // KeepRows: a withColumn+where shape would re-evaluate the bloom
+    // probe kernel in the pushed-down Filter (r15; KeepRows scaladoc)
+    graft.operators.KeepRows.matching(stream, "contamination_bloom",
+      graft.operators.Bloom.contaminationColumn(col(textCol), bits, shingle, mBits, k),
+      _ <= maxContamination)
   }
 
   /** Stateless line-wise corrections on a stream
@@ -218,9 +220,9 @@ object GraftStreaming {
       benchmark: DataFrame, maxContamination: Double, shingle: Int = 3,
       w: Int = 4, mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
     val bits = graft.operators.Winnow.buildFilter(benchmark, textCol, shingle, w, mBits, k)
-    stream.withColumn("winnow_contamination_bloom",
-        graft.operators.Winnow.contaminationBloomColumn(col(textCol), bits, shingle, w, mBits, k))
-      .where(col("winnow_contamination_bloom") <= maxContamination)
+    graft.operators.KeepRows.matching(stream, "winnow_contamination_bloom",
+      graft.operators.Winnow.contaminationBloomColumn(col(textCol), bits, shingle, w, mBits, k),
+      _ <= maxContamination)
   }
 
   /** [[winnowDecontaminateStream]] with CONTENT-DEFINED chunk
@@ -239,10 +241,10 @@ object GraftStreaming {
       mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
     val bits = graft.operators.Cdc.buildFilter(catalog, textCol,
       minSize, avgBits, maxSize, mBits, k)
-    stream.withColumn("cdc_contamination_bloom",
-        graft.operators.Cdc.contaminationBloomColumn(col(textCol), bits,
-          minSize, avgBits, maxSize, mBits, k))
-      .where(col("cdc_contamination_bloom") <= maxContamination)
+    graft.operators.KeepRows.matching(stream, "cdc_contamination_bloom",
+      graft.operators.Cdc.contaminationBloomColumn(col(textCol), bits,
+        minSize, avgBits, maxSize, mBits, k),
+      _ <= maxContamination)
   }
 
   /** Stateless blocklist gate — the C4 badwords stage at ingest
@@ -288,11 +290,12 @@ object GraftStreaming {
       }
     // judge emptiness on the ORIGINAL text (an input-empty doc survives
     // as ''; an all-cataloged doc's clean text is also '' and must DROP),
-    // so the clean text stages through a temp column before replacing
-    stream
-      .withColumn("__cdc_clean",
-        array_join(transform(kept, c => c.getField("piece")), ""))
-      .where(coalesce(length(col(textCol)), lit(0)) === 0 || col("__cdc_clean") =!= "")
+    // so the clean text stages through a temp column before replacing.
+    // KeepRows: the chunk-scan+reassembly evaluates once — the old
+    // withColumn+where shape re-inlined it into the pushed-down filter
+    graft.operators.KeepRows.matching(stream, "__cdc_clean",
+        array_join(transform(kept, c => c.getField("piece")), ""),
+        c => coalesce(length(col(textCol)), lit(0)) === 0 || c =!= "")
       .withColumn(textCol, col("__cdc_clean"))
       .drop("__cdc_clean")
   }
@@ -467,12 +470,13 @@ object GraftStreaming {
   def lmScoreStream(stream: DataFrame, textCol: String,
       lm: graft.operators.LanguageModel.DistilledLm,
       maxBitsPerToken: Double): DataFrame =
-    stream.withColumn("__lm",
-        graft.operators.LanguageModel.scoreColumn(col(textCol), lm))
-      .where(col("__lm").isNotNull)
+    // one LM fold per row (KeepRows; the old withColumn+where shape
+    // re-evaluated the fold in the pushed-down null/threshold filters)
+    graft.operators.KeepRows.matching(stream, "__lm",
+        graft.operators.LanguageModel.scoreColumn(col(textCol), lm),
+        s => s.isNotNull && s.getField("bits_per_token") <= maxBitsPerToken)
       .withColumn("bits_per_token", col("__lm.bits_per_token"))
       .drop("__lm")
-      .where(col("bits_per_token") <= maxBitsPerToken)
 
   /** Stateless DSIR importance gate — the streaming form of
     * [[graft.operators.LanguageModel.dsirWeights]]: score each arriving
@@ -491,12 +495,12 @@ object GraftStreaming {
       lmTarget: graft.operators.LanguageModel.DistilledLm,
       lmRaw: graft.operators.LanguageModel.DistilledLm,
       minDsirBits: Long): DataFrame =
-    stream
-      .withColumn("__t",
-        graft.operators.LanguageModel.scoreColumn(col(textCol), lmTarget))
-      .withColumn("__r",
-        graft.operators.LanguageModel.scoreColumn(col(textCol), lmRaw))
-      .where(col("__t").isNotNull && col("__r").isNotNull)
+    // each fold evaluates once (KeepRows); the dsir_bits threshold then
+    // filters on attribute field arithmetic, nothing re-inlines
+    graft.operators.KeepRows.nonNull(
+        graft.operators.KeepRows.nonNull(stream, "__t",
+          graft.operators.LanguageModel.scoreColumn(col(textCol), lmTarget)),
+        "__r", graft.operators.LanguageModel.scoreColumn(col(textCol), lmRaw))
       .withColumn("dsir_bits", col("__r.lm_bits") - col("__t.lm_bits"))
       .drop("__t", "__r")
       .where(col("dsir_bits") >= minDsirBits)
@@ -521,10 +525,8 @@ object GraftStreaming {
   def ccnetGateStream(stream: DataFrame, textCol: String,
       lm: graft.operators.LanguageModel.DistilledLm, cuts: DataFrame,
       nBins: Int, maxBin: Int): DataFrame = {
-    val scored = stream
-      .withColumn("__lm",
+    val scored = graft.operators.KeepRows.nonNull(stream, "__lm",
         graft.operators.LanguageModel.scoreColumn(col(textCol), lm))
-      .where(col("__lm").isNotNull)
       .withColumn("bits_per_token", col("__lm.bits_per_token"))
       .drop("__lm")
       .withColumn("lang", graft.functions.TextFunctions.langId(col(textCol)))
@@ -550,11 +552,10 @@ object GraftStreaming {
   def softDedupStream(stream: DataFrame, textCol: String,
       dfMap: Map[Long, Long], minWeight: Double,
       shingle: Int = 2): DataFrame =
-    stream
-      .withColumn("soft_weight",
-        graft.operators.Dedup.softWeightColumn(col(textCol), dfMap, shingle)
-          .getField("weight"))
-      .where(col("soft_weight") >= minWeight)
+    graft.operators.KeepRows.matching(stream, "soft_weight",
+      graft.operators.Dedup.softWeightColumn(col(textCol), dfMap, shingle)
+        .getField("weight"),
+      _ >= minWeight)
 
   /** The composed streaming curation pipeline — the streaming dual of the
     * batch q_pipeline (quality gate → exact dedup → decontamination):
@@ -592,13 +593,16 @@ object GraftStreaming {
       minBitsPerChar: Double, maxBitsPerChar: Double,
       mixtureProfile: DataFrame, targetFraction: Double,
       benchmark: DataFrame, maxContamination: Double): DataFrame = {
-    val entropyNum = graft.functions.HashExpressions.byteEntropyBits(
-      encode(col(textCol), "UTF-8"))
+    // the entropy kernel appears twice in the band predicate; FilterExec
+    // has no subexpression elimination, so stage it as a KeepRows column
+    // (one kernel eval) instead of a raw two-sided where
     val nChars = length(col(textCol))
-    val entropyGated = stream
-      .where(nChars > 0)
-      .where(entropyNum >= nChars * minBitsPerChar &&
-        entropyNum <= nChars * maxBitsPerChar)
+    val entropyGated = graft.operators.KeepRows.matching(
+        stream.where(nChars > 0), "__ent",
+        graft.functions.HashExpressions.byteEntropyBits(
+          encode(col(textCol), "UTF-8")),
+        e => e >= nChars * minBitsPerChar && e <= nChars * maxBitsPerChar)
+      .drop("__ent")
     val lmGated = lmScoreStream(entropyGated, textCol, lm, maxBitsPerToken)
     val mixed = mixtureStream(lmGated, sourceCol, idCol, mixtureProfile, targetFraction)
     decontaminateStream(
@@ -653,8 +657,12 @@ object GraftStreaming {
       if (catalogFps.isEmpty) paras
       else filter(paras, p =>
         element_at(catM, graft.functions.TextFunctions.fingerprint(p)).isNull)
-    stream.withColumn(textCol, array_join(kept, "\n\n"))
-      .where(col(textCol) =!= "")
+    // KeepRows: the split+fingerprint-probe chain evaluates once (the
+    // old withColumn+where shape re-inlined it into the pushed filter)
+    graft.operators.KeepRows.matching(stream, "__pd_clean",
+        array_join(kept, "\n\n"), _ =!= "")
+      .withColumn(textCol, col("__pd_clean"))
+      .drop("__pd_clean")
   }
 
   /** Stateless streaming SURGICAL decontamination — the ingest form of

@@ -99,16 +99,44 @@ object Bench {
   private def fmt(d: Double): String = (math.rint(d * 10000) / 10000).toString
 
   /** One timed pass; Left(message) on failure, message flattened so it
-    * can never break the single-JSON-line contract. */
+    * can never break the single-JSON-line contract.
+    *
+    * TIMED ACTION = the noop sink since r15 (guide §1.4): it computes
+    * EVERY output column of every row and discards the result, exactly
+    * what the DuckDB anchor pays (`fetchall()` materializes the full
+    * oracle result). The historical `.count()` action let the optimizer
+    * prune computed output columns — ProbeAction (r15, sf0.1) measured
+    * q_bpe_bytes at 3.2× its count-pruned reading, q_q1 2.3× (the
+    * decimal sums were pruned under count), q_window_lag 2.4×, q_dsir
+    * 1.36×, q_lm_score 1.26× — so count-based rows under-measured the
+    * work for every query whose tail is a projection or whose aggregate
+    * outputs weren't needed to count rows. The count-action reading is
+    * retained per query as `queries_cnt*` (one pass per attempt) for
+    * cross-round continuity with r14-and-earlier artifacts, and the
+    * artifact self-describes with `"timed_action":"noop"` so the
+    * validity guard never compares ratios across methodologies.
+    */
   private def timed(spark: SparkSession, qd: QueryDef, dir: String): Either[String, Double] = {
     val t0 = System.nanoTime()
-    try { qd.fn(spark, dir).count(); Right((System.nanoTime() - t0) / 1e9) }
-    catch {
+    try {
+      qd.fn(spark, dir).write.format("noop").mode("overwrite").save()
+      Right((System.nanoTime() - t0) / 1e9)
+    } catch {
       case e: Throwable =>
         Left(e.getClass.getSimpleName + ": " +
           Option(e.getMessage).getOrElse("")
             .replaceAll("[\\x00-\\x1f]+", " ").take(200))
     }
+  }
+
+  /** One count-action pass — the r14-and-earlier methodology, kept
+    * in-band (`queries_cnt*`) so rounds across the action switch stay
+    * comparable. Failures surface through the noop passes; here they
+    * just omit the row. */
+  private def timedCount(spark: SparkSession, qd: QueryDef, dir: String): Option[Double] = {
+    val t0 = System.nanoTime()
+    try { qd.fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+    catch { case _: Throwable => None }
   }
 
   /** One box-load sample: 1-minute /proc/loadavg + running-process count
@@ -150,6 +178,10 @@ object Bench {
       // feeds the steady-state median (the number of record) and the
       // `queries_min*` floor in the full artifact
       raw: Map[String, Seq[Double]] = Map.empty,
+      // one count-action pass per query per attempt (min across
+      // attempts): the r14-and-earlier methodology, kept for cross-round
+      // continuity across the r15 noop-action switch (full artifact only)
+      cnt: Map[String, Seq[Double]] = Map.empty,
       // queries whose MIN-based spark/duckdb ratio exceeded 2x the
       // previous VALID artifacts' best-known-good (round 14: the guard
       // reads cross-attempt MINS — like-for-like with the min-based
@@ -178,7 +210,7 @@ object Bench {
     val boxStart = boxSample()
     val wall0 = System.nanoTime()
     benchSet.foreach { qd =>
-      try qd.fn(spark, dir).count()
+      try qd.fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     // drift sentinel: the SAME fixed calibration query timed before and
@@ -221,12 +253,17 @@ object Bench {
         .getOrElse(Right(runs.collect { case Right(t) => t }.min))
       name -> r
     }
+    // one count-action compat pass per query (the pre-r15 methodology)
+    val cntTimes = benchSet.map { qd =>
+      qd.name -> timedCount(spark, qd, dir).toSeq
+    }
     val calLast = calibration.map(calRead)
     Lane(results, (calibration, calFirst, calLast) match {
       case (Some(qd), Some(f), Some(l)) => Some((qd.name, f, l))
       case _ => None
     }, box = Seq(boxJson(boxStart, boxSample(), (System.nanoTime() - wall0) / 1e9)),
-      raw = passTimes.map { case (n, rs) => n -> rs.collect { case Right(t) => t } }.toMap)
+      raw = passTimes.map { case (n, rs) => n -> rs.collect { case Right(t) => t } }.toMap,
+      cnt = cntTimes.toMap)
   }
 
   /** Per-query ratio guard (round 11): queries whose spark/duckdb ratio
@@ -274,6 +311,7 @@ object Bench {
     var lane = runLane(spark, benchSet, dir, passes)
     val attemptsSeen = scala.collection.mutable.ArrayBuffer(lane.results)
     val rawSeen = scala.collection.mutable.ArrayBuffer(lane.raw)
+    val cntSeen = scala.collection.mutable.ArrayBuffer(lane.cnt)
     val boxSeen = scala.collection.mutable.ArrayBuffer(lane.box: _*)
     // steady-state MEDIAN over every clean pass of every attempt so far —
     // the number of record since round 14 (totals, per-query times, the
@@ -312,11 +350,14 @@ object Bench {
       lane = runLane(spark, benchSet, dir, passes)
       attemptsSeen += lane.results
       rawSeen += lane.raw
+      cntSeen += lane.cnt
       boxSeen ++= lane.box
     }
+    val mergedCnt = cntSeen.flatMap(_.toSeq).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.flatMap(_._2).toSeq }
     val out = lane.copy(results = merged, attempts = attempt,
       history = if (attemptsSeen.length > 1) attemptsSeen.toSeq else Nil,
-      box = boxSeen.toSeq, raw = mergedRawSoFar)
+      box = boxSeen.toSeq, raw = mergedRawSoFar, cnt = mergedCnt)
     val jumps = ratioJumps(lane.copy(results = minMerged, raw = mergedRawSoFar),
       duck, prevRatios)
     out.copy(ratioJumps = jumps,
@@ -369,7 +410,13 @@ object Bench {
         var root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
         // driver records wrap the stdout line under "parsed"
         if (root.has("parsed") && root.get("parsed").isObject) root = root.get("parsed")
-        if (Option(root.get(s"valid$sfx")).exists(_.asBoolean(false)))
+        // methodology gate (r15): the guard may only compare like
+        // actions. r15+ artifacts self-describe with "timed_action":
+        // "noop"; r14-and-earlier records are count-based and their
+        // (count-pruned) ratios would false-flag every noop reading that
+        // honestly pays the full column computation.
+        val sameAction = Option(root.get("timed_action")).exists(_.asText("") == "noop")
+        if (sameAction && Option(root.get(s"valid$sfx")).exists(_.asBoolean(false)))
           // prefer the explicit min-based field (r14+ full artifacts);
           // legacy artifacts' spark_over_duckdb IS min-based, and any
           // median-based rows that slip in only raise entries the
@@ -410,6 +457,14 @@ object Bench {
       else lane.results.collect { case (k, Right(_)) if lane.raw.getOrElse(k, Nil).nonEmpty =>
         jstr(k) + ":" + fmt(lane.raw(k).min)
       }.mkString(s""","queries_min$sfx":{""", ",", "}")
+    // count-action compat rows (min across attempts) — the pre-r15
+    // methodology, full artifact only, so r15+ noop-based artifacts stay
+    // directly comparable to the r14-and-earlier count-based records
+    val cntField =
+      if (compact || lane.cnt.forall(_._2.isEmpty)) ""
+      else lane.results.collect { case (k, Right(_)) if lane.cnt.getOrElse(k, Nil).nonEmpty =>
+        jstr(k) + ":" + fmt(lane.cnt(k).min)
+      }.mkString(s""","queries_cnt$sfx":{""", ",", "}")
     val errs = lane.results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
     val errField = if (errs.isEmpty) "" else errs.mkString(s""","errors$sfx":{""", ",", "}")
     val anchorFields = if (duck.isEmpty || (compact && !ratiosToo)) "" else {
@@ -470,7 +525,7 @@ object Bench {
     // make the total LOOK faster (0-contribution would)
     val total =
       if (errs.nonEmpty) -1.0 else lane.results.map(_._2.getOrElse(0.0)).sum
-    (s""","total$sfx":${fmt(total)}$qField$minField$errField$anchorFields$driftFields$guardField$boxField$historyField""",
+    (s""","total$sfx":${fmt(total)}$qField$minField$cntField$errField$anchorFields$driftFields$guardField$boxField$historyField""",
       total)
   }
 
@@ -551,7 +606,7 @@ object Bench {
 
     // full artifact → file; ONE compact line → stdout (driver contract:
     // "metric"/"value" lead fields = the PRIMARY total)
-    val head = s"""{"metric":"total","value":${fmt(primaryTotal)},"unit":"sec""""
+    val head = s"""{"metric":"total","value":${fmt(primaryTotal)},"unit":"sec","timed_action":"noop""""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val full = head + primaryFull + x16Full + lenFull + s""","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")

@@ -1197,7 +1197,12 @@ object SignalQueries {
       .agg(max(col("contamination")).as("contamination"))
     val gated = kept.join(contamB, Seq("doc_id"))
       .where(col("contamination") <= 0.2)
-    val withFp = gated.withColumn("fp", fingerprint(col("text")))
+    // narrow barrier (r15): withFp feeds TWO consumers (reps aggregate +
+    // final join) — without it the whole gated lineage, including the
+    // gram+bloom contamination branch, executes once per consumer. Text
+    // is dropped first so the checkpoint stays id/score/fp-narrow.
+    val withFp = graft.operators.Materialize.once(
+      gated.withColumn("fp", fingerprint(col("text"))).drop("text"))
     val reps = withFp.groupBy("fp").agg(min(col("doc_id")).as("rep"))
     Split.groupAware(withFp.join(reps, Seq("fp")), "rep", CuratedParts)
       .select("doc_id", "quality", "bin", "contamination", "split")

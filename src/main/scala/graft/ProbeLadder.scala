@@ -22,10 +22,15 @@ object ProbeLadder {
     val spark = DevSpark.session()
     val qs = graft.queries.Queries.all
       .filter(q => wanted.fold(q.bench)(_.contains(q.name)))
+    // SPARK_GRAFT_LADDER_ACTION=noop times the noop sink (computes every
+    // output column — the r15 Bench methodology); default stays count()
+    // so pre-r15 ladder tables remain comparable
+    val useNoop = sys.env.get("SPARK_GRAFT_LADDER_ACTION").contains("noop")
     for (dir <- dirs; qd <- qs) {
       def pass(): Double = {
         val t0 = System.nanoTime()
-        qd.fn(spark, dir).count()
+        if (useNoop) qd.fn(spark, dir).write.format("noop").mode("overwrite").save()
+        else qd.fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
       pass(); pass() // two warm-ups: page cache + Janino + C2

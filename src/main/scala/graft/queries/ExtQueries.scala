@@ -148,10 +148,16 @@ object ExtQueries {
                 trim(replace(${bpeChainSql("'|' || array_to_string(string_split(x, ''), '||') || '|'")}, '||', ' '), '|')), ' '), ' ')) AS BIGINT) AS n_pieces
        FROM toks""") { (s, d) =>
     val b = graft.functions.Bpe
+    // n_pieces derives from the ALREADY-TOKENIZED column (stacked
+    // projections; CollapseProject keeps them apart because the non-cheap
+    // alias is referenced twice) — bpePieceCount(text) as a sibling
+    // expression re-ran the whole tokenize+merge chain per row, and
+    // ProjectExec's subexpression elimination does not unify the two
+    // lambda-bearing trees (r15; measured on q_bpe_bytes, same shape)
     Tables.df(s, d, "documents")
-      .select(col("doc_id"),
-        b.bpeText(col("text"), BpeFixtureMerges).as("bpe_text"),
-        b.bpePieceCount(col("text"), BpeFixtureMerges).cast("long").as("n_pieces"))
+      .select(col("doc_id"), b.bpeText(col("text"), BpeFixtureMerges).as("bpe_text"))
+      .select(col("doc_id"), col("bpe_text"),
+        size(split(col("bpe_text"), " ")).cast("long").as("n_pieces"))
   }
 
   /** Fixture merge table for q_bpe_bytes: byte-level (GPT-2-style) BPE
@@ -193,10 +199,13 @@ object ExtQueries {
                 trim(replace(${byteBpeChainSql(raw"'|' || array_to_string(regexp_extract_all(hex(x), '..'), '||') || '|'")}, '||', ' '), '|')), ' '), ' ')) AS BIGINT) AS n_pieces
        FROM toks""") { (s, d) =>
     val b = graft.functions.ByteBpe
+    // n_pieces from the already-tokenized column (see q_bpe_apply note):
+    // the sibling byteBpePieceCount re-ran the whole per-word byte-merge
+    // kernel — measured 5.16 s → ~half on the 9.6 KB-doc length lane
     Tables.df(s, d, "documents")
-      .select(col("doc_id"),
-        b.byteBpeText(col("text"), ByteBpeFixtureMerges).as("bpe_bytes"),
-        b.byteBpePieceCount(col("text"), ByteBpeFixtureMerges).cast("long").as("n_pieces"))
+      .select(col("doc_id"), b.byteBpeText(col("text"), ByteBpeFixtureMerges).as("bpe_bytes"))
+      .select(col("doc_id"), col("bpe_bytes"),
+        size(split(col("bpe_bytes"), " ")).cast("long").as("n_pieces"))
   }
 
   /** Fixture vocabulary for q_unigram_apply: a real unigram-LM
@@ -273,11 +282,14 @@ object ExtQueries {
   }
 
   private val unigramApplyQ = q("q_unigram_apply", unigramOracleSql) { (s, d) =>
+    // stage the packed Viterbi result once, unpack from the attribute
+    // (guaranteed single kernel eval; see the q_bpe_apply note)
     val packed = graft.functions.Unigram.packed(col("text"), UnigramFixture,
       UnigramMaxLen, UnigramUnkCost)
     Tables.df(s, d, "documents")
-      .select(col("doc_id"), shiftright(packed, 16).as("cost_bits"),
-        (packed % 65536L).as("n_pieces"))
+      .select(col("doc_id"), packed.as("__pk"))
+      .select(col("doc_id"), shiftright(col("__pk"), 16).as("cost_bits"),
+        (col("__pk") % 65536L).as("n_pieces"))
   }
 
   /** Fixture vocab for q_wordpiece_apply: a real WordPiece vocabulary
@@ -342,10 +354,11 @@ object ExtQueries {
               CAST(len(string_split(wp_text, ' ')) AS BIGINT) AS n_pieces
        FROM seg""") { (s, d) =>
     val wp = graft.functions.WordPiece
+    // n_pieces from the already-segmented column (see q_bpe_apply note)
     Tables.df(s, d, "documents")
-      .select(col("doc_id"),
-        wp.wordpieceText(col("text"), WordPieceFixture).as("wp_text"),
-        wp.wordpiecePieceCount(col("text"), WordPieceFixture).cast("long").as("n_pieces"))
+      .select(col("doc_id"), wp.wordpieceText(col("text"), WordPieceFixture).as("wp_text"))
+      .select(col("doc_id"), col("wp_text"),
+        size(split(col("wp_text"), " ")).cast("long").as("n_pieces"))
   }
 
   private val fingerprintQ = q("q_fingerprint",

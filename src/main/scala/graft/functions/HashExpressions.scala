@@ -679,6 +679,40 @@ case class SignatureAgreement(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** bin_length(x): `length(bin(x))` as pure integer arithmetic —
+  * 64 − numberOfLeadingZeros(x) (1 for x = 0; 64 for negatives, whose
+  * two's-complement rendering always fills 64 digits) — value-identical
+  * to Spark's `length(bin(x))` and DuckDB's `len(bin(x))` on BIGINT for
+  * EVERY long (spec-pinned across 0, ±1, powers of two, Long.Min/Max,
+  * random). The whole-bits surprisal family (|bin| ilog2, LanguageModel)
+  * evaluates this per TOKEN TRANSITION per model: the builtin chain
+  * allocates a up-to-64-char UTF8String per call just to read its
+  * length, this kernel is a single branch-free intrinsic (r15).
+  */
+case class BinLength(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_bin_length"
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Long]
+    if (v == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = ($v == 0L) ? 1 : 64 - java.lang.Long.numberOfLeadingZeros($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): BinLength =
+    copy(child = newChild)
+}
+
 /** phash(payload, bits): integer average-hash (aHash) perceptual signature
   * of a binary payload. The payload's bytes are partitioned into `bits`
   * contiguous cells (cell of byte i = i*bits div n — the integer
@@ -1512,6 +1546,10 @@ object HashExpressions {
   /** Fraction of agreeing positions between two signatures (est. Jaccard). */
   def signatureAgreement(a: Column, b: Column): Column =
     GraftBridge.column(SignatureAgreement(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** `length(bin(x))` as one integer intrinsic (bigint in, int out). */
+  def binLength(x: Column): Column =
+    GraftBridge.column(BinLength(GraftBridge.expression(x)))
 
   /** Unicode NFC normalization. */
   def nfc(s: Column): Column =

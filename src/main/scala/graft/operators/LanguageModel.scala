@@ -67,8 +67,13 @@ object LanguageModel {
         filter(graft.functions.TextFunctions.tokens(lower(col(textCol))),
           w => w =!= "").as("__t"))
 
-  /** ilog2(x)+1 — the |bin(x)| surprisal building block. */
-  private def binLen(c: Column): Column = length(bin(c))
+  /** ilog2(x)+1 — the |bin(x)| surprisal building block. One integer
+    * intrinsic since r15 ([[graft.functions.BinLength]], value-identical
+    * to `length(bin(x))`): the builtin chain allocated an up-to-64-char
+    * string per token transition per model just to read its length.
+    */
+  private def binLen(c: Column): Column =
+    graft.functions.HashExpressions.binLength(c)
 
   /** Train the count LM on a reference corpus. `minCount` bounds the
     * vocabulary (words below it are dropped from BOTH tables and from T,
@@ -438,7 +443,7 @@ object LanguageModel {
     require(d.vocabSize >= 1, "reference vocabulary is empty")
     val uniM = typedLit(d.uni)
     val biM = typedLit(d.bi)
-    def L(c: Column) = length(bin(c))
+    def L(c: Column) = graft.functions.HashExpressions.binLength(c)
     def cnt(m: Column, key: Column) = coalesce(element_at(m, key), lit(0L))
     val t = filter(graft.functions.TextFunctions.tokens(lower(text)), w => w =!= "")
     val n = size(t)

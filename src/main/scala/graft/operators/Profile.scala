@@ -259,7 +259,7 @@ object Profile {
     val h = col(hashCol).cast("long")
     val v = shiftright(h, p)
     val rho = when(v === 0, lit(w + 1))
-      .otherwise(lit(w + 1) - length(bin(v)))
+      .otherwise(lit(w + 1) - graft.functions.HashExpressions.binLength(v))
     df.groupBy((h.bitwiseAND((1L << p) - 1)).cast("long").as("bucket"))
       .agg(max(rho).cast("long").as("rho"))
   }
@@ -292,7 +292,7 @@ object Profile {
     val h = col(hashCol).cast("long")
     val v = shiftright(h, p)
     val rho = when(v === 0, lit(w + 1))
-      .otherwise(lit(w + 1) - length(bin(v)))
+      .otherwise(lit(w + 1) - graft.functions.HashExpressions.binLength(v))
     df.groupBy(col(groupCol),
         (h.bitwiseAND((1L << p) - 1)).cast("long").as("bucket"))
       .agg(max(rho).cast("long").as("rho"))

@@ -152,4 +152,24 @@ class HashExpressionsSpec extends AnyFunSuite {
     val ir = AudioStatsBytes.stats(Array[Byte](10, 20, 10))
     assert(ir.getLong(0) == 3L && ir.getLong(1) == 600L && ir.getLong(2) == 2L)
   }
+
+  test("binLength == length(bin(x)) for every long, including 0, negatives and extremes") {
+    // the r15 integer intrinsic behind the |bin| whole-bits surprisal
+    // family must be value-identical to the builtin string chain
+    val edges = Seq(0L, 1L, -1L, 2L, 3L, 63L, 64L, 255L, 256L,
+      Long.MaxValue, Long.MinValue, Long.MaxValue - 1, Long.MinValue + 1) ++
+      (0 to 62).map(1L << _) ++ (0 to 62).map(i => (1L << i) - 1) ++
+      { val r = new scala.util.Random(42); Seq.fill(200)(r.nextLong()) }
+    val df = edges.toDF("v")
+    val bad = df.select(col("v"),
+        HashExpressions.binLength(col("v")).as("fast"),
+        length(bin(col("v"))).as("ref"))
+      .where(col("fast") =!= col("ref"))
+      .collect()
+    assert(bad.isEmpty, s"binLength diverges at: ${bad.map(_.getLong(0)).mkString(",")}")
+    // null propagates
+    val n = Seq[java.lang.Long](null).toDF("v")
+      .select(HashExpressions.binLength(col("v"))).collect()
+    assert(n.head.isNullAt(0))
+  }
 }

@@ -89,19 +89,30 @@ object Dedup {
     val side = if (sigs.columns.contains("__side")) Seq(col("__side")) else Nil
     val withBh = sigs.select(
       Seq(col("__id"), bandHash(col("__sig")).as("__bh")) ++ side: _*)
+    // LIGHT banding (r15): the bucket exchange shuffles only (id, band,
+    // bucket) — the 16-long band-hash array used to ride BOTH sides of
+    // every exploded row (bands × |docs| × 2 × 128 B; ProbeMinhash stage
+    // breakdown measured the bucket join at ~4× the signature kernel's
+    // cost, dominated by that exchange). The arrays are re-attached by
+    // id-join against the doc-count-sized (id, bh) relation — broadcast
+    // at local scale, shuffled-hash beyond — BEFORE the first-agree
+    // exact-once filter, so pair semantics are unchanged.
     val banded = withBh.select(
-        Seq(col("__id"), col("__bh")) ++ side :+ posexplode(col("__bh")): _*)
+        Seq(col("__id")) ++ side :+ posexplode(col("__bh")): _*)
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
-    def tagged(idName: String, bhName: String, sideName: String) =
+    def tagged(idName: String, sideName: String) =
       banded.select(Seq(col("__band"), col("__bucket"),
-        col("__id").as(idName), col("__bh").as(bhName)) ++
+        col("__id").as(idName)) ++
         side.map(_ => col("__side").as(sideName)): _*)
-    val l = tagged("idA", "__bhA", "__sideA")
-    val rg = tagged("idB", "__bhB", "__sideB")
+    val l = tagged("idA", "__sideA")
+    val rg = tagged("idB", "__sideB")
     val firstAgree =
       array_position(zip_with(col("__bhA"), col("__bhB"), (a, b) => a === b), true)
     val pairs = l.join(rg, Seq("__band", "__bucket"))
       .where(pairWhere.getOrElse(col("idA") < col("idB")))
+      .select(Seq(col("idA"), col("idB"), col("__band")): _*)
+      .join(withBh.select(col("__id").as("idA"), col("__bh").as("__bhA")), "idA")
+      .join(withBh.select(col("__id").as("idB"), col("__bh").as("__bhB")), "idB")
       .where(col("__band") === firstAgree - 1)
       .select(col("idA"), col("idB"))
     // full-signature verify only for surviving candidate pairs

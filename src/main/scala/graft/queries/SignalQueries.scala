@@ -657,7 +657,11 @@ object SignalQueries {
       clean2.where(col("doc_id") % 3 === 0), minCount = LmMinCount)
     val gated = lm.where(col("lm_bits") * 1000 <= col("n_tokens") * 5170)
       .select(col("doc_id"), col("n_tokens"))
-    val withSource = gated.join(corpus.select(col("doc_id"), col("source")), "doc_id")
+    // source comes straight off the base table: corpus's synthesis join
+    // preserves (doc_id, source) from docs, and every gated id flowed
+    // out of corpus, so joining docs instead of re-running the synthesis
+    // join + concat lineage yields identical rows one scan cheaper (r15)
+    val withSource = gated.join(docs.select(col("doc_id"), col("source")), "doc_id")
     graft.operators.Packing.packByBudget(withSource, "source", "doc_id",
         "n_tokens", budget = 512L)
       .select(col("doc_id"), col("source"), col("n_tokens"),

@@ -340,27 +340,20 @@ object LanguageModel {
           when(col("__ct0") >= minCount, col("__ct0")).as("cT"),
           when(col("__cr0") >= minCount, col("__cr0")).as("cR"))
         .where(col("cT").isNotNull || col("cR").isNotNull))
-    // combined bigram table: per-model counts nulled unless BOTH ends are
-    // in that model's vocabulary (the closed-vocabulary construction) and
-    // the pair was seen by that model at all
-    val endT = (c: String) => col(c).isNotNull
-    val v1 = uniBoth.select(col("word").as("w1"),
-      endT("cT").as("__vT1"), endT("cR").as("__vR1"))
-    val v2 = uniBoth.select(col("word").as("w2"),
-      endT("cT").as("__vT2"), endT("cR").as("__vR2"))
+    // combined bigram table: raw per-model pair counts, NO vocab joins —
+    // the closed-vocabulary restriction (count only if BOTH ends are in
+    // that model's vocabulary) is applied at SCORING time from the
+    // unigram lookups' nullness, which the event stream carries anyway
+    // (__cw/__cu null ⇔ that end is out of that model's vocabulary).
+    // Besides deleting two build-side joins, this keeps the table's
+    // lineage a plain aggregate: the join-based construction inflated
+    // the size estimate past the broadcast threshold and demoted the
+    // event-stream bigram join to a SortMergeJoin that SHUFFLED the
+    // whole corpus transition stream (r15 plan audit, q_dsir).
     val biBoth = Materialize.once(
       bigramPairs(toks, col("__tgt"))
         .groupBy("w1", "w2")
-        .agg(sideCount(true).as("__bt0"), sideCount(false).as("__br0"))
-        .join(v1, Seq("w1"), "left").join(v2, Seq("w2"), "left")
-        .select(col("w1"), col("w2"),
-          when(coalesce(col("__vT1"), lit(false)) &&
-            coalesce(col("__vT2"), lit(false)) && col("__bt0") >= 1,
-            col("__bt0")).as("cbT"),
-          when(coalesce(col("__vR1"), lit(false)) &&
-            coalesce(col("__vR2"), lit(false)) && col("__br0") >= 1,
-            col("__br0")).as("cbR"))
-        .where(col("cbT").isNotNull || col("cbR").isNotNull))
+        .agg(sideCount(true).as("cbT"), sideCount(false).as("cbR")))
     // both models' (T, V) from ONE action
     val tv = uniBoth.agg(
       coalesce(sum(col("cT")), lit(0L)), count(col("cT")),
@@ -376,12 +369,18 @@ object LanguageModel {
       col("cT").as("__cuT"), col("cR").as("__cuR"))
     val biC = biBoth.select(col("w1"), col("w2"),
       col("cbT").as("__cbT"), col("cbR").as("__cbR"))
+    // closed-vocabulary gate on the bigram count: a pair counts for a
+    // model only when BOTH ends are in that model's vocabulary — which
+    // is exactly "__cu and __cw are non-null" on this event row (the
+    // per-model bi tables used to encode this by dropping rows; the
+    // arithmetic is identical because a dropped row scored coalesce→0)
     def bits(t: Long, v: Long, cw: String, cu: String, cb: String): Column =
       when(col("__pos") === 0,
         binLen(lit(t + v)) - binLen(coalesce(col(cw), lit(0L)) + lit(1L)))
         .otherwise(
           binLen(coalesce(col(cu), lit(0L)) + lit(v)) -
-            binLen(coalesce(col(cb), lit(0L)) + lit(1L)))
+            binLen(coalesce(when(col(cu).isNotNull && col(cw).isNotNull,
+              col(cb)), lit(0L)) + lit(1L)))
     events
       .join(uniW, col("__w") === col("__wordW"), "left").drop("__wordW")
       .join(uniP, col("__prev") === col("__wordP"), "left").drop("__wordP")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.{Flow, Fold, JoinKind}
 import graft.sources.{Edn, EdnValue, GraftIO}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -691,26 +691,69 @@ object Queries {
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        GROUP BY l_returnflag, l_linestatus""",
     bench = true) { (s, d) =>
-    val price = col("l_extendedprice").cast("decimal(18,2)")
-    val one = lit(1).cast("decimal(8,4)")
-    val disc = col("l_discount").cast("decimal(8,4)")
-    val tax = col("l_tax").cast("decimal(8,4)")
-    val qty = col("l_quantity").cast("decimal(18,2)")
+    // Integer-fixed-point lane (r15 — the q_revenue_by_nation discipline
+    // extended to the flagship scan-agg): decimal(18,2)×decimal(8,4)
+    // products leave Spark's compact long-backed Decimal and allocate a
+    // BigDecimal PER LINEITEM ROW inside the hash aggregate; under the
+    // honest noop-timed bench that was ~70% of q_q1's x16 cost. The
+    // source doubles carry exactly 2 (qty, price) and ≤4 (disc, tax)
+    // decimal digits (the r12 ProbeRevenueJoin audit; the oracle's own
+    // casts assert the same), so every measure is EXACT in fixed-point
+    // longs: qty/price in cents, disc_price in 10^-6 $ (cents × basis
+    // points), charge in 10^-10 $. Per-measure sums run as 1-3 parallel
+    // LONG sums over 2^20-bit slices — pure codegen long adds; the
+    // slice sums make overflow impossible with wide margin at the
+    // 100 TB design point (worst case, charge: slice values ≤ 2^20·N,
+    // long overflows past N ≈ 8.8·10^12 rows ≈ 1.5 PB of lineitem) —
+    // and the slices recombine in decimal(38,_) over the ~6 GROUP rows,
+    // where the exact scale-2 ROUND and the one decimal→double rounding
+    // happen exactly as the oracle's CAST(ROUND(SUM(..), 2) AS DOUBLE).
+    // Every quotient below divides by an exact power of ten through
+    // decimal multiplication (0.01 / 0.000001 / …), never double math,
+    // so the final doubles are bit-identical to the decimal-sum
+    // formulation (oracle hash-gates at both SFs).
+    val mask = lit((1L << 20) - 1)
+    def lo(c: Column) = c.bitwiseAND(mask)
+    def mid(c: Column) = shiftrightunsigned(c, 20).bitwiseAND(mask)
+    def hi40(c: Column) = shiftrightunsigned(c, 40)
+    def hi20(c: Column) = shiftrightunsigned(c, 20)
+    val qtyC = round(col("l_quantity") * 100).cast("long")
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discBp = round(col("l_discount") * 10000).cast("long")
+    val taxBp = round(col("l_tax") * 10000).cast("long")
+    val dpM6 = priceC * (lit(10000L) - discBp) // price·(1−disc), 10^-6 $
+    val chE10 = dpM6 * (lit(10000L) + taxBp) // · (1+tax), 10^-10 $
     val n = count(lit(1))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def join2(l: Column, h: Column) = dec(h) * lit(1L << 20).cast("decimal(7,0)") + dec(l)
+    def join3(l: Column, m: Column, h: Column) =
+      dec(h) * lit(1L << 40).cast("decimal(13,0)") +
+        dec(m) * lit(1L << 20).cast("decimal(7,0)") + dec(l)
+    def unit(s: String) = lit(new java.math.BigDecimal(s))
     Tables.df(s, d, "lineitem")
       .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(qty).cast("double").as("sum_qty"),
-        sum(price).cast("double").as("sum_base_price"),
-        // round to scale 2 before the double cast: keeps the unscaled value
-        // in the exactly-convertible range on both engines (1-ulp parity)
-        round(sum(price * (one - disc)), 2).cast("double").as("sum_disc_price"),
-        round(sum(price * (one - disc) * (one + tax)), 2).cast("double").as("sum_charge"),
-        (sum(qty).cast("double") / n.cast("double")).as("avg_qty"),
-        (sum(price).cast("double") / n.cast("double")).as("avg_price"),
-        (sum(disc).cast("double") / n.cast("double")).as("avg_disc"),
-        n.as("count_order"))
+        sum(qtyC).as("__qc"),
+        sum(lo(priceC)).as("__pl"), sum(hi20(priceC)).as("__ph"),
+        sum(lo(dpM6)).as("__dl"), sum(hi20(dpM6)).as("__dh"),
+        sum(lo(chE10)).as("__cl"), sum(mid(chE10)).as("__cm"), sum(hi40(chE10)).as("__ch"),
+        sum(discBp).as("__bp"),
+        n.as("__n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (dec(col("__qc")) * unit("0.01")).cast("double").as("sum_qty"),
+        (join2(col("__pl"), col("__ph")) * unit("0.01")).cast("double").as("sum_base_price"),
+        round(join2(col("__dl"), col("__dh")) * unit("0.000001"), 2)
+          .cast("double").as("sum_disc_price"),
+        round(join3(col("__cl"), col("__cm"), col("__ch")) * unit("0.0000000001"), 2)
+          .cast("double").as("sum_charge"),
+        ((dec(col("__qc")) * unit("0.01")).cast("double") /
+          col("__n").cast("double")).as("avg_qty"),
+        ((join2(col("__pl"), col("__ph")) * unit("0.01")).cast("double") /
+          col("__n").cast("double")).as("avg_price"),
+        ((dec(col("__bp")) * unit("0.0001")).cast("double") /
+          col("__n").cast("double")).as("avg_disc"),
+        col("__n").as("count_order"))
   }
 
   private val q5ish = q("q_revenue_by_nation",
@@ -808,8 +851,14 @@ object Queries {
        ORDER BY revenue DESC, l_orderkey ASC
        LIMIT 10""") { (s, d) =>
     val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
-    val rev = col("l_extendedprice").cast("decimal(18,2)") *
-      (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+    // integer-micro-dollar lane (r15, the q_q1/q_revenue discipline):
+    // price·(1−disc) is exact in long micro-dollars — cents × (10^4 −
+    // basis points) — and the per-ORDER sum is fan-out-bounded (≤ 7
+    // lineitems/order → ≤ ~10^12, long-safe at any SF), so the per-row
+    // decimal(27,6) BigDecimal allocation disappears; the exact scale-2
+    // round + double cast run per surviving ORDER row in decimal.
+    val revM6 = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(10000L) - round(col("l_discount") * 10000).cast("long"))
     val cust = Tables.df(s, d, "customer")
       .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val ord = Tables.df(s, d, "orders")
@@ -820,7 +869,8 @@ object Queries {
       .where(col("l_shipdate") > cutoff)
       .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(rev), 2).cast("double").as("revenue"))
+      .agg(round(sum(revM6).cast("decimal(38,0)") *
+        lit(new java.math.BigDecimal("0.000001")), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -835,12 +885,23 @@ object Queries {
          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          AND l_discount BETWEEN 0.05 AND 0.07
          AND l_quantity < 24""") { (s, d) =>
+    // integer-micro-dollar lane (r15, the q_q1 discipline): price·disc
+    // is exact in long micro-dollars; the GLOBAL sum splits into two
+    // long sums over 2^20-bit slices (overflow-free past 10^12 rows)
+    // recombined in decimal on the single output row.
+    val m6 = round(col("l_extendedprice") * 100).cast("long") *
+      round(col("l_discount") * 10000).cast("long")
+    val mask6 = lit((1L << 20) - 1)
     Tables.df(s, d, "lineitem")
       .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
-        col("l_discount").cast("decimal(8,4)")), 2).cast("double").as("revenue"))
+      .agg(sum(m6.bitwiseAND(mask6)).as("__lo"),
+        sum(shiftrightunsigned(m6, 20)).as("__hi"))
+      .select(round((col("__hi").cast("decimal(38,0)") *
+          lit(1L << 20).cast("decimal(7,0)") + col("__lo").cast("decimal(38,0)")) *
+          lit(new java.math.BigDecimal("0.000001")), 2)
+        .cast("double").as("revenue"))
   }
 
   /** TPC-H Q10 shape (returned-item reporting): revenue lost to returns

@@ -82,6 +82,78 @@ object BpeRuntime {
     UTF8String.fromString(String.join(" ", syms))
   }
 
+  /** Hex "AABB…" → bytes; the decoded form of a byte-level merge symbol. */
+  def decodeHex(sym: String): Array[Byte] = {
+    val out = new Array[Byte](sym.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = java.lang.Integer.parseInt(sym.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** [[applyWordBytes]] without the per-byte String churn (r15): every
+    * BPE symbol is a CONTIGUOUS span of the word's UTF-8 bytes (initial
+    * symbols are single bytes; merges only ever join adjacent spans), so
+    * the symbol list is two int arrays (start, len) compacted in place
+    * per rule, symbol equality is a byte-region compare against the
+    * PRE-DECODED rule bytes, and the hex rendering is emitted once into
+    * the output buffer at the end. The left-to-right non-overlapping
+    * scan replicates [[runMerges]] exactly (after a merge the next pair
+    * examined starts at the element following the merged pair — the
+    * read-cursor r += 2 below); spec-pinned equal to the string-based
+    * reference on random words × random merge tables.
+    */
+  def applyWordBytesFast(word: UTF8String,
+      lefts: Array[Array[Byte]], rights: Array[Array[Byte]]): UTF8String = {
+    val bytes = word.getBytes
+    val nb = bytes.length
+    if (nb == 0) return UTF8String.EMPTY_UTF8
+    val starts = new Array[Int](nb)
+    val lens = new Array[Int](nb)
+    var n = nb
+    var i = 0
+    while (i < nb) { starts(i) = i; lens(i) = 1; i += 1 }
+    def eq(s: Int, l: Int, t: Array[Byte]): Boolean = {
+      if (l != t.length) return false
+      var k = 0
+      while (k < l) { if (bytes(s + k) != t(k)) return false; k += 1 }
+      true
+    }
+    var m = 0
+    while (m < lefts.length) {
+      val a = lefts(m); val b = rights(m)
+      var r = 0; var w = 0
+      while (r < n) {
+        if (r < n - 1 && eq(starts(r), lens(r), a) && eq(starts(r + 1), lens(r + 1), b)) {
+          starts(w) = starts(r); lens(w) = lens(r) + lens(r + 1); r += 2
+        } else { starts(w) = starts(r); lens(w) = lens(r); r += 1 }
+        w += 1
+      }
+      n = w
+      m += 1
+    }
+    // render "HEX HEX …" directly: 2 hex chars per byte + n-1 spaces
+    val out = new Array[Byte](2 * nb + n - 1)
+    var o = 0
+    i = 0
+    while (i < n) {
+      if (i > 0) { out(o) = ' '; o += 1 }
+      var k = starts(i)
+      val end = starts(i) + lens(i)
+      while (k < end) {
+        val v = bytes(k) & 0xff
+        out(o) = HexDigits(v >>> 4).toByte
+        out(o + 1) = HexDigits(v & 0xf).toByte
+        o += 2
+        k += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
   /** Whole-text application: the exact composition
@@ -316,17 +388,21 @@ case class ByteBpeApplyWord(child: Expression, merges: Seq[(String, String)])
       s"$prettyName expects string, got ${other.simpleString}")
   }
 
-  @transient private lazy val lefts: Array[String] = merges.map(_._1).toArray
-  @transient private lazy val rights: Array[String] = merges.map(_._2).toArray
+  // pre-decoded rule bytes for the span-based fast path (r15) — the
+  // hex decode happens once per expression instance, not per word
+  @transient private lazy val lefts: Array[Array[Byte]] =
+    merges.map(m => BpeRuntime.decodeHex(m._1)).toArray
+  @transient private lazy val rights: Array[Array[Byte]] =
+    merges.map(m => BpeRuntime.decodeHex(m._2)).toArray
 
   override def nullSafeEval(input: Any): Any =
-    BpeRuntime.applyWordBytes(input.asInstanceOf[UTF8String], lefts, rights)
+    BpeRuntime.applyWordBytesFast(input.asInstanceOf[UTF8String], lefts, rights)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val l = ctx.addReferenceObj("byteBpeLefts", lefts, "java.lang.String[]")
-    val r = ctx.addReferenceObj("byteBpeRights", rights, "java.lang.String[]")
+    val l = ctx.addReferenceObj("byteBpeLefts", lefts, "byte[][]")
+    val r = ctx.addReferenceObj("byteBpeRights", rights, "byte[][]")
     nullSafeCodeGen(ctx, ev, w =>
-      s"${ev.value} = graft.functions.BpeRuntime.applyWordBytes($w, $l, $r);")
+      s"${ev.value} = graft.functions.BpeRuntime.applyWordBytesFast($w, $l, $r);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ByteBpeApplyWord =

@@ -119,4 +119,37 @@ class ByteBpeSpec extends AnyFunSuite {
       assert(chain(w) == applyW(w, merges), s"chain != kernel on random '$w'")
     }
   }
+
+  test("span-based fast path == string-based reference on random words x random merge tables") {
+    // r15: the expression runs applyWordBytesFast (int-span symbols,
+    // pre-decoded rule bytes, direct hex rendering); it must match the
+    // string-symbol implementation byte for byte, including chain-merge
+    // rules whose left side is itself a merged symbol, unicode bytes,
+    // and the empty word
+    val rnd = new scala.util.Random(99)
+    val alphabet = "abcdeé ßü"
+    def randWord(max: Int) =
+      (0 until rnd.nextInt(max)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString.trim
+    def fast(w: String, merges: Seq[(String, String)]): String =
+      BpeRuntime.applyWordBytesFast(UTF8String.fromString(w),
+        merges.map(m => BpeRuntime.decodeHex(m._1)).toArray,
+        merges.map(m => BpeRuntime.decodeHex(m._2)).toArray).toString
+    def hex(s: String) = s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+    (1 to 300).foreach { i =>
+      // random rule table, including chained merges (left side = an
+      // earlier rule's merged OUTPUT symbol)
+      var merges = Vector.empty[(String, String)]
+      (0 until rnd.nextInt(8)).foreach { _ =>
+        val l = if (merges.nonEmpty && rnd.nextBoolean()) {
+          val (pa, pb) = merges(rnd.nextInt(merges.size)); pa + pb
+        } else hex(alphabet(rnd.nextInt(alphabet.length)).toString)
+        val r = hex(alphabet(rnd.nextInt(alphabet.length)).toString)
+        merges :+= ((l, r))
+      }
+      val w = randWord(16)
+      assert(fast(w, merges) == applyW(w, merges),
+        s"fast != reference on '$w' with merges $merges (case $i)")
+    }
+    assert(fast("", Nil) == "")
+  }
 }

@@ -440,27 +440,18 @@ object LanguageModel {
     */
   def scoreColumn(text: Column, d: DistilledLm): Column = {
     require(d.vocabSize >= 1, "reference vocabulary is empty")
-    val uniM = typedLit(d.uni)
-    val biM = typedLit(d.bi)
-    def L(c: Column) = graft.functions.HashExpressions.binLength(c)
-    def cnt(m: Column, key: Column) = coalesce(element_at(m, key), lit(0L))
-    val t = filter(graft.functions.TextFunctions.tokens(lower(text)), w => w =!= "")
-    val n = size(t)
-    val first = (L(lit(d.totalTokens + d.vocabSize)) -
-      L(cnt(uniM, element_at(t, 1)) + lit(1L))).cast("long")
-    // positions 2..n: p(t_i | t_{i-1}); sequence(2, n) is only evaluated
-    // under the n >= 2 guard (sequence(2, 1) would count DOWN)
-    val rest = aggregate(
-      sequence(lit(2), n), lit(0L),
-      (acc, i) => acc +
-        (L(cnt(uniM, element_at(t, i - 1)) + lit(d.vocabSize)) -
-          L(cnt(biM, concat(element_at(t, i - 1), lit(" "), element_at(t, i))) +
-            lit(1L))).cast("long"))
-    val bits = first + when(n >= 2, rest).otherwise(lit(0L))
-    when(n >= 1,
-      struct(n.cast("long").as("n_tokens"), bits.as("lm_bits"),
-        round(bits.cast("double") / n, 6).as("bits_per_token")))
-      .otherwise(lit(null))
+    // ONE codegen'd imperative scan with real hash-table lookups
+    // ([[graft.functions.DistilledLmScore]], r15). The previous Column
+    // formulation — an aggregate() fold over element_at(typedLit(map))
+    // lookups — was O(|model|) PER TOKEN: Catalyst's GetMapValue over a
+    // literal map is a linear scan, and the whole higher-order-function
+    // chain ran interpreted (CodegenFallback). Measured 107 s → sub-
+    // second for a 15k-entry model over the x16 twin (ProbeDistill).
+    // Arithmetic and tokenization parity are the kernel's contract
+    // (spec-gated equal to the join-based scoreDocs; oracle-replayed).
+    org.apache.spark.sql.GraftBridge.column(graft.functions.DistilledLmScore(
+      org.apache.spark.sql.GraftBridge.expression(text),
+      d.uni, d.bi, d.totalTokens, d.vocabSize))
   }
 
   /** [[scoreDocs]]' exact output through the distilled map-side scorer —

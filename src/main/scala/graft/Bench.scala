@@ -253,9 +253,16 @@ object Bench {
         .getOrElse(Right(runs.collect { case Right(t) => t }.min))
       name -> r
     }
-    // one count-action compat pass per query (the pre-r15 methodology)
+    // count-action compat passes (the pre-r15 methodology), MIN-of-3 per
+    // attempt (r16): one pass per attempt made the r14-comparable rows
+    // single-sample readings — in the r15 driver artifact UNTOUCHED
+    // queries swung to 0.61-0.71x on them (plans identical mod expr-IDs)
+    // while their noop medians were flat, so the continuity series was
+    // too noisy to carry cross-era comparisons. Three passes cost ~10 s
+    // per lane and put the compat rows on the same min-of-passes footing
+    // as the historical records they are compared against.
     val cntTimes = benchSet.map { qd =>
-      qd.name -> timedCount(spark, qd, dir).toSeq
+      qd.name -> Seq.fill(3)(timedCount(spark, qd, dir)).flatten
     }
     val calLast = calibration.map(calRead)
     Lane(results, (calibration, calFirst, calLast) match {

@@ -14,18 +14,25 @@ package graft
 object ProbeQueriesAt {
   def main(args: Array[String]): Unit = {
     val warm = args.contains("--warm")
-    val rest = args.filterNot(_ == "--warm")
+    // --noop (r16): time the noop sink instead of count() — count lets
+    // the optimizer prune computed output columns (guide §1.4), so
+    // kernel-tailed queries (q_bpe_bytes, the LM family) under-read
+    val noop = args.contains("--noop")
+    val rest = args.filterNot(a => a == "--warm" || a == "--noop")
     val dir = rest.headOption.getOrElse("/tmp/graft_x16/sf0.1")
     val names = rest.drop(1).toSet
     val spark = DevSpark.session()
-    val tag = if (warm) "[probeq:warm]" else "[probeq]"
+    val tag = (if (warm) "[probeq:warm]" else "[probeq]") + (if (noop) "[noop]" else "")
     graft.queries.Queries.all
       .filter(qd => names.isEmpty || names.contains(qd.name))
       .foreach { qd =>
         try {
           def pass(): (Long, Double) = {
             val t0 = System.nanoTime()
-            val n = qd.fn(spark, dir).count()
+            val df = qd.fn(spark, dir)
+            val n = if (noop) {
+              df.write.format("noop").mode("overwrite").save(); -1L
+            } else df.count()
             (n, (System.nanoTime() - t0) / 1e9)
           }
           if (warm) pass()

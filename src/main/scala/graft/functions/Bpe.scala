@@ -82,8 +82,14 @@ object BpeRuntime {
     UTF8String.fromString(String.join(" ", syms))
   }
 
-  /** Hex "AABB…" → bytes; the decoded form of a byte-level merge symbol. */
+  /** Hex "AABB…" → bytes; the decoded form of a byte-level merge symbol.
+    * Malformed symbols fail LOUDLY: an odd-length symbol would silently
+    * drop its trailing nibble — a symbol that could never match under
+    * string comparison could then falsely match its truncated decoding.
+    */
   def decodeHex(sym: String): Array[Byte] = {
+    require(sym.length % 2 == 0,
+      s"byte-BPE merge symbol must be whole hex bytes (even length): '$sym'")
     val out = new Array[Byte](sym.length / 2)
     var i = 0
     while (i < out.length) {
@@ -112,9 +118,27 @@ object BpeRuntime {
     if (nb == 0) return UTF8String.EMPTY_UTF8
     val starts = new Array[Int](nb)
     val lens = new Array[Int](nb)
-    var n = nb
     var i = 0
     while (i < nb) { starts(i) = i; lens(i) = 1; i += 1 }
+    val n = runMergesSpans(bytes, 0, nb, starts, lens, lefts, rights)
+    // render "HEX HEX …" directly: 2 hex chars per byte + n-1 spaces
+    val out = new Array[Byte](2 * nb + n - 1)
+    val o = renderHexSpans(bytes, starts, lens, n, out, 0)
+    UTF8String.fromBytes(out, 0, o)
+  }
+
+  /** The span-compaction merge loop of [[applyWordBytesFast]] over one
+    * word's byte region [from, to) with caller-provided scratch arrays
+    * (starts/lens must arrive initialized to the region's single-byte
+    * spans and hold ≥ to−from entries). Returns the surviving span
+    * count. `n > 1` early exit: no rule can match a 1-span list, so the
+    * remaining rule scans are skipped (exact — the inner scan never
+    * enters at n = 1).
+    */
+  private def runMergesSpans(bytes: Array[Byte], from: Int, to: Int,
+      starts: Array[Int], lens: Array[Int],
+      lefts: Array[Array[Byte]], rights: Array[Array[Byte]]): Int = {
+    var n = to - from
     def eq(s: Int, l: Int, t: Array[Byte]): Boolean = {
       if (l != t.length) return false
       var k = 0
@@ -122,7 +146,7 @@ object BpeRuntime {
       true
     }
     var m = 0
-    while (m < lefts.length) {
+    while (m < lefts.length && n > 1) {
       val a = lefts(m); val b = rights(m)
       var r = 0; var w = 0
       while (r < n) {
@@ -134,10 +158,15 @@ object BpeRuntime {
       n = w
       m += 1
     }
-    // render "HEX HEX …" directly: 2 hex chars per byte + n-1 spaces
-    val out = new Array[Byte](2 * nb + n - 1)
-    var o = 0
-    i = 0
+    n
+  }
+
+  /** Render n spans as "HEX HEX …" into `out` at offset `o`; returns the
+    * new offset. */
+  private def renderHexSpans(bytes: Array[Byte], starts: Array[Int], lens: Array[Int],
+      n: Int, out: Array[Byte], o0: Int): Int = {
+    var o = o0
+    var i = 0
     while (i < n) {
       if (i > 0) { out(o) = ' '; o += 1 }
       var k = starts(i)
@@ -151,7 +180,75 @@ object BpeRuntime {
       }
       i += 1
     }
-    UTF8String.fromBytes(out)
+    o
+  }
+
+  /** Whole-document byte-level BPE (r16): the exact composition
+    * `concat_ws(" ", transform(split(trim(text), "\\s+"), w =>
+    * applyWordBytesFast(w)))` in ONE call over the document's UTF-8
+    * bytes — no per-word UTF8String slices, no interpreted HOF lambda
+    * dispatch, no intermediate piece array. Composition semantics
+    * replicated piece by piece (property-tested, ByteBpeSpec):
+    *  - Spark `trim` strips ASCII SPACES (0x20) only;
+    *  - Spark `split(_, "\\s+")` is Java-regex split with limit −1:
+    *    separators are runs of [ \t\n\x0B\f\r] — all single ASCII
+    *    bytes, and multi-byte UTF-8 sequences never contain ASCII
+    *    values, so the byte-level scan is exact; a LEADING separator
+    *    run yields a leading empty token, and limit −1 KEEPS trailing
+    *    empty tokens;
+    *  - `concat_ws(" ")` keeps empty strings, so empty tokens survive
+    *    as empty piece lists between separators.
+    */
+  def applyTextBytes(text: UTF8String,
+      lefts: Array[Array[Byte]], rights: Array[Array[Byte]]): UTF8String = {
+    val bytes = text.getBytes
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    if (hi == lo) return UTF8String.EMPTY_UTF8 // split("") = [""] → ""
+    def isSep(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    // output bound: each word emits ≤ 3·wb − 1 bytes (2 hex per byte +
+    // ≤ wb−1 intra-word spaces), word boundaries ≤ separator-run count
+    val out = new Array[Byte](3 * (hi - lo) + 1)
+    // scratch span arrays sized to the longest possible word
+    val starts = new Array[Int](hi - lo)
+    val lens = new Array[Int](hi - lo)
+    var o = 0
+    var pos = lo
+    var first = true
+    var done = false
+    while (!done) {
+      val ws = pos
+      while (pos < hi && !isSep(bytes(pos))) pos += 1
+      if (!first) { out(o) = ' '; o += 1 }
+      first = false
+      if (pos > ws) { // non-empty word: merge spans, render hex
+        var i = 0
+        while (i < pos - ws) { starts(i) = ws + i; lens(i) = 1; i += 1 }
+        val n = runMergesSpans(bytes, ws, pos, starts, lens, lefts, rights)
+        o = renderHexSpans(bytes, starts, lens, n, out, o)
+      }
+      if (pos >= hi) done = true
+      else {
+        while (pos < hi && isSep(bytes(pos))) pos += 1
+        if (pos >= hi) { // trailing separator run → one trailing empty token
+          out(o) = ' '; o += 1
+          done = true
+        }
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
+  /** Occurrences of byte `b` in the string's UTF-8 bytes. */
+  def byteOccurrences(s: UTF8String, b: Byte): Int = {
+    val bytes = s.getBytes
+    var n = 0
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == b) n += 1; i += 1 }
+    n
   }
 
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
@@ -368,6 +465,15 @@ object Bpe {
   /** Piece count of [[bpeText]] (pieces never contain spaces). */
   def bpePieceCount(text: Column, merges: Seq[(String, String)]): Column =
     size(split(bpeText(text, merges), " "))
+
+  /** Piece count of an ALREADY-RENDERED space-joined piece string whose
+    * pieces cannot contain spaces (the [[bpeText]]/[[ByteBpe.byteBpeText]]
+    * output contract): `byte_occurrences(s, ' ') + 1`, value-identical to
+    * `size(split(s, " "))` (one boundary per space byte, empty pieces
+    * included — spec-pinned) without materializing the piece array.
+    */
+  def spacePieceCount(pieces: Column): Column =
+    GraftBridge.column(ByteOccurrences(GraftBridge.expression(pieces), ' '.toByte)) + lit(1)
 }
 
 /** byte_bpe_apply_word(word, merges): space-joined hex pieces of ONE
@@ -406,6 +512,79 @@ case class ByteBpeApplyWord(child: Expression, merges: Seq[(String, String)])
   }
 
   override protected def withNewChildInternal(newChild: Expression): ByteBpeApplyWord =
+    copy(child = newChild)
+}
+
+/** byte_bpe_apply_text(text, merges): whole-document byte-level BPE —
+  * ONE scalar call per document ([[BpeRuntime.applyTextBytes]]) instead
+  * of the split + transform(HOF) + concat_ws composition: the HOF layer
+  * dispatches an interpreted lambda frame per word and materializes the
+  * piece array, measured at ~1.3 s of q_bpe_bytes' 6.0 s length-lane
+  * cost (r15 ProbeBpeParts attribution: tokenize 0.9 s + HOF machinery
+  * 0.4 s; r16 switch). Byte-equal to the composition (property-tested,
+  * ByteBpeSpec).
+  */
+case class ByteBpeApplyText(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_byte_bpe_apply_text"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val lefts: Array[Array[Byte]] =
+    merges.map(m => BpeRuntime.decodeHex(m._1)).toArray
+  @transient private lazy val rights: Array[Array[Byte]] =
+    merges.map(m => BpeRuntime.decodeHex(m._2)).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    BpeRuntime.applyTextBytes(input.asInstanceOf[UTF8String], lefts, rights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("byteBpeLefts", lefts, "byte[][]")
+    val r = ctx.addReferenceObj("byteBpeRights", rights, "byte[][]")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.BpeRuntime.applyTextBytes($t, $l, $r);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeApplyText =
+    copy(child = newChild)
+}
+
+/** byte_occurrences(s, b): how many times byte `b` occurs in the
+  * string's UTF-8 bytes — one codegen'd scan. For a space-joined piece
+  * string whose pieces cannot contain spaces (BPE hex symbols, char-BPE
+  * symbols of whitespace-split words), `byte_occurrences(s, ' ') + 1`
+  * equals `size(split(s, " "))` EXACTLY (split on a single-space regex
+  * puts one boundary per space byte; empty pieces count like split's
+  * empty tokens) without materializing the piece array — the n_pieces
+  * tail was ~1.9 s of q_bpe_bytes' 4.7 s length-lane cost (r16
+  * ProbeBpeParts A/B). Multi-byte UTF-8 sequences never contain ASCII
+  * values, so the byte scan equals a character scan for ASCII targets.
+  */
+case class ByteOccurrences(child: Expression, b: Byte) extends UnaryExpression {
+  override def prettyName: String = "graft_byte_occurrences"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeRuntime.byteOccurrences(input.asInstanceOf[UTF8String], b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.BpeRuntime.byteOccurrences($s, (byte) $b);")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteOccurrences =
     copy(child = newChild)
 }
 
@@ -498,11 +677,24 @@ object ByteBpe {
   def byteBpeWord(word: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(ByteBpeApplyWord(GraftBridge.expression(word), merges))
 
-  /** Whole text → all hex pieces of all whitespace words, space-joined
-    * (the [[Bpe.bpeText]] HOF composition — measured-faster there, same
-    * per-word kernel dominance here).
+  /** Whole text → all hex pieces of all whitespace words, space-joined.
+    * ONE whole-document kernel call since r16 ([[ByteBpeApplyText]]):
+    * unlike the char-level lane (where [[Bpe.bpeText]]'s HOF composition
+    * measured faster because its whole-text form re-split through Java
+    * Strings), the byte-level whole-text kernel runs entirely over the
+    * document's UTF-8 bytes — no per-word UTF8String slices, no
+    * interpreted lambda dispatch, no piece-array materialization.
+    * Byte-equal to the HOF composition (property-tested, ByteBpeSpec);
+    * measured on the 9.6 KB-doc length lane: 6.0 → 3.3 s (q_bpe_bytes).
     */
   def byteBpeText(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(ByteBpeApplyText(GraftBridge.expression(text), merges))
+
+  /** The split + transform(HOF) + concat_ws composition (the pre-r16
+    * primary) — kept as the property-test reference for
+    * [[ByteBpeApplyText]]'s composition semantics.
+    */
+  private[graft] def byteBpeTextHof(text: Column, merges: Seq[(String, String)]): Column =
     concat_ws(" ", transform(TextFunctions.tokens(text), w => byteBpeWord(w, merges)))
 
   /** Piece count of [[byteBpeText]] (hex pieces never contain spaces). */

@@ -61,12 +61,7 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val h = XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
-        var s = 0
-        while (s < numHashes) {
-          val v = XXH64.hashLong(h, s)
-          if (v < mins(s)) mins(s) = v
-          s += 1
-        }
+        HashRuntime.minhashLanes(h, mins)
       }
       i += 1
     }
@@ -88,10 +83,7 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$arr.isNullAt($i)) {
          |    long $h = $xxh.hashUTF8String($arr.getUTF8String($i), ${Seed}L);
-         |    for (int $s = 0; $s < $numHashes; $s++) {
-         |      long $v = $xxh.hashLong($h, $s);
-         |      if ($v < $mins[$s]) $mins[$s] = $v;
-         |    }
+         |    graft.functions.HashRuntime.minhashLanes($h, $mins);
          |  }
          |}
          |${ev.value} = $uad.fromPrimitiveArray($mins);
@@ -135,12 +127,7 @@ case class MinHashTokens(child: Expression, n: Int, numHashes: Int)
         var j = w
         val end = math.min(w + n, t)
         while (j < end) { h = XXH64.hashLong(th(j), h); j += 1 }
-        var s = 0
-        while (s < numHashes) {
-          val v = XXH64.hashLong(h, s)
-          if (v < mins(s)) mins(s) = v
-          s += 1
-        }
+        HashRuntime.minhashLanes(h, mins)
         w += 1
       }
     }
@@ -175,10 +162,7 @@ case class MinHashTokens(child: Expression, n: Int, numHashes: Int)
          |    long $h = ${Seed}L;
          |    int $end = java.lang.Math.min($w + $n, $t);
          |    for (int $j = $w; $j < $end; $j++) { $h = $xxh.hashLong($th[$j], $h); }
-         |    for (int $s = 0; $s < $numHashes; $s++) {
-         |      long $v = $xxh.hashLong($h, $s);
-         |      if ($v < $mins[$s]) $mins[$s] = $v;
-         |    }
+         |    graft.functions.HashRuntime.minhashLanes($h, $mins);
          |  }
          |}
          |${ev.value} = $uad.fromPrimitiveArray($mins);
@@ -672,6 +656,58 @@ case class SignatureAgreement(left: Expression, right: Expression)
          |  if ($a.getLong($i) == $b.getLong($i)) $same++;
          |}
          |${ev.value} = $n == 0 ? 0.0 : ((double) $same) / $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** first_agree_pos(a, b): the 1-based position of the FIRST index where
+  * two array<long> signatures agree, 0 when none does — value-identical
+  * to `array_position(zip_with(a, b, (x, y) -> x = y), true)` over
+  * equal-length null-free arrays (the band-hash contract; spec-pinned).
+  * That composition is the exact-once dedup condition of the LSH bucket
+  * join (a pair colliding in k bands keeps only its first-agreeing-band
+  * copy), and as a JOIN CONDITION it ran INTERPRETED per collision row:
+  * higher-order functions are CodegenFallback, so every (band, bucket)
+  * collision paid a lambda-frame zip_with + array build + array_position
+  * scan (r16 ProbeMinhash: the candidates stage was 1.2 s of the 1.5 s
+  * x16 pipeline). This kernel is one fused loop with an early exit.
+  */
+case class FirstAgreePos(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_first_agree_pos"
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint>, got ${l.simpleString}, ${r.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return (i + 1).toLong
+      i += 1
+    }
+    0L
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i + 1L; break; }
+         |}
        """.stripMargin
     })
 
@@ -1524,6 +1560,44 @@ object BandedLevenshtein {
   }
 }
 
+/** Shared JVM runtime for the signature kernels (top-level object ⇒
+  * static forwarders callable from generated code, the BpeRuntime
+  * pattern).
+  */
+object HashRuntime {
+  // XXH64's primes (public constants of the xxHash spec; Spark's
+  // catalyst XXH64 uses the same values)
+  private final val P1 = -7046029288634856825L
+  private final val P2 = -4417276706812531889L
+  private final val P3 = 1609587929392839161L
+  private final val P4 = -8796714831421723037L
+  private final val P5 = 2870177450012600261L
+
+  /** For every lane s in [0, mins.length):
+    * `v = XXH64.hashLong(h, s); if (v < mins[s]) mins[s] = v` —
+    * BIT-IDENTICAL to the per-seed calls (spec-pinned against
+    * XXH64.hashLong itself), but with the seed-independent subterm
+    * `rotl(h·P2, 31)·P1` hoisted out of the lane loop: hashLong mixes
+    * its INPUT independently of the seed before the seed-bearing state
+    * touches it, so the k re-seeded finalizers share one input mix —
+    * ~2 of the ~11 per-lane ops paid once instead of k times (r16,
+    * the "cut the re-seeded chains" directive, value-preserving form:
+    * deriving lanes from a single 128-bit hash would CHANGE signature
+    * values and with them the declared queries' outputs).
+    */
+  def minhashLanes(h: Long, mins: Array[Long]): Unit = {
+    val k = java.lang.Long.rotateLeft(h * P2, 31) * P1
+    val n = mins.length
+    var s = 0
+    while (s < n) {
+      var v = java.lang.Long.rotateLeft((P5 + 8L + s) ^ k, 27) * P1 + P4
+      v ^= v >>> 33; v *= P2; v ^= v >>> 29; v *= P3; v ^= v >>> 32
+      if (v < mins(s)) mins(s) = v
+      s += 1
+    }
+  }
+}
+
 object HashExpressions {
   /** The shingle-hash seed (= Spark's xxhash64 default) — the single
     * definition behind every ShingleHashExpression AND the stream-side
@@ -1546,6 +1620,10 @@ object HashExpressions {
   /** Fraction of agreeing positions between two signatures (est. Jaccard). */
   def signatureAgreement(a: Column, b: Column): Column =
     GraftBridge.column(SignatureAgreement(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** 1-based first index where two array<bigint> agree; 0 if none. */
+  def firstAgreePos(a: Column, b: Column): Column =
+    GraftBridge.column(FirstAgreePos(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** `length(bin(x))` as one integer intrinsic (bigint in, int out). */
   def binLength(x: Column): Column =

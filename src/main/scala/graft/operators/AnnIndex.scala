@@ -784,8 +784,12 @@ object AnnIndex {
     // instead of element_at: firstAgree = 0 (no agreeing band — possible
     // only on an xxhash64 collision between different (band, hash) pairs)
     // must drop the row, not throw on index 0.
+    // codegen'd first-agree kernel (r16) — value-identical to the
+    // array_position∘zip_with composition it replaces (see
+    // Dedup.minhashPairsFromSigs; the HOF form is CodegenFallback and
+    // ran interpreted per collision row)
     val firstAgree =
-      array_position(zip_with(col("__bhA"), col("__bhB"), (a, b) => a === b), true)
+      graft.functions.HashExpressions.firstAgreePos(col("__bhA"), col("__bhB"))
     val pairs = d.join(idx, "__bb")
       .where(col("__bb") === xxhash64(firstAgree.cast("int") - 1,
         get(col("__bhA"), firstAgree.cast("int") - 1)))

@@ -36,6 +36,12 @@ object KeepRows {
     */
   def matching(df: DataFrame, name: String, e: Column,
       pred: Column => Column): DataFrame = {
+    // withColumn REPLACES a same-named column; this append-shaped rewrite
+    // would instead produce duplicate column names and ambiguous
+    // downstream col(name) references — fail loudly at build time
+    require(!df.columns.contains(name) && !df.columns.contains(s"__kr_$name"),
+      s"KeepRows: column '$name' (or '__kr_$name') already exists in " +
+        df.columns.mkString("[", ", ", "]"))
     val keep = df.columns.map(col).toSeq
     df.select(keep :+ e.as(s"__kr_$name"): _*)
       .select(keep :+

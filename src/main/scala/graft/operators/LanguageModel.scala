@@ -111,14 +111,22 @@ object LanguageModel {
 
   /** (w1, w2) bigram adjacency stream from per-doc token arrays (no
     * cross-doc bigrams) — plus any extra passthrough columns.
+    *
+    * Shape (r16): posexplode + element_at — the transitionEvents pattern —
+    * instead of `explode(zip_with(slice, slice, struct))`: zip_with is
+    * CodegenFallback, so the struct-array form materialized two sliced
+    * arrays plus an interpreted struct array PER DOCUMENT before the
+    * explode (measured inside q_lm_score's 2.9 s length-lane train
+    * phase, ProbeLmParts). Here the Generate and the element_at backref
+    * are both codegen'd and nothing is materialized. Pair multiset is
+    * identical: position p ≥ 1 of each doc yields (t[p-1], t[p]) exactly
+    * once, and docs with < 2 tokens yield nothing (pos 0 is filtered).
     */
   private def bigramPairs(toks: DataFrame, extra: Column*): DataFrame =
-    toks.where(size(col("__t")) >= 2)
-      .select(explode(zip_with(
-        slice(col("__t"), lit(1), size(col("__t")) - 1),
-        slice(col("__t"), lit(2), size(col("__t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p") +: extra: _*)
-      .select(col("__p.w1").as("w1") +: col("__p.w2").as("w2") +: extra: _*)
+    toks.select(Seq(col("__t"), posexplode(col("__t"))) ++ extra: _*)
+      .where(col("pos") >= 1)
+      .select(element_at(col("__t"), col("pos")).as("w1") +:
+        col("col").as("w2") +: extra: _*)
 
   /** Assemble a scoring model from raw count tables: vocabulary =
     * words with count >= minCount; bigrams restricted to in-vocab ends
@@ -149,11 +157,17 @@ object LanguageModel {
     * tokens are absent from the output (no probability is defined for
     * them), matching the oovRate contract.
     */
-  /** Per-token transition stream (`__id`, `__n`, `__pos`, `__w`,
-    * `__prev`): pos 0 carries (null → t1) scored by the unigram model;
-    * pos i≥1 carries (t_i-1 → t_i) scored by the bigram model. One
-    * explode; `__prev` reads the previous token from the pre-explode
-    * array (pipelined inside the same codegen stage, never shuffled).
+  /** Per-token transition stream (`__id`, `__n`, `__w`, `__prev`): the
+    * first token carries (null → t1) scored by the unigram model; token
+    * i≥2 carries (t_i-1 → t_i) scored by the bigram model. One explode;
+    * `__prev` reads the previous token from the pre-explode array
+    * (pipelined inside the same codegen stage, never shuffled). `__pos`
+    * itself is NOT emitted (r16): `__prev IS NULL` carries the
+    * first-token bit — tokens are non-null non-empty strings, so `__prev`
+    * is null exactly at position 0 — and dropping the int column narrows
+    * the stream that rides through the three count-table joins (free
+    * inside one codegen stage locally; 4 bytes/transition fewer on every
+    * corpus-sized exchange once the count tables outgrow broadcast).
     */
   private def transitionEvents(toks: DataFrame): DataFrame =
     toks.select(col("__id"), col("__t"), size(col("__t")).as("__n"),
@@ -162,7 +176,7 @@ object LanguageModel {
       .withColumn("__prev",
         when(col("__pos") === 0, lit(null).cast("string"))
           .otherwise(element_at(col("__t"), col("__pos"))))
-      .select(col("__id"), col("__n"), col("__pos"), col("__w"), col("__prev"))
+      .select(col("__id"), col("__n"), col("__w"), col("__prev"))
 
   def scoreDocs(df: DataFrame, idCol: String, textCol: String,
       lm: NgramLm): DataFrame = {
@@ -179,7 +193,7 @@ object LanguageModel {
       .join(bi, col("__prev") === bi("w1") && col("__w") === bi("w2"), "left")
       .drop("w1", "w2")
       .withColumn("__bits",
-        when(col("__pos") === 0,
+        when(col("__prev").isNull,
           // ilog2 difference: the +1/-1 of |bin| cancels across the ratio
           binLen(lit(lm.totalTokens + lm.vocabSize)) -
             binLen(coalesce(col("__cw"), lit(0L)) + lit(1L)))
@@ -193,10 +207,35 @@ object LanguageModel {
         round(col("lm_bits").cast("double") / col("n_tokens"), 6).as("bits_per_token"))
   }
 
-  /** Train-on-slice + score-corpus composition (the q_lm_score shape). */
+  /** Train-on-slice + score-corpus composition (the q_lm_score shape).
+    * Scoring goes through [[scoreDocsAuto]] (r16): when the trained
+    * model fits the distillation budget the corpus pass pays ZERO joins
+    * and zero shuffles ([[scoreDocsDistilled]] — identical output,
+    * spec-gated); a model past the budget falls back to the join-based
+    * [[scoreDocs]] unchanged. The join-based scorer stays exercised on
+    * an oracled path via q_lm_score_indexed (which scores through the
+    * persistent-catalog NgramLm directly).
+    */
   def scoreAgainstSlice(df: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, minCount: Long = 1L): DataFrame =
-    scoreDocs(df, idCol, textCol, train(ref, idCol, textCol, minCount))
+    scoreDocsAuto(df, idCol, textCol, train(ref, idCol, textCol, minCount))
+
+  /** Model-size adaptive scorer (r16, guide §3 "replace the join when a
+    * side fits"): [[scoreDocsDistilled]] when the count tables fit
+    * `maxEntries` (one codegen'd hash-lookup pass, no corpus joins),
+    * [[scoreDocs]]' three-join pipeline otherwise. Output is IDENTICAL
+    * either way — the distilled kernel replicates the join arithmetic
+    * bit for bit (spec-gated both sides of the gate; q_lm_score's oracle
+    * hash-gates the composed result). The size probe is two counts over
+    * the already-materialized count tables — bounded work, never a
+    * corpus pass.
+    */
+  def scoreDocsAuto(df: DataFrame, idCol: String, textCol: String,
+      lm: NgramLm, maxEntries: Int = 500000): DataFrame =
+    distillIfFits(lm, maxEntries) match {
+      case Some(d) => scoreDocsDistilled(df, idCol, textCol, d)
+      case None => scoreDocs(df, idCol, textCol, lm)
+    }
 
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al.,
     * arXiv:1911.00359 §4.4): language-partitioned quality tiers — each
@@ -273,7 +312,7 @@ object LanguageModel {
         .drop(s"__w1$sfx", s"__w2$sfx")
     }
     def bits(lm: NgramLm, sfx: String): Column =
-      when(col("__pos") === 0,
+      when(col("__prev").isNull,
         binLen(lit(lm.totalTokens + lm.vocabSize)) -
           binLen(coalesce(col(s"__cw$sfx"), lit(0L)) + lit(1L)))
         .otherwise(
@@ -328,6 +367,43 @@ object LanguageModel {
       filter(graft.functions.TextFunctions.tokens(lower(col("__x"))),
         w => w =!= "").as("__t"),
       col("__tgt")))
+    dsirScore(toks, tokenArrays(df, idCol, textCol), idCol, minCount)
+  }
+
+  /** [[dsirAgainstSlices]] for the common case where both reference
+    * slices are ID-predicate cuts of the SCORED corpus itself (the
+    * q_dsir shape: target = doc_id%3=0, raw = doc_id%3=1): ONE corpus
+    * tokenize feeds the model builders AND the scoring event stream —
+    * the general entry tokenized the corpus twice (the tagged slice
+    * union + the event stream; with 2/3-corpus slices that is 1.67
+    * tokenize passes too many). Filtering after the per-row tokenize
+    * equals tokenizing the filtered slice (tokens are a pure function of
+    * the row), so this is spec-gated exactly equal to the general path.
+    * Checkpoint trade: the shared token table covers the full corpus
+    * where the general path checkpointed only the slice union — for
+    * slice fractions this large (2/3) that is +1/3 checkpoint bytes for
+    * −40% tokenize compute and one fewer corpus scan; for SMALL
+    * reference slices keep the general entry (its checkpoint is
+    * reference-bounded, the CCNet scale shape).
+    */
+  def dsirAgainstSlicePreds(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column => Column, rawPred: Column => Column,
+      minCount: Long = 1L): DataFrame = {
+    val toksAll = Materialize.once(tokenArrays(df, idCol, textCol))
+    val tagged = toksAll.where(targetPred(col("__id")))
+        .select(col("__t"), lit(true).as("__tgt"))
+      .unionAll(toksAll.where(rawPred(col("__id")))
+        .select(col("__t"), lit(false).as("__tgt")))
+    dsirScore(tagged, toksAll, idCol, minCount)
+  }
+
+  /** The shared fused-two-model scoring tail: `taggedToks` = the model
+    * builders' token stream (`__t`, `__tgt`); `scoredToks` = the scored
+    * corpus' token arrays (`__id`, `__t`).
+    */
+  private def dsirScore(taggedToks: DataFrame, scoredToks: DataFrame,
+      idCol: String, minCount: Long): DataFrame = {
+    val toks = taggedToks
     def sideCount(isTarget: Boolean) =
       sum(when(col("__tgt") === isTarget, 1L).otherwise(0L))
     // combined unigram table: per-model counts, each nulled below its
@@ -362,7 +438,7 @@ object LanguageModel {
     require(vT >= 1, "target vocabulary is empty")
     require(vR >= 1, "raw vocabulary is empty")
 
-    val events = transitionEvents(tokenArrays(df, idCol, textCol))
+    val events = transitionEvents(scoredToks)
     val uniW = uniBoth.select(col("word").as("__wordW"),
       col("cT").as("__cwT"), col("cR").as("__cwR"))
     val uniP = uniBoth.select(col("word").as("__wordP"),
@@ -375,7 +451,7 @@ object LanguageModel {
     // per-model bi tables used to encode this by dropping rows; the
     // arithmetic is identical because a dropped row scored coalesce→0)
     def bits(t: Long, v: Long, cw: String, cu: String, cb: String): Column =
-      when(col("__pos") === 0,
+      when(col("__prev").isNull,
         binLen(lit(t + v)) - binLen(coalesce(col(cw), lit(0L)) + lit(1L)))
         .otherwise(
           binLen(coalesce(col(cu), lit(0L)) + lit(v)) -
@@ -413,18 +489,25 @@ object LanguageModel {
     * inside `maxEntries`; CCNet itself ships a compact distilled model to
     * its scoring pass rather than joining against raw counts.
     */
-  def distill(lm: NgramLm, maxEntries: Int = 500000): DistilledLm = {
+  def distill(lm: NgramLm, maxEntries: Int = 500000): DistilledLm =
+    distillIfFits(lm, maxEntries).getOrElse(throw new IllegalArgumentException(
+      s"LM too large to distill: uni+bi > $maxEntries entries " +
+        "(raise minCount at train time, or score with the join-based scoreDocs)"))
+
+  /** [[distill]]'s size probe without the hard failure: Some(distilled)
+    * when uni+bi fits `maxEntries`, None otherwise — the gate behind
+    * [[scoreDocsAuto]]'s distilled-vs-join decision.
+    */
+  def distillIfFits(lm: NgramLm, maxEntries: Int = 500000): Option[DistilledLm] = {
     val nUni = lm.unigrams.count()
     val nBi = lm.bigrams.count()
-    require(nUni + nBi <= maxEntries,
-      s"LM too large to distill: $nUni unigrams + $nBi bigrams > $maxEntries " +
-        "(raise minCount at train time, or score with the join-based scoreDocs)")
-    DistilledLm(
+    if (nUni + nBi > maxEntries) None
+    else Some(DistilledLm(
       lm.unigrams.select("word", "c").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap,
       lm.bigrams.select("w1", "w2", "c").collect()
         .map(r => r.getString(0) + " " + r.getString(1) -> r.getLong(2)).toMap,
-      lm.totalTokens, lm.vocabSize)
+      lm.totalTokens, lm.vocabSize))
   }
 
   /** Per-row surprisal under a distilled LM: ONE map-side expression —

@@ -156,8 +156,11 @@ object ExtQueries {
     // lambda-bearing trees (r15; measured on q_bpe_bytes, same shape)
     Tables.df(s, d, "documents")
       .select(col("doc_id"), b.bpeText(col("text"), BpeFixtureMerges).as("bpe_text"))
+      // spacePieceCount: see q_bpe_bytes — char-BPE symbols come from
+      // code points of whitespace-split words, so pieces cannot contain
+      // spaces and the byte-count form is value-identical
       .select(col("doc_id"), col("bpe_text"),
-        size(split(col("bpe_text"), " ")).cast("long").as("n_pieces"))
+        (graft.functions.Bpe.spacePieceCount(col("bpe_text"))).cast("long").as("n_pieces"))
   }
 
   /** Fixture merge table for q_bpe_bytes: byte-level (GPT-2-style) BPE
@@ -204,8 +207,11 @@ object ExtQueries {
     // kernel — measured 5.16 s → ~half on the 9.6 KB-doc length lane
     Tables.df(s, d, "documents")
       .select(col("doc_id"), b.byteBpeText(col("text"), ByteBpeFixtureMerges).as("bpe_bytes"))
+      // spacePieceCount (r16): value-identical to size(split(_, " ")) on
+      // the space-joined hex pieces, one byte scan instead of a piece
+      // array (~1.9 s of the 4.7 s length-lane row was the split tail)
       .select(col("doc_id"), col("bpe_bytes"),
-        size(split(col("bpe_bytes"), " ")).cast("long").as("n_pieces"))
+        (graft.functions.Bpe.spacePieceCount(col("bpe_bytes"))).cast("long").as("n_pieces"))
   }
 
   /** Fixture vocabulary for q_unigram_apply: a real unigram-LM

@@ -745,8 +745,28 @@ object Queries {
         (join2(col("__pl"), col("__ph")) * unit("0.01")).cast("double").as("sum_base_price"),
         round(join2(col("__dl"), col("__dh")) * unit("0.000001"), 2)
           .cast("double").as("sum_disc_price"),
-        round(join3(col("__cl"), col("__cm"), col("__ch")) * unit("0.0000000001"), 2)
-          .cast("double").as("sum_charge"),
+        // sum_charge must round ONCE (r16, ADVICE fix): decimal(38,0) ×
+        // decimal(10,10) has result precision 49, so Spark's
+        // allowPrecisionLoss adjustment coerces the product to
+        // decimal(38,6) — HALF_UP-rounding the exact e-10-dollar total to
+        // 6 fractional digits BEFORE round(_, 2). The oracle sums
+        // decimal(36,10) and rounds once; an exact total like
+        // 100.0049999950 would read 100.01 through the double-rounded
+        // lane vs 100.00 in the oracle. So the scale-2 HALF_UP happens in
+        // EXACT decimal(38,0) integer arithmetic instead: add half a cent
+        // (5e7 e-10 units — totals are nonnegative: price ≥ 0, disc ≤ 1,
+        // tax ≥ 0) and clear the low 8 digits via pmod. The one
+        // residual multiply by 1e-10 then scales an exact multiple of
+        // 1e8, whose product has ≤ 2 fractional digits — the decimal(38,6)
+        // coercion rounds it exactly, and the final double equals the
+        // oracle's CAST(ROUND(SUM(..), 2) AS DOUBLE) bit for bit.
+        {
+          val e8 = lit(100000000L).cast("decimal(38,0)")
+          val biased = join3(col("__cl"), col("__cm"), col("__ch")) +
+            lit(50000000L).cast("decimal(38,0)")
+          ((biased - pmod(biased, e8)) * unit("0.0000000001"))
+            .cast("double").as("sum_charge")
+        },
         ((dec(col("__qc")) * unit("0.01")).cast("double") /
           col("__n").cast("double")).as("avg_qty"),
         ((join2(col("__pl"), col("__ph")) * unit("0.01")).cast("double") /

@@ -296,9 +296,12 @@ object SignalQueries {
 
   private def dsirSpark(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.df(s, d, "documents")
-    graft.operators.LanguageModel.dsirAgainstSlices(docs, "doc_id", "text",
-      docs.where(expr(DsirTargetPred)), docs.where(expr(DsirRawPred)),
-      minCount = LmMinCount)
+    // slice-pred entry (r16): both reference slices are doc_id cuts of
+    // the scored corpus, so ONE shared tokenize feeds the model builders
+    // and the scoring event stream (spec-gated equal to the general
+    // dsirAgainstSlices composition — LanguageModelSpec)
+    graft.operators.LanguageModel.dsirAgainstSlicePreds(docs, "doc_id", "text",
+      _ % 3 === 0, _ % 3 === 1, minCount = LmMinCount)
   }
 
   private val dsirQ = q("q_dsir", bench = true,

@@ -120,6 +120,53 @@ class ByteBpeSpec extends AnyFunSuite {
     }
   }
 
+  test("spacePieceCount == size(split(_, \" \")) on piece strings incl. empties and unicode") {
+    val cases = Seq("", " ", "  ", "61", "61 62", " 61 62 ", "61  62", "é ß", "78 ",
+      "6869 63 61 66 C3A9")
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = df.select(graft.functions.Bpe.spacePieceCount(col("s"))).collect().map(_.getInt(0))
+    val want = df.select(size(split(col("s"), " "))).collect().map(_.getInt(0))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("whole-document kernel == split+transform+concat_ws composition on whitespace-laden docs") {
+    // r16: byteBpeText is ONE ByteBpeApplyText call per document; it must
+    // replicate the HOF composition's semantics byte for byte — trim
+    // strips ASCII spaces only, split("\\s+") with limit -1 keeps leading
+    // AND trailing empty tokens (for non-0x20 whitespace surviving trim),
+    // concat_ws keeps empty strings, multi-byte UTF-8 is untouched by the
+    // byte-level separator scan
+    val merges = graft.queries.ExtQueries.ByteBpeFixtureMerges
+    val hand = Seq(
+      "", " ", "  ", "\t", "\t\t", " \t ", "a", " a", "a ", "\ta", "a\t",
+      "\ta\t", "a b", "a  b", "a\t\tb", "a\nb\rc", "erow merower\trowerow",
+      "caféßü", "the hash join\n\nrow store", "  padded  ", "\f\fx\f")
+    val rnd = new scala.util.Random(1616)
+    val seps = " \t\n\f\r"
+    val syms = "erowstampjinluh café"
+    val random = (1 to 300).map { _ =>
+      (0 until rnd.nextInt(40)).map { _ =>
+        if (rnd.nextInt(4) == 0) seps(rnd.nextInt(seps.length))
+        else syms(rnd.nextInt(syms.length))
+      }.mkString
+    }
+    val df = (hand ++ random).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val both = df.select(col("id"),
+        ByteBpe.byteBpeText(col("text"), merges).as("kernel"),
+        ByteBpe.byteBpeTextHof(col("text"), merges).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"doc ${r.getLong(0)}: kernel '${r.getString(1)}' != hof '${r.getString(2)}'")
+    }
+    // interpreted eval agrees with the plan path on a tricky doc
+    val lefts = merges.map(m => BpeRuntime.decodeHex(m._1)).toArray
+    val rights = merges.map(m => BpeRuntime.decodeHex(m._2)).toArray
+    assert(BpeRuntime.applyTextBytes(UTF8String.fromString("\ta  b\t"), lefts, rights).toString
+      == " 61 62 ")
+  }
+
   test("span-based fast path == string-based reference on random words x random merge tables") {
     // r15: the expression runs applyWordBytesFast (int-span symbols,
     // pre-decoded rule bytes, direct hex rendering); it must match the

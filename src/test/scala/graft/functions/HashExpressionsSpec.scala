@@ -39,6 +39,56 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(math.abs(j - 0.6) < 0.1, s"est=$j want ~0.6")
   }
 
+  test("minhashLanes (hoisted lane loop) == per-seed XXH64.hashLong, bit for bit") {
+    // the r16 strength reduction hoists hashLong's seed-independent input
+    // mix out of the 64-lane loop — any algebra slip here would silently
+    // change every minhash signature (and with it q_dedup_minhash's
+    // declared output), so the helper is pinned against the original
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val rnd = new scala.util.Random(20260818)
+    val hs = Seq(0L, 1L, -1L, Long.MinValue, Long.MaxValue, 42L) ++
+      Seq.fill(200)(rnd.nextLong())
+    for (h <- hs; k <- Seq(1, 16, 64)) {
+      val viaHelper = Array.fill(k)(Long.MaxValue)
+      HashRuntime.minhashLanes(h, viaHelper)
+      val viaXxh = Array.tabulate(k)(s => XXH64.hashLong(h, s))
+      assert(viaHelper.toSeq == viaXxh.toSeq, s"lane mismatch for h=$h k=$k")
+    }
+    // and min-accumulation semantics: a second window only lowers lanes
+    val acc = Array.fill(8)(Long.MaxValue)
+    HashRuntime.minhashLanes(7L, acc)
+    val first = acc.clone()
+    HashRuntime.minhashLanes(9L, acc)
+    acc.zip(first).zipWithIndex.foreach { case ((now, was), s) =>
+      assert(now == math.min(was, XXH64.hashLong(9L, s)))
+    }
+  }
+
+  test("firstAgreePos == array_position(zip_with(_ === _), true) on band-hash arrays") {
+    val rnd = new scala.util.Random(16)
+    // random pairs with planted agreements at controlled first positions
+    val rows = (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(16)
+      val a = Array.fill(n)(rnd.nextLong())
+      val b = Array.fill(n)(rnd.nextLong())
+      if (i % 3 == 0) { val p = rnd.nextInt(n); b(p) = a(p) } // ≥1 agreement
+      if (i % 7 == 0) Array.copy(a, 0, b, 0, n) // full agreement → pos 1
+      (a.toSeq, b.toSeq)
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(HashExpressions.firstAgreePos($"a", $"b")).collect().map(_.getLong(0))
+    val want = df.select(
+      array_position(zip_with($"a", $"b", (x, y) => x === y), lit(true))).collect()
+      .map(_.getLong(0))
+    assert(got.toSeq == want.toSeq)
+    // interpreted eval agrees with the plan path
+    val lit2 = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      rows.head._1, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    val lit3 = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      rows.head._2, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    assert(FirstAgreePos(lit2, lit3).eval(null) == want.head)
+  }
+
   test("interpreted eval matches codegen result") {
     // force interpreted path by eval'ing the expression directly
     val shingles = Seq("a b c", "b c d", "c d e")

@@ -607,6 +607,48 @@ class SignalOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](LanguageModel.distill(lm, maxEntries = 3))
   }
 
+  test("scoreDocsAuto: distilled when the model fits, join-based fallback when not — identical output either way") {
+    val docs = corpusDf
+    val lm = LanguageModel.train(docs.where(col("doc_id") % 3 === 0), "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val joined = rows(LanguageModel.scoreDocs(docs, "doc_id", "text", lm))
+    // under budget: the auto path must take the distilled kernel (no
+    // corpus joins in the plan) and reproduce the join arithmetic exactly
+    // (plan checks read the ANALYZED plan: over a local relation the
+    // optimizer constant-folds the whole projection into a
+    // LocalTableScan, hiding the kernel from the executed plan text)
+    val auto = LanguageModel.scoreDocsAuto(docs, "doc_id", "text", lm)
+    assert(auto.queryExecution.analyzed.toString.contains("graft_distilled_lm_score"),
+      "under-budget model should score through the distilled kernel")
+    assert(!auto.queryExecution.analyzed.toString.contains("Join"),
+      "distilled path must have zero corpus joins")
+    assert(rows(auto) == joined)
+    // over budget: explicit fallback to the join-based scorer, same rows
+    val fallback = LanguageModel.scoreDocsAuto(docs, "doc_id", "text", lm, maxEntries = 3)
+    assert(!fallback.queryExecution.analyzed.toString.contains("graft_distilled_lm_score"),
+      "over-budget model must fall back to the join-based scorer")
+    assert(fallback.queryExecution.analyzed.toString.contains("Join"),
+      "the fallback is the three-join scorer")
+    assert(rows(fallback) == joined)
+  }
+
+  test("dsirAgainstSlicePreds (one shared corpus tokenize) == general dsirAgainstSlices") {
+    val docs = corpusDf
+    for (mc <- Seq(1L, 2L, 5L)) {
+      val shared = LanguageModel.dsirAgainstSlicePreds(docs, "doc_id", "text",
+          _ % 3 === 0, _ % 3 === 1, minCount = mc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      val general = LanguageModel.dsirAgainstSlices(docs, "doc_id", "text",
+          docs.where(col("doc_id") % 3 === 0), docs.where(col("doc_id") % 3 === 1),
+          minCount = mc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      assert(shared == general, s"slice-pred dsir diverges from the general path at minCount=$mc")
+    }
+  }
+
   test("dsirWeights == two independent scoreDocs passes, exactly") {
     val docs = corpusDf
     val lmT = LanguageModel.train(docs.where(col("doc_id") % 3 === 0), "doc_id", "text")

@@ -685,7 +685,8 @@ object ByteBpe {
     * document's UTF-8 bytes — no per-word UTF8String slices, no
     * interpreted lambda dispatch, no piece-array materialization.
     * Byte-equal to the HOF composition (property-tested, ByteBpeSpec);
-    * measured on the 9.6 KB-doc length lane: 6.0 → 3.3 s (q_bpe_bytes).
+    * measured on the 9.6 KB-doc length lane: q_bpe_bytes 6.0 → 3.0 s
+    * (together with the spacePieceCount n_pieces tail).
     */
   def byteBpeText(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(ByteBpeApplyText(GraftBridge.expression(text), merges))

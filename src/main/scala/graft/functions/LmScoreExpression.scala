@@ -89,6 +89,81 @@ final class DistilledLmRuntime(uni: Map[String, Long], bi: Map[String, Long],
   }
 }
 
+/** Runtime for [[OovRateScore]] (r16): per-document OOV counting against
+  * a distilled vocabulary set — one imperative scan, O(1) hash probes —
+  * replacing the corpus-sized token explode + vocabulary join + per-doc
+  * re-aggregation when the vocabulary fits the plan budget (it is
+  * frequency-thresholded, so Heaps' law bounds it regardless of corpus
+  * size). Tokenize parity is [[DistilledLmRuntime]]'s exactly; counts
+  * and the round(_, 6) rate replicate the join path's arithmetic
+  * (spec-gated equal; the oracle replays the join form in SQL).
+  */
+final class OovRuntime(vocab: Array[String]) extends Serializable {
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** struct(n_tokens, n_oov, oov_rate) or null for 0 tokens. */
+  def rate(text: UTF8String): InternalRow = {
+    val raw = ws.split(text.toLowerCase.trim().toString, -1)
+    var n = 0
+    var oov = 0
+    var i = 0
+    while (i < raw.length) {
+      val w = raw(i)
+      if (!w.isEmpty) {
+        n += 1
+        if (!set.contains(w)) oov += 1
+      }
+      i += 1
+    }
+    if (n == 0) return null
+    val r = java.math.BigDecimal.valueOf(oov.toDouble / n)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    new GenericInternalRow(Array[Any](n.toLong, oov.toLong, r))
+  }
+}
+
+/** oov_rate_score(text): the [[OovRuntime]] scan as a codegen expression —
+  * struct(n_tokens, n_oov, oov_rate), null for zero-token texts (the rows
+  * the join path's explode never produced).
+  */
+case class OovRateScore(child: Expression, vocab: Array[String])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_oov_rate_score"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_oov", LongType, nullable = false),
+    StructField("oov_rate", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val runtime = new OovRuntime(vocab)
+
+  override def nullSafeEval(input: Any): Any =
+    runtime.rate(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = ctx.addReferenceObj("graftOovRuntime", runtime, classOf[OovRuntime].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |${ev.value} = $rt.rate($v);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OovRateScore =
+    copy(child = newChild)
+}
+
 /** distilled_lm_score(text): the [[DistilledLmRuntime]] scan as a codegen
   * Catalyst expression — struct(n_tokens, lm_bits, bits_per_token), null
   * for zero-token texts (the scoreDocs "no probability defined" rows).

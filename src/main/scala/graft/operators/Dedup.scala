@@ -133,6 +133,12 @@ object Dedup {
     val banded = withBh.select(
         Seq(col("__id")) ++ side :+ posexplode(col("__bh")): _*)
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bucket"))
+    // (r16 probed-and-rejected: an alias-based self-join restructure to
+    // force exchange reuse on the banded stream measured NULL — AQE's
+    // runtime stage cache already canonicalizes through the per-side
+    // renames and reuses the banded/withBh/sigs exchanges in the shuffle
+    // regime; plans/r16/q_dedup_minhash_shuffle_{before,after}.txt both
+    // show 3 ReusedExchange nodes.)
     def tagged(idName: String, sideName: String) =
       banded.select(Seq(col("__band"), col("__bucket"),
         col("__id").as(idName)) ++

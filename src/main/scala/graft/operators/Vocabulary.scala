@@ -62,14 +62,42 @@ object Vocabulary {
     * Spark-vs-DuckDB gap (DuckDB materializes the shared CTE).
     */
   def oovRate(df: DataFrame, idCol: String, textCol: String,
-      minCount: Long): DataFrame = {
-    val tok = explodeTokens(Materialize.once(tokenArrays(df, idCol, textCol)))
-    oovFromTokens(tok, idCol, vocabularyFromTokens(tok, minCount))
-  }
+      minCount: Long, maxDistillEntries: Int = 500000): DataFrame =
+    oovAgainstAuto(df, idCol, textCol,
+      vocabulary(df, idCol, textCol, minCount), maxDistillEntries)
 
   def oovRateAgainst(df: DataFrame, idCol: String, textCol: String,
-      vocabDf: DataFrame): DataFrame =
-    oovFromTokens(explodeTokens(tokenArrays(df, idCol, textCol)), idCol, vocabDf)
+      vocabDf: DataFrame, maxDistillEntries: Int = 500000): DataFrame =
+    oovAgainstAuto(df, idCol, textCol, vocabDf, maxDistillEntries)
+
+  /** Vocabulary-size adaptive scoring (r16, the scoreDocsAuto
+    * discipline): the vocabulary is materialized once and counted; when
+    * it fits `maxDistillEntries` the corpus pass is ONE codegen'd scan
+    * against a distilled membership set
+    * ([[graft.functions.OovRateScore]]) — no token-array checkpoint, no
+    * corpus-sized explode, no vocabulary join, no per-doc re-aggregation
+    * — with arithmetic identical to the join path (spec-gated; the
+    * oracle replays the join form). Past the budget (Heaps' law at web
+    * scale with low minCount) the probe falls back to the join path;
+    * the fallback re-tokenizes for the probe pass instead of
+    * checkpointing corpus-sized token arrays — at the scale where the
+    * fallback triggers, re-running the narrow tokenize stage is cheaper
+    * than writing (and 2x-replicating, on a cluster) the token stream.
+    */
+  private def oovAgainstAuto(df: DataFrame, idCol: String, textCol: String,
+      vocabDf: DataFrame, maxDistillEntries: Int): DataFrame = {
+    val vocab = Materialize.once(vocabDf)
+    if (vocab.count() <= maxDistillEntries) {
+      val words = vocab.select(col("word")).collect().map(_.getString(0))
+      val score = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.OovRateScore(
+          org.apache.spark.sql.GraftBridge.expression(col(textCol)), words))
+      KeepRows.nonNull(df.select(col(idCol), col(textCol)), "__s", score)
+        .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
+          col("__s.n_oov").as("n_oov"), col("__s.oov_rate").as("oov_rate"))
+    } else
+      oovFromTokens(explodeTokens(tokenArrays(df, idCol, textCol)), idCol, vocab)
+  }
 
   private def oovFromTokens(tok: DataFrame, idCol: String,
       vocabDf: DataFrame): DataFrame = {

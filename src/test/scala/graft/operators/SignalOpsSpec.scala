@@ -98,6 +98,30 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(r(3L) == ((3L, 1L)))
   }
 
+  test("oov distilled kernel == join path, including the over-budget fallback") {
+    // r16: under the distill budget oovRate scores through one codegen'd
+    // membership scan; with maxDistillEntries = 0 every vocabulary is
+    // over budget and the corpus-join path runs — both must agree on
+    // every row, including whitespace-laden and zero-token docs
+    val docs = Seq(
+      (0L, "the quick fox the quick dog"), (1L, "the the the"),
+      (2L, "zq9 unseen tokens only"), (3L, ""), (4L, "   "),
+      (5L, "\tThe QUICK fox\n"), (6L, "the  quick   fox")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val kernel = rows(Vocabulary.oovRate(docs, "doc_id", "text", minCount = 2))
+    val joined = rows(Vocabulary.oovRate(docs, "doc_id", "text", minCount = 2,
+      maxDistillEntries = 0))
+    assert(kernel == joined && kernel.nonEmpty)
+    // same for the reference-vocabulary entry
+    val vocab = Vocabulary.vocabulary(docs.where(col("doc_id") < 2), "doc_id", "text", 1)
+    val kA = rows(Vocabulary.oovRateAgainst(docs, "doc_id", "text", vocab))
+    val jA = rows(Vocabulary.oovRateAgainst(docs, "doc_id", "text", vocab,
+      maxDistillEntries = 0))
+    assert(kA == jA && kA.nonEmpty)
+  }
+
   test("oovRateAgainst: reference-vocabulary scoring") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha nope")).toDF("doc_id", "text")
     val vocab = Seq("alpha", "beta").toDF("word").withColumn("n", lit(99L))
